@@ -1,0 +1,400 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{dec, load}
+
+/** Batch relational surface — SURVEY.md §2-B Q01–Q26.
+  *
+  * Everything is declarative DataFrame DSL so Catalyst owns the physical
+  * plan: parquet predicate pushdown + column pruning (Q03), broadcast-hash
+  * joins for dims (Q05, Q10), partial+final hash aggregation (Q11–Q15),
+  * `TakeOrderedAndProjectExec` for sorted limits (Q02/Q04/Q19), window exec
+  * (Q16–Q18), and AQE for runtime shuffle re-planning. No collects, no
+  * driver-side loops — every plan is shuffle-parallel and survives a 100×
+  * scale-up.
+  *
+  * Determinism contract (SURVEY §2-B D1–D6): total-order ORDER BY with
+  * unique tiebreakers, DECIMAL(18,2) before SUM of doubles, no raw doubles
+  * projected, explicit null ordering, UTC session time.
+  */
+object Relational {
+
+  /** Q01 scan/count. */
+  def q01Count(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem").agg(count(lit(1)).as("n"))
+
+  /** Q02 projection + sorted limit → TakeOrderedAndProjectExec. */
+  def q02Project(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  /** Q03 filter with parquet-pushable predicates (quantity, flag, date). */
+  def q03Filter(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    li.filter(col("l_quantity") > 40 &&
+        col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1995-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec(col("l_quantity")).as("qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Q04 equi inner join; AQE picks SMJ vs shuffled-hash vs broadcast. */
+  def q04JoinInner(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .join(load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name")
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  /** Q05 dimension join — explicit broadcast keeps it shuffle-free at any
+    * fact-side scale (region is 5 rows at every SF). */
+  def q05JoinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "nation")
+      .join(broadcast(load(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name", "r_name")
+      .orderBy("n_name")
+
+  /** Q06 left outer join + aggregate (COUNT skips nulls from no-match). */
+  def q06JoinLeftAgg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .join(load(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("cnt"))
+      .orderBy("c_custkey")
+
+  /** Q07 semi join (EXISTS). */
+  def q07JoinSemi(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .join(load(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q08 anti join (NOT EXISTS with a correlated filter). */
+  def q08JoinAnti(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .join(load(spark, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q09 theta/range join: equi key (nation) + residual inequality, so the
+    * plan stays a hash join with a post-filter instead of a nested loop. */
+  def q09JoinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer").as("c")
+    val s = load(spark, dir, "supplier").as("s")
+    c.join(s, col("c.c_nationkey") === col("s.s_nationkey") &&
+        col("c.c_acctbal") > col("s.s_acctbal"))
+      .select(col("c.c_custkey"), col("s.s_suppkey"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  /** Q10 multi-way join + agg; Catalyst reorders, dims broadcast. */
+  def q10JoinMulti(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "region")
+      .join(load(spark, dir, "nation"),
+        col("r_regionkey") === col("n_regionkey"))
+      .join(load(spark, dir, "supplier"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("suppliers"))
+      .orderBy("r_name", "n_name")
+
+  /** Q11 TPC-H Q1-shaped hash aggregate — partial+final, decimal sums. */
+  def q11Agg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_price"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q12 exact distinct aggregate (Expand + two-phase agg). */
+  def q12AggDistinct(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"))
+
+  /** Q13 approx distinct (HLL++) — implementation-only, engine-specific
+    * results; the scale path for COUNT(DISTINCT) at 100 TB. */
+  def q13AggApprox(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("apx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("apx_supps"),
+        countDistinct(col("l_partkey")).as("d_parts"))
+
+  /** Q14 ROLLUP (Expand + aggregate); explicit NULLS FIRST ordering. */
+  def q14Rollup(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Q15 CUBE. */
+  def q15Cube(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Q16 ranking window; rn cast to long for cross-engine type parity. */
+  def q16WinRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q17 analytic lag over a per-user window. */
+  def q17WinLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        lag(col("event_id"), 1).over(w).as("prev_id"))
+      .drop("ts_ns")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q18 explicit frame spec: running decimal sum. */
+  def q18WinFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        sum(dec(col("value"))).over(w).as("running"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q19 top-k: sort on the source column (exact double order, unique
+    * tiebreaker) then project — TakeOrderedAndProjectExec, no full sort. */
+  def q19TopK(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+
+  /** Q20 UNION (distinct). */
+  def q20Union(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer").select(col("c_nationkey").as("k"))
+      .union(load(spark, dir, "supplier").select(col("s_nationkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  /** Q21 INTERSECT. */
+  def q21Intersect(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer").select(col("c_nationkey").as("k"))
+      .intersect(
+        load(spark, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q22 EXCEPT. */
+  def q22Except(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "nation").select(col("n_nationkey").as("k"))
+      .except(load(spark, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q23 string functions (upper/substr/length/like). */
+  def q23StringFns(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part")
+      .filter(col("p_name").like("%a%"))
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("b"),
+        substring(col("p_name"), 1, 5).as("pfx"),
+        length(col("p_type")).cast("long").as("tl"))
+      .orderBy("p_partkey")
+
+  /** Q24 date functions (extract + group). */
+  def q24DateFns(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("y", "m")
+
+  /** Q25 math functions with explicit result-type discipline (D6). */
+  def q25MathFns(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        floor(col("c_acctbal")).cast("long").as("fb"),
+        ceil(col("c_acctbal")).cast("long").as("cb"),
+        abs(col("c_acctbal")).cast("decimal(18,2)").as("ab"),
+        round(col("c_acctbal").cast("decimal(12,2)"), 1)
+          .cast("decimal(18,1)").as("rb"))
+      .orderBy("c_custkey")
+
+  /** Q26 conditional (CASE WHEN). */
+  def q26Conditional(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 100000, "big")
+          .when(col("o_totalprice") > 10000, "mid")
+          .otherwise("small").as("bucket"))
+      .orderBy("o_orderkey")
+
+  /** queries-map wiring for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_count" -> (q01Count _),
+    "q02_project" -> (q02Project _),
+    "q03_filter" -> (q03Filter _),
+    "q04_join_inner" -> (q04JoinInner _),
+    "q05_join_broadcast" -> (q05JoinBroadcast _),
+    "q06_join_left_agg" -> (q06JoinLeftAgg _),
+    "q07_join_semi" -> (q07JoinSemi _),
+    "q08_join_anti" -> (q08JoinAnti _),
+    "q09_join_theta" -> (q09JoinTheta _),
+    "q10_join_multi" -> (q10JoinMulti _),
+    "q11_agg" -> (q11Agg _),
+    "q12_agg_distinct" -> (q12AggDistinct _),
+    "q13_agg_approx" -> (q13AggApprox _),
+    "q14_rollup" -> (q14Rollup _),
+    "q15_cube" -> (q15Cube _),
+    "q16_win_rank" -> (q16WinRank _),
+    "q17_win_lag" -> (q17WinLag _),
+    "q18_win_frame" -> (q18WinFrame _),
+    "q19_topk" -> (q19TopK _),
+    "q20_union" -> (q20Union _),
+    "q21_intersect" -> (q21Intersect _),
+    "q22_except" -> (q22Except _),
+    "q23_string_fns" -> (q23StringFns _),
+    "q24_date_fns" -> (q24DateFns _),
+    "q25_math_fns" -> (q25MathFns _),
+    "q26_conditional" -> (q26Conditional _),
+  )
+
+  /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
+    * implementation-only → intentionally absent). */
+  val oracle: Map[String, String] = Map(
+    "q01_count" -> "SELECT COUNT(*) AS n FROM lineitem",
+    "q02_project" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q03_filter" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |FROM lineitem
+        |WHERE l_quantity > 40 AND l_returnflag = 'R'
+        |  AND l_shipdate >= DATE '1995-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q04_join_inner" ->
+      """SELECT o_orderkey, c_name FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q05_join_broadcast" ->
+      """SELECT n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""".stripMargin,
+    "q06_join_left_agg" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS cnt FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q07_join_semi" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_join_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_join_theta" ->
+      """SELECT c.c_custkey, s.s_suppkey FROM customer c
+        |JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        |  AND c.c_acctbal > s.s_acctbal
+        |ORDER BY c.c_custkey, s.s_suppkey""".stripMargin,
+    "q10_join_multi" ->
+      """SELECT r_name, n_name, COUNT(*) AS suppliers FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q11_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q12_agg_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS d_parts,
+        |  COUNT(DISTINCT l_suppkey) AS d_supps FROM lineitem""".stripMargin,
+    "q14_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q15_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q16_win_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q17_win_lag" ->
+      """SELECT user_id, event_id,
+        |  LAG(event_id) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_id
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q18_win_frame" ->
+      """SELECT user_id, event_id,
+        |  SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q19_topk" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q20_union" ->
+      """SELECT c_nationkey AS k FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
+    "q21_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
+    "q22_except" ->
+      """SELECT n_nationkey AS k FROM nation
+        |EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin,
+    "q23_string_fns" ->
+      """SELECT p_partkey, UPPER(p_brand) AS b, SUBSTR(p_name, 1, 5) AS pfx,
+        |  LENGTH(p_type) AS tl
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+    "q24_date_fns" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+        |  EXTRACT(MONTH FROM o_orderdate) AS m, COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)
+        |ORDER BY y, m""".stripMargin,
+    "q25_math_fns" ->
+      """SELECT c_custkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS fb,
+        |  CAST(CEIL(c_acctbal) AS BIGINT) AS cb,
+        |  CAST(ABS(c_acctbal) AS DECIMAL(18,2)) AS ab,
+        |  CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 1) AS DECIMAL(18,1)) AS rb
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q26_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 100000 THEN 'big'
+        |       WHEN o_totalprice > 10000 THEN 'mid'
+        |       ELSE 'small' END AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+
+import graft.Tables.{dec, load}
+
+/** Semi-structured surface — SURVEY.md §2-B Q27–Q30: time bucketing, JSON
+  * scalar extraction, array ops, map ops. All built-in codegen'd
+  * expressions; no UDFs in the hot path.
+  */
+object SemiStructured {
+
+  /** Q27 tumbling window, batch-checkable via date_trunc. The streaming
+    * twin (groupBy(window($"ts", "1 hour"))) lives in graft.streaming and
+    * is equivalence-tested against this in StreamingSpec. */
+  def q27Tumbling(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sv"))
+      .orderBy("w", "event_type")
+
+  /** Q28 JSON scalar extraction (get_json_object → codegen'd path). */
+  def q28Json(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast(LongType))
+        .as("sum_k"))
+      .orderBy("event_type")
+
+  /** Q29 array ops over ArrayType(FloatType) embeddings. */
+  def q29Array(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        max(size(col("embedding"))).cast(LongType).as("dim"))
+      .orderBy("label")
+
+  /** Q30 map ops: parse props into a MapType, then element_at/map_keys.
+    * Output avoids projecting the map itself so the result stays
+    * SQL-comparable across engines (same aggregate as Q28 plus key count).
+    */
+  def q30Map(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      .groupBy("event_type")
+      .agg(
+        sum(element_at(col("m"), "k")).as("sum_k"),
+        max(size(map_keys(col("m")))).cast(LongType).as("max_keys"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_tumbling" -> (q27Tumbling _),
+    "q28_json" -> (q28Json _),
+    "q29_array" -> (q29Array _),
+    "q30_map" -> (q30Map _),
+  )
+
+  /** DuckDB forms — D5 dialect exceptions: json_extract_string vs
+    * get_json_object, len vs size, json_keys for map keys. */
+  val oracle: Map[String, String] = Map(
+    "q27_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS cnt,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY w, event_type""".stripMargin,
+    "q28_json" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q29_array" ->
+      """SELECT label, COUNT(*) AS n, MAX(len(embedding)) AS dim
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q30_map" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MAX(len(json_keys(props))) AS max_keys
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

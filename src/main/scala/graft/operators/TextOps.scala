@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables.load
+
+/** Text-analysis + exact-dedup surface — SURVEY.md §2-B Q31/Q32 and the
+  * north-star training-data-pipeline text operators: token counting,
+  * quality scoring, language-ID, document fingerprinting.
+  *
+  * Scale notes: everything is per-document map work + a hash aggregate —
+  * embarrassingly parallel, no driver collects, codegen-friendly built-in
+  * expressions only (split/explode/regexp/hash).
+  */
+object TextOps {
+
+  /** Q31a language stats. */
+  def q31Lang(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+
+  /** Q31b tokenize + word count (top-20, count-desc with word tiebreak). */
+  def q31Tokens(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(20)
+
+  /** Q32 exact-dedup stats per source (hash-groupBy distinct). */
+  def q32DedupExact(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("uniq"))
+      .orderBy("source")
+
+  /** Exact dedup as an operator (north star): keep one row per text.
+    * dropDuplicates is a shuffle-parallel hash-groupBy; at 100 TB dedupe
+    * on a 64-bit content hash first so the shuffle moves hashes, not
+    * document bodies. This query returns the survivor count + rows so the
+    * oracle can check it exactly. */
+  def q32bDedupRows(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("text"))
+      .distinct()
+      .agg(count(lit(1)).as("uniq_texts"))
+
+  /** Token counting (north star): whitespace tokens + a BPE-ish regex
+    * token count (alphanumeric runs as word pieces). regexp_count keeps
+    * the semantics identical across engines (no split-edge-case drift). */
+  def q33TokenCount(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z0-9]+")).cast(LongType)
+          .as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring (north star): length, word count, mean word length
+    * (×100), stopword count + ratio (basis points) — the classic cheap
+    * quality filters for pretraining data, all as one codegen'd
+    * projection. Ratios use exact integer DIV so the oracle comparison is
+    * representation-independent. */
+  def q34Quality(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast(LongType)
+    val nWords = size(split(col("text"), " ")).cast(LongType)
+    val stopRe = "\\b(the|a|an|of|to|and|in|is|it)\\b"
+    val nStops = regexp_count(col("text"), lit(stopRe)).cast(LongType)
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        nChars.as("chars"),
+        nWords.as("words"),
+        try_divide(nChars * 100, nWords).cast(LongType).as("mean_wlen_c"),
+        nStops.as("stops"),
+        try_divide(nStops * 10000, nWords).cast(LongType).as("stop_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic (north star, implementation-only): score each
+    * doc against tiny per-language stopword sets via regex counts and
+    * argmax. Deterministic; accuracy asserted in TextOpsSpec against the
+    * fixture's lang column. */
+  def langIdScores(documents: DataFrame): DataFrame = {
+    val markers: Seq[(String, String)] = Seq(
+      "en" -> "(?i)\\b(the|and|of|to|is|in|that|with)\\b",
+      "de" -> "(?i)\\b(der|die|das|und|ist|nicht|mit|ein)\\b",
+      "fr" -> "(?i)\\b(le|la|les|et|est|une|dans|pour)\\b",
+      "es" -> "(?i)\\b(el|los|las|y|es|una|para|como)\\b")
+    val scored = markers.foldLeft(documents) { case (df, (lang, re)) =>
+      df.withColumn(s"score_$lang", size(split(col("text"), re)) - 1)
+    }
+    val best = markers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
+    }
+    scored.withColumn("pred_lang",
+      greatest(best: _*).getField("l"))
+  }
+
+  /** Document fingerprint (north star, implementation-only): 64-bit
+    * content hash + a shift-rolling hash over word tokens — stable input
+    * to large-scale exact/near dedup. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      xxhash64(col("text")).as("content_hash"),
+      // rotate-left-5 ⊕ token-hash: overflow-free under ANSI mode (shifts
+      // and xor never overflow, unlike the classic *31+h polynomial).
+      aggregate(split(col("text"), " "), lit(0L), (acc, w) =>
+        (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
+          .bitwiseXOR(xxhash64(w))).as("rolling_hash"))
+
+  def q35LangId(spark: SparkSession, dir: String): DataFrame =
+    langIdScores(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
+      .orderBy("doc_id")
+
+  def q36Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(load(spark, dir, "documents")).orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31a_text_lang" -> (q31Lang _),
+    "q31b_text_tokens" -> (q31Tokens _),
+    "q32_dedup_exact" -> (q32DedupExact _),
+    "q32b_dedup_rows" -> (q32bDedupRows _),
+    "q33_token_count" -> (q33TokenCount _),
+    "q34_quality" -> (q34Quality _),
+    "q35_lang_id" -> (q35LangId _),
+    "q36_fingerprint" -> (q36Fingerprint _),
+  )
+
+  /** q35/q36 are implementation-only (heuristic / hash-specific). */
+  val oracle: Map[String, String] = Map(
+    "q31a_text_lang" ->
+      """SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q31b_text_tokens" ->
+      """SELECT w, COUNT(*) AS c FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY c DESC, w LIMIT 20""".stripMargin,
+    "q32_dedup_exact" ->
+      """SELECT source, COUNT(*) AS n, COUNT(DISTINCT text) AS uniq
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q32b_dedup_rows" ->
+      """SELECT COUNT(*) AS uniq_texts FROM (
+        |  SELECT DISTINCT text FROM documents)""".stripMargin,
+    "q33_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_quality" ->
+      """SELECT doc_id, LENGTH(text) AS chars,
+        |  len(string_split(text, ' ')) AS words,
+        |  (LENGTH(text) * 100) // len(string_split(text, ' ')) AS mean_wlen_c,
+        |  len(regexp_extract_all(text,
+        |    '\b(the|a|an|of|to|and|in|is|it)\b')) AS stops,
+        |  (len(regexp_extract_all(text,
+        |    '\b(the|a|an|of|to|and|in|is|it)\b')) * 10000) //
+        |    len(string_split(text, ' ')) AS stop_bp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

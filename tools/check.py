@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's t2 gate: read Verify output parquet,
+run oracle SQL in DuckDB on the same tables, compare rows/schema/hash."""
+import sys, json, glob, duckdb, decimal, datetime
+import pyarrow.parquet as pq
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+def canon(v):
+    if isinstance(v, float): return repr(v)
+    if isinstance(v, decimal.Decimal): return str(v)
+    if isinstance(v, datetime.datetime): return v.isoformat()
+    return repr(v)
+
+fails = 0
+for name in sorted(oracle):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"MISSING  {name}"); fails += 1; continue
+    spark_t = pq.read_table(files[0])
+    cols = sorted(spark_t.column_names)
+    spark_rows = [tuple(canon(r[c]) for c in cols) for r in spark_t.to_pylist()]
+    try:
+        duck_t = con.execute(oracle[name]).fetch_arrow_table()
+    except Exception as e:
+        print(f"ORACLE-ERR {name}: {e}"); fails += 1; continue
+    dcols = sorted(duck_t.column_names)
+    duck_rows = [tuple(canon(r[c]) for c in dcols) for r in duck_t.to_pylist()]
+    if cols != dcols:
+        print(f"SCHEMA   {name}: spark={cols} duck={dcols}"); fails += 1; continue
+    if spark_rows != duck_rows:
+        n = len(spark_rows)
+        diff = [i for i,(a,b) in enumerate(zip(spark_rows,duck_rows)) if a!=b][:3]
+        print(f"HASH     {name}: rows {n} vs {len(duck_rows)}; first diffs {diff}")
+        for i in diff:
+            print(f"  spark[{i}]={spark_rows[i]}")
+            print(f"  duck [{i}]={duck_rows[i]}")
+        fails += 1; continue
+    print(f"OK       {name} ({len(spark_rows)} rows)")
+# queries without oracle → rows-only
+import os
+for d in sorted(os.listdir(outdir)):
+    p = os.path.join(outdir, d)
+    if os.path.isdir(p) and d not in oracle:
+        files = glob.glob(f"{p}/*.parquet")
+        n = sum(pq.read_table(f).num_rows for f in files) if files else 0
+        print(f"ROWSONLY {d}: {n} rows" + ("  <-- EMPTY!" if n==0 else ""))
+print("FAILS:", fails)
+sys.exit(1 if fails else 0)
