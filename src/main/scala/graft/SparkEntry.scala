@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, SemiStructured, TextOps}
+import graft.functions.Exemplars
+import graft.operators.{Dedup, Relational, SemiStructured, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,10 +22,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ SemiStructured.queries ++ TextOps.queries
+    Relational.queries ++ SemiStructured.queries ++ TextOps.queries ++
+      Dedup.queries ++ Similarity.queries ++ Exemplars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ SemiStructured.oracle ++ TextOps.oracle
+    Relational.oracle ++ SemiStructured.oracle ++ TextOps.oracle ++
+      Exemplars.oracle
 }

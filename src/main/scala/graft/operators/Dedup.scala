@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.functions.VectorOps
+
+/** Near-duplicate detection — SURVEY.md §2-B Q33 / north star: MinHash+LSH,
+  * SimHash, exact n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (the whole point of these operators at 100 TB):
+  *  - signatures are computed in a single projection with higher-order
+  *    functions — NO explode/shuffle for signature construction;
+  *  - candidate generation is a band-bucket equi-join (shuffle on short
+  *    (band, key) tuples), never an O(n²) cross join;
+  *  - verification joins shingle sets back by doc_id, so wide text arrays
+  *    travel the network once, not once-per-band;
+  *  - frequency-capped inverted index for exact Jaccard bounds worst-case
+  *    bucket blowup (hot shingles are dropped from candidate generation,
+  *    standard df-cut).
+  */
+object Dedup {
+
+  /** Distinct word k-shingles of a text column; texts shorter than k words
+    * contribute their whole text as one shingle. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - k, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: seed s ∈ [0, numHashes); component s is
+    * min over shingles of xxhash64(shingle, s). One projection, no
+    * shuffle, codegen-friendly. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(sh, x => xxhash64(x, s))))
+
+  /** LSH band keys: hash of each r-slice of the signature. Collision in
+    * ANY band → candidate pair (P = 1-(1-j^r)^b). */
+  def bandKeys(sig: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * lit(r) + 1, lit(r))))
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold. */
+  def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val r = numHashes / bands
+    val withSh = docs
+      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    val banded = withSh
+      .select(col("doc_id"),
+        posexplode(bandKeys(minhashSignature(col("sh"), numHashes),
+          bands, r)).as(Seq("band", "bkey")))
+    // Slim band join: only (doc_id, band, bkey) shuffles here.
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Verification: shingle sets join back once per side.
+    cand
+      .join(withSh.as("va"), col("doc_a") === col("va.doc_id"))
+      .join(withSh.as("vb"), col("doc_b") === col("vb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("va.sh"), col("vb.sh"))).cast("double") /
+          size(array_union(col("va.sh"), col("vb.sh"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the word stream: per-token hash votes ±1 on every
+    * bit, sign of the vote sum is the bit. Single projection. */
+  def simhash(text: Column): Column = {
+    val counters = aggregate(split(text, " "), array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
+        a + when(call_function("shiftrightunsigned", xxhash64(t), i)
+          .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))))
+    VectorOps.packBits(transform(counters,
+      c => when(c > 0, lit(1)).otherwise(lit(0))))
+  }
+
+  /** SimHash near-dup pairs: bucket on the top `prefixBits` bits (cheap
+    * LSH for Hamming space), verify with bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      prefixBits: Int = 12): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
+      .withColumn("bucket",
+        call_function("shiftrightunsigned", col("sig"), lit(64 - prefixBits)))
+    sigs.as("a")
+      .join(sigs.as("b"), col("a.bucket") === col("b.bucket")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard via a frequency-capped inverted index: explode
+    * shingles, drop shingles shared by more than dfCap docs (hot-key
+    * guard), join on shingle, count shared, compute |A∩B| / |A∪B|. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
+      threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(col("text"), k)).as("sh"))
+    val rare = sh.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("sh")
+    val idx = sh.join(rare, "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    idx.as("a")
+      .join(idx.as("b"), col("a.sh") === col("b.sh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("shared")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup: hyperplane-LSH bucket join + exact cosine
+    * verification. */
+  def embeddingNearDupPairs(embeddings: DataFrame, planes: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    import VectorOps._
+    val sigs = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", packBits(hyperplaneSignature(col("v"), planes)))
+    sigs.as("a")
+      .join(sigs.as("b"), col("a.bucket") === col("b.bucket")
+        && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The fixture corpus has no organic near-dups (random-word texts), so
+    * the runnable query entries exercise the operators on the corpus plus
+    * a derived variant of each row (last 3 words dropped / embedding
+    * scaled by 1.01 with one element nudged) — deterministic, and every
+    * true near-dup pair is known (id, id+NearDupIdOffset), which is what
+    * the specs assert recall against. */
+  val NearDupIdOffset = 1000000L
+
+  def docsWithNearDups(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + lit(NearDupIdOffset),
+        concat_ws(" ",
+          slice(words, lit(1), greatest(size(words) - 3, lit(1))))
+          .as("text")))
+  }
+
+  def embeddingsWithNearDups(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"))
+      .union(embeddings.select(col("vec_id") + lit(NearDupIdOffset),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * lit(1.5f))
+            .otherwise(x * lit(1.01f))).as("embedding")))
+
+  def q33aMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(docsWithNearDups(load(spark, dir, "documents")))
+      .orderBy("doc_a", "doc_b")
+
+  def q33bSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(docsWithNearDups(load(spark, dir, "documents")))
+      .orderBy("doc_a", "doc_b")
+
+  def q33cNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(docsWithNearDups(load(spark, dir, "documents")))
+      .orderBy("doc_a", "doc_b")
+
+  def q33dEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(
+      embeddingsWithNearDups(load(spark, dir, "embeddings")))
+      .orderBy("id_a", "id_b")
+
+  /** Implementation-only (algorithm-specific outputs — no SQL oracle). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33a_minhash_pairs" -> (q33aMinhash _),
+    "q33b_simhash_pairs" -> (q33bSimhash _),
+    "q33c_ngram_jaccard_pairs" -> (q33cNgramJaccard _),
+    "q33d_embed_neardup_pairs" -> (q33dEmbedNearDup _),
+  )
+}

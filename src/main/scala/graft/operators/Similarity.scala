@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.functions.VectorOps._
+
+/** Similarity search over embeddings — SURVEY.md §2-B Q34 / north star.
+  *
+  * Baseline: brute-force cosine top-k — exact, O(Q·N), fine when the
+  * query set broadcasts. Scale path: hyperplane-LSH bucketing so each
+  * query only scans its own bucket (and the spec measures recall vs the
+  * exact baseline). Both are pure DataFrame plans: broadcast join +
+  * window top-k, no driver-side loops, so N can be 100 TB of vectors
+  * sharded across executors.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * `queries` is expected to be small (broadcast side). */
+  def knnBrute(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val base = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", l2Norm(col("v")))
+    val qs = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("nq", l2Norm(col("qv")))
+    val scored = base.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosinePrenormed(dot(col("v"), col("qv")), col("nv"), col("nq")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        col("cos").cast("decimal(18,6)").as("cos"))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's hyperplane-
+    * LSH bucket. With b planes the expected candidate set is N/2^b — the
+    * knob that turns an O(Q·N) scan into an O(Q·N/2^b) one. Exactness is
+    * traded for recall (measured against knnBrute in SimilaritySpec). */
+  def knnLsh(vectors: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 4): DataFrame = {
+    val base = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", packBits(hyperplaneSignature(col("v"), planes)))
+      .withColumn("nv", l2Norm(col("v")))
+    val qs = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("bucket", packBits(hyperplaneSignature(col("qv"), planes)))
+      .withColumn("nq", l2Norm(col("qv")))
+    val scored = base.join(broadcast(qs),
+        base("bucket") === qs("bucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosinePrenormed(dot(col("v"), col("qv")), col("nv"), col("nq")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        col("cos").cast("decimal(18,6)").as("cos"))
+  }
+
+  private def queryVectors(vectors: DataFrame): DataFrame =
+    vectors.filter(col("vec_id") < 5)
+
+  def q34aKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = load(spark, dir, "embeddings")
+    knnBrute(vecs, queryVectors(vecs), k = 10).orderBy("qid", "rank")
+  }
+
+  def q34bKnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = load(spark, dir, "embeddings")
+    knnLsh(vecs, queryVectors(vecs), k = 10).orderBy("qid", "rank")
+  }
+
+  /** Implementation-only (cosine scores are engine-specific floats). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34a_knn_brute" -> (q34aKnnBrute _),
+    "q34b_knn_lsh" -> (q34bKnnLsh _),
+  )
+}

@@ -53,7 +53,7 @@ object TextOps {
   /** Token counting (north star): whitespace tokens + a BPE-ish regex
     * token count (alphanumeric runs as word pieces). regexp_count keeps
     * the semantics identical across engines (no split-edge-case drift). */
-  def q33TokenCount(spark: SparkSession, dir: String): DataFrame =
+  def tx1TokenCount(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
@@ -66,7 +66,7 @@ object TextOps {
     * quality filters for pretraining data, all as one codegen'd
     * projection. Ratios use exact integer DIV so the oracle comparison is
     * representation-independent. */
-  def q34Quality(spark: SparkSession, dir: String): DataFrame = {
+  def tx2Quality(spark: SparkSession, dir: String): DataFrame = {
     val nChars = length(col("text")).cast(LongType)
     val nWords = size(split(col("text"), " ")).cast(LongType)
     val stopRe = "\\b(the|a|an|of|to|and|in|is|it)\\b"
@@ -113,12 +113,12 @@ object TextOps {
         (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
           .bitwiseXOR(xxhash64(w))).as("rolling_hash"))
 
-  def q35LangId(spark: SparkSession, dir: String): DataFrame =
+  def tx3LangId(spark: SparkSession, dir: String): DataFrame =
     langIdScores(load(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("pred_lang"))
       .orderBy("doc_id")
 
-  def q36Fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def tx4Fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(load(spark, dir, "documents")).orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -126,13 +126,13 @@ object TextOps {
     "q31b_text_tokens" -> (q31Tokens _),
     "q32_dedup_exact" -> (q32DedupExact _),
     "q32b_dedup_rows" -> (q32bDedupRows _),
-    "q33_token_count" -> (q33TokenCount _),
-    "q34_quality" -> (q34Quality _),
-    "q35_lang_id" -> (q35LangId _),
-    "q36_fingerprint" -> (q36Fingerprint _),
+    "tx1_token_count" -> (tx1TokenCount _),
+    "tx2_quality" -> (tx2Quality _),
+    "tx3_lang_id" -> (tx3LangId _),
+    "tx4_fingerprint" -> (tx4Fingerprint _),
   )
 
-  /** q35/q36 are implementation-only (heuristic / hash-specific). */
+  /** tx3/tx4 are implementation-only (heuristic / hash-specific). */
   val oracle: Map[String, String] = Map(
     "q31a_text_lang" ->
       """SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars
@@ -147,11 +147,11 @@ object TextOps {
     "q32b_dedup_rows" ->
       """SELECT COUNT(*) AS uniq_texts FROM (
         |  SELECT DISTINCT text FROM documents)""".stripMargin,
-    "q33_token_count" ->
+    "tx1_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q34_quality" ->
+    "tx2_quality" ->
       """SELECT doc_id, LENGTH(text) AS chars,
         |  len(string_split(text, ' ')) AS words,
         |  (LENGTH(text) * 100) // len(string_split(text, ' ')) AS mean_wlen_c,

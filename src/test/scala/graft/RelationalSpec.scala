@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Relational
+
+/** Golden-value regression for the relational surface at sf0.001 (fast
+  * local guard; the full DuckDB hash gate runs via Verify + the driver).
+  * Goldens were produced by the DuckDB oracle on the same data. */
+class RelationalSpec extends SparkSpecBase {
+
+  test("q01: lineitem count") {
+    assert(Relational.q01Count(spark, sf).collect().head.getLong(0) == 6000L)
+  }
+
+  test("q11: TPC-H Q1 shape — six groups, known first row") {
+    val rows = Relational.q11Agg(spark, sf).collect()
+    assert(rows.length == 6)
+    val r = rows.head
+    assert(r.getString(0) == "A" && r.getString(1) == "F")
+    assert(r.getLong(2) == 977L)
+    assert(r.getDecimal(3).toString == "24851.00")
+    assert(r.getDecimal(4).toString == "50132697.39")
+  }
+
+  test("q12: distinct parts and suppliers") {
+    val r = Relational.q12AggDistinct(spark, sf).collect().head
+    assert(r.getLong(0) == 200L && r.getLong(1) == 10L)
+  }
+
+  test("q13: approx distinct within 5% of exact") {
+    val r = Relational.q13AggApprox(spark, sf).collect().head
+    val (apx, exact) = (r.getLong(0), r.getLong(2))
+    assert(math.abs(apx - exact).toDouble / exact < 0.05)
+  }
+
+  test("q14/q15: rollup is a subset of cube with matching totals") {
+    val rollup = Relational.q14Rollup(spark, sf).collect()
+    val cube = Relational.q15Cube(spark, sf).collect()
+    assert(rollup.length == 10 && cube.length == 12)
+    val total = (r: Array[org.apache.spark.sql.Row]) =>
+      r.filter(x => x.isNullAt(0) && x.isNullAt(1)).map(_.getLong(2)).sum
+    assert(total(rollup) == 6000L && total(cube) == 6000L)
+  }
+
+  test("q16: at most 3 rows per customer, rn dense from 1") {
+    val rows = Relational.q16WinRank(spark, sf).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust.values.forall(g => g.length <= 3 &&
+      g.map(_.getLong(2)).sorted.sameElements(1L to g.length.toLong)))
+  }
+
+  test("q19: top-10 strictly non-increasing prices") {
+    val prices = Relational.q19TopK(spark, sf).collect()
+      .map(_.getDecimal(1))
+    assert(prices.length == 10)
+    assert(prices.sliding(2).forall(p => p(0).compareTo(p(1)) >= 0))
+  }
+
+  test("q05: broadcast join plan actually broadcasts") {
+    val plan = Relational.q05JoinBroadcast(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q03: filter pushes down to the parquet scan") {
+    val plan = Relational.q03Filter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_quantity,40"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.functions.VectorOps
+import graft.operators.Similarity
+
+/** Similarity search: brute-force correctness against a scalar
+  * recomputation, and LSH recall against the exact baseline. */
+class SimilaritySpec extends SparkSpecBase {
+
+  private lazy val emb = load(spark, sf, "embeddings")
+
+  test("cosine matches scalar recomputation") {
+    val two = emb.filter(col("vec_id") < 2)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = cos(two(0L), two(1L))
+    val got = emb.filter(col("vec_id") === 0).as("a")
+      .crossJoin(emb.filter(col("vec_id") === 1).as("b"))
+      .select(VectorOps.cosine(
+        VectorOps.asDouble(col("a.embedding")),
+        VectorOps.asDouble(col("b.embedding"))).as("c"))
+      .collect().head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-9)
+  }
+
+  test("brute-force knn returns k ranked neighbors per query") {
+    val rows = Similarity.q34aKnnBrute(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(byQ.values.forall(_.length == 10))
+    // ranks are 1..10 and cosine non-increasing within each query
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(1L to 10L))
+      val cs = sorted.map(_.getDecimal(3))
+      assert(cs.sliding(2).forall(p => p(0).compareTo(p(1)) >= 0))
+    }
+  }
+
+  test("LSH knn recall vs brute force is useful (same-bucket candidates)") {
+    val brute = Similarity.q34aKnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.q34bKnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    // random 64-d vectors scatter across 16 buckets; exact-neighbor recall
+    // is necessarily partial — assert it beats chance and stays deterministic
+    assert(recall > 0.02, s"recall $recall")
+    assert(lsh.nonEmpty)
+  }
+}
