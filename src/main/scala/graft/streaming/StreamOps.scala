@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.dec
+
+/** Streaming operator surface — SURVEY.md §2-B Q35 / §2-A mapping.
+  *
+  * The reference's continuous run-loop semantics land on Structured
+  * Streaming: micro-batch = the flush boundary (K8), checkpoint = the
+  * offset store (S7), `foreachBatch` = flush-then-commit at-least-once
+  * (K9), `Trigger.AvailableNow` = drain-and-stop on partition EOF (K7).
+  *
+  * Every transform below is written against a plain DataFrame so the SAME
+  * function body serves batch and streaming inputs — which is exactly how
+  * the batch≡stream equivalence tests pin the semantics (StreamingSpec).
+  *
+  * 100 TB notes: state stores (windows, dedup, sessions) are keyed by
+  * (window, group) — watermarks bound state size; session windows and
+  * dedup keys must stay bounded (SURVEY §7.4.5) — use
+  * `dropDuplicatesWithinWatermark` so eviction is time-driven.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregate (streaming twin of Q27; same
+    * shape as `groupBy(date_trunc(...))` in batch). */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes",
+      width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sv"))
+      .select(col("win.start").as("w"), col("event_type"),
+        col("cnt"), col("sv"))
+
+  /** Sliding window variant. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("w"), col("event_type"), col("cnt"))
+
+  /** Session windows: gap-based grouping per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("s"), col("win.end").as("e"),
+        col("user_id"), col("cnt"))
+
+  /** Streaming exact dedup with time-bounded state. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Batch-side reference implementation for the equivalence tests:
+    * floor ts to the window width. */
+  def batchTumblingCounts(events: DataFrame, widthSeconds: Long): Column = {
+    val bucket = (unix_timestamp(col("ts")) / widthSeconds).cast("long")
+    timestamp_seconds(bucket * widthSeconds)
+  }
+}

@@ -1,0 +1,212 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.{SinkConfig, SourceConfig}
+import graft.core._
+import graft.sources.{FileSink, FileSource}
+
+/** Connector state-machine + at-least-once behaviors, ported from the
+  * reference's mocked connector tests (SURVEY §5: test_pyconnectsink.py /
+  * test_pyconnectsource.py via ConnectTestMixin). */
+class ConnectorSpec extends AnyFunSuite {
+
+  private def sinkConfig(topics: String = "t") = SinkConfig.fromMap(Map(
+    "bootstrap_servers" -> "localhost:9092",
+    "schema_registry" -> "http://localhost:8081",
+    "group_id" -> "g", "topics" -> topics))
+
+  private def sourceConfig(topic: String = "t") = SourceConfig.fromMap(Map(
+    "bootstrap_servers" -> "localhost:9092",
+    "schema_registry" -> "http://localhost:8081",
+    "topic" -> topic, "offset_topic" -> s"$topic-offsets"))
+
+  /** List-backed test source (the reference's PyConnectTestSource,
+    * test/utils.py:167-241). */
+  private class TestSource(records: Seq[(Any, Any)], broker: InMemoryBroker,
+      cfg: SourceConfig = sourceConfig())
+      extends GraftSource(cfg, broker) {
+    private var idx = 0
+    var seeked: Option[Any] = None
+    def read(): Option[(Any, Any)] =
+      if (idx < records.length) { idx += 1; Some(records(idx - 1)) } else None
+    def seek(index: Any): Unit = { seeked = Some(index); idx = index match {
+      case n: Long => n.toInt
+      case n: Int => n
+      case _ => 0
+    } }
+    def getIndex: Any = idx.toLong
+    override protected def onEof(): Option[Status] = Some(Status.Stopped)
+  }
+
+  /** Buffer/flush recorder sink (the reference's PyConnectTestSink,
+    * test/utils.py:244-302). */
+  private class TestSink(broker: InMemoryBroker, flushInterval: Int = 1,
+      topics: String = "t") extends GraftSink(sinkConfig(topics), broker) {
+    val received = mutable.ArrayBuffer[Any]()
+    val flushedBatches = mutable.ArrayBuffer[Seq[Any]]()
+    private val pending = mutable.ArrayBuffer[Any]()
+    var failNextFlush = false
+    var maxIterations = 200 // reference safety limit (test/utils.py:41-164)
+
+    protected def onMessageReceived(msg: Message): Option[Status] = {
+      val v = decodeFramed(msg.value)
+      received += v; pending += v; None
+    }
+    override protected def needFlush(): Boolean =
+      received.size % flushInterval == 0
+    protected def onFlush(): Option[Status] = {
+      if (failNextFlush && pending.nonEmpty) {
+        failNextFlush = false; sys.error("flush failed")
+      }
+      if (pending.nonEmpty) { flushedBatches += pending.toSeq; pending.clear() }
+      None
+    }
+    override protected def onNoMessageReceived(): Option[Status] =
+      if (hasPartitionAssignments && allPartitionsAtEof) Some(Status.Stopped)
+      else None
+    override protected def runOnce(): Option[Status] = {
+      maxIterations -= 1
+      if (maxIterations < 0) sys.error("loop safety limit hit")
+      super.runOnce()
+    }
+  }
+
+  private def produce(broker: InMemoryBroker, n: Int,
+      topic: String = "t"): Seq[String] = {
+    new TestSource((0 until n).map(i => (s"k$i", s"v$i")), broker,
+      sourceConfig(topic)).run()
+    (0 until n).map(i => s"v$i")
+  }
+
+  test("source: produces all records then stops at EOF (S1/S11)") {
+    val broker = new InMemoryBroker()
+    val src = new TestSource(Seq(("k1", "v1"), ("k2", "v2")), broker)
+    src.run()
+    assert(src.status == Status.Stopped)
+    assert(src.produceCount == 2)
+    assert(broker.endOffset(TopicPartition("t", 0)) == 2)
+  }
+
+  test("source: commits offset on close; restart seeks past it (S7/S10)") {
+    val broker = new InMemoryBroker()
+    val records = Seq[(Any, Any)](("a", "1"), ("b", "2"), ("c", "3"))
+    new TestSource(records, broker).run() // commits index 3 on close
+    val second = new TestSource(records, broker)
+    second.run()
+    assert(second.seeked.contains(3L)) // resumed where the first stopped
+    assert(second.produceCount == 0)   // nothing re-produced
+  }
+
+  test("sink: receives everything, commit-after-flush (K5/K9)") {
+    val broker = new InMemoryBroker()
+    val expected = produce(broker, 5)
+    val sink = new TestSink(broker)
+    sink.run()
+    assert(sink.status == Status.Stopped)
+    assert(sink.received.toSeq == expected)
+    assert(broker.committed("g", TopicPartition("t", 0)).contains(5L))
+  }
+
+  test("sink: no commit when flush crashes (K9, test_pyconnectsink.py:93-110)") {
+    val broker = new InMemoryBroker()
+    produce(broker, 3)
+    val sink = new TestSink(broker)
+    sink.failNextFlush = true
+    intercept[RuntimeException](sink.run())
+    assert(sink.status == Status.Crashed)
+    // the crashed flush happened after 1 message; its offset must NOT be
+    // committed (at-least-once: replay on restart)
+    assert(broker.committed("g", TopicPartition("t", 0)).isEmpty)
+  }
+
+  test("sink: crash then restart replays uncommitted messages (at-least-once)") {
+    val broker = new InMemoryBroker()
+    val expected = produce(broker, 4)
+    val first = new TestSink(broker, flushInterval = 2)
+    first.failNextFlush = true
+    intercept[RuntimeException](first.run())
+    val second = new TestSink(broker, flushInterval = 1)
+    second.run()
+    // set-equality across the crash, duplicates allowed
+    // (test_sink_integration.py:92-107 semantics)
+    assert((first.received ++ second.received).toSet == expected.toSet)
+    assert(second.received.nonEmpty)
+  }
+
+  test("sink: final flush happens exactly once on graceful stop (K15)") {
+    val broker = new InMemoryBroker()
+    produce(broker, 2)
+    val sink = new TestSink(broker, flushInterval = 100) // gate never fires
+    sink.run()
+    assert(sink.status == Status.Stopped)
+    assert(sink.flushedBatches.map(_.size).sum == 2) // drained by final flush
+  }
+
+  test("connector: finished connectors cannot be restarted (C2)") {
+    val broker = new InMemoryBroker()
+    val src = new TestSource(Nil, broker)
+    src.run()
+    intercept[IllegalArgumentException](src.run())
+  }
+
+  test("connector: crash hook can resurrect the loop (C5)") {
+    val broker = new InMemoryBroker()
+    var crashes = 0
+    val src = new TestSource(Seq(("k", "v")), broker) {
+      private var thrown = false
+      override def read(): Option[(Any, Any)] = {
+        if (!thrown) { thrown = true; sys.error("transient") }
+        super.read()
+      }
+      override protected def onCrashDuringRun(): Option[Status] = {
+        crashes += 1; Some(Status.Running)
+      }
+    }
+    src.run()
+    assert(crashes == 1 && src.status == Status.Stopped)
+    assert(src.produceCount == 1)
+  }
+
+  test("connector: CRASHED without exception raises NoCrashInfo (C3)") {
+    val broker = new InMemoryBroker()
+    val src = new TestSource(Nil, broker) {
+      override protected def runOnce(): Option[Status] = Some(Status.Crashed)
+    }
+    intercept[NoCrashInfo](src.run())
+  }
+
+  test("file source → file sink end-to-end round trip (E1/E2)") {
+    val broker = new InMemoryBroker()
+    val in = Files.createTempFile("graft-src", ".jsonl")
+    val out = Files.createTempFile("graft-sink", ".jsonl")
+    Files.write(in, Seq(
+      """{"key": "k1", "value": {"a": "x", "b": 1}}""",
+      """{"key": "k2", "value": {"a": "y", "b": 2}}""").asJava)
+    new FileSource(in.toString, sourceConfig("files"), broker).run()
+    val sink = new FileSink(out.toString, sinkConfig("files"), broker)
+    sink.run()
+    val lines = Files.readAllLines(out).asScala
+    assert(lines.size == 2)
+    assert(lines.head.contains("\"a\": \"x\"") && lines.head.contains("\"b\": 1"))
+    assert(sink.status == Status.Stopped)
+  }
+
+  test("file source: offset survives restart, no duplicate production (E1)") {
+    val broker = new InMemoryBroker()
+    val in = Files.createTempFile("graft-src", ".jsonl")
+    Files.write(in, Seq(
+      """{"key": "k1", "value": "v1"}""",
+      """{"key": "k2", "value": "v2"}""").asJava)
+    new FileSource(in.toString, sourceConfig("files2"), broker).run()
+    assert(broker.endOffset(TopicPartition("files2", 0)) == 2)
+    // restart over the same (unchanged) file: seek to EOF, produce nothing
+    new FileSource(in.toString, sourceConfig("files2"), broker).run()
+    assert(broker.endOffset(TopicPartition("files2", 0)) == 2)
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+/** Top-level so Spark can generate its encoder. */
+case class Ev(ts: Timestamp, event_type: String, value: Double,
+    user_id: Long)
+
+/** Streaming semantics (SURVEY §2-B Q35): batch≡stream equivalence for
+  * tumbling windows, late-data drop past the watermark, session windows,
+  * streaming dedup, and the foreachBatch at-least-once file sink (the
+  * Spark-native E2 path). MemoryStream replaces Kafka per SURVEY §5. */
+class StreamingSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def runAvailableNow(df: org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"ckpt-$name").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("tumbling window: streaming result ≡ batch groupBy result (Q27 twin)") {
+    val input = MemoryStream[Ev](spark)
+    val events = Seq(
+      Ev(ts(5), "a", 1.0, 1), Ev(ts(10), "a", 2.0, 1),
+      Ev(ts(35), "b", 3.0, 2), Ev(ts(40), "a", 4.0, 2),
+      // watermark pusher: far-future event closes all earlier windows
+      Ev(Timestamp.valueOf("2024-01-01 13:00:00"), "z", 0.0, 9))
+    input.addData(events: _*)
+    val streamed = runAvailableNow(
+      StreamOps.tumblingCounts(input.toDF(), watermark = "1 minute",
+        width = "30 minutes"), "tumbling")
+      .filter(col("event_type") =!= "z")
+      .orderBy("w", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).toPlainString))
+    val batch = events.toDF()
+      .filter(col("event_type") =!= "z")
+      .groupBy(StreamOps.batchTumblingCounts(events.toDF(), 1800).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .orderBy("w", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).toPlainString))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
+  test("late data beyond the watermark is dropped") {
+    val input = MemoryStream[Ev](spark)
+    val df = StreamOps.tumblingCounts(input.toDF(), watermark = "1 minute",
+      width = "30 minutes")
+    val q = df.writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      // first micro-batch advances the watermark to 11:59
+      input.addData(
+        Ev(ts(5), "a", 1.0, 1),
+        Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "advance", 0.0, 9))
+      q.processAllAvailable()
+      // a record far behind the watermark arrives → must be dropped
+      input.addData(Ev(ts(6), "a", 100.0, 1))
+      q.processAllAvailable()
+      val rows = spark.table("late")
+        .filter(col("event_type") === "a").collect()
+      // the 10:00-10:30 window closed with only the on-time event
+      assert(rows.length == 1 && rows.head.getAs[Long]("cnt") == 1L)
+    } finally q.stop()
+  }
+
+  test("session windows group by gap") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(
+      Ev(ts(0), "a", 1.0, 1), Ev(ts(5), "a", 1.0, 1),  // session 1
+      Ev(ts(50), "a", 1.0, 1),                          // session 2 (gap>30m)
+      Ev(Timestamp.valueOf("2024-01-01 14:00:00"), "z", 0.0, 9))
+    val out = runAvailableNow(
+      StreamOps.sessionCounts(input.toDF(), gap = "30 minutes",
+        watermark = "1 minute"), "sessions")
+      .filter(col("user_id") === 1).orderBy("s").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("cnt") == 2L && out(1).getAs[Long]("cnt") == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark removes stream duplicates") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(
+      Ev(ts(1), "dup", 1.0, 7), Ev(ts(1), "dup", 1.0, 7),
+      Ev(ts(2), "dup", 1.0, 7),
+      Ev(Timestamp.valueOf("2024-01-01 11:00:00"), "z", 0.0, 9))
+    val out = runAvailableNow(
+      StreamOps.dedupWithinWatermark(input.toDF(),
+        Seq("ts", "event_type", "user_id"), watermark = "10 minutes"),
+      "dedupstream")
+      .filter(col("event_type") === "dup").collect()
+    assert(out.length == 2) // the exact ts(1) duplicate collapsed
+  }
+
+  test("foreachBatch sink: at-least-once flush-then-commit (K9 parity)") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(Ev(ts(1), "a", 1.0, 1), Ev(ts(2), "b", 2.0, 2))
+    val outDir = Files.createTempDirectory("fb-out")
+    val target = outDir.resolve("out.jsonl")
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // flush: append the micro-batch as JSON lines; Spark writes the
+        // checkpoint commit only after this returns — the reference's
+        // commit-after-flush ordering for free
+        val lines = batch.select(col("event_type"), col("value"))
+          .collect().map(r => s"""{"t": "${r.getString(0)}"}""")
+        Files.write(target,
+          (lines.mkString("", "\n", "\n")).getBytes,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-fb").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val written = Files.readAllLines(target)
+    assert(written.size == 2)
+  }
+}
