@@ -64,6 +64,50 @@ object Similarity {
         col("cos").cast("decimal(18,6)").as("cos"))
   }
 
+  /** IVF (inverted-file) approximate kNN: partition vectors into C
+    * coarse cells (nearest of C centroids), search only the query's cell.
+    * Centroids here are a deterministic sample (every N/C-th vector) —
+    * real IVF k-means-trains them, but the Spark shape (broadcast
+    * centroid assign → cell-colocated search) is identical, and the cell
+    * restriction is the entire scale win: O(Q·N/C) instead of O(Q·N). */
+  def knnIvf(vectors: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16): DataFrame = {
+    val base = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val n = base.count()
+    val stride = math.max(1L, n / cells)
+    val centroids = base.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .limit(cells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def assign(df: DataFrame, vcol: String): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cid").asc)
+      df.join(broadcast(centroids), lit(true))
+        .withColumn("dist", -dot(col(vcol), col("cv")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .drop("dist", "r", "cv")
+    }
+    val cells_ = assign(base, "v").withColumnRenamed("cid", "cell")
+      .withColumn("nv", l2Norm(col("v")))
+    val qs = assign(
+      queries.select(col("vec_id"), asDouble(col("embedding")).as("qv")),
+      "qv")
+      .select(col("vec_id").as("qid"), col("qv"),
+        col("cid").as("cell"))
+      .withColumn("nq", l2Norm(col("qv")))
+    val scored = cells_.join(broadcast(qs),
+        cells_("cell") === qs("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosinePrenormed(dot(col("v"), col("qv")), col("nv"), col("nq")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        col("cos").cast("decimal(18,6)").as("cos"))
+  }
+
   private def queryVectors(vectors: DataFrame): DataFrame =
     vectors.filter(col("vec_id") < 5)
 
@@ -77,9 +121,15 @@ object Similarity {
     knnLsh(vecs, queryVectors(vecs), k = 10).orderBy("qid", "rank")
   }
 
+  def q34cKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = load(spark, dir, "embeddings")
+    knnIvf(vecs, queryVectors(vecs), k = 10).orderBy("qid", "rank")
+  }
+
   /** Implementation-only (cosine scores are engine-specific floats). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34a_knn_brute" -> (q34aKnnBrute _),
     "q34b_knn_lsh" -> (q34bKnnLsh _),
+    "q34c_knn_ivf" -> (q34cKnnIvf _),
   )
 }

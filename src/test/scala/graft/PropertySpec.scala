@@ -1,0 +1,102 @@
+package graft
+
+import org.scalacheck.{Arbitrary, Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.avro.{AvroCodec, AvroInference}
+import graft.config.Parsers
+import graft.sources.Json
+
+/** Property-based coverage (SURVEY §5): schema inference is total over
+  * arbitrary nested records and the codec round-trips them; parsers
+  * round-trip; JSON render/parse inverts. Raw scalacheck (the offline
+  * cache ships no scalatestplus bridge). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 50): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val fieldName: Gen[String] =
+    Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map("f" + _.mkString))
+
+  private val primitive: Gen[Any] = Gen.oneOf(
+    Arbitrary.arbitrary[Long].map(x => x: Any),
+    Arbitrary.arbitrary[Double]
+      .retryUntil(d => !d.isNaN && !d.isInfinite).map(x => x: Any),
+    Gen.alphaNumStr.map(x => x: Any),
+    Arbitrary.arbitrary[Boolean].map(x => x: Any))
+
+  private def record(depth: Int): Gen[Map[String, Any]] = {
+    val value: Gen[Any] =
+      if (depth <= 0) primitive
+      else Gen.frequency(
+        6 -> primitive,
+        1 -> Gen.listOf(Gen.alphaNumStr).map(xs => xs: Any),
+        2 -> Gen.lzy(record(depth - 1)).map(m => m: Any))
+    for {
+      n <- Gen.choose(1, 5)
+      keys <- Gen.listOfN(n, fieldName).map(_.distinct)
+      vals <- Gen.listOfN(keys.length, value)
+    } yield keys.zip(vals).toMap
+  }
+
+  // ints widen to long and lists to Seq[String] by the declared inference
+  // semantics — normalize the expectation, not the engine.
+  private def norm(v: Any): Any = v match {
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].map { case (k, x) => k -> norm(x) }
+    case i: Int => i.toLong
+    case xs: Seq[_] => xs.map(_.toString)
+    case other => other
+  }
+
+  test("inference is total and the codec round-trips arbitrary records") {
+    check(Prop.forAll(record(2)) { rec =>
+      val schema = AvroCodec.parseable(AvroInference.toValueSchema(rec))
+      AvroCodec.decode(AvroCodec.encode(norm(rec), schema),
+        schema) == norm(rec)
+    })
+  }
+
+  test("optional-primitive schemas stay parseable for any record") {
+    check(Prop.forAll(record(1)) { rec =>
+      AvroInference.parse(
+        AvroInference.toValueSchema(rec, optionalPrimitives = true)) != null
+    }, n = 30)
+  }
+
+  test("duration parser: additive over concatenated unit terms") {
+    val unit = Gen.oneOf("ms" -> 1L, "s" -> 1000L, "m" -> 60000L,
+      "h" -> 3600000L, "d" -> 86400000L)
+    check(Prop.forAll(Gen.listOfN(3, Gen.zip(Gen.choose(0L, 999L), unit))) {
+      terms =>
+        val s = terms.map { case (n, (u, _)) => s"$n$u" }.mkString(" ")
+        val expected = terms.map { case (n, (_, ms)) => n * ms }.sum
+        Parsers.duration(s).toMillis == expected
+    })
+  }
+
+  test("csv line reader: quoted fields round-trip") {
+    val field = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(',', ' ', '.')))
+        .map(_.mkString))
+    check(Prop.forAll(Gen.nonEmptyListOf(field)) { fields =>
+      Parsers.csvLine(fields.map(f => "\"" + f + "\"").mkString(",")) ==
+        fields.map(_.trim).filter(_.nonEmpty)
+    })
+  }
+
+  test("json render/parse inverts on flat maps") {
+    val scalar: Gen[Any] = Gen.oneOf(
+      Arbitrary.arbitrary[Long].map(x => x: Any),
+      Gen.alphaNumStr.map(x => x: Any),
+      Arbitrary.arbitrary[Boolean].map(x => x: Any))
+    check(Prop.forAll(Gen.mapOf(Gen.zip(fieldName, scalar))) { m =>
+      Parsers.flatJson(Json.render(m)) == m
+    })
+  }
+}

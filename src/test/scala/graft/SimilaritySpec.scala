@@ -45,6 +45,21 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("IVF knn: k ranked results per query from the query's cell") {
+    val rows = Similarity.q34cKnnIvf(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(1L to g.length.toLong))
+      val cs = sorted.map(_.getDecimal(3))
+      assert(cs.sliding(2).forall(p =>
+        p.length < 2 || p(0).compareTo(p(1)) >= 0))
+    }
+    // results are a subset of what brute force could produce (valid ids)
+    assert(rows.forall(_.getLong(2) < 1000000))
+  }
+
   test("LSH knn recall vs brute force is useful (same-bucket candidates)") {
     val brute = Similarity.q34aKnnBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
