@@ -27,7 +27,7 @@ object FileConnectorCli {
     var i = 0
     while (i < argv.length) {
       argv(i) match {
-        case "source" | "sink" if mode.isEmpty => mode = argv(i)
+        case "source" | "sink" | "pipe" if mode.isEmpty => mode = argv(i)
         case "--file" => i += 1; file = argv(i)
         case "--config" => i += 1
           argv(i) match {
@@ -62,13 +62,26 @@ object FileConnectorCli {
     val a = parseArgs(argv)
     val cfgMap = loadConfigMap(a)
     // single-process broker: the offline transport seam (a Kafka-backed
-    // deployment swaps this for the Spark Kafka options, KafkaOptions)
+    // deployment swaps this for the Spark Kafka options, KafkaOptions).
+    // Because the broker is in-memory, `source`/`sink` alone only make
+    // sense embedded; `pipe` runs source → topic → sink in one process
+    // (file is "in>out"), the runnable end-to-end form.
     val broker = new InMemoryBroker()
     a.mode match {
       case "source" =>
         new FileSource(a.file, SourceConfig.fromMap(cfgMap), broker).run()
       case "sink" =>
         new FileSink(a.file, SinkConfig.fromMap(cfgMap), broker).run()
+      case "pipe" =>
+        val Array(in, out) = a.file.split(">", 2)
+        val srcCfg = SourceConfig.fromMap(cfgMap)
+        new FileSource(in, srcCfg, broker).run()
+        val sinkCfg = SinkConfig.fromMap(Map[String, Any](
+          "bootstrap_servers" -> srcCfg.base.bootstrapServers,
+          "schema_registry" -> srcCfg.base.schemaRegistry,
+          "group_id" -> "cli-pipe", "topics" -> srcCfg.topic))
+        new FileSink(out, sinkCfg, broker).run()
+        println(s"[graft] piped $in -> ${srcCfg.topic} -> $out")
     }
   }
 }
