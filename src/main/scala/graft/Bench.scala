@@ -23,6 +23,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // GC between queries: 51 plans in one JVM otherwise bleed GC
+        // pauses into whichever query runs next (±2× per-query noise)
+        System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

@@ -47,6 +47,14 @@ private object Mix {
       case other => TypeCheckResult.TypeCheckFailure(
         s"$name expects array<string>, got ${other.sql}")
     }
+
+  def checkHashableArray(child: Expression, name: String): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<string|long>, got ${other.sql}")
+    }
 }
 
 /** array<string> → array<long> MinHash signature (numHashes entries). */
@@ -59,7 +67,11 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   override def prettyName: String = "graft_minhash"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
-    Mix.checkStringArray(child, prettyName)
+    Mix.checkHashableArray(child, prettyName)
+
+  private lazy val elementsAreLongs =
+    child.dataType == ArrayType(LongType, containsNull = false) ||
+      child.dataType == ArrayType(LongType, containsNull = true)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -68,7 +80,9 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Mix.hashUtf8(arr.getUTF8String(i)) // ONE string hash
+        // ONE element hash (pre-hashed long arrays just get remixed)
+        val h = if (elementsAreLongs) Mix.splitmix64(arr.getLong(i))
+                else Mix.hashUtf8(arr.getUTF8String(i))
         var s = 0
         while (s < numHashes) {
           val v = h * mults(s) + adds(s) // wrapping permutation
@@ -123,6 +137,55 @@ case class SimHash64Expr(child: Expression)
       newChild: Expression): SimHash64Expr = copy(child = newChild)
 }
 
+/** array<float|double> → long: packed sign bits of `planes` pseudo-random
+  * hyperplane projections (plane (p,i) weight = ±1 from splitmix64 parity,
+  * matching VectorOps.hyperplaneSignature semantics in spirit but one
+  * tight loop per row instead of planes×dims interpreted lambdas). */
+case class HyperplaneLshExpr(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_hyperplane"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+           ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_hyperplane expects array<float|double>, got ${other.sql}")
+    }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        // deterministic ±1 weight from splitmix64 parity of (p, i)
+        val w = if ((Mix.splitmix64(p.toLong * 1000003L + i) & 1L) == 0L)
+          1.0 else -1.0
+        acc += x * w
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneLshExpr = copy(child = newChild)
+}
+
 object SignatureExprs {
   /** Register both signature functions on a live session:
     * `graft_minhash(arr, n)` and `graft_simhash(arr)`. */
@@ -137,6 +200,18 @@ object SignatureExprs {
             n.eval().asInstanceOf[Number].intValue())
           case other => throw new IllegalArgumentException(
             s"graft_minhash takes (array, numHashes), got ${other.length} args")
+        }
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_hyperplane"),
+      new ExpressionInfo(classOf[HyperplaneLshExpr].getName,
+        "graft_hyperplane"),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(arr, n) => HyperplaneLshExpr(arr,
+            n.eval().asInstanceOf[Number].intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane takes (array, planes), got ${other.length} args")
         }
       })
     spark.sessionState.functionRegistry.registerFunction(

@@ -56,8 +56,13 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     graft.functions.SignatureExprs.register(docs.sparkSession)
     val r = numHashes / bands
+    // shingle sets carried as 64-bit hashes: verification intersects long
+    // arrays instead of shingle text (same jaccard modulo ~n²/2⁶⁴
+    // collisions; ~3× cheaper and the join moves no document text)
     val withSh = docs
-      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("text"), k),
+          s => xxhash64(s))).as("sh"))
     val banded = withSh
       .select(col("doc_id"),
         posexplode(bandKeys(minhashSignature(col("sh"), numHashes),
@@ -69,7 +74,7 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Verification: shingle sets join back once per side.
+    // Verification: shingle-hash sets join back once per side.
     cand
       .join(withSh.as("va"), col("doc_a") === col("va.doc_id"))
       .join(withSh.as("vb"), col("doc_b") === col("vb.doc_id"))
@@ -78,6 +83,18 @@ object Dedup {
           size(array_union(col("va.sh"), col("vb.sh"))).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-dup REMOVAL (the operator a training pipeline actually runs):
+    * greedy keep-lowest-id — every doc named as the greater side of a
+    * verified pair is dropped. One pass, no iteration; transitive
+    * near-dup chains keep one representative per detected pair edge,
+    * which over-keeps relative to full connected components but never
+    * drops a non-duplicate. */
+  def dropNearDuplicates(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val losers = minhashPairs(docs, threshold = threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** 64-bit SimHash of the word stream: per-token hash votes ±1 on every
@@ -96,20 +113,29 @@ object Dedup {
   def simhash(text: Column): Column =
     call_function("graft_simhash", split(text, " "))
 
-  /** SimHash near-dup pairs: bucket on the top `prefixBits` bits (cheap
-    * LSH for Hamming space), verify with bit_count(xor) ≤ maxHamming. */
+  /** SimHash near-dup pairs with multi-band Hamming LSH: 4 bands of 16
+    * bits — by pigeonhole, any pair within Hamming distance 3 agrees on
+    * at least one full band, so recall at maxHamming ≤ 3 is exact (the
+    * single-prefix variant missed pairs whose flips hit the prefix).
+    * Verify with bit_count(xor) ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      prefixBits: Int = 12): DataFrame = {
+      bands: Int = 4): DataFrame = {
     graft.functions.SignatureExprs.register(docs.sparkSession)
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
-      .withColumn("bucket",
-        call_function("shiftrightunsigned", col("sig"), lit(64 - prefixBits)))
-    sigs.as("a")
-      .join(sigs.as("b"), col("a.bucket") === col("b.bucket")
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        call_function("shiftrightunsigned", col("sig"), lit(b * bits))
+          .bitwiseAND(lit(mask))): _*)).as(Seq("band", "bkey")))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band")
+        && col("a.bkey") === col("b.bkey")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard via a frequency-capped inverted index: explode
@@ -147,9 +173,11 @@ object Dedup {
   def embeddingNearDupPairs(embeddings: DataFrame, planes: Int = 8,
       threshold: Double = 0.95): DataFrame = {
     import VectorOps._
+    graft.functions.SignatureExprs.register(embeddings.sparkSession)
     val sigs = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", packBits(hyperplaneSignature(col("v"), planes)))
+      .withColumn("bucket",
+        call_function("graft_hyperplane", col("v"), lit(planes)))
     sigs.as("a")
       .join(sigs.as("b"), col("a.bucket") === col("b.bucket")
         && col("a.vec_id") < col("b.vec_id"))
@@ -199,11 +227,17 @@ object Dedup {
       embeddingsWithNearDups(load(spark, dir, "embeddings")))
       .orderBy("id_a", "id_b")
 
+  /** Survivor set of the near-dup REMOVAL operator. */
+  def q33eDedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    dropNearDuplicates(docsWithNearDups(load(spark, dir, "documents")))
+      .select("doc_id").orderBy("doc_id")
+
   /** Implementation-only (algorithm-specific outputs — no SQL oracle). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33a_minhash_pairs" -> (q33aMinhash _),
     "q33b_simhash_pairs" -> (q33bSimhash _),
     "q33c_ngram_jaccard_pairs" -> (q33cNgramJaccard _),
     "q33d_embed_neardup_pairs" -> (q33dEmbedNearDup _),
+    "q33e_dedup_survivors" -> (q33eDedupSurvivors _),
   )
 }

@@ -44,13 +44,16 @@ object Similarity {
     * traded for recall (measured against knnBrute in SimilaritySpec). */
   def knnLsh(vectors: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 4): DataFrame = {
+    graft.functions.SignatureExprs.register(vectors.sparkSession)
     val base = vectors
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", packBits(hyperplaneSignature(col("v"), planes)))
+      .withColumn("bucket",
+        call_function("graft_hyperplane", col("v"), lit(planes)))
       .withColumn("nv", l2Norm(col("v")))
     val qs = queries
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-      .withColumn("bucket", packBits(hyperplaneSignature(col("qv"), planes)))
+      .withColumn("bucket",
+        call_function("graft_hyperplane", col("qv"), lit(planes)))
       .withColumn("nq", l2Norm(col("qv")))
     val scored = base.join(broadcast(qs),
         base("bucket") === qs("bucket") && col("vec_id") =!= col("qid"))

@@ -60,6 +60,28 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Custom keyed state via flatMapGroupsWithState — the Spark form of
+    * "arbitrary user state per key" (SURVEY §2-B Q35): a per-user running
+    * event counter whose state survives across micro-batches (checkpoint
+    * = the reference's offset+state store). Emits one update per user per
+    * batch. State is one long per user — bounded by key cardinality;
+    * at 100 TB key-space, add a timeout
+    * (GroupStateTimeout.ProcessingTimeTimeout) to evict idle keys. */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select("user_id").as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((user, total))
+      }
+      .toDF("user_id", "total")
+  }
+
   /** Batch-side reference implementation for the equivalence tests:
     * floor ts to the window width. */
   def batchTumblingCounts(events: DataFrame, widthSeconds: Long): Column = {

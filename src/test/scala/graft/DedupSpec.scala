@@ -46,12 +46,37 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh.size.toDouble / exact.size > 0.9)
   }
 
-  test("simhash finds planted near-dups; hamming bound holds") {
-    val rows = Dedup.simhashPairs(Dedup.docsWithNearDups(docs)).collect()
-    assert(rows.forall(_.getInt(2) <= 3))
-    val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = planted(500).count(found.contains).toDouble / 500
-    assert(recall > 0.30, s"recall $recall") // single-prefix LSH: partial
+  test("simhash multi-band LSH is EXACT for hamming ≤ 3 (pigeonhole)") {
+    val corpus = Dedup.docsWithNearDups(docs)
+    val found = Dedup.simhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(found.forall(_._3 <= 3))
+    // ground truth: brute-force hamming over all pairs
+    graft.functions.SignatureExprs.register(spark)
+    val sigs = corpus.select(col("doc_id"),
+      Dedup.simhash(col("text")).as("sig"))
+    val truth = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(found.toSet == truth,
+      s"found ${found.length} vs truth ${truth.size}")
+  }
+
+  test("dropNearDuplicates keeps one representative per pair") {
+    val corpus = Dedup.docsWithNearDups(docs)
+    val survivors = Dedup.dropNearDuplicates(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // greedy keep-lowest-id: survivors = all docs minus every doc named
+    // as the greater side of a verified pair (organic near-dups exist
+    // among the originals too — e.g. docs 0↔50 — so originals CAN drop)
+    val detected = Dedup.minhashPairs(corpus)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(0L)) // smallest id can never be doc_b
+    assert(detected.forall(d => !survivors.contains(d)))
+    assert(survivors.size == 1000 - detected.size)
   }
 
   test("embedding near-dup finds scaled copies via hyperplane LSH") {

@@ -112,6 +112,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.length == 2) // the exact ts(1) duplicate collapsed
   }
 
+  test("flatMapGroupsWithState: per-user counts persist across batches") {
+    val input = MemoryStream[Ev](spark)
+    val q = graft.streaming.StreamOps.runningUserCounts(input.toDF())
+      .writeStream.format("memory").queryName("usercounts")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(ts(1), "a", 1.0, 7), Ev(ts(2), "a", 1.0, 7),
+        Ev(ts(3), "a", 1.0, 8))
+      q.processAllAvailable()
+      input.addData(Ev(ts(4), "a", 1.0, 7))
+      q.processAllAvailable()
+      val rows = spark.table("usercounts")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch1: user7 → 2, user8 → 1; batch2: user7 → 3 (state carried)
+      assert(rows == Set((7L, 2L), (8L, 1L), (7L, 3L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: at-least-once flush-then-commit (K9 parity)") {
     val input = MemoryStream[Ev](spark)
     input.addData(Ev(ts(1), "a", 1.0, 1), Ev(ts(2), "b", 2.0, 2))
