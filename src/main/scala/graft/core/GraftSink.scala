@@ -25,7 +25,11 @@ import graft.config.SinkConfig
 abstract class GraftSink(val config: SinkConfig, broker: InMemoryBroker)
     extends BaseConnector {
 
-  protected val consumer: TransportConsumer = broker.consumer(config.groupId)
+  /** Overridable for tests that inject transport errors (the reference's
+    * mocked-client seam). */
+  protected def makeConsumer(): TransportConsumer =
+    broker.consumer(config.groupId)
+  protected lazy val consumer: TransportConsumer = makeConsumer()
 
   private val offsets = mutable.Map[TopicPartition, Long]()
   private val eofReached = mutable.Map[TopicPartition, Boolean]()

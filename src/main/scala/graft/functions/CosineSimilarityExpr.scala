@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 
@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * SQL and `call_function("graft_cosine", a, b)`.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def prettyName: String = "graft_cosine"
   override def dataType: DataType = DoubleType
@@ -62,6 +62,41 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     val denom = math.sqrt(nx) * math.sqrt(ny)
     if (denom == 0.0) 0.0 else dot / denom
   }
+
+  private def getter(t: DataType, arr: String, i: String): String = t match {
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
+
+  /** Full codegen — keeps the expression inside WholeStageCodegen instead
+    * of falling back to interpreted eval (the point of going native). */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cosine: length mismatch " + $n + " vs " + $b.numElements());
+         |}
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getter(left.dataType, a, i)};
+         |  double $y = ${getter(right.dataType, b, i)};
+         |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
+         |}
+         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarityExpr =

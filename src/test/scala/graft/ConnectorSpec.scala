@@ -47,7 +47,8 @@ class ConnectorSpec extends AnyFunSuite {
   /** Buffer/flush recorder sink (the reference's PyConnectTestSink,
     * test/utils.py:244-302). */
   private class TestSink(broker: InMemoryBroker, flushInterval: Int = 1,
-      topics: String = "t") extends GraftSink(sinkConfig(topics), broker) {
+      topics: String = "t", cfg: SinkConfig = null)
+      extends GraftSink(Option(cfg).getOrElse(sinkConfig(topics)), broker) {
     val received = mutable.ArrayBuffer[Any]()
     val flushedBatches = mutable.ArrayBuffer[Seq[Any]]()
     private val pending = mutable.ArrayBuffer[Any]()
@@ -179,6 +180,48 @@ class ConnectorSpec extends AnyFunSuite {
       override protected def runOnce(): Option[Status] = Some(Status.Crashed)
     }
     intercept[NoCrashInfo](src.run())
+  }
+
+  /** Consumer wrapper that yields one Failure before delegating. */
+  private class FailingOnce(inner: TransportConsumer) extends TransportConsumer {
+    private var failed = false
+    def subscribe(topics: Seq[String]): Unit = inner.subscribe(topics)
+    def poll(timeoutMs: Long): Poll =
+      if (!failed) { failed = true; Poll.Failure(new RuntimeException("transient")) }
+      else inner.poll(timeoutMs)
+    def commit(o: Map[TopicPartition, Long]): Unit = inner.commit(o)
+    def committed(tp: TopicPartition): Option[Long] = inner.committed(tp)
+    def assignment: Seq[TopicPartition] = inner.assignment
+    def lastMessage(topic: String): Option[Message] = inner.lastMessage(topic)
+    def close(): Unit = inner.close()
+  }
+
+  test("sink: failfast policy crashes on transport error (K14 default)") {
+    val broker = new InMemoryBroker()
+    produce(broker, 2)
+    val sink = new TestSink(broker) {
+      override protected def makeConsumer() =
+        new FailingOnce(broker.consumer(config.groupId))
+    }
+    intercept[RuntimeException](sink.run())
+    assert(sink.status == Status.Crashed)
+  }
+
+  test("sink: permissive policy tolerates transport errors (K14 option)") {
+    val broker = new InMemoryBroker()
+    val expected = produce(broker, 2)
+    val permissiveCfg = SinkConfig.fromMap(Map(
+      "bootstrap_servers" -> "localhost:9092",
+      "schema_registry" -> "http://localhost:8081",
+      "group_id" -> "g", "topics" -> "t",
+      "kafka_opts" -> Map("fail.fast" -> "false")))
+    val sink = new TestSink(broker, cfg = permissiveCfg) {
+      override protected def makeConsumer() =
+        new FailingOnce(broker.consumer("g"))
+    }
+    sink.run()
+    assert(sink.status == Status.Stopped)
+    assert(sink.received.toSeq == expected) // error skipped, stream drained
   }
 
   test("file source → file sink end-to-end round trip (E1/E2)") {
