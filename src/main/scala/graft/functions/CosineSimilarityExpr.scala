@@ -122,9 +122,11 @@ object CosineSimilarityExpr {
 }
 
 /** `SparkSessionExtensions` hook: enable with
-  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  * Injects the native function surface plus the opt-in approx-distinct
+  * optimizer rule (active only under its flag). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(CosineSimilarityExpr.name),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName,
         CosineSimilarityExpr.name),
@@ -133,4 +135,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_cosine takes 2 arguments, got ${other.length}")
       } }))
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule)
+  }
 }
