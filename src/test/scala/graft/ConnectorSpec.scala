@@ -182,6 +182,26 @@ class ConnectorSpec extends AnyFunSuite {
     intercept[NoCrashInfo](src.run())
   }
 
+  // the reference parametrizes integration tests over 1/2/4 partitions
+  // (test/conftest.py:143-166) — same sweep against the in-memory broker
+  for (parts <- Seq(1, 2, 4)) {
+    test(s"sink drains a $parts-partition topic completely (per-partition EOF)") {
+      val broker = new InMemoryBroker(numPartitions = parts)
+      val expected = produce(broker, 12)
+      val sink = new TestSink(broker)
+      sink.run()
+      assert(sink.status == Status.Stopped)
+      // multiset equality across partitions (order interleaves)
+      assert(sink.received.groupBy(identity).view.mapValues(_.size).toMap ==
+        expected.groupBy(identity).view.mapValues(_.size).toMap)
+      // every partition's offset committed at its end
+      (0 until parts).foreach { p =>
+        val tp = TopicPartition("t", p)
+        assert(broker.committed("g", tp).contains(broker.endOffset(tp)))
+      }
+    }
+  }
+
   /** Consumer wrapper that yields one Failure before delegating. */
   private class FailingOnce(inner: TransportConsumer) extends TransportConsumer {
     private var failed = false
