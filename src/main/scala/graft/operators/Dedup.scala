@@ -139,25 +139,29 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard via a frequency-capped inverted index: explode
-    * shingles, drop shingles shared by more than dfCap docs (hot-key
-    * guard), join on shingle, count shared, compute |A∩B| / |A∪B|. */
+    * shingle hashes, group each shingle's (≤ dfCap) posting list, emit
+    * doc pairs map-side from the grouped lists (no self-join of the 2M-row
+    * index — the only shuffles are one groupBy per shingle and one per
+    * pair), count shared shingles, compute |A∩B| / |A∪B|. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
       threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
-    // join on the 64-bit shingle hash, not the string — the shuffle moves
-    // 8-byte keys instead of shingle text (collision odds ~n²/2⁶⁴)
+    // 64-bit shingle hashes, not strings — shuffles move 8-byte keys
+    // (collision odds ~n²/2⁶⁴)
     val sh = docs.select(col("doc_id"),
       explode(transform(shingles(col("text"), k), s => xxhash64(s)))
         .as("sh"))
-    val rare = sh.groupBy("sh")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select("sh")
-    val idx = sh.join(rare, "sh")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    idx.as("a")
-      .join(idx.as("b"), col("a.sh") === col("b.sh")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // posting list per shingle, df-capped (hot-shingle guard), then all
+    // C(df,2) ordered pairs generated inside the partition
+    val postings = sh.groupBy("sh")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, dfCap))
+    val pairExpr = flatten(transform(col("docs"), (x, i) =>
+      transform(slice(col("docs"), i + 2, size(col("docs"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    postings
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))

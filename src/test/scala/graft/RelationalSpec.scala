@@ -55,6 +55,33 @@ class RelationalSpec extends SparkSpecBase {
     assert(prices.sliding(2).forall(p => p(0).compareTo(p(1)) >= 0))
   }
 
+  test("q07/q08: semi covers all customers with orders, anti finds 3") {
+    assert(Relational.q07JoinSemi(spark, sf).count() == 150L)
+    assert(Relational.q08JoinAnti(spark, sf).count() == 3L)
+  }
+
+  test("q20/q21/q22: set-op cardinalities and containment") {
+    val union = Relational.q20Union(spark, sf).collect().map(_.getInt(0))
+    val inter = Relational.q21Intersect(spark, sf).collect().map(_.getInt(0))
+    val except = Relational.q22Except(spark, sf).collect().map(_.getInt(0))
+    assert(union.length == 25 && inter.length == 10 && except.length == 15)
+    assert(inter.toSet.subsetOf(union.toSet))
+    assert((inter.toSet & except.toSet).isEmpty)
+  }
+
+  test("q24: monthly buckets partition all orders") {
+    val rows = Relational.q24DateFns(spark, sf).collect()
+    assert(rows.length == 80)
+    assert(rows.head.getLong(0) == 1995L && rows.head.getLong(1) == 1L)
+    assert(rows.map(_.getLong(2)).sum == 1500L)
+  }
+
+  test("q26: buckets partition all orders into big/mid/small") {
+    val rows = Relational.q26Conditional(spark, sf).collect()
+    assert(rows.length == 1500)
+    assert(rows.map(_.getString(1)).toSet == Set("big", "mid", "small"))
+  }
+
   test("q05: broadcast join plan actually broadcasts") {
     val plan = Relational.q05JoinBroadcast(spark, sf)
       .queryExecution.executedPlan.toString
