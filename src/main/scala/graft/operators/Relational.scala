@@ -30,7 +30,9 @@ object Relational {
   def q02Project(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_suppkey")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture — order
+      // by every projected column so the output is a total order (D1)
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
       .limit(100)
 
   /** Q03 filter with parquet-pushable predicates (quantity, flag, date). */
@@ -41,7 +43,7 @@ object Relational {
         col("l_shipdate") >= lit("1995-01-01").cast("date"))
       .select(col("l_orderkey"), col("l_linenumber"),
         dec(col("l_quantity")).as("qty"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "qty") // D1: full total order
   }
 
   /** Q04 equi inner join; AQE picks SMJ vs shuffled-hash vs broadcast. */
@@ -289,13 +291,13 @@ object Relational {
     "q01_count" -> "SELECT COUNT(*) AS n FROM lineitem",
     "q02_project" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey LIMIT 100""".stripMargin,
     "q03_filter" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
         |FROM lineitem
         |WHERE l_quantity > 40 AND l_returnflag = 'R'
         |  AND l_shipdate >= DATE '1995-01-01'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, qty""".stripMargin,
     "q04_join_inner" ->
       """SELECT o_orderkey, c_name FROM orders
         |JOIN customer ON o_custkey = c_custkey

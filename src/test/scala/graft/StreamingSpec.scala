@@ -130,6 +130,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("RocksDB state store: windowed aggregation runs on RocksDB (100TB state path)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev](spark)
+      input.addData(
+        Ev(ts(5), "a", 1.0, 1), Ev(ts(10), "a", 2.0, 1),
+        Ev(Timestamp.valueOf("2024-01-01 13:00:00"), "z", 0.0, 9))
+      val out = runAvailableNow(
+        StreamOps.tumblingCounts(input.toDF(), watermark = "1 minute",
+          width = "30 minutes"), "rocksdbwin")
+        .filter(col("event_type") === "a").collect()
+      assert(out.length == 1 && out.head.getAs[Long]("cnt") == 2L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("foreachBatch sink: at-least-once flush-then-commit (K9 parity)") {
     val input = MemoryStream[Ev](spark)
     input.addData(Ev(ts(1), "a", 1.0, 1), Ev(ts(2), "b", 2.0, 2))
