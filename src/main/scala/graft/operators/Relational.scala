@@ -226,6 +226,46 @@ object Relational {
         length(col("p_type")).cast("long").as("tl"))
       .orderBy("p_partkey")
 
+  /** Q23b wider string surface: lower/trim/lpad/replace/concat/position
+    * — all exact string ops, oracle-safe. */
+  def q23bStringFns2(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part")
+      .select(col("p_partkey"),
+        lower(col("p_type")).as("lo"),
+        trim(col("p_name")).as("tr"),
+        lpad(col("p_brand"), 12, "_").as("lp"),
+        regexp_replace(col("p_name"), " ", "-").as("re"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+        instr(col("p_name"), "a").cast("long").as("pos"),
+        reverse(col("p_brand")).as("rev"))
+      .orderBy("p_partkey")
+
+  /** Q24b wider date surface: quarter/dayofweek/dayofyear/date_add — all
+    * integer-exact. */
+  def q24bDateFns2(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        date_add(col("o_orderdate").cast("date"), 30).as("d30"),
+        last_day(col("o_orderdate").cast("date")).as("eom"))
+      .orderBy("o_orderkey")
+
+  /** Q26b null-handling conditionals: coalesce/nullif/greatest/least on
+    * exact integer values. */
+  def q26bConditionalFns(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        coalesce(nullif(col("c_nationkey"), lit(0)), lit(-1))
+          .cast("long").as("nk"),
+        greatest(col("c_custkey"), col("c_nationkey").cast("long"))
+          .as("g"),
+        least(col("c_custkey"), col("c_nationkey").cast("long")).as("l"),
+        when(col("c_mktsegment").isNull, "none")
+          .otherwise(col("c_mktsegment")).as("seg"))
+      .orderBy("c_custkey")
+
   /** Q24 date functions (extract + group). */
   def q24DateFns(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "orders")
@@ -280,9 +320,12 @@ object Relational {
     "q21_intersect" -> (q21Intersect _),
     "q22_except" -> (q22Except _),
     "q23_string_fns" -> (q23StringFns _),
+    "q23b_string_fns2" -> (q23bStringFns2 _),
     "q24_date_fns" -> (q24DateFns _),
+    "q24b_date_fns2" -> (q24bDateFns2 _),
     "q25_math_fns" -> (q25MathFns _),
     "q26_conditional" -> (q26Conditional _),
+    "q26b_conditional_fns" -> (q26bConditionalFns _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -391,6 +434,29 @@ object Relational {
         |  CAST(CEIL(c_acctbal) AS BIGINT) AS cb,
         |  CAST(ABS(c_acctbal) AS DECIMAL(18,2)) AS ab,
         |  CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 1) AS DECIMAL(18,1)) AS rb
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q23b_string_fns2" ->
+      """SELECT p_partkey, LOWER(p_type) AS lo, TRIM(p_name) AS tr,
+        |  LPAD(p_brand, 12, '_') AS lp,
+        |  REPLACE(p_name, ' ', '-') AS re,
+        |  CONCAT_WS('|', p_brand, p_type) AS cw,
+        |  POSITION('a' IN p_name) AS pos,
+        |  REVERSE(p_brand) AS rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q24b_date_fns2" ->
+      """SELECT o_orderkey, EXTRACT(QUARTER FROM o_orderdate) AS q,
+        |  EXTRACT(DOW FROM o_orderdate) + 1 AS dow,
+        |  EXTRACT(DOY FROM o_orderdate) AS doy,
+        |  CAST(o_orderdate AS DATE) + 30 AS d30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q26b_conditional_fns" ->
+      """SELECT c_custkey,
+        |  CAST(COALESCE(NULLIF(c_nationkey, 0), -1) AS BIGINT) AS nk,
+        |  GREATEST(c_custkey, CAST(c_nationkey AS BIGINT)) AS g,
+        |  LEAST(c_custkey, CAST(c_nationkey AS BIGINT)) AS l,
+        |  CASE WHEN c_mktsegment IS NULL THEN 'none'
+        |       ELSE c_mktsegment END AS seg
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q26_conditional" ->
       """SELECT o_orderkey,
