@@ -28,8 +28,10 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        // GC between queries: 51 plans in one JVM otherwise bleed GC
-        // pauses into whichever query runs next (±2× per-query noise)
+        // Hygiene between queries: drop cached relations/broadcasts and
+        // GC — 55 plans in one JVM otherwise bleed memory pressure into
+        // whichever query runs next (observed up to 12× slowdowns)
+        spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -38,12 +38,26 @@ abstract class GraftSource(val config: SourceConfig, broker: InMemoryBroker)
   protected def onEof(): Option[Status] = { Thread.sleep(100); None }
 
   // ---- lifecycle -------------------------------------------------------
-  override protected def beforeRunLoop(): Unit =
+  override protected def beforeRunLoop(): Unit = {
+    lastCommitNanos = System.nanoTime()
     getCommittedOffset.foreach(seek)
+  }
 
-  override protected def runOnce(): Option[Status] = read() match {
-    case Some((key, value)) => produce(key, value); None
-    case None => onEof()
+  /** Periodic offset commit per `offset_commit_interval` (30 min default)
+    * — the reference commits during the run loop, not only on close
+    * (`config.py:387-392`; commit sites in `pyconnectsource.py`). */
+  private var lastCommitNanos: Long = System.nanoTime()
+
+  override protected def runOnce(): Option[Status] = {
+    val intervalNanos = config.base.offsetCommitInterval.toNanos
+    if (System.nanoTime() - lastCommitNanos >= intervalNanos) {
+      commitOffset()
+      lastCommitNanos = System.nanoTime()
+    }
+    read() match {
+      case Some((key, value)) => produce(key, value); None
+      case None => onEof()
+    }
   }
 
   /** Lazy one-shot schema inference (`pyconnectsource.py:177-196`). */

@@ -85,6 +85,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT dedup at scale: shuffle (content-hash, doc_id) pairs — never
+    * document bodies — and keep the lowest doc_id per hash (the SCALE.md
+    * "hash-first" form of dropDuplicates; collision odds n²/2⁶⁵ accepted,
+    * or re-verify survivors by text for audited pipelines). */
+  def exactDedupByHash(docs: DataFrame): DataFrame = {
+    val keep = docs
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   /** Near-dup REMOVAL (the operator a training pipeline actually runs):
     * greedy keep-lowest-id — every doc named as the greater side of a
     * verified pair is dropped. One pass, no iteration; transitive

@@ -94,6 +94,25 @@ class ConnectorSpec extends AnyFunSuite {
     assert(broker.endOffset(TopicPartition("t", 0)) == 2)
   }
 
+  test("source: periodic offset commits during the run loop (F1 interval)") {
+    val broker = new InMemoryBroker()
+    val cfg = SourceConfig.fromMap(Map(
+      "bootstrap_servers" -> "localhost:9092",
+      "schema_registry" -> "http://localhost:8081",
+      "topic" -> "t", "offset_topic" -> "t-offsets",
+      "offset_commit_interval" -> "1ms"))
+    val src = new TestSource(
+      (0 until 5).map(i => (s"k$i", s"v$i")), broker, cfg) {
+      override def read(): Option[(Any, Any)] = {
+        Thread.sleep(2) // ensure the 1ms interval elapses between reads
+        super.read()
+      }
+    }
+    src.run()
+    // offset topic received commits DURING the run, not only the final one
+    assert(broker.endOffset(TopicPartition("t-offsets", 0)) > 1)
+  }
+
   test("source: commits offset on close; restart seeks past it (S7/S10)") {
     val broker = new InMemoryBroker()
     val records = Seq[(Any, Any)](("a", "1"), ("b", "2"), ("c", "3"))

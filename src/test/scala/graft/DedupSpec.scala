@@ -89,6 +89,16 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.forall(_.getDouble(2) >= 0.95))
   }
 
+  test("hash-first exact dedup keeps one row per distinct text") {
+    // duplicate the corpus exactly (same text, shifted ids): survivors
+    // must be the 500 originals (lowest id per content hash)
+    val doubled = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 500000, col("text")))
+    val survivors = Dedup.exactDedupByHash(doubled)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (0L until 500L).toSet)
+  }
+
   test("exact dedup: distinct-text count matches groupBy-distinct sum") {
     val viaDistinct = docs.select("text").distinct().count()
     val viaAgg = docs.agg(countDistinct(col("text"))).collect().head.getLong(0)
