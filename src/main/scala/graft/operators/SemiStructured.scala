@@ -50,7 +50,30 @@ object SemiStructured {
         max(size(map_keys(col("m")))).cast(LongType).as("max_keys"))
       .orderBy("event_type")
 
+  /** Q35b batch sessionization — the session_window semantics expressed
+    * relationally (lag-gap flag + running sum = session number), so it IS
+    * hash-checkable against DuckDB, unlike the streaming session_window.
+    * Gap threshold compares exact ns integers on the Spark side and
+    * ns-precision timestamps in DuckDB — bit-identical boundaries. */
+  def q35bSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val gapNs = 30L * 60 * 1000000000L // 30 minutes in ns
+    val flagged = graft.Tables.events(spark, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev_ns").isNull ||
+          col("ts_ns") - col("prev_ns") > gapNs, 1L).otherwise(0L))
+    val sess = flagged.withColumn("sess_no",
+      sum(col("new_sess")).over(order
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "sess_no")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id", "sess_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35b_sessionize" -> (q35bSessionize _),
     "q27_tumbling" -> (q27Tumbling _),
     "q28_json" -> (q28Json _),
     "q29_array" -> (q29Array _),
@@ -60,6 +83,21 @@ object SemiStructured {
   /** DuckDB forms — D5 dialect exceptions: json_extract_string vs
     * get_json_object, len vs size, json_keys for map keys. */
   val oracle: Map[String, String] = Map(
+    "q35b_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM flagged)
+        |SELECT user_id, sess_no, COUNT(*) AS cnt FROM sess
+        |GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin,
     "q27_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS cnt,
         |  SUM(CAST(value AS DECIMAL(18,2))) AS sv
