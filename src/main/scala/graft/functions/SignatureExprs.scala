@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Wrapping arithmetic lives safely INSIDE the expression (plain JVM
   * longs), invisible to ANSI mode.
   */
-private object Mix {
+/** Public so generated code can call `Mix$.MODULE$...`. */
+object Mix {
   /** SplitMix64 — deterministic per-permutation multipliers/addends. */
   def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
@@ -59,7 +60,7 @@ private object Mix {
 
 /** array<string> → array<long> MinHash signature (numHashes entries). */
 case class MinHashSignatureExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private lazy val mults = Mix.mults(numHashes)
   private lazy val adds = Mix.adds(numHashes)
@@ -95,13 +96,46 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     new GenericArrayData(mins)
   }
 
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("minhashMults", mults, "long[]")
+      val ad = ctx.addReferenceObj("minhashAdds", adds, "long[]")
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      val elemHash =
+        if (elementsAreLongs)
+          s"graft.functions.Mix$$.MODULE$$.splitmix64($a.getLong($i))"
+        else
+          s"graft.functions.Mix$$.MODULE$$.hashUtf8($a.getUTF8String($i))"
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = $elemHash;
+         |    for (int $k = 0; $k < $numHashes; $k++) {
+         |      long $v = $h * $m[$k] + $ad[$k];
+         |      if ($v < $mins[$k]) $mins[$k] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(
       newChild: Expression): MinHashSignatureExpr = copy(child = newChild)
 }
 
 /** array<string> → long 64-bit SimHash (sign of per-bit ±1 votes). */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "graft_simhash"
   override def dataType: DataType = LongType
@@ -132,6 +166,34 @@ case class SimHash64Expr(child: Expression)
     }
     sig
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
+      val h = ctx.freshName("h"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = graft.functions.Mix$$.MODULE$$
+         |      .hashUtf8($a.getUTF8String($i));
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(
       newChild: Expression): SimHash64Expr = copy(child = newChild)
