@@ -295,6 +295,19 @@ object Relational {
           .otherwise("small").as("bucket"))
       .orderBy("o_orderkey")
 
+  /** Q15b PIVOT: returnflag rows × linestatus columns of decimal sums —
+    * Spark's groupBy().pivot() vs DuckDB's conditional-aggregation form
+    * (the portable spelling of PIVOT). Pivot values are declared
+    * explicitly, which at scale avoids the extra distinct-values job. */
+  def q15bPivot(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_quantity"))))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -312,6 +325,7 @@ object Relational {
     "q13_agg_approx" -> (q13AggApprox _),
     "q14_rollup" -> (q14Rollup _),
     "q15_cube" -> (q15Cube _),
+    "q15b_pivot" -> (q15bPivot _),
     "q16_win_rank" -> (q16WinRank _),
     "q17_win_lag" -> (q17WinLag _),
     "q18_win_frame" -> (q18WinFrame _),
@@ -332,6 +346,14 @@ object Relational {
     * implementation-only → intentionally absent). */
   val oracle: Map[String, String] = Map(
     "q01_count" -> "SELECT COUNT(*) AS n FROM lineitem",
+    "q15b_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F'
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_f,
+        |  SUM(CASE WHEN l_linestatus = 'O'
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q02_project" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_suppkey LIMIT 100""".stripMargin,
@@ -389,6 +411,14 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q15b_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F'
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_f,
+        |  SUM(CASE WHEN l_linestatus = 'O'
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q16_win_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey,
