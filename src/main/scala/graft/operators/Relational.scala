@@ -166,6 +166,34 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Q16b ranking family: rank / dense_rank / ntile — integer-exact, so
+    * the oracle gate applies to the whole ranking function surface. */
+  def q16bWinRankFns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("nt"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q18b navigation family: first/last/nth value over an explicit full
+    * frame (frame must be UNBOUNDED..UNBOUNDED for last/nth to be
+    * frame-independent across engines). */
+  def q18bWinNavFns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Q17 analytic lag over a per-user window. */
   def q17WinLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -327,8 +355,10 @@ object Relational {
     "q15_cube" -> (q15Cube _),
     "q15b_pivot" -> (q15bPivot _),
     "q16_win_rank" -> (q16WinRank _),
+    "q16b_win_rank_fns" -> (q16bWinRankFns _),
     "q17_win_lag" -> (q17WinLag _),
     "q18_win_frame" -> (q18WinFrame _),
+    "q18b_win_nav_fns" -> (q18bWinNavFns _),
     "q19_topk" -> (q19TopK _),
     "q20_union" -> (q20Union _),
     "q21_intersect" -> (q21Intersect _),
@@ -346,6 +376,22 @@ object Relational {
     * implementation-only → intentionally absent). */
   val oracle: Map[String, String] = Map(
     "q01_count" -> "SELECT COUNT(*) AS n FROM lineitem",
+    "q16b_win_rank_fns" ->
+      """SELECT o_custkey, o_orderkey,
+        |  RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk,
+        |  NTILE(4) OVER w AS nt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q18b_win_nav_fns" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_ok,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q15b_pivot" ->
       """SELECT l_returnflag,
         |  SUM(CASE WHEN l_linestatus = 'F'
