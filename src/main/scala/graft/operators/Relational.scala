@@ -155,6 +155,18 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Q14b explicit GROUPING SETS — through the spark.sql entry path (the
+    * rest of the surface uses the DSL; this pins the SQL front door and
+    * the grouping-sets clause both engines share verbatim). */
+  def q14bGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
   /** Q16 ranking window; rn cast to long for cross-engine type parity. */
   def q16WinRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -353,6 +365,7 @@ object Relational {
     "q13_agg_approx" -> (q13AggApprox _),
     "q14_rollup" -> (q14Rollup _),
     "q15_cube" -> (q15Cube _),
+    "q14b_grouping_sets" -> (q14bGroupingSets _),
     "q15b_pivot" -> (q15bPivot _),
     "q16_win_rank" -> (q16WinRank _),
     "q16b_win_rank_fns" -> (q16bWinRankFns _),
@@ -376,6 +389,11 @@ object Relational {
     * implementation-only → intentionally absent). */
   val oracle: Map[String, String] = Map(
     "q01_count" -> "SELECT COUNT(*) AS n FROM lineitem",
+    "q14b_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q16b_win_rank_fns" ->
       """SELECT o_custkey, o_orderkey,
         |  RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk,
