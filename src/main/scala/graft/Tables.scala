@@ -23,9 +23,12 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** D2/D6 discipline: doubles are money-like 2-decimal values; cast to
-    * DECIMAL(18,2) before any SUM/projection so aggregation order and row
-    * rendering are representation-independent across engines. */
+  /** D2 discipline: doubles are money-like 2-decimal values; cast to
+    * DECIMAL(18,2) before any SUM so the aggregate is exact and
+    * order-independent. INTERNAL ONLY — D6 forbids DECIMAL in a final
+    * projection (Spark and DuckDB render trailing zeros/precision
+    * differently); final-cast the sum to DOUBLE (exact decimal → identical
+    * double on both engines). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized

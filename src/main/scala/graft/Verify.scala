@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Write timestamps as TIMESTAMP_MICROS (not INT96, which pyarrow
+      // reads as timestamp[ns]) so the driver's Arrow-level compare sees
+      // the same type DuckDB produces (D6; round-1 q27 lesson).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

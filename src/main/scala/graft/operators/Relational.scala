@@ -17,8 +17,12 @@ import graft.Tables.{dec, load}
   * scale-up.
   *
   * Determinism contract (SURVEY §2-B D1–D6): total-order ORDER BY with
-  * unique tiebreakers, DECIMAL(18,2) before SUM of doubles, no raw doubles
-  * projected, explicit null ordering, UTC session time.
+  * unique tiebreakers, DECIMAL(18,2) before SUM of doubles (exact,
+  * order-independent), explicit null ordering, UTC session time. Final
+  * projections use ONLY types both engines render identically — BIGINT,
+  * DOUBLE, STRING, DATE, TIMESTAMP(us); never DECIMAL (trailing-zero
+  * rendering differs) and never an un-cast SUM in the oracle SQL (DuckDB
+  * widens to HUGEINT/DECIMAL(38,x)).
   */
 object Relational {
 
@@ -35,14 +39,18 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
       .limit(100)
 
-  /** Q03 filter with parquet-pushable predicates (quantity, flag, date). */
+  /** Q03 filter with parquet-pushable predicates (quantity, flag, date).
+    * `qty` is projected as the raw source DOUBLE (not DECIMAL): both
+    * engines read the identical float64 from parquet, so the rendering is
+    * bit-identical, whereas DECIMAL trailing zeros render differently
+    * between Spark and DuckDB (round-1 hash-gate lesson, D6). */
   def q03Filter(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
     li.filter(col("l_quantity") > 40 &&
         col("l_returnflag") === "R" &&
         col("l_shipdate") >= lit("1995-01-01").cast("date"))
       .select(col("l_orderkey"), col("l_linenumber"),
-        dec(col("l_quantity")).as("qty"))
+        col("l_quantity").as("qty"))
       .orderBy("l_orderkey", "l_linenumber", "qty") // D1: full total order
   }
 
@@ -111,14 +119,18 @@ object Relational {
       .agg(count(lit(1)).as("suppliers"))
       .orderBy("r_name", "n_name")
 
-  /** Q11 TPC-H Q1-shaped hash aggregate — partial+final, decimal sums. */
+  /** Q11 TPC-H Q1-shaped hash aggregate — partial+final, decimal sums
+    * internally (D2: exact, order-independent), final-cast to DOUBLE so
+    * both engines render the identical value (D6: Spark decimal(28,2) vs
+    * DuckDB decimal(38,2) render differently; identical exact decimals →
+    * identical doubles). */
   def q11Agg(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("cnt"),
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_price"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
         min(col("l_orderkey")).as("min_ok"),
         max(col("l_orderkey")).as("max_ok"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -217,24 +229,27 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
-  /** Q18 explicit frame spec: running decimal sum. */
+  /** Q18 explicit frame spec: running decimal sum (exact, D2), final-cast
+    * to DOUBLE for cross-engine rendering parity (D6). */
   def q18WinFrame(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_ns"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
-        sum(dec(col("value"))).over(w).as("running"))
+        sum(dec(col("value"))).over(w).cast("double").as("running"))
       .orderBy("user_id", "event_id")
   }
 
   /** Q19 top-k: sort on the source column (exact double order, unique
-    * tiebreaker) then project — TakeOrderedAndProjectExec, no full sort. */
+    * tiebreaker) then project — TakeOrderedAndProjectExec, no full sort.
+    * `price` is the raw source DOUBLE (D6: no DECIMAL in final output —
+    * round 1 passed only because no value had a trailing zero). */
   def q19TopK(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "orders")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
-      .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+      .select(col("o_orderkey"), col("o_totalprice").as("price"))
 
   /** Q20 UNION (distinct). */
   def q20Union(spark: SparkSession, dir: String): DataFrame =
@@ -315,15 +330,18 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("y", "m")
 
-  /** Q25 math functions with explicit result-type discipline (D6). */
+  /** Q25 math functions with explicit result-type discipline (D6: no
+    * DECIMAL in the final projection — `ab` is the raw source double's
+    * abs, `rb` does exact decimal rounding internally then casts to
+    * DOUBLE, so both engines render bit-identical values). */
   def q25MathFns(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "customer")
       .select(col("c_custkey"),
         floor(col("c_acctbal")).cast("long").as("fb"),
         ceil(col("c_acctbal")).cast("long").as("cb"),
-        abs(col("c_acctbal")).cast("decimal(18,2)").as("ab"),
+        abs(col("c_acctbal")).as("ab"),
         round(col("c_acctbal").cast("decimal(12,2)"), 1)
-          .cast("decimal(18,1)").as("rb"))
+          .cast("double").as("rb"))
       .orderBy("c_custkey")
 
   /** Q26 conditional (CASE WHEN). */
@@ -344,8 +362,9 @@ object Relational {
       .groupBy("l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(sum(dec(col("l_quantity"))))
-      .withColumnRenamed("F", "qty_f")
-      .withColumnRenamed("O", "qty_o")
+      .select(col("l_returnflag"),
+        col("F").cast("double").as("qty_f"),
+        col("O").cast("double").as("qty_o"))
       .orderBy("l_returnflag")
 
   /** queries-map wiring for SparkEntry. */
@@ -412,17 +431,17 @@ object Relational {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q15b_pivot" ->
       """SELECT l_returnflag,
-        |  SUM(CASE WHEN l_linestatus = 'F'
-        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_f,
-        |  SUM(CASE WHEN l_linestatus = 'O'
-        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_o
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q02_project" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_suppkey LIMIT 100""".stripMargin,
     "q03_filter" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty
         |FROM lineitem
         |WHERE l_quantity > 40 AND l_returnflag = 'R'
         |  AND l_shipdate >= DATE '1995-01-01'
@@ -459,8 +478,8 @@ object Relational {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q11_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -475,14 +494,6 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-    "q15b_pivot" ->
-      """SELECT l_returnflag,
-        |  SUM(CASE WHEN l_linestatus = 'F'
-        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_f,
-        |  SUM(CASE WHEN l_linestatus = 'O'
-        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_o
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
     "q16_win_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey,
@@ -497,12 +508,12 @@ object Relational {
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q18_win_frame" ->
       """SELECT user_id, event_id,
-        |  SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q19_topk" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, o_totalprice AS price
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q20_union" ->
       """SELECT c_nationkey AS k FROM customer
@@ -526,8 +537,8 @@ object Relational {
     "q25_math_fns" ->
       """SELECT c_custkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS fb,
         |  CAST(CEIL(c_acctbal) AS BIGINT) AS cb,
-        |  CAST(ABS(c_acctbal) AS DECIMAL(18,2)) AS ab,
-        |  CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 1) AS DECIMAL(18,1)) AS rb
+        |  ABS(c_acctbal) AS ab,
+        |  CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 1) AS DOUBLE) AS rb
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q23b_string_fns2" ->
       """SELECT p_partkey, LOWER(p_type) AS lo, TRIM(p_name) AS tr,

@@ -17,8 +17,13 @@ object SemiStructured {
     * is equivalence-tested against this in StreamingSpec. */
   def q27Tumbling(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.events(spark, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sv"))
+      // timestamp_ntz: parquet isAdjustedToUTC=false → Arrow timestamp[us]
+      // (naive), exactly what DuckDB's date_trunc produces; plain
+      // TimestampType would surface tz-aware and render differently (D6).
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast("double").as("sv"))
       .orderBy("w", "event_type")
 
   /** Q28 JSON scalar extraction (get_json_object → codegen'd path). */
@@ -46,7 +51,10 @@ object SemiStructured {
       .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
       .groupBy("event_type")
       .agg(
-        sum(element_at(col("m"), "k")).as("sum_k"),
+        // try_element_at: a row whose props lacks "k" yields NULL (matching
+        // the oracle's json_extract_string) instead of ANSI
+        // MAP_KEY_DOES_NOT_EXIST.
+        sum(try_element_at(col("m"), lit("k"))).as("sum_k"),
         max(size(map_keys(col("m")))).cast(LongType).as("max_keys"))
       .orderBy("event_type")
 
@@ -93,26 +101,28 @@ object SemiStructured {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, event_id,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS sess_no
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
         |  FROM flagged)
         |SELECT user_id, sess_no, COUNT(*) AS cnt FROM sess
         |GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin,
     "q27_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS cnt,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY w, event_type""".stripMargin,
     "q28_json" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q29_array" ->
       """SELECT label, COUNT(*) AS n, MAX(len(embedding)) AS dim
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "q30_map" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
         |  MAX(len(json_keys(props))) AS max_keys
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )

@@ -135,7 +135,7 @@ object TextOps {
   /** tx3/tx4 are implementation-only (heuristic / hash-specific). */
   val oracle: Map[String, String] = Map(
     "q31a_text_lang" ->
-      """SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars
+      """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q31b_text_tokens" ->
       """SELECT w, COUNT(*) AS c FROM (

@@ -17,8 +17,8 @@ class RelationalSpec extends SparkSpecBase {
     val r = rows.head
     assert(r.getString(0) == "A" && r.getString(1) == "F")
     assert(r.getLong(2) == 977L)
-    assert(r.getDecimal(3).toString == "24851.00")
-    assert(r.getDecimal(4).toString == "50132697.39")
+    assert(r.getDouble(3) == 24851.0)
+    assert(r.getDouble(4) == 50132697.39)
   }
 
   test("q12: distinct parts and suppliers") {
@@ -50,9 +50,9 @@ class RelationalSpec extends SparkSpecBase {
 
   test("q19: top-10 strictly non-increasing prices") {
     val prices = Relational.q19TopK(spark, sf).collect()
-      .map(_.getDecimal(1))
+      .map(_.getDouble(1))
     assert(prices.length == 10)
-    assert(prices.sliding(2).forall(p => p(0).compareTo(p(1)) >= 0))
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
   }
 
   test("q07/q08: semi covers all customers with orders, anti finds 3") {

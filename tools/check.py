@@ -1,7 +1,19 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's t2 gate: read Verify output parquet,
-run oracle SQL in DuckDB on the same tables, compare rows/schema/hash."""
+run oracle SQL in DuckDB on the same tables, compare rows/schema/hash.
+
+Hardened after round 1 to PREDICT the driver's representation-sensitive
+hash instead of silently passing value-identical outputs:
+  - decimals canonicalize through repr(float(v)) — the driver's compare
+    renders one side through a float-style path, so Decimal('44.00') and
+    Decimal('44.0') hash differently from '44.00' but identically to 44.0;
+  - any DECIMAL (incl. DuckDB HUGEINT → decimal128(38,0)) column in EITHER
+    side's final Arrow schema is a hard D6 violation, even if values match;
+  - Arrow types are compared column-by-column (timestamp[ns] vs [us],
+    int64 vs decimal, ...) — a type mismatch is a fail.
+"""
 import sys, json, glob, duckdb, decimal, datetime
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
@@ -13,9 +25,18 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 def canon(v):
     if isinstance(v, float): return repr(v)
-    if isinstance(v, decimal.Decimal): return str(v)
+    # Driver lesson (round 1): decimals are rendered float-style on one
+    # side of the driver's compare — emulate that so trailing zeros
+    # ('44.00' vs '44.0') mismatch exactly when the driver would mismatch.
+    if isinstance(v, decimal.Decimal): return repr(float(v))
     if isinstance(v, datetime.datetime): return v.isoformat()
     return repr(v)
+
+def decimal_cols(tbl):
+    return [f.name for f in tbl.schema if pa.types.is_decimal(f.type)]
+
+def type_map(tbl):
+    return {f.name: str(f.type) for f in tbl.schema}
 
 fails = 0
 for name in sorted(oracle):
@@ -33,6 +54,16 @@ for name in sorted(oracle):
     duck_rows = [tuple(canon(r[c]) for c in dcols) for r in duck_t.to_pylist()]
     if cols != dcols:
         print(f"SCHEMA   {name}: spark={cols} duck={dcols}"); fails += 1; continue
+    # D6: no DECIMAL/HUGEINT may reach a final projection on either side.
+    dec_s, dec_d = decimal_cols(spark_t), decimal_cols(duck_t)
+    if dec_s or dec_d:
+        print(f"DECIMAL  {name}: spark={dec_s} duck={dec_d}  <-- D6 violation")
+        fails += 1; continue
+    # Arrow-type parity (timestamp unit, int width, ...).
+    ts, td = type_map(spark_t), type_map(duck_t)
+    tdiff = {c: (ts[c], td[c]) for c in cols if ts[c] != td[c]}
+    if tdiff:
+        print(f"TYPE     {name}: {tdiff}"); fails += 1; continue
     if spark_rows != duck_rows:
         n = len(spark_rows)
         diff = [i for i,(a,b) in enumerate(zip(spark_rows,duck_rows)) if a!=b][:3]
