@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 28g default: the 60-query single-JVM bench loop degrades badly under
+  // heap pressure (round 1 recorded 171 s for a ~7 s query at 8g); the
+  // sandbox has 128 GiB, so a generous heap keeps in-loop ≈ isolated.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -103,6 +103,91 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product over two ArrayType(Float|Double) columns — one
+  * tight codegen'd loop. Used with precomputed norms
+  * (`cosinePrenormed`) so pairwise kNN scoring is O(d) per pair with no
+  * interpreted lambdas (the HOF `aggregate(zip_with(...))` form this
+  * replaces interprets 3 lambdas per element per pair). */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_dot"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects array<float|double> args, got " +
+          s"${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  private def getElem(t: DataType, arr: ArrayData, i: Int): Double = t match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += getElem(left.dataType, x, i) * getElem(right.dataType, y, i)
+      i += 1
+    }
+    dot
+  }
+
+  private def getter(t: DataType, arr: String, i: String): String = t match {
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${getter(left.dataType, a, i)} * ${getter(right.dataType, b, i)};
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductExpr {
+  val name = "graft_dot"
+
+  private val info = new ExpressionInfo(classOf[DotProductExpr].getName, name)
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProductExpr(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_dot takes 2 arguments, got ${other.length}")
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name), info, builder)
+}
+
 object CosineSimilarityExpr {
   val name = "graft_cosine"
 
@@ -135,6 +220,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_cosine takes 2 arguments, got ${other.length}")
       } }))
+    ext.injectFunction((FunctionIdentifier(DotProductExpr.name),
+      new ExpressionInfo(classOf[DotProductExpr].getName,
+        DotProductExpr.name), DotProductExpr.builder))
+    ext.injectFunction((FunctionIdentifier(NearestCentroidExpr.name),
+      new ExpressionInfo(classOf[NearestCentroidExpr].getName,
+        NearestCentroidExpr.name), NearestCentroidExpr.builder))
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule)
   }
 }

@@ -59,10 +59,16 @@ object Dedup {
     // shingle sets carried as 64-bit hashes: verification intersects long
     // arrays instead of shingle text (same jaccard modulo ~n²/2⁶⁴
     // collisions; ~3× cheaper and the join moves no document text)
+    // Persisted: this subtree feeds the band explode AND both
+    // verification sides — without persist it is recomputed up to 3× in
+    // one DAG (ReuseExchange can't cover it: the three consumers
+    // partition on different keys). MEMORY_AND_DISK so a 100 TB corpus
+    // spills instead of OOMing; the payload is (doc_id, long[]), not text.
     val withSh = docs
       .select(col("doc_id"),
         array_distinct(transform(shingles(col("text"), k),
           s => xxhash64(s))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSh
       .select(col("doc_id"),
         posexplode(bandKeys(minhashSignature(col("sh"), numHashes),
@@ -188,8 +194,9 @@ object Dedup {
     * verification. */
   def embeddingNearDupPairs(embeddings: DataFrame, planes: Int = 8,
       threshold: Double = 0.95): DataFrame = {
-    import VectorOps._
+    import VectorOps.asDouble
     graft.functions.SignatureExprs.register(embeddings.sparkSession)
+    graft.functions.CosineSimilarityExpr.register(embeddings.sparkSession)
     val sigs = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket",
@@ -198,7 +205,8 @@ object Dedup {
       .join(sigs.as("b"), col("a.bucket") === col("b.bucket")
         && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        // native codegen'd cosine — one loop per pair vs interpreted HOF
+        call_function("graft_cosine", col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

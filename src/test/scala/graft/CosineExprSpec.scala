@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
-import graft.functions.{CosineSimilarityExpr, VectorOps}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, NearestCentroidExpr, VectorOps}
 
 /** Native cosine Expression: registration paths, agreement with the HOF
   * implementation, SQL usability, and error behavior. */
@@ -12,6 +12,40 @@ class CosineExprSpec extends SparkSpecBase {
   override def beforeAll(): Unit = {
     super.beforeAll()
     CosineSimilarityExpr.register(spark)
+    DotProductExpr.register(spark)
+    NearestCentroidExpr.register(spark)
+  }
+
+  test("graft_dot matches the HOF dot product") {
+    val emb = load(spark, sf, "embeddings").limit(30)
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        call_function("graft_dot",
+          col("a.embedding"), col("b.embedding")).as("native"),
+        VectorOps.dot(
+          VectorOps.asDouble(col("a.embedding")),
+          VectorOps.asDouble(col("b.embedding"))).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6))
+  }
+
+  test("graft_nearest_centroid picks the argmax-dot cell with id tiebreak") {
+    import org.apache.spark.sql.Row
+    val rows = spark.sql(
+      """SELECT graft_nearest_centroid(array(1.0D, 0.0D),
+        |  array(7L, 3L),
+        |  array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS cell""".stripMargin)
+      .collect()
+    assert(rows.head.getLong(0) == 7L)
+    // tie on dot → smallest cid wins
+    val tie = spark.sql(
+      """SELECT graft_nearest_centroid(array(0.0D, 0.0D),
+        |  array(9L, 2L),
+        |  array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS cell""".stripMargin)
+      .collect()
+    assert(tie.head.getLong(0) == 2L)
   }
 
   test("native expression matches the higher-order-function cosine") {
