@@ -40,7 +40,12 @@ object Tables {
     * Integer DIV (not `/`) — nanos ≈ 1.7e18 exceeds double's 2^53 exact
     * range, so float division would corrupt timestamps. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Declared at session build in Verify/Bench/SparkSpecBase; this
+    // guarded set is defensive for externally-built sessions only (it
+    // never overwrites an explicit setting, so a long-lived session is
+    // not surprised by a table loader mutating its config).
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts")
         .cast("long"))

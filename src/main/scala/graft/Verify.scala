@@ -15,6 +15,9 @@ object Verify {
       // reads as timestamp[ns]) so the driver's Arrow-level compare sees
       // the same type DuckDB produces (D6; round-1 q27 lesson).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet is TIMESTAMP(NANOS); declared here once so the
+      // Tables.events loader never has to mutate session config
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -208,6 +208,9 @@ final class ConfigReader(input: Map[String, Any]) {
   def popMap(key: String): Map[String, String] = pop(key) match {
     case Some(m: Map[_, _]) =>
       m.map { case (k, v) => k.toString -> v.toString }
+    // string form parsed as JSON — `config.py:426` (`"kafka_opts": json.loads`)
+    case Some(s: String) =>
+      Parsers.flatJson(s).map { case (k, v) => k -> v.toString }
     case Some(other) => throw ConfigException(s"'$key' not a map: $other")
     case None => Map.empty
   }
@@ -340,31 +343,65 @@ object Loaders {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
-  /** Minimal flat YAML subset: `key: value` lines, `#` comments, quoted
-    * strings, `[a, b]` inline lists (`config.py:509-517` parity for the
-    * configs the reference ships; offline → no YAML library). */
-  def yamlFile(path: String): Map[String, Any] = {
-    val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(path)).toArray.map(_.toString)
-    lines.iterator
-      .map(_.takeWhile(_ != '#').trim)
-      .filter(_.nonEmpty)
-      .map { line =>
+  /** YAML subset: `key: value` lines, `#` comments, quoted strings,
+    * `[a, b]` inline lists, and ONE level of block nesting for
+    * `kafka_opts`-style maps (`config.py:509-517` loads arbitrary YAML via
+    * yaml.safe_load; nested `kafka_opts` dicts are the shape its configs
+    * actually use — offline container → no YAML library, so this parses
+    * that subset directly). */
+  def yamlFile(path: String): Map[String, Any] = parseYaml(
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).toArray.map(_.toString).toSeq)
+
+  private def scalar(raw: String): Any =
+    if (raw.startsWith("[") && raw.endsWith("]"))
+      Parsers.csvLine(raw.substring(1, raw.length - 1)): Any
+    else if (raw.startsWith("\"") && raw.endsWith("\"") && raw.length >= 2)
+      raw.substring(1, raw.length - 1)
+    else if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
+      raw.substring(1, raw.length - 1)
+    else raw
+
+  def parseYaml(rawLines: Seq[String]): Map[String, Any] = {
+    // (indent, key, rawValue) for each non-blank, non-comment line
+    val entries = rawLines.iterator
+      .map(l => (l.takeWhile(_ == ' ').length, l.takeWhile(_ != '#').trim))
+      .filter(_._2.nonEmpty)
+      .map { case (indent, line) =>
         val idx = line.indexOf(':')
         if (idx < 0) throw ConfigException(s"yaml: no ':' in '$line'")
-        val k = line.take(idx).trim
-        val raw = line.drop(idx + 1).trim
-        val v: Any =
-          if (raw.startsWith("[") && raw.endsWith("]"))
-            Parsers.csvLine(raw.substring(1, raw.length - 1)): Any
-          else if (raw.startsWith("\"") && raw.endsWith("\"") && raw.length >= 2)
-            raw.substring(1, raw.length - 1)
-          else if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
-            raw.substring(1, raw.length - 1)
-          else raw
-        k -> v
+        (indent, line.take(idx).trim, line.drop(idx + 1).trim)
       }
-      .toMap
+      .toSeq
+    val out = Map.newBuilder[String, Any]
+    var i = 0
+    while (i < entries.length) {
+      val (indent, k, raw) = entries(i)
+      if (indent > 0)
+        throw ConfigException(s"yaml: unexpected indent at '$k'")
+      if (raw.isEmpty) {
+        // block map: consume following more-indented `key: scalar` lines
+        val nested = Map.newBuilder[String, Any]
+        var j = i + 1
+        while (j < entries.length && entries(j)._1 > 0) {
+          val (_, nk, nraw) = entries(j)
+          if (nraw.isEmpty)
+            throw ConfigException(
+              s"yaml: only one nesting level supported (at '$nk')")
+          nested += (nk -> scalar(nraw))
+          j += 1
+        }
+        val m = nested.result()
+        if (m.isEmpty)
+          throw ConfigException(s"yaml: empty value for '$k'")
+        out += (k -> m)
+        i = j
+      } else {
+        out += (k -> scalar(raw))
+        i += 1
+      }
+    }
+    out.result()
   }
 }
 

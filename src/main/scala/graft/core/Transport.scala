@@ -77,10 +77,13 @@ final class InMemoryBroker(numPartitions: Int = 1) {
       if (numPartitions == 1) 0
       else math.floorMod(
         Option(key).map(java.util.Arrays.hashCode).getOrElse(0), numPartitions)
-    log(TopicPartition(topic, partition)) += ((key, value))
+    // append must happen inside the broker monitor: a producer flush()
+    // racing a consumer poll()/read() would otherwise mutate the
+    // ArrayBuffer unsynchronized (resize corruption)
+    synchronized { log(TopicPartition(topic, partition)) += ((key, value)) }
   }
 
-  def endOffset(tp: TopicPartition): Long = log(tp).length.toLong
+  def endOffset(tp: TopicPartition): Long = synchronized(log(tp).length.toLong)
 
   def read(tp: TopicPartition, offset: Long): Option[Message] = synchronized {
     val l = log(tp)

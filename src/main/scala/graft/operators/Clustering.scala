@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.NearestCentroidExpr
+
+/** Elementwise vector-sum Aggregator (top-level for encoder derivation).
+  * Partial combine = per-partition elementwise sums, so training a
+  * k-cell codebook shuffles k·dim doubles per partition, not N·dim. */
+class VectorSumAggregator
+    extends Aggregator[Seq[Double], Array[Double], Seq[Double]]
+    with Serializable {
+  override def zero: Array[Double] = Array.emptyDoubleArray
+  override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] =
+    if (b.isEmpty) a.toArray
+    else {
+      var i = 0
+      while (i < b.length && i < a.length) { b(i) += a(i); i += 1 }
+      b
+    }
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      var i = 0
+      while (i < b1.length && i < b2.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+  override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+  override def bufferEncoder: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+}
+
+/** Lloyd's k-means over an embedding column — the trained-codebook path
+  * for IVF (`Similarity.knnIvf`'s hash-sampled codebook is the
+  * bit-deterministic default; this refines it).
+  *
+  * Scale shape per iteration (the part that matters at 100 TB):
+  *  - assignment is `graft_nearest_centroid` — a zero-shuffle codegen'd
+  *    projection. The expression computes argmax-dot, so EUCLIDEAN
+  *    nearest-centroid is encoded by augmentation: vectors get a trailing
+  *    1.0 and centroid j a trailing −|c_j|²/2, making
+  *    dot([v,1],[c_j,b_j]) = v·c_j − |c_j|²/2 = −(|v−c_j|² − |v|²)/2,
+  *    whose argmax IS the nearest centroid;
+  *  - per-cell mean = groupBy(cell) with a partial-combining vector-sum
+  *    Aggregator + count: the exchange carries k·dim doubles per
+  *    partition, never N vectors;
+  *  - only the k×dim codebook is collected per iteration (driver state
+  *    is O(k·dim), independent of N).
+  *
+  * Float addition is order-dependent, so across-run codebooks can differ
+  * in low-order bits under different partitionings — acceptable for a
+  * training operator, and why the oracle-facing q34c stays on the
+  * hash-sampled codebook.
+  */
+object Clustering {
+
+  /** `[v, 1.0]` — augmentation for Euclidean assignment via argmax-dot. */
+  private def augment(v: Column): Column = concat(v, array(lit(1.0)))
+
+  private def augmentMat(mat: Array[Array[Double]]): Array[Array[Double]] =
+    mat.map(c => c :+ (-0.5 * c.map(x => x * x).sum))
+
+  private def assignCell(v: Column, cids: Array[Long],
+      mat: Array[Array[Double]]): Column =
+    call_function(NearestCentroidExpr.name, augment(v),
+      typedlit(cids.toSeq), typedlit(augmentMat(mat).map(_.toSeq).toSeq))
+
+  /** Train a k-cell codebook; returns (cell ids 0..k-1, centroids). */
+  def kMeansCentroids(vectors: DataFrame, vecCol: String, k: Int,
+      iters: Int = 5): (Array[Long], Array[Array[Double]]) = {
+    val spark = vectors.sparkSession
+    NearestCentroidExpr.register(spark)
+    val v = vectors.select(col(vecCol).cast("array<double>").as("v"))
+    // deterministic hash-sampled init (same recipe as Similarity.knnIvf)
+    var mat: Array[Array[Double]] = v
+      .orderBy(xxhash64(col("v"))).limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cids = Array.tabulate(mat.length)(_.toLong)
+    val vsum = udaf(new VectorSumAggregator)
+    var it = 0
+    while (it < iters) {
+      val stats = v
+        .withColumn("cell", assignCell(col("v"), cids, mat))
+        .groupBy("cell")
+        .agg(vsum(col("v")).as("sum"), count(lit(1)).as("n"))
+        .collect()
+      val next = mat.clone()
+      stats.foreach { r =>
+        val cell = r.getLong(0).toInt
+        val sum = r.getSeq[Double](1)
+        val n = r.getLong(2).toDouble
+        next(cell) = sum.map(_ / n).toArray
+      } // cells that captured no vectors keep their previous centroid
+      mat = next
+      it += 1
+    }
+    (cids, mat)
+  }
+
+  /** Within-cluster sum of squared distance — Lloyd's monotone objective
+    * (ClusteringSpec asserts non-increase across iterations). */
+  def wcss(vectors: DataFrame, vecCol: String, cids: Array[Long],
+      mat: Array[Array[Double]]): Double = {
+    val spark = vectors.sparkSession
+    NearestCentroidExpr.register(spark)
+    graft.functions.DotProductExpr.register(spark)
+    val v = vectors.select(col(vecCol).cast("array<double>").as("v"))
+    val matLit = typedlit(mat.map(_.toSeq).toSeq)
+    val c = element_at(matLit, col("cell").cast("int") + 1)
+    v.withColumn("cell", assignCell(col("v"), cids, mat))
+      // |v − c|² = v·v − 2 v·c + c·c
+      .select((call_function("graft_dot", col("v"), col("v"))
+        - lit(2.0) * call_function("graft_dot", col("v"), c)
+        + call_function("graft_dot", c, c)).as("d2"))
+      .agg(sum(col("d2")).as("s")).collect().head.getDouble(0)
+  }
+}

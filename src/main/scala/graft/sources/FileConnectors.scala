@@ -94,13 +94,20 @@ object KafkaOptions {
   def forSink(config: SinkConfig): Map[String, String] = {
     val subscribeKey =
       if (config.isPatternSubscription) "subscribePattern" else "subscribe"
+    val poll =
+      // poll_timeout −1 = "block forever" (config.py:572) → keep Spark's
+      // default; otherwise map onto the consumer poll budget
+      if (config.pollTimeoutDisabled) Map.empty[String, String]
+      else Map("kafkaConsumer.pollTimeoutMs" ->
+        config.pollTimeout.toMillis.toString)
     Map(
       "kafka.bootstrap.servers" -> config.base.bootstrapServers.mkString(","),
       subscribeKey -> config.topics.map(_.stripPrefix("^")).mkString(","),
       "startingOffsets" -> "earliest", // auto.offset.reset=earliest (K3)
       "kafka.group.id" -> config.groupId,
       "failOnDataLoss" -> "true"
-    ) ++ config.base.kafkaOpts.map { case (k, v) => s"kafka.$k" -> v } ++
+    ) ++ poll ++
+      config.base.kafkaOpts.map { case (k, v) => s"kafka.$k" -> v } ++
       config.kafkaConsumerOpts.map { case (k, v) => s"kafka.$k" -> v }
   }
 
@@ -110,4 +117,17 @@ object KafkaOptions {
       "topic" -> config.topic
     ) ++ config.base.kafkaOpts.map { case (k, v) => s"kafka.$k" -> v } ++
       config.kafkaProducerOpts.map { case (k, v) => s"kafka.$k" -> v }
+
+  /** Options for reading the reference source's offset topic — group
+    * `<offset_topic>_fetcher`, latest offsets (`pyconnectsource.py:66-88`).
+    * On Spark, progress normally lives in the checkpoint; this exists for
+    * operational parity when inspecting a migrated pipeline's offsets. */
+  def forOffsetConsumer(config: SourceConfig): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> config.base.bootstrapServers.mkString(","),
+      "kafka.group.id" -> s"${config.offsetTopic}_fetcher",
+      "startingOffsets" -> "latest",
+      "subscribe" -> config.offsetTopic
+    ) ++ config.base.kafkaOpts.map { case (k, v) => s"kafka.$k" -> v } ++
+      config.kafkaConsumerOpts.map { case (k, v) => s"kafka.$k" -> v }
 }

@@ -128,4 +128,66 @@ class ConfigSpec extends AnyFunSuite {
     val p = SinkConfig.fromMap(minimalSink + ("topics" -> "^logs-.*"))
     assert(KafkaOptions.forSink(p).contains("subscribePattern"))
   }
+
+  test("kafka options: poll timeout mapping (config.py:572)") {
+    // default 2s → 2000 ms poll budget
+    val c = SinkConfig.fromMap(minimalSink)
+    assert(KafkaOptions.forSink(c)("kafkaConsumer.pollTimeoutMs") == "2000")
+    // -1 = block forever → no override of Spark's default
+    val blocked = SinkConfig.fromMap(minimalSink + ("poll_timeout" -> "-1"))
+    assert(!KafkaOptions.forSink(blocked).contains("kafkaConsumer.pollTimeoutMs"))
+  }
+
+  test("kafka options: source offset consumer (pyconnectsource.py:66-88)") {
+    val c = SourceConfig.fromMap(Map[String, Any](
+      "bootstrap_servers" -> "b:9092",
+      "schema_registry" -> "http://sr:8081",
+      "topic" -> "out", "offset_topic" -> "out-offsets",
+      "kafka_consumer_opts" -> Map("session.timeout.ms" -> "9000")))
+    val opts = KafkaOptions.forOffsetConsumer(c)
+    assert(opts("kafka.group.id") == "out-offsets_fetcher")
+    assert(opts("startingOffsets") == "latest")
+    assert(opts("subscribe") == "out-offsets")
+    assert(opts("kafka.session.timeout.ms") == "9000")
+  }
+
+  test("kafka_opts as a JSON string (config.py:426 json.loads parser)") {
+    val c = SinkConfig.fromMap(minimalSink +
+      ("kafka_opts" -> """{"sasl.password": "hunter2", "client.id": "c9"}"""))
+    assert(c.base.kafkaOpts ==
+      Map("sasl.password" -> "hunter2", "client.id" -> "c9"))
+  }
+
+  test("nested yaml: block-mapped kafka_opts (config.py:509-533)") {
+    val f = java.nio.file.Files.createTempFile("graft-yaml", ".yaml")
+    java.nio.file.Files.writeString(f,
+      """# connector config
+        |bootstrap_servers: [broker1:9092, broker2:9092]
+        |schema_registry: "http://sr:8081"
+        |group_id: g2
+        |topics: t9
+        |kafka_opts:
+        |  sasl.password: 'hunter2'   # quoted scalar
+        |  security.protocol: SASL_SSL
+        |poll_timeout: 5
+        |""".stripMargin)
+    val c = SinkConfig.fromMap(Loaders.yamlFile(f.toString))
+    assert(c.base.bootstrapServers == Seq("broker1:9092", "broker2:9092"))
+    assert(c.base.kafkaOpts == Map(
+      "sasl.password" -> "hunter2", "security.protocol" -> "SASL_SSL"))
+    assert(c.pollTimeout == 5.seconds)
+    java.nio.file.Files.delete(f)
+  }
+
+  test("nested yaml: deeper nesting and bad indent are hard errors") {
+    intercept[ConfigException] {
+      Loaders.parseYaml(Seq("a:", "  b:", "    c: 1"))
+    }
+    intercept[ConfigException] {
+      Loaders.parseYaml(Seq("  orphan: 1"))
+    }
+    intercept[ConfigException] {
+      Loaders.parseYaml(Seq("a:"))
+    }
+  }
 }
