@@ -98,11 +98,14 @@ object Similarity {
     *    embedded in `graft_nearest_centroid`, so cell assignment is a
     *    zero-shuffle codegen'd projection over the vector table — no
     *    cartesian join, no per-row window;
-    *  - top-k is the shared bounded-aggregator phase.
-    * Real IVF k-means-trains the centroids (see `Clustering.kMeans`); the
-    * plan shape is identical. */
+    *  - top-k is the shared bounded-aggregator phase;
+    *  - `probes` > 1 = standard IVF nprobe: each query searches its
+    *    `probes` nearest cells (recall knob; candidates stay N·probes/C).
+    * `Clustering.kMeansCentroids` trains a refined codebook; the plan
+    * shape is identical (q34c stays on the hash-sampled codebook for
+    * bit-determinism). */
   def knnIvf(vectors: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16): DataFrame = {
+      cells: Int = 16, probes: Int = 1): DataFrame = {
     val base = vectors
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val centroidRows = base
@@ -118,10 +121,27 @@ object Similarity {
         col(vcol), typedlit(cids), typedlit(mat)))
     val cells_ = assign(base, "v")
       .withColumn("nv", nativeNorm(col("v")))
-    val qs = assign(
-      queries.select(col("vec_id"), asDouble(col("embedding")).as("qv")),
-      "qv")
-      .select(col("vec_id").as("qid"), col("qv"), col("cell"))
+    // Query side probes its `probes` nearest cells (standard IVF nprobe:
+    // recall knob). Base vectors live in exactly one cell, so a probed
+    // query matches each candidate at most once — no pair dedup needed.
+    // The ranking runs on the tiny broadcast side only (HOF cost
+    // irrelevant there); ties broken by cid for determinism.
+    val matL = typedlit(mat)
+    val cidsL = typedlit(cids)
+    val cellScores = transform(sequence(lit(0), lit(cids.length - 1)), i =>
+      struct(
+        aggregate(zip_with(col("qv"), element_at(matL, i + 1),
+          (x, y) => x * y), lit(0.0), (a, x) => a + x).as("dot"),
+        element_at(cidsL, i + 1).as("cid")))
+    val probed = slice(array_sort(cellScores, (l, r) =>
+      when(l("dot") > r("dot"), -1)
+        .when(l("dot") < r("dot"), 1)
+        .when(l("cid") < r("cid"), -1)
+        .when(l("cid") > r("cid"), 1)
+        .otherwise(0)), 1, probes)
+    val qs = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("cell", explode(transform(probed, s => s("cid"))))
       .withColumn("nq", nativeNorm(col("qv")))
     val scored = cells_.join(broadcast(qs),
         cells_("cell") === qs("cell") && col("vec_id") =!= col("qid"))

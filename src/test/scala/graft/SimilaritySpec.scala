@@ -60,6 +60,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows.forall(_.getLong(2) < 1000000))
   }
 
+  test("IVF nprobe: more probed cells never lowers recall vs brute force") {
+    val brute = Similarity.q34aKnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(probes: Int): Double = {
+      val got = Similarity.knnIvf(emb, emb.filter(col("vec_id") < 5),
+        k = 10, probes = probes).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      brute.count(got.contains).toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"nprobe=4 recall $r4 < nprobe=1 recall $r1")
+    // probing a quarter of 16 cells must find a decent share of true
+    // neighbors on the fixture
+    assert(r4 > 0.2, s"nprobe=4 recall $r4")
+  }
+
   test("LSH knn recall vs brute force is useful (same-bucket candidates)") {
     val brute = Similarity.q34aKnnBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
