@@ -156,30 +156,82 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard via a frequency-capped inverted index: explode
-    * shingle hashes, group each shingle's (≤ dfCap) posting list, emit
-    * doc pairs map-side from the grouped lists (no self-join of the 2M-row
-    * index — the only shuffles are one groupBy per shingle and one per
-    * pair), count shared shingles, compute |A∩B| / |A∪B|. */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
+  /** Exact n-gram Jaccard with AllPairs-style PREFIX FILTERING (Bayardo
+    * et al., "Scaling Up All Pairs Similarity Search", WWW'07 — public
+    * algorithm): under a global token order, any pair with
+    * Jaccard ≥ t must share a token within the first
+    * `|x| − ⌈t·|x|⌉ + 1` tokens of EACH side's sorted set, so only that
+    * prefix is indexed. Candidate volume drops from Σ C(df,2) over all
+    * shingles to Σ C(df,2) over prefix shingles (roughly (1−t) of the
+    * index) while staying LOSSLESS — DedupSpec pins equality with the
+    * full-index form.
+    *
+    * Plan shape: one groupBy per prefix shingle (df-capped hot-shingle
+    * guard), map-side pair generation from the posting lists, distinct,
+    * then ONE join per side against the persisted sorted-set table for
+    * the exact |A∩B|/|A∪B| — no self-join of the index, no O(n²). */
+  def ngramJaccardPairsPrefix(docs: DataFrame, k: Int = 3,
       threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     // 64-bit shingle hashes, not strings — shuffles move 8-byte keys
-    // (collision odds ~n²/2⁶⁴)
+    // (collision odds ~n²/2⁶⁴); sorted ascending = the global token order
+    // the prefix filter requires. Persisted: feeds the prefix index and
+    // both verification sides.
+    val shSets = docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(shingles(col("text"), k),
+        s => xxhash64(s)))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = (size(col("sh")) -
+      ceil(lit(threshold) * size(col("sh"))).cast("int") + 1)
+    val prefix = shSets
+      .select(col("doc_id"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("p"))
+    val postings = prefix.groupBy("p")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, dfCap))
+    // Two-step explode: pairs stream out row-by-row with per-row
+    // allocation bounded by one df-length slice (<= 8 KB), instead of one
+    // flattened C(df,2)-struct array per posting row (tens of MB for a
+    // df-capped hot shingle) — those humongous allocations caused
+    // multi-10x GC variance in the bench.
+    val cand = postings
+      .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+      .select(col("doc_a"), explode(slice(col("docs"), col("i") + lit(2),
+        size(col("docs")))).as("doc_b"))
+      .distinct()
+    cand
+      .join(shSets.as("va"), col("doc_a") === col("va.doc_id"))
+      .join(shSets.as("vb"), col("doc_b") === col("vb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("va.sh"), col("vb.sh"))).cast("double") /
+          size(array_union(col("va.sh"), col("vb.sh"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Full-index postings form — the DEFAULT (and q33c's path): at
+    * moderate thresholds it beats the prefix filter because verification
+    * is a map-side COUNT of 16-byte pair rows, never a join of full
+    * shingle arrays (measured at sf0.1/t=0.5: 7s vs 30s — the prefix
+    * variant's array-shipping verification dominates when the prefix is
+    * still ~half the index). Use `ngramJaccardPairsPrefix` for high
+    * thresholds (t ≥ 0.8), where the prefix shrinks to (1−t) of the
+    * index and candidate volume collapses. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
+      threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(transform(shingles(col("text"), k), s => xxhash64(s)))
         .as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // posting list per shingle, df-capped (hot-shingle guard), then all
-    // C(df,2) ordered pairs generated inside the partition
     val postings = sh.groupBy("sh")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, dfCap))
-    val pairExpr = flatten(transform(col("docs"), (x, i) =>
-      transform(slice(col("docs"), i + 2, size(col("docs"))),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    // Two-step explode (see ngramJaccardPairsPrefix): bounded per-row
+    // allocation, no humongous pair arrays.
     postings
-      .select(explode(pairExpr).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+      .select(col("doc_a"), explode(slice(col("docs"), col("i") + lit(2),
+        size(col("docs")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))

@@ -35,6 +35,16 @@ class DedupSpec extends SparkSpecBase {
     assert(recall > 0.99, s"recall $recall")
   }
 
+  test("prefix-filtered jaccard ≡ full-index jaccard (lossless filter)") {
+    val withDups = Dedup.docsWithNearDups(docs)
+    val pref = Dedup.ngramJaccardPairsPrefix(withDups)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.ngramJaccardPairs(withDups)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref == full,
+      s"prefix-only=${pref -- full} full-only=${full -- pref}")
+  }
+
   test("minhash candidates ≈ exact jaccard pairs (LSH vs ground truth)") {
     val lsh = Dedup.minhashPairs(Dedup.docsWithNearDups(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
