@@ -367,6 +367,33 @@ object Relational {
         col("O").cast("double").as("qty_o"))
       .orderBy("l_returnflag")
 
+  /** Q39 correlated scalar subquery — through the spark.sql front door:
+    * Catalyst decorrelates it into a left outer aggregate join
+    * (RewriteCorrelatedScalarSubquery), so the plan is a hash join, not
+    * a per-row subquery execution. COALESCE because the rewrite yields
+    * NULL (not 0) for customers with no orders on both engines only
+    * after aggregation — pinned explicitly for cross-engine parity. */
+  def q39ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "customer").createOrReplaceTempView("customer")
+    load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |  CAST(COALESCE((SELECT COUNT(*) FROM orders
+        |                 WHERE o_custkey = c_custkey), 0) AS BIGINT) AS n,
+        |  (SELECT MAX(o_totalprice) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Q02b LIMIT/OFFSET pagination over a total order (D1: the full
+    * ordering makes the page deterministic on both engines). */
+  def q02bOffset(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+      .offset(100)
+      .limit(50)
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -402,6 +429,8 @@ object Relational {
     "q25_math_fns" -> (q25MathFns _),
     "q26_conditional" -> (q26Conditional _),
     "q26b_conditional_fns" -> (q26bConditionalFns _),
+    "q39_scalar_subquery" -> (q39ScalarSubquery _),
+    "q02b_offset" -> (q02bOffset _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -569,5 +598,15 @@ object Relational {
         |       WHEN o_totalprice > 10000 THEN 'mid'
         |       ELSE 'small' END AS bucket
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q39_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  CAST(COALESCE((SELECT COUNT(*) FROM orders
+        |                 WHERE o_custkey = c_custkey), 0) AS BIGINT) AS n,
+        |  (SELECT MAX(o_totalprice) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q02b_offset" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
   )
 }
