@@ -98,6 +98,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(out(0).getAs[Long]("cnt") == 2L && out(1).getAs[Long]("cnt") == 1L)
   }
 
+  test("stream-stream inner join: time-bounded, watermark-evicted state") {
+    // clicks join views of the same user within the preceding 10 minutes
+    // — the canonical stream-stream join shape: both sides watermarked,
+    // the time-range condition bounds join state so eviction is possible.
+    val clicks = MemoryStream[Ev](spark)
+    val views = MemoryStream[Ev](spark)
+    clicks.addData(
+      Ev(ts(20), "click", 1.0, 1), // joins the 10:15 view (in window)
+      Ev(ts(40), "click", 2.0, 1), // no view within [10:30, 10:40]
+      Ev(Timestamp.valueOf("2024-01-01 13:00:00"), "z", 0.0, 9))
+    views.addData(
+      Ev(ts(15), "view", 7.0, 1),
+      Ev(ts(25), "view", 8.0, 1),  // after the 10:20 click → excluded
+      Ev(Timestamp.valueOf("2024-01-01 13:00:00"), "z", 0.0, 9))
+    val l = clicks.toDF()
+      .select(col("user_id"), col("ts").as("cts"), col("value").as("cv"))
+      .withWatermark("cts", "10 minutes")
+    val r = views.toDF()
+      .select(col("user_id").as("v_uid"), col("ts").as("vts"),
+        col("value").as("vv"))
+      .withWatermark("vts", "10 minutes")
+    val joined = l.join(r,
+      col("user_id") === col("v_uid") &&
+        col("vts") >= col("cts") - expr("interval 10 minutes") &&
+        col("vts") <= col("cts"))
+      .select("user_id", "cts", "vts", "cv", "vv")
+    val out = runAvailableNow(joined, "ssjoin")
+      .filter(col("user_id") === 1).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4))).toSet
+    // the 10:20 click pairs with the 10:15 view only; the 10:40 click
+    // finds nothing in its window; the 10:25 view postdates the click
+    assert(out == Set((1.0, 7.0)))
+  }
+
   test("dropDuplicatesWithinWatermark removes stream duplicates") {
     val input = MemoryStream[Ev](spark)
     input.addData(
