@@ -30,5 +30,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ SemiStructured.oracle ++ TextOps.oracle ++
-      Exemplars.oracle ++ AsofJoin.oracle ++ RangeJoin.oracle
+      Exemplars.oracle ++ AsofJoin.oracle ++ RangeJoin.oracle ++
+      Dedup.oracle
 }

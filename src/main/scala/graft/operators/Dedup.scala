@@ -308,12 +308,47 @@ object Dedup {
     dropNearDuplicates(docsWithNearDups(load(spark, dir, "documents")))
       .select("doc_id").orderBy("doc_id")
 
-  /** Implementation-only (algorithm-specific outputs — no SQL oracle). */
+  /** q33a/b/d/e are implementation-only (LSH candidate generation is
+    * algorithmic — recall < 1 by design, so no SQL oracle can equal it).
+    * q33c IS exact, so it is hash-gated against a DuckDB list-function
+    * formulation (see `oracle`). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33a_minhash_pairs" -> (q33aMinhash _),
     "q33b_simhash_pairs" -> (q33bSimhash _),
     "q33c_ngram_jaccard_pairs" -> (q33cNgramJaccard _),
     "q33d_embed_neardup_pairs" -> (q33dEmbedNearDup _),
     "q33e_dedup_survivors" -> (q33eDedupSurvivors _),
+  )
+
+  /** DuckDB oracle for the EXACT jaccard query: same shingling (word
+    * 3-shingles, distinct), same derived near-dup corpus, jaccard as a
+    * DOUBLE division of small ints — bit-identical on both engines (the
+    * Spark side hashes shingles to 64-bit first; jaccard over hash sets
+    * equals jaccard over string sets absent collisions, odds ~n²/2⁶⁴).
+    * O(n²) list-intersects are fine at the driver's sf0.01 (500k pairs,
+    * ~3 s); skip locally at sf0.1 via CHECK_SKIP (tools/check.py). */
+  val oracle: Map[String, String] = Map(
+    "q33c_ngram_jaccard_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split(text, ' ')[1:greatest(
+        |      len(string_split(text, ' ')) - 3, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM corpus),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |      AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM pairs
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -18,6 +18,13 @@ import pyarrow.parquet as pq
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# CHECK_SKIP=q33c_ngram_jaccard_pairs,...  — for oracles that are O(n^2)
+# in DuckDB (fine at the driver's sf0.01, too slow locally at sf0.1)
+import os as _os
+for _q in filter(None, _os.environ.get("CHECK_SKIP", "").split(",")):
+    if _q in oracle:
+        print(f"SKIPPED  {_q} (CHECK_SKIP)")
+        del oracle[_q]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
