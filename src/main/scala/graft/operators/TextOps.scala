@@ -132,8 +132,32 @@ object TextOps {
     "tx4_fingerprint" -> (tx4Fingerprint _),
   )
 
-  /** tx3/tx4 are implementation-only (heuristic / hash-specific). */
+  /** tx4 is implementation-only (xxhash64-specific — DuckDB has no
+    * xxhash64). tx3 IS oracle-gated (round 2): `size(split(text, re))-1`
+    * equals DuckDB's `len(regexp_extract_all(text, re))` (split keeps
+    * leading/trailing empties, so parts−1 = match count), and the
+    * greatest-struct argmax is replicated by CASE arms evaluated in
+    * descending lang order with `>=` (tie → lexicographically larger
+    * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    "tx3_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(the|and|of|to|is|in|that|with)\b')) AS s_en,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(der|die|das|und|ist|nicht|mit|ein)\b')) AS s_de,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(le|la|les|et|est|une|dans|pour)\b')) AS s_fr,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(el|los|las|y|es|una|para|como)\b')) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |       WHEN s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS pred_lang
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "q31a_text_lang" ->
       """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
