@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{AsofJoin, Relational, Similarity}
+
+/** Physical-plan shape assertions — the properties that make these plans
+  * survive a 100× scale-up, pinned so a refactor can't silently regress
+  * them (complements the per-operator result specs). */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q19 top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q19TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q02 sorted limit is TakeOrderedAndProject") {
+    val p = plan(Relational.q02Project(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q34a top-k runs as partial ObjectHashAggregate before the exchange") {
+    val p = plan(Similarity.q34aKnnBrute(spark, sf))
+    assert(p.contains("partial_topkaggregator"), p.take(800))
+    // the per-query window form this replaced would show a Window node
+    assert(!p.contains("Window"), "kNN top-k regressed to a window")
+  }
+
+  test("q34c IVF cell assignment is a projection — no exchange before it") {
+    val p = plan(Similarity.q34cKnnIvf(spark, sf))
+    assert(p.contains("graft_nearest_centroid"), p.take(800))
+    // assignment lives in the scan-side project: the text between the
+    // FileScan and the first Exchange must contain the assignment expr
+    val firstExchange = p.indexOf("Exchange")
+    val assignAt = p.indexOf("graft_nearest_centroid")
+    assert(assignAt > firstExchange,
+      "expected assignment below (after in text) the top exchanges, " +
+        "i.e. in the scan-side project")
+  }
+
+  test("q37 as-of join is one shuffle per side + window, no join node") {
+    val p = plan(AsofJoin.q37AsofJoin(spark, sf))
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("NestedLoop"), "as-of regressed to a nested loop")
+    assert(!p.contains("CartesianProduct"), "as-of regressed to cartesian")
+  }
+
+  test("q11 aggregate is partial+final hash aggregate") {
+    val p = plan(Relational.q11Agg(spark, sf))
+    assert(p.contains("HashAggregate"), p.take(400))
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("q03 projection prunes to the read columns only") {
+    val p = plan(Relational.q03Filter(spark, sf))
+    val readSchema = p.split("ReadSchema: ").last.takeWhile(_ != '\n')
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      readSchema)
+  }
+}
