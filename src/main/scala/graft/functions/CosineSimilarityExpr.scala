@@ -226,6 +226,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(NearestCentroidExpr.name),
       new ExpressionInfo(classOf[NearestCentroidExpr].getName,
         NearestCentroidExpr.name), NearestCentroidExpr.builder))
+    SignatureExprs.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule)
   }
 }

@@ -249,11 +249,12 @@ case class HyperplaneLshExpr(child: Expression, planes: Int)
 }
 
 object SignatureExprs {
-  /** Register both signature functions on a live session:
-    * `graft_minhash(arr, n)` and `graft_simhash(arr)`. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_minhash"),
+
+  /** (identifier, info, builder) triples — shared by post-hoc
+    * `register()` and `GraftExtensions.injectFunction`. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignatureExpr].getName,
         "graft_minhash"),
       { exprs: Seq[Expression] =>
@@ -263,9 +264,8 @@ object SignatureExprs {
           case other => throw new IllegalArgumentException(
             s"graft_minhash takes (array, numHashes), got ${other.length} args")
         }
-      })
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_hyperplane"),
+      }),
+    (FunctionIdentifier("graft_hyperplane"),
       new ExpressionInfo(classOf[HyperplaneLshExpr].getName,
         "graft_hyperplane"),
       { exprs: Seq[Expression] =>
@@ -275,9 +275,8 @@ object SignatureExprs {
           case other => throw new IllegalArgumentException(
             s"graft_hyperplane takes (array, planes), got ${other.length} args")
         }
-      })
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_simhash"),
+      }),
+    (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),
       { exprs: Seq[Expression] =>
         exprs match {
@@ -285,6 +284,13 @@ object SignatureExprs {
           case other => throw new IllegalArgumentException(
             s"graft_simhash takes (array), got ${other.length} args")
         }
-      })
-  }
+      }))
+
+  /** Register the signature functions on a live session:
+    * `graft_minhash(arr, n)`, `graft_hyperplane(arr, p)`,
+    * `graft_simhash(arr)`. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -16,6 +16,30 @@ class CosineExprSpec extends SparkSpecBase {
     NearestCentroidExpr.register(spark)
   }
 
+  test("GraftExtensions wires the full native surface without error") {
+    // extensions apply at session construction; here we drive the hook
+    // directly (same code path) — a bad builder arity/shape throws here
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("all six native functions are callable from SQL") {
+    graft.functions.SignatureExprs.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  graft_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d,
+        |  graft_nearest_centroid(array(1.0D), array(5L), array(array(1.0D))) AS nc,
+        |  graft_minhash(array('a', 'b'), 4) AS mh,
+        |  graft_simhash(array('a', 'b')) AS sh,
+        |  graft_hyperplane(array(1.0D, -1.0D), 4) AS hp""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 23.0)
+    assert(r.getLong(2) == 5L)
+    assert(r.getSeq[Long](3).length == 4)
+  }
+
   test("graft_dot matches the HOF dot product") {
     val emb = load(spark, sf, "embeddings").limit(30)
     val pairs = emb.as("a").crossJoin(emb.as("b"))
