@@ -394,6 +394,28 @@ object Relational {
       .offset(100)
       .limit(50)
 
+  /** Q40 regexp surface: extract / like / count — RE2 (DuckDB) and Java
+    * regex agree on the word/digit classes used here. */
+  def q40RegexpFns(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        col("p_type").rlike("ED$").as("ends_ed"),
+        regexp_count(col("p_name"), lit("a")).cast("long").as("n_a"),
+        regexp_replace(col("p_brand"), "#", "-").as("brand_clean"))
+      .orderBy("p_partkey")
+
+  /** Q41 bitwise surface on integer keys — exact on both engines. */
+  def q41BitwiseFns(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+        col("o_orderkey").bitwiseOR(lit(16L)).as("k_or"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("k_xor"),
+        shiftleft(col("o_orderkey"), 2).as("k_shl"),
+        bit_count(col("o_orderkey")).cast("long").as("k_bits"))
+      .orderBy("o_orderkey")
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -431,6 +453,8 @@ object Relational {
     "q26b_conditional_fns" -> (q26bConditionalFns _),
     "q39_scalar_subquery" -> (q39ScalarSubquery _),
     "q02b_offset" -> (q02bOffset _),
+    "q40_regexp_fns" -> (q40RegexpFns _),
+    "q41_bitwise_fns" -> (q41BitwiseFns _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -608,5 +632,20 @@ object Relational {
     "q02b_offset" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "q40_regexp_fns" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  regexp_matches(p_type, 'ED$') AS ends_ed,
+        |  CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+        |  regexp_replace(p_brand, '#', '-', 'g') AS brand_clean
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q41_bitwise_fns" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS k_and,
+        |  o_orderkey | 16 AS k_or,
+        |  xor(o_orderkey, o_custkey) AS k_xor,
+        |  o_orderkey << 2 AS k_shl,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS k_bits
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

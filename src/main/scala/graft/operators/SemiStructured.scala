@@ -80,8 +80,25 @@ object SemiStructured {
       .orderBy("user_id", "sess_no")
   }
 
+  /** Q29b wider array surface over word arrays (exact string/int
+    * results — D6-safe, unlike float embedding arrays): contains,
+    * position, sorted-first, slice+join, distinct count. */
+  def q29bArrayFns(spark: SparkSession, dir: String): DataFrame = {
+    val ar = split(col("p_name"), " ")
+    load(spark, dir, "part")
+      .select(col("p_partkey"),
+        array_contains(ar, "green").as("has_green"),
+        array_position(ar, "green").cast(LongType).as("pos_green"),
+        size(ar).cast(LongType).as("n_words"),
+        element_at(array_sort(ar), 1).as("first_sorted"),
+        array_join(slice(ar, 1, 2), "_").as("first_two"),
+        size(array_distinct(ar)).cast(LongType).as("n_distinct"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35b_sessionize" -> (q35bSessionize _),
+    "q29b_array_fns2" -> (q29bArrayFns _),
     "q27_tumbling" -> (q27Tumbling _),
     "q28_json" -> (q28Json _),
     "q29_array" -> (q29Array _),
@@ -91,6 +108,17 @@ object SemiStructured {
   /** DuckDB forms — D5 dialect exceptions: json_extract_string vs
     * get_json_object, len vs size, json_keys for map keys. */
   val oracle: Map[String, String] = Map(
+    "q29b_array_fns2" ->
+      """SELECT p_partkey,
+        |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        |  CAST(COALESCE(list_position(string_split(p_name, ' '), 'green'), 0)
+        |    AS BIGINT) AS pos_green,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        |  list_sort(string_split(p_name, ' '))[1] AS first_sorted,
+        |  array_to_string(string_split(p_name, ' ')[1:2], '_') AS first_two,
+        |  CAST(len(list_distinct(string_split(p_name, ' '))) AS BIGINT)
+        |    AS n_distinct
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q35b_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
