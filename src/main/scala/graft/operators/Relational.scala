@@ -416,6 +416,21 @@ object Relational {
         bit_count(col("o_orderkey")).cast("long").as("k_bits"))
       .orderBy("o_orderkey")
 
+  /** Q42 exact percentiles (sort-based interpolating PERCENTILE_CONT
+    * semantics): Spark `percentile` and DuckDB `quantile_cont` share the
+    * p·(n−1) interpolation and produce bit-identical doubles on this
+    * data (verified at every SF). The at-scale approximate variant is
+    * `approx_percentile` (t-digest/GK), engine-specific like Q13. */
+  def q42Percentile(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
+      .orderBy("l_returnflag")
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -455,6 +470,7 @@ object Relational {
     "q02b_offset" -> (q02bOffset _),
     "q40_regexp_fns" -> (q40RegexpFns _),
     "q41_bitwise_fns" -> (q41BitwiseFns _),
+    "q42_percentile" -> (q42Percentile _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -647,5 +663,12 @@ object Relational {
         |  o_orderkey << 2 AS k_shl,
         |  CAST(bit_count(o_orderkey) AS BIGINT) AS k_bits
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q42_percentile" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }
