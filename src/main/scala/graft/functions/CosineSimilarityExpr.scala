@@ -228,5 +228,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NearestCentroidExpr.name), NearestCentroidExpr.builder))
     SignatureExprs.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule)
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }
