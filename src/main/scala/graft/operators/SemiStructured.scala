@@ -26,6 +26,20 @@ object SemiStructured {
         sum(dec(col("value"))).cast("double").as("sv"))
       .orderBy("w", "event_type")
 
+  /** Q27b sliding (hopping) window, batch: Spark's native
+    * `window(ts, 1h, 30m)` explodes each event into its width/slide = 2
+    * windows; the oracle replicates from first principles (the two
+    * 30-minute-aligned candidate starts per event). Window starts are
+    * epoch-aligned multiples of the slide on both engines. */
+  def q27bSliding(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast("double").as("sv"))
+      .select(col("window.start").cast("timestamp_ntz").as("w"),
+        col("event_type"), col("cnt"), col("sv"))
+      .orderBy("w", "event_type")
+
   /** Q28 JSON scalar extraction (get_json_object → codegen'd path). */
   def q28Json(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.events(spark, dir)
@@ -99,6 +113,7 @@ object SemiStructured {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35b_sessionize" -> (q35bSessionize _),
     "q29b_array_fns2" -> (q29bArrayFns _),
+    "q27b_sliding" -> (q27bSliding _),
     "q27_tumbling" -> (q27Tumbling _),
     "q28_json" -> (q28Json _),
     "q29_array" -> (q29Array _),
@@ -138,6 +153,17 @@ object SemiStructured {
       """SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY w, event_type""".stripMargin,
+    "q27b_sliding" ->
+      """WITH exploded AS (
+        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts)
+        |                   - INTERVAL 30 MINUTE]) AS w,
+        |    event_type, value
+        |  FROM events)
+        |SELECT w, event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |FROM exploded GROUP BY w, event_type
         |ORDER BY w, event_type""".stripMargin,
     "q28_json" ->
       """SELECT event_type,
