@@ -431,6 +431,42 @@ object Relational {
         percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
       .orderBy("l_returnflag")
 
+  /** Q43 exact AVG — the D2 discipline applied to averages: decimal SUM
+    * (exact, order-independent) cast to DOUBLE, divided by COUNT in
+    * IEEE double on both engines. Never AVG(double) directly (partial-
+    * aggregation order would leak into the low bits). */
+  def q43Avg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      .orderBy("l_returnflag")
+
+  /** Q44 full outer join: per-nation customer/supplier counts stitched
+    * with COALESCE over the null side. */
+  def q44FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("ck"))
+      .agg(count(lit(1)).as("customers"))
+    val s = load(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").cast("long").as("sk"))
+      .agg(count(lit(1)).as("suppliers"))
+    c.join(s, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("k"),
+        coalesce(col("customers"), lit(0L)).as("customers"),
+        coalesce(col("suppliers"), lit(0L)).as("suppliers"))
+      .orderBy("k")
+  }
+
+  /** Q45 cross join (explicit cartesian of two tiny dims). */
+  def q45CrossJoin(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "region").select(col("r_name").as("a"))
+      .crossJoin(load(spark, dir, "region").select(col("r_name").as("b")))
+      .orderBy("a", "b")
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -471,6 +507,9 @@ object Relational {
     "q40_regexp_fns" -> (q40RegexpFns _),
     "q41_bitwise_fns" -> (q41BitwiseFns _),
     "q42_percentile" -> (q42Percentile _),
+    "q43_avg" -> (q43Avg _),
+    "q44_full_outer" -> (q44FullOuter _),
+    "q45_cross_join" -> (q45CrossJoin _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -670,5 +709,26 @@ object Relational {
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q43_avg" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q44_full_outer" ->
+      """SELECT COALESCE(c.ck, s.sk) AS k,
+        |  COALESCE(c.customers, 0) AS customers,
+        |  COALESCE(s.suppliers, 0) AS suppliers
+        |FROM (SELECT CAST(c_nationkey AS BIGINT) AS ck,
+        |        COUNT(*) AS customers FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT CAST(s_nationkey AS BIGINT) AS sk,
+        |        COUNT(*) AS suppliers FROM supplier GROUP BY 1) s
+        |ON c.ck = s.sk
+        |ORDER BY k""".stripMargin,
+    "q45_cross_join" ->
+      """SELECT r1.r_name AS a, r2.r_name AS b
+        |FROM region r1 CROSS JOIN region r2 ORDER BY a, b""".stripMargin,
   )
 }
