@@ -467,6 +467,18 @@ object Relational {
       .crossJoin(load(spark, dir, "region").select(col("r_name").as("b")))
       .orderBy("a", "b")
 
+  /** Q47 ordered string aggregation (ANSI LISTAGG ... WITHIN GROUP,
+    * new in Spark 4) — the explicit ORDER BY inside the aggregate is
+    * what makes concatenation deterministic (D1 for aggregates). */
+  def q47StringAgg(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    spark.sql(
+      """SELECT s_nationkey,
+        |  listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin)
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -510,6 +522,7 @@ object Relational {
     "q43_avg" -> (q43Avg _),
     "q44_full_outer" -> (q44FullOuter _),
     "q45_cross_join" -> (q45CrossJoin _),
+    "q47_string_agg" -> (q47StringAgg _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -730,5 +743,10 @@ object Relational {
     "q45_cross_join" ->
       """SELECT r1.r_name AS a, r2.r_name AS b
         |FROM region r1 CROSS JOIN region r2 ORDER BY a, b""".stripMargin,
+    "q47_string_agg" ->
+      """SELECT s_nationkey,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
   )
 }
