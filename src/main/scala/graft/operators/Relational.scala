@@ -479,6 +479,32 @@ object Relational {
         |ORDER BY s_nationkey""".stripMargin)
   }
 
+  /** Q48 HAVING through the SQL front door (post-aggregation filter). */
+  def q48Having(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_custkey, COUNT(*) AS cnt
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 12
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
+  /** Q49 WITH/CTE chain through the SQL front door: two CTEs, the second
+    * referencing the first (CTE resolution + inlining). */
+  def q49Cte(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "orders").createOrReplaceTempView("orders")
+    load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """WITH per_cust AS (
+        |  SELECT o_custkey, COUNT(*) AS cnt
+        |  FROM orders GROUP BY o_custkey),
+        |big AS (
+        |  SELECT o_custkey, cnt FROM per_cust WHERE cnt >= 12)
+        |SELECT c.c_custkey, c.c_mktsegment, b.cnt
+        |FROM customer c JOIN big b ON c.c_custkey = b.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -523,6 +549,8 @@ object Relational {
     "q44_full_outer" -> (q44FullOuter _),
     "q45_cross_join" -> (q45CrossJoin _),
     "q47_string_agg" -> (q47StringAgg _),
+    "q48_having" -> (q48Having _),
+    "q49_cte" -> (q49Cte _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -748,5 +776,19 @@ object Relational {
         |  string_agg(s_name, ',' ORDER BY s_name) AS names
         |FROM supplier GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+    "q48_having" ->
+      """SELECT o_custkey, COUNT(*) AS cnt
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 12
+        |ORDER BY o_custkey""".stripMargin,
+    "q49_cte" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, COUNT(*) AS cnt
+        |  FROM orders GROUP BY o_custkey),
+        |big AS (
+        |  SELECT o_custkey, cnt FROM per_cust WHERE cnt >= 12)
+        |SELECT c.c_custkey, c.c_mktsegment, b.cnt
+        |FROM customer c JOIN big b ON c.c_custkey = b.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
   )
 }
