@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract wiring guards. `SparkEntry.queries`/`oracleSql` are
+  * built by `++` over per-operator maps, where a duplicate key would
+  * SILENTLY drop a query (Scala Map last-wins — the round-2 q15b_pivot
+  * near-miss). These checks make that loud. */
+class ContractSpec extends AnyFunSuite {
+
+  private val queryMaps = Seq(
+    "Relational" -> operators.Relational.queries,
+    "SemiStructured" -> operators.SemiStructured.queries,
+    "TextOps" -> operators.TextOps.queries,
+    "Dedup" -> operators.Dedup.queries,
+    "Similarity" -> operators.Similarity.queries,
+    "Exemplars" -> functions.Exemplars.queries,
+    "Multimodal" -> operators.Multimodal.queries,
+    "AsofJoin" -> operators.AsofJoin.queries,
+    "RangeJoin" -> operators.RangeJoin.queries,
+    "Sampling" -> operators.Sampling.queries)
+
+  private val oracleMaps = Seq(
+    "Relational" -> operators.Relational.oracle,
+    "SemiStructured" -> operators.SemiStructured.oracle,
+    "TextOps" -> operators.TextOps.oracle,
+    "Exemplars" -> functions.Exemplars.oracle,
+    "AsofJoin" -> operators.AsofJoin.oracle,
+    "RangeJoin" -> operators.RangeJoin.oracle,
+    "Dedup" -> operators.Dedup.oracle,
+    "Sampling" -> operators.Sampling.oracle)
+
+  test("no query key collides across operator maps (++ is last-wins)") {
+    val all = queryMaps.flatMap { case (n, m) => m.keys.map(_ -> n) }
+    val dups = all.groupBy(_._1).filter(_._2.length > 1)
+    assert(dups.isEmpty, s"colliding query keys: $dups")
+    assert(SparkEntry.queries.size == all.length)
+  }
+
+  test("no oracle key collides across operator maps") {
+    val all = oracleMaps.flatMap { case (n, m) => m.keys.map(_ -> n) }
+    val dups = all.groupBy(_._1).filter(_._2.length > 1)
+    assert(dups.isEmpty, s"colliding oracle keys: $dups")
+    assert(SparkEntry.oracleSql.size == all.length)
+  }
+
+  test("every oracle key has a queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("oracle coverage census (ratchet: only goes up)") {
+    val gated = SparkEntry.oracleSql.keySet.size
+    val total = SparkEntry.queries.size
+    assert(gated >= 64, s"oracle-gated regressed: $gated")
+    assert(total >= 76, s"query count regressed: $total")
+  }
+
+  test("oracle SQL contains no un-cast SUM outside a CAST (D6 guard)") {
+    // every SUM( in an oracle must be inside CAST(SUM(...) AS ...) or a
+    // window/CASE whose outer projection casts — approximate by
+    // requiring the literal substring "CAST(SUM" for each "SUM(" usage
+    // unless the query opts out (quantile/list aggregates are not SUM).
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val sums = "SUM\\(".r.findAllIn(sql).length
+      val casted = "CAST\\(SUM\\(".r.findAllIn(sql).length
+      assert(sums == casted,
+        s"$name: $sums SUM( vs $casted CAST(SUM( — DuckDB widens " +
+          "un-cast SUMs to HUGEINT/DECIMAL(38,x), failing the hash gate")
+    }
+  }
+}
