@@ -218,6 +218,19 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Q16c distribution window functions: percent_rank ((rank−1)/(n−1))
+    * and cume_dist (rows≤current / n) — rank-based rationals whose
+    * double division is bit-identical across engines. */
+  def q16cWinDistFns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Q17 analytic lag over a per-user window. */
   def q17WinLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -551,6 +564,7 @@ object Relational {
     "q47_string_agg" -> (q47StringAgg _),
     "q48_having" -> (q48Having _),
     "q49_cte" -> (q49Cte _),
+    "q16c_win_dist_fns" -> (q16cWinDistFns _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -776,6 +790,12 @@ object Relational {
         |  string_agg(s_name, ',' ORDER BY s_name) AS names
         |FROM supplier GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+    "q16c_win_dist_fns" ->
+      """SELECT o_custkey, o_orderkey,
+        |  PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q48_having" ->
       """SELECT o_custkey, COUNT(*) AS cnt
         |FROM orders GROUP BY o_custkey
