@@ -518,6 +518,25 @@ object Relational {
         |ORDER BY c.c_custkey""".stripMargin)
   }
 
+  private val bagSetOpsSql =
+    """WITH c AS (SELECT c_nationkey AS k FROM customer),
+      |     s AS (SELECT s_nationkey AS k FROM supplier)
+      |SELECT
+      |  (SELECT COUNT(*) FROM
+      |    (SELECT k FROM c UNION ALL SELECT k FROM s)) AS n_union_all,
+      |  (SELECT COUNT(*) FROM
+      |    (SELECT k FROM c EXCEPT ALL SELECT k FROM s)) AS n_except_all,
+      |  (SELECT COUNT(*) FROM
+      |    (SELECT k FROM c INTERSECT ALL SELECT k FROM s)) AS n_intersect_all""".stripMargin
+
+  /** Q50 bag-semantics set ops (ALL variants keep duplicates — Q20–Q22
+    * are the set-semantics row): same SQL text runs on both engines. */
+  def q50BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "customer").createOrReplaceTempView("customer")
+    load(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    spark.sql(bagSetOpsSql)
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -565,6 +584,7 @@ object Relational {
     "q48_having" -> (q48Having _),
     "q49_cte" -> (q49Cte _),
     "q16c_win_dist_fns" -> (q16cWinDistFns _),
+    "q50_bag_setops" -> (q50BagSetOps _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -790,6 +810,7 @@ object Relational {
         |  string_agg(s_name, ',' ORDER BY s_name) AS names
         |FROM supplier GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+    "q50_bag_setops" -> bagSetOpsSql,
     "q16c_win_dist_fns" ->
       """SELECT o_custkey, o_orderkey,
         |  PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
