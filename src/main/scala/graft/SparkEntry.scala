@@ -32,5 +32,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ SemiStructured.oracle ++ TextOps.oracle ++
       Exemplars.oracle ++ AsofJoin.oracle ++ RangeJoin.oracle ++
-      Dedup.oracle ++ Sampling.oracle
+      Dedup.oracle ++ Sampling.oracle ++ Similarity.oracle
 }

@@ -115,6 +115,20 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Near-dup removal from the EXACT pair set (q33c's postings form)
+    * instead of the LSH candidates: same greedy keep-lowest-id policy,
+    * but fully deterministic — recall is 1 by construction, so the
+    * survivor set is DuckDB-expressible and sits under the hard oracle
+    * (q33f), unlike `dropNearDuplicates` whose survivors depend on LSH
+    * band collisions. Same scale shape: the pair set is the df-capped
+    * postings join, and removal is one anti-join on doc_id. */
+  def dropNearDuplicatesExact(docs: DataFrame, k: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val losers = ngramJaccardPairs(docs, k = k, threshold = threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** 64-bit SimHash of the word stream: per-token hash votes ±1 on every
     * bit, sign of the vote sum is the bit. HOF formulation kept for
     * semantics docs; production uses the native `graft_simhash`
@@ -308,6 +322,11 @@ object Dedup {
     dropNearDuplicates(docsWithNearDups(load(spark, dir, "documents")))
       .select("doc_id").orderBy("doc_id")
 
+  /** Survivor set of the EXACT near-dup removal (oracle-gated). */
+  def q33fDedupSurvivorsExact(spark: SparkSession, dir: String): DataFrame =
+    dropNearDuplicatesExact(docsWithNearDups(load(spark, dir, "documents")))
+      .select("doc_id").orderBy("doc_id")
+
   /** q33a/b/d/e are implementation-only (LSH candidate generation is
     * algorithmic — recall < 1 by design, so no SQL oracle can equal it).
     * q33c IS exact, so it is hash-gated against a DuckDB list-function
@@ -318,6 +337,7 @@ object Dedup {
     "q33c_ngram_jaccard_pairs" -> (q33cNgramJaccard _),
     "q33d_embed_neardup_pairs" -> (q33dEmbedNearDup _),
     "q33e_dedup_survivors" -> (q33eDedupSurvivors _),
+    "q33f_dedup_survivors_exact" -> (q33fDedupSurvivorsExact _),
   )
 
   /** DuckDB oracle for the EXACT jaccard query: same shingling (word
@@ -350,5 +370,30 @@ object Dedup {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // q33f: same exact pair set, then anti-join the greater side out of
+    // the corpus — the survivors of greedy keep-lowest-id removal.
+    "q33f_dedup_survivors_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split(text, ' ')[1:greatest(
+        |      len(string_split(text, ' ')) - 3, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM corpus),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |      AS DOUBLE) >= 0.5)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

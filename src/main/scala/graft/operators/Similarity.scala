@@ -33,16 +33,24 @@ object Similarity {
       : org.apache.spark.sql.Column = sqrt(nativeDot(a, a))
 
   /** Shared final phase: per-query bounded top-k (cos desc, neighbor asc)
-    * → (qid, rank, neighbor, cos). */
+    * → (qid, rank, neighbor, cos).
+    *
+    * The score is rounded to 6 decimals BEFORE selection with
+    * `floor(x·1e6 + 0.5)/1e6` — every step (multiply, add, floor, divide)
+    * is the same IEEE-754 double operation in any engine, so identical
+    * raw scores give identical rounded scores, and the (cos desc,
+    * neighbor asc) order — including the rank-k boundary — is engine-
+    * independent. That is what lets q34a sit under the hard DuckDB
+    * oracle (D6: DOUBLE in the final projection, never DECIMAL). */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    scored.groupBy("qid")
+    scored
+      .withColumn("cos", floor(col("cos") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .groupBy("qid")
       .agg(topk(col("cos"), col("vec_id")).as("nn"))
       .select(col("qid"), posexplode(col("nn")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.neighbor").as("neighbor"),
-        // decimal(18,6) rounds away float noise so reruns hash identically
-        col("col.cos").cast("decimal(18,6)").as("cos"))
+        col("col.neighbor").as("neighbor"), col("col.cos").as("cos"))
   }
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
@@ -168,10 +176,39 @@ object Similarity {
     knnIvf(vecs, queryVectors(vecs), k = 10).orderBy("qid", "rank")
   }
 
-  /** Implementation-only (cosine scores are engine-specific floats). */
+  /** q34b/q34c are implementation-only (LSH/IVF candidate generation is
+    * algorithmic — recall < 1 by design, so no SQL oracle can equal it).
+    * q34a IS exact, so it is hash-gated against a DuckDB list-function
+    * recomputation (see `oracle`). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34a_knn_brute" -> (q34aKnnBrute _),
     "q34b_knn_lsh" -> (q34bKnnLsh _),
     "q34c_knn_ivf" -> (q34cKnnIvf _),
+  )
+
+  /** DuckDB oracle for exact brute-force kNN: same double-cast vectors,
+    * same sequential dot products (`list_dot_product` ≡ the codegen'd
+    * graft_dot loop), same cos = dot/(‖a‖·‖b‖) association, same
+    * floor(x·1e6+0.5)/1e6 rounding before ranking — all IEEE double ops,
+    * so both engines rank identical values. Ties at equal rounded cos
+    * break by neighbor id (D1). */
+  val oracle: Map[String, String] = Map(
+    "q34a_knn_brute" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, v.vec_id AS neighbor,
+        |    floor((list_dot_product(v.e, q.qe) /
+        |      (sqrt(list_dot_product(v.e, v.e)) *
+        |       sqrt(list_dot_product(q.qe, q.qe)))) * 1e6 + 0.5) / 1e6
+        |      AS cos
+        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, neighbor, cos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, neighbor) AS rnk
+        |  FROM scored)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, cos
+        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -28,7 +28,8 @@ class ContractSpec extends AnyFunSuite {
     "AsofJoin" -> operators.AsofJoin.oracle,
     "RangeJoin" -> operators.RangeJoin.oracle,
     "Dedup" -> operators.Dedup.oracle,
-    "Sampling" -> operators.Sampling.oracle)
+    "Sampling" -> operators.Sampling.oracle,
+    "Similarity" -> operators.Similarity.oracle)
 
   test("no query key collides across operator maps (++ is last-wins)") {
     val all = queryMaps.flatMap { case (n, m) => m.keys.map(_ -> n) }
@@ -52,8 +53,8 @@ class ContractSpec extends AnyFunSuite {
   test("oracle coverage census (ratchet: only goes up)") {
     val gated = SparkEntry.oracleSql.keySet.size
     val total = SparkEntry.queries.size
-    assert(gated >= 64, s"oracle-gated regressed: $gated")
-    assert(total >= 76, s"query count regressed: $total")
+    assert(gated >= 68, s"oracle-gated regressed: $gated")
+    assert(total >= 80, s"query count regressed: $total")
   }
 
   test("oracle SQL contains no un-cast SUM outside a CAST (D6 guard)") {

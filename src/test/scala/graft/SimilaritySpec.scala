@@ -40,8 +40,8 @@ class SimilaritySpec extends SparkSpecBase {
     byQ.values.foreach { g =>
       val sorted = g.sortBy(_.getLong(1))
       assert(sorted.map(_.getLong(1)).sameElements(1L to 10L))
-      val cs = sorted.map(_.getDecimal(3))
-      assert(cs.sliding(2).forall(p => p(0).compareTo(p(1)) >= 0))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.sliding(2).forall(p => p(0) >= p(1)))
     }
   }
 
@@ -52,9 +52,8 @@ class SimilaritySpec extends SparkSpecBase {
     byQ.values.foreach { g =>
       val sorted = g.sortBy(_.getLong(1))
       assert(sorted.map(_.getLong(1)).sameElements(1L to g.length.toLong))
-      val cs = sorted.map(_.getDecimal(3))
-      assert(cs.sliding(2).forall(p =>
-        p.length < 2 || p(0).compareTo(p(1)) >= 0))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     }
     // results are a subset of what brute force could produce (valid ids)
     assert(rows.forall(_.getLong(2) < 1000000))
@@ -70,8 +69,10 @@ class SimilaritySpec extends SparkSpecBase {
       brute.count(got.contains).toDouble / brute.size
     }
     val r1 = recall(1)
+    val r2 = recall(2)
     val r4 = recall(4)
-    assert(r4 >= r1, s"nprobe=4 recall $r4 < nprobe=1 recall $r1")
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    assert(r4 >= r2, s"nprobe=4 recall $r4 < nprobe=2 recall $r2")
     // probing a quarter of 16 cells must find a decent share of true
     // neighbors on the fixture
     assert(r4 > 0.2, s"nprobe=4 recall $r4")
