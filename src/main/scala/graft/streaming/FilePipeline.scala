@@ -31,24 +31,43 @@ object FilePipeline {
     spark.read.json(inDir).schema
 
   /** Run the pipeline until all currently-available input is drained
-    * (AvailableNow), appending each micro-batch as JSON lines to
-    * `outFile`. Restart with the same checkpoint dir → resumes after the
-    * last committed batch, nothing reprocessed. */
-  def run(spark: SparkSession, inDir: String, outFile: String,
+    * (AvailableNow). Restart with the same checkpoint dir → resumes after
+    * the last committed batch, nothing reprocessed.
+    *
+    * Default sink (`singleFile = false`): Spark's distributed JSON file
+    * sink — every executor writes its own partition files under the
+    * `out` DIRECTORY and the sink's `_spark_metadata` commit log makes
+    * the directory exactly-once across restarts. No row ever moves
+    * through the driver, so the path scales to arbitrarily large
+    * micro-batches.
+    *
+    * `singleFile = true` is the CLI-parity mode, matching the reference
+    * FileSink's append-to-one-local-file behavior
+    * (`examples/file_sink/file_sink.py:34-46`): each micro-batch is
+    * collected to the driver and appended to the `out` FILE. Explicitly
+    * opt-in and only sane for demo-scale outputs — it is the one
+    * driver-side collect in the repo, and it is no longer the default. */
+  def run(spark: SparkSession, inDir: String, out: String,
       checkpointDir: String,
-      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+      transform: DataFrame => DataFrame = identity,
+      singleFile: Boolean = false): StreamingQuery = {
     val schema = inferSchema(spark, inDir)
-    val q = transform(source(spark, inDir, schema)).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val lines = batch.toJSON.collect()
-        if (lines.nonEmpty)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(outFile),
-            lines.mkString("", "\n", "\n").getBytes("UTF-8"),
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.APPEND)
-        ()
-      }
+    val transformed = transform(source(spark, inDir, schema))
+    val writer =
+      if (singleFile)
+        transformed.writeStream.foreachBatch {
+          (batch: DataFrame, _: Long) =>
+            val lines = batch.toJSON.collect()
+            if (lines.nonEmpty)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(out),
+                lines.mkString("", "\n", "\n").getBytes("UTF-8"),
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.APPEND)
+            ()
+        }
+      else transformed.writeStream.format("json").option("path", out)
+    val q = writer
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -13,13 +13,14 @@ import graft.streaming.FilePipeline
   * the E3 CLI argument surface. */
 class FilePipelineSpec extends SparkSpecBase {
 
-  test("pipeline drains available input and appends JSON lines") {
+  test("single-file mode drains available input and appends JSON lines") {
     val inDir = Files.createTempDirectory("fp-in")
     val out = Files.createTempFile("fp-out", ".jsonl")
     val ckpt = Files.createTempDirectory("fp-ckpt")
     Files.write(inDir.resolve("a.json"),
       Seq("""{"k": "a", "v": 1}""", """{"k": "b", "v": 2}""").asJava)
-    FilePipeline.run(spark, inDir.toString, out.toString, ckpt.toString)
+    FilePipeline.run(spark, inDir.toString, out.toString, ckpt.toString,
+      singleFile = true)
     val lines = Files.readAllLines(out).asScala
     assert(lines.size == 2)
     assert(lines.exists(_.contains("\"k\":\"a\"")))
@@ -30,16 +31,42 @@ class FilePipelineSpec extends SparkSpecBase {
     val out = Files.createTempFile("fp2-out", ".jsonl")
     val ckpt = Files.createTempDirectory("fp2-ckpt")
     Files.write(inDir.resolve("a.json"), Seq("""{"k": "a", "v": 1}""").asJava)
-    FilePipeline.run(spark, inDir.toString, out.toString, ckpt.toString)
+    FilePipeline.run(spark, inDir.toString, out.toString, ckpt.toString,
+      singleFile = true)
     assert(Files.readAllLines(out).size == 1)
     // second run with SAME checkpoint: nothing new → nothing appended
-    FilePipeline.run(spark, inDir.toString, out.toString, ckpt.toString)
+    FilePipeline.run(spark, inDir.toString, out.toString, ckpt.toString,
+      singleFile = true)
     assert(Files.readAllLines(out).size == 1)
     // new file arrives → only it is processed
     Files.write(inDir.resolve("b.json"), Seq("""{"k": "b", "v": 2}""").asJava)
-    FilePipeline.run(spark, inDir.toString, out.toString, ckpt.toString)
+    FilePipeline.run(spark, inDir.toString, out.toString, ckpt.toString,
+      singleFile = true)
     val lines = Files.readAllLines(out).asScala
     assert(lines.size == 2)
+  }
+
+  test("default sink is distributed: executor-written directory, " +
+      "exactly-once across restarts, no driver collect") {
+    val inDir = Files.createTempDirectory("fpd-in")
+    val outDir = Files.createTempDirectory("fpd-out")
+    val ckpt = Files.createTempDirectory("fpd-ckpt")
+    Files.write(inDir.resolve("a.json"),
+      Seq("""{"k": "a", "v": 1}""", """{"k": "b", "v": 2}""").asJava)
+    FilePipeline.run(spark, inDir.toString, outDir.toString, ckpt.toString)
+    def readOut() = spark.read.json(outDir.toString)
+    assert(readOut().count() == 2)
+    // the file sink's _spark_metadata commit log exists → the directory
+    // was written by the distributed sink, not a driver-side append
+    assert(Files.exists(outDir.resolve("_spark_metadata")))
+    // restart with same checkpoint: nothing new → nothing duplicated
+    FilePipeline.run(spark, inDir.toString, outDir.toString, ckpt.toString)
+    assert(readOut().count() == 2)
+    // new file arrives → exactly the new rows appear
+    Files.write(inDir.resolve("b.json"), Seq("""{"k": "c", "v": 3}""").asJava)
+    FilePipeline.run(spark, inDir.toString, outDir.toString, ckpt.toString)
+    assert(readOut().count() == 3)
+    assert(readOut().where(col("k") === "c").count() == 1)
   }
 
   test("pipeline applies transforms before the sink") {
@@ -49,7 +76,7 @@ class FilePipelineSpec extends SparkSpecBase {
     Files.write(inDir.resolve("a.json"),
       Seq("""{"k": "a", "v": 1}""", """{"k": "b", "v": 2}""").asJava)
     FilePipeline.run(spark, inDir.toString, out.toString, ckpt.toString,
-      transform = _.filter(col("v") > 1))
+      transform = _.filter(col("v") > 1), singleFile = true)
     val lines = Files.readAllLines(out).asScala
     assert(lines.size == 1 && lines.head.contains("\"k\":\"b\""))
   }
