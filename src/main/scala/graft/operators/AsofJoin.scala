@@ -37,18 +37,87 @@ object AsofJoin {
     * duplicates the carried value would be ordering-dependent.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String], strict: Boolean = false): DataFrame = {
     val l = left.withColumn("__side", lit(1))
     val r = right.select((Seq(key, ts).map(col) ++ valueCols.map(col)): _*)
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // At equal ts, rights sort before lefts → `right.ts <= left.ts`
+    // semantics; `strict = true` flips the tiebreak so equal-ts rights
+    // are excluded (`right.ts < left.ts`).
+    val sideOrder = if (strict) col("__side").desc else col("__side").asc
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(col(ts).asc, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = valueCols.foldLeft(unioned) { case (df, v) =>
       df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
     }
     carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Hot-key-safe as-of join: identical semantics to `asofJoin`, but the
+    * single per-key window is split into per-(key, time-bucket) windows,
+    * so a celebrity key's rows spread across as many reducers as it has
+    * buckets instead of serializing one sorting reducer (the round-2
+    * verdict's one remaining as-of scale risk).
+    *
+    * Mechanics: each bucket's window sees (1) the rights inside the
+    * bucket and (2) one synthetic "carry-in" row holding the latest
+    * right value from any STRICTLY earlier bucket — computed by first
+    * collapsing rights to one latest-value row per (key, bucket)
+    * (map-side combinable aggregate), then running the plain as-of at
+    * BUCKET granularity (strict variant), whose per-key partition is
+    * bounded by the bucket count, not the row count. Three slim
+    * shuffles over key/bucket tuples replace one unbounded per-key sort.
+    *
+    * `bucket` maps the ts column to a bucket id (e.g.
+    * `date_trunc("week", _)` or `floor(_ / 3600)`); any granularity is
+    * correct — it only tunes the parallelism/overhead trade.
+    * Right (key, ts) pairs should be unique, as in `asofJoin`. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCols: Seq[String],
+      bucket: Column => Column): DataFrame = {
+    val vpack = struct(valueCols.map(col): _*)
+    val l = left.withColumn("__b", bucket(col(ts)))
+    val r = right.select((Seq(key, ts).map(col) ++ valueCols.map(col)): _*)
+      .withColumn("__b", bucket(col(ts)))
+      .withColumn("__v", vpack)
+    // Latest right value per (key, bucket): max over (ts, value) structs
+    // is exact under the unique-(key, ts) contract and partial-combines
+    // map-side, so the shuffle moves one slim row per (key, bucket).
+    val perBucket = r
+      .groupBy(col(key), col("__b"))
+      .agg(max(struct(col(ts).as("t"), col("__v").as("v"))).as("m"))
+      .select(col(key), col("__b"), col("m.v").as("__cv"))
+    // Carry-in for every bucket the LEFT actually has: the latest right
+    // value from a strictly earlier bucket — the plain as-of join run at
+    // bucket granularity (≤ #buckets rows per key, bounded by design).
+    val leftBuckets = l.select(col(key), col("__b")).distinct()
+    val carryIn = asofJoin(
+      leftBuckets,
+      perBucket.withColumnRenamed("__cv", "__carry"),
+      key, "__b", Seq("__carry"), strict = true)
+      .filter(col("__carry").isNotNull)
+      .withColumn("__v", col("__carry")).drop("__carry")
+    // Window within (key, bucket): carry-in rows (null ts) sort first,
+    // then rights-before-lefts at equal ts — same `<=` semantics as the
+    // plain form, but no partition ever exceeds one bucket of one key.
+    val lu = l.withColumn("__v", lit(null).cast(perBucket.schema("__cv")
+        .dataType)).withColumn("__side", lit(1))
+    val ru = r.withColumn("__side", lit(0))
+    val cu = carryIn.withColumn("__side", lit(0))
+    val unioned = lu.unionByName(ru, allowMissingColumns = true)
+      .unionByName(cu, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col(ts).asc_nulls_first, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(carried) { case (df, v) =>
+        df.withColumn(v, col("__v").getField(v))
+      }
+      .filter(col("__side") === 1)
+      .drop("__side", "__b", "__v")
   }
 
   /** Q37: each event joined to the latest order of the same customer at

@@ -444,6 +444,26 @@ object Relational {
         percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
       .orderBy("l_returnflag")
 
+  /** Q42b approximate percentiles — the 100×-safe runnable path. Exact
+    * `percentile` buffers every value of a group on one executor (OOM
+    * risk on a hot group at 100×); `approx_percentile` is Spark's
+    * bounded-memory GK sketch whose partial states merge map-side, so
+    * per-executor memory is O(accuracy), independent of group size.
+    * Sketch output is engine-specific (like Q13's HLL) → impl-only;
+    * RelationalSpec bounds its error against exact Q42. */
+  def q42bPercentileApprox(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        approx_percentile(col("l_quantity"), lit(0.5), lit(10000))
+          .cast("double").as("med_qty"),
+        approx_percentile(col("l_quantity"), lit(0.9), lit(10000))
+          .cast("double").as("p90_qty"),
+        approx_percentile(col("l_extendedprice"), lit(0.25), lit(10000))
+          .cast("double").as("p25_price"))
+      .orderBy("l_returnflag")
+
   /** Q43 exact AVG — the D2 discipline applied to averages: decimal SUM
     * (exact, order-independent) cast to DOUBLE, divided by COUNT in
     * IEEE double on both engines. Never AVG(double) directly (partial-
@@ -577,6 +597,7 @@ object Relational {
     "q40_regexp_fns" -> (q40RegexpFns _),
     "q41_bitwise_fns" -> (q41BitwiseFns _),
     "q42_percentile" -> (q42Percentile _),
+    "q42b_percentile_approx" -> (q42bPercentileApprox _),
     "q43_avg" -> (q43Avg _),
     "q44_full_outer" -> (q44FullOuter _),
     "q45_cross_join" -> (q45CrossJoin _),

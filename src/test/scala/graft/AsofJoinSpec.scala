@@ -56,4 +56,51 @@ class AsofJoinSpec extends SparkSpecBase {
     // fixture: all orders predate all events → every event matches
     assert(out.forall(!_.isNullAt(2)))
   }
+
+  test("bucketed as-of equals the plain as-of on a skewed hot key") {
+    // one celebrity key with 20k left rows + a cold key, rights sparse:
+    // the shape that serializes the plain form onto one sorting reducer
+    val left = spark.range(20000)
+      .select(lit(1L).as("k"),
+        timestamp_seconds(lit(1700000000L) + col("id") * 7).as("ts"),
+        concat(lit("l"), col("id")).as("lval"))
+      .union(spark.range(100).select(lit(2L),
+        timestamp_seconds(lit(1700000000L) + col("id") * 1000),
+        concat(lit("c"), col("id"))))
+    val right = spark.range(50)
+      .select(lit(1L).as("k"),
+        timestamp_seconds(lit(1700000000L) + col("id") * 2857).as("ts"),
+        (col("id") * 10).as("rval"))
+      .union(spark.range(5).select(lit(2L),
+        timestamp_seconds(lit(1700000000L) + col("id") * 20000),
+        col("id") + 100))
+    val plain = AsofJoin.asofJoin(left, right, "k", "ts", Seq("rval"))
+      .select("k", "ts", "lval", "rval").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val bucketed = AsofJoin.asofJoinBucketed(left, right, "k", "ts",
+        Seq("rval"), b => floor(unix_timestamp(b) / 3600))
+      .select("k", "ts", "lval", "rval").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(bucketed == plain)
+    assert(plain.size == 20100)
+  }
+
+  test("bucketed as-of: the main window partitions by (key, bucket), " +
+      "so a hot key's sort spreads across buckets") {
+    val left = spark.range(100).select(lit(1L).as("k"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 7).as("ts"))
+    val right = spark.range(5).select(lit(1L).as("k"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 100).as("ts"),
+      col("id").as("rval"))
+    val plan = AsofJoin.asofJoinBucketed(left, right, "k", "ts",
+        Seq("rval"), b => floor(unix_timestamp(b) / 60))
+      .queryExecution.optimizedPlan.toString
+    // the Window's partition spec must include the bucket column —
+    // that IS the bounded-partition property
+    val winLine = plan.linesIterator.find(_.contains("windowspecdefinition"))
+    assert(winLine.exists(l => l.contains("__b")),
+      s"window not partitioned by bucket:\n$plan")
+  }
 }

@@ -94,4 +94,21 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters") &&
       plan.contains("GreaterThan(l_quantity,40"))
   }
+
+  test("q42b: approx percentiles stay within 2% of the exact q42 values") {
+    def byFlag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = byFlag(Relational.q42Percentile(spark, sf))
+    val approx = byFlag(Relational.q42bPercentileApprox(spark, sf))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (flag, (m, p90, p25)) =>
+      val (am, ap90, ap25) = approx(flag)
+      def close(a: Double, b: Double) =
+        math.abs(a - b) <= 0.02 * math.max(math.abs(b), 1.0)
+      assert(close(am, m), s"$flag median $am vs $m")
+      assert(close(ap90, p90), s"$flag p90 $ap90 vs $p90")
+      assert(close(ap25, p25), s"$flag p25 $ap25 vs $p25")
+    }
+  }
 }
