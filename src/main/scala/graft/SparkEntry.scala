@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Exemplars
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Relational, Sampling, SemiStructured, Similarity, TextOps}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Relational, Sampling, SemiStructured, Similarity, Stats, TextOps, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,12 +25,13 @@ object SparkEntry {
     Relational.queries ++ SemiStructured.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Exemplars.queries ++
       Multimodal.queries ++ AsofJoin.queries ++ RangeJoin.queries ++
-      Sampling.queries
+      Sampling.queries ++ Stats.queries ++ TimeSeries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ SemiStructured.oracle ++ TextOps.oracle ++
       Exemplars.oracle ++ AsofJoin.oracle ++ RangeJoin.oracle ++
-      Dedup.oracle ++ Sampling.oracle ++ Similarity.oracle
+      Dedup.oracle ++ Sampling.oracle ++ Similarity.oracle ++
+      Stats.oracle ++ TimeSeries.oracle
 }

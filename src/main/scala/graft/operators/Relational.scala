@@ -557,6 +557,37 @@ object Relational {
     spark.sql(bagSetOpsSql)
   }
 
+  /** Q52 UNPIVOT/melt — wide-to-long reshape via Spark's native
+    * `Dataset.unpivot` (Catalyst `Unpivot` node, no UDF/explode hand-
+    * rolling). The oracle spells the same reshape as UNION ALL — WHAT,
+    * not HOW. */
+  def q52Unpivot(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  /** Q53 correlated EXISTS + uncorrelated NOT IN through the SQL front
+    * door (Spark rewrites them to semi/anti joins — RelationalSpec pins
+    * that no nested-loop per-row subquery survives planning). */
+  private val existsInSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND c_custkey NOT IN (SELECT s_suppkey FROM supplier)
+      |ORDER BY c_custkey""".stripMargin
+
+  def q53ExistsIn(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "customer").createOrReplaceTempView("customer")
+    load(spark, dir, "orders").createOrReplaceTempView("orders")
+    load(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    spark.sql(existsInSql)
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -606,6 +637,8 @@ object Relational {
     "q49_cte" -> (q49Cte _),
     "q16c_win_dist_fns" -> (q16cWinDistFns _),
     "q50_bag_setops" -> (q50BagSetOps _),
+    "q52_unpivot" -> (q52Unpivot _),
+    "q53_exists_in" -> (q53ExistsIn _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -852,5 +885,20 @@ object Relational {
         |SELECT c.c_custkey, c.c_mktsegment, b.cnt
         |FROM customer c JOIN big b ON c.c_custkey = b.o_custkey
         |ORDER BY c.c_custkey""".stripMargin,
+    "q52_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value
+        |FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value
+        |FROM wide
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q53_exists_in" -> existsInSql,
   )
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{dec, load}
+
+/** Statistical aggregates — variance/stddev/covariance/correlation/
+  * regression slope (Q51) and the conditional/argmax aggregate surface
+  * (Q55).
+  *
+  * Determinism design (the D2 discipline extended to second moments):
+  * Spark's own `stddev`/`corr` accumulate doubles, so partial-aggregation
+  * ORDER leaks into the low bits — run-to-run and engine-to-engine
+  * nondeterministic. Instead every statistic here is derived from EXACT
+  * decimal power sums (Σx, Σx², Σxy — order-independent by exactness,
+  * partial-combining map-side like any SUM), cast to DOUBLE once, then
+  * combined with the textbook closed forms in IEEE double arithmetic
+  * written identically on both engines:
+  *
+  *   var  = (n·Σx² − (Σx)²) / (n·(n−1))
+  *   cov  = (n·Σxy − Σx·Σy) / (n·(n−1))
+  *   corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²))
+  *   β₁   = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+  *
+  * Same inputs + same op sequence ⇒ bit-identical doubles, which is what
+  * puts q51 under the hard hash gate. Columns are chosen with small
+  * magnitudes (quantity ≤ 50, discount ≤ 0.1) so every decimal sum's
+  * unscaled value stays < 2⁵³ and the decimal→double cast is exactly
+  * rounded in both engines.
+  */
+object Stats {
+
+  /** Exact decimal power sum cast to double — the deterministic building
+    * block. `sum(dec(x)·dec(y))` is exact decimal arithmetic, so it is
+    * independent of partition order. */
+  private def psum(x: Column, y: Column): Column =
+    sum(dec(x) * dec(y)).cast("double")
+
+  /** Q51: per-group variance/stddev/covariance/correlation/OLS slope of
+    * (l_quantity, l_discount) from exact power sums. */
+  def q51Stats(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val x = col("l_quantity")
+    val y = col("l_discount")
+    val agged = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("cnt"),
+      sum(dec(x)).cast("double").as("sx"),
+      sum(dec(y)).cast("double").as("sy"),
+      psum(x, x).as("sxx"),
+      psum(y, y).as("syy"),
+      psum(x, y).as("sxy"))
+    val n = col("cnt").cast("double")
+    val varQ = (n * col("sxx") - col("sx") * col("sx")) /
+      (n * (n - lit(1.0)))
+    val cov = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * (n - lit(1.0)))
+    val corr = (n * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+        sqrt(n * col("syy") - col("sy") * col("sy")))
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    agged.select(col("l_returnflag"), col("cnt"),
+        varQ.as("var_qty"), sqrt(varQ).as("std_qty"),
+        cov.as("cov_qty_disc"), corr.as("corr_qty_disc"),
+        slope.as("slope_disc_on_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q55: conditional and argmax aggregates — COUNT_IF, BOOL_AND/OR
+    * (projected as 0/1 BIGINT: BOOLEAN rendering differs across
+    * engines, D6), MAX_BY/MIN_BY keyed by the unique o_orderkey so the
+    * argmax is tie-free (D1). */
+  def q55CondAggs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).cast("long").as("all_pos"),
+        bool_or(col("o_totalprice") > 400000).cast("long").as("any_huge"),
+        max_by(col("o_custkey"), col("o_orderkey")).as("last_cust"),
+        min_by(col("o_custkey"), col("o_orderkey")).as("first_cust"))
+      .orderBy("o_orderpriority")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_stats" -> (q51Stats _),
+    "q55_cond_aggs" -> (q55CondAggs _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Same exact power sums, same closed forms, same double op order.
+    "q51_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) *
+        |             CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, cnt,
+        |  (CAST(cnt AS DOUBLE)*sxx - sx*sx) /
+        |    (CAST(cnt AS DOUBLE)*(CAST(cnt AS DOUBLE) - 1.0)) AS var_qty,
+        |  sqrt((CAST(cnt AS DOUBLE)*sxx - sx*sx) /
+        |    (CAST(cnt AS DOUBLE)*(CAST(cnt AS DOUBLE) - 1.0))) AS std_qty,
+        |  (CAST(cnt AS DOUBLE)*sxy - sx*sy) /
+        |    (CAST(cnt AS DOUBLE)*(CAST(cnt AS DOUBLE) - 1.0))
+        |    AS cov_qty_disc,
+        |  (CAST(cnt AS DOUBLE)*sxy - sx*sy) /
+        |    (sqrt(CAST(cnt AS DOUBLE)*sxx - sx*sx) *
+        |     sqrt(CAST(cnt AS DOUBLE)*syy - sy*sy)) AS corr_qty_disc,
+        |  (CAST(cnt AS DOUBLE)*sxy - sx*sy) /
+        |    (CAST(cnt AS DOUBLE)*sxx - sx*sx) AS slope_disc_on_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q55_cond_aggs" ->
+      """SELECT o_orderpriority,
+        |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  CAST(bool_and(o_totalprice > 0) AS BIGINT) AS all_pos,
+        |  CAST(bool_or(o_totalprice > 400000) AS BIGINT) AS any_huge,
+        |  arg_max(o_custkey, o_orderkey) AS last_cust,
+        |  arg_min(o_custkey, o_orderkey) AS first_cust
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+  )
+}

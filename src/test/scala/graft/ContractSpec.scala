@@ -18,7 +18,9 @@ class ContractSpec extends AnyFunSuite {
     "Multimodal" -> operators.Multimodal.queries,
     "AsofJoin" -> operators.AsofJoin.queries,
     "RangeJoin" -> operators.RangeJoin.queries,
-    "Sampling" -> operators.Sampling.queries)
+    "Sampling" -> operators.Sampling.queries,
+    "Stats" -> operators.Stats.queries,
+    "TimeSeries" -> operators.TimeSeries.queries)
 
   private val oracleMaps = Seq(
     "Relational" -> operators.Relational.oracle,
@@ -29,7 +31,9 @@ class ContractSpec extends AnyFunSuite {
     "RangeJoin" -> operators.RangeJoin.oracle,
     "Dedup" -> operators.Dedup.oracle,
     "Sampling" -> operators.Sampling.oracle,
-    "Similarity" -> operators.Similarity.oracle)
+    "Similarity" -> operators.Similarity.oracle,
+    "Stats" -> operators.Stats.oracle,
+    "TimeSeries" -> operators.TimeSeries.oracle)
 
   test("no query key collides across operator maps (++ is last-wins)") {
     val all = queryMaps.flatMap { case (n, m) => m.keys.map(_ -> n) }
@@ -53,8 +57,8 @@ class ContractSpec extends AnyFunSuite {
   test("oracle coverage census (ratchet: only goes up)") {
     val gated = SparkEntry.oracleSql.keySet.size
     val total = SparkEntry.queries.size
-    assert(gated >= 68, s"oracle-gated regressed: $gated")
-    assert(total >= 80, s"query count regressed: $total")
+    assert(gated >= 73, s"oracle-gated regressed: $gated")
+    assert(total >= 85, s"query count regressed: $total")
   }
 
   test("oracle SQL contains no un-cast SUM outside a CAST (D6 guard)") {

@@ -95,6 +95,15 @@ class RelationalSpec extends SparkSpecBase {
       plan.contains("GreaterThan(l_quantity,40"))
   }
 
+  test("q53: EXISTS/NOT IN plan as semi/anti hash joins, not per-row " +
+      "subqueries or cartesians") {
+    val plan = Relational.q53ExistsIn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("q42b: approx percentiles stay within 2% of the exact q42 values") {
     def byFlag(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) ->
