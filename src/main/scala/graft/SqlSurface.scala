@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{AsofJoin, Dedup, Similarity}
+
+/** SQL front door for the operator library — everything a SQL-only user
+  * needs to reach the LLM-pipeline operators from `spark.sql` alone.
+  *
+  * Two layers:
+  *  1. the native expression surface (`graft_minhash`, `graft_simhash`,
+  *     `graft_hyperplane`, `graft_cosine`, `graft_dot`,
+  *     `graft_nearest_centroid`, …) — injected session-wide by
+  *     `spark.sql.extensions=graft.functions.GraftExtensions`, or
+  *     post-hoc on a live session via [[registerFunctions]]. With these
+  *     a SQL user composes the same banded/bucketed plans the Scala
+  *     operators build (SQLSurfaceSpec runs one end-to-end);
+  *  2. whole-operator entry points whose driving logic isn't a single
+  *     expression (as-of join, dedup pair generation, kNN): exposed as
+  *     temp-VIEW BUILDERS — the operator's DataFrame is registered
+  *     under a name, and from there on it is plain SQL. Views are lazy
+  *     plans, not materializations: the full operator pipeline plans,
+  *     optimizes, and distributes exactly as the Scala call would.
+  */
+object SqlSurface {
+
+  /** Register every graft native expression on a live session (the
+    * post-hoc twin of the GraftExtensions injection). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    functions.CosineSimilarityExpr.register(spark)
+    functions.DotProductExpr.register(spark)
+    functions.NearestCentroidExpr.register(spark)
+    functions.SignatureExprs.register(spark)
+  }
+
+  /** Register the data directory's tables as temp views (`documents`,
+    * `embeddings`, the TPC-H-ish tables, and `events` via the
+    * nanos-safe reader). */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs of `docsView` (doc_id, text) →
+    * view (doc_a, doc_b, jaccard). */
+  def createNearDupPairsView(spark: SparkSession, docsView: String,
+      viewName: String, k: Int = 3, threshold: Double = 0.5): Unit =
+    Dedup.ngramJaccardPairs(spark.table(docsView), k = k,
+      threshold = threshold).createOrReplaceTempView(viewName)
+
+  /** Survivors of exact near-dup removal over `docsView` → view with the
+    * source schema. */
+  def createDedupSurvivorsView(spark: SparkSession, docsView: String,
+      viewName: String, k: Int = 3, threshold: Double = 0.5): Unit =
+    Dedup.dropNearDuplicatesExact(spark.table(docsView), k = k,
+      threshold = threshold).createOrReplaceTempView(viewName)
+
+  /** Backward as-of join of two views → view (left columns + carried
+    * right value columns). */
+  def createAsofJoinView(spark: SparkSession, leftView: String,
+      rightView: String, key: String, ts: String, valueCols: Seq[String],
+      viewName: String): Unit =
+    AsofJoin.asofJoin(spark.table(leftView), spark.table(rightView),
+      key, ts, valueCols).createOrReplaceTempView(viewName)
+
+  /** Exact brute-force kNN of `queriesView` against `vectorsView`
+    * (vec_id, embedding) → view (qid, rank, neighbor, cos). */
+  def createKnnView(spark: SparkSession, vectorsView: String,
+      queriesView: String, k: Int, viewName: String): Unit =
+    Similarity.knnBrute(spark.table(vectorsView),
+      spark.table(queriesView), k).createOrReplaceTempView(viewName)
+}

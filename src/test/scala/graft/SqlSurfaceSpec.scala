@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** SQL-only access to the operator library: a SQL user with just
+  * `spark.sql` (natives registered) can run the same near-dup pipeline
+  * the Scala operators build, and the view builders expose whole
+  * operators (as-of, dedup, kNN) to SQL sessions. */
+class SqlSurfaceSpec extends SparkSpecBase {
+
+  private lazy val ready: Unit = {
+    SqlSurface.registerFunctions(spark)
+    SqlSurface.registerTables(spark, sf)
+  }
+
+  test("end-to-end SQL near-dup: hyperplane-LSH bucket join + native " +
+      "cosine verify, equal to the Scala operator") {
+    ready
+    val sqlPairs = spark.sql(
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, v, graft_hyperplane(v, 8) AS bucket FROM v)
+        |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        |  graft_cosine(a.v, c.v) AS cos
+        |FROM b a JOIN b c
+        |  ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE graft_cosine(a.v, c.v) >= 0.9""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scalaPairs = Dedup.embeddingNearDupPairs(
+        Tables.load(spark, sf, "embeddings"), planes = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sqlPairs == scalaPairs)
+  }
+
+  test("SQL minhash signatures: graft_minhash callable from spark.sql") {
+    ready
+    val rows = spark.sql(
+      """SELECT doc_id, graft_minhash(
+        |  array_distinct(transform(
+        |    sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
+        |    i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
+        |  )), 64) AS sig
+        |FROM documents LIMIT 5""".stripMargin).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getSeq[Long](1).length == 64))
+    // signature must equal the Scala-side builder on the same doc
+    val ids = rows.map(_.getLong(0)).toSet
+    val viaScala = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("doc_id"), Dedup.minhashSignature(
+        array_distinct(transform(Dedup.shingles(col("text"), 3),
+          s => xxhash64(s))), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach(r => assert(r.getSeq[Long](1) == viaScala(r.getLong(0))))
+  }
+
+  test("view builders expose whole operators to SQL sessions") {
+    ready
+    SqlSurface.createNearDupPairsView(spark, "documents", "neardup_pairs")
+    SqlSurface.createDedupSurvivorsView(spark, "documents", "survivors")
+    SqlSurface.createKnnView(spark, "embeddings", "embeddings", 5,
+      "knn")
+    // pair view: queryable, and consistent with the survivors view
+    val nPairs = spark.sql("SELECT COUNT(*) AS c FROM neardup_pairs")
+      .collect().head.getLong(0)
+    val directPairs = Dedup.ngramJaccardPairs(
+      Tables.load(spark, sf, "documents")).count()
+    assert(nPairs == directPairs)
+    val nDocs = spark.sql("SELECT COUNT(*) AS c FROM documents")
+      .collect().head.getLong(0)
+    val nSurv = spark.sql("SELECT COUNT(*) AS c FROM survivors")
+      .collect().head.getLong(0)
+    val nLosers = spark.sql(
+      "SELECT COUNT(DISTINCT doc_b) AS c FROM neardup_pairs")
+      .collect().head.getLong(0)
+    assert(nSurv == nDocs - nLosers)
+    // kNN view: plain SQL aggregation over an operator view
+    val worst = spark.sql(
+      """SELECT qid, MIN(cos) AS worst FROM knn
+        |GROUP BY qid ORDER BY qid""".stripMargin).collect()
+    assert(worst.length == spark.table("embeddings").count().toInt)
+    // as-of view over events/orders, queried through SQL
+    spark.sql(
+      """SELECT o_custkey AS user_id, o_orderdate AS ts,
+        |  MAX(o_orderkey) AS asof_ok
+        |FROM orders GROUP BY 1, 2""".stripMargin)
+      .createOrReplaceTempView("order_snap")
+    spark.sql("SELECT event_id, user_id, ts FROM events")
+      .createOrReplaceTempView("ev")
+    SqlSurface.createAsofJoinView(spark, "ev", "order_snap",
+      "user_id", "ts", Seq("asof_ok"), "ev_asof")
+    val n = spark.sql("SELECT COUNT(*) AS c FROM ev_asof")
+      .collect().head.getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+  }
+}

@@ -132,6 +132,65 @@ class StreamingSpec extends SparkSpecBase {
     assert(out == Set((1.0, 7.0)))
   }
 
+  test("stream-stream LEFT OUTER join: unmatched lefts are withheld " +
+      "until watermark eviction, then emitted with nulls") {
+    // the large-pipeline shape the inner-join test doesn't cover: outer
+    // rows can only be emitted when the right-side watermark proves no
+    // future match is possible — i.e. when state for the left row is
+    // EVICTED. Two AvailableNow runs over one checkpoint make the
+    // eviction observable: run 1 emits only the matched pair; run 2
+    // (watermark advanced by later data) flushes the unmatched left.
+    val clicks = MemoryStream[Ev](spark)
+    val views = MemoryStream[Ev](spark)
+    clicks.addData(
+      Ev(ts(5), "click", 2.0, 1),  // no view in [9:55, 10:05] → unmatched
+      Ev(ts(20), "click", 1.0, 1)) // joins the 10:15 view
+    views.addData(Ev(ts(15), "view", 7.0, 1))
+    val l = clicks.toDF()
+      .select(col("user_id"), col("ts").as("cts"), col("value").as("cv"))
+      .withWatermark("cts", "10 minutes")
+    val r = views.toDF()
+      .select(col("user_id").as("v_uid"), col("ts").as("vts"),
+        col("value").as("vv"))
+      .withWatermark("vts", "10 minutes")
+    val joined = l.join(r,
+      col("user_id") === col("v_uid") &&
+        col("vts") >= col("cts") - expr("interval 10 minutes") &&
+        col("vts") <= col("cts"),
+      "left_outer")
+      .select("user_id", "cts", "cv", "vv")
+    val ckpt = Files.createTempDirectory("ckpt-ssoj").toString
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    // (the FilePipeline path) — collect each run's emissions per batch
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Double, Double)]()
+    def run(): Set[(Double, Double)] = {
+      emitted.clear()
+      val q = joined.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.filter(col("user_id") === 1).collect().foreach(r =>
+            emitted.add((r.getDouble(2),
+              if (r.isNullAt(3)) -1.0 else r.getDouble(3))))
+          ()
+        }
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      emitted.asScala.toSet
+    }
+    // matched pair emits immediately; the unmatched 10:05 click is
+    // withheld — its state is still live (watermark hasn't passed it)
+    val out1 = run()
+    assert(out1 == Set((1.0, 7.0)), s"run1: $out1")
+    // later data advances both watermarks far past the join window …
+    clicks.addData(Ev(Timestamp.valueOf("2024-01-01 13:00:00"), "z", 0.0, 9))
+    views.addData(Ev(Timestamp.valueOf("2024-01-01 13:00:00"), "z", 0.0, 9))
+    val out2 = run()
+    // … so eviction emits the unmatched left exactly once, with nulls
+    assert(out2 == Set((2.0, -1.0)), s"run2: $out2")
+  }
+
   test("dropDuplicatesWithinWatermark removes stream duplicates") {
     val input = MemoryStream[Ev](spark)
     input.addData(
