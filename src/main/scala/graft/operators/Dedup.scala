@@ -129,6 +129,72 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Connected components over an undirected edge set — min-label
+    * propagation: every node repeatedly takes the minimum label among
+    * itself and its neighbors until fixpoint, so each component converges
+    * to its minimum member id. O(diameter) rounds; every round is one
+    * slim (id, label) shuffle join + partial-combining MIN — no node ever
+    * sees more than its neighborhood. Near-dup components have tiny
+    * diameters (duplicate clusters), so rounds ≈ 2–4 in practice.
+    *
+    * 100 TB notes: this is the propagation primitive of the
+    * large-star/small-star CC algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public); for
+    * adversarial long-chain graphs swap in the star-contraction rounds
+    * (same join/agg building blocks, O(log n) rounds). Each round's
+    * result is persisted so iteration N+1 reads a materialized table,
+    * not an N-deep lineage; on a cluster you would checkpoint every few
+    * rounds. The per-round driver action is one COUNT (convergence
+    * check) — control flow, not data movement. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges
+      .select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("component"))
+    val retained = scala.collection.mutable.ListBuffer[DataFrame](sym)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"),
+          col("component").as("nbr")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("nbr")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("nbr_min"), col("component"))).as("component"),
+          col("component").as("prev"))
+        .persist(MEMORY_AND_DISK)
+      retained += next
+      changed = next.filter(col("component") =!= col("prev")).count()
+      labels = next.select("id", "component")
+      i += 1
+    }
+    // localCheckpoint: materialize the fixpoint on the EXECUTORS (no
+    // driver round-trip) and truncate the iteration lineage, so the
+    // per-round caches can be dropped.
+    val result = labels.localCheckpoint(true)
+    retained.foreach(_.unpersist(blocking = false))
+    result
+  }
+
+  /** Near-dup GROUPS from the exact pair set: each doc labeled with the
+    * minimum doc_id of its duplicate cluster (transitive closure — the
+    * fix for pairwise removal's over-keeping on chains). Deterministic,
+    * so it sits under the hard oracle (q33g, DuckDB recursive CTE). */
+  def nearDupComponents(docs: DataFrame, k: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, k = k, threshold = threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
   /** 64-bit SimHash of the word stream: per-token hash votes ±1 on every
     * bit, sign of the vote sum is the bit. HOF formulation kept for
     * semantics docs; production uses the native `graft_simhash`
@@ -327,6 +393,11 @@ object Dedup {
     dropNearDuplicatesExact(docsWithNearDups(load(spark, dir, "documents")))
       .select("doc_id").orderBy("doc_id")
 
+  /** Near-dup component labeling (oracle-gated: recursive-CTE closure). */
+  def q33gDedupComponents(spark: SparkSession, dir: String): DataFrame =
+    nearDupComponents(docsWithNearDups(load(spark, dir, "documents")))
+      .orderBy("doc_id")
+
   /** q33a/b/d/e are implementation-only (LSH candidate generation is
     * algorithmic — recall < 1 by design, so no SQL oracle can equal it).
     * q33c IS exact, so it is hash-gated against a DuckDB list-function
@@ -338,6 +409,7 @@ object Dedup {
     "q33d_embed_neardup_pairs" -> (q33dEmbedNearDup _),
     "q33e_dedup_survivors" -> (q33eDedupSurvivors _),
     "q33f_dedup_survivors_exact" -> (q33fDedupSurvivorsExact _),
+    "q33g_dedup_components" -> (q33gDedupComponents _),
   )
 
   /** DuckDB oracle for the EXACT jaccard query: same shingling (word
@@ -395,5 +467,36 @@ object Dedup {
         |SELECT doc_id FROM corpus
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    // q33g: transitive closure of the exact pair graph via recursive CTE
+    // — min reachable id per node ≡ the min-label-propagation fixpoint.
+    "q33g_dedup_components" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split(text, ' ')[1:greatest(
+        |      len(string_split(text, ' ')) - 3, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM corpus),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |      AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT e.dst, re.r FROM edges e JOIN reach re ON e.src = re.node)
+        |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
   )
 }

@@ -121,9 +121,30 @@ object TextOps {
   def tx4Fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(load(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Q56: corpus-level top-k n-gram frequency — the "what is in my
+    * corpus" scan every training pipeline runs. Term-frequency bigrams
+    * (q31b is the unigram row), count desc with lexicographic tiebreak
+    * (D1). Scale: explode → partial-combining hash agg on (ngram) →
+    * TakeOrdered(k); one shuffle of (ngram, partial count), never a
+    * global sort. */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.filter(size(words) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(words, i + lit(j))): _*))).as("ng"))
+      .groupBy("ng").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ng")).limit(k)
+  }
+
+  def q56TopNgrams(spark: SparkSession, dir: String): DataFrame =
+    topNgrams(load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31a_text_lang" -> (q31Lang _),
     "q31b_text_tokens" -> (q31Tokens _),
+    "q56_top_ngrams" -> (q56TopNgrams _),
     "q32_dedup_exact" -> (q32DedupExact _),
     "q32b_dedup_rows" -> (q32bDedupRows _),
     "tx1_token_count" -> (tx1TokenCount _),
@@ -165,6 +186,13 @@ object TextOps {
       """SELECT w, COUNT(*) AS c FROM (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY c DESC, w LIMIT 20""".stripMargin,
+    "q56_top_ngrams" ->
+      """SELECT ng, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT UNNEST(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS ng
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2)
+        |GROUP BY ng ORDER BY cnt DESC, ng LIMIT 20""".stripMargin,
     "q32_dedup_exact" ->
       """SELECT source, COUNT(*) AS n, COUNT(DISTINCT text) AS uniq
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

@@ -114,4 +114,29 @@ class DedupSpec extends SparkSpecBase {
     val viaAgg = docs.agg(countDistinct(col("text"))).collect().head.getLong(0)
     assert(viaDistinct == viaAgg)
   }
+
+  test("q33g components ≡ driver union-find over the exact pair set") {
+    val corpus = Dedup.docsWithNearDups(load(spark, sf, "documents"))
+    val pairs = Dedup.ngramJaccardPairs(corpus)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0))
+    // union-by-min: the root of every tree is its component's minimum id
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.q33gDedupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // sanity: singletons label themselves; components labeled by min
+    assert(got.forall { case (id, c) => c <= id })
+  }
 }
