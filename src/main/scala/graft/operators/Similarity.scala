@@ -158,6 +158,34 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Int8-style embedding quantization — the standard storage/bandwidth
+    * prep before ANN serving (min-max affine: code = ⌊(x−mn)/scale+0.5⌋,
+    * scale = (mx−mn)/255). Pure per-row projection (codegen'd HOFs, no
+    * shuffle); at 100 TB this runs at scan speed. Codes are exact given
+    * exact (mn, mx, scale) — array_min/max are order-independent and
+    * every step is the same IEEE double op in any engine, so the scalar
+    * summary (q58) sits under the hard oracle. Full code arrays are
+    * returned by `quantize`; the gated entry projects the
+    * engine-comparable summary (code_sum is an integer — order-free). */
+  def quantize(vectors: DataFrame): DataFrame = {
+    val q = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("mn", array_min(col("e")))
+      .withColumn("mx", array_max(col("e")))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+    q.withColumn("codes",
+      when(col("scale") === 0.0,
+        transform(col("e"), _ => lit(0L)))
+        .otherwise(transform(col("e"), x =>
+          floor((x - col("mn")) / col("scale") + lit(0.5)).cast("long"))))
+  }
+
+  def q58Quantize(spark: SparkSession, dir: String): DataFrame =
+    quantize(load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("mn"), col("mx"), col("scale"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"))
+      .orderBy("vec_id")
+
   private def queryVectors(vectors: DataFrame): DataFrame =
     vectors.filter(col("vec_id") < 5)
 
@@ -184,6 +212,7 @@ object Similarity {
     "q34a_knn_brute" -> (q34aKnnBrute _),
     "q34b_knn_lsh" -> (q34bKnnLsh _),
     "q34c_knn_ivf" -> (q34cKnnIvf _),
+    "q58_quantize" -> (q58Quantize _),
   )
 
   /** DuckDB oracle for exact brute-force kNN: same double-cast vectors,
@@ -210,5 +239,20 @@ object Similarity {
         |  FROM scored)
         |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, cos
         |FROM ranked WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
+    // q58: same double-cast vectors, same affine formula, same floor
+    // rounding; the code SUM is an integer total — order-independent.
+    "q58_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx,
+        |    (list_max(e) - list_min(e)) / 255.0 AS scale
+        |  FROM v)
+        |SELECT vec_id, mn, mx, scale,
+        |  CASE WHEN scale = 0 THEN 0
+        |    ELSE CAST(list_sum(list_transform(e,
+        |      x -> CAST(floor((x - mn) / scale + 0.5) AS BIGINT)))
+        |      AS BIGINT) END AS code_sum
+        |FROM s ORDER BY vec_id""".stripMargin,
   )
 }

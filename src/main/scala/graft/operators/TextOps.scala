@@ -141,10 +141,47 @@ object TextOps {
   def q56TopNgrams(spark: SparkSession, dir: String): DataFrame =
     topNgrams(load(spark, dir, "documents"))
 
+  /** Q57: fuzzy entity matching (record linkage) — pairs within edit
+    * distance `maxDist`, scoped by a blocking column. Candidate
+    * generation is a LOSSLESS length-banded equi-join: levenshtein ≤ d
+    * implies |len(a) − len(b)| ≤ d, so each left row probes only the
+    * 2d+1 length bands around its own length inside its block — a hash
+    * join on (block, length-band), never an O(n²) cross join, and (being
+    * an implication of the distance bound) it misses nothing. The
+    * quadratic levenshtein verify runs only on band-collided pairs.
+    * Same banding idea as RangeJoin/Dedup: cheap exact prefilter, then
+    * verify. */
+  def fuzzyMatchPairs(df: DataFrame, blockCol: String, idCol: String,
+      nameCol: String, maxDist: Int = 2): DataFrame = {
+    val a = df.select(col(blockCol).cast("long").as("blk"),
+      col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      length(col(nameCol)).as("la"))
+    val b = df.select(col(blockCol).cast("long").as("blk_b"),
+      col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      length(col(nameCol)).as("lb"))
+    // (blk, band) are JOIN keys — the hash join only collides rows in
+    // the same block whose lengths can possibly be within maxDist
+    a.withColumn("band",
+        explode(sequence(col("la") - maxDist, col("la") + maxDist)))
+      .join(b, col("blk") === col("blk_b") && col("band") === col("lb")
+        && col("id_a") < col("id_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("blk"), col("id_a"), col("id_b"), col("dist"))
+  }
+
+  def q57FuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    fuzzyMatchPairs(load(spark, dir, "customer"), "c_nationkey",
+      "c_custkey", "c_name")
+      .withColumnRenamed("blk", "nation")
+      .orderBy("nation", "id_a", "id_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31a_text_lang" -> (q31Lang _),
     "q31b_text_tokens" -> (q31Tokens _),
     "q56_top_ngrams" -> (q56TopNgrams _),
+    "q57_fuzzy_match" -> (q57FuzzyMatch _),
     "q32_dedup_exact" -> (q32DedupExact _),
     "q32b_dedup_rows" -> (q32bDedupRows _),
     "tx1_token_count" -> (tx1TokenCount _),
@@ -186,6 +223,17 @@ object TextOps {
       """SELECT w, COUNT(*) AS c FROM (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY c DESC, w LIMIT 20""".stripMargin,
+    // q57: the oracle states the SEMANTICS (all same-block pairs within
+    // edit distance 2); the Spark side reaches the same set through the
+    // lossless length-band prefilter.
+    "q57_fuzzy_match" ->
+      """SELECT CAST(a.c_nationkey AS BIGINT) AS nation,
+        |  a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY nation, id_a, id_b""".stripMargin,
     "q56_top_ngrams" ->
       """SELECT ng, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
         |  SELECT UNNEST(list_transform(range(1, len(w)),

@@ -60,6 +60,27 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming NEAR-dup filter — the streaming twin of the batch Q33
+    * family: key each document by its 64-bit SimHash and drop later
+    * arrivals whose signature collides within the watermark horizon.
+    * Hamming-0 semantics per key; for hamming ≤ 3 tolerance, dedup on
+    * the 4 16-bit bands instead (any-band collision ⊇ hamming ≤ 3 by
+    * pigeonhole — run four keyed dedups or accept the single-key
+    * under-approximation, both documented trade-offs). State is
+    * (signature → seen) bounded by the watermark, not corpus size —
+    * the property that makes streaming dedup feasible at all at 100 TB.
+    * Requires a `ts` event-time column and a `text` column. */
+  def nearDedupWithinWatermark(docs: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    graft.functions.SignatureExprs.register(docs.sparkSession)
+    docs
+      .withColumn("__sig", call_function("graft_simhash",
+        split(col("text"), " ")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("__sig"))
+      .drop("__sig")
+  }
+
   /** Custom keyed state via flatMapGroupsWithState — the Spark form of
     * "arbitrary user state per key" (SURVEY §2-B Q35): a per-user running
     * event counter whose state survives across micro-batches (checkpoint

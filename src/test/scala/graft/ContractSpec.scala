@@ -57,8 +57,8 @@ class ContractSpec extends AnyFunSuite {
   test("oracle coverage census (ratchet: only goes up)") {
     val gated = SparkEntry.oracleSql.keySet.size
     val total = SparkEntry.queries.size
-    assert(gated >= 75, s"oracle-gated regressed: $gated")
-    assert(total >= 87, s"query count regressed: $total")
+    assert(gated >= 77, s"oracle-gated regressed: $gated")
+    assert(total >= 89, s"query count regressed: $total")
   }
 
   test("oracle SQL contains no un-cast SUM outside a CAST (D6 guard)") {

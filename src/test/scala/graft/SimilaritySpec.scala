@@ -78,6 +78,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r4 > 0.2, s"nprobe=4 recall $r4")
   }
 
+  test("quantize: codes in [0,255], dequantization error ≤ scale/2") {
+    val rows = Similarity.quantize(emb.limit(20))
+      .select("e", "mn", "scale", "codes").collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Double](0)
+      val mn = r.getDouble(1)
+      val scale = r.getDouble(2)
+      val codes = r.getSeq[Long](3)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      e.zip(codes).foreach { case (x, c) =>
+        val recon = mn + c * scale
+        assert(math.abs(recon - x) <= scale / 2 + 1e-12,
+          s"x=$x code=$c recon=$recon scale=$scale")
+      }
+    }
+  }
+
   test("LSH knn recall vs brute force is useful (same-bucket candidates)") {
     val brute = Similarity.q34aKnnBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

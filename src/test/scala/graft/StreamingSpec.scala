@@ -13,6 +13,9 @@ import graft.streaming.StreamOps
 case class Ev(ts: Timestamp, event_type: String, value: Double,
     user_id: Long)
 
+/** Streaming document row for the near-dedup test. */
+case class SDoc(ts: Timestamp, text: String)
+
 /** Streaming semantics (SURVEY §2-B Q35): batch≡stream equivalence for
   * tumbling windows, late-data drop past the watermark, session windows,
   * streaming dedup, and the foreachBatch at-least-once file sink (the
@@ -203,6 +206,24 @@ class StreamingSpec extends SparkSpecBase {
       "dedupstream")
       .filter(col("event_type") === "dup").collect()
     assert(out.length == 2) // the exact ts(1) duplicate collapsed
+  }
+
+  test("streaming near-dup filter: simhash collisions within the " +
+      "watermark are dropped, distinct docs survive") {
+    val input = MemoryStream[SDoc](spark)
+    input.addData(
+      SDoc(ts(1), "the quick brown fox jumps over the lazy dog"),
+      SDoc(ts(3), "the quick brown fox jumps over the lazy dog"), // dup
+      SDoc(ts(5), "an entirely different document about spark engines"),
+      SDoc(Timestamp.valueOf("2024-01-01 11:00:00"), "flush marker row"))
+    val out = runAvailableNow(
+      StreamOps.nearDedupWithinWatermark(input.toDF(),
+        watermark = "10 minutes"), "neardedupstream")
+      .filter(col("ts") < Timestamp.valueOf("2024-01-01 10:30:00"))
+      .collect()
+    // signature state collapses the re-arrival; both distinct docs pass
+    assert(out.length == 2, out.mkString(", "))
+    assert(out.map(_.getString(1)).toSet.size == 2)
   }
 
   test("flatMapGroupsWithState: per-user counts persist across batches") {
