@@ -60,4 +60,26 @@ class PlanShapeSpec extends SparkSpecBase {
       !readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
       readSchema)
   }
+
+  test("q51 power-sum stats are ONE partial+final hash aggregate pass") {
+    val p = plan(graft.operators.Stats.q51Stats(spark, sf))
+    assert(p.contains("HashAggregate"), p.take(400))
+    assert(p.contains("partial_"), "no map-side partial power sums")
+    // all six sums come from a single scan — exactly one exchange
+    // between the partial and final aggregates
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(800)}")
+  }
+
+  test("q54 gap-fill plans without cartesians or nested loops") {
+    val p = plan(graft.operators.TimeSeries.q54GapFill(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(800))
+  }
+
+  test("q56 top-ngrams is partial agg + TakeOrdered, no global sort") {
+    val p = plan(graft.operators.TextOps.q56TopNgrams(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.contains("partial_"), "no map-side partial counts")
+  }
 }
