@@ -177,11 +177,49 @@ object TextOps {
       .withColumnRenamed("blk", "nation")
       .orderBy("nation", "id_a", "id_b")
 
+  /** Q59: TF-IDF top-k terms per document — the keyword-extraction /
+    * relevance-weighting primitive of every text pipeline. The idf is
+    * the integer-scaled rational `(N·10000) div df` instead of the
+    * textbook `ln(N/df)`: monotone in the same quantity, but exactly
+    * representable in BIGINT on both engines (IEEE `ln` is not
+    * guaranteed bit-identical across libm implementations, and D6 bans
+    * representation-sensitive outputs). A `logIdf` double variant is
+    * what production would use; the gated query uses the rational form.
+    *
+    * Scale: explode → two hash aggs (tf on (doc,term), df on term) →
+    * broadcast 1-row corpus count → per-doc window top-k. The df side
+    * shuffles (term, doc_id) pairs, never text; the window partitions
+    * by doc_id so no single reducer sees more than one document's
+    * terms. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * expr("(n_docs * 10000L) div df"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  def q59Tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31a_text_lang" -> (q31Lang _),
     "q31b_text_tokens" -> (q31Tokens _),
     "q56_top_ngrams" -> (q56TopNgrams _),
     "q57_fuzzy_match" -> (q57FuzzyMatch _),
+    "q59_tfidf" -> (q59Tfidf _),
     "q32_dedup_exact" -> (q32DedupExact _),
     "q32b_dedup_rows" -> (q32bDedupRows _),
     "tx1_token_count" -> (tx1TokenCount _),
@@ -234,6 +272,29 @@ object TextOps {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY nation, id_a, id_b""".stripMargin,
+    // q59: tf/df/n_docs are exact integers; `//` is DuckDB's integer
+    // division (Spark `div`). (score, term) is unique per doc, so the
+    // row_number ranking is a total order (D1).
+    "q59_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM terms GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+        |          FROM terms GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf * ((n_docs * 10000) // df) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, CAST(score AS BIGINT) AS score,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q56_top_ngrams" ->
       """SELECT ng, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
         |  SELECT UNNEST(list_transform(range(1, len(w)),

@@ -37,4 +37,26 @@ class TextOpsSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"non-hash join:\n$plan")
   }
+
+  test("q59: tf-idf scores match a hand-computed golden") {
+    import spark.implicits._
+    // 4 docs; "rare" appears in 1 doc, "common" in all 4.
+    val docs = Seq(
+      (1L, "common rare rare"), (2L, "common common x"),
+      (3L, "common y y"), (4L, "common z")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // idf_scaled = (4*10000) div df: rare→40000, common→10000.
+    // doc 1: rare tf=2 → 80000; common tf=1 → 10000.
+    assert(out.take(2).toSeq == Seq(
+      (1L, "rare", 80000L, 1L), (1L, "common", 10000L, 2L)))
+    // every doc emits at most k rows, ranks start at 1
+    val perDoc = out.groupBy(_._1)
+    assert(perDoc.values.forall(rs =>
+      rs.length <= 2 && rs.map(_._4).sorted.sameElements(1L to rs.length)))
+    // doc 2: common tf=2 → 20000 beats x (tf=1, df=1 → 40000)? No:
+    // x scores 40000 > common 20000 — rarity wins, pinning the formula.
+    assert(out.filter(_._1 == 2L).head._2 == "x")
+  }
 }

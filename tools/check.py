@@ -25,6 +25,11 @@ for _q in filter(None, _os.environ.get("CHECK_SKIP", "").split(",")):
     if _q in oracle:
         print(f"SKIPPED  {_q} (CHECK_SKIP)")
         del oracle[_q]
+# CHECK_ONLY=q59_tfidf,... — builder-side iteration filter (pairs with
+# Verify's GRAFT_VERIFY_ONLY); the driver never sets it.
+_only = set(filter(None, _os.environ.get("CHECK_ONLY", "").split(",")))
+if _only:
+    oracle = {k: v for k, v in oracle.items() if k in _only}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
