@@ -588,6 +588,29 @@ object Relational {
     spark.sql(existsInSql)
   }
 
+  /** Q60 LATERAL join — top-N-per-group spelled as a correlated lateral
+    * subquery (the "for each row, run this parameterized query" SQL
+    * idiom). Catalyst DECORRELATES it: the per-row ORDER BY/LIMIT is
+    * rewritten into a window-rank over a hash join, so the plan that
+    * executes is the same shuffle-once top-N a hand-written
+    * row_number() query gets — no per-row subquery execution, no
+    * nested loop. RelationalSpec pins that. Same SQL text runs on
+    * DuckDB (which streams the lateral); WHAT matches, HOW is each
+    * engine's choice. */
+  private val lateralSql =
+    """SELECT c.c_custkey, o.o_orderkey, o.price
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      |         FROM orders WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
+  def q60Lateral(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "customer").createOrReplaceTempView("customer")
+    load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(lateralSql)
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -639,6 +662,7 @@ object Relational {
     "q50_bag_setops" -> (q50BagSetOps _),
     "q52_unpivot" -> (q52Unpivot _),
     "q53_exists_in" -> (q53ExistsIn _),
+    "q60_lateral" -> (q60Lateral _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -900,5 +924,6 @@ object Relational {
         |FROM wide
         |ORDER BY l_returnflag, metric""".stripMargin,
     "q53_exists_in" -> existsInSql,
+    "q60_lateral" -> lateralSql,
   )
 }

@@ -104,6 +104,15 @@ class RelationalSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("q60: LATERAL top-N decorrelates to a window over a hash join, " +
+      "no per-row subquery execution") {
+    val plan = Relational.q60Lateral(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("row_number"), s"no window rewrite:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+  }
+
   test("q42b: approx percentiles stay within 2% of the exact q42 values") {
     def byFlag(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) ->
