@@ -444,6 +444,29 @@ object Relational {
         percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
       .orderBy("l_returnflag")
 
+  /** Q61 discrete percentiles — `percentile_disc` (SQL-standard WITHIN
+    * GROUP form): the smallest input value whose cume_dist ≥ p. Unlike
+    * continuous Q42 there is NO interpolation arithmetic — the result
+    * is an actual data value, so cross-engine equality is exact by
+    * construction (DuckDB's `quantile_disc` implements the same
+    * definition; verified empirically at every fraction). Same scale
+    * caveat as Q42 (per-group value buffer) with the same q42b escape
+    * hatch. */
+  def q61PercentileDisc(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("pd10_qty"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("pd50_qty"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("pd90_qty"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("pd50_price"))
+      .orderBy("l_returnflag")
+
   /** Q42b approximate percentiles — the 100×-safe runnable path. Exact
     * `percentile` buffers every value of a group on one executor (OOM
     * risk on a hot group at 100×); `approx_percentile` is Spark's
@@ -652,6 +675,7 @@ object Relational {
     "q41_bitwise_fns" -> (q41BitwiseFns _),
     "q42_percentile" -> (q42Percentile _),
     "q42b_percentile_approx" -> (q42bPercentileApprox _),
+    "q61_percentile_disc" -> (q61PercentileDisc _),
     "q43_avg" -> (q43Avg _),
     "q44_full_outer" -> (q44FullOuter _),
     "q45_cross_join" -> (q45CrossJoin _),
@@ -860,6 +884,14 @@ object Relational {
         |  quantile_cont(l_quantity, 0.5) AS med_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q61_percentile_disc" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  quantile_disc(l_quantity, 0.1) AS pd10_qty,
+        |  quantile_disc(l_quantity, 0.5) AS pd50_qty,
+        |  quantile_disc(l_quantity, 0.9) AS pd90_qty,
+        |  quantile_disc(l_extendedprice, 0.5) AS pd50_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q43_avg" ->

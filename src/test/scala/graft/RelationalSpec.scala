@@ -113,6 +113,17 @@ class RelationalSpec extends SparkSpecBase {
       !plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
   }
 
+  test("q61: discrete percentiles are actual data values (no " +
+      "interpolation), ordered by fraction") {
+    val vals = graft.Tables.load(spark, sf, "lineitem").select("l_quantity")
+      .distinct().collect().map(_.getDouble(0)).toSet
+    Relational.q61PercentileDisc(spark, sf).collect().foreach { r =>
+      val (p10, p50, p90) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(Seq(p10, p50, p90).forall(vals.contains), s"interpolated: $r")
+      assert(p10 <= p50 && p50 <= p90)
+    }
+  }
+
   test("q42b: approx percentiles stay within 2% of the exact q42 values") {
     def byFlag(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) ->
