@@ -41,7 +41,13 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // SPARK_GRAFT_ONLY=q57_fuzzy_match,q33c_… restricts the run (local
+    // iteration aid; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = picked.map {
       case (name, fn) =>
         // Adaptive min-of-N: cross-query JVM degradation (GC pressure,
         // codegen-cache churn) can poison a single measurement by 10×+.
@@ -58,14 +64,18 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The graded artifact must survive tail truncation of captured stdout
-    // (BENCH_r02.json lost its tail): persist the full line to a file the
-    // driver/judge can read whole, THEN stop Spark (whose shutdown may
-    // still log), and print the JSON as the very last stdout line.
+    // The graded artifact must survive BOTH head and tail truncation of
+    // captured stdout (BENCH_r02 lost its tail; r03's capture cut the
+    // single line): print the full JSON as the FIRST stdout line, then
+    // one small self-contained line per query so a tail capture still
+    // parses, and persist the whole line durably to BENCH_LATEST.json.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
       (json + "\n").getBytes("UTF-8"))
-    spark.stop()
     println(json)
+    results.foreach { case (k, v) =>
+      println(s"""{"query":"$k","sec":$v}""")
+    }
     System.out.flush()
+    spark.stop()
   }
 }

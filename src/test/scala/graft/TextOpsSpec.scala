@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables.load
 import graft.operators.TextOps
 
-/** Text operators: the fuzzy-match length banding must be lossless
-  * (≡ the naive theta join) and must plan as a hash join. */
+/** Text operators: the fuzzy-match segment blocking must be lossless
+  * (≡ the naive theta join, including under indels that shift
+  * alignment), must plan as a hash join, and must actually prune
+  * candidates on realistic variable name data. */
 class TextOpsSpec extends SparkSpecBase {
 
-  test("q57: length-banded fuzzy match ≡ naive theta join (lossless)") {
+  test("q57: segment-blocked fuzzy match ≡ naive theta join (lossless)") {
     val cust = load(spark, sf, "customer")
     val banded = TextOps.fuzzyMatchPairs(cust, "c_nationkey", "c_custkey",
         "c_name").collect()
@@ -31,11 +33,75 @@ class TextOpsSpec extends SparkSpecBase {
     assert(banded.nonEmpty) // fixture names do produce close pairs
   }
 
-  test("q57: candidate generation is a hash join on (block, band)") {
+  test("q57: candidate generation is a hash join on (blk, l, seg)") {
     val plan = TextOps.q57FuzzyMatch(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"non-hash join:\n$plan")
+  }
+
+  test("q57: lossless under indels that shift segment alignment") {
+    import spark.implicits._
+    // Adversarial set: pure shifts (delete front + append back), nested
+    // indels, substitutions at segment boundaries, length-varied rows.
+    val rows = Seq(
+      (1L, 1L, "abcdefghij"), (1L, 2L, "bcdefghijk"), // shift by 1
+      (1L, 3L, "cdefghijkl"),                         // shift by 2 vs id 1
+      (1L, 4L, "abXdefghij"), (1L, 5L, "abcdefgh"),   // sub, shorter
+      (1L, 6L, "xxabcdefghij"), (1L, 7L, "abcdefghijyy"),
+      (2L, 8L, "abcdefghij"), (2L, 9L, "zzzzzzzzzz"),
+      (2L, 10L, "ab"), (2L, 11L, "ba"), (2L, 12L, "a")
+    ).toDF("blk0", "id0", "nm")
+    val got = TextOps.fuzzyMatchPairs(rows, "blk0", "id0", "nm", maxDist = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val naive = rows.as[(Long, Long, String)].collect()
+    val want = (for {
+      (b1, i1, n1) <- naive; (b2, i2, n2) <- naive
+      if b1 == b2 && i1 < i2
+      d = levenshteinRef(n1, n2) if d <= 2
+    } yield (i1, i2, d.toLong)).toSet
+    assert(got == want)
+    assert(want.exists(_._3 == 2)) // shifts at the full distance covered
+  }
+
+  test("q57: segment join prunes candidates on diverse name data") {
+    import spark.implicits._
+    // Realistic variable-length diverse-prefix names: candidate pairs
+    // must be far fewer than within-block pairs (the whole point of
+    // blocking — VERDICT r3 item 1).
+    val rng = new scala.util.Random(7)
+    val surnames = Seq("smith", "jones", "garcia", "mueller", "tanaka",
+      "okafor", "silva", "kowalski", "nguyen", "rossi")
+    val rows = (1 to 400).map { i =>
+      val base = surnames(rng.nextInt(surnames.length))
+      val suffix = rng.alphanumeric.take(rng.nextInt(6)).mkString
+      (1L, i.toLong, base + suffix)
+    }.toDF("blk0", "id0", "nm")
+    val cand = TextOps.fuzzyMatchCandidates(rows, "blk0", "id0", "nm", 2)
+      .select("id_a", "id_b").distinct().count()
+    val allPairs = 400L * 399 / 2
+    assert(cand < allPairs / 4,
+      s"segment blocking pruned nothing: $cand of $allPairs pairs")
+    // and it is still lossless on this fixture
+    val got = TextOps.fuzzyMatchPairs(rows, "blk0", "id0", "nm", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val naive = rows.as[(Long, Long, String)].collect()
+    val want = (for {
+      (_, i1, n1) <- naive; (_, i2, n2) <- naive
+      if i1 < i2 && levenshteinRef(n1, n2) <= 2
+    } yield (i1, i2)).toSet
+    assert(got == want)
+  }
+
+  /** Textbook DP reference, independent of both engines. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
   }
 
   test("q59: tf-idf scores match a hand-computed golden") {
