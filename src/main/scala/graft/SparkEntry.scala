@@ -33,5 +33,5 @@ object SparkEntry {
     Relational.oracle ++ SemiStructured.oracle ++ TextOps.oracle ++
       Exemplars.oracle ++ AsofJoin.oracle ++ RangeJoin.oracle ++
       Dedup.oracle ++ Sampling.oracle ++ Similarity.oracle ++
-      Stats.oracle ++ TimeSeries.oracle
+      Stats.oracle ++ TimeSeries.oracle ++ Multimodal.oracle
 }

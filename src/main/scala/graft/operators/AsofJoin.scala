@@ -55,20 +55,26 @@ object AsofJoin {
     carried.filter(col("__side") === 1).drop("__side")
   }
 
-  /** Hot-key-safe as-of join: identical semantics to `asofJoin`, but the
-    * single per-key window is split into per-(key, time-bucket) windows,
-    * so a celebrity key's rows spread across as many reducers as it has
-    * buckets instead of serializing one sorting reducer (the round-2
-    * verdict's one remaining as-of scale risk).
+  /** Hot-key-safe as-of join: identical semantics to `asofJoin` —
+    * including per-column `last(…, ignoreNulls)` forward-fill when right
+    * value columns contain nulls (round-3 advice: the packed-struct
+    * carry diverged there) — but the single per-key window is split into
+    * per-(key, time-bucket) windows, so a celebrity key's rows spread
+    * across as many reducers as it has buckets instead of serializing
+    * one sorting reducer (the round-2 verdict's one remaining as-of
+    * scale risk).
     *
     * Mechanics: each bucket's window sees (1) the rights inside the
-    * bucket and (2) one synthetic "carry-in" row holding the latest
-    * right value from any STRICTLY earlier bucket — computed by first
-    * collapsing rights to one latest-value row per (key, bucket)
-    * (map-side combinable aggregate), then running the plain as-of at
-    * BUCKET granularity (strict variant), whose per-key partition is
-    * bounded by the bucket count, not the row count. Three slim
-    * shuffles over key/bucket tuples replace one unbounded per-key sort.
+    * bucket and (2) one synthetic "carry-in" row holding, PER VALUE
+    * COLUMN, the latest non-null right value from any STRICTLY earlier
+    * bucket — computed by first collapsing rights to one row per
+    * (key, bucket) with a conditional `max(struct(ts, v))` per column
+    * (max skips nulls, so each column independently remembers its own
+    * latest non-null value; map-side combinable), then running the
+    * plain as-of at BUCKET granularity (strict variant, itself
+    * per-column ignoreNulls), whose per-key partition is bounded by the
+    * bucket count, not the row count. Three slim shuffles over
+    * key/bucket tuples replace one unbounded per-key sort.
     *
     * `bucket` maps the ts column to a bucket id (e.g.
     * `date_trunc("week", _)` or `floor(_ / 3600)`); any granularity is
@@ -77,47 +83,51 @@ object AsofJoin {
   def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
       ts: String, valueCols: Seq[String],
       bucket: Column => Column): DataFrame = {
-    val vpack = struct(valueCols.map(col): _*)
     val l = left.withColumn("__b", bucket(col(ts)))
     val r = right.select((Seq(key, ts).map(col) ++ valueCols.map(col)): _*)
       .withColumn("__b", bucket(col(ts)))
-      .withColumn("__v", vpack)
-    // Latest right value per (key, bucket): max over (ts, value) structs
-    // is exact under the unique-(key, ts) contract and partial-combines
-    // map-side, so the shuffle moves one slim row per (key, bucket).
+    // Latest NON-NULL value per column per (key, bucket): conditional
+    // max over (ts, value) structs — exact under the unique-(key, ts)
+    // contract, partial-combines map-side, one slim row per (key,
+    // bucket) on the shuffle. Per-column (not one packed struct): a
+    // right row with a null in one column must not erase another
+    // column's carried value.
+    val aggs = valueCols.map(v =>
+      max(when(col(v).isNotNull, struct(col(ts).as("t"), col(v).as("v"))))
+        .as(s"__m_$v"))
     val perBucket = r
       .groupBy(col(key), col("__b"))
-      .agg(max(struct(col(ts).as("t"), col("__v").as("v"))).as("m"))
-      .select(col(key), col("__b"), col("m.v").as("__cv"))
-    // Carry-in for every bucket the LEFT actually has: the latest right
-    // value from a strictly earlier bucket — the plain as-of join run at
-    // bucket granularity (≤ #buckets rows per key, bounded by design).
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: col("__b") +:
+        valueCols.map(v => col(s"__m_$v").getField("v").as(s"__c_$v")): _*)
+    // Carry-in for every bucket the LEFT actually has: per column, the
+    // latest non-null right value from a strictly earlier bucket — the
+    // plain as-of join run at bucket granularity (≤ #buckets rows per
+    // key, bounded by design; itself per-column ignoreNulls).
     val leftBuckets = l.select(col(key), col("__b")).distinct()
-    val carryIn = asofJoin(
-      leftBuckets,
-      perBucket.withColumnRenamed("__cv", "__carry"),
-      key, "__b", Seq("__carry"), strict = true)
-      .filter(col("__carry").isNotNull)
-      .withColumn("__v", col("__carry")).drop("__carry")
+    val carryIn = asofJoin(leftBuckets, perBucket,
+      key, "__b", valueCols.map(v => s"__c_$v"), strict = true)
     // Window within (key, bucket): carry-in rows (null ts) sort first,
     // then rights-before-lefts at equal ts — same `<=` semantics as the
     // plain form, but no partition ever exceeds one bucket of one key.
-    val lu = l.withColumn("__v", lit(null).cast(perBucket.schema("__cv")
-        .dataType)).withColumn("__side", lit(1))
-    val ru = r.withColumn("__side", lit(0))
+    // Working columns __c_<v>: rights contribute their own values,
+    // lefts nulls; each column forward-fills independently.
+    val ru = valueCols.foldLeft(r) { case (df, v) =>
+      df.withColumn(s"__c_$v", col(v))
+    }.drop(valueCols: _*).withColumn("__side", lit(0))
     val cu = carryIn.withColumn("__side", lit(0))
+    val lu = l.withColumn("__side", lit(1))
     val unioned = lu.unionByName(ru, allowMissingColumns = true)
       .unionByName(cu, allowMissingColumns = true)
     val w = Window.partitionBy(col(key), col("__b"))
       .orderBy(col(ts).asc_nulls_first, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
-    valueCols.foldLeft(carried) { case (df, v) =>
-        df.withColumn(v, col("__v").getField(v))
-      }
+    val carried = valueCols.foldLeft(unioned) { case (df, v) =>
+      df.withColumn(v, last(col(s"__c_$v"), ignoreNulls = true).over(w))
+    }
+    carried
       .filter(col("__side") === 1)
-      .drop("__side", "__b", "__v")
+      .drop(Seq("__side", "__b") ++ valueCols.map(v => s"__c_$v"): _*)
   }
 
   /** Q37: each event joined to the latest order of the same customer at

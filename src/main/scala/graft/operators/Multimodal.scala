@@ -135,9 +135,46 @@ object Multimodal {
     sampleFrames(syntheticMediaTable(spark, dir))
       .orderBy("media_id", "frame_no")
 
+  /** qm4 — ORACLE-GATED byte-level media facts (round-3 verdict item 6):
+    * the codec is a stub, but payload length, md5 digest, and the typed
+    * metadata are engine-checkable facts, so the whole media plumbing
+    * (synthetic table build, payload projection, metadata typing) sits
+    * under the hard DuckDB gate even while decode is fake. */
+  def qm4MediaDigest(spark: SparkSession, dir: String): DataFrame =
+    syntheticMediaTable(spark, dir).toDF()
+      .select(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        col("width").cast("long").as("width"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_frames").cast("long").as("n_frames"))
+      .orderBy("media_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm1_media_features" -> (qm1Features _),
     "qm2_media_metadata" -> (qm2MetadataStats _),
     "qm3_media_frames" -> (qm3FrameSample _),
+    "qm4_media_digest" -> (qm4MediaDigest _),
+  )
+
+  /** qm4 oracle: payload bytes ARE the document's UTF-8 text, so DuckDB
+    * reproduces every column from `documents` — md5 over the same bytes
+    * (DuckDB md5(VARCHAR) hashes UTF-8), octet_length over text::BLOB,
+    * and the metadata formulas inlined. qm1/qm3 stay impl-only (stub
+    * codec outputs have no SQL equivalent). */
+  val oracle: Map[String, String] = Map(
+    "qm4_media_digest" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS BIGINT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 2
+        |       THEN octet_length(CAST(text AS BLOB)) // 32
+        |       ELSE 1 END AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

@@ -87,6 +87,35 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(plain.size == 20100)
   }
 
+  test("bucketed ≡ plain when right value columns contain NULLs " +
+      "(per-column forward-fill, advice r3)") {
+    // Two value columns where nulls alternate: a packed-struct carry
+    // would let a null in one column erase the other's carried value;
+    // per-column last(ignoreNulls) must survive both forms identically.
+    val left = spark.range(60)
+      .select(lit(1L).as("k"),
+        timestamp_seconds(lit(1700000000L) + col("id") * 50).as("ts"))
+    val right = spark.range(20)
+      .select(lit(1L).as("k"),
+        timestamp_seconds(lit(1700000000L) + col("id") * 137).as("ts"),
+        when(col("id") % 2 === 0, col("id") * 10).as("va"),
+        when(col("id") % 3 === 0, col("id") * 100).as("vb"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "ts", "va", "vb").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val plain = norm(AsofJoin.asofJoin(left, right, "k", "ts",
+      Seq("va", "vb")))
+    val bucketed = norm(AsofJoin.asofJoinBucketed(left, right, "k", "ts",
+      Seq("va", "vb"), b => floor(unix_timestamp(b) / 300)))
+    assert(bucketed == plain)
+    // the fixture actually exercises the divergence: some matched row
+    // carries va and vb from DIFFERENT right rows
+    assert(plain.exists { case (_, _, va, vb) =>
+      va >= 0 && vb >= 0 && va / 10 != vb / 100 })
+  }
+
   test("bucketed as-of: the main window partitions by (key, bucket), " +
       "so a hot key's sort spreads across buckets") {
     val left = spark.range(100).select(lit(1L).as("k"),

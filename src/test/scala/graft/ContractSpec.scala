@@ -30,6 +30,7 @@ class ContractSpec extends AnyFunSuite {
     "AsofJoin" -> operators.AsofJoin.oracle,
     "RangeJoin" -> operators.RangeJoin.oracle,
     "Dedup" -> operators.Dedup.oracle,
+    "Multimodal" -> operators.Multimodal.oracle,
     "Sampling" -> operators.Sampling.oracle,
     "Similarity" -> operators.Similarity.oracle,
     "Stats" -> operators.Stats.oracle,

@@ -139,4 +139,71 @@ class DedupSpec extends SparkSpecBase {
     // sanity: singletons label themselves; components labeled by min
     assert(got.forall { case (id, c) => c <= id })
   }
+
+  test("star contraction solves a 1000-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // Path graph 1..1000: diameter 999 — min-label propagation would
+    // need 999 rounds; star contraction must finish within maxIter=25
+    // (~log² n) and label everything with the minimum id 1.
+    val nodes = (1L to 1000L).toDF("id")
+    val edges = (1L until 1000L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponentsStar(nodes, edges, maxIter = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1000 && got.forall(_._2 == 1L))
+  }
+
+  test("star contraction ≡ min-label propagation on a multi-component graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val nodes = (1L to 200L).toDF("id")
+    // random sparse graph: ~150 edges over 200 nodes → several small
+    // components (shallow diameter — propagation converges fast)
+    val edges = Seq.fill(150) {
+      (rng.nextInt(200).toLong + 1, rng.nextInt(200).toLong + 1)
+    }.filter(e => e._1 != e._2).toDF("src", "dst")
+    val viaStar = Dedup.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp)
+  }
+
+  test("propagation REFUSES to return unconverged labels (advice r3)") {
+    import spark.implicits._
+    // diameter 40 chain > maxIter 5 × checkEvery... propagation covers
+    // maxIter rounds total; must throw, not return wrong labels.
+    val nodes = (1L to 40L).toDF("id")
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 5)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("decontaminate drops docs at the overlap threshold, keeps below") {
+    import spark.implicits._
+    // benchmark doc: 7 words → five 3-shingles {w1w2w3 … w5w6w7}
+    val bench = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
+    val docs = Seq(
+      // shares all 5 shingles (contains the full benchmark run) → drop
+      (1L, "x a b c d e f g y"),
+      // shares exactly 4 shingles (prefix 6 words) → keep (τ = 5)
+      (2L, "a b c d e f zz"),
+      // disjoint → keep
+      (3L, "p q r s t u v w"),
+      // shares exactly 5 → drop (boundary: >= τ)
+      (4L, "a b c d e f g")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(docs, bench, k = 3, minOverlap = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("exactPairs is memoized per (session, dir) and survives clearCache") {
+    val a = Dedup.exactPairs(spark, sf)
+    spark.catalog.clearCache() // bench hygiene between queries
+    val b = Dedup.exactPairs(spark, sf)
+    assert(a eq b) // same checkpointed plan — no recomputation
+    assert(b.count() > 0)
+  }
 }
