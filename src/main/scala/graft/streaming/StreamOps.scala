@@ -109,4 +109,41 @@ object StreamOps {
     val bucket = (unix_timestamp(col("ts")) / widthSeconds).cast("long")
     timestamp_seconds(bucket * widthSeconds)
   }
+
+  /** STREAM-STATIC AS-OF JOIN (round-3 verdict item 9): each streaming
+    * event picks up the latest static-dimension row with
+    * `right.ts <= event.ts` for its key — "join events to the snapshot
+    * in force at event time", continuously.
+    *
+    * Streaming windows can't sort across rows, so the batch union+window
+    * trick is out; instead the STATIC side is intervalized once with a
+    * batch window (`lead` gives each snapshot row its validity interval
+    * [ts, next_ts)), and the stream side becomes a STATELESS
+    * stream-static left join on key + interval containment — exactly one
+    * static match per event by construction, so no aggregation, no
+    * streaming state, no watermark requirement. Semantics match
+    * `AsofJoin.asofJoin` (inclusive `<=`, left rows preserved) — pinned
+    * batch≡stream in StreamingSpec.
+    *
+    * 100 TB notes: the interval table is computed per micro-batch unless
+    * materialized — persist it (or write it to a table refreshed on
+    * dimension change). The join is a plain equi-join on the key with a
+    * range residual: broadcastable when the dimension is small, shuffle
+    * otherwise; per-event output is exactly one row either way. */
+  def asofJoinStreamStatic(stream: DataFrame, right: DataFrame,
+      key: String, ts: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(ts).asc)
+    val intervals = right
+      .select((Seq(key, ts).map(col) ++ valueCols.map(col)): _*)
+      .withColumn("__until", lead(col(ts), 1).over(w))
+      .withColumnRenamed(key, "__rk")
+      .withColumnRenamed(ts, "__from")
+    stream.join(intervals,
+      stream(key) === intervals("__rk") &&
+        stream(ts) >= intervals("__from") &&
+        (intervals("__until").isNull || stream(ts) < intervals("__until")),
+      "left")
+      .drop("__rk", "__from", "__until")
+  }
 }

@@ -124,6 +124,29 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("q61: percentile_disc pins the cume_dist definition on DISTINCT " +
+      "values at boundary fractions (advice r3)") {
+    import spark.implicits._
+    // l_quantity's repeated values could mask an off-by-one-position
+    // definition drift; 10 DISTINCT values make every position unique.
+    // Definition under test (SQL standard, = DuckDB quantile_disc):
+    // smallest value whose cume_dist >= p.
+    val df = (1 to 10).map(_ * 10).toDF("v")
+    val fractions = Seq(
+      0.1 -> 10, 0.2 -> 20, 0.5 -> 50, 0.9 -> 90, 1.0 -> 100, // p*n integer
+      0.05 -> 10, 0.15 -> 20, 0.55 -> 60, 0.91 -> 100)        // between
+    val aggs = fractions.zipWithIndex.map { case ((p, _), i) =>
+      org.apache.spark.sql.functions
+        .expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)")
+        .cast("int").as(s"p$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    fractions.zipWithIndex.foreach { case ((p, want), i) =>
+      assert(row.getInt(i) == want,
+        s"percentile_disc($p) = ${row.getInt(i)}, want $want")
+    }
+  }
+
   test("q42b: approx percentiles stay within 2% of the exact q42 values") {
     def byFlag(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) ->

@@ -267,6 +267,38 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream-static as-of join ≡ batch as-of join (verdict r4 item 9)") {
+    // Events stream against a static dimension-snapshot table; every
+    // event must carry the latest snapshot value at-or-before its ts —
+    // same rows as the batch AsofJoin on identical inputs, including
+    // events BEFORE any snapshot (null) and exactly-at-snapshot ties.
+    val dim = Seq(
+      (1L, ts(10), "v10"), (1L, ts(30), "v30"), (2L, ts(20), "w20"))
+      .toDF("user_id", "ts", "sval")
+    val events = Seq(
+      Ev(ts(5), "a", 1.0, 1),  // before any snapshot → null
+      Ev(ts(10), "b", 2.0, 1), // tie: inclusive <= → v10
+      Ev(ts(25), "c", 3.0, 1), // between → v10
+      Ev(ts(45), "d", 4.0, 1), // after last → v30
+      Ev(ts(25), "e", 5.0, 2), // other key → w20
+      Ev(ts(15), "f", 6.0, 3)) // key with no snapshots → null
+    val input = MemoryStream[Ev](spark)
+    input.addData(events: _*)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "user_id", "sval").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) "-" else r.getString(2))).toSet
+    val streamed = norm(runAvailableNow(
+      StreamOps.asofJoinStreamStatic(input.toDF(), dim,
+        "user_id", "ts", Seq("sval")), "asof_ss"))
+    val batch = norm(graft.operators.AsofJoin.asofJoin(
+      events.toDF(), dim, "user_id", "ts", Seq("sval")))
+    assert(streamed == batch)
+    assert(streamed == Set(("a", 1L, "-"), ("b", 1L, "v10"),
+      ("c", 1L, "v10"), ("d", 1L, "v30"), ("e", 2L, "w20"),
+      ("f", 3L, "-")))
+  }
+
   test("foreachBatch sink: at-least-once flush-then-commit (K9 parity)") {
     val input = MemoryStream[Ev](spark)
     input.addData(Ev(ts(1), "a", 1.0, 1), Ev(ts(2), "b", 2.0, 2))
