@@ -47,6 +47,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val tSuite0 = System.nanoTime()
     val results = picked.map {
       case (name, fn) =>
         // Adaptive min-of-N: cross-query JVM degradation (GC pressure,
@@ -62,8 +63,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // `value` sums adaptive min-of-N per-query times (intrinsic plan
+    // cost); `wall` is the whole suite's elapsed wall-clock including
+    // re-runs and the one-time cost of cross-query memoized subtrees
+    // (Dedup.exactPairs/lshPairs) that min-of-N would otherwise hide.
+    val wall = (System.nanoTime() - tSuite0) / 1e9
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","wall":$wall,"queries":$qs,"sf":"$sfDir"}"""
     // The graded artifact must survive BOTH head and tail truncation of
     // captured stdout (BENCH_r02 lost its tail; r03's capture cut the
     // single line): print the full JSON as the FIRST stdout line, then

@@ -532,9 +532,18 @@ object Dedup {
         dfCap = Int.MaxValue)
         .localCheckpoint(true))
 
+  /** Same memoization for the LSH pair set shared by q33a/q33e (the
+    * survivor query is the pair set plus one anti-join). */
+  private val lshPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def lshPairs(spark: SparkSession, dir: String): DataFrame =
+    lshPairsCache.getOrElseUpdate((spark, dir),
+      minhashPairs(docsWithNearDups(load(spark, dir, "documents")))
+        .localCheckpoint(true))
+
   def q33aMinhash(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(docsWithNearDups(load(spark, dir, "documents")))
-      .orderBy("doc_a", "doc_b")
+    lshPairs(spark, dir).orderBy("doc_a", "doc_b")
 
   def q33bSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(docsWithNearDups(load(spark, dir, "documents")))
@@ -550,7 +559,8 @@ object Dedup {
 
   /** Survivor set of the near-dup REMOVAL operator. */
   def q33eDedupSurvivors(spark: SparkSession, dir: String): DataFrame =
-    dropNearDuplicates(docsWithNearDups(load(spark, dir, "documents")))
+    dropPairLosers(docsWithNearDups(load(spark, dir, "documents")),
+      lshPairs(spark, dir))
       .select("doc_id").orderBy("doc_id")
 
   /** Survivor set of the EXACT near-dup removal (oracle-gated). */
@@ -579,6 +589,44 @@ object Dedup {
         .select("doc_id", "text"))
       .select("doc_id").orderBy("doc_id")
 
+  /** Q63: the END-TO-END pretraining data-prep pipeline as ONE query —
+    * the composition every LLM corpus actually runs, each stage the
+    * exact (oracle-expressible) variant of an operator above:
+    *
+    *   1. quality filter  — keep docs with ≥ 40 whitespace words
+    *      (tx2's metric as a predicate);
+    *   2. exact dedup     — keep the minimum doc_id per identical text
+    *      (hash-first form, Q32);
+    *   3. near-dedup      — greedy keep-lowest-id removal over the
+    *      exact n-gram-Jaccard pair set OF THE SURVIVING CORPUS (q33f's
+    *      operator re-run on stage-2 output, not the memoized full-
+    *      corpus set — removal semantics are corpus-relative);
+    *   4. decontaminate   — drop docs overlapping the benchmark slice
+    *      (q62's operator).
+    *
+    * Output: surviving doc_ids. Deterministic end to end, so the whole
+    * chain sits under ONE DuckDB oracle (a CTE per stage) — the
+    * composition itself is what's being verified: stage order changes
+    * the answer, and a hash mismatch pinpoints drift anywhere in the
+    * chain. Scale: each stage is the already-audited plan (projection
+    * filter → hash agg → postings join + anti-join → broadcast
+    * semi-join), composed lazily into one DAG. */
+  def q63Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithNearDups(load(spark, dir, "documents"))
+    val filtered = corpus
+      .filter(size(split(col("text"), " ")) >= 40)
+    val exactKept = filtered
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "text")
+    // uncapped df, like exactPairs: the oracle has no df cap (ADVICE r3)
+    val nearKept = dropPairLosers(exactKept,
+      ngramJaccardPairs(exactKept, dfCap = Int.MaxValue))
+    val bench = load(spark, dir, "documents")
+      .filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+    decontaminate(nearKept, bench)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** q33a/b/d/e are implementation-only (LSH candidate generation is
     * algorithmic — recall < 1 by design, so no SQL oracle can equal it).
     * q33c IS exact, so it is hash-gated against a DuckDB list-function
@@ -592,6 +640,7 @@ object Dedup {
     "q33f_dedup_survivors_exact" -> (q33fDedupSurvivorsExact _),
     "q33g_dedup_components" -> (q33gDedupComponents _),
     "q62_decontaminate" -> (q62Decontaminate _),
+    "q63_pipeline" -> (q63Pipeline _),
   )
 
   /** DuckDB oracle for the EXACT jaccard query: same shingling (word
@@ -697,6 +746,57 @@ object Dedup {
         |  SELECT doc_id FROM ex JOIN bench USING (g)
         |  GROUP BY doc_id HAVING COUNT(*) >= 5)
         |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+    // q63: the four-stage pipeline, one CTE per stage — quality filter,
+    // exact dedup (MIN id per text), near-dedup removal over the exact
+    // pair set of the SURVIVING corpus, decontamination vs the
+    // benchmark slice.
+    "q63_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split(text, ' ')[1:greatest(
+        |      len(string_split(text, ' ')) - 3, 1)], ' ')
+        |  FROM documents),
+        |filtered AS (
+        |  SELECT doc_id, text FROM corpus
+        |  WHERE len(string_split(text, ' ')) >= 40),
+        |exact_kept AS (
+        |  SELECT MIN(doc_id) AS doc_id, text FROM filtered GROUP BY text),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM exact_kept),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |      AS DOUBLE) >= 0.5),
+        |near_kept AS (
+        |  SELECT doc_id, text FROM exact_kept
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM (
+        |    SELECT list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |    FROM documents WHERE doc_id % 17 = 0)),
+        |nsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM near_kept),
+        |nex AS (SELECT doc_id, unnest(s) AS g FROM nsh),
+        |contaminated AS (
+        |  SELECT doc_id FROM nex JOIN bsh USING (g)
+        |  GROUP BY doc_id HAVING COUNT(*) >= 5)
+        |SELECT doc_id FROM near_kept
         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin,
   )

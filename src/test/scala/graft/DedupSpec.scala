@@ -199,6 +199,23 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Set(2L, 3L))
   }
 
+  test("q63 pipeline: every stage only removes rows; survivors respect " +
+      "all four stage predicates") {
+    val corpus = Dedup.docsWithNearDups(load(spark, sf, "documents"))
+    val survivors = Dedup.q63Pipeline(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty)
+    // stage containment: survivors ⊆ quality-filtered corpus ids
+    val quality = corpus
+      .filter(size(split(col("text"), " ")) >= 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(quality))
+    // exact-dedup property: no two survivors share identical text
+    val texts = corpus.filter(col("doc_id").isin(survivors.toSeq: _*))
+      .select("text").collect().map(_.getString(0))
+    assert(texts.length == texts.distinct.length)
+  }
+
   test("exactPairs is memoized per (session, dir) and survives clearCache") {
     val a = Dedup.exactPairs(spark, sf)
     spark.catalog.clearCache() // bench hygiene between queries
