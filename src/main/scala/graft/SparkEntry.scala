@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Exemplars
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Relational, Sampling, SemiStructured, Similarity, Stats, TextOps, TimeSeries}
+import graft.operators.{AsofJoin, CorpusPrep, Dedup, Multimodal, RangeJoin, Relational, Sampling, SemiStructured, Similarity, Stats, TextOps, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
     Relational.queries ++ SemiStructured.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Exemplars.queries ++
       Multimodal.queries ++ AsofJoin.queries ++ RangeJoin.queries ++
-      Sampling.queries ++ Stats.queries ++ TimeSeries.queries
+      Sampling.queries ++ Stats.queries ++ TimeSeries.queries ++
+      CorpusPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     Relational.oracle ++ SemiStructured.oracle ++ TextOps.oracle ++
       Exemplars.oracle ++ AsofJoin.oracle ++ RangeJoin.oracle ++
       Dedup.oracle ++ Sampling.oracle ++ Similarity.oracle ++
-      Stats.oracle ++ TimeSeries.oracle ++ Multimodal.oracle
+      Stats.oracle ++ TimeSeries.oracle ++ Multimodal.oracle ++
+      CorpusPrep.oracle
 }

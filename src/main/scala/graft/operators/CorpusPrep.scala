@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables.load
+
+/** Corpus-preparation operators — the remaining per-document /
+  * per-corpus transforms a pretraining data pipeline runs between raw
+  * ingest and tokenization: text normalization, PII redaction,
+  * sequence (context-window) packing, repetition-based quality
+  * filtering, and stratified deterministic sampling.
+  *
+  * Scale notes: q64/q65/q67 are pure codegen'd projections (no
+  * shuffle, pushdown-friendly); q66 is one window pass per shard (the
+  * shard column bounds every reducer's state); q68 is a codegen'd
+  * filter like q46. Nothing here collects to the driver.
+  */
+object CorpusPrep {
+
+  // ---------------------------------------------------------------- q64
+
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * runs of spaces, trim. The character-class regexes behave
+    * identically under Java regex and RE2 (no lookaround, no
+    * backreferences), so the transform is engine-portable — which is
+    * the point: normalization output feeds exact dedup, and two
+    * engines disagreeing on one byte would silently break dedup keys.
+    * One codegen'd projection; at 100 TB this runs at scan speed. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Q64: normalization demo over a deterministically-derived messy
+    * input (the fixture corpus is already clean, so the query first
+    * up-cases and injects punctuation/padding — both engines construct
+    * the identical blob, then normalize it). */
+  def q64Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val messy = concat(lit("  "), upper(col("text")), lit(" !! "),
+      col("text"), lit("  "))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), normalizeText(messy).as("norm"))
+      .withColumn("n_chars", length(col("norm")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q65
+
+  /** PII redaction: replace emails, US-style SSNs, and phone numbers
+    * with typed placeholders. SSN before phone: the phone pattern's
+    * digit-group shape would otherwise eat the tail of an SSN.
+    * Patterns are RE2-safe (classes + bounded quantifiers only) for
+    * the same engine-portability reason as [[normalizeText]]. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PhoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        SsnRe, "[SSN]"),
+      PhoneRe, "[PHONE]")
+
+  /** Q65: redact a deterministically-constructed contact blob per
+    * customer (the fixture has no PII columns; both engines build the
+    * same blob). Emits the pre-redaction match count so the oracle
+    * also pins the DETECTORS, not just the replaced text. */
+  def q65PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val blob = concat(lit("contact "), col("c_name"), lit(" at user"),
+      col("c_custkey").cast("string"), lit("@example.com or +1-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" ssn 123-45-6789"))
+    load(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), blob.as("blob"))
+      .select(col("id"),
+        redactPii(col("blob")).as("redacted"),
+        (regexp_count(col("blob"), lit(EmailRe)) +
+          regexp_count(col("blob"), lit(SsnRe)) +
+          regexp_count(col("blob"), lit(PhoneRe))).cast(LongType)
+          .as("pii_found"))
+      .orderBy("id")
+  }
+
+  // ---------------------------------------------------------------- q66
+
+  /** Sequence packing — the GPT-style concat-and-chunk pack: per
+    * shard, documents are concatenated in id order and the token
+    * stream is cut every `window` tokens; a document belongs to the
+    * chunk its FIRST token lands in. Returns per-document (shard,
+    * chunk, start offset), from which per-chunk stats aggregate.
+    *
+    * Scale: one window pass partitioned by the shard column — the
+    * running sum is a streaming frame (no per-group buffering beyond
+    * the frame row), and shards are independent, so 100 TB packs as
+    * thousands of parallel shard streams. A GLOBAL pack (no shard
+    * column) would serialize the cumsum into one ordered pass —
+    * that is exactly why production packers shard first; the shard
+    * column here is the explicit knob. */
+  def packSequences(docs: DataFrame, shardCol: String, idCol: String,
+      tokensCol: Column, window: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
+      tokensCol.cast(LongType).as("tokens"))
+      .withColumn("start", sum(col("tokens")).over(w) - col("tokens"))
+      .withColumn("chunk", expr(s"start div $window"))
+  }
+
+  /** Q66: pack each source's documents into 512-token context windows;
+    * per-chunk doc/token counts and id range. */
+  def q66SeqPack(spark: SparkSession, dir: String): DataFrame =
+    packSequences(load(spark, dir, "documents"), "source", "doc_id",
+      size(split(col("text"), " ")), 512)
+      .groupBy(col("shard").as("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tok_sum"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .select(col("source"), col("chunk"), col("n_docs"), col("tok_sum"),
+        col("first_doc"), col("last_doc"))
+      .orderBy("source", "chunk")
+
+  // ---------------------------------------------------------------- q67
+
+  /** Repetition-based quality metrics (the Gopher-style repetition
+    * filters — Rae et al. 2021, public): duplicate-word and
+    * duplicate-bigram fractions per document, in exact basis points
+    * (integer div, D6), plus the keep/drop verdict at a 2000 bp
+    * bigram-repetition threshold. Pure per-row list expressions — no
+    * explode, no shuffle; at 100 TB this is scan-speed map work. */
+  def repetitionMetrics(docs: DataFrame, thresholdBp: Int = 2000)
+      : DataFrame = {
+    // Materialize the token array ONCE per row (a naive inline form
+    // re-evaluates split() inside every element_at of the bigram
+    // lambda — hundreds of splits per row; CollapseProject keeps the
+    // staged projection because `w` is non-cheap and multiply used).
+    // Bigrams via zip_with over two slices: one pass, no per-index
+    // element_at.
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= lit(2))
+      .withColumn("bg", zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_words"),
+        size(array_distinct(col("w"))).cast(LongType).as("d_words"),
+        size(col("bg")).cast(LongType).as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast(LongType).as("d_bigrams"))
+      .withColumn("dup_word_bp",
+        expr("((n_words - d_words) * 10000) div n_words"))
+      .withColumn("dup_bigram_bp",
+        expr("((n_bigrams - d_bigrams) * 10000) div n_bigrams"))
+      .withColumn("kept",
+        when(col("dup_bigram_bp") < thresholdBp, 1L).otherwise(0L))
+  }
+
+  def q67Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(load(spark, dir, "documents"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q68
+
+  /** Stratified deterministic sampling: per-stratum keep rates in
+    * 16ths over the same md5-nibble bucket as [[Sampling.md5Bucket]]
+    * — membership is a pure function of (key, stratum), so per-class
+    * rebalancing (downsample the dominant language, keep all of a
+    * rare one) is reproducible across runs, engines, and cluster
+    * sizes. Codegen'd filter, no shuffle, no state. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      sixteenths: Map[String, Int], default: Int): DataFrame = {
+    require((sixteenths.values ++ Seq(default)).forall(b => b >= 0 && b <= 16),
+      "rates are 0..16 sixteenths")
+    // 1-based position of the bucket nibble in the hex alphabet ==
+    // its numeric value + 1 (matches the oracle's strpos form).
+    val pos = conv(Sampling.md5Bucket(col(keyCol)), 16, 10)
+      .cast(LongType) + lit(1)
+    val rate = sixteenths.foldLeft(lit(default)) { case (acc, (s, b)) =>
+      when(col(strataCol) === s, lit(b)).otherwise(acc)
+    }
+    df.filter(pos <= rate)
+  }
+
+  /** Q68: language-stratified sample — halve English, keep less of the
+    * mid languages, nearly drop Chinese. */
+  def q68StratSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(load(spark, dir, "documents"), "lang", "doc_id",
+      Map("en" -> 8, "de" -> 4, "fr" -> 4, "es" -> 2, "zh" -> 1),
+      default = 0)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_normalize" -> (q64Normalize _),
+    "q65_pii_redact" -> (q65PiiRedact _),
+    "q66_seq_pack" -> (q66SeqPack _),
+    "q67_repetition" -> (q67Repetition _),
+    "q68_strat_sample" -> (q68StratSample _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // q64: same messy-blob construction, same normalization chain.
+    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+    // matches by default).
+    "q64_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    lower('  ' || upper(text) || ' !! ' || text || '  '),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm,
+        |  CAST(length(trim(regexp_replace(regexp_replace(
+        |    lower('  ' || upper(text) || ' !! ' || text || '  '),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q65: identical blob, identical three-stage redaction (email,
+    // ssn, phone — same order), identical detector counts.
+    "q65_pii_redact" ->
+      """WITH blobs AS (
+        |  SELECT c_custkey AS id,
+        |    'contact ' || c_name || ' at user' ||
+        |    CAST(c_custkey AS VARCHAR) || '@example.com or +1-555-' ||
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ssn 123-45-6789' AS blob
+        |  FROM customer)
+        |SELECT id,
+        |  regexp_replace(regexp_replace(regexp_replace(blob,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+        |    '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(blob,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) +
+        |    len(regexp_extract_all(blob, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) +
+        |    len(regexp_extract_all(blob, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+        |    AS BIGINT) AS pii_found
+        |FROM blobs ORDER BY id""".stripMargin,
+    // q66: running token sum per source in doc_id order; a doc's chunk
+    // is where its first token lands. `//` = Spark's `div`.
+    "q66_seq_pack" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS tokens
+        |  FROM documents),
+        |placed AS (
+        |  SELECT source, doc_id, tokens,
+        |    CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - tokens AS BIGINT) AS start
+        |  FROM toks)
+        |SELECT source, start // 512 AS chunk,
+        |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS tok_sum,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM placed GROUP BY source, start // 512
+        |ORDER BY source, chunk""".stripMargin,
+    // q67: list_distinct mirrors array_distinct; bigram construction
+    // mirrors q56's oracle form; integer-div basis points (D6).
+    "q67_repetition" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS d_words,
+        |    list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1]) AS bg
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2)
+        |SELECT doc_id, n_words, d_words,
+        |  len(bg) AS n_bigrams, len(list_distinct(bg)) AS d_bigrams,
+        |  ((n_words - d_words) * 10000) // n_words AS dup_word_bp,
+        |  ((len(bg) - len(list_distinct(bg))) * 10000) // len(bg)
+        |    AS dup_bigram_bp,
+        |  CAST(CASE WHEN ((len(bg) - len(list_distinct(bg))) * 10000)
+        |    // len(bg) < 2000 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // q68: same md5 nibble, same per-lang sixteenths. strpos(hay,
+    // needle) == Spark locate(needle, hay), both 1-based.
+    "q68_strat_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE strpos('0123456789abcdef',
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) <=
+        |  CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 4
+        |            WHEN 'es' THEN 2 WHEN 'zh' THEN 1 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -618,9 +618,20 @@ object Dedup {
     val exactKept = filtered
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "text")
-    // uncapped df, like exactPairs: the oracle has no df cap (ADVICE r3)
-    val nearKept = dropPairLosers(exactKept,
-      ngramJaccardPairs(exactKept, dfCap = Int.MaxValue))
+    // Reuse the memoized FULL-corpus pair set (uncapped, like the
+    // oracle) restricted to surviving ids: jaccard(a,b) depends only on
+    // the two docs' shingle sets, and uncapped candidate generation
+    // emits every pair sharing >=1 shingle, so pairs(S) for S c corpus
+    // == pairs(corpus) with both endpoints in S. Corpus-relative
+    // removal semantics are preserved (a pair whose lower id was
+    // already removed upstream no longer names a loser) while the ~8 s
+    // postings pipeline is not re-run per pipeline invocation.
+    val keptA = exactKept.select(col("doc_id").as("doc_a"))
+    val keptB = exactKept.select(col("doc_id").as("doc_b"))
+    val pairs = exactPairs(spark, dir)
+      .join(keptA, Seq("doc_a"), "left_semi")
+      .join(keptB, Seq("doc_b"), "left_semi")
+    val nearKept = dropPairLosers(exactKept, pairs)
     val bench = load(spark, dir, "documents")
       .filter(col("doc_id") % 17 === 0).select("doc_id", "text")
     decontaminate(nearKept, bench)

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.operators.{CorpusPrep, Sampling}
+
+/** Corpus-preparation operators (q64–q68): normalization, PII
+  * redaction, sequence packing, repetition filtering, stratified
+  * sampling. The hard gate is the DuckDB oracle; these specs pin the
+  * operator-level LAWS the oracle can't state (idempotence, detector
+  * exhaustiveness, packing conservation/capacity, rate exactness). */
+class CorpusPrepSpec extends SparkSpecBase {
+
+  test("q64 normalization is idempotent and produces only [a-z0-9 ]") {
+    val docs = load(spark, sf, "documents").limit(50)
+    val once = docs.select(col("doc_id"),
+      CorpusPrep.normalizeText(concat(lit(" A!b  "), col("text"))).as("n"))
+    val twice = once.select(col("doc_id"),
+      CorpusPrep.normalizeText(col("n")).as("n"))
+    assert(once.collect().toSet == twice.collect().toSet)
+    val bad = once.filter(col("n").rlike("[^a-z0-9 ]")).count()
+    assert(bad == 0L)
+    // no leading/trailing/double spaces survive
+    assert(once.filter(col("n").rlike("^ | $|  ")).count() == 0L)
+  }
+
+  test("q65 redaction leaves no detectable PII behind") {
+    val out = CorpusPrep.q65PiiRedact(spark, sf)
+    val residual = out.filter(
+      regexp_count(col("redacted"), lit(CorpusPrep.EmailRe)) +
+        regexp_count(col("redacted"), lit(CorpusPrep.SsnRe)) +
+        regexp_count(col("redacted"), lit(CorpusPrep.PhoneRe)) > 0)
+    assert(residual.count() == 0L)
+    // every row had all three PII kinds planted
+    assert(out.filter(col("pii_found") < 3).count() == 0L)
+    assert(out.filter(col("redacted").contains("[EMAIL]") &&
+      col("redacted").contains("[SSN]") &&
+      col("redacted").contains("[PHONE]")).count() == out.count())
+  }
+
+  test("q66 packing conserves docs/tokens, chunks are contiguous, and " +
+      "every chunk but a shard's last starts at full capacity") {
+    val docs = load(spark, sf, "documents")
+    val placed = CorpusPrep.packSequences(docs, "source", "doc_id",
+      size(split(col("text"), " ")), 512)
+    assert(placed.count() == docs.count())
+    val tokTotal = placed.agg(sum("tokens")).head.getLong(0)
+    val expected = docs
+      .select(size(split(col("text"), " ")).cast("long").as("t"))
+      .agg(sum(col("t"))).head.getLong(0)
+    assert(tokTotal == expected)
+    // a doc starting in chunk c implies every earlier chunk is full:
+    // start < (chunk+1)*512 and start >= chunk*512 by definition
+    assert(placed.filter(col("start") < col("chunk") * 512 ||
+      col("start") >= (col("chunk") + 1) * 512).count() == 0L)
+    // chunk ids per shard are 0..max with no holes
+    val perShard = placed.groupBy("shard")
+      .agg(countDistinct(col("chunk")).as("n"), max(col("chunk")).as("mx"))
+    assert(perShard.filter(col("n") =!= col("mx") + 1).count() == 0L)
+  }
+
+  test("q67 repetition metrics are within bounds and the planted " +
+      "pathological doc is dropped") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a b c d e f g h i j"),            // all-distinct bigrams
+      (2L, "x y x y x y x y x y x y")         // one bigram pair repeated
+    ).toDF("doc_id", "text")
+    val m = CorpusPrep.repetitionMetrics(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("dup_bigram_bp") == 0L)
+    assert(m(1L).getAs[Long]("kept") == 1L)
+    // 11 bigrams, 2 distinct ("x y" and "y x") → 9/11 dup ≈ 8181 bp
+    assert(m(2L).getAs[Long]("dup_bigram_bp") == 8181L)
+    assert(m(2L).getAs[Long]("kept") == 0L)
+    val corpus = CorpusPrep.q67Repetition(spark, sf)
+    assert(corpus.filter(col("dup_word_bp") < 0 ||
+      col("dup_word_bp") > 10000).count() == 0L)
+  }
+
+  test("q68 stratified sample: membership is exactly the per-stratum " +
+      "bucket predicate and rates order correctly") {
+    val docs = load(spark, sf, "documents")
+    val sampled = CorpusPrep.q68StratSample(spark, sf)
+    // en gets 8/16, zh gets 1/16: recompute membership independently
+    val expected = docs
+      .withColumn("b", Sampling.md5Bucket(col("doc_id")))
+      .withColumn("pos", conv(col("b"), 16, 10).cast("long") + 1)
+      .filter(col("pos") <= when(col("lang") === "en", 8)
+        .when(col("lang") === "de", 4).when(col("lang") === "fr", 4)
+        .when(col("lang") === "es", 2).when(col("lang") === "zh", 1)
+        .otherwise(0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // deterministic: a second run is identical
+    val again = CorpusPrep.q68StratSample(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+}
