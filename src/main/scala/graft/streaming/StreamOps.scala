@@ -146,4 +146,60 @@ object StreamOps {
       "left")
       .drop("__rk", "__from", "__until")
   }
+
+  /** STREAMING CORPUS PREP — the q63 chain as a continuous pipeline
+    * (documents arrive as a stream; the benchmark/eval corpus is a
+    * static table):
+    *
+    *   1. quality filter      — stateless projection filter;
+    *   2. repetition filter   — stateless (q67's duplicate-bigram
+    *      basis points, same zip_with-over-slices form);
+    *   3. exact dedup         — `dropDuplicatesWithinWatermark` on the
+    *      64-bit content hash: state is (hash → seen) bounded by the
+    *      watermark horizon, not corpus size — the property that makes
+    *      streaming dedup feasible at 100 TB (an unbounded
+    *      `dropDuplicates` would accrete every hash ever seen);
+    *   4. decontamination     — the static bench shingle set is
+    *      distinct-reduced, collapsed to ONE row (`collect_set`) and
+    *      broadcast, so the overlap count is a stateless per-row
+    *      `array_intersect` against the broadcast set — no stream-side
+    *      explode, no keyed aggregation state. Evals are MBs while
+    *      corpora are TBs, so the 1-row set stays broadcastable; if it
+    *      ever didn't, fall back to explode + stream-static semi-join
+    *      + windowed per-doc count.
+    *
+    * Near-dedup (stage 3.5 in batch) composes via
+    * [[nearDedupWithinWatermark]] upstream when wanted; it is kept out
+    * of the default chain because its simhash-key approximation is a
+    * different recall contract than the batch exact pair set.
+    * Batch≡stream equivalence is pinned in StreamingSpec. */
+  def corpusPrepStream(docs: DataFrame, bench: DataFrame,
+      minWords: Int = 40, maxDupBigramBp: Int = 8000, k: Int = 3,
+      minOverlap: Int = 5, watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Dedup.shingles
+    val benchSet = bench
+      .select(explode(transform(shingles(col("text"), k),
+        s => xxhash64(s))).as("sh"))
+      .distinct()
+      .agg(collect_set(col("sh")).as("__bench_sh"))
+    docs
+      .withColumn("__w", split(col("text"), " "))
+      .filter(size(col("__w")) >= minWords)
+      .withColumn("__bg", zip_with(
+        slice(col("__w"), lit(1), size(col("__w")) - 1),
+        slice(col("__w"), lit(2), size(col("__w")) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .filter((size(col("__bg")) - size(array_distinct(col("__bg"))))
+        * lit(10000) < lit(maxDupBigramBp) * size(col("__bg")))
+      .withColumn("__h", xxhash64(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("__h"))
+      .crossJoin(broadcast(benchSet))
+      // shingles() is already array_distinct per doc, so the intersect
+      // size IS the distinct-overlap count (same as Dedup.decontaminate)
+      .filter(size(array_intersect(
+        transform(shingles(col("text"), k), s => xxhash64(s)),
+        col("__bench_sh"))) < minOverlap)
+      .drop("__w", "__bg", "__h", "__bench_sh")
+  }
 }

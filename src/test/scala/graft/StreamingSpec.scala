@@ -226,6 +226,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.map(_.getString(1)).toSet.size == 2)
   }
 
+  test("streaming corpus prep: quality/repetition filters, watermarked " +
+      "exact dedup, and broadcast decontamination match the batch chain") {
+    val clean1 = "the quick brown fox jumps over the lazy dog tonight"
+    val clean2 = "one two three four five six seven eight nine ten"
+    val repetitive = "a b a b a b a b a b"           // 9 bigrams, 2 distinct
+    val contaminated = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      SDoc(ts(1), "too short doc"),                  // quality-dropped
+      SDoc(ts(2), repetitive),                       // repetition-dropped
+      SDoc(ts(3), clean1),
+      SDoc(ts(4), clean1),                           // exact dup, dropped
+      SDoc(ts(5), contaminated),                     // overlaps bench
+      SDoc(ts(6), clean2),
+      SDoc(Timestamp.valueOf("2024-01-01 11:00:00"),
+        "flush marker far future row closing every earlier state window"))
+    val bench = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+    val input = MemoryStream[SDoc](spark)
+    input.addData(docs: _*)
+    val out = runAvailableNow(
+      StreamOps.corpusPrepStream(input.toDF(), bench, minWords = 5,
+        maxDupBigramBp = 5000, minOverlap = 2, watermark = "10 minutes"),
+      "corpusprep")
+      .filter(col("ts") < Timestamp.valueOf("2024-01-01 10:30:00"))
+      .collect().map(_.getString(1)).toSet
+    assert(out == Set(clean1, clean2))
+    // batch reference: same stage semantics on the same rows
+    val batchDocs = docs.toDF()
+      .withColumn("doc_id", monotonically_increasing_id())
+    val batch = graft.operators.Dedup.decontaminate(
+      graft.operators.CorpusPrep.repetitionMetrics(
+        batchDocs.filter(size(split(col("text"), " ")) >= 5), 5000)
+        .filter(col("kept") === 1L)
+        .join(batchDocs, "doc_id")
+        .dropDuplicates("text"),
+      bench, minOverlap = 2)
+      .filter(col("ts") < Timestamp.valueOf("2024-01-01 10:30:00"))
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(batch == out)
+  }
+
   test("flatMapGroupsWithState: per-user counts persist across batches") {
     val input = MemoryStream[Ev](spark)
     val q = graft.streaming.StreamOps.runningUserCounts(input.toDF())
