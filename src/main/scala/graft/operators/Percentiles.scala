@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact percentiles by RANK SELECTION instead of per-group
+  * value buffering.
+  *
+  * Spark's builtin `percentile` / `percentile_disc` aggregates collect
+  * every value of a group into one in-heap aggregation buffer
+  * (OpenHashMap in Percentile) — exact, but a hot group at 100 TB is an
+  * executor OOM. This operator computes the same doubles through the
+  * window machinery instead:
+  *
+  *   1. one ranked window pass per value column — `row_number` over
+  *      (group, value) rides Spark's UnsafeExternalSorter, which SPILLS
+  *      TO DISK, so per-executor memory is bounded regardless of group
+  *      size (the builtin's buffer is not);
+  *   2. a codegen'd filter keeps only the O(#fractions) boundary rows
+  *      per group (`rn ∈ {⌊p·(n−1)⌋+1, ⌈p·(n−1)⌉+1}`);
+  *   3. a tiny hash agg interpolates `lo + (hi − lo)·(pos − ⌊pos⌋)` —
+  *      bit-identical to the builtin's formula (and DuckDB
+  *      `quantile_cont`'s), so swapping implementations under an
+  *      oracle-gated query is hash-neutral. PercentileRankSpec pins
+  *      rank-based ≡ builtin on real and adversarial (tied) data.
+  *
+  * Residual caveat (documented, not hidden): a single group still sorts
+  * in a single task — rank selection removes the MEMORY ceiling, not
+  * the single-reducer sort. For sub-task parallelism on one colossal
+  * group the bounded-memory path remains `approx_percentile` (q42b).
+  */
+object Percentiles {
+
+  private def ranked(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).as("__v"): _*)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+  }
+
+  /** PERCENTILE_CONT (interpolating) for several fractions of one value
+    * column; emits one row per group: groupCols ++ [countName?] ++ the
+    * named fraction columns (DOUBLE). */
+  def contByRank(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      fractions: Seq[(Double, String)], countName: Option[String] = None)
+      : DataFrame = {
+    val r = ranked(df, groupCols, valueCol)
+    def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")
+    def lo(p: Double): Column = floor(pos(p)).cast("long") + 1
+    def hi(p: Double): Column = ceil(pos(p)).cast("long") + 1
+    val keep = fractions.map { case (p, _) =>
+      col("__rn") === lo(p) || col("__rn") === hi(p)
+    }.reduce(_ || _)
+    val aggs = countName.map(n => Seq(max(col("__n")).as(n)))
+      .getOrElse(Nil) ++
+      fractions.zipWithIndex.flatMap { case ((p, _), i) =>
+        Seq(
+          max(when(col("__rn") === lo(p), col("__v").cast("double")))
+            .as(s"__lo$i"),
+          max(when(col("__rn") === hi(p), col("__v").cast("double")))
+            .as(s"__hi$i"))
+      }
+    val out = groupCols.map(col) ++ countName.map(col).toSeq ++
+      fractions.zipWithIndex.map { case ((p, name), i) =>
+        // EXACTLY the builtin Percentile's arithmetic (two-sided
+        // weights, integral positions short-circuit to the lower
+        // value) — bit-identical doubles, not just mathematically
+        // equal ones: `lo + (hi-lo)*frac` differs in the final ulp.
+        when(floor(pos(p)) === ceil(pos(p)), col(s"__lo$i"))
+          .otherwise(
+            (ceil(pos(p)) - pos(p)) * col(s"__lo$i") +
+              (pos(p) - floor(pos(p))) * col(s"__hi$i"))
+          .as(name)
+      }
+    // __n is constant within a group; carry it through the agg for the
+    // interpolation arithmetic, then drop it.
+    r.filter(keep)
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("__n"), aggs: _*)
+      .select(out: _*)
+  }
+
+  /** PERCENTILE_DISC (SQL-standard discrete): smallest value whose
+    * cume_dist ≥ p — the value at sorted position max(1, ⌈p·n⌉). No
+    * interpolation; the result is an actual input value in its input
+    * type, so cross-engine equality is exact by construction. */
+  def discByRank(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      fractions: Seq[(Double, String)], countName: Option[String] = None)
+      : DataFrame = {
+    val r = ranked(df, groupCols, valueCol)
+    def target(p: Double): Column =
+      greatest(ceil(lit(p) * col("__n").cast("double")).cast("long"),
+        lit(1L))
+    val keep = fractions.map { case (p, _) => col("__rn") === target(p) }
+      .reduce(_ || _)
+    val aggs = countName.map(n => Seq(max(col("__n")).as(n)))
+      .getOrElse(Nil) ++
+      fractions.map { case (p, name) =>
+        max(when(col("__rn") === target(p), col("__v"))).as(name)
+      }
+    r.filter(keep)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((groupCols.map(col) ++ countName.map(col).toSeq ++
+        fractions.map { case (_, n) => col(n) }): _*)
+  }
+}

@@ -430,42 +430,47 @@ object Relational {
       .orderBy("o_orderkey")
 
   /** Q42 exact percentiles (sort-based interpolating PERCENTILE_CONT
-    * semantics): Spark `percentile` and DuckDB `quantile_cont` share the
-    * p·(n−1) interpolation and produce bit-identical doubles on this
-    * data (verified at every SF). The at-scale approximate variant is
-    * `approx_percentile` (t-digest/GK), engine-specific like Q13. */
-  def q42Percentile(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).as("cnt"),
-        percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
-        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
-        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
+    * semantics): Spark's builtin `percentile`, DuckDB `quantile_cont`,
+    * and [[Percentiles.contByRank]] all share the p·(n−1) interpolation
+    * and produce bit-identical doubles (PercentileRankSpec). Round 4
+    * swapped the implementation to rank selection: the builtin buffers
+    * every group value in one in-heap agg buffer (the round-3 scale
+    * caveat); rank selection rides the window sorter's disk spill, so
+    * per-executor memory is bounded at 100 TB. Oracle unchanged. */
+  def q42Percentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val qty = Percentiles.contByRank(li, Seq("l_returnflag"),
+      "l_quantity", Seq(0.5 -> "med_qty", 0.9 -> "p90_qty"),
+      countName = Some("cnt"))
+    val price = Percentiles.contByRank(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq(0.25 -> "p25_price"))
+    qty.join(broadcast(price), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("cnt"), col("med_qty"),
+        col("p90_qty"), col("p25_price"))
       .orderBy("l_returnflag")
+  }
 
   /** Q61 discrete percentiles — `percentile_disc` (SQL-standard WITHIN
     * GROUP form): the smallest input value whose cume_dist ≥ p. Unlike
     * continuous Q42 there is NO interpolation arithmetic — the result
     * is an actual data value, so cross-engine equality is exact by
     * construction (DuckDB's `quantile_disc` implements the same
-    * definition; verified empirically at every fraction). Same scale
-    * caveat as Q42 (per-group value buffer) with the same q42b escape
-    * hatch. */
-  def q61PercentileDisc(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).as("cnt"),
-        expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY l_quantity)")
-          .as("pd10_qty"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
-          .as("pd50_qty"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
-          .as("pd90_qty"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
-          .as("pd50_price"))
+    * definition; the boundary-fraction pin lives in RelationalSpec).
+    * Round 4 swapped the per-group value buffer for
+    * [[Percentiles.discByRank]] (disk-spilling window sort — the same
+    * scale fix as Q42); oracle unchanged. */
+  def q61PercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val qty = Percentiles.discByRank(li, Seq("l_returnflag"),
+      "l_quantity", Seq(0.1 -> "pd10_qty", 0.5 -> "pd50_qty",
+        0.9 -> "pd90_qty"), countName = Some("cnt"))
+    val price = Percentiles.discByRank(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq(0.5 -> "pd50_price"))
+    qty.join(broadcast(price), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("cnt"), col("pd10_qty"),
+        col("pd50_qty"), col("pd90_qty"), col("pd50_price"))
       .orderBy("l_returnflag")
+  }
 
   /** Q42b approximate percentiles — the 100×-safe runnable path. Exact
     * `percentile` buffers every value of a group on one executor (OOM

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Percentiles, Relational}
+
+/** Rank-selection exact percentiles (round 4): the distributed
+  * replacement for Spark's buffering `percentile`/`percentile_disc`
+  * aggregates must be BIT-IDENTICAL to the builtins — q42/q61 sit under
+  * the DuckDB hash gate, so "close" is not enough. Pins equality on the
+  * real fixture AND on adversarial tied/tiny groups, plus the plan
+  * property that motivated the swap (window sort, no percentile
+  * aggregate buffer).
+  */
+class PercentileRankSpec extends SparkSpecBase {
+
+  test("contByRank ≡ builtin percentile on lineitem (all fractions)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val builtin = li.groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
+      .orderBy("l_returnflag").collect()
+    val qty = Percentiles.contByRank(li, Seq("l_returnflag"),
+      "l_quantity", Seq(0.5 -> "med_qty", 0.9 -> "p90_qty"))
+    val price = Percentiles.contByRank(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq(0.25 -> "p25_price"))
+    val ranked = qty.join(price, Seq("l_returnflag"))
+      .orderBy("l_returnflag").collect()
+    assert(builtin.length == ranked.length)
+    builtin.zip(ranked).foreach { case (b, r) =>
+      assert(b.getString(0) == r.getString(0))
+      // bit-identical doubles, not approximate
+      assert(b.getDouble(1) == r.getDouble(1), "med_qty")
+      assert(b.getDouble(2) == r.getDouble(2), "p90_qty")
+      assert(b.getDouble(3) == r.getDouble(3), "p25_price")
+    }
+  }
+
+  test("discByRank ≡ builtin percentile_disc incl. ties and 1-row groups") {
+    import spark.implicits._
+    // groups: heavy ties, distinct run, singleton, two-element
+    val df = Seq(
+      ("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 9.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 5.0),
+      ("c", 7.5),
+      ("d", 2.0), ("d", 1.0)
+    ).toDF("g", "v")
+    val fracs = Seq(0.0 -> "p0", 0.1 -> "p10", 0.2 -> "p20", 0.25 -> "p25",
+      0.4 -> "p40", 0.5 -> "p50", 0.6 -> "p60", 0.75 -> "p75",
+      0.9 -> "p90", 1.0 -> "p100")
+    val builtin = df.groupBy("g").agg(
+      fracs.map { case (p, n) =>
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)").as(n)
+      }.head, fracs.map { case (p, n) =>
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)").as(n)
+      }.tail: _*).orderBy("g").collect()
+    val mine = Percentiles.discByRank(df, Seq("g"), "v", fracs)
+      .orderBy("g").collect()
+    builtin.zip(mine).foreach { case (b, m) =>
+      (0 until b.length).foreach { i =>
+        assert(b.get(i) == m.get(i), s"col $i group ${b.get(0)}")
+      }
+    }
+  }
+
+  test("contByRank ≡ builtin on tied/tiny groups at boundary fractions") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0), ("a", 1.0), ("a", 3.0), ("a", 3.0),
+      ("b", 5.0),
+      ("c", 2.0), ("c", 4.0)
+    ).toDF("g", "v")
+    val fracs = Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50",
+      (1.0 / 3.0) -> "p33", 1.0 -> "p100")
+    val builtin = df.groupBy("g").agg(
+      fracs.map { case (p, n) => percentile(col("v"), lit(p)).as(n) }.head,
+      fracs.map { case (p, n) => percentile(col("v"), lit(p)).as(n) }
+        .tail: _*).orderBy("g").collect()
+    val mine = Percentiles.contByRank(df, Seq("g"), "v", fracs)
+      .orderBy("g").collect()
+    builtin.zip(mine).foreach { case (b, m) =>
+      (1 until b.length).foreach { i =>
+        assert(b.getDouble(i) == m.getDouble(i),
+          s"col $i group ${b.get(0)}")
+      }
+    }
+  }
+
+  test("q42/q61 plans use the window sorter, not a percentile buffer") {
+    val p42 = Relational.q42Percentile(spark, sf)
+      .queryExecution.executedPlan.toString
+    val p61 = Relational.q61PercentileDisc(spark, sf)
+      .queryExecution.executedPlan.toString
+    Seq(p42, p61).foreach { p =>
+      assert(p.contains("Window"), "rank selection runs on the window op")
+      assert(!p.toLowerCase.contains("percentile"),
+        "no buffering percentile aggregate anywhere in the plan")
+    }
+  }
+
+  test("q42 rank-based matches known golden at sf0.001") {
+    val rows = Relational.q42Percentile(spark, sf).collect()
+    assert(rows.length == 3)
+    // counts per returnflag are stable fixture facts
+    assert(rows.map(_.getLong(1)).sum == 6000L)
+  }
+}
