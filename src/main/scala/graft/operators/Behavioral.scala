@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Behavioral / product analytics over the event stream — the classic
+  * warehouse queries a pyconnect-fed events topic exists to answer:
+  * cohort retention and ordered funnel conversion.
+  *
+  * Both work on `Tables.events` (the nanos-safe reader). Funnel
+  * comparisons use the EXACT nanosecond value (`ts_ns` ↔ DuckDB
+  * `epoch_ns`) — the micros-truncated `ts` column could flip a `>=` on
+  * events inside the same microsecond.
+  *
+  * Scale: every join and aggregate below is keyed on `user_id`, so the
+  * whole pipeline is one hash partitioning reused across stages; the
+  * per-stage frames are slim (user_id, ts) pairs and the outputs are
+  * ≤ #weeks² / ≤ 5 rows. Nothing driver-side.
+  */
+object Behavioral {
+
+  // ---------------------------------------------------------------- q72
+
+  /** Cohort retention: users bucket into the ISO week of their first
+    * event; each later active week counts them at `(cohort_week,
+    * week_offset)`. The distinct (user, week) projection keeps the
+    * shuffled volume at one row per user-week, not per event. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val first = weeks.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    weeks.join(first, "user_id")
+      .withColumn("week_offset",
+        expr("datediff(wk, cohort_wk) div 7").cast(LongType))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def q72Cohort(spark: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables.events(spark, dir))
+      .orderBy("cohort_wk", "week_offset")
+
+  // ---------------------------------------------------------------- q73
+
+  /** Ordered funnel: signup → view → click → purchase, each stage
+    * STRICTLY after the previous stage's first completion (the honest
+    * funnel — a view before signup doesn't count). Expressed as chained
+    * conditional-min aggregates: stage k's first-completion time is
+    * min(ts of stage-k events at-or-after the user's stage-(k−1)
+    * time). Stage membership is monotone by construction, so a user's
+    * funnel depth is the sum of stage indicators. */
+  /** Per-user strict funnel first-completion times: `(user_id, t0 … tk)`
+    * where `t_i` is null iff the user never completed stage i in order.
+    * Nanosecond longs throughout. */
+  def funnelTimes(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    val ev = events.select(col("user_id"), col("event_type"),
+      col("ts_ns"))
+    val users = ev.select("user_id").distinct()
+    // fold: each stage's (user_id, t_k) frame from the previous one
+    val stageTimes: Seq[DataFrame] =
+      stages.zipWithIndex.foldLeft(Vector.empty[DataFrame]) {
+        case (acc, (stage, i)) =>
+          val mine = ev.filter(col("event_type") === stage)
+          val timed = if (i == 0) mine
+          else mine.join(acc.last.select(col("user_id"),
+              col(s"t${i - 1}")), "user_id")
+            .filter(col("ts_ns") >= col(s"t${i - 1}"))
+          acc :+ timed.groupBy("user_id")
+            .agg(min(col("ts_ns")).as(s"t$i"))
+      }
+    stageTimes.foldLeft(users) { case (acc, st) =>
+      acc.join(st, Seq("user_id"), "left")
+    }
+  }
+
+  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val depth = stages.indices
+      .map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    funnelTimes(events, stages)
+      .select(col("user_id"), depth.cast(LongType).as("stage"))
+  }
+
+  def q73Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(Tables.events(spark, dir),
+      Seq("signup", "view", "click", "purchase"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+
+  // ---------------------------------------------------------------- q74
+
+  /** Event-type transition matrix (first-order Markov counts): per
+    * user, consecutive event pairs in time order; count by
+    * (prev, next). The lag window totally orders each user's stream on
+    * (ts_ns, event_id) — the event_id tiebreaker makes the pairing
+    * deterministic when two events share a nanosecond (D1 applied
+    * inside the window, not just at output). One user-keyed window
+    * pass + one slim count agg. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+      col("ts_ns"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def q74Transitions(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrix(Tables.events(spark, dir))
+      .orderBy("prev_type", "next_type")
+
+  // ---------------------------------------------------------------- q75
+
+  /** Time-to-convert: for users completing the full strict funnel, the
+    * signup→purchase latency distribution in whole seconds — count,
+    * min, discrete median (rank-selected, [[Percentiles.discByRank]]),
+    * max. Composes the q73 chain with the q61 percentile machinery:
+    * the converted set is tiny relative to the corpus, so the global
+    * single-partition median window is bounded by conversion count,
+    * not event count. */
+  def q75TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val t = funnelTimes(Tables.events(spark, dir),
+      Seq("signup", "view", "click", "purchase"))
+      .filter(col("t3").isNotNull)
+      .select(expr("(t3 - t0) div 1000000000").as("dsec"))
+    val stats = t.agg(count(lit(1)).as("n_conv"),
+      min(col("dsec")).as("min_sec"), max(col("dsec")).as("max_sec"))
+    val med = Percentiles.discByRank(t, Nil, "dsec",
+      Seq(0.5 -> "med_sec"))
+    stats.crossJoin(broadcast(med))
+      .select(col("n_conv"), col("min_sec"), col("med_sec"),
+        col("max_sec"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_cohort" -> (q72Cohort _),
+    "q73_funnel" -> (q73Funnel _),
+    "q74_transitions" -> (q74Transitions _),
+    "q75_time_to_convert" -> (q75TimeToConvert _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // q72: DuckDB DATE − DATE is integer days; both engines truncate
+    // weeks to ISO Monday.
+    "q72_cohort" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk
+        |      GROUP BY user_id)
+        |SELECT f.cohort_wk,
+        |  CAST((wk.wk - f.cohort_wk) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM wk JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q73: epoch_ns ↔ ts_ns (exact nanosecond comparisons); the same
+    // chained conditional-min construction, stage depth = indicator
+    // sum over left joins.
+    "q73_funnel" ->
+      """WITH t0 AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t1 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t1 FROM events e
+        |  JOIN t0 USING (user_id)
+        |  WHERE e.event_type = 'view' AND epoch_ns(e.ts) >= t0.t0
+        |  GROUP BY e.user_id),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2 FROM events e
+        |  JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= t1.t1
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3 FROM events e
+        |  JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= t2.t2
+        |  GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CAST(
+        |    (CASE WHEN t0.user_id IS NOT NULL THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t2.user_id IS NOT NULL THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS stage, COUNT(*) AS n_users
+        |FROM u LEFT JOIN t0 USING (user_id) LEFT JOIN t1 USING (user_id)
+        |  LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q74: same (ts_ns, event_id) total order inside the lag window.
+    "q74_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q75: the q73 chain + integer-second deltas; quantile_disc is the
+    // pinned percentile_disc definition (q61).
+    "q75_time_to_convert" ->
+      """WITH t0 AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t1 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t1 FROM events e
+        |  JOIN t0 USING (user_id)
+        |  WHERE e.event_type = 'view' AND epoch_ns(e.ts) >= t0.t0
+        |  GROUP BY e.user_id),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2 FROM events e
+        |  JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= t1.t1
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3 FROM events e
+        |  JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= t2.t2
+        |  GROUP BY e.user_id),
+        |c AS (SELECT (t3.t3 - t0.t0) // 1000000000 AS dsec
+        |      FROM t3 JOIN t0 USING (user_id))
+        |SELECT COUNT(*) AS n_conv, MIN(dsec) AS min_sec,
+        |  quantile_disc(dsec, 0.5) AS med_sec, MAX(dsec) AS max_sec
+        |FROM c""".stripMargin,
+  )
+}

@@ -193,12 +193,106 @@ object CorpusPrep {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q69
+
+  /** Document chunking — overlapping fixed-size character windows (the
+    * RAG / context-window prep step): starts at 0, stride, 2·stride, …
+    * while inside the document; each chunk takes `window` chars (the
+    * last one truncates). `sequence` + `explode` keeps this a pure
+    * per-row expansion — no shuffle, no state; at 100 TB chunking runs
+    * at scan speed and the output inherits the input's partitioning. */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int)
+      : DataFrame = {
+    require(window > 0 && stride > 0, "window and stride are positive")
+    docs
+      .filter(col("n_chars") >= 1) // ANSI: sequence(0,-1,+s) would throw
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n_chars") - 1,
+          lit(stride.toLong))).as("start"))
+      .select(col("doc_id"),
+        expr(s"start div $stride").as("chunk_idx"),
+        col("text").substr(col("start").cast("int") + 1, lit(window))
+          .as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast(LongType))
+  }
+
+  def q69Chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(load(spark, dir, "documents"), window = 200,
+      stride = 150)
+      .orderBy("doc_id", "chunk_idx")
+
+  // ---------------------------------------------------------------- q70
+
+  /** Duplicated-span coverage — the exact corpus-level repetition
+    * metric behind suffix-array span dedup (Lee et al. 2021, public):
+    * for word k-grams, how much of each document consists of spans
+    * that occur elsewhere in the corpus (global occurrence ≥ 2).
+    * Unlike q67 (within-document repetition) this is CROSS-document:
+    * positions → global k-gram counts → join back → per-doc coverage.
+    *
+    * Scale: the exploded gram stream shuffles (gram, count) with
+    * map-side partial aggregation; the count join is gram-keyed (both
+    * sides already hashed on gram) and the per-doc rollup shuffles
+    * slim (doc_id, flags) pairs. No driver state, no all-pairs. */
+  def dupSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+    val grams = ws.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+        i => concat_ws(" ", slice(col("w"), i, lit(k))))).as("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    grams.join(counts, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_bp", expr("(dup_grams * 10000) div n_grams"))
+  }
+
+  def q70DupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(load(spark, dir, "documents")).orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q71
+
+  /** Mixture rebalancing — hit a TARGET mixture (uniform here) with
+    * maximum retention: every stratum keeps
+    * `rate16 = (16·min_count) div count` sixteenths of its rows via
+    * the same deterministic md5-nibble bucket as q46/q68, so the
+    * smallest stratum survives whole and larger ones downsample toward
+    * it. The data-dependent rates are what separate this from q68's
+    * FIXED rates: counts → rates is a tiny aggregate (≤ #strata rows,
+    * broadcast back), the row filter stays a pure function of
+    * (key, stratum), and the whole plan is one scan + two broadcast
+    * joins — nothing driver-side, nothing shuffled but the count agg. */
+  def mixtureRebalance(docs: DataFrame, strataCol: String, keyCol: String)
+      : DataFrame = {
+    val c = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("cnt"))
+    val m = c.agg(min(col("cnt")).as("mn"))
+    val r = c.crossJoin(broadcast(m))
+      .withColumn("rate16", expr("(16 * mn) div cnt"))
+      .select(col(strataCol), col("rate16"))
+    val pos = conv(Sampling.md5Bucket(col(keyCol)), 16, 10)
+      .cast(LongType) + lit(1)
+    docs.join(broadcast(r), strataCol).filter(pos <= col("rate16"))
+  }
+
+  /** Q71: rebalance the per-source mixture to uniform; emits the
+    * derived rate and achieved kept-count per source. */
+  def q71Mixture(spark: SparkSession, dir: String): DataFrame =
+    mixtureRebalance(load(spark, dir, "documents"), "source", "doc_id")
+      .groupBy("source", "rate16")
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("source"), col("rate16"), col("n_kept"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_normalize" -> (q64Normalize _),
     "q65_pii_redact" -> (q65PiiRedact _),
     "q66_seq_pack" -> (q66SeqPack _),
     "q67_repetition" -> (q67Repetition _),
     "q68_strat_sample" -> (q68StratSample _),
+    "q69_chunk" -> (q69Chunk _),
+    "q70_dup_spans" -> (q70DupSpans _),
+    "q71_mixture" -> (q71Mixture _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -282,5 +376,50 @@ object CorpusPrep {
         |  CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 4
         |            WHEN 'es' THEN 2 WHEN 'zh' THEN 1 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+    // q69: same starts (0, 150, 300, … < n_chars — DuckDB range() is
+    // stop-exclusive, Spark sequence(0, n_chars-1) is inclusive: same
+    // set), same 200-char take, same integer-div chunk index.
+    "q69_chunk" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, n_chars, 150)) AS start
+        |  FROM documents)
+        |SELECT doc_id, start // 150 AS chunk_idx,
+        |  substr(text, CAST(start AS INT) + 1, 200) AS chunk,
+        |  CAST(length(substr(text, CAST(start AS INT) + 1, 200))
+        |    AS BIGINT) AS chunk_len
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q70: identical 5-gram positions (range stop-exclusive ↔ sequence
+    // inclusive), global occurrence counts, per-doc dup coverage in
+    // integer basis points. SUM(CASE) is HUGEINT in DuckDB → CAST.
+    "q70_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |         ws[i+3] || ' ' || ws[i+4])) AS gram
+        |  FROM w WHERE len(ws) >= 5),
+        |c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_grams,
+        |  (CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 10000) // COUNT(*) AS dup_bp
+        |FROM g JOIN c USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // q71: same derived sixteenth-rates ((16·min) // cnt), same md5
+    // nibble bucket as q46/q68.
+    "q71_mixture" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |m AS (SELECT MIN(cnt) AS mn FROM c),
+        |r AS (SELECT source, CAST((16 * mn) // cnt AS BIGINT) AS rate16
+        |      FROM c, m)
+        |SELECT d.source, r.rate16, COUNT(*) AS n_kept
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE strpos('0123456789abcdef',
+        |    substr(md5(CAST(d.doc_id AS VARCHAR)), 32, 1)) <= r.rate16
+        |GROUP BY d.source, r.rate16 ORDER BY d.source""".stripMargin,
   )
 }

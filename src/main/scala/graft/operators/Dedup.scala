@@ -467,6 +467,47 @@ object Dedup {
     docs.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
   }
 
+  /** Bloom-filter decontamination — the 100 TB escape hatch for when the
+    * benchmark's distinct shingle set outgrows an exact broadcast (a
+    * full eval-suite union can reach billions of shingles; a Bloom
+    * filter at fpp=1e-3 is ~1.8 bytes/item vs 8+ for the exact set).
+    *
+    * One-sided error, the SAFE direction for decontamination: Bloom
+    * filters have NO false negatives, so every truly-overlapping
+    * shingle still counts and `overlap_bloom ≥ overlap_exact` — a
+    * contaminated doc can NEVER survive. False positives can only
+    * over-drop clean docs, bounded by fpp per shingle (DedupSpec pins
+    * survivors(bloom) ⊆ survivors(exact), and equality at tight fpp on
+    * the fixture). Impl-only by the same reasoning as q13/q42b: the
+    * sketch's decisions are engine-specific.
+    *
+    * The `mightContainLong` probe is a deserialized-object UDF (not
+    * codegen'd) — acceptable because it replaces a broadcast JOIN, not
+    * an expression; the stream side stays one scan + filter + slim
+    * per-doc count, identical shape to [[decontaminate]]. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 3, minOverlap: Int = 5, fpp: Double = 0.001): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(transform(shingles(col("text"), k),
+        s => xxhash64(s))).as("sh"))
+      .distinct()
+    // sizing count runs one job over the (benchmark-sized, small
+    // relative to the corpus) eval side only — never over `docs`
+    val n = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("sh", n, fpp)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((sh: Long) => bloomBc.value.mightContainLong(sh))
+    val contaminated = docs
+      .select(col("doc_id"),
+        explode(transform(shingles(col("text"), k),
+          s => xxhash64(s))).as("sh"))
+      .filter(mightContain(col("sh")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+    docs.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup: hyperplane-LSH bucket join + exact cosine
     * verification. */
   def embeddingNearDupPairs(embeddings: DataFrame, planes: Int = 8,

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.Behavioral
+
+/** Behavioral analytics (round 4): hand-computed funnel goldens — the
+  * strict ordering rule is the part a naive per-type-min implementation
+  * gets wrong — plus cohort conservation laws, and the sf0.001
+  * end-to-end shapes.
+  */
+class BehavioralSpec extends SparkSpecBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel: out-of-order stages do not count") {
+    import spark.implicits._
+    // u1: full ordered funnel → depth 4
+    // u2: viewed BEFORE signup, never after → depth 1
+    // u3: signup → view → purchase (no click) → depth 2
+    // u4: no signup at all → depth 0
+    // u5: signup, view at the SAME instant as signup (>= counts) → 2
+    val ev = Seq(
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:01:00"),
+      (1L, "click", "2024-01-01 10:02:00"),
+      (1L, "purchase", "2024-01-01 10:03:00"),
+      (2L, "view", "2024-01-01 09:00:00"),
+      (2L, "signup", "2024-01-01 09:30:00"),
+      (3L, "signup", "2024-01-01 08:00:00"),
+      (3L, "view", "2024-01-01 08:10:00"),
+      (3L, "purchase", "2024-01-01 08:20:00"),
+      (4L, "click", "2024-01-01 07:00:00"),
+      (5L, "signup", "2024-01-01 06:00:00"),
+      (5L, "view", "2024-01-01 06:00:00")
+    ).map { case (u, t, s) => (u, t, ts(s)) }
+      .toDF("user_id", "event_type", "ts")
+      .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    val depths = Behavioral.funnelStages(ev,
+      Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(depths == Map(1L -> 4L, 2L -> 1L, 3L -> 2L, 4L -> 0L,
+      5L -> 2L))
+  }
+
+  test("q73 funnel conserves users and depths are within 0..4") {
+    val out = Behavioral.q73Funnel(spark, sf).collect()
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum == users, "every user has one depth")
+    assert(out.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 4L))
+  }
+
+  test("q72 cohort: week-0 cell equals cohort size, users conserved") {
+    val rows = Behavioral.q72Cohort(spark, sf).collect()
+    val events = graft.Tables.events(spark, sf)
+    val users = events.select("user_id").distinct().count()
+    // every user appears in their cohort's week-0 cell (their first
+    // active week IS the cohort week), so the offset-0 column sums to
+    // the user count
+    val week0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    assert(week0 == users)
+    assert(rows.forall(_.getLong(1) >= 0L), "offsets are non-negative")
+  }
+
+  test("q74 transitions conserve pairs: Σn = #events − #active users") {
+    val events = graft.Tables.events(spark, sf)
+    val out = Behavioral.q74Transitions(spark, sf).collect()
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    // each user's k events contribute exactly k−1 transitions
+    assert(out.map(_.getLong(2)).sum == nEvents - nUsers)
+  }
+
+  test("funnelTimes are monotone within each user") {
+    val t = Behavioral.funnelTimes(graft.Tables.events(spark, sf),
+      Seq("signup", "view", "click", "purchase"))
+    val bad = t.filter(
+      (col("t1").isNotNull && col("t1") < col("t0")) ||
+        (col("t2").isNotNull && col("t2") < col("t1")) ||
+        (col("t3").isNotNull && col("t3") < col("t2"))).count()
+    assert(bad == 0L)
+    // a later stage implies the earlier one (strict chain)
+    val orphan = t.filter(col("t3").isNotNull && col("t2").isNull).count()
+    assert(orphan == 0L)
+  }
+
+  test("q75 median lies within [min, max] and counts full converters") {
+    val r = Behavioral.q75TimeToConvert(spark, sf).collect().head
+    val nConv = r.getLong(0)
+    assert(nConv > 0)
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+    // n_conv equals the depth-4 bucket of the funnel
+    val depth4 = Behavioral.q73Funnel(spark, sf).collect()
+      .find(_.getLong(0) == 4L).map(_.getLong(1)).getOrElse(0L)
+    assert(nConv == depth4)
+  }
+}

@@ -21,7 +21,8 @@ class ContractSpec extends AnyFunSuite {
     "Sampling" -> operators.Sampling.queries,
     "Stats" -> operators.Stats.queries,
     "TimeSeries" -> operators.TimeSeries.queries,
-    "CorpusPrep" -> operators.CorpusPrep.queries)
+    "CorpusPrep" -> operators.CorpusPrep.queries,
+    "Behavioral" -> operators.Behavioral.queries)
 
   private val oracleMaps = Seq(
     "Relational" -> operators.Relational.oracle,
@@ -36,7 +37,8 @@ class ContractSpec extends AnyFunSuite {
     "Similarity" -> operators.Similarity.oracle,
     "Stats" -> operators.Stats.oracle,
     "TimeSeries" -> operators.TimeSeries.oracle,
-    "CorpusPrep" -> operators.CorpusPrep.oracle)
+    "CorpusPrep" -> operators.CorpusPrep.oracle,
+    "Behavioral" -> operators.Behavioral.oracle)
 
   test("no query key collides across operator maps (++ is last-wins)") {
     val all = queryMaps.flatMap { case (n, m) => m.keys.map(_ -> n) }
@@ -60,8 +62,8 @@ class ContractSpec extends AnyFunSuite {
   test("oracle coverage census (ratchet: only goes up)") {
     val gated = SparkEntry.oracleSql.keySet.size
     val total = SparkEntry.queries.size
-    assert(gated >= 88, s"oracle-gated regressed: $gated")
-    assert(total >= 100, s"query count regressed: $total")
+    assert(gated >= 95, s"oracle-gated regressed: $gated")
+    assert(total >= 107, s"query count regressed: $total")
   }
 
   test("every queries key is documented in SURVEY.md (round-3 verdict: " +

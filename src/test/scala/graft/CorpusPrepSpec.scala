@@ -99,4 +99,54 @@ class CorpusPrepSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == got)
   }
+
+  test("q69 chunking laws: count, reassembly, and tail truncation") {
+    import spark.implicits._
+    val doc = ("abcdefghij" * 35).take(347) // 347 chars
+    val df = Seq((1L, doc, 347L), (2L, "short", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val chunks = CorpusPrep.chunkDocuments(df, window = 200, stride = 150)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L)
+    // starts 0, 150, 300 → 3 chunks; ceil(n_chars / stride)
+    assert(d1.length == 3)
+    assert(d1.map(_.getAs[Long]("chunk_len")).toSeq == Seq(200L, 197L, 47L))
+    // stride-prefixes concatenate back to the exact document
+    val rebuilt = d1.map(_.getAs[String]("chunk").take(150)).mkString
+    assert(rebuilt == doc)
+    // consecutive chunks overlap by window - stride chars
+    assert(d1(0).getAs[String]("chunk").drop(150) ==
+      d1(1).getAs[String]("chunk").take(50))
+    val d2 = chunks.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getAs[String]("chunk") == "short")
+  }
+
+  test("q70 dup spans: verbatim duplicate ⇒ 10000 bp, unique doc ⇒ 0 bp") {
+    import spark.implicits._
+    val a = "one two three four five six seven eight"
+    val b = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val m = CorpusPrep.dupSpans(df, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("dup_bp")).toMap
+    assert(m(1L) == 10000L && m(2L) == 10000L, "verbatim pair fully dup")
+    assert(m(3L) == 0L, "unique doc has no repeated 5-gram")
+  }
+
+  test("q71 mixture: smallest stratum keeps rate 16 and survives whole") {
+    val out = CorpusPrep.q71Mixture(spark, sf).collect()
+    val docs = load(spark, sf, "documents")
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mn = counts.values.min
+    val smallest = counts.collect { case (s, c) if c == mn => s }.toSet
+    out.filter(r => smallest.contains(r.getString(0))).foreach { r =>
+      assert(r.getAs[Long]("rate16") == 16L)
+      assert(r.getAs[Long]("n_kept") == counts(r.getString(0)),
+        "rate-16 stratum is kept in full")
+    }
+    // derived rates match the closed form for every stratum in the output
+    out.foreach { r =>
+      assert(r.getAs[Long]("rate16") == (16L * mn) / counts(r.getString(0)))
+    }
+  }
 }

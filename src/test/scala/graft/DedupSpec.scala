@@ -199,6 +199,24 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Set(2L, 3L))
   }
 
+  test("bloom decontamination: survivors ⊆ exact survivors (no false " +
+      "negatives), and ≡ exact at tight fpp on the fixture") {
+    val docs = load(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val exact = Dedup.decontaminate(docs, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Dedup.decontaminateBloom(docs, bench, fpp = 1e-6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // one-sided error: a contaminated doc can never survive the bloom
+    assert(bloomed.subsetOf(exact))
+    // at fpp 1e-6 on a fixture-sized shingle set, no FP fires
+    assert(bloomed == exact)
+    // looser filter may over-drop but never under-drop
+    val loose = Dedup.decontaminateBloom(docs, bench, fpp = 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(loose.subsetOf(exact))
+  }
+
   test("q63 pipeline: every stage only removes rows; survivors respect " +
       "all four stage predicates") {
     val corpus = Dedup.docsWithNearDups(load(spark, sf, "documents"))
