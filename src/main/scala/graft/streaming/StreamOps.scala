@@ -103,6 +103,50 @@ object StreamOps {
       .toDF("user_id", "total")
   }
 
+  /** STREAMING FUNNEL — the continuous twin of `Behavioral.funnelStages`
+    * (q73): per-user funnel depth tracked as keyed state. The batch form
+    * is a chain of conditional-min aggregates; the streaming form is the
+    * equivalent ONLINE state machine — at depth d with stage-d time t_d,
+    * the user advances on the first stages(d)-event with ts ≥ t_d. For
+    * events processed in time order these define the same depths
+    * (the first eligible event in time order IS the conditional min),
+    * pinned batch≡stream in StreamingSpec.
+    *
+    * State is (depth, t_last) — two numbers per user, the smallest
+    * possible funnel state; batch arrivals are sorted per user before
+    * the state machine runs, so intra-batch disorder is repaired.
+    * CROSS-batch late data is the documented limit (an event older than
+    * an already-consumed stage time cannot retroactively re-run the
+    * funnel — replay from checkpoint if exactness under late data is
+    * required). At 100 TB keyspace, evict idle users with a
+    * ProcessingTimeTimeout. */
+  def funnelDepthStream(events: DataFrame, stages: Seq[String])
+      : DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.nonEmpty, "at least one funnel stage")
+    events.select(col("user_id").cast("long"), col("event_type"),
+      col("ts_ns").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[(Int, Long)]) =>
+          var (depth, tLast) = state.getOption.getOrElse((0, Long.MinValue))
+          rows.toVector.sortBy(_._3).foreach { case (_, typ, ts) =>
+            if (depth < stages.length && typ == stages(depth) &&
+              ts >= tLast) {
+              depth += 1
+              tLast = ts
+            }
+          }
+          state.update((depth, tLast))
+          Iterator((user, depth.toLong))
+      }
+      .toDF("user_id", "stage")
+  }
+
   /** Batch-side reference implementation for the equivalence tests:
     * floor ts to the window width. */
   def batchTumblingCounts(events: DataFrame, widthSeconds: Long): Column = {

@@ -364,4 +364,41 @@ class StreamingSpec extends SparkSpecBase {
     val written = Files.readAllLines(target)
     assert(written.size == 2)
   }
+
+  test("streaming funnel depth ≡ batch funnelStages (q73 twin), " +
+      "state carried across batches, intra-batch disorder repaired") {
+    val stages = Seq("signup", "view", "click", "purchase")
+    // u1 completes the funnel across TWO batches; u2's view precedes
+    // signup (depth stays 1); u3 appears only in batch 2. Batch 1 for
+    // u1 is fed OUT of time order (view before signup in the iterator).
+    val b1 = Seq(
+      Ev(ts(2), "view", 0.0, 1), Ev(ts(1), "signup", 0.0, 1),
+      Ev(ts(1), "view", 0.0, 2), Ev(ts(5), "signup", 0.0, 2))
+    val b2 = Seq(
+      Ev(ts(3), "click", 0.0, 1), Ev(ts(4), "purchase", 0.0, 1),
+      Ev(ts(7), "signup", 0.0, 3))
+    val withNs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    val input = MemoryStream[Ev](spark)
+    val q = graft.streaming.StreamOps
+      .funnelDepthStream(withNs(input.toDF()), stages)
+      .writeStream.format("memory").queryName("funneldepth")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-funnel").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // depth is monotone, so each user's final depth = max emission
+      val streamed = spark.table("funneldepth")
+        .groupBy("user_id").agg(max("stage").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.Behavioral
+        .funnelStages(withNs((b1 ++ b2).toDF()), stages)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+      assert(streamed == Map(1L -> 4L, 2L -> 1L, 3L -> 1L))
+    } finally q.stop()
+  }
 }
