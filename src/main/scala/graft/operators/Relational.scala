@@ -639,6 +639,43 @@ object Relational {
     spark.sql(lateralSql)
   }
 
+  /** Q76 — RECURSIVE CTE (Spark 4's `WITH RECURSIVE` / UnionLoop): a
+    * month calendar spine grown recursively from the order-date range
+    * (the anchor carries the max along, the step adds one month while
+    * below it), left-joined to per-month order density so gap months
+    * would still surface. The recursion is DIMENSION-sized — one
+    * ~80-iteration loop over 1-row frames, independent of fact-table
+    * scale (each step replans a local relation, no rescans); the only
+    * data-sized work is the anchor min/max and the month rollup, both
+    * single hash aggs. Fits Spark's default 100-level recursion limit;
+    * month granularity is exactly why (a daily spine would be 2400+
+    * iterations of per-step overhead — the q54 `sequence` gap-fill
+    * remains the right tool at row scale; recursion earns its keep on
+    * genuinely iterative queries). */
+  private val recursiveCalSql =
+    """WITH RECURSIVE cal AS (
+      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS mth,
+      |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS mx
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT add_months(mth, 1), mx FROM cal WHERE mth < mx
+      |),
+      |m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+      |         COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |           AS total_price
+      |  FROM orders GROUP BY 1)
+      |SELECT c.mth, coalesce(m.n_orders, 0) AS n_orders,
+      |       coalesce(m.total_price, CAST(0 AS DOUBLE)) AS total_price
+      |FROM cal c LEFT JOIN m ON c.mth = m.mth
+      |ORDER BY c.mth""".stripMargin
+
+  def q76RecursiveCal(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(recursiveCalSql)
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -681,6 +718,7 @@ object Relational {
     "q42_percentile" -> (q42Percentile _),
     "q42b_percentile_approx" -> (q42bPercentileApprox _),
     "q61_percentile_disc" -> (q61PercentileDisc _),
+    "q76_recursive_cal" -> (q76RecursiveCal _),
     "q43_avg" -> (q43Avg _),
     "q44_full_outer" -> (q44FullOuter _),
     "q45_cross_join" -> (q45CrossJoin _),
@@ -962,5 +1000,26 @@ object Relational {
         |ORDER BY l_returnflag, metric""".stripMargin,
     "q53_exists_in" -> existsInSql,
     "q60_lateral" -> lateralSql,
+    // q76: DuckDB spells the month step dt + INTERVAL 1 MONTH (add_months
+    // does not exist there); everything else is the shared SQL subset.
+    "q76_recursive_cal" ->
+      """WITH RECURSIVE cal AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS mth,
+        |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS mx
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(mth + INTERVAL 1 MONTH AS DATE), mx
+        |  FROM cal WHERE mth < mx
+        |),
+        |m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+        |         COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS total_price
+        |  FROM orders GROUP BY 1)
+        |SELECT c.mth, coalesce(m.n_orders, 0) AS n_orders,
+        |       coalesce(m.total_price, CAST(0 AS DOUBLE)) AS total_price
+        |FROM cal c LEFT JOIN m ON c.mth = m.mth
+        |ORDER BY c.mth""".stripMargin,
   )
 }

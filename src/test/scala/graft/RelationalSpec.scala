@@ -11,6 +11,25 @@ class RelationalSpec extends SparkSpecBase {
     assert(Relational.q01Count(spark, sf).collect().head.getLong(0) == 6000L)
   }
 
+  test("q76: recursive month spine matches the closed form and " +
+      "conserves order counts") {
+    val rows = Relational.q76RecursiveCal(spark, sf).collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val (mn, mx) = {
+      val r = orders.selectExpr(
+        "CAST(date_trunc('month', min(o_orderdate)) AS DATE)",
+        "CAST(date_trunc('month', max(o_orderdate)) AS DATE)").head()
+      (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+    }
+    val expectedMonths =
+      java.time.temporal.ChronoUnit.MONTHS.between(mn, mx).toInt + 1
+    assert(rows.length == expectedMonths)
+    assert(rows.head.getDate(0).toLocalDate == mn)
+    assert(rows.last.getDate(0).toLocalDate == mx)
+    // the spine is contiguous months and the left join loses no orders
+    assert(rows.map(_.getLong(1)).sum == orders.count())
+  }
+
   test("q11: TPC-H Q1 shape — six groups, known first row") {
     val rows = Relational.q11Agg(spark, sf).collect()
     assert(rows.length == 6)
