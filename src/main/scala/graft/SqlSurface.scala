@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{AsofJoin, Dedup, Similarity}
+import graft.operators.{AsofJoin, Behavioral, CorpusPrep, Dedup, Similarity}
 
 /** SQL front door for the operator library — everything a SQL-only user
   * needs to reach the LLM-pipeline operators from `spark.sql` alone.
@@ -72,4 +72,25 @@ object SqlSurface {
       queriesView: String, k: Int, viewName: String): Unit =
     Similarity.knnBrute(spark.table(vectorsView),
       spark.table(queriesView), k).createOrReplaceTempView(viewName)
+
+  /** Overlapping character chunks of `docsView` (doc_id, text, n_chars)
+    * → view (doc_id, chunk_idx, chunk, chunk_len). */
+  def createChunksView(spark: SparkSession, docsView: String,
+      viewName: String, window: Int = 200, stride: Int = 150): Unit =
+    CorpusPrep.chunkDocuments(spark.table(docsView), window, stride)
+      .createOrReplaceTempView(viewName)
+
+  /** Per-user strict-funnel first-completion times of `eventsView`
+    * (user_id, event_type, ts_ns) → view (user_id, t0 … tk). */
+  def createFunnelView(spark: SparkSession, eventsView: String,
+      stages: Seq[String], viewName: String): Unit =
+    Behavioral.funnelTimes(spark.table(eventsView), stages)
+      .createOrReplaceTempView(viewName)
+
+  /** Cohort retention cells of `eventsView` → view
+    * (cohort_wk, week_offset, n_users). */
+  def createCohortView(spark: SparkSession, eventsView: String,
+      viewName: String): Unit =
+    Behavioral.cohortRetention(spark.table(eventsView))
+      .createOrReplaceTempView(viewName)
 }

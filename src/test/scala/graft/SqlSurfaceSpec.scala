@@ -96,4 +96,32 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .collect().head.getLong(0)
     assert(n == Tables.events(spark, sf).count())
   }
+
+  test("chunk / funnel / cohort view builders reach the operators " +
+      "from plain SQL") {
+    SqlSurface.registerTables(spark, sf)
+    SqlSurface.createChunksView(spark, "documents", "doc_chunks")
+    val chunked = spark.sql(
+      "SELECT COUNT(DISTINCT doc_id) AS d FROM doc_chunks")
+      .collect().head.getLong(0)
+    assert(chunked == Tables.load(spark, sf, "documents").count())
+    SqlSurface.createFunnelView(spark, "events",
+      Seq("signup", "view", "click", "purchase"), "funnel_t")
+    SqlSurface.createCohortView(spark, "events", "cohorts")
+    // SQL-side funnel depth histogram ≡ the q73 operator result
+    val sqlDepths = spark.sql(
+      """SELECT CAST((CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) +
+        |  (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS stage, COUNT(*) AS n_users
+        |FROM funnel_t GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val opDepths = graft.operators.Behavioral.q73Funnel(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlDepths == opDepths)
+    assert(spark.sql("SELECT SUM(n_users) FROM cohorts WHERE " +
+      "week_offset = 0").collect().head.getLong(0) ==
+      Tables.events(spark, sf).select("user_id").distinct().count())
+  }
 }
