@@ -251,6 +251,60 @@ object CorpusPrep {
   def q70DupSpans(spark: SparkSession, dir: String): DataFrame =
     dupSpans(load(spark, dir, "documents")).orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q77
+
+  /** Span-REMOVAL dedup — the operation q70's metric exists to drive
+    * (Lee et al. 2021: delete duplicated spans, keep the rest): every
+    * word position covered by a word-k-gram that occurs ≥ 2 times
+    * corpus-wide is dropped; the surviving words reassemble in order.
+    * Documents too short to carry a k-gram pass through verbatim (via
+    * the same split→join canonicalization, so output text is uniformly
+    * single-spaced on both engines).
+    *
+    * Scale shape: positions and grams explode per row; gram counts
+    * partial-combine; the covered-position set is a (doc_id, idx)
+    * DISTINCT off the dup-gram join (≤ k rows per dup gram occurrence);
+    * survivors are one anti-join on (doc_id, idx); reassembly is a
+    * per-doc hash agg whose buffer is the document itself (bounded by
+    * max doc length, not corpus size). No driver state, nothing
+    * quadratic. */
+  def removeDupSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val words = ws.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("idx", "word")))
+    val grams = ws.filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => struct((i - 1).as("p0"),
+            concat_ws(" ", slice(col("w"), i, lit(k))).as("gram"))))
+          .as("g"))
+      .select(col("doc_id"), col("g.p0").as("p0"), col("g.gram").as("gram"))
+    val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val covered = grams.join(dupGrams, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("p0"), col("p0") + (k - 1))).as("idx"))
+      .distinct()
+    val kept = words.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("word")))),
+          x => x("word")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
+  def q77SpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    removeDupSpans(load(spark, dir, "documents")).orderBy("doc_id")
+
   // ---------------------------------------------------------------- q71
 
   /** Mixture rebalancing — hit a TARGET mixture (uniform here) with
@@ -293,6 +347,7 @@ object CorpusPrep {
     "q69_chunk" -> (q69Chunk _),
     "q70_dup_spans" -> (q70DupSpans _),
     "q71_mixture" -> (q71Mixture _),
+    "q77_span_removal" -> (q77SpanRemoval _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -408,6 +463,43 @@ object CorpusPrep {
         |    * 10000) // COUNT(*) AS dup_bp
         |FROM g JOIN c USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // q77: same 0-based positions/grams, same ≥2 global-count rule,
+    // same k-wide coverage expansion, same in-order reassembly
+    // (string_agg ORDER BY ↔ array_sort of (idx, word) structs).
+    "q77_span_removal" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+        |    i -> struct_pack(idx := i - 1, word := ws[i]))) AS s
+        |  FROM w),
+        |words2 AS (SELECT doc_id, s.idx AS idx, s.word AS word FROM words),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> struct_pack(p0 := i - 1,
+        |      gram := ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |              ws[i+3] || ' ' || ws[i+4]))) AS g
+        |  FROM w WHERE len(ws) >= 5),
+        |grams2 AS (SELECT doc_id, g.p0 AS p0, g.gram AS gram FROM grams),
+        |c AS (SELECT gram, COUNT(*) AS cnt FROM grams2 GROUP BY gram),
+        |cov AS (
+        |  SELECT DISTINCT grams2.doc_id, grams2.p0 + t.o AS idx
+        |  FROM grams2 JOIN c USING (gram), unnest(range(0, 5)) AS t(o)
+        |  WHERE c.cnt >= 2),
+        |kept AS (
+        |  SELECT w2.doc_id, w2.idx, w2.word FROM words2 w2
+        |  LEFT JOIN cov ON w2.doc_id = cov.doc_id AND w2.idx = cov.idx
+        |  WHERE cov.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  coalesce(agg.clean_text, '') AS clean_text,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  CAST(len(w.ws) AS BIGINT) - coalesce(agg.n_kept, 0) AS n_removed
+        |FROM w LEFT JOIN agg USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
     // q71: same derived sixteenth-rates ((16·min) // cnt), same md5
     // nibble bucket as q46/q68.
     "q71_mixture" ->

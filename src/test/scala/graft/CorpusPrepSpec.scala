@@ -132,6 +132,27 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(m(3L) == 0L, "unique doc has no repeated 5-gram")
   }
 
+  test("q77 span removal: planted duplicates vanish, the shared span " +
+      "alone is cut from a partial overlap, unique docs pass through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q r s t u v w x y"), // identical to 2 → fully removed
+      (2L, "p q r s t u v w x y"),
+      (3L, "p q r s t m n o k l"), // shares only the first 5-gram
+      (4L, "aa bb cc dd ee ff gg"), // unique → untouched
+      (5L, "one two three") // too short for a 5-gram → verbatim
+    ).toDF("doc_id", "text")
+    val out = CorpusPrep.removeDupSpans(df, k = 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"))).toMap
+    assert(out(1L) == (("", 0L, 10L)))
+    assert(out(2L) == (("", 0L, 10L)))
+    assert(out(3L) == (("m n o k l", 5L, 5L)))
+    assert(out(4L) == (("aa bb cc dd ee ff gg", 7L, 0L)))
+    assert(out(5L) == (("one two three", 3L, 0L)))
+  }
+
   test("q71 mixture: smallest stratum keeps rate 16 and survives whole") {
     val out = CorpusPrep.q71Mixture(spark, sf).collect()
     val docs = load(spark, sf, "documents")

@@ -82,4 +82,33 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
     assert(p.contains("partial_"), "no map-side partial counts")
   }
+
+  test("q42 percentiles plan on the window sorter with hash joins only") {
+    val p = plan(Relational.q42Percentile(spark, sf))
+    assert(p.contains("Window"), p.take(600))
+    assert(!p.toLowerCase.contains("percentile"),
+      "buffering percentile aggregate crept back in")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "group-result stitch regressed past a hash join")
+  }
+
+  test("q70 dup-span counting has partial aggregation and no " +
+      "cartesian anywhere") {
+    val p = plan(graft.operators.CorpusPrep.q70DupSpans(spark, sf))
+    assert(p.contains("partial_"), "gram counts must partial-combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(800))
+  }
+
+  test("q62 decontamination broadcasts the bench shingle set") {
+    val p = plan(graft.operators.Dedup.q62Decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "bench side must broadcast, not shuffle the corpus:\n" + p.take(800))
+  }
+
+  test("q73 funnel never plans a nested loop or cartesian") {
+    val p = plan(graft.operators.Behavioral.q73Funnel(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(800))
+  }
 }
