@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // heap pressure (round 1 recorded 171 s for a ~7 s query at 8g); the
   // sandbox has 128 GiB, so a generous heap keeps in-loop ≈ isolated.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // 110 codegen'd queries in one JVM generate far more compiled classes
+  // than the 240 MB default code cache holds; once it fills, the JIT
+  // stops compiling and compute-bound late-suite queries (q57's
+  // levenshtein stage) run interpreted at 5-10x cost. Headroom keeps
+  // in-suite ≈ isolated.
+  "-XX:ReservedCodeCacheSize=1g",
 )

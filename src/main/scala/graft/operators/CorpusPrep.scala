@@ -338,6 +338,35 @@ object CorpusPrep {
       .select(col("source"), col("rate16"), col("n_kept"))
       .orderBy("source")
 
+  // ---------------------------------------------------------------- q78
+
+  /** Corpus report — the per-source "dataset card" numbers every corpus
+    * release ships: document count, token volume, mean length, language
+    * mix, and exact-duplicate rate, in ONE pass. Exact-dup detection is
+    * a count window over the text (at 100 TB key the window by
+    * `xxhash64(text)` so the shuffle carries 8-byte keys instead of
+    * document bodies — text itself is used here only because the DuckDB
+    * gate needs an engine-shared key); everything else is conditional
+    * aggregation over the same scan. Basis points are exact integer
+    * arithmetic (D6); the mean is an exact integer sum divided once in
+    * IEEE double (D2 discipline). */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("tcnt",
+      count(lit(1)).over(Window.partitionBy(col("text"))))
+      .withColumn("toks", size(split(col("text"), " ")))
+    d.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tok_sum"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)))
+          .as("avg_chars"),
+        expr("(count_if(lang = 'en') * 10000) div count(1)").as("en_bp"),
+        expr("(count_if(tcnt >= 2) * 10000) div count(1)").as("dup_bp"))
+  }
+
+  def q78CorpusReport(spark: SparkSession, dir: String): DataFrame =
+    corpusReport(load(spark, dir, "documents")).orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_normalize" -> (q64Normalize _),
     "q65_pii_redact" -> (q65PiiRedact _),
@@ -348,6 +377,7 @@ object CorpusPrep {
     "q70_dup_spans" -> (q70DupSpans _),
     "q71_mixture" -> (q71Mixture _),
     "q77_span_removal" -> (q77SpanRemoval _),
+    "q78_corpus_report" -> (q78CorpusReport _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -500,6 +530,22 @@ object CorpusPrep {
         |  CAST(len(w.ws) AS BIGINT) - coalesce(agg.n_kept, 0) AS n_removed
         |FROM w LEFT JOIN agg USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
+    // q78: COUNT FILTER ↔ count_if; SUM(int) is HUGEINT in DuckDB →
+    // CAST; the mean divides an exact integer sum once in double.
+    "q78_corpus_report" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    len(string_split(text, ' ')) AS toks,
+        |    COUNT(*) OVER (PARTITION BY text) AS tcnt
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  (CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) * 10000)
+        |    // COUNT(*) AS en_bp,
+        |  (CAST(COUNT(*) FILTER (WHERE tcnt >= 2) AS BIGINT) * 10000)
+        |    // COUNT(*) AS dup_bp
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     // q71: same derived sixteenth-rates ((16·min) // cnt), same md5
     // nibble bucket as q46/q68.
     "q71_mixture" ->

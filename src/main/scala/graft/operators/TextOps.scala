@@ -260,7 +260,17 @@ object TextOps {
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
       .where(col("dist") >= 0)
       .select(col("blk"), col("id_a"), col("id_b"), col("dist"))
-      .distinct() // a pair may survive via up to maxDist+1 segments
+      .distinct()
+      // Distinct AFTER the verify, deliberately: a pair can arrive via
+      // up to maxDist+1 matching segments, so deduping first LOOKS like
+      // it should cut DP volume ~3× — measured, it is 5× SLOWER (7 s →
+      // 35 s at sf0.1): the distinct's exchange is a tiny-bytes/
+      // huge-compute boundary that AQE size-coalesces to a few
+      // partitions, capping the levenshtein stage's parallelism (the
+      // same trap as the candidate join, see the explicit repartition
+      // in fuzzyMatchCandidates). Verifying in the join's output
+      // partitioning keeps all 32 tasks busy; the redundant DP on
+      // multi-segment pairs is the cheaper evil.
 
   def q57FuzzyMatch(spark: SparkSession, dir: String): DataFrame =
     fuzzyMatchPairs(load(spark, dir, "customer"), "c_nationkey",

@@ -153,6 +153,25 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(out(5L) == (("one two three", 3L, 0L)))
   }
 
+  test("q78 corpus report: hand-computed card on a planted corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", "en", "s1", 5L),
+      (2L, "a b c", "en", "s1", 5L),    // exact dup of 1 (cross-source ok)
+      (3L, "d e f g", "fr", "s1", 7L),
+      (4L, "a b c", "de", "s2", 5L)     // dup of 1/2, other source
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPrep.corpusReport(df).orderBy("source").collect()
+    val s1 = out(0)
+    assert(s1.getString(0) == "s1" && s1.getLong(1) == 3L)
+    assert(s1.getAs[Long]("tok_sum") == 10L) // 3 + 3 + 4
+    assert(s1.getAs[Double]("avg_chars") == 17.0 / 3)
+    assert(s1.getAs[Long]("en_bp") == 6666L)
+    assert(s1.getAs[Long]("dup_bp") == 6666L) // docs 1,2 are dups
+    val s2 = out(1)
+    assert(s2.getLong(1) == 1L && s2.getAs[Long]("dup_bp") == 10000L)
+  }
+
   test("q71 mixture: smallest stratum keeps rate 16 and survives whole") {
     val out = CorpusPrep.q71Mixture(spark, sf).collect()
     val docs = load(spark, sf, "documents")
