@@ -367,6 +367,85 @@ object CorpusPrep {
   def q78CorpusReport(spark: SparkSession, dir: String): DataFrame =
     corpusReport(load(spark, dir, "documents")).orderBy("source")
 
+  // ------------------------------------------------------- q81/q82/q83
+
+  /** Distinct (source, word-n-gram) set — shared shingle basis for the
+    * cross-source overlap matrix (q81) and per-source novelty (q82).
+    * Scale: explode → DISTINCT hash agg; the shuffle carries
+    * (source, gram) pairs (at 100 TB, key by `xxhash64(gram)` — here
+    * the raw gram is the engine-shared key the DuckDB gate needs). */
+  private def sourceGrams(docs: DataFrame, n: Int): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.filter(size(words) >= n)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(words, i + lit(j))): _*))).as("g"))
+      .distinct()
+  }
+
+  /** Q81: cross-source contamination matrix — for every source pair,
+    * how many distinct word-3-grams they share. The inter-source
+    * overlap report a mixture designer reads before weighting sources
+    * (high overlap ⇒ the sources are not independent evidence).
+    *
+    * Scale: the gram self-join fans out at most (#sources choose 2)
+    * rows per gram — bounded by the source count squared, NOT the
+    * corpus size — and the final rollup is #source² rows. Hot grams
+    * (shared by all sources) are capped the same way. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = sourceGrams(docs, n)
+    grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  def q81SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(load(spark, dir, "documents"))
+
+  /** Q82: per-source novelty — the share of a source's distinct
+    * 3-grams that appear in NO other source, in exact basis points.
+    * Novelty ~0 means the source adds no new content to the mixture.
+    *
+    * Scale: the gram-spread count is a window over the same
+    * gram-partitioned shuffle the DISTINCT already produced — one
+    * shuffle total, no second join against a gram-count table. */
+  def sourceNovelty(docs: DataFrame, n: Int = 3): DataFrame =
+    sourceGrams(docs, n)
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        expr("count_if(n_src = 1)").as("n_exclusive"),
+        expr("(count_if(n_src = 1) * 10000) div count(1)")
+          .as("novelty_bp"))
+      .orderBy("source")
+
+  def q82SourceNovelty(spark: SparkSession, dir: String): DataFrame =
+    sourceNovelty(load(spark, dir, "documents"))
+
+  /** Q83: document-length histogram — fixed-width token-count buckets
+    * (width 32, capped at bucket 15), the length distribution a
+    * sequence-packing config (q66's context size) is chosen from.
+    * Pure integer bucket arithmetic (identical `div` both engines);
+    * one scan + one tiny hash agg. */
+  def lengthHistogram(docs: DataFrame, width: Int = 32,
+      nBuckets: Int = 16): DataFrame =
+    docs.select(size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("bucket",
+        expr(s"least(toks div ${width}L, ${nBuckets - 1}L)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok_sum"))
+      .withColumn("lo", col("bucket") * width)
+      .select(col("bucket"), col("lo"), col("n_docs"), col("tok_sum"))
+      .orderBy("bucket")
+
+  def q83LengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    lengthHistogram(load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_normalize" -> (q64Normalize _),
     "q65_pii_redact" -> (q65PiiRedact _),
@@ -378,6 +457,9 @@ object CorpusPrep {
     "q71_mixture" -> (q71Mixture _),
     "q77_span_removal" -> (q77SpanRemoval _),
     "q78_corpus_report" -> (q78CorpusReport _),
+    "q81_source_overlap" -> (q81SourceOverlap _),
+    "q82_source_novelty" -> (q82SourceNovelty _),
+    "q83_len_hist" -> (q83LengthHistogram _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -546,6 +628,45 @@ object CorpusPrep {
         |  (CAST(COUNT(*) FILTER (WHERE tcnt >= 2) AS BIGINT) * 10000)
         |    // COUNT(*) AS dup_bp
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // q81/q82: DuckDB 1-based list_transform(range(...)) replicates the
+    // Spark sequence/element_at 3-gram enumeration (range(1, n) stops
+    // at n−1; empty when n ≤ 1, so short docs vanish identically).
+    "q81_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT DISTINCT source, g FROM (
+        |        SELECT source, unnest(list_transform(
+        |          range(1, len(ws) - 1),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |        FROM w WHERE len(ws) >= 3))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  COUNT(*) AS n_shared
+        |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q82_source_novelty" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT DISTINCT source, g FROM (
+        |        SELECT source, unnest(list_transform(
+        |          range(1, len(ws) - 1),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |        FROM w WHERE len(ws) >= 3)),
+        |sp AS (SELECT source, g,
+        |         COUNT(*) OVER (PARTITION BY g) AS n_src FROM g)
+        |SELECT source, COUNT(*) AS n_grams,
+        |  COUNT(*) FILTER (WHERE n_src = 1) AS n_exclusive,
+        |  (COUNT(*) FILTER (WHERE n_src = 1) * 10000) // COUNT(*)
+        |    AS novelty_bp
+        |FROM sp GROUP BY source ORDER BY source""".stripMargin,
+    // q83: same integer bucket arithmetic both engines; SUM(BIGINT) is
+    // HUGEINT in DuckDB → CAST.
+    "q83_len_hist" ->
+      """WITH d AS (
+        |  SELECT len(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT least(toks // 32, 15) AS bucket,
+        |  least(toks // 32, 15) * 32 AS lo,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tok_sum
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // q71: same derived sixteenth-rates ((16·min) // cnt), same md5
     // nibble bucket as q46/q68.
     "q71_mixture" ->

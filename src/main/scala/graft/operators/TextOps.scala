@@ -315,12 +315,83 @@ object TextOps {
   def q59Tfidf(spark: SparkSession, dir: String): DataFrame =
     tfidfTopTerms(load(spark, dir, "documents"))
 
+  /** Q79: per-source vocabulary statistics — token volume, type count,
+    * hapax-legomena count, and type-token ratio in exact basis points.
+    * The TTR is the standard lexical-diversity signal a corpus card
+    * reports next to q78's volume numbers; a collapsing TTR on a source
+    * flags boilerplate/templated content before training.
+    *
+    * Scale: one explode → partial-combining hash agg on (source, word)
+    * — the only shuffle carries (source, word, partial count), never
+    * text — then a per-source rollup over the (small) per-source vocab.
+    * All arithmetic is exact integers (D6). */
+  def vocabStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        expr("count_if(c = 1)").as("n_hapax"),
+        expr("(count(1) * 10000) div sum(c)").as("ttr_bp"))
+      .orderBy("source")
+
+  def q79VocabStats(spark: SparkSession, dir: String): DataFrame =
+    vocabStats(load(spark, dir, "documents"))
+
+  /** Q80: collocation mining — adjacent-word bigrams whose observed
+    * count is high relative to their parts' unigram frequencies
+    * ("new york"-style fixed phrases). The association score is an
+    * exact integer lift surrogate, `n_ab·10⁶ div (n_a·n_b)` — monotone
+    * in pointwise mutual information for a fixed corpus (the corpus-size
+    * factor is constant across rows), so the ranking is the PMI ranking
+    * without IEEE log in the gate path (D-rules: both engines do the
+    * same two integer ops).
+    *
+    * Scale: bigram and unigram counts are partial-combining hash aggs;
+    * the count-filtered bigram table joins the unigram vocabulary twice
+    * — vocabulary is orders of magnitude smaller than the corpus (Heaps'
+    * law), broadcast at any realistic scale. Overflow guard: counts are
+    * bounded by corpus token count N, so n_a·n_b ≤ N² — fine in BIGINT
+    * up to N ≈ 3·10⁹ tokens per exact-count partition; beyond that the
+    * score moves to DECIMAL internally (never in the final projection).
+    *
+    * Deterministic: (lift_ppm, bigram) is a total order — bigram is
+    * unique after the group. */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50)
+      : DataFrame = {
+    val words = split(col("text"), " ")
+    val uni = docs.select(explode(words).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = docs.filter(size(words) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(words) - 1),
+        i => struct(element_at(words, i).as("wa"),
+          element_at(words, i + 1).as("wb")))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    bi.join(broadcast(uni.select(col("w").as("wa"), col("c").as("n_a"))),
+        "wa")
+      .join(broadcast(uni.select(col("w").as("wb"), col("c").as("n_b"))),
+        "wb")
+      .withColumn("lift_ppm", expr("(n_ab * 1000000) div (n_a * n_b)"))
+      .select(concat_ws(" ", col("wa"), col("wb")).as("bigram"),
+        col("n_ab"), col("n_a"), col("n_b"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bigram")).limit(k)
+  }
+
+  def q80Collocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31a_text_lang" -> (q31Lang _),
     "q31b_text_tokens" -> (q31Tokens _),
     "q56_top_ngrams" -> (q56TopNgrams _),
     "q57_fuzzy_match" -> (q57FuzzyMatch _),
     "q59_tfidf" -> (q59Tfidf _),
+    "q79_vocab_stats" -> (q79VocabStats _),
+    "q80_collocations" -> (q80Collocations _),
     "q32_dedup_exact" -> (q32DedupExact _),
     "q32b_dedup_rows" -> (q32bDedupRows _),
     "tx1_token_count" -> (tx1TokenCount _),
@@ -396,6 +467,37 @@ object TextOps {
         |SELECT doc_id, term, CAST(score AS BIGINT) AS score,
         |  CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // q79: COUNT FILTER ↔ count_if; DuckDB SUM(BIGINT) widens to
+    // HUGEINT → CAST; `//` ↔ `div` exact integer division.
+    "q79_vocab_stats" ->
+      """WITH wc AS (
+        |  SELECT source, w, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY source, w)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  COUNT(*) FILTER (WHERE c = 1) AS n_hapax,
+        |  (COUNT(*) * 10000) // CAST(SUM(c) AS BIGINT) AS ttr_bp
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin,
+    // q80: bigrams via 1-based array index + generate_series lateral;
+    // the lift surrogate is the same two integer ops on both sides, so
+    // the gate never compares an IEEE log. (lift_ppm, bigram) is a
+    // total order (bigram unique after the group).
+    "q80_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT w, COUNT(*) AS c FROM (
+        |          SELECT unnest(ws) AS w FROM w) GROUP BY w),
+        |bi AS (SELECT bg, COUNT(*) AS n_ab FROM (
+        |         SELECT unnest(list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |         FROM w WHERE len(ws) >= 2)
+        |       GROUP BY bg HAVING COUNT(*) >= 5)
+        |SELECT bg AS bigram, n_ab, ua.c AS n_a, ub.c AS n_b,
+        |  (n_ab * 1000000) // (ua.c * ub.c) AS lift_ppm
+        |FROM bi JOIN uni ua ON string_split(bg, ' ')[1] = ua.w
+        |        JOIN uni ub ON string_split(bg, ' ')[2] = ub.w
+        |ORDER BY lift_ppm DESC, bigram LIMIT 50""".stripMargin,
     "q56_top_ngrams" ->
       """SELECT ng, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
         |  SELECT UNNEST(list_transform(range(1, len(w)),

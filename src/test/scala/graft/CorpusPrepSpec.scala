@@ -172,6 +172,41 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(s2.getLong(1) == 1L && s2.getAs[Long]("dup_bp") == 10000L)
   }
 
+  test("q81/q82: overlap symmetric-planted, novelty boundary cases") {
+    import spark.implicits._
+    val docs = Seq(
+      ("sA", "a b c d"),   // grams: "a b c", "b c d"
+      ("sB", "a b c x"),   // shares "a b c" with sA; "b c x" exclusive
+      ("sC", "p q r s")    // fully disjoint vocabulary
+    ).toDF("source", "text")
+    val ov = CorpusPrep.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // only the (sA, sB) pair shares a gram; sC appears in no pair row
+    assert(ov.toSeq == Seq(("sA", "sB", 1L)))
+    val rows = CorpusPrep.sourceNovelty(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rows("sA") == ((2L, 1L, 5000L))) // "b c d" exclusive
+    assert(rows("sB") == ((2L, 1L, 5000L)))
+    assert(rows("sC") == ((2L, 2L, 10000L))) // disjoint → fully novel
+  }
+
+  test("q83: histogram conserves doc and token totals") {
+    val docs = load(spark, sf, "documents")
+    val out = CorpusPrep.lengthHistogram(docs).collect()
+    val totalDocs = out.map(_.getAs[Long]("n_docs")).sum
+    val totalToks = out.map(_.getAs[Long]("tok_sum")).sum
+    assert(totalDocs == docs.count())
+    import org.apache.spark.sql.functions.{col, size, split, sum}
+    val expectToks = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(totalToks == expectToks)
+    // buckets are within range and strictly increasing
+    val buckets = out.map(_.getAs[Long]("bucket"))
+    assert(buckets.sameElements(buckets.sorted.distinct))
+    assert(buckets.forall(b => b >= 0 && b <= 15))
+  }
+
   test("q71 mixture: smallest stratum keeps rate 16 and survives whole") {
     val out = CorpusPrep.q71Mixture(spark, sf).collect()
     val docs = load(spark, sf, "documents")

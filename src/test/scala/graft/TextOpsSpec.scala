@@ -125,4 +125,39 @@ class TextOpsSpec extends SparkSpecBase {
     // x scores 40000 > common 20000 — rarity wins, pinning the formula.
     assert(out.filter(_._1 == 2L).head._2 == "x")
   }
+
+  test("q79: vocab stats hand-computed on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a a b"),      // tokens 3, types {a,b}, hapax {b}
+      ("s1", "a c"),        // s1: tokens 5, types {a,b,c}, a=3 b=1 c=1
+      ("s2", "x x x x")     // s2: tokens 4, 1 type, 0 hapax
+    ).toDF("source", "text")
+    val out = TextOps.vocabStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("s1", 5L, 3L, 2L, 6000L),   // ttr = 3*10000 div 5
+      ("s2", 4L, 1L, 0L, 2500L)))
+  }
+
+  test("q80: a fixed phrase outranks a frequent-but-independent pair") {
+    import spark.implicits._
+    // "new york" always adjacent (5×); "the cat" co-occurs 5× but both
+    // words are everywhere (the: 15, cat: 10).
+    val phrase = Seq.fill(5)("pad new york pad")
+    val indep = Seq.fill(5)("the cat the cat the") // "the cat" 10x? count:
+    val docs = (phrase ++ indep).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextOps.collocations(docs, minCount = 5, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byBigram = out.map(t => t._1 -> t).toMap
+    // new york: n_ab=5, n_a=5, n_b=5 → lift 200000
+    assert(byBigram("new york")._5 == 200000L)
+    // the cat: n_ab=10, the=15, cat=10 → 10e6 div 150 = 66666
+    assert(byBigram("the cat")._5 == 66666L)
+    // ranking: the fixed phrase wins despite lower raw count
+    assert(out.head._1 == "new york")
+  }
 }
