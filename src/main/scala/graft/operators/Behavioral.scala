@@ -141,14 +141,118 @@ object Behavioral {
         col("max_sec"))
   }
 
+  // ---------------------------------------------------------------- q84
+
+  /** RFM segmentation — the classic customer-value grid: per purchasing
+    * user, Recency (days from last purchase to the corpus's max event
+    * date), Frequency (purchase count), Monetary (exact decimal spend),
+    * each scored into quintiles, rolled up to (r_q, f_q, m_q) cells.
+    *
+    * Determinism: every ntile window is totally ordered (metric,
+    * user_id); monetary is an exact DECIMAL sum (D2), so its ordering
+    * is engine-independent, and the cell m_sum final-casts to DOUBLE
+    * (D6).
+    *
+    * Scale: the per-user rollup is user_id-keyed (reuses the event
+    * partitioning); the ntile windows are global single-partition
+    * passes over ONE ROW PER PURCHASING USER — bounded by |users|, not
+    * |events|. At 100 TB replace them with approx-quantile cutpoints
+    * (computed once, broadcast as a 4-value array per metric) and a
+    * pure row predicate; the quintile grid is identical up to sketch
+    * error. */
+  def rfmSegments(events: DataFrame, nQ: Int = 5): DataFrame = {
+    import graft.Tables.dec
+    val anchor = events.agg(max(to_date(col("ts"))).as("anchor"))
+    val perUser = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_p"),
+        count(lit(1)).as("freq"),
+        sum(dec(col("value"))).as("mon"))
+    val wR = Window.orderBy(col("r_days").asc, col("user_id").asc)
+    val wF = Window.orderBy(col("freq").desc, col("user_id").asc)
+    val wM = Window.orderBy(col("mon").desc, col("user_id").asc)
+    perUser.crossJoin(broadcast(anchor))
+      .withColumn("r_days",
+        datediff(col("anchor"), col("last_p")).cast(LongType))
+      .withColumn("r_q", ntile(nQ).over(wR).cast(LongType))
+      .withColumn("f_q", ntile(nQ).over(wF).cast(LongType))
+      .withColumn("m_q", ntile(nQ).over(wM).cast(LongType))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("mon")).cast("double").as("m_sum"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  def q84Rfm(spark: SparkSession, dir: String): DataFrame =
+    rfmSegments(Tables.events(spark, dir))
+
+  // ---------------------------------------------------------------- q85
+
+  /** Stickiness — the DAU/WAU engagement ratio per ISO week, in exact
+    * basis points: Σ per-user active days · 10⁴ div (WAU · 7). 10000 bp
+    * means every weekly-active user was active all 7 days. One distinct
+    * (user, day) projection (one row per user-day, not per event), then
+    * a per-week rollup. */
+  def stickiness(events: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("wk", to_date(date_trunc("week", col("d"))))
+      .groupBy("wk")
+      .agg(countDistinct(col("user_id")).as("wau"),
+        count(lit(1)).as("user_days"),
+        expr("(count(1) * 10000) div (count(distinct user_id) * 7)")
+          .as("stick_bp"))
+      .orderBy("wk")
+
+  def q85Stickiness(spark: SparkSession, dir: String): DataFrame =
+    stickiness(Tables.events(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_cohort" -> (q72Cohort _),
     "q73_funnel" -> (q73Funnel _),
     "q74_transitions" -> (q74Transitions _),
     "q75_time_to_convert" -> (q75TimeToConvert _),
+    "q84_rfm" -> (q84Rfm _),
+    "q85_stickiness" -> (q85Stickiness _),
   )
 
   val oracle: Map[String, String] = Map(
+    // q84: per-user monetary stays exact DECIMAL(18,2) (the per-user
+    // re-cast keeps the D6 CAST(SUM discipline); values < 10^16 so the
+    // width is lossless); every ntile window totally ordered with the
+    // user_id tiebreak; cell sums final-cast DOUBLE.
+    "q84_rfm" ->
+      """WITH anchor AS (
+        |  SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
+        |pu AS (
+        |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_p,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS mon
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, freq, mon,
+        |    CAST(anchor - last_p AS BIGINT) AS r_days
+        |  FROM pu CROSS JOIN anchor),
+        |q AS (
+        |  SELECT mon,
+        |    ntile(5) OVER (ORDER BY r_days, user_id) AS r_q,
+        |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_q,
+        |    ntile(5) OVER (ORDER BY mon DESC, user_id) AS m_q
+        |  FROM s)
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q, COUNT(*) AS n_users,
+        |  CAST(SUM(mon) AS DOUBLE) AS m_sum
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q85: distinct user-days then a per-week rollup; `//` ↔ `div`.
+    "q85_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |w AS (SELECT user_id,
+        |        CAST(date_trunc('week', d) AS DATE) AS wk FROM ud)
+        |SELECT wk, COUNT(DISTINCT user_id) AS wau, COUNT(*) AS user_days,
+        |  (COUNT(*) * 10000) // (COUNT(DISTINCT user_id) * 7)
+        |    AS stick_bp
+        |FROM w GROUP BY wk ORDER BY wk""".stripMargin,
     // q72: DuckDB DATE − DATE is integer days; both engines truncate
     // weeks to ISO Monday.
     "q72_cohort" ->

@@ -676,6 +676,49 @@ object Relational {
     spark.sql(recursiveCalSql)
   }
 
+  /** Q86: TPC-H Q5-shaped star join — revenue by nation for orders in
+    * one region and year where the supplier is LOCAL to the customer
+    * (c_nationkey = s_nationkey). The canonical "big fact, small dims"
+    * plan: region filter → nation both broadcast; customer and
+    * supplier join the fact chain on their keys; one hash agg on
+    * n_name. Revenue = Σ extprice·(1−discount) as exact decimals (the
+    * product of two DECIMAL(18,2) is exact DECIMAL(37,4); D2), final
+    * cast DOUBLE (D6).
+    *
+    * Scale: the only shuffles are the customer⋈orders, orders⋈lineitem
+    * and lineitem⋈supplier key exchanges — all on their join keys with
+    * partial aggregation after; nation/region never shuffle
+    * (broadcast). The o_orderdate year filter prunes at the parquet
+    * scan. */
+  def q86RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nations = load(spark, dir, "nation")
+      .join(broadcast(load(spark, dir, "region"))
+        .where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = load(spark, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) *
+          dec(lit(1) - col("l_discount"))).as("rev"))
+    val supp = load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -719,6 +762,7 @@ object Relational {
     "q42b_percentile_approx" -> (q42bPercentileApprox _),
     "q61_percentile_disc" -> (q61PercentileDisc _),
     "q76_recursive_cal" -> (q76RecursiveCal _),
+    "q86_regional_revenue" -> (q86RegionalRevenue _),
     "q43_avg" -> (q43Avg _),
     "q44_full_outer" -> (q44FullOuter _),
     "q45_cross_join" -> (q45CrossJoin _),
@@ -958,6 +1002,26 @@ object Relational {
     "q45_cross_join" ->
       """SELECT r1.r_name AS a, r2.r_name AS b
         |FROM region r1 CROSS JOIN region r2 ORDER BY a, b""".stripMargin,
+    // q86: identical decimal algebra both sides — extprice and
+    // (1 − discount) each cast DECIMAL(18,2), product exact, sum exact,
+    // one final CAST AS DOUBLE (D6).
+    "q86_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |    AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q47_string_agg" ->
       """SELECT s_nationkey,
         |  string_agg(s_name, ',' ORDER BY s_name) AS names

@@ -86,6 +86,44 @@ class BehavioralSpec extends SparkSpecBase {
     assert(orphan == 0L)
   }
 
+  test("q84 rfm: cells partition purchasing users; quintiles balanced") {
+    val out = Behavioral.rfmSegments(
+      graft.Tables.events(spark, sf)).collect()
+    val users = out.map(_.getAs[Long]("n_users")).sum
+    val purchasers = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(users == purchasers) // every purchasing user in exactly 1 cell
+    // quintile scores stay in range
+    assert(out.forall { r =>
+      Seq("r_q", "f_q", "m_q").forall { c =>
+        val v = r.getAs[Long](c); v >= 1 && v <= 5 } })
+    // per-axis balance: marginal counts differ by ≤ 1 (ntile law)
+    for (axis <- Seq("r_q", "f_q", "m_q")) {
+      val marg = out.groupBy(_.getAs[Long](axis))
+        .map { case (_, rs) => rs.map(_.getAs[Long]("n_users")).sum }
+      assert(marg.max - marg.min <= 1, s"$axis marginals: $marg")
+    }
+  }
+
+  test("q85 stickiness: bounded by 10000 bp and conserves user-days") {
+    val out = Behavioral.stickiness(graft.Tables.events(spark, sf))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val wau = r.getAs[Long]("wau"); val ud = r.getAs[Long]("user_days")
+      val bp = r.getAs[Long]("stick_bp")
+      assert(ud >= wau)            // each weekly-active user ≥ 1 day
+      assert(ud <= wau * 7)        // ≤ 7 days per user
+      assert(bp >= 1428 && bp <= 10000) // ≥ 1 day/7 in bp, ≤ all days
+    }
+    val totalUserDays = out.map(_.getAs[Long]("user_days")).sum
+    val expect = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct().count()
+    assert(totalUserDays == expect)
+  }
+
   test("q75 median lies within [min, max] and counts full converters") {
     val r = Behavioral.q75TimeToConvert(spark, sf).collect().head
     val nConv = r.getLong(0)

@@ -30,6 +30,33 @@ class RelationalSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(1)).sum == orders.count())
   }
 
+  test("q86: regional revenue ≡ independent SQL formulation") {
+    val out = Relational.q86RegionalRevenue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    for (t <- Seq("customer", "orders", "lineitem", "supplier",
+        "nation", "region"))
+      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
+    val ref = spark.sql(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |    AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(out.sameElements(ref))
+    assert(out.nonEmpty && out.forall(_._2 > 0))
+  }
+
   test("q11: TPC-H Q1 shape — six groups, known first row") {
     val rows = Relational.q11Agg(spark, sf).collect()
     assert(rows.length == 6)
