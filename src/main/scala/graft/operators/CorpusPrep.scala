@@ -374,15 +374,17 @@ object CorpusPrep {
     * Scale: explode → DISTINCT hash agg; the shuffle carries
     * (source, gram) pairs (at 100 TB, key by `xxhash64(gram)` — here
     * the raw gram is the engine-shared key the DuckDB gate needs). */
-  private def sourceGrams(docs: DataFrame, n: Int): DataFrame = {
+  private def rawSourceGrams(docs: DataFrame, n: Int): DataFrame = {
     val words = split(col("text"), " ")
     docs.filter(size(words) >= n)
       .select(col("source"), explode(transform(
         sequence(lit(1), size(words) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j =>
           element_at(words, i + lit(j))): _*))).as("g"))
-      .distinct()
   }
+
+  private def sourceGrams(docs: DataFrame, n: Int): DataFrame =
+    rawSourceGrams(docs, n).distinct()
 
   /** Q81: cross-source contamination matrix — for every source pair,
     * how many distinct word-3-grams they share. The inter-source
@@ -409,13 +411,18 @@ object CorpusPrep {
     * 3-grams that appear in NO other source, in exact basis points.
     * Novelty ~0 means the source adds no new content to the mixture.
     *
-    * Scale: the gram-spread count is a window over the same
-    * gram-partitioned shuffle the DISTINCT already produced — one
-    * shuffle total, no second join against a gram-count table. */
+    * Scale: ONE full-data shuffle. The raw (source, gram) stream
+    * partial-aggregates map-side into per-gram source SETS (bounded by
+    * source cardinality, not corpus size), so the g-keyed exchange
+    * carries per-partition-distinct pairs; dedup and spread-count both
+    * fall out of the one collect_set agg. (A distinct-then-window form
+    * would shuffle the full pair set twice: once on (source, g), again
+    * on g.) The final per-source rollup is vocabulary-sized. */
   def sourceNovelty(docs: DataFrame, n: Int = 3): DataFrame =
-    sourceGrams(docs, n)
-      .withColumn("n_src",
-        count(lit(1)).over(Window.partitionBy(col("g"))))
+    rawSourceGrams(docs, n)
+      .groupBy("g").agg(collect_set(col("source")).as("srcs"))
+      .select(explode(col("srcs")).as("source"),
+        size(col("srcs")).as("n_src"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_grams"),

@@ -111,4 +111,34 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       p.take(800))
   }
+
+  test("q82 novelty dedups inside ONE g-keyed agg — no (source, g) " +
+      "exchange before it") {
+    val p = plan(graft.operators.CorpusPrep
+      .q82SourceNovelty(spark, sf))
+    // the single full-data exchange partitions on g alone; a
+    // distinct-then-window regression would add hashpartitioning(source, g)
+    assert(p.contains("collect_set"), p.take(800))
+    val compound = "hashpartitioning\\((source#\\d+, g#|g#\\d+, source#)"
+      .r.findFirstIn(p)
+    assert(compound.isEmpty,
+      "novelty regressed to distinct-then-window (two full shuffles):\n" +
+        p.take(1200))
+  }
+
+  test("q86 star join broadcasts dims and pushes the year filter " +
+      "to the orders scan") {
+    val p = plan(graft.operators.Relational
+      .q86RegionalRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      "o_orderdate range must reach the parquet scan:\n" + p.take(1200))
+  }
+
+  test("q80 collocations joins the vocabulary by broadcast") {
+    val p = plan(graft.operators.TextOps.q80Collocations(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }
