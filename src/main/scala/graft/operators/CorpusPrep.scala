@@ -374,14 +374,14 @@ object CorpusPrep {
     * Scale: explode → DISTINCT hash agg; the shuffle carries
     * (source, gram) pairs (at 100 TB, key by `xxhash64(gram)` — here
     * the raw gram is the engine-shared key the DuckDB gate needs). */
-  private def rawSourceGrams(docs: DataFrame, n: Int): DataFrame = {
-    val words = split(col("text"), " ")
-    docs.filter(size(words) >= n)
+  private def rawSourceGrams(docs: DataFrame, n: Int): DataFrame =
+    // split once: see TextOps.topNgrams
+    docs.select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
       .select(col("source"), explode(transform(
-        sequence(lit(1), size(words) - (n - 1)),
+        sequence(lit(1), size(col("w")) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j =>
-          element_at(words, i + lit(j))): _*))).as("g"))
-  }
+          element_at(col("w"), i + lit(j))): _*))).as("g"))
 
   private def sourceGrams(docs: DataFrame, n: Int): DataFrame =
     rawSourceGrams(docs, n).distinct()
@@ -453,6 +453,20 @@ object CorpusPrep {
   def q83LengthHistogram(spark: SparkSession, dir: String): DataFrame =
     lengthHistogram(load(spark, dir, "documents"))
 
+  /** Q87: per-source token-length percentiles (p50/p90/p99, SQL
+    * percentile_disc semantics) — the tail-length line of the corpus
+    * card, and the number a packing context size (q66) is actually
+    * chosen against. Rides [[Percentiles.discByRank]]: disk-spilling
+    * window sort, boundary-rank selection, so a giant source can never
+    * OOM an executor the way a value-buffering percentile would. */
+  def q87LenPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.discByRank(
+      load(spark, dir, "documents").select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks")),
+      Seq("source"), "toks",
+      Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"), Some("n_docs"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_normalize" -> (q64Normalize _),
     "q65_pii_redact" -> (q65PiiRedact _),
@@ -467,6 +481,7 @@ object CorpusPrep {
     "q81_source_overlap" -> (q81SourceOverlap _),
     "q82_source_novelty" -> (q82SourceNovelty _),
     "q83_len_hist" -> (q83LengthHistogram _),
+    "q87_len_percentiles" -> (q87LenPercentiles _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -665,6 +680,16 @@ object CorpusPrep {
         |  (COUNT(*) FILTER (WHERE n_src = 1) * 10000) // COUNT(*)
         |    AS novelty_bp
         |FROM sp GROUP BY source ORDER BY source""".stripMargin,
+    // q87: quantile_disc is the pinned percentile_disc definition
+    // (q61's boundary-definition unit test); toks is BIGINT both sides.
+    "q87_len_percentiles" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(quantile_disc(toks, 0.5) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(toks, 0.9) AS BIGINT) AS p90,
+        |  CAST(quantile_disc(toks, 0.99) AS BIGINT) AS p99
+        |FROM (SELECT source, len(string_split(text, ' ')) AS toks
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // q83: same integer bucket arithmetic both engines; SUM(BIGINT) is
     // HUGEINT in DuckDB → CAST.
     "q83_len_hist" ->

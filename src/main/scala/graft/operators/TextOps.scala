@@ -128,12 +128,16 @@ object TextOps {
     * TakeOrdered(k); one shuffle of (ngram, partial count), never a
     * global sort. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
-    val words = split(col("text"), " ")
-    docs.filter(size(words) >= n)
+    // Split ONCE into a materialized column — inlining `split(text)`
+    // into each element_at re-tokenizes the document per n-gram element
+    // (O(len·grams) string work; measured 4× on q56 at sf0.1, and the
+    // gap grows with document length).
+    docs.select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
       .select(explode(transform(
-        sequence(lit(1), size(words) - (n - 1)),
+        sequence(lit(1), size(col("w")) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j =>
-          element_at(words, i + lit(j))): _*))).as("ng"))
+          element_at(col("w"), i + lit(j))): _*))).as("ng"))
       .groupBy("ng").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ng")).limit(k)
   }
@@ -360,14 +364,15 @@ object TextOps {
     * unique after the group. */
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50)
       : DataFrame = {
-    val words = split(col("text"), " ")
-    val uni = docs.select(explode(words).as("w"))
+    // split once: see topNgrams
+    val ws = docs.select(split(col("text"), " ").as("w"))
+    val uni = ws.select(explode(col("w")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val bi = docs.filter(size(words) >= 2)
+    val bi = ws.filter(size(col("w")) >= 2)
       .select(explode(transform(
-        sequence(lit(1), size(words) - 1),
-        i => struct(element_at(words, i).as("wa"),
-          element_at(words, i + 1).as("wb")))).as("p"))
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("wa"),
+          element_at(col("w"), i + 1).as("wb")))).as("p"))
       .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .groupBy("wa", "wb").agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minCount)
