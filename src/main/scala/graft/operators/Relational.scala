@@ -719,6 +719,38 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Q88: time-RANGE window frame — 7-day trailing revenue over the
+    * daily order series. Exercises RangeFrame (value-based frame
+    * bounds), a different physical path from every ROWS frame in the
+    * suite: the frame is [dn−6, dn] over the ORDER-BY VALUE, so gaps
+    * in the calendar shrink the window (days_7d counts the days
+    * actually present).
+    *
+    * The order key is the integer epoch day — identical integer range
+    * semantics on both engines, no interval-type drift. Daily revenue
+    * is an exact decimal sum; the windowed re-sum stays decimal and
+    * final-casts to DOUBLE; the per-day average divides two exact
+    * values once in IEEE (D2/D6).
+    *
+    * Scale: the window is global but runs over the DAILY aggregate —
+    * one row per calendar day regardless of order volume; the heavy
+    * partial+final hash agg upstream is fully parallel. */
+  def q88MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      .withColumn("dn", expr("datediff(d, DATE '1970-01-01')"))
+    val win = Window.orderBy(col("dn")).rangeBetween(-6, 0)
+    daily.select(col("d"),
+        col("rev").cast("double").as("rev_d"),
+        sum(col("rev")).over(win).cast("double").as("rev_7d"),
+        count(lit(1)).over(win).as("days_7d"),
+        (sum(col("rev")).over(win).cast("double") /
+          count(lit(1)).over(win)).as("avg_7d"))
+      .orderBy("d")
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -763,6 +795,7 @@ object Relational {
     "q61_percentile_disc" -> (q61PercentileDisc _),
     "q76_recursive_cal" -> (q76RecursiveCal _),
     "q86_regional_revenue" -> (q86RegionalRevenue _),
+    "q88_moving_avg" -> (q88MovingAvg _),
     "q43_avg" -> (q43Avg _),
     "q44_full_outer" -> (q44FullOuter _),
     "q45_cross_join" -> (q45CrossJoin _),
@@ -1002,6 +1035,26 @@ object Relational {
     "q45_cross_join" ->
       """SELECT r1.r_name AS a, r2.r_name AS b
         |FROM region r1 CROSS JOIN region r2 ORDER BY a, b""".stripMargin,
+    // q88: RANGE frame over the integer epoch day (identical integer
+    // range semantics both engines); daily decimal sums re-sum inside
+    // the window and final-cast DOUBLE; avg divides two exact values
+    // once in IEEE.
+    "q88_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT d, rev, d - DATE '1970-01-01' AS dn FROM daily)
+        |SELECT d, CAST(rev AS DOUBLE) AS rev_d,
+        |  CAST(SUM(rev) OVER win AS DOUBLE) AS rev_7d,
+        |  COUNT(*) OVER win AS days_7d,
+        |  CAST(SUM(rev) OVER win AS DOUBLE) / (COUNT(*) OVER win)
+        |    AS avg_7d
+        |FROM n
+        |WINDOW win AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING
+        |  AND CURRENT ROW)
+        |ORDER BY d""".stripMargin,
     // q86: identical decimal algebra both sides — extprice and
     // (1 − discount) each cast DECIMAL(18,2), product exact, sum exact,
     // one final CAST AS DOUBLE (D6).

@@ -30,6 +30,22 @@ class RelationalSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(1)).sum == orders.count())
   }
 
+  test("q88: range frame laws — window bounded by 7 present days, " +
+      "avg consistent, warmup ramp") {
+    val out = Relational.q88MovingAvg(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val revD = r.getDouble(1); val rev7 = r.getDouble(2)
+      val days = r.getLong(3); val avg = r.getDouble(4)
+      assert(days >= 1 && days <= 7)
+      assert(rev7 >= revD - 1e-6) // frame includes the current day
+      assert(math.abs(avg - rev7 / days) < 1e-9)
+    }
+    // on a dense calendar the first row's frame is just itself
+    assert(out.head.getLong(3) == 1L)
+    assert(math.abs(out.head.getDouble(1) - out.head.getDouble(2)) < 1e-9)
+  }
+
   test("q86: regional revenue ≡ independent SQL formulation") {
     val out = Relational.q86RegionalRevenue(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
