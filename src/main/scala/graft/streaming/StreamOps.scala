@@ -191,6 +191,27 @@ object StreamOps {
       .drop("__rk", "__from", "__until")
   }
 
+  /** STREAMING CORPUS REPORT — q78's per-source dataset card as a
+    * continuous windowed aggregate: per (event-time window, source),
+    * doc count, token volume, and language mix. Watermark + append
+    * mode: a window's card row is emitted exactly once, when the
+    * watermark passes its end — the \"dataset card over time\" a
+    * continuously-ingested corpus needs. Exact-dup rate is the one q78
+    * column deliberately absent: exactness there needs per-text-hash
+    * keyed state across the whole stream (unbounded); the streaming
+    * dedup RATE signal comes from [[dedupWithinWatermark]] upstream
+    * (bounded state) instead. State size: #open windows × #sources.
+    * Batch≡stream pinned in StreamingSpec. */
+  def corpusReportStream(docs: DataFrame, win: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win).as("w"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tok_sum"),
+        expr("count_if(lang = 'en')").as("n_en"))
+      .select(col("w.start").as("w_start"), col("source"),
+        col("n_docs"), col("tok_sum"), col("n_en"))
+
   /** STREAMING CORPUS PREP — the q63 chain as a continuous pipeline
     * (documents arrive as a stream; the benchmark/eval corpus is a
     * static table):

@@ -16,6 +16,9 @@ case class Ev(ts: Timestamp, event_type: String, value: Double,
 /** Streaming document row for the near-dedup test. */
 case class SDoc(ts: Timestamp, text: String)
 
+/** Streaming document row with card dimensions (corpus-report test). */
+case class SRep(ts: Timestamp, text: String, lang: String, source: String)
+
 /** Streaming semantics (SURVEY §2-B Q35): batch≡stream equivalence for
   * tumbling windows, late-data drop past the watermark, session windows,
   * streaming dedup, and the foreachBatch at-least-once file sink (the
@@ -264,6 +267,30 @@ class StreamingSpec extends SparkSpecBase {
       .filter(col("ts") < Timestamp.valueOf("2024-01-01 10:30:00"))
       .select("text").collect().map(_.getString(0)).toSet
     assert(batch == out)
+  }
+
+  test("streaming corpus report ≡ batch card per closed window") {
+    val docs = Seq(
+      SRep(ts(1), "a b c", "en", "s1"),
+      SRep(ts(2), "d e", "fr", "s1"),
+      SRep(ts(3), "f g h i", "en", "s2"),
+      SRep(ts(12), "j k", "en", "s1"),   // second window
+      SRep(Timestamp.valueOf("2024-01-01 11:00:00"),
+        "flush marker closing all earlier windows", "en", "s9"))
+    val input = MemoryStream[SRep](spark)
+    input.addData(docs: _*)
+    val out = runAvailableNow(
+      StreamOps.corpusReportStream(input.toDF()), "corpusreport")
+      .filter(col("w_start") < Timestamp.valueOf("2024-01-01 10:30:00"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val w0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val w1 = Timestamp.valueOf("2024-01-01 10:10:00")
+    assert(out == Set(
+      (w0, "s1", 2L, 5L, 1L),   // "a b c"(en) + "d e"(fr)
+      (w0, "s2", 1L, 4L, 1L),
+      (w1, "s1", 1L, 2L, 1L)))
   }
 
   test("flatMapGroupsWithState: per-user counts persist across batches") {
