@@ -22,14 +22,20 @@ import graft.functions.VectorOps
   */
 object Dedup {
 
-  /** Distinct word k-shingles of a text column; texts shorter than k words
-    * contribute their whole text as one shingle. */
-  def shingles(text: Column, k: Int): Column = {
-    val words = split(text, " ")
+  /** Distinct word k-shingles; texts shorter than k words contribute
+    * their whole text as one shingle.
+    * Shingles over a PRE-SPLIT word array. Callers on hot paths should
+    * project `split(text, " ")` into a column first: referencing the
+    * split expression inside the transform lambda re-tokenizes the
+    * document once per shingle (O(len·shingles) string work — the same
+    * measured 4× trap as TextOps.topNgrams). */
+  def shinglesOf(w: Column, k: Int): Column =
     array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - k, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(k)))))
-  }
+      sequence(lit(0), greatest(size(w) - k, lit(0))),
+      i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+
+  def shingles(text: Column, k: Int): Column =
+    shinglesOf(split(text, " "), k)
 
   /** MinHash signature — reference HOF formulation (kept for semantics
     * docs): min over shingles of xxhash64(shingle, s) per seed. The
@@ -65,8 +71,9 @@ object Dedup {
     // partition on different keys). MEMORY_AND_DISK so a 100 TB corpus
     // spills instead of OOMing; the payload is (doc_id, long[]), not text.
     val withSh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        array_distinct(transform(shingles(col("text"), k),
+        array_distinct(transform(shinglesOf(col("w"), k),
           s => xxhash64(s))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSh
@@ -369,9 +376,11 @@ object Dedup {
     // (collision odds ~n²/2⁶⁴); sorted ascending = the global token order
     // the prefix filter requires. Persisted: feeds the prefix index and
     // both verification sides.
-    val shSets = docs.select(col("doc_id"),
-      array_sort(array_distinct(transform(shingles(col("text"), k),
-        s => xxhash64(s)))).as("sh"))
+    val shSets = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(shinglesOf(col("w"), k),
+          s => xxhash64(s)))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))).cast("int") + 1)
@@ -411,9 +420,11 @@ object Dedup {
     * index and candidate volume collapses. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
       threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(transform(shingles(col("text"), k), s => xxhash64(s)))
-        .as("sh"))
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(transform(shinglesOf(col("w"), k), s => xxhash64(s)))
+          .as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val postings = sh.groupBy("sh")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
@@ -451,12 +462,14 @@ object Dedup {
   def decontaminate(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
       minOverlap: Int = 5): DataFrame = {
     val benchSh = benchmark
-      .select(explode(transform(shingles(col("text"), k),
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(transform(shinglesOf(col("w"), k),
         s => xxhash64(s))).as("sh"))
       .distinct()
     val contaminated = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        explode(transform(shingles(col("text"), k),
+        explode(transform(shinglesOf(col("w"), k),
           s => xxhash64(s))).as("sh"))
       // shingles() is array_distinct per doc, so count(*) after the
       // semi-join IS the distinct-overlap count
@@ -488,7 +501,8 @@ object Dedup {
   def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
       k: Int = 3, minOverlap: Int = 5, fpp: Double = 0.001): DataFrame = {
     val benchSh = benchmark
-      .select(explode(transform(shingles(col("text"), k),
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(transform(shinglesOf(col("w"), k),
         s => xxhash64(s))).as("sh"))
       .distinct()
     // sizing count runs one job over the (benchmark-sized, small
@@ -498,8 +512,9 @@ object Dedup {
     val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((sh: Long) => bloomBc.value.mightContainLong(sh))
     val contaminated = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        explode(transform(shingles(col("text"), k),
+        explode(transform(shinglesOf(col("w"), k),
           s => xxhash64(s))).as("sh"))
       .filter(mightContain(col("sh")))
       .groupBy("doc_id")

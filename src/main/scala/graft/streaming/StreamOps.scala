@@ -241,9 +241,10 @@ object StreamOps {
   def corpusPrepStream(docs: DataFrame, bench: DataFrame,
       minWords: Int = 40, maxDupBigramBp: Int = 8000, k: Int = 3,
       minOverlap: Int = 5, watermark: String = "10 minutes"): DataFrame = {
-    import graft.operators.Dedup.shingles
+    import graft.operators.Dedup.shinglesOf
     val benchSet = bench
-      .select(explode(transform(shingles(col("text"), k),
+      .select(split(col("text"), " ").as("__bw"))
+      .select(explode(transform(shinglesOf(col("__bw"), k),
         s => xxhash64(s))).as("sh"))
       .distinct()
       .agg(collect_set(col("sh")).as("__bench_sh"))
@@ -263,7 +264,7 @@ object StreamOps {
       // shingles() is already array_distinct per doc, so the intersect
       // size IS the distinct-overlap count (same as Dedup.decontaminate)
       .filter(size(array_intersect(
-        transform(shingles(col("text"), k), s => xxhash64(s)),
+        transform(shinglesOf(col("__w"), k), s => xxhash64(s)),
         col("__bench_sh"))) < minOverlap)
       .drop("__w", "__bg", "__h", "__bench_sh")
   }
