@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{AsofJoin, Behavioral, CorpusPrep, Dedup, Similarity}
+import graft.operators.{AsofJoin, Behavioral, CorpusPrep, Dedup, Similarity, TextOps}
 
 /** SQL front door for the operator library — everything a SQL-only user
   * needs to reach the LLM-pipeline operators from `spark.sql` alone.
@@ -92,5 +92,20 @@ object SqlSurface {
   def createCohortView(spark: SparkSession, eventsView: String,
       viewName: String): Unit =
     Behavioral.cohortRetention(spark.table(eventsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Per-source dataset card of `docsView` (doc_id, text, lang, source,
+    * n_chars) → view (source, n_docs, tok_sum, avg_chars, en_bp,
+    * dup_bp). */
+  def createCorpusReportView(spark: SparkSession, docsView: String,
+      viewName: String): Unit =
+    CorpusPrep.corpusReport(spark.table(docsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Collocations of `docsView` by integer lift → view
+    * (bigram, n_ab, n_a, n_b, lift_ppm). */
+  def createCollocationsView(spark: SparkSession, docsView: String,
+      minCount: Long, k: Int, viewName: String): Unit =
+    TextOps.collocations(spark.table(docsView), minCount, k)
       .createOrReplaceTempView(viewName)
 }

@@ -124,4 +124,29 @@ class SqlSurfaceSpec extends SparkSpecBase {
       "week_offset = 0").collect().head.getLong(0) ==
       Tables.events(spark, sf).select("user_id").distinct().count())
   }
+
+  test("corpus-report / collocation view builders match the operators") {
+    SqlSurface.registerTables(spark, sf)
+    SqlSurface.createCorpusReportView(spark, "documents", "corpus_card")
+    SqlSurface.createCollocationsView(spark, "documents", 5L, 50,
+      "collocs")
+    val viaSql = spark.sql(
+      "SELECT source, n_docs, tok_sum, dup_bp FROM corpus_card")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val direct = graft.operators.CorpusPrep.corpusReport(
+        Tables.load(spark, sf, "documents"))
+      .select("source", "n_docs", "tok_sum", "dup_bp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaSql == direct && viaSql.nonEmpty)
+    // collocation view is queryable SQL over the ranked operator output
+    val top = spark.sql(
+      """SELECT bigram, lift_ppm FROM collocs
+        |ORDER BY lift_ppm DESC, bigram LIMIT 1""".stripMargin).collect()
+    val directTop = graft.operators.TextOps.collocations(
+      Tables.load(spark, sf, "documents")).collect().head
+    assert(top.head.getString(0) == directTop.getString(0))
+    assert(top.head.getLong(1) == directTop.getLong(4))
+  }
 }
