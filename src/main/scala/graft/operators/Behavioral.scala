@@ -206,6 +206,41 @@ object Behavioral {
   def q85Stickiness(spark: SparkSession, dir: String): DataFrame =
     stickiness(Tables.events(spark, dir))
 
+  // ---------------------------------------------------------------- q89
+
+  /** Path analysis: each user's first `depth` event types in time
+    * order, concatenated `a>b>c`, counted across users — the "what do
+    * journeys actually look like" report that funnels (q73) presuppose
+    * an answer to.
+    *
+    * Determinism: the per-user order is the q74 total order (ts_ns,
+    * event_id); the per-user path is assembled by sorting the collected
+    * (rn, type) structs — collect_list order is partition-dependent,
+    * the sort makes it canonical (D1 inside the aggregate). (n_users
+    * desc, path) totally orders the output — path is unique after the
+    * group.
+    *
+    * Scale: one user-keyed window pass (rank ≤ depth prunes to ≤ depth
+    * rows per user before the path agg, which reuses the same user_id
+    * partitioning), then a slim count agg over paths — cardinality
+    * bounded by Σ|event types|^depth, not by |events|. */
+  def eventPaths(events: DataFrame, depth: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events.select(col("user_id"), col("event_type"), col("ts_ns"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= depth)
+      .groupBy("user_id")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        s => s("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+  }
+
+  def q89EventPaths(spark: SparkSession, dir: String): DataFrame =
+    eventPaths(Tables.events(spark, dir))
+      .orderBy(col("n_users").desc, col("path"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_cohort" -> (q72Cohort _),
     "q73_funnel" -> (q73Funnel _),
@@ -213,6 +248,7 @@ object Behavioral {
     "q75_time_to_convert" -> (q75TimeToConvert _),
     "q84_rfm" -> (q84Rfm _),
     "q85_stickiness" -> (q85Stickiness _),
+    "q89_event_paths" -> (q89EventPaths _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -334,5 +370,17 @@ object Behavioral {
         |SELECT COUNT(*) AS n_conv, MIN(dsec) AS min_sec,
         |  quantile_disc(dsec, 0.5) AS med_sec, MAX(dsec) AS max_sec
         |FROM c""".stripMargin,
+    // q89: same (ts_ns, event_id) total order inside the window; the
+    // ORDER BY inside string_agg replays Spark's sorted-struct assembly.
+    "q89_event_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM o WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
   )
 }

@@ -186,6 +186,42 @@ object Similarity {
         aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"))
       .orderBy("vec_id")
 
+  /** Exact cosine pair join: every unordered vector pair whose cosine,
+    * rounded to integer millionths (the q34a discipline — identical raw
+    * doubles round identically in any engine), clears `thresholdE6`.
+    * The exact sibling of the LSH bucket join (Dedup
+    * .embeddingNearDupPairs): LSH trades recall for candidate count,
+    * this is the recall-1 baseline it is measured against — and the
+    * verify predicate both share.
+    *
+    * Scale: O(N²/2) pair evaluations by construction — the validation-
+    * scale baseline. At corpus scale the same rounded-cosine predicate
+    * runs as the residual of the LSH prefilter; for exactness at scale,
+    * block the join (range-bucket both sides by vec_id, evaluate
+    * per-block GEMM-style) so each task owns a bounded pair tile — the
+    * join below already is that plan with one broadcast side. Output
+    * cos_e6 is BIGINT (D6: integer, no IEEE value in the gate). */
+  def cosinePairsExact(vectors: DataFrame, thresholdE6: Long): DataFrame = {
+    DotProductExpr.register(vectors.sparkSession)
+    val v = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", nativeNorm(col("v")))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_e6", floor(cosinePrenormed(
+          nativeDot(col("a.v"), col("b.v")), col("a.nv"), col("b.nv"))
+        * lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("cos_e6") >= thresholdE6)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("cos_e6"))
+  }
+
+  /** Q92: exact pairs at cos ≥ 0.35 — the synthetic embeddings are
+    * near-orthogonal (max pairwise cos ≈ 0.5), so 0.35 is the ≈p99.9
+    * "most similar pairs" tail, non-empty at every SF. */
+  def q92CosinePairs(spark: SparkSession, dir: String): DataFrame =
+    cosinePairsExact(load(spark, dir, "embeddings"), thresholdE6 = 350000L)
+      .orderBy("id_a", "id_b")
+
   private def queryVectors(vectors: DataFrame): DataFrame =
     vectors.filter(col("vec_id") < 5)
 
@@ -213,6 +249,7 @@ object Similarity {
     "q34b_knn_lsh" -> (q34bKnnLsh _),
     "q34c_knn_ivf" -> (q34cKnnIvf _),
     "q58_quantize" -> (q58Quantize _),
+    "q92_cosine_pairs" -> (q92CosinePairs _),
   )
 
   /** DuckDB oracle for exact brute-force kNN: same double-cast vectors,
@@ -254,5 +291,19 @@ object Similarity {
         |      x -> CAST(floor((x - mn) / scale + 0.5) AS BIGINT)))
         |      AS BIGINT) END AS code_sum
         |FROM s ORDER BY vec_id""".stripMargin,
+    // q92: same double-cast vectors, same dot/(√·√) association, same
+    // floor(x·1e6+0.5) rounding; the threshold compares BIGINTs.
+    "q92_cosine_pairs" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(floor((list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) *
+        |       sqrt(list_dot_product(b.e, b.e)))) * 1e6 + 0.5)
+        |      AS BIGINT) AS cos_e6
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos_e6 FROM c
+        |WHERE cos_e6 >= 350000 ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -82,9 +82,43 @@ object Stats {
         min_by(col("o_custkey"), col("o_orderkey")).as("first_cust"))
       .orderBy("o_orderpriority")
 
+  /** Q90: z-score anomaly detection — events whose `value` sits more
+    * than `k` population standard deviations from its event-type mean;
+    * the standard outlier sweep before a metric feeds a dashboard or a
+    * training mixture.
+    *
+    * Determinism: mean/σ derive from exact decimal power sums (the q51
+    * discipline) cast to DOUBLE once; the outlier predicate is cleared
+    * of divisions and sqrt —
+    *   (n·x − Σx)² > k²·(n·Σx² − (Σx)²)
+    * — so both engines run the same IEEE double op sequence and the
+    * boundary compare is engine-independent.
+    *
+    * Scale: the stats frame is one row per event type (broadcast back);
+    * detection itself is a scan-speed row predicate — no shuffle of the
+    * event stream, no window. */
+  def valueOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    val x = col("value")
+    val stats = events.groupBy("event_type").agg(
+      count(x).as("n"),
+      sum(dec(x)).cast("double").as("sx"),
+      psum(x, x).as("sxx"))
+    val nd = col("n").cast("double")
+    val diff = nd * x - col("sx")
+    events.join(broadcast(stats), "event_type")
+      .filter(diff * diff >
+        lit((k * k).toDouble) * (nd * col("sxx") - col("sx") * col("sx")))
+      .select(col("event_type"), col("event_id"), x.as("value"))
+  }
+
+  def q90ValueOutliers(spark: SparkSession, dir: String): DataFrame =
+    valueOutliers(graft.Tables.events(spark, dir))
+      .orderBy("event_type", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_stats" -> (q51Stats _),
     "q55_cond_aggs" -> (q55CondAggs _),
+    "q90_value_outliers" -> (q90ValueOutliers _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -124,5 +158,21 @@ object Stats {
         |  arg_min(o_custkey, o_orderkey) AS first_cust
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // q90: same exact power sums, same division-free predicate, same
+    // double op order; COUNT(value) matches Spark's count(col) null
+    // semantics.
+    "q90_value_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(value) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+        |             CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.event_id, e.value
+        |FROM events e JOIN s USING (event_type)
+        |WHERE (CAST(n AS DOUBLE) * e.value - sx) *
+        |      (CAST(n AS DOUBLE) * e.value - sx) >
+        |      9.0 * (CAST(n AS DOUBLE) * sxx - sx * sx)
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
   )
 }

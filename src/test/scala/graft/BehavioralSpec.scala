@@ -124,6 +124,35 @@ class BehavioralSpec extends SparkSpecBase {
     assert(totalUserDays == expect)
   }
 
+  test("q89 paths: hand-computed journeys, truncation at depth, " +
+      "tiebreak by event_id inside one timestamp") {
+    import spark.implicits._
+    // u1: 6 events — path truncates to the first 5
+    // u2: two events in the SAME nanosecond — event_id orders them
+    // u3: single event
+    val ev = Seq(
+      (1L, 101L, "a", 1000L), (1L, 102L, "b", 2000L),
+      (1L, 103L, "c", 3000L), (1L, 104L, "d", 4000L),
+      (1L, 105L, "e", 5000L), (1L, 106L, "f", 6000L),
+      (2L, 201L, "x", 7000L), (2L, 200L, "y", 7000L),
+      (3L, 301L, "z", 8000L)
+    ).toDF("user_id", "event_id", "event_type", "ts_ns")
+    val paths = Behavioral.eventPaths(ev, depth = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(paths == Map("a>b>c>d>e" -> 1L, "y>x" -> 1L, "z" -> 1L))
+  }
+
+  test("q89 conserves users and respects the depth bound at sf0.001") {
+    val out = Behavioral.q89EventPaths(spark, sf).collect()
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum == users, "each user has one path")
+    assert(out.forall(_.getString(0).split(">").length <= 5))
+    // output is (n_users desc, path) ordered
+    val keys = out.map(r => (-r.getLong(1), r.getString(0)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
   test("q75 median lies within [min, max] and counts full converters") {
     val r = Behavioral.q75TimeToConvert(spark, sf).collect().head
     val nConv = r.getLong(0)

@@ -22,7 +22,8 @@ class ContractSpec extends AnyFunSuite {
     "Stats" -> operators.Stats.queries,
     "TimeSeries" -> operators.TimeSeries.queries,
     "CorpusPrep" -> operators.CorpusPrep.queries,
-    "Behavioral" -> operators.Behavioral.queries)
+    "Behavioral" -> operators.Behavioral.queries,
+    "Graph" -> operators.Graph.queries)
 
   private val oracleMaps = Seq(
     "Relational" -> operators.Relational.oracle,
@@ -38,7 +39,8 @@ class ContractSpec extends AnyFunSuite {
     "Stats" -> operators.Stats.oracle,
     "TimeSeries" -> operators.TimeSeries.oracle,
     "CorpusPrep" -> operators.CorpusPrep.oracle,
-    "Behavioral" -> operators.Behavioral.oracle)
+    "Behavioral" -> operators.Behavioral.oracle,
+    "Graph" -> operators.Graph.oracle)
 
   test("no query key collides across operator maps (++ is last-wins)") {
     val all = queryMaps.flatMap { case (n, m) => m.keys.map(_ -> n) }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Triangle census (q91): hand-built goldens where every census number
+  * is checkable on paper, orientation-independence against a naive
+  * id-oriented count, and the co-supply edge builder on a planted
+  * bipartite table.
+  */
+class GraphSpec extends SparkSpecBase {
+
+  private def edgeDF(es: (Long, Long)*) = {
+    import spark.implicits._
+    es.toDF("u", "v")
+  }
+
+  test("census golden: K4 minus one edge") {
+    // nodes {1,2,3,4}, all edges except (3,4): degrees 3,3,2,2 →
+    // wedges C(3,2)+C(3,2)+1+1 = 8; triangles {1,2,3},{1,2,4} = 2;
+    // closure = 3·2·10⁶ div 8 = 750000
+    val r = Graph.triangleCensus(edgeDF(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 5L, 8L, 2L, 750000L)))
+  }
+
+  test("census golden: triangle-free star has wedges but no triangles") {
+    // star center 1 with leaves 2..5: wedges C(4,2)=6, triangles 0
+    val r = Graph.triangleCensus(edgeDF(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))).collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((6L, 0L, 0L)))
+  }
+
+  test("degree orientation counts the same triangles as id " +
+      "orientation (chain graph + planted clique)") {
+    import spark.implicits._
+    // a path (hub-free), a 5-clique (C(5,3)=10 triangles), and a hub
+    // node wired to clique members (adds C(3,2)... exactly the pairs
+    // among {10,11,12} that are clique edges → 3 more triangles)
+    val edges = (
+      (1L to 9L).map(i => (i, i + 1)) ++
+      (for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)) ++
+      Seq((15L, 10L), (15L, 11L), (15L, 12L))
+    ).map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val e = edges.toDF("u", "v")
+    val census = Graph.triangleCensus(e).collect().head
+    // naive id-oriented 3-join (the oracle's plan) on the same edges
+    val naive = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"), col("e3.u") === col("e1.u") &&
+        col("e3.v") === col("e2.v"))
+      .count()
+    assert(census.getLong(3) == naive)
+    assert(census.getLong(3) == 13L)
+  }
+
+  test("coSupplyEdges: threshold keeps only pairs sharing enough parts") {
+    import spark.implicits._
+    // suppliers 1,2 share parts {100,101}; 1,3 share only {100};
+    // duplicate lineitem rows must not inflate the shared count
+    val li = Seq(
+      (100L, 1L), (100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 1L), (101L, 2L), (102L, 3L)
+    ).toDF("l_partkey", "l_suppkey")
+    val e2 = Graph.coSupplyEdges(li, minShared = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e2 == Set((1L, 2L)))
+    val e1 = Graph.coSupplyEdges(li, minShared = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e1 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("q91 census is internally consistent at sf0.001") {
+    val r = Graph.q91Triangles(spark, sf).collect().head
+    val (nodes, edges, wedges, tris) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nodes > 0 && edges > 0)
+    assert(edges <= nodes * (nodes - 1) / 2)
+    assert(tris * 3 <= wedges, "each triangle closes 3 wedges")
+    assert(r.getLong(4) == (if (wedges == 0) 0L
+      else tris * 3 * 1000000 / wedges))
+  }
+}

@@ -106,4 +106,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.02, s"recall $recall")
     assert(lsh.nonEmpty)
   }
+
+  test("q92: LSH near-dup pairs are contained in the exact cosine " +
+      "pair set at the same threshold") {
+    val vecs = load(spark, sf, "embeddings")
+    val exact = Similarity.cosinePairsExact(vecs, thresholdE6 = 350000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // raw cos ≥ 0.35 ⟹ floor(cos·1e6+0.5) ≥ 350000, so every
+    // LSH-verified pair must appear in the exact set (recall-1 baseline)
+    val lsh = graft.operators.Dedup.embeddingNearDupPairs(
+        vecs, planes = 4, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH pairs missing from exact: " +
+      s"${lsh.diff(exact).take(5)}")
+    // and the exact set agrees with a per-pair scalar recomputation
+    val byId = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    exact.take(50).foreach { case (a, b) =>
+      val (va, vb) = (byId(a), byId(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+      assert(cos >= 0.3499, s"pair ($a,$b) cos=$cos below threshold")
+    }
+  }
 }

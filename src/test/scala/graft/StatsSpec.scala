@@ -57,4 +57,43 @@ class StatsSpec extends SparkSpecBase {
       assert(r.getLong(5) == grp.minBy(_._2)._3, s"$prio first_cust")
     }
   }
+
+  test("q90: planted extreme value is flagged, the bulk is not, and " +
+      "groups do not bleed into each other") {
+    import spark.implicits._
+    // group p: 29 values of 10 plus one of 1000 (z ≈ 5.4 → outlier);
+    // group q: same shape but ALL values equal (σ = 0 → no outliers,
+    // and the 1000-vs-10 contrast must not leak across groups)
+    val ev = ((1L to 29L).map(i => (i, "p", 10.0)) ++ Seq((30L, "p", 1000.0))
+      ++ (31L to 60L).map(i => (i, "q", 7.0)))
+      .toDF("event_id", "event_type", "value")
+    val out = Stats.valueOutliers(ev, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("p", 30L)))
+  }
+
+  test("q90 at sf0.001: every flagged event really is > 3σ by an " +
+      "independent var_pop recomputation") {
+    val events = graft.Tables.events(spark, sf)
+    val flagged = Stats.valueOutliers(events).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(flagged.nonEmpty)
+    val stats = events.groupBy("event_type")
+      .agg(avg(col("value")).as("mu"),
+        var_pop(col("value")).as("vp"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1),
+        math.sqrt(r.getDouble(2)))).toMap
+    val all = events.select(col("event_type"), col("event_id"),
+      col("value")).collect()
+    all.foreach { r =>
+      val (mu, sigma) = stats(r.getString(0))
+      val z = math.abs(r.getDouble(2) - mu) / sigma
+      val isFlagged = flagged.contains((r.getString(0), r.getLong(1)))
+      // 1e-6 guard band: the operator uses exact power sums, the
+      // recomputation Spark's streaming moments — boundary rows within
+      // float noise of z = 3 are allowed to disagree
+      if (z > 3 + 1e-6) assert(isFlagged, s"missed outlier z=$z")
+      if (z < 3 - 1e-6) assert(!isFlagged, s"false positive z=$z")
+    }
+  }
 }
