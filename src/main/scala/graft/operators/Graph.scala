@@ -122,11 +122,147 @@ object Graph {
     triangleCensus(coSupplyEdges(load(spark, dir, "lineitem"),
       minShared = 25L))
 
+  // ---------------------------------------------------------------- q93
+
+  /** Integer-scaled PageRank (damping 0.85, scores in millionths):
+    *   s₀(v) = 10⁶;  s_{k+1}(v) = 150000 + (85·Σ_{u→v} (s_k(u) div
+    *   d(u))) div 100
+    * Every step is integer floor arithmetic — no IEEE accumulation, so
+    * a FIXED iteration count gives bit-identical scores in any engine:
+    * that is what puts an iterative graph algorithm under the hard SQL
+    * oracle (which unrolls the same five iterations as chained CTEs).
+    *
+    * Scale: the per-iteration work is one (src-keyed) join of the edge
+    * list against the slim (node, score) frame plus one dst-keyed
+    * count-sum — the canonical PR shuffle pair. Edges and degrees are
+    * persisted once and reused every round; each round's scores are
+    * localCheckpoint'ed (iterative-loop rule: persist alone keeps
+    * lineage and Catalyst re-analysis grows exponentially). Scores stay
+    * ~10⁶-scaled longs (mass is conserved up to floor loss), so hub
+    * scores sit far from BIGINT range. */
+  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d")).persist()
+    var scores = deg.select(col("src").as("node"),
+      lit(1000000L).as("s"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(deg, "src")
+        .join(scores.select(col("node").as("src"), col("s")), "src")
+        .select(col("dst").as("node"), expr("s div d").as("c"))
+      scores = contrib.groupBy("node")
+        .agg(expr("150000 + (85 * sum(c)) div 100").as("s"))
+        .localCheckpoint()
+    }
+    scores.select(col("node"), col("s").as("score"))
+  }
+
+  def q93PageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(coSupplyEdges(load(spark, dir, "lineitem"),
+      minShared = 25L)).orderBy("node")
+
+  // ---------------------------------------------------------------- q94
+
+  /** Item-item co-purchase similarity — the classic "customers who
+    * bought X also bought Y" recommender primitive: for every part
+    * pair, the exact Jaccard of their buyer sets, in integer
+    * millionths (co·10⁶ div (|A|+|B|−co) — D6, no IEEE division).
+    *
+    * Scale: baskets (customer → distinct part set) explode to ordered
+    * pairs exactly like [[coSupplyEdges]] — fan-out C(basket,2) per
+    * customer, bounded by basket size², never corpus size; buyer-set
+    * sizes join back from a part-keyed count frame (broadcast: part
+    * dimension ≪ fact table). minCo prunes the pair tail BEFORE the
+    * size join. Top-k by (jaccard, pair) is a TakeOrdered — no global
+    * sort materialization. */
+  def itemSimilarity(lineitem: DataFrame, orders: DataFrame,
+      minCo: Long = 2L, k: Int = 100): DataFrame = {
+    val bought = lineitem
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey")), "l_orderkey")
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val sizes = bought.groupBy("item").agg(count(lit(1)).as("nb"))
+    val baskets = bought
+      .groupBy("cust").agg(sort_array(collect_set(col("item"))).as("w"))
+      .filter(size(col("w")) >= 2)
+    val nPart = lineitem.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val co = baskets
+      .repartition(nPart, col("cust"))
+      .select(posexplode(col("w")).as(Seq("i", "a")), col("w"))
+      .select(col("a"), explode(slice(col("w"), col("i") + 2,
+        size(col("w")))).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    co.join(broadcast(sizes.select(col("item").as("a"),
+        col("nb").as("na"))), "a")
+      .join(broadcast(sizes.select(col("item").as("b"),
+        col("nb").as("nb"))), "b")
+      .select(col("a").as("item_a"), col("b").as("item_b"), col("co"),
+        expr("(co * 1000000) div (na + nb - co)").as("jaccard_e6"))
+      .orderBy(col("jaccard_e6").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  def q94ItemSimilarity(spark: SparkSession, dir: String): DataFrame =
+    itemSimilarity(load(spark, dir, "lineitem"),
+      load(spark, dir, "orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_triangles" -> (q91Triangles _),
+    "q93_pagerank" -> (q93PageRank _),
+    "q94_item_similarity" -> (q94ItemSimilarity _),
   )
 
+  /** The q93 oracle unrolls the FIXED five iterations as chained CTEs
+    * (DuckDB recursive CTEs cannot aggregate per step); every step is
+    * the same integer floor arithmetic as the Spark loop, so scores are
+    * bit-identical. */
+  private val pageRankOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"""p$i AS (
+         |  SELECT sym.dst AS node,
+         |    150000 + (85 * CAST(SUM(p.s // g.d) AS BIGINT)) // 100 AS s
+         |  FROM sym JOIN deg g ON g.src = sym.src
+         |  JOIN p${i - 1} p ON p.node = sym.src
+         |  GROUP BY sym.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |e AS (
+       |  SELECT a.s AS u, b.s AS v FROM ps a
+       |  JOIN ps b ON a.p = b.p AND a.s < b.s
+       |  GROUP BY a.s, b.s HAVING COUNT(*) >= 25),
+       |sym AS (SELECT u AS src, v AS dst FROM e
+       |        UNION ALL SELECT v AS src, u AS dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+       |p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS s FROM deg),
+       |$iters
+       |SELECT node, s AS score FROM p5 ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q93_pagerank" -> pageRankOracle,
+    // q94: same distinct buyer sets, same integer jaccard, same unique
+    // (jaccard desc, pair) total order under the LIMIT.
+    "q94_item_similarity" ->
+      """WITH bought AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |sizes AS (SELECT item, COUNT(*) AS nb FROM bought GROUP BY item),
+        |co AS (
+        |  SELECT a.item AS ia, b.item AS ib, COUNT(*) AS co
+        |  FROM bought a JOIN bought b
+        |    ON a.cust = b.cust AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT co.ia AS item_a, co.ib AS item_b, co.co AS co,
+        |  (co.co * 1000000) // (sa.nb + sb.nb - co.co) AS jaccard_e6
+        |FROM co JOIN sizes sa ON sa.item = co.ia
+        |JOIN sizes sb ON sb.item = co.ib
+        |ORDER BY jaccard_e6 DESC, item_a, item_b LIMIT 100""".stripMargin,
     // Same edge set (exact integer co-supply counts), id-oriented
     // triangle join (e1.u<e1.v<e2.v chains + closing edge) — a
     // different orientation, provably the same count.

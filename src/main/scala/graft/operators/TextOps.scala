@@ -113,6 +113,60 @@ object TextOps {
         (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
           .bitwiseXOR(xxhash64(w))).as("rolling_hash"))
 
+  // ---------------------------------------------------------------- q95
+
+  /** MOSS winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the public plagiarism-detection standard): hash every word
+    * k-gram, slide a w-window over the hash sequence, keep each
+    * window's minimum. Guarantees any shared word run of length ≥
+    * w+k−1 between two documents shares a fingerprint, at ~2/(w+1)
+    * selection density — the local-dedup/provenance index tx4's
+    * whole-doc hashes cannot give.
+    *
+    * Engine-shared hashing is what puts a fingerprinting operator
+    * under the HARD oracle (tx4's xxhash64 cannot be): word hash =
+    * polynomial fold of character codes mod P (P = 10⁹+7, base 31;
+    * the corpus is ASCII so `ascii` ≡ `ord`); gram hash = base-131
+    * fold of the k word hashes mod P. All integer ops — identical in
+    * any engine, ANSI-safe (every intermediate ≤ 131·P + 127 ≪ 2⁶³).
+    * The (hash, position) window minimum with leftmost tiebreak packs
+    * into ONE BIGINT (hash·2²⁴ + pos, so a plain integer array_min is
+    * the struct-min on both engines; pos < 2²⁴ bounds docs at 16M
+    * grams).
+    *
+    * Scale: pure per-row projection — tokenize ONCE and index the
+    * array (q56 discipline; CollapseProject keeps the expensive HOF
+    * stages materialized because each is referenced downstream), dedup
+    * via per-doc array_distinct (fingerprint sets are per-document —
+    * NO global distinct shuffle), then one explode. Runs at scan
+    * speed; output volume ≈ 2/(w+1) of gram volume. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4)
+      : DataFrame = {
+    val P = 1000000007L
+    val packed = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .withColumn("whl", transform(col("ws"), wd =>
+        aggregate(split(wd, ""), lit(0L),
+          (h, c) => (h * 31 + ascii(c)) % P)))
+      .withColumn("kl", transform(
+        sequence(lit(1), size(col("whl")) - (k - 1)), i =>
+          (0 until k).foldLeft(lit(0L): Column) { (acc, j) =>
+            (acc * 131 + element_at(col("whl"), i + j)) % P
+          } * 16777216L + i))
+      .withColumn("fps", array_distinct(transform(
+        sequence(lit(1), greatest(size(col("kl")) - (w - 1), lit(1))),
+        i => array_min(slice(col("kl"), i, lit(w))))))
+    packed
+      .select(col("doc_id"), explode(col("fps")).as("key"))
+      .select(col("doc_id"), (col("key") % 16777216L).as("pos"),
+        expr("key div 16777216").as("fp"))
+  }
+
+  def q95Winnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(load(spark, dir, "documents"))
+      .orderBy("doc_id", "pos")
+
   def tx3LangId(spark: SparkSession, dir: String): DataFrame =
     langIdScores(load(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("pred_lang"))
@@ -397,6 +451,7 @@ object TextOps {
     "q59_tfidf" -> (q59Tfidf _),
     "q79_vocab_stats" -> (q79VocabStats _),
     "q80_collocations" -> (q80Collocations _),
+    "q95_winnow" -> (q95Winnow _),
     "q32_dedup_exact" -> (q32DedupExact _),
     "q32b_dedup_rows" -> (q32bDedupRows _),
     "tx1_token_count" -> (tx1TokenCount _),
@@ -413,6 +468,36 @@ object TextOps {
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // q95: same polynomial folds (char codes base 31 mod P, word
+    // hashes base 131 mod P — list_reduce has no init, so 0 is
+    // prepended), same hash·2²⁴+pos packing, same clamped 4-slices;
+    // DuckDB list slicing a[i:j] is 1-based inclusive ≡ Spark
+    // slice(a, i, 4).
+    "q95_winnow" ->
+      """WITH wsx AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |wh AS (
+        |  SELECT doc_id, list_transform(ws, wd -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, len(wd) + 1),
+        |          i -> CAST(ord(substr(wd, i, 1)) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007)) AS whl
+        |  FROM wsx),
+        |keyed AS (
+        |  SELECT doc_id, list_transform(range(1, len(whl) - 1),
+        |    i -> ((((whl[i] % 1000000007) * 131 + whl[i + 1])
+        |      % 1000000007) * 131 + whl[i + 2]) % 1000000007
+        |      * 16777216 + i) AS kl
+        |  FROM wh),
+        |fp AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(kl) - 3, 1) + 1),
+        |    i -> list_min(kl[i:i + 3])))) AS key
+        |  FROM keyed)
+        |SELECT doc_id, key % 16777216 AS pos,
+        |  key // 16777216 AS fp
+        |FROM fp ORDER BY doc_id, pos""".stripMargin,
     "tx3_lang_id" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -71,6 +71,70 @@ class GraphSpec extends SparkSpecBase {
     assert(e1 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("pageRank matches an independent driver-side integer replay") {
+    import spark.implicits._
+    // star + tail: hub 1 with leaves 2,3,4 and a path 4-5-6
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L))
+    val got = graft.operators.Graph.pageRank(es.toDF("u", "v"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the same integer recurrence in plain Scala
+    val sym = es ++ es.map(_.swap)
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var s = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5)
+      s = sym.groupBy(_._2).map { case (v, in) =>
+        v -> (150000L + 85L * in.map { case (u, _) => s(u) / deg(u) }
+          .sum / 100L)
+      }
+    assert(got == s)
+    // the hub outranks every leaf
+    assert(got(1L) > got(2L) && got(2L) == got(3L))
+  }
+
+  test("pageRank conserves mass up to floor loss at sf0.001") {
+    val scores = graft.operators.Graph.q93PageRank(spark, sf).collect()
+      .map(_.getLong(1))
+    assert(scores.nonEmpty)
+    val n = scores.length
+    assert(scores.sum <= n * 1000000L, "floor ops only lose mass")
+    assert(scores.forall(_ >= 150000L), "teleport term is a floor")
+  }
+
+  test("itemSimilarity: planted baskets give a hand-checkable jaccard " +
+      "ranking") {
+    import spark.implicits._
+    // items: 10,11 always co-bought (3 shared of 3/3 buyers → ppm 1e6);
+    // 10,12 share 2 buyers of 3+2 (jacc 2/3); 13 bought once → no pair
+    // survives minCo=2 with it
+    val li = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 11L),
+      (1L, 12L), (2L, 12L), (3L, 13L)
+    ).map { case (o, p) => (o, p, 1) }
+      .toDF("l_orderkey", "l_partkey", "x")
+    val ords = Seq((1L, 101L), (2L, 102L), (3L, 103L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = graft.operators.Graph.itemSimilarity(li, ords)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out((10L, 11L)) == ((3L, 1000000L)))
+    assert(out((10L, 12L)) == ((2L, 666666L)))
+    assert(out((11L, 12L)) == ((2L, 666666L)))
+    assert(!out.keySet.exists(p => p._1 == 13L || p._2 == 13L))
+  }
+
+  test("q94: jaccard bounded by 1e6, co bounded by buyer sets, order " +
+      "is (jaccard desc, pair) at sf0.001") {
+    val rows = graft.operators.Graph.q94ItemSimilarity(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= 1000000L && r.getLong(3) >= 0L)
+      assert(r.getLong(0) < r.getLong(1), "pairs are id-ordered")
+    }
+    val keys = rows.map(r => (-r.getLong(3), r.getLong(0), r.getLong(1)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
   test("q91 census is internally consistent at sf0.001") {
     val r = Graph.q91Triangles(spark, sf).collect().head
     val (nodes, edges, wedges, tris) =

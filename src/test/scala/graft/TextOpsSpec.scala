@@ -160,4 +160,48 @@ class TextOpsSpec extends SparkSpecBase {
     // ranking: the fixed phrase wins despite lower raw count
     assert(out.head._1 == "new york")
   }
+
+  test("q95 winnowing: matches a driver-side replay and keeps the " +
+      "shared-run guarantee") {
+    import spark.implicits._
+    val P = 1000000007L
+    // two docs sharing a 7-word run (≥ w+k−1 = 6 ⇒ must share a
+    // fingerprint), one unrelated doc, one 3-word doc (single partial
+    // window)
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared nine ten eleven twelve"),
+      (3L, "completely different words with no overlap at all here"),
+      (4L, "tiny doc here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.winnowFingerprints(docs)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // independent replay of the published algorithm (k=3, w=4,
+    // full windows, leftmost-min tiebreak via the packed key)
+    def replay(text: String): Set[(Long, Long)] = {
+      val ws = text.split(" ")
+      val wh = ws.map(_.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P))
+      val kl = (1 to ws.length - 2).map { i =>
+        val g = (0 until 3).foldLeft(0L)((a, j) =>
+          (a * 131 + wh(i - 1 + j)) % P)
+        g * 16777216L + i
+      }
+      val nw = math.max(kl.length - 3, 1)
+      (1 to nw).map(i => kl.slice(i - 1, i + 3).min).distinct
+        .map(k => (k % 16777216L, k / 16777216L)).toSet
+    }
+    docs.collect().foreach { r =>
+      assert(got(r.getLong(0)) == replay(r.getString(1)),
+        s"doc ${r.getLong(0)}")
+    }
+    // the shared run yields a shared fingerprint VALUE across docs
+    val f1 = got(1L).map(_._2); val f2 = got(2L).map(_._2)
+    assert((f1 & f2).nonEmpty, "shared 7-word run must share a print")
+    assert((got(3L).map(_._2) & f1).isEmpty, "unrelated doc shares none")
+    // 3-word doc: exactly one gram, one partial window, one print
+    assert(got(4L) == Set((1L, replay("tiny doc here").head._2)))
+  }
 }
