@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Exemplars
-import graft.operators.{AsofJoin, Behavioral, CorpusPrep, Dedup, Graph, Multimodal, RangeJoin, Relational, Sampling, SemiStructured, Similarity, Stats, TextOps, TimeSeries}
+import graft.operators.{AsofJoin, Behavioral, CorpusPrep, Dedup, Graph, Multimodal, Quality, RangeJoin, Relational, Sampling, SemiStructured, Similarity, Stats, TextOps, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Exemplars.queries ++
       Multimodal.queries ++ AsofJoin.queries ++ RangeJoin.queries ++
       Sampling.queries ++ Stats.queries ++ TimeSeries.queries ++
-      CorpusPrep.queries ++ Behavioral.queries ++ Graph.queries
+      CorpusPrep.queries ++ Behavioral.queries ++ Graph.queries ++
+      Quality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       Exemplars.oracle ++ AsofJoin.oracle ++ RangeJoin.oracle ++
       Dedup.oracle ++ Sampling.oracle ++ Similarity.oracle ++
       Stats.oracle ++ TimeSeries.oracle ++ Multimodal.oracle ++
-      CorpusPrep.oracle ++ Behavioral.oracle ++ Graph.oracle
+      CorpusPrep.oracle ++ Behavioral.oracle ++ Graph.oracle ++
+      Quality.oracle
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{AsofJoin, Behavioral, CorpusPrep, Dedup, Similarity, TextOps}
+import graft.operators.{AsofJoin, Behavioral, CorpusPrep, Dedup, Graph, Quality, Similarity, TextOps}
 
 /** SQL front door for the operator library — everything a SQL-only user
   * needs to reach the LLM-pipeline operators from `spark.sql` alone.
@@ -108,4 +108,34 @@ object SqlSurface {
       minCount: Long, k: Int, viewName: String): Unit =
     TextOps.collocations(spark.table(docsView), minCount, k)
       .createOrReplaceTempView(viewName)
+
+  /** Triangle census of an edge-list view (u, v; u < v, deduped) →
+    * 1-row view (n_nodes, n_edges, n_wedges, n_triangles,
+    * closure_ppm). */
+  def createTriangleCensusView(spark: SparkSession, edgesView: String,
+      viewName: String): Unit =
+    Graph.triangleCensus(spark.table(edgesView))
+      .createOrReplaceTempView(viewName)
+
+  /** Integer-scaled PageRank of an edge-list view → view
+    * (node, score). */
+  def createPageRankView(spark: SparkSession, edgesView: String,
+      iters: Int, viewName: String): Unit =
+    Graph.pageRank(spark.table(edgesView), iters)
+      .createOrReplaceTempView(viewName)
+
+  /** Winnowing fingerprints of `docsView` (doc_id, text) → view
+    * (doc_id, pos, fp). */
+  def createWinnowView(spark: SparkSession, docsView: String,
+      viewName: String): Unit =
+    TextOps.winnowFingerprints(spark.table(docsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Data-quality constraint report over the registered TPC-H-ish
+    * views → view (check_name, n_bad). */
+  def createQualityReportView(spark: SparkSession, viewName: String)
+      : Unit =
+    Quality.dataQualityReport(spark.table("orders"),
+      spark.table("lineitem"), spark.table("customer"),
+      spark.table("nation")).createOrReplaceTempView(viewName)
 }

@@ -97,19 +97,35 @@ object Stats {
     * Scale: the stats frame is one row per event type (broadcast back);
     * detection itself is a scan-speed row predicate — no shuffle of the
     * event stream, no window. */
-  def valueOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+  /** Per-event-type exact power sums — q90's stats frame, split out so
+    * the STREAMING twin (StreamOps.valueOutliersStream) computes it
+    * once from a static history table and shares the exact predicate. */
+  def valueStats(events: DataFrame): DataFrame = {
     val x = col("value")
-    val stats = events.groupBy("event_type").agg(
-      count(x).as("n"),
-      sum(dec(x)).cast("double").as("sx"),
-      psum(x, x).as("sxx"))
-    val nd = col("n").cast("double")
-    val diff = nd * x - col("sx")
-    events.join(broadcast(stats), "event_type")
-      .filter(diff * diff >
-        lit((k * k).toDouble) * (nd * col("sxx") - col("sx") * col("sx")))
-      .select(col("event_type"), col("event_id"), x.as("value"))
+    events.groupBy("event_type").agg(
+      count(x).as("__n"),
+      sum(dec(x)).cast("double").as("__sx"),
+      psum(x, x).as("__sxx"))
   }
+
+  /** The q90 outlier predicate against a precomputed [[valueStats]]
+    * frame (broadcast: one row per event type). Keeps every input
+    * column; works identically on a batch frame or a streaming one
+    * (stateless join + filter). */
+  def flagOutliers(df: DataFrame, stats: DataFrame, k: Int = 3)
+      : DataFrame = {
+    val nd = col("__n").cast("double")
+    val diff = nd * col("value") - col("__sx")
+    df.join(broadcast(stats), "event_type")
+      .filter(diff * diff >
+        lit((k * k).toDouble) *
+          (nd * col("__sxx") - col("__sx") * col("__sx")))
+      .drop("__n", "__sx", "__sxx")
+  }
+
+  def valueOutliers(events: DataFrame, k: Int = 3): DataFrame =
+    flagOutliers(events, valueStats(events), k)
+      .select(col("event_type"), col("event_id"), col("value"))
 
   def q90ValueOutliers(spark: SparkSession, dir: String): DataFrame =
     valueOutliers(graft.Tables.events(spark, dir))

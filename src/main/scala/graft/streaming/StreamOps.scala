@@ -212,6 +212,23 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("source"),
         col("n_docs"), col("tok_sum"), col("n_en"))
 
+  /** STREAMING ANOMALY DETECTION — q90's z-score outlier sweep as a
+    * continuous filter: per-event-type mean/σ derive ONCE from a
+    * STATIC history table (`Stats.valueStats` — exact decimal power
+    * sums) and broadcast; the stream side is `Stats.flagOutliers`'s
+    * stateless row predicate. No keyed state, no watermark
+    * requirement — alert latency is micro-batch latency.
+    *
+    * Batch≡stream holds by construction (the join+predicate ARE the
+    * batch operator's; pinned in StreamingSpec). 100 TB: the stats
+    * frame is one row per event type — always broadcastable; its
+    * refresh cadence is a deployment choice (restart on history
+    * redefinition, or recompute in foreachBatch). */
+  def valueOutliersStream(stream: DataFrame, history: DataFrame,
+      k: Int = 3): DataFrame =
+    graft.operators.Stats.flagOutliers(stream,
+      graft.operators.Stats.valueStats(history), k)
+
   /** STREAMING CORPUS PREP — the q63 chain as a continuous pipeline
     * (documents arrive as a stream; the benchmark/eval corpus is a
     * static table):

@@ -23,7 +23,8 @@ class ContractSpec extends AnyFunSuite {
     "TimeSeries" -> operators.TimeSeries.queries,
     "CorpusPrep" -> operators.CorpusPrep.queries,
     "Behavioral" -> operators.Behavioral.queries,
-    "Graph" -> operators.Graph.queries)
+    "Graph" -> operators.Graph.queries,
+    "Quality" -> operators.Quality.queries)
 
   private val oracleMaps = Seq(
     "Relational" -> operators.Relational.oracle,
@@ -40,7 +41,8 @@ class ContractSpec extends AnyFunSuite {
     "TimeSeries" -> operators.TimeSeries.oracle,
     "CorpusPrep" -> operators.CorpusPrep.oracle,
     "Behavioral" -> operators.Behavioral.oracle,
-    "Graph" -> operators.Graph.oracle)
+    "Graph" -> operators.Graph.oracle,
+    "Quality" -> operators.Quality.oracle)
 
   test("no query key collides across operator maps (++ is last-wins)") {
     val all = queryMaps.flatMap { case (n, m) => m.keys.map(_ -> n) }

@@ -149,4 +149,28 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(top.head.getString(0) == directTop.getString(0))
     assert(top.head.getLong(1) == directTop.getLong(4))
   }
+
+  test("graph / winnow / quality view builders reach the operators " +
+      "from plain SQL") {
+    import spark.implicits._
+    SqlSurface.registerTables(spark, sf)
+    // K4 minus one edge (GraphSpec golden): 2 triangles, closure 75%
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("u", "v").createOrReplaceTempView("edges")
+    SqlSurface.createTriangleCensusView(spark, "edges", "census")
+    val c = spark.sql(
+      "SELECT n_triangles, closure_ppm FROM census").collect().head
+    assert((c.getLong(0), c.getLong(1)) == ((2L, 750000L)))
+    SqlSurface.createPageRankView(spark, "edges", 5, "pr")
+    assert(spark.sql("SELECT COUNT(*) FROM pr").collect().head
+      .getLong(0) == 4L)
+    SqlSurface.createWinnowView(spark, "documents", "prints")
+    val perDoc = spark.sql(
+      "SELECT COUNT(DISTINCT doc_id) FROM prints").collect().head
+    assert(perDoc.getLong(0) ==
+      Tables.load(spark, sf, "documents").count())
+    SqlSurface.createQualityReportView(spark, "dq")
+    val bad = spark.sql("SELECT SUM(n_bad) FROM dq").collect().head
+    assert(bad.getLong(0) == 0L, "fixture is clean")
+  }
 }

@@ -428,4 +428,34 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed == Map(1L -> 4L, 2L -> 1L, 3L -> 1L))
     } finally q.stop()
   }
+
+  test("streaming outlier filter ≡ batch q90 against the same history") {
+    // history: type 'p' has 29×10.0 and one 1000.0 (z ≈ 5.4), type 'q'
+    // constant (σ = 0 → nothing can be flagged)
+    val history = ((1 to 29).map(i => Ev(ts(i % 50), "p", 10.0, i.toLong))
+      :+ Ev(ts(30), "p", 1000.0, 30L))
+      .++((1 to 10).map(i => Ev(ts(i), "q", 7.0, 100L + i)))
+    val input = MemoryStream[Ev](spark)
+    // live stream: one normal p, one extreme p, one deviant q (σ = 0
+    // in history ⇒ ANY deviation is infinite-z → flagged), one
+    // matching q (diff = 0 → not flagged), one unknown type (no stats
+    // row ⇒ inner join drops it)
+    input.addData(
+      Ev(ts(1), "p", 11.0, 201L), Ev(ts(2), "p", 900.0, 202L),
+      Ev(ts(3), "q", 999.0, 203L), Ev(ts(5), "q", 7.0, 205L),
+      Ev(ts(4), "x", 1e9, 204L))
+    val streamed = runAvailableNow(
+      StreamOps.valueOutliersStream(input.toDF(), history.toDF()),
+      "outliers")
+      .collect().map(_.getAs[Long]("user_id")).toSet
+    assert(streamed == Set(202L, 203L))
+    // batch recomputation over the SAME stats frame flags the same row
+    val batchFlag = graft.operators.Stats.flagOutliers(
+      Seq(Ev(ts(1), "p", 11.0, 201L), Ev(ts(2), "p", 900.0, 202L),
+        Ev(ts(3), "q", 999.0, 203L), Ev(ts(5), "q", 7.0, 205L),
+        Ev(ts(4), "x", 1e9, 204L)).toDF(),
+      graft.operators.Stats.valueStats(history.toDF()))
+      .collect().map(_.getAs[Long]("user_id")).toSet
+    assert(batchFlag == streamed)
+  }
 }
