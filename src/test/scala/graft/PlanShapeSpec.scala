@@ -141,4 +141,42 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = plan(graft.operators.TextOps.q80Collocations(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("q91 edge generation is one partial+final count agg — no " +
+      "self-join of the bipartite table") {
+    val p = plan(graft.operators.Graph
+      .coSupplyEdges(graft.Tables.load(spark, sf, "lineitem"), 25L))
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
+      "edge gen regressed to a pair self-join:\n" + p.take(1200))
+  }
+
+  test("q94 item similarity: size joins broadcast, top-k is " +
+      "TakeOrdered") {
+    val p = plan(graft.operators.Graph.q94ItemSimilarity(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q95 winnowing plans with no Exchange before the fingerprint " +
+      "explode (pure projection until the final sort)") {
+    val p = plan(graft.operators.TextOps
+      .winnowFingerprints(graft.Tables.load(spark, sf, "documents")))
+    assert(p.contains("Generate"), p.take(800))
+    val gen = p.indexOf("Generate")
+    val ex = p.indexOf("Exchange")
+    assert(ex == -1 || ex < gen,
+      "an exchange crept below the explode — winnowing must be a " +
+        "scan-speed projection:\n" + p.take(1200))
+  }
+
+  test("q96 referential checks are broadcast anti-joins, never " +
+      "nested loops") {
+    val p = plan(graft.operators.Quality.q96DataQuality(spark, sf))
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftAnti"), p.take(800))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "an FK check regressed to a nested loop:\n" + p.take(1200))
+  }
 }
