@@ -47,40 +47,54 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // The driver runs this main under an external `timeout` and ambient
+    // host load can inflate wall-clock 2-10× (round-4 run was killed with
+    // rc 124 mid-suite). Two defenses:
+    //   1. a wall-clock budget: adaptive re-runs are skipped once the
+    //      suite has used half the budget — a single measurement beats a
+    //      missing one;
+    //   2. the artifact is durable at every step: BENCH_LATEST.json is
+    //      rewritten after EVERY query (a killed run still leaves a
+    //      parseable partial file) and each per-query JSON line is
+    //      printed as the query completes, so a tail capture of a
+    //      truncated run still parses line-by-line.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "420").toDouble
     val tSuite0 = System.nanoTime()
-    val results = picked.map {
-      case (name, fn) =>
-        // Adaptive min-of-N: cross-query JVM degradation (GC pressure,
-        // codegen-cache churn) can poison a single measurement by 10×+.
-        // Fast queries are reported as-is; anything slow gets up to two
-        // re-runs and the min — the intrinsic plan cost, which is what the
-        // number is supposed to mean.
-        var best = runOnce(name, fn)
-        var extra = 0
-        while (best > 2.5 && extra < 2) { best = math.min(best, runOnce(name, fn)); extra += 1 }
-        name -> best
+    def elapsed(): Double = (System.nanoTime() - tSuite0) / 1e9
+    def writeLatest(results: Seq[(String, Double)], done: Boolean): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      // `value` sums adaptive min-of-N per-query times (intrinsic plan
+      // cost); `wall` is elapsed suite wall-clock including re-runs and
+      // the one-time cost of cross-query memoized subtrees
+      // (Dedup.exactPairs/lshPairs) that min-of-N would otherwise hide.
+      val partial = if (done) "" else ""","partial":true"""
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir"$partial}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
+        (json + "\n").getBytes("UTF-8"))
+      json
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // `value` sums adaptive min-of-N per-query times (intrinsic plan
-    // cost); `wall` is the whole suite's elapsed wall-clock including
-    // re-runs and the one-time cost of cross-query memoized subtrees
-    // (Dedup.exactPairs/lshPairs) that min-of-N would otherwise hide.
-    val wall = (System.nanoTime() - tSuite0) / 1e9
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","wall":$wall,"queries":$qs,"sf":"$sfDir"}"""
-    // The graded artifact must survive BOTH head and tail truncation of
-    // captured stdout (BENCH_r02 lost its tail; r03's capture cut the
-    // single line): print the full JSON as the FIRST stdout line, then
-    // one small self-contained line per query so a tail capture still
-    // parses, and persist the whole line durably to BENCH_LATEST.json.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
-      (json + "\n").getBytes("UTF-8"))
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    picked.foreach { case (name, fn) =>
+      // Adaptive min-of-N: cross-query JVM degradation (GC pressure,
+      // codegen-cache churn) can poison a single measurement by 10×+.
+      // Fast queries are reported as-is; anything slow gets up to two
+      // re-runs and the min — the intrinsic plan cost, which is what the
+      // number is supposed to mean. Re-runs stop once half the wall
+      // budget is spent.
+      var best = runOnce(name, fn)
+      var extra = 0
+      while (best > 2.5 && extra < 2 && elapsed() < budgetSec / 2) {
+        best = math.min(best, runOnce(name, fn)); extra += 1
+      }
+      results += (name -> best)
+      println(s"""{"query":"$name","sec":$best}""")
+      System.out.flush()
+      writeLatest(results.toSeq, done = false)
+    }
+    val json = writeLatest(results.toSeq, done = true)
     println(json)
-    results.foreach { case (k, v) =>
-      println(s"""{"query":"$k","sec":$v}""")
-    }
     System.out.flush()
     spark.stop()
   }

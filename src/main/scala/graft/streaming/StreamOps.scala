@@ -125,16 +125,21 @@ object StreamOps {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(stages.nonEmpty, "at least one funnel stage")
+    val tieCol = if (events.columns.contains("event_id"))
+      col("event_id").cast("long") else lit(0L)
     events.select(col("user_id").cast("long"), col("event_type"),
-      col("ts_ns").cast("long"))
-      .as[(Long, String, Long)]
+      col("ts_ns").cast("long"), tieCol)
+      .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, String, Long)],
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
             state: GroupState[(Int, Long)]) =>
           var (depth, tLast) = state.getOption.getOrElse((0, Long.MinValue))
-          rows.toVector.sortBy(_._3).foreach { case (_, typ, ts) =>
+          // (ts_ns, event_id) — the D1 tiebreak the batch funnel and the
+          // q74/q89 windows use; ts_ns alone leaves same-nanosecond
+          // events in nondeterministic relative order.
+          rows.toVector.sortBy(r => (r._3, r._4)).foreach { case (_, typ, ts, _) =>
             if (depth < stages.length && typ == stages(depth) &&
               ts >= tLast) {
               depth += 1
