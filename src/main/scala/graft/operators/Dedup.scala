@@ -446,6 +446,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SET-CONTAINMENT join (q102) — pairs whose shared distinct
+    * k-shingles cover ≥ `minBp`/10⁴ of the SMALLER document's shingle
+    * set (the overlap coefficient). Jaccard (q33c) misses
+    * subset-shaped duplication: a paragraph quoted inside a 100×
+    * longer document has jaccard ≈ 1%, containment ≈ 100% — this is
+    * the detector for quotes, boilerplate inclusion and
+    * excerpt-vs-source pairs.
+    *
+    * Same postings machinery as [[ngramJaccardPairs]] (df-capped
+    * postings, two-step explode, count-based verify — no pairwise set
+    * intersection anywhere), different final predicate: integer
+    * `shared·10⁴ div min(szₐ, szᵦ)` (D6, no IEEE division). */
+  def containmentPairs(docs: DataFrame, k: Int = 3, minBp: Long = 8000L,
+      dfCap: Int = Int.MaxValue): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(transform(shinglesOf(col("w"), k), s => xxhash64(s)))
+          .as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val postings = sh.groupBy("sh")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, dfCap))
+    postings
+      .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+      .select(col("doc_a"), explode(slice(col("docs"), col("i") + lit(2),
+        size(col("docs")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        expr("(shared * 10000) div least(sa.sz, sb.sz)").as("cont_bp"))
+      .filter(col("cont_bp") >= minBp)
+  }
+
+  def q102ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(docsWithNearDups(load(spark, dir, "documents")))
+      .orderBy("doc_a", "doc_b")
+
   /** Benchmark DECONTAMINATION (q62) — the LLM-pipeline primitive every
     * pretraining run executes before training: drop any training
     * document that shares at least `minOverlap` distinct word
@@ -708,6 +748,7 @@ object Dedup {
     "q33g_dedup_components" -> (q33gDedupComponents _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q63_pipeline" -> (q63Pipeline _),
+    "q102_containment_pairs" -> (q102ContainmentPairs _),
   )
 
   /** DuckDB oracle for the EXACT jaccard query: same shingling (word
@@ -718,6 +759,30 @@ object Dedup {
     * O(n²) list-intersects are fine at the driver's sf0.01 (500k pairs,
     * ~3 s); skip locally at sf0.1 via CHECK_SKIP (tools/check.py). */
   val oracle: Map[String, String] = Map(
+    // q102: same derived corpus and shingling as q33c, overlap
+    // coefficient against the smaller set in exact integer bp.
+    "q102_containment_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split(text, ' ')[1:greatest(
+        |      len(string_split(text, ' ')) - 3, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM corpus),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS shared,
+        |    (CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000)
+        |      // least(len(a.s), len(b.s)) AS cont_bp
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, shared, CAST(cont_bp AS BIGINT) AS cont_bp
+        |FROM pairs WHERE cont_bp >= 8000 ORDER BY doc_a, doc_b""".stripMargin,
     "q33c_ngram_jaccard_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -211,10 +211,108 @@ object Graph {
     itemSimilarity(load(spark, dir, "lineitem"),
       load(spark, dir, "orders"))
 
+  // ---------------------------------------------------------------- q99
+
+  /** Bounded-depth BFS shortest-path distances from a seed set — the
+    * "reachable within k hops" primitive (blast-radius, entity
+    * expansion). Fixed `iters` rounds of min-distance propagation:
+    *   d₀ = 0 on seeds;  d_{k+1}(v) = min(d_k(v), min_{u~v} d_k(u)+1)
+    * Every step is integer MIN — deterministic, so the SQL oracle
+    * unrolls the same k rounds as chained CTEs (the q93 discipline).
+    *
+    * Scale: each round is one src-keyed join of the (slim) frontier
+    * against the edge list + one MIN agg — the PageRank shuffle pair;
+    * rounds localCheckpoint (iterative-loop rule). The distance frame
+    * never exceeds the reachable node set. A FIXED depth is the point:
+    * unbounded BFS is [[Dedup.connectedComponentsStar]]'s job. */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    var d = seeds.select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to iters) {
+      d = d.unionAll(
+        sym.join(d.select(col("node").as("src"), col("dist")), "src")
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    d
+  }
+
+  /** Q99: co-supply distance from the nation-0 supplier cohort, 4 hops. */
+  def q99Bfs(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = load(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 0)
+      .select(col("s_suppkey").as("node"))
+    bfsDepth(coSupplyEdges(load(spark, dir, "lineitem"),
+      minShared = 25L), seeds, iters = 4)
+      .orderBy("node")
+  }
+
+  // ---------------------------------------------------------------- q104
+
+  /** Q104: ASSOCIATION RULES over co-purchase baskets — support,
+    * confidence and lift for directed rules a→b, integer-exact:
+    *   conf_e6 = co·10⁶ div n_a
+    *   lift_e6 = co·N·10⁶ div (n_a·n_b)    (N = #baskets)
+    * The undirected co-occurrence counts are the q94 machinery; each
+    * surviving pair emits BOTH directions (rules are asymmetric in
+    * confidence). Top-100 by (lift, conf, pair) is a TakeOrdered.
+    *
+    * Scale: identical shape to [[itemSimilarity]] — basket-bounded
+    * fan-out, minCo prune before the size joins, broadcast item-count
+    * frames, plus one 1-row broadcast for N. Magnitudes: co ≤ N ≤ 10⁸
+    * baskets keeps co·N·10⁶ far under BIGINT range for any co that
+    * survives a minCo at that scale. */
+  def assocRules(lineitem: DataFrame, orders: DataFrame,
+      minCo: Long = 2L, k: Int = 100): DataFrame = {
+    val bought = lineitem
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey")), "l_orderkey")
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val sizes = bought.groupBy("item").agg(count(lit(1)).as("nb"))
+    val nBaskets = bought.select(col("cust")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val baskets = bought
+      .groupBy("cust").agg(sort_array(collect_set(col("item"))).as("w"))
+      .filter(size(col("w")) >= 2)
+    val nPart = lineitem.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val co = baskets
+      .repartition(nPart, col("cust"))
+      .select(posexplode(col("w")).as(Seq("i", "a")), col("w"))
+      .select(col("a"), explode(slice(col("w"), col("i") + 2,
+        size(col("w")))).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val directed = co.select(col("a"), col("b"), col("co"))
+      .unionAll(co.select(col("b").as("a"), col("a").as("b"), col("co")))
+    directed
+      .join(broadcast(sizes.select(col("item").as("a"),
+        col("nb").as("na"))), "a")
+      .join(broadcast(sizes.select(col("item").as("b"),
+        col("nb").as("nb"))), "b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("co").as("support"),
+        expr("(co * 1000000) div na").as("conf_e6"),
+        expr("(co * n_baskets * 1000000) div (na * nb)").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("conf_e6").desc,
+        col("antecedent"), col("consequent"))
+      .limit(k)
+  }
+
+  def q104AssocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRules(load(spark, dir, "lineitem"), load(spark, dir, "orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_triangles" -> (q91Triangles _),
     "q93_pagerank" -> (q93PageRank _),
     "q94_item_similarity" -> (q94ItemSimilarity _),
+    "q99_bfs" -> (q99Bfs _),
+    "q104_assoc_rules" -> (q104AssocRules _),
   )
 
   /** The q93 oracle unrolls the FIXED five iterations as chained CTEs
@@ -244,7 +342,61 @@ object Graph {
        |SELECT node, s AS score FROM p5 ORDER BY node""".stripMargin
   }
 
+  /** The q99 oracle unrolls the four fixed BFS rounds as chained CTEs —
+    * integer MIN propagation is bit-identical in any engine (the q93
+    * discipline). */
+  private val bfsOracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT sym.dst, p.dist + 1 FROM sym
+         |    JOIN d${i - 1} p ON p.node = sym.src)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |e AS (
+       |  SELECT a.s AS u, b.s AS v FROM ps a
+       |  JOIN ps b ON a.p = b.p AND a.s < b.s
+       |  GROUP BY a.s, b.s HAVING COUNT(*) >= 25),
+       |sym AS (SELECT u AS src, v AS dst FROM e
+       |        UNION ALL SELECT v AS src, u AS dst FROM e),
+       |d0 AS (SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM supplier WHERE s_nationkey = 0),
+       |$rounds
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
+       |ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q99_bfs" -> bfsOracle,
+    // q104: same distinct buyer sets and co counts as q94, both rule
+    // directions, integer-exact confidence and lift; (lift desc, conf
+    // desc, a, b) is a total order under the LIMIT.
+    "q104_assoc_rules" ->
+      """WITH bought AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |sizes AS (SELECT item, COUNT(*) AS nb FROM bought GROUP BY item),
+        |nbk AS (SELECT COUNT(DISTINCT cust) AS n_baskets FROM bought),
+        |co AS (
+        |  SELECT a.item AS ia, b.item AS ib, COUNT(*) AS co
+        |  FROM bought a JOIN bought b
+        |    ON a.cust = b.cust AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dirr AS (
+        |  SELECT ia AS a, ib AS b, co FROM co
+        |  UNION ALL SELECT ib AS a, ia AS b, co FROM co)
+        |SELECT d.a AS antecedent, d.b AS consequent, d.co AS support,
+        |  (d.co * 1000000) // sa.nb AS conf_e6,
+        |  (d.co * n.n_baskets * 1000000) // (sa.nb * sb.nb) AS lift_e6
+        |FROM dirr d
+        |JOIN sizes sa ON sa.item = d.a
+        |JOIN sizes sb ON sb.item = d.b, nbk n
+        |ORDER BY lift_e6 DESC, conf_e6 DESC, antecedent, consequent
+        |LIMIT 100""".stripMargin,
     "q93_pagerank" -> pageRankOracle,
     // q94: same distinct buyer sets, same integer jaccard, same unique
     // (jaccard desc, pair) total order under the LIMIT.

@@ -150,11 +150,36 @@ object Multimodal {
         col("n_frames").cast("long").as("n_frames"))
       .orderBy("media_id")
 
+  /** qm5 — MEDIA DEDUPLICATION by content digest: duplicate payload
+    * groups (count, bytes, keeper = min id). Exact byte-level dedup is
+    * THE first pass of any multimodal pipeline — before any decode —
+    * and needs only the digest: the shuffle carries (digest, id,
+    * length), never payload bytes (the q32 hash-first discipline
+    * applied to binary columns). */
+  def qm5MediaDups(spark: SparkSession, dir: String): DataFrame = {
+    val media = syntheticMediaTable(spark, dir).toDF()
+      .select(col("media_id"), col("payload"))
+    // The synthetic corpus has no byte-identical payloads, so plant
+    // re-ingested copies (same bytes, shifted id) for every 10th blob —
+    // the re-upload/mirror scenario the digest pass exists to catch.
+    media.unionAll(media.filter(col("media_id") % 10 === 0)
+        .select((col("media_id") + 1000000L).as("media_id"),
+          col("payload")))
+      .select(md5(col("payload")).as("digest"),
+        length(col("payload")).cast("long").as("nb"), col("media_id"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n"), sum(col("nb")).as("total_bytes"),
+        min(col("media_id")).as("keeper"))
+      .filter(col("n") > 1)
+      .orderBy("digest")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm1_media_features" -> (qm1Features _),
     "qm2_media_metadata" -> (qm2MetadataStats _),
     "qm3_media_frames" -> (qm3FrameSample _),
     "qm4_media_digest" -> (qm4MediaDigest _),
+    "qm5_media_dups" -> (qm5MediaDups _),
   )
 
   /** qm4 oracle: payload bytes ARE the document's UTF-8 text, so DuckDB
@@ -163,6 +188,20 @@ object Multimodal {
     * and the metadata formulas inlined. qm1/qm3 stay impl-only (stub
     * codec outputs have no SQL equivalent). */
   val oracle: Map[String, String] = Map(
+    // qm5: payload bytes are the document's UTF-8 text (qm4 pin), so
+    // DuckDB reproduces digest groups from `documents` directly.
+    "qm5_media_dups" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS digest, COUNT(*) AS n,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT)
+        |    AS total_bytes,
+        |  MIN(media_id) AS keeper
+        |FROM media GROUP BY md5(text) HAVING COUNT(*) > 1
+        |ORDER BY digest""".stripMargin,
     "qm4_media_digest" ->
       """SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'

@@ -751,6 +751,129 @@ object Relational {
       .orderBy("d")
   }
 
+  /** Q98: MERGE / upsert emulation — the CDC-apply operator (SCD type 1)
+    * Spark has no MERGE INTO for plain parquet, expressed as ONE full
+    * outer join + a four-way CASE: matched+U → update (balance +=
+    * spend), matched+D → delete (row dropped), unmatched source+U →
+    * insert, unmatched target → keep. The changeset is derived
+    * deterministically from 1996+ order spend (op = D for custkey %
+    * 53 = 0; planted inserts re-key custkey % 97 = 0 to key+3000000,
+    * disjoint from the customer key space).
+    *
+    * Scale: one key-shuffle full outer join (changeset ≪ snapshot →
+    * AQE broadcasts it); monetary arithmetic stays DECIMAL until the
+    * final DOUBLE cast (D2/D6). This is exactly the nightly
+    * snapshot-maintenance join a 100 TB dimension runs: re-partition
+    * both sides by the merge key once, no row explosion anywhere. */
+  def q98MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        dec(col("c_acctbal")).as("bal0"))
+    val spend = load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend"))
+    val chg = spend
+      .select(col("o_custkey").as("k"), col("spend"),
+        when(col("o_custkey") % 53 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"))
+      .unionAll(spend.filter(col("o_custkey") % 97 === 0)
+        .select((col("o_custkey") + 3000000L).as("k"), col("spend"),
+          lit("U").as("op")))
+    // D rows vanish whether matched (delete) or not (no-op delete);
+    // base-only rows carry op = NULL and must survive the filter —
+    // spelled null-safely (op != 'D' alone is NULL for them).
+    base.join(chg, col("c_custkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("custkey"),
+        coalesce(col("c_name"),
+          concat(lit("NEW#"), col("k").cast("string"))).as("name"),
+        when(col("c_custkey").isNull, col("spend"))
+          .when(col("op") === "U", col("bal0") + col("spend"))
+          .otherwise(col("bal0")).cast("double").as("bal"),
+        when(col("c_custkey").isNull, lit("insert"))
+          .when(col("op") === "U", lit("update"))
+          .otherwise(lit("keep")).as("action"))
+      .orderBy("custkey")
+  }
+
+  /** Q105: TPC-H Q17 shape — revenue of small-quantity orders for one
+    * brand: lineitems whose quantity is below 20% of their part's
+    * average. The correlated AVG subquery becomes an aggregate +
+    * self-join; `qty·5·n < Σqty` keeps the comparison in exact
+    * integers (quantities are integral — no 0.2·avg IEEE drift).
+    *
+    * Scale: the brand filter cuts the fact stream via a BROADCAST
+    * part-dimension semi-join BEFORE the per-part aggregate, and the
+    * per-part stats frame is dimension-sized → broadcast back; the
+    * fact table is scanned once, shuffled once (partkey). */
+  def q105SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val parts = load(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
+    val mine = load(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        dec(col("l_extendedprice")).as("price"))
+    val stats = mine.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("nq"))
+    mine.join(broadcast(stats), "l_partkey")
+      .filter(col("qty") * 5 * col("nq") < col("sq"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("price")).cast("double").as("revenue"))
+  }
+
+  /** Q106: TPC-H Q18 shape — large-volume orders: orders whose total
+    * quantity exceeds 150, with their customer. The HAVING aggregate
+    * runs on the slim (orderkey, qty) projection (partial-combining),
+    * and only qualifying orderkeys join back to orders/customer.
+    * Top-100 by (totalprice desc, orderkey) is a TakeOrdered. */
+  def q106LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_orderkey").agg(sum(col("qty")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    load(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"),
+        col("o_totalprice").as("total"), col("sum_qty"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q107: TPC-H Q21 shape — suppliers who were the ONLY late shipper
+    * (ship > order date + 365d) in a multi-supplier order. The classic
+    * EXISTS / NOT-EXISTS pair collapses to ONE per-(order, supplier)
+    * aggregate + a per-order rollup: n_supp > 1 ∧ n_late = 1 ∧ late —
+    * two key-shuffles total instead of two correlated-subquery joins
+    * (the oracle keeps the EXISTS formulation, pinning semantics
+    * across both shapes). Supplier names join in broadcast. */
+  def q107LoneLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val f = load(spark, dir, "lineitem")
+      .join(load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 365 DAYS"), 1L)
+          .otherwise(0L)).as("late"))
+    val per = f.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+    f.filter(col("late") === 1)
+      .join(per, "l_orderkey")
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .join(broadcast(load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -807,11 +930,86 @@ object Relational {
     "q52_unpivot" -> (q52Unpivot _),
     "q53_exists_in" -> (q53ExistsIn _),
     "q60_lateral" -> (q60Lateral _),
+    "q98_merge_upsert" -> (q98MergeUpsert _),
+    "q105_small_qty_revenue" -> (q105SmallQtyRevenue _),
+    "q106_large_orders" -> (q106LargeOrders _),
+    "q107_lone_late_supplier" -> (q107LoneLateSupplier _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
     * implementation-only → intentionally absent). */
   val oracle: Map[String, String] = Map(
+    "q98_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal0 FROM customer),
+        |spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,2)) AS spend
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY o_custkey),
+        |chg AS (
+        |  SELECT o_custkey AS k, spend,
+        |    CASE WHEN o_custkey % 53 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM spend
+        |  UNION ALL
+        |  SELECT o_custkey + 3000000, spend, 'U' FROM spend
+        |  WHERE o_custkey % 97 = 0)
+        |SELECT COALESCE(b.c_custkey, c.k) AS custkey,
+        |  COALESCE(b.c_name, 'NEW#' || CAST(c.k AS VARCHAR)) AS name,
+        |  CAST(CASE WHEN b.c_custkey IS NULL THEN c.spend
+        |       WHEN c.op = 'U' THEN b.bal0 + c.spend
+        |       ELSE b.bal0 END AS DOUBLE) AS bal,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'insert'
+        |       WHEN c.op = 'U' THEN 'update' ELSE 'keep' END AS action
+        |FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.k
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY custkey""".stripMargin,
+    "q105_small_qty_revenue" ->
+      """WITH mine AS (
+        |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_brand = 'Brand#13'),
+        |st AS (
+        |  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sq,
+        |    COUNT(*) AS nq
+        |  FROM mine GROUP BY l_partkey)
+        |SELECT COUNT(*) AS n_items,
+        |  CAST(SUM(m.price) AS DOUBLE) AS revenue
+        |FROM mine m JOIN st ON st.l_partkey = m.l_partkey
+        |WHERE m.qty * 5 * st.nq < st.sq""".stripMargin,
+    "q106_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT))
+        |    AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 150)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS o_date,
+        |  o.o_totalprice AS total, b.sum_qty
+        |FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,
+    // q107 oracle keeps the EXISTS / NOT EXISTS formulation — an
+    // independent shape of the same semantics as the aggregate form.
+    "q107_lone_late_supplier" ->
+      """WITH f AS (
+        |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+        |    MAX(CASE WHEN l.l_shipdate >
+        |      o.o_orderdate + INTERVAL 365 DAY THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM f JOIN supplier s ON s.s_suppkey = f.sk
+        |WHERE f.late = 1
+        |  AND EXISTS (SELECT 1 FROM f f2
+        |    WHERE f2.ok = f.ok AND f2.sk <> f.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM f f3
+        |    WHERE f3.ok = f.ok AND f3.sk <> f.sk AND f3.late = 1)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q01_count" -> "SELECT COUNT(*) AS n FROM lineitem",
     "q14b_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt

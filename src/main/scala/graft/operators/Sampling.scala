@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.load
+import graft.Tables.{dec, load}
 
 /** Deterministic sampling & dataset splits — the reproducibility
   * primitive a training-data pipeline needs: `df.sample()` depends on
@@ -55,11 +55,76 @@ object Sampling {
       .agg(count(lit(1)).as("n"))
       .orderBy("source")
 
+  /** 20-bit integer bucket from the first five md5 hex nibbles —
+    * engine-portable (hex-char position lookup, no integer-parsing
+    * dialect: Spark `instr` ≡ DuckDB `strpos`, both 1-based). Uniform
+    * on [0, 2²⁰). */
+  def md5Bucket20(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    (1 to 5).map(i =>
+        (call_function("instr", lit("0123456789abcdef"),
+          substring(h, i, 1)) - 1)
+          .cast("long") * lit(1L << (4 * (5 - i))))
+      .reduce(_ + _)
+  }
+
+  /** Q103: DETERMINISTIC WEIGHTED sampling — keep a row with
+    * probability proportional to its weight (price-proportional
+    * here), as a PURE function of the row key: keep iff
+    * bucket₂₀(key)·max_w < w·2²⁰, all in exact integers (weights are
+    * cents via the DECIMAL cast — no float thresholds). Reproducible
+    * across runs/engines/partitionings like q46, but importance-
+    * weighted — the sampler behind weighted corpus mixtures when
+    * quality scores, not uniform rates, set inclusion odds.
+    *
+    * Scale: one 1-row broadcast (max weight) + a codegen'd filter; no
+    * shuffle before the final rollup. */
+  def q103WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val ord = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        dec(col("o_totalprice")).as("pd"))
+      .withColumn("cents", (col("pd") * 100).cast("long"))
+    val mx = ord.agg(max(col("cents")).as("mxc"))
+    ord.crossJoin(broadcast(mx))
+      .filter(md5Bucket20(col("o_orderkey")) * col("mxc") <
+        col("cents") * lit(1L << 20))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("pd")).cast("double").as("tot"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_det_sample" -> (q46Sample _),
+    "q103_weighted_sample" -> (q103WeightedSample _),
   )
 
   val oracle: Map[String, String] = Map(
+    // q103: the same five-nibble bucket spelled with strpos (DuckDB's
+    // 1-based instr), the same exact-integer threshold compare.
+    "q103_weighted_sample" ->
+      """WITH ord AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS pd,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    md5(CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM orders),
+        |mx AS (SELECT MAX(cents) AS mxc FROM ord),
+        |b AS (
+        |  SELECT o_orderpriority, pd, cents,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+        |      AS bucket
+        |  FROM ord)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(pd) AS DOUBLE) AS tot
+        |FROM b, mx
+        |WHERE bucket * mxc < cents * 1048576
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q46_det_sample" ->
       """SELECT source, COUNT(*) AS n FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)

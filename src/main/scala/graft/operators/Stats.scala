@@ -131,13 +131,70 @@ object Stats {
     valueOutliers(graft.Tables.events(spark, dir))
       .orderBy("event_type", "event_id")
 
+  /** Q101: ROBUST outliers by MEDIAN / MAD — the z-score's (q90)
+    * breakdown-resistant sibling: a single extreme value drags a mean
+    * and explodes a stddev, but the median and the median absolute
+    * deviation ignore up to 50% contamination. Flag |x − med| > k·MAD.
+    *
+    * Exactness: both medians are RANK-SELECTED data values
+    * ([[Percentiles.discByRank]] — the disk-spilling window path, same
+    * engine-pinned `ceil(p·n)` definition as q61), and the predicate
+    * arithmetic (subtract, abs, one multiply, compare) is the same
+    * IEEE op sequence in both engines — no accumulation order anywhere.
+    *
+    * Scale: two ranked window passes over (type, value) — each spills,
+    * no per-group buffering — plus two broadcast joins of one-row-per-
+    * type frames; the flag scan is codegen'd. */
+  def q101MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val med = Percentiles.discByRank(ev, Seq("event_type"), "value",
+      Seq(0.5 -> "med"), countName = Some("n"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("n"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = Percentiles.discByRank(dev, Seq("event_type"), "adev",
+      Seq(0.5 -> "mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_stats" -> (q51Stats _),
     "q55_cond_aggs" -> (q55CondAggs _),
     "q90_value_outliers" -> (q90ValueOutliers _),
+    "q101_mad_outliers" -> (q101MadOutliers _),
   )
 
   val oracle: Map[String, String] = Map(
+    // q101: quantile_disc matches discByRank's ceil(p·n) rank pin
+    // (proven by q61); the deviation arithmetic is the identical IEEE
+    // op sequence on both engines.
+    "q101_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    quantile_disc(value, 0.5) AS med
+        |  FROM ev GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, m.n, m.med, abs(e.value - m.med) AS adev
+        |  FROM ev e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_disc(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, MAX(d.n) AS n, MAX(d.med) AS med,
+        |  MAX(m.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // Same exact power sums, same closed forms, same double op order.
     "q51_stats" ->
       """WITH s AS (

@@ -157,8 +157,17 @@ object TextOps {
       .withColumn("fps", array_distinct(transform(
         sequence(lit(1), greatest(size(col("kl")) - (w - 1), lit(1))),
         i => array_min(slice(col("kl"), i, lit(w))))))
+    // explode_OUTER, deliberately: plain explode triggers
+    // InferFiltersFromGenerate (`size(fps) > 0`), and predicate pushdown
+    // substitutes that filter through the three projections above —
+    // inlining the whole whl→kl→fps pipeline into ONE interpreted filter
+    // where every window re-evaluates the full upstream arrays
+    // (O(windows·grams·k·len) per doc; measured 0.4 s/doc ⇒ 300 s+ at
+    // sf0.1 — this killed the round-4 bench). `fps` is structurally
+    // non-empty (sequence(1, greatest(…,1)) has ≥1 element), so outer ≡
+    // inner here and the vacuous inferred filter never exists.
     packed
-      .select(col("doc_id"), explode(col("fps")).as("key"))
+      .select(col("doc_id"), explode_outer(col("fps")).as("key"))
       .select(col("doc_id"), (col("key") % 16777216L).as("pos"),
         expr("key div 16777216").as("fp"))
   }

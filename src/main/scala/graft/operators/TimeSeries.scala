@@ -72,11 +72,108 @@ object TimeSeries {
       .orderBy("o_custkey", "m")
   }
 
+  /** Q97: SCD TYPE-2 INTERVALIZATION — turn a change log into validity
+    * intervals: per customer, each order becomes a dimension version
+    * valid from its date until the NEXT order's date (`lead`), the
+    * latest version open-ended (`valid_to` NULL, `is_current` = 1).
+    * This is the standard history-table build every warehouse runs on
+    * a CDC feed.
+    *
+    * Determinism: the version order is (date, orderkey) — a total
+    * order even when one customer places two orders the same day (the
+    * earlier key's interval is then empty: [d, d), documented).
+    * Scale: ONE window pass partitioned by the dimension key; no joins,
+    * no state beyond a one-row lookahead. */
+  def q97Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("valid_from"),
+        col("o_orderdate"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to",
+        lead(to_date(col("o_orderdate")), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+      .select(col("o_custkey"), col("version").cast("long").as("version"),
+        col("o_orderkey"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
+  /** Q100: INTERVAL CONCURRENCY by sweep-line — peak number of
+    * simultaneously in-transit shipments per month (each lineitem is
+    * "in transit" for the 15 days [shipdate, shipdate+14]). The
+    * interval-overlap problem without any pairwise join: intervals
+    * become +1/−1 boundary events on integer epoch days, a running sum
+    * over the DAILY aggregate gives the concurrency curve, and a
+    * monthly rollup takes the max.
+    *
+    * Scale: the heavy stream collapses to one row per distinct day
+    * BEFORE the ordered prefix sum (partial-combining agg), so the
+    * global window — the one unavoidable sequential pass of a
+    * sweep-line — runs over calendar-sized data (~2.5k rows)
+    * regardless of fact volume. Peak is exact, not sampled: the
+    * concurrency curve only changes on boundary days, which are all
+    * present. */
+  def q100Concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val days = load(spark, dir, "lineitem")
+      .select(datediff(to_date(col("l_shipdate")),
+        lit("1970-01-01").cast("date")).as("dn"))
+    val deltas = days.select(col("dn"), lit(1L).as("dl"))
+      .unionAll(days.select((col("dn") + 15).as("dn"),
+        lit(-1L).as("dl")))
+      .groupBy("dn").agg(sum(col("dl")).as("delta"))
+    val w = Window.orderBy(col("dn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("conc", sum(col("delta")).over(w))
+      .withColumn("d", date_add(lit("1970-01-01").cast("date"),
+        col("dn")))
+      .groupBy(trunc(col("d"), "month").as("month"))
+      .agg(max(col("conc")).as("peak"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_gapfill" -> (q54GapFill _),
+    "q97_scd2" -> (q97Scd2 _),
+    "q100_concurrency" -> (q100Concurrency _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q97_scd2" ->
+      """SELECT o_custkey,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |  o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS valid_from,
+        |  LEAD(CAST(o_orderdate AS DATE), 1) OVER w AS valid_to,
+        |  CAST(CASE WHEN LEAD(o_orderdate, 1) OVER w IS NULL
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
+    "q100_concurrency" ->
+      """WITH days AS (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(l_shipdate AS DATE)) AS dn
+        |  FROM lineitem),
+        |deltas AS (
+        |  SELECT dn, CAST(SUM(dl) AS BIGINT) AS delta FROM (
+        |    SELECT dn, 1 AS dl FROM days
+        |    UNION ALL SELECT dn + 15, -1 FROM days)
+        |  GROUP BY dn),
+        |curve AS (
+        |  SELECT dn, CAST(SUM(delta) OVER (ORDER BY dn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS conc
+        |  FROM deltas)
+        |SELECT CAST(date_trunc('month',
+        |    DATE '1970-01-01' + dn * INTERVAL 1 DAY) AS DATE) AS month,
+        |  MAX(conc) AS peak
+        |FROM curve GROUP BY 1 ORDER BY 1""".stripMargin,
     "q54_gapfill" ->
       """WITH per AS (
         |  SELECT o_custkey,

@@ -241,4 +241,22 @@ class DedupSpec extends SparkSpecBase {
     assert(a eq b) // same checkpointed plan — no recomputation
     assert(b.count() > 0)
   }
+
+  test("containmentPairs flags a quoted excerpt jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    // excerpt shingles are a strict subset of big -> containment 10000
+    assert(pairs((1L, 2L)) == 10000L)
+    assert(pairs.size == 1)
+    // while jaccard = 6/58 is far under any dedup threshold
+    val j = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+    assert(j.filter(col("doc_a") === 1 && col("doc_b") === 2).count() == 0)
+  }
 }

@@ -145,4 +145,47 @@ class GraphSpec extends SparkSpecBase {
     assert(r.getLong(4) == (if (wedges == 0) 0L
       else tris * 3 * 1000000 / wedges))
   }
+
+  test("bfsDepth golden: path graph distances, fixed depth cuts the " +
+      "tail, unreachable nodes absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus isolated edge 8-9; seed {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (8L, 9L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("node")
+    val d = Graph.bfsDepth(edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsDepth frontier is monotone: deeper iters only ADD nodes " +
+      "and never change an existing distance") {
+    import spark.implicits._
+    val edges = (1L to 20L).map(i => (i, i + 1)).toDF("u", "v")
+    val seeds = Seq(1L, 15L).toDF("node")
+    val d2 = Graph.bfsDepth(edges, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d4 = Graph.bfsDepth(edges, seeds, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2.forall { case (n, dist) => d4(n) == dist })
+    assert(d2.size < d4.size)
+  }
+
+  test("assocRules hand replay: lift and confidence on planted baskets") {
+    import spark.implicits._
+    // baskets: c1{10,20}, c2{10,20}, c3{10,30}, c4{40} -> N=4 baskets
+    // co(10,20)=2, n10=3, n20=2: conf 10->20 = 2e6 div 3 = 666666,
+    // conf 20->10 = 1000000, lift = 2*4e6 div (3*2) = 1333333
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L), (4L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+    val ord = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+    val rules = Graph.assocRules(li, ord, minCo = 2L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rules((10L, 20L)) == ((2L, 666666L, 1333333L)))
+    assert(rules((20L, 10L)) == ((2L, 1000000L, 1333333L)))
+    assert(!rules.contains((10L, 30L))) // co=1 < minCo
+  }
 }

@@ -39,4 +39,16 @@ class MultimodalSpec extends SparkSpecBase {
       assert(g.map(_.getInt(1)).sorted.sameElements(0 until g.length))
     }
   }
+
+  test("qm5: every planted re-ingested copy lands in a dup group " +
+      "keyed by the original id") {
+    val groups = Multimodal.qm5MediaDups(spark, sf).collect()
+    val originals = graft.Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .count()
+    // corpus texts are unique, so dup groups are exactly the planted
+    // (id, id + 1000000) pairs with the original as keeper
+    assert(groups.length == originals)
+    assert(groups.forall(r => r.getLong(1) == 2L && r.getLong(3) % 10 == 0))
+  }
 }

@@ -33,4 +33,41 @@ class SamplingSpec extends SparkSpecBase {
     assert((trs | vas | tes) == all)
     assert(vas.nonEmpty && tes.nonEmpty)
   }
+
+  test("md5Bucket20 stays in [0, 2^20) and is a pure key function") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val b = (1L to 2000L).toDF("k")
+      .select(Sampling.md5Bucket20(col("k")).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b.forall(x => x >= 0 && x < (1L << 20)))
+    // uniformity sanity: both halves populated
+    assert(b.count(_ < (1L << 19)) > 500 && b.count(_ >= (1L << 19)) > 500)
+  }
+
+  test("q103 weighted sampling is deterministic and weight-monotone: " +
+      "raising every weight only ADDS rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def kept(scale: Long) = {
+      val rows = (1L to 3000L).map(k => (k, 1L + (k % 100) * scale))
+      val df = rows.toDF("k", "w")
+      val mx = rows.map(_._2).max
+      df.filter(Sampling.md5Bucket20(col("k")) * mx <
+          col("w") * (1L << 20))
+        .collect().map(_.getLong(0)).toSet
+    }
+    val a1 = kept(1L); val a2 = kept(1L)
+    assert(a1 == a2)
+    // per-row keep probability w/max is unchanged by scaling all
+    // weights, but adding a constant raises low-weight odds:
+    val rows = (1L to 3000L).map(k => (k, 1L + (k % 100)))
+    val mx = rows.map(_._2).max
+    val dfLow = rows.toDF("k", "w")
+    val low = dfLow.filter(Sampling.md5Bucket20(col("k")) * mx <
+      col("w") * (1L << 20)).collect().map(_.getLong(0)).toSet
+    val high = dfLow.filter(Sampling.md5Bucket20(col("k")) * (mx + 50) <
+      (col("w") + 50) * (1L << 20)).collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+  }
 }

@@ -96,4 +96,23 @@ class StatsSpec extends SparkSpecBase {
       if (z < 3 - 1e-6) assert(!isFlagged, s"false positive z=$z")
     }
   }
+
+  test("q101 at sf0.001: MAD outlier counts match a driver-side " +
+      "median/MAD recomputation") {
+    val rows = Stats.q101MadOutliers(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def medDisc(xs: Seq[Double]) = xs(math.ceil(0.5 * xs.size).toInt - 1)
+    rows.foreach { r =>
+      val xs = ev(r.getString(0))
+      val med = medDisc(xs)
+      val mad = medDisc(xs.map(x => math.abs(x - med)).sorted)
+      assert(r.getDouble(2) == med && r.getDouble(3) == mad)
+      assert(r.getLong(4) == xs.count(x => math.abs(x - med) > 3.0 * mad))
+    }
+    assert(rows.nonEmpty)
+  }
 }

@@ -58,4 +58,45 @@ class TimeSeriesSpec extends SparkSpecBase {
         .foreach(r => assert(!r.isNullAt(3)))
     }
   }
+
+  test("q97 SCD2 laws: versions contiguous, intervals tile, exactly " +
+      "one open version per key") {
+    val rows = TimeSeries.q97Scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(3),
+        Option(r.getDate(4)), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length))
+      // tiling: each version ends where the next starts
+      sorted.iterator.zip(sorted.iterator.drop(1)).foreach {
+        case (a, b) => assert(a._4.contains(b._3))
+      }
+      // exactly the last version is open and current
+      assert(sorted.init.forall(v => v._4.isDefined && v._5 == 0L))
+      assert(sorted.last._4.isEmpty && sorted.last._5 == 1L)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("q100 sweep-line peak matches a driver-side day-by-day replay") {
+    import java.time.LocalDate
+    val got = TimeSeries.q100Concurrency(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val days = graft.Tables.load(spark, sf, "lineitem")
+      .select(to_date(col("l_shipdate")).as("d")).collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay)
+    val deltas = scala.collection.mutable.Map[Long, Long]()
+    days.foreach { d =>
+      deltas(d) = deltas.getOrElse(d, 0L) + 1
+      deltas(d + 15) = deltas.getOrElse(d + 15, 0L) - 1
+    }
+    var run = 0L
+    val exp = scala.collection.mutable.Map[String, Long]()
+    deltas.toSeq.sortBy(_._1).foreach { case (d, dl) =>
+      run += dl
+      val m = LocalDate.ofEpochDay(d).withDayOfMonth(1).toString
+      exp(m) = math.max(exp.getOrElse(m, Long.MinValue), run)
+    }
+    assert(got == exp.toMap)
+  }
 }
