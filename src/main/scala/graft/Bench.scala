@@ -71,8 +71,12 @@ object Bench {
       // (Dedup.exactPairs/lshPairs) that min-of-N would otherwise hide.
       val partial = if (done) "" else ""","partial":true"""
       val json = s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir"$partial}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
-        (json + "\n").getBytes("UTF-8"))
+      // Subset runs (SPARK_GRAFT_ONLY) are local iteration aids — never
+      // let them clobber the committed full-suite artifact.
+      if (only.isEmpty)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_LATEST.json"),
+          (json + "\n").getBytes("UTF-8"))
       json
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
