@@ -874,6 +874,36 @@ object Relational {
       .limit(100)
   }
 
+  /** Q108: TPC-H Q22 shape — "idle rich customers": per nation (this
+    * schema has no phone column, so the country-code prefix becomes
+    * c_nationkey), count customers whose balance beats the pool's
+    * positive-balance average but who never placed an order.
+    *
+    * Determinism: the above-average predicate is cleared of division —
+    * `bal · cnt > tot` in exact decimal (both engines), so no IEEE
+    * average ever exists. Scale: the (tot, cnt) frame is ONE row
+    * (broadcast crossJoin, the q59 corpus-count pattern); the no-order
+    * probe is a key-only left-anti join; output is nation-sized. */
+  def q108IdleRich(spark: SparkSession, dir: String): DataFrame = {
+    val pool = load(spark, dir, "customer")
+      .filter(col("c_nationkey").isin(1, 3, 7, 11, 13, 17, 21))
+      .select(col("c_custkey"), col("c_nationkey"),
+        dec(col("c_acctbal")).as("bal"))
+    val avgc = pool.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("tot"), count(lit(1)).as("cnt"))
+    pool.crossJoin(broadcast(avgc))
+      .filter(col("bal") * col("cnt") > col("tot"))
+      .join(load(spark, dir, "orders")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("numcust"), col("totacctbal"))
+      .orderBy("nationkey")
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -934,6 +964,7 @@ object Relational {
     "q105_small_qty_revenue" -> (q105SmallQtyRevenue _),
     "q106_large_orders" -> (q106LargeOrders _),
     "q107_lone_late_supplier" -> (q107LoneLateSupplier _),
+    "q108_idle_rich" -> (q108IdleRich _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -1010,6 +1041,26 @@ object Relational {
         |    WHERE f3.ok = f.ok AND f3.sk <> f.sk AND f3.late = 1)
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // q108 oracle states the above-average predicate division-free
+    // (bal·cnt > tot in exact decimal) — same algebra as the Spark side,
+    // so no IEEE average rounding exists on either engine (D6).
+    "q108_idle_rich" ->
+      """WITH pool AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer
+        |  WHERE c_nationkey IN (1, 3, 7, 11, 13, 17, 21)),
+        |av AS (
+        |  SELECT CAST(SUM(bal) AS DECIMAL(38,2)) AS tot,
+        |    COUNT(*) AS cnt
+        |  FROM pool WHERE bal > 0)
+        |SELECT CAST(p.c_nationkey AS BIGINT) AS nationkey,
+        |  COUNT(*) AS numcust, CAST(SUM(p.bal) AS DOUBLE) AS totacctbal
+        |FROM pool p, av
+        |WHERE p.bal * av.cnt > av.tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = p.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_count" -> "SELECT COUNT(*) AS n FROM lineitem",
     "q14b_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
