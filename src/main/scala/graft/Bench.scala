@@ -94,8 +94,12 @@ object Bench {
       }
       results += (name -> best)
       println(s"""{"query":"$name","sec":$best}""")
+      // ALSO print the cumulative metric line every query: the driver
+      // parses the stdout TAIL for a {"metric":…} line, and a
+      // timeout-killed run's tail otherwise holds only per-query lines
+      // (round-4 artifact had parsed:null for exactly this reason).
+      println(writeLatest(results.toSeq, done = false))
       System.out.flush()
-      writeLatest(results.toSeq, done = false)
     }
     val json = writeLatest(results.toSeq, done = true)
     println(json)
