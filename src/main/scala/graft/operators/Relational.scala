@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -904,6 +904,188 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** Exact decimal line revenue `price · (1 − disc)` — the q86
+    * discipline: both factors cast DECIMAL(18,2) first, so the product
+    * and its SUM are exact and order-independent on both engines. */
+  private def lineRevenue: Column =
+    dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+
+  /** Q109: TPC-H Q7 shape — volume shipping between nation pairs:
+    * revenue flowing supplier-nation → customer-nation per ship-year,
+    * over the {1,2,3,5} nation set (every cross pair — the classic
+    * query's two-nation case generalized so the result is non-empty
+    * at every SF). The nation filters are applied to BOTH
+    * dimensions BEFORE their joins (the fact stream is cut twice, and
+    * the filtered supplier/customer sides broadcast); the only
+    * fact-sized shuffle is the lineitem ⋈ orders key join. */
+  def q109NationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val supp = load(spark, dir, "supplier")
+      .filter(col("s_nationkey").isin(1, 2, 3, 5))
+      .select(col("s_suppkey"), col("s_nationkey").as("supp_nat"))
+    val cust = load(spark, dir, "customer")
+      .filter(col("c_nationkey").isin(1, 2, 3, 5))
+      .select(col("c_custkey"), col("c_nationkey").as("cust_nat"))
+    val ord = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        lineRevenue.as("rev"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nat") =!= col("cust_nat"))
+      .groupBy(col("supp_nat"), col("cust_nat"), col("l_year"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("supp_nat").cast("long").as("supp_nat"),
+        col("cust_nat").cast("long").as("cust_nat"),
+        col("l_year"), col("revenue"), col("n_items"))
+      .orderBy("supp_nat", "cust_nat", "l_year")
+  }
+
+  /** Q110: TPC-H Q8 shape — market share: of all PROMO-part revenue
+    * sold to ASIA-region customers, the fraction supplied by nation 7,
+    * per order-year. Determinism: numerator and denominator are exact
+    * decimal sums cast to DOUBLE, and the share divides those two
+    * identical doubles — one IEEE op both engines perform bit-equally
+    * (no intermediate rounding ever differs). Scale: part/supplier/
+    * nation dims broadcast; the customer side is region-filtered
+    * before its join. */
+  def q110MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val promo = load(spark, dir, "part")
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val asiaNations = load(spark, dir, "nation")
+      .join(broadcast(load(spark, dir, "region"))
+        .where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = load(spark, dir, "customer")
+      .join(broadcast(asiaNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = load(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val supp = load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    load(spark, dir, "lineitem")
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_year"), col("s_nationkey"), lineRevenue.as("rev"))
+      .groupBy("o_year")
+      .agg(sum(when(col("s_nationkey") === 7, col("rev")))
+          .cast("double").as("nation_rev"),
+        sum(col("rev")).cast("double").as("total_rev"))
+      .select(col("o_year"), col("nation_rev"), col("total_rev"),
+        (col("nation_rev") / col("total_rev")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q111: TPC-H Q13 shape — customer order-count distribution:
+    * how many customers placed exactly k qualifying orders, INCLUDING
+    * the zero-order customers the left join preserves. Two shuffles:
+    * the custkey-keyed count (fact-sized) and the k-keyed histogram
+    * (at most #distinct-counts rows, partial-combined). */
+  def q111Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val ord = load(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select(col("o_custkey"), col("o_orderkey"))
+    load(spark, dir, "customer").select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      // custdist ties are real (many k share a frequency) — c_count
+      // is unique per row, so (custdist desc, c_count desc) is total
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q112: TPC-H Q14 shape — promo revenue share per ship-year: the
+    * conditional-vs-total aggregate ratio. Same two-identical-doubles
+    * division discipline as Q110; the part dimension broadcasts with
+    * only (partkey, is_promo). */
+  def q112PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = load(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    load(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(year(col("l_shipdate")).cast("long").as("l_year"),
+        col("is_promo"), lineRevenue.as("rev"))
+      .groupBy("l_year")
+      .agg(sum(when(col("is_promo"), col("rev")))
+          .cast("double").as("promo_rev"),
+        sum(col("rev")).cast("double").as("total_rev"))
+      .select(col("l_year"), col("promo_rev"), col("total_rev"),
+        (col("promo_rev") / col("total_rev")).as("promo_share"))
+      .orderBy("l_year")
+  }
+
+  /** Q113: TPC-H Q19 shape — disjunctive band predicates: three
+    * (brand, size-band, quantity-band) alternatives OR'd together.
+    * Exercises OR-predicate simplification: the common shape is one
+    * broadcast hash join with the residual disjunction evaluated in
+    * the join output — NOT three unioned scans (the fact table is
+    * read once). */
+  def q113Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val part = load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), lineRevenue.as("rev"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(11, 20) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(21, 30) &&
+          col("l_quantity").between(20, 35)))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  /** Q114: TPC-H Q4 shape — order-priority census of orders with at
+    * least one late line (shipped > 90 days after the order date).
+    * The EXISTS becomes a LEFT SEMI join (first match short-circuits,
+    * no fan-out duplication), then a priority-keyed count whose
+    * cardinality is the 5-value priority domain. */
+  def q114PriorityLate(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    load(spark, dir, "orders")
+      .join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q115: TPC-H Q15 shape — top supplier(s) by 1996 ship revenue,
+    * ties included. The max-revenue frame is ONE row (broadcast
+    * crossJoin, the q108 pattern) and the equality compares exact
+    * decimals — no IEEE max, no window over the full aggregate.
+    * Supplier names join in broadcast AFTER the winner filter. */
+  def q115TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(lineRevenue).as("total"))
+    val mx = rev.agg(max(col("total")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total") === col("mx"))
+      .join(broadcast(load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -965,6 +1147,13 @@ object Relational {
     "q106_large_orders" -> (q106LargeOrders _),
     "q107_lone_late_supplier" -> (q107LoneLateSupplier _),
     "q108_idle_rich" -> (q108IdleRich _),
+    "q109_nation_trade" -> (q109NationTrade _),
+    "q110_market_share" -> (q110MarketShare _),
+    "q111_custdist" -> (q111Custdist _),
+    "q112_promo_share" -> (q112PromoShare _),
+    "q113_disjunctive" -> (q113Disjunctive _),
+    "q114_priority_late" -> (q114PriorityLate _),
+    "q115_top_supplier" -> (q115TopSupplier _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -1061,6 +1250,105 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |    WHERE o.o_custkey = p.c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q109_nation_trade" ->
+      """SELECT CAST(s.s_nationkey AS BIGINT) AS supp_nat,
+        |  CAST(c.c_nationkey AS BIGINT) AS cust_nat,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE s.s_nationkey IN (1, 2, 3, 5) AND c.c_nationkey IN (1, 2, 3, 5)
+        |  AND s.s_nationkey <> c.c_nationkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q110/q112 divide two DOUBLEs that are themselves casts of exact
+    // decimal sums — one IEEE division on identical inputs (D6).
+    "q110_market_share" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    s.s_nationkey,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1 - l.l_discount AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem l
+        |    JOIN part p ON p.p_partkey = l.l_partkey
+        |    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |    JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |    JOIN customer c ON c.c_custkey = o.o_custkey
+        |    JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |    JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'),
+        |agg AS (
+        |  SELECT o_year,
+        |    CAST(SUM(CASE WHEN s_nationkey = 7 THEN rev END) AS DOUBLE)
+        |      AS nation_rev,
+        |    CAST(SUM(rev) AS DOUBLE) AS total_rev
+        |  FROM rows_ GROUP BY o_year)
+        |SELECT o_year, nation_rev, total_rev,
+        |  nation_rev / total_rev AS mkt_share
+        |FROM agg ORDER BY o_year""".stripMargin,
+    "q111_custdist" ->
+      """WITH pc AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q112_promo_share" ->
+      """WITH agg AS (
+        |  SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+        |      CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1 - l.l_discount AS DECIMAL(18,2)) END) AS DOUBLE)
+        |      AS promo_rev,
+        |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_rev
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY 1)
+        |SELECT l_year, promo_rev, total_rev,
+        |  promo_rev / total_rev AS promo_share
+        |FROM agg ORDER BY l_year""".stripMargin,
+    "q113_disjunctive" ->
+      """SELECT COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 1 AND 15)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 11 AND 20
+        |       AND l.l_quantity BETWEEN 10 AND 25)
+        |   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 21 AND 30
+        |       AND l.l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    "q114_priority_late" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q115_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,4)) AS total
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(r.total AS DOUBLE) AS total_revenue
+        |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total = (SELECT MAX(total) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
     "q01_count" -> "SELECT COUNT(*) AS n FROM lineitem",
     "q14b_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt

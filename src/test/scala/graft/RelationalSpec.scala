@@ -290,4 +290,92 @@ class RelationalSpec extends SparkSpecBase {
     assert(got.forall { case (n, c) => exp(n) == c })
     assert(got.nonEmpty)
   }
+
+  test("q111 custdist conserves customers and counts only qualifying " +
+      "orders") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q111Custdist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nCust = graft.Tables.load(spark, sf, "customer").count()
+    assert(out.map(_._2).sum == nCust) // every customer in one bucket
+    val nQual = graft.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED").count()
+    assert(out.map { case (k, d) => k * d }.sum == nQual) // Σ k·dist
+    // the zero bucket is exactly the customers the left join preserves
+    val zeroCust = nCust - graft.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_custkey").distinct().count()
+    assert(out.toMap.getOrElse(0L, 0L) == zeroCust)
+  }
+
+  test("q113 disjunction ≡ the union of its three branches") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q113Disjunctive(spark, sf).collect().head
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .join(graft.Tables.load(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+    def branch(b: String, s0: Int, s1: Int, q0: Int, q1: Int) =
+      li.filter(col("p_brand") === b && col("p_size").between(s0, s1) &&
+        col("l_quantity").between(q0, q1))
+    val n = branch("Brand#13", 1, 10, 1, 15)
+      .union(branch("Brand#23", 11, 20, 10, 25))
+      .union(branch("Brand#20", 21, 30, 20, 35)).count()
+    assert(got.getLong(0) == n && n > 0)
+  }
+
+  test("q114 semi-join count ≡ distinct late orders, partitioned by " +
+      "priority") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q114PriorityLate(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lateOrders = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+    val exp = lateOrders.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == exp && out.values.sum > 0)
+  }
+
+  test("q115 winners all carry the exact maximum 1996 revenue " +
+      "(ties included)") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q115TopSupplier(spark, sf).collect()
+    assert(out.nonEmpty)
+    val revs = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(graft.Tables.dec(col("l_extendedprice")) *
+        graft.Tables.dec(lit(1) - col("l_discount")))
+        .cast("double").as("t"))
+      .collect().map(_.getDouble(1))
+    val mx = revs.max
+    out.foreach(r => assert(r.getDouble(2) == mx))
+    assert(out.length == revs.count(_ == mx)) // every tie included
+  }
+
+  test("q110/q112 shares divide the two exact-sum doubles (ratio law, " +
+      "promo ⊆ total)") {
+    val m = Relational.q110MarketShare(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val den = r.getDouble(2)
+      assert(den > 0)
+      if (r.isNullAt(1)) assert(r.isNullAt(3)) // no nation-7 rows → null
+      else {
+        val (num, share) = (r.getDouble(1), r.getDouble(3))
+        assert(num >= 0 && num <= den)
+        assert(share == num / den) // bit-equal: ONE IEEE division
+      }
+    }
+    val p = Relational.q112PromoShare(spark, sf).collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(!r.isNullAt(1)) // PROMO parts present in every ship-year
+      assert(r.getDouble(3) == r.getDouble(1) / r.getDouble(2))
+    }
+  }
 }
