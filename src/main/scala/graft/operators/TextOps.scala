@@ -452,6 +452,94 @@ object TextOps {
   def q80Collocations(spark: SparkSession, dir: String): DataFrame =
     collocations(load(spark, dir, "documents"))
 
+  /** Q116: corpus token heavy hitters — every token carrying more than
+    * 1/400 (25 bp) of all token occurrences, with its exact count and
+    * frequency in basis points. The vocabulary-pruning / stopword-
+    * discovery primitive a corpus pipeline runs before TF-IDF-style
+    * weighting.
+    *
+    * Determinism: the threshold is division-free (`cnt·400 > total`)
+    * and freq_bp is exact integer `cnt·10⁴ div total`; (cnt desc, w)
+    * is a total order. Scale: one partial-combining (token, count)
+    * agg; the total frame is ONE broadcast row. The full-vocab shuffle
+    * this exact form pays is what [[heavyHittersMG]] removes. */
+  def q116HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val counts = load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * 400 > col("total"))
+      .select(col("w"), col("cnt"),
+        expr("(cnt * 10000) div total").as("freq_bp"))
+      .orderBy(col("cnt").desc, col("w"))
+  }
+
+  /** Misra–Gries approximate heavy hitters with an EXACT verify pass —
+    * the bounded-state scale path beside the exact q116.
+    *
+    * Phase 1 runs the classic k-counter Misra–Gries summary per
+    * partition (one streamed pass, O(k) state); the per-partition
+    * summaries (≤ P·k pairs) merge on the driver with the same
+    * decrement-compaction, which preserves the n/k undercount bound
+    * (summary merging is public: Agarwal et al., PODS'12). Any item
+    * with true frequency > n/k is GUARANTEED present in the merged
+    * summary — candidates are a superset of the true heavy hitters.
+    * Phase 2 rescans once, counting ONLY the ≤ k candidate tokens
+    * (broadcast hash semi-join — no full-vocab shuffle), and applies
+    * the exact threshold to exact counts.
+    *
+    * Result: bit-identical to the exact heavy-hitter set for threshold
+    * n·thresholdNum/thresholdDen whenever k ≥ den/num — approximation
+    * affects only intermediate state size, never the answer. At 100 TB
+    * the exact form shuffles the full vocabulary (billions of types);
+    * this form shuffles nothing bigger than k counters per partition.
+    *
+    * TextOpsSpec pins MG ≡ exact on the documents corpus and on a
+    * planted-skew fixture. */
+  def heavyHittersMG(tokens: DataFrame, tokenCol: String, k: Int,
+      thresholdNum: Long = 1, thresholdDen: Long = 400): DataFrame = {
+    require(k >= (thresholdDen + thresholdNum - 1) / thresholdNum,
+      s"k=$k too small for threshold $thresholdNum/$thresholdDen — " +
+        "the MG superset guarantee needs k >= den/num")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    def mgAdd(m: scala.collection.mutable.LinkedHashMap[String, Long],
+        w: String, c: Long): Unit =
+      if (m.contains(w)) m(w) += c
+      else if (m.size < k) m(w) = c
+      else {
+        // decrement all k+1 (the arrival and every counter) by the
+        // largest amount that zeroes at least one of them
+        val d = math.min(c, m.valuesIterator.min)
+        val dead = m.iterator.collect {
+          case (kk, v) if v <= d => kk }.toList
+        m.mapValuesInPlace((_, v) => v - d)
+        dead.foreach(m.remove)
+        if (c > d) m(w) = c - d
+      }
+    val partials = tokens.select(col(tokenCol).cast("string").as("w"))
+      .as[String].mapPartitions { it =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach(mgAdd(m, _, 1L))
+        m.iterator
+      }.collect() // ≤ numPartitions·k pairs
+    val merged = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      partials.foreach { case (w, c) => mgAdd(m, w, c) }
+      m.keys.toSeq
+    }
+    val cand = broadcast(merged.toDF("w"))
+    val counts = tokens.select(col(tokenCol).cast("string").as("w"))
+      .join(cand, "w").groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = tokens.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * thresholdDen > col("total") * thresholdNum)
+      .select(col("w"), col("cnt"),
+        expr("(cnt * 10000) div total").as("freq_bp"))
+      .orderBy(col("cnt").desc, col("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31a_text_lang" -> (q31Lang _),
     "q31b_text_tokens" -> (q31Tokens _),
@@ -461,6 +549,7 @@ object TextOps {
     "q79_vocab_stats" -> (q79VocabStats _),
     "q80_collocations" -> (q80Collocations _),
     "q95_winnow" -> (q95Winnow _),
+    "q116_heavy_hitters" -> (q116HeavyHitters _),
     "q32_dedup_exact" -> (q32DedupExact _),
     "q32b_dedup_rows" -> (q32bDedupRows _),
     "tx1_token_count" -> (tx1TokenCount _),
@@ -566,6 +655,17 @@ object TextOps {
         |SELECT doc_id, term, CAST(score AS BIGINT) AS score,
         |  CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // q116: division-free threshold (cnt·400 > total) + integer-div
+    // freq_bp — no IEEE ratio anywhere in the gate path.
+    "q116_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+        |SELECT w, cnt, (cnt * 10000) // total AS freq_bp
+        |FROM c, tot WHERE cnt * 400 > total
+        |ORDER BY cnt DESC, w""".stripMargin,
     // q79: COUNT FILTER ↔ count_if; DuckDB SUM(BIGINT) widens to
     // HUGEINT → CAST; `//` ↔ `div` exact integer division.
     "q79_vocab_stats" ->

@@ -204,4 +204,30 @@ class TextOpsSpec extends SparkSpecBase {
     // 3-word doc: exactly one gram, one partial window, one print
     assert(got(4L) == Set((1L, replay("tiny doc here").head._2)))
   }
+
+  test("q116: Misra-Gries heavy hitters ≡ exact on the corpus — " +
+      "approximation bounds state, never the answer") {
+    val exact = TextOps.q116HeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact.nonEmpty)
+    val tokens = load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val mg = TextOps.heavyHittersMG(tokens, "w", k = 400).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mg == exact)
+  }
+
+  test("q116: MG survives adversarial skew and small k (planted " +
+      "fixture, k exactly den/num)") {
+    import spark.implicits._
+    // one dominant token (30%), one at the 1/4 boundary under
+    // threshold 1/4, plus unique-tail noise
+    val toks = (Seq.fill(30)("hot") ++ Seq.fill(24)("warm") ++
+      (1 to 46).map(i => s"noise$i")).toDF("w")
+    val got = TextOps.heavyHittersMG(toks, "w", k = 4,
+      thresholdNum = 1, thresholdDen = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 100 tokens: hot=30 (30% > 25%) qualifies; warm=24 (24%) does not
+    assert(got == Seq(("hot", 30L)))
+  }
 }
