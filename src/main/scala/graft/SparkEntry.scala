@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Exemplars
-import graft.operators.{AsofJoin, Behavioral, CorpusPrep, Dedup, Graph, Multimodal, Quality, RangeJoin, Relational, Sampling, SemiStructured, Similarity, Stats, TextOps, TimeSeries}
+import graft.operators.{AsofJoin, Behavioral, CorpusPrep, Dedup, Graph, Multimodal, Quality, RangeJoin, Relational, Sampling, SemiStructured, Similarity, Stats, TextOps, TimeSeries, ZOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,7 @@ object SparkEntry {
       Multimodal.queries ++ AsofJoin.queries ++ RangeJoin.queries ++
       Sampling.queries ++ Stats.queries ++ TimeSeries.queries ++
       CorpusPrep.queries ++ Behavioral.queries ++ Graph.queries ++
-      Quality.queries
+      Quality.queries ++ ZOrder.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +37,5 @@ object SparkEntry {
       Dedup.oracle ++ Sampling.oracle ++ Similarity.oracle ++
       Stats.oracle ++ TimeSeries.oracle ++ Multimodal.oracle ++
       CorpusPrep.oracle ++ Behavioral.oracle ++ Graph.oracle ++
-      Quality.oracle
+      Quality.oracle ++ ZOrder.oracle
 }
