@@ -27,26 +27,53 @@ object Bench {
     spark.range(1000).repartition(4).groupBy((org.apache.spark.sql
       .functions.col("id") % 10).as("k")).count()
       .write.format("noop").mode("overwrite").save()
+    // A graded artifact must not be able to lie (round-5 lesson: 17
+    // analysis-time crashes were recorded as 0.05-0.14s "times" inside an
+    // otherwise-green BENCH_r05). runOnce now returns Left(error) on any
+    // throw; failures are excluded from `value`/`queries` and surfaced in
+    // a separate "failed" object plus per-query err lines.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache
-        .spark.sql.DataFrame): Double = {
+        .spark.sql.DataFrame): Either[String, Double] = {
       // Hygiene between queries: drop cached relations/broadcasts and
-      // GC — 60 plans in one JVM otherwise bleed memory pressure into
+      // GC — 150 plans in one JVM otherwise bleed memory pressure into
       // whichever query runs next (observed up to 25× slowdowns)
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString.take(300)
+        System.err.println(s"[bench] $name FAILED: $msg")
+        Left(msg)
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // SPARK_GRAFT_ONLY=q57_fuzzy_match,q33c_… restricts the run (local
     // iteration aid; the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Run order: DESCENDING prior cost (prior = last committed artifact's
+    // per-query seconds; queries with no prior — typically this round's
+    // new ones — run first at +inf). Round-5 lesson: alphabetical order
+    // spent the re-run budget on 30 cheap new queries before reaching
+    // q57, which then recorded one churn-poisoned 56s cold measurement
+    // (9.3s isolated). Slowest-first guarantees the expensive tail gets
+    // its adaptive re-runs while budget remains.
+    val prior: Map[String, Double] = {
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_LATEST.json")), "UTF-8")
+        val qsBlock = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(qsBlock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) => -prior.getOrElse(n, Double.MaxValue) }
     // The driver runs this main under an external `timeout` and ambient
     // host load can inflate wall-clock 2-10× (round-4 run was killed with
     // rc 124 mid-suite). Two defenses:
@@ -61,16 +88,26 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "420").toDouble
     val tSuite0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - tSuite0) / 1e9
-    def writeLatest(results: Seq[(String, Double)], done: Boolean): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    def writeLatest(results: Seq[(String, Double)],
+        failed: Seq[(String, String)], done: Boolean): String = {
+      val qs = results.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       // `value` sums adaptive min-of-N per-query times (intrinsic plan
-      // cost); `wall` is elapsed suite wall-clock including re-runs and
-      // the one-time cost of cross-query memoized subtrees
-      // (Dedup.exactPairs/lshPairs) that min-of-N would otherwise hide.
+      // cost) over SUCCESSFUL queries only; `wall` is elapsed suite
+      // wall-clock including re-runs and the one-time cost of
+      // cross-query memoized subtrees (Dedup.exactPairs/lshPairs) that
+      // min-of-N would otherwise hide. Failed queries are NEVER folded
+      // into the timings — they appear only in `failed`.
       val partial = if (done) "" else ""","partial":true"""
-      val json = s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir"$partial}"""
+      val fails = if (failed.isEmpty) ""
+        else failed.sortBy(_._1).map { case (k, e) => s"${jq(k)}:${jq(e)}" }
+          .mkString(""","failed":{""", ",", "}")
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir"$fails$partial}"""
       // Subset runs (SPARK_GRAFT_ONLY) are local iteration aids — never
       // let them clobber the committed full-suite artifact.
       if (only.isEmpty)
@@ -80,30 +117,49 @@ object Bench {
       json
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     picked.foreach { case (name, fn) =>
       // Adaptive min-of-N: cross-query JVM degradation (GC pressure,
       // codegen-cache churn) can poison a single measurement by 10×+.
       // Fast queries are reported as-is; anything slow gets up to two
       // re-runs and the min — the intrinsic plan cost, which is what the
-      // number is supposed to mean. Re-runs stop once half the wall
-      // budget is spent.
-      var best = runOnce(name, fn)
-      var extra = 0
-      while (best > 2.5 && extra < 2 && elapsed() < budgetSec / 2) {
-        best = math.min(best, runOnce(name, fn)); extra += 1
+      // number is supposed to mean. Because the suite runs slowest-first,
+      // the global half-budget cliff now only ever starves the CHEAP
+      // tail, where a single measurement is already trustworthy.
+      runOnce(name, fn) match {
+        case Left(err) =>
+          failed += (name -> err)
+          println(s"""{"query":${jq(name)},"err":${jq(err)}}""")
+        case Right(first) =>
+          var best = first
+          var extra = 0
+          while (best > 2.5 && extra < 2 && elapsed() < budgetSec / 2) {
+            runOnce(name, fn).foreach(t => best = math.min(best, t))
+            extra += 1
+          }
+          results += (name -> best)
+          println(s"""{"query":"$name","sec":$best}""")
       }
-      results += (name -> best)
-      println(s"""{"query":"$name","sec":$best}""")
       // ALSO print the cumulative metric line every query: the driver
       // parses the stdout TAIL for a {"metric":…} line, and a
       // timeout-killed run's tail otherwise holds only per-query lines
       // (round-4 artifact had parsed:null for exactly this reason).
-      println(writeLatest(results.toSeq, done = false))
+      println(writeLatest(results.toSeq, failed.toSeq, done = false))
       System.out.flush()
     }
-    val json = writeLatest(results.toSeq, done = true)
+    val json = writeLatest(results.toSeq, failed.toSeq, done = true)
     println(json)
     System.out.flush()
     spark.stop()
+    // Repeat the metric line AFTER spark.stop(): shutdown logging can
+    // interleave with stdout under tail-capture, and the driver parses
+    // the LAST parseable {"metric":…} line (round-5 BENCH_r05 had
+    // parsed:null). Printing it again post-shutdown makes the final
+    // stdout line deterministically the artifact.
+    println(json)
+    System.out.flush()
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED: " +
+        failed.map(_._1).mkString(", "))
   }
 }

@@ -454,27 +454,87 @@ object Dedup {
     * the detector for quotes, boilerplate inclusion and
     * excerpt-vs-source pairs.
     *
-    * Same postings machinery as [[ngramJaccardPairs]] (df-capped
-    * postings, two-step explode, count-based verify — no pairwise set
-    * intersection anywhere), different final predicate: integer
-    * `shared·10⁴ div min(szₐ, szᵦ)` (D6, no IEEE division). */
+    * Same postings machinery as [[ngramJaccardPairs]], different final
+    * predicate: integer `shared·10⁴ div min(szₐ, szᵦ)` (D6, no IEEE
+    * division).
+    *
+    * SCALE SHAPE (round-6 fix of the uncapped O(df²) fan-out — one
+    * corpus-stopword shingle with df = d used to generate d²/2 pair
+    * rows): postings are split at `dfCap`. Pairs are enumerated ONLY
+    * from small postings; the capped-out (corpus-frequent) shingles
+    * contribute via per-doc sorted arrays — bounded by the number of
+    * capped shingles, which is tiny — intersected per candidate pair.
+    * Pairs sharing ZERO small shingles are recoverable only when the
+    * smaller side could reach `minBp` from capped shingles alone
+    * ("heavy" docs: csz·10⁴ ≥ minBp·sz); those pairs are enumerated
+    * from capped postings restricted to heavy docs on one side — a
+    * df·|heavy∩posting| fan-out, not df². The union is BIT-IDENTICAL
+    * to the uncapped result for every dfCap ≥ 1 (DedupSpec pins it);
+    * dfCap only moves cost between the two branches. */
   def containmentPairs(docs: DataFrame, k: Int = 3, minBp: Long = 8000L,
-      dfCap: Int = Int.MaxValue): DataFrame = {
+      dfCap: Int = 64): DataFrame = {
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         explode(transform(shinglesOf(col("w"), k), s => xxhash64(s)))
           .as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val postings = sh.groupBy("sh")
+    val posted = sh.groupBy("sh")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")).between(2, dfCap))
-    postings
+      .filter(size(col("docs")) >= 2)
+    val smallP = posted.filter(size(col("docs")) <= dfCap)
+    val cappedP = posted.filter(size(col("docs")) > dfCap)
+    // Per-doc sorted array of the capped-out shingles it contains —
+    // length ≤ (number of corpus-frequent shingles), so these rows are
+    // narrow even when the postings they came from were huge.
+    val cappedArr = cappedP
+      .select(col("sh"), explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("sh"))).as("carr"),
+        count(lit(1)).as("csz"))
+    // Branch A: every pair sharing ≥1 small-posting shingle (two-step
+    // explode: bounded per-row allocation), exact small-shingle count
+    // map-side, then the capped contribution via one array intersect.
+    val pairsSmall = smallP
       .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
       .select(col("doc_a"), explode(slice(col("docs"), col("i") + lit(2),
         size(col("docs")))).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("shared_small"))
+    val withCapped = pairsSmall
+      .join(cappedArr.as("ca"), col("doc_a") === col("ca.doc_id"), "left")
+      .join(cappedArr.as("cb"), col("doc_b") === col("cb.doc_id"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared_small") + coalesce(
+          size(array_intersect(col("ca.carr"), col("cb.carr")))
+            .cast("long"), lit(0L))).as("shared"))
+    // Branch B: pairs sharing ONLY capped shingles. Such a pair can pass
+    // the threshold only if the smaller doc reaches minBp from capped
+    // shingles alone, so one side must be "heavy". Enumerate capped
+    // postings against the (small, broadcast) heavy set, de-dup, drop
+    // anything branch A already produced, and count the exact capped
+    // intersection (their small intersection is zero by construction).
+    val heavy = cappedArr.join(sizes, "doc_id")
+      .filter(col("csz") * lit(10000L) >= lit(minBp) * col("sz"))
+      .select(col("doc_id"))
+    val cappedExpl = cappedP
+      .select(col("sh"), explode(col("docs")).as("doc_id"))
+    val pairsHeavy = cappedExpl.as("h")
+      .join(broadcast(heavy).as("hv"), col("h.doc_id") === col("hv.doc_id"))
+      .select(col("h.sh").as("h_sh"), col("h.doc_id").as("hd"))
+      .join(cappedExpl.as("o"),
+        col("h_sh") === col("o.sh") && col("hd") =!= col("o.doc_id"))
+      .select(least(col("hd"), col("o.doc_id")).as("doc_a"),
+        greatest(col("hd"), col("o.doc_id")).as("doc_b"))
+      .distinct()
+      .join(pairsSmall.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .join(cappedArr.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cappedArr.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ca.carr"), col("cb.carr")))
+          .cast("long").as("shared"))
+    withCapped.unionByName(pairsHeavy)
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("shared"),

@@ -255,7 +255,11 @@ object TextOps {
 
     val base = df.select(col(blockCol).cast("long").as("blk"),
       col(idCol).as("id"), col(nameCol).as("name"),
-      length(col(nameCol)).as("len"))
+      length(col(nameCol)).as("len"),
+      // bag signature computed ONCE PER STRING (10 regexp_replace ops
+      // per row); the per-PAIR filter in fuzzyMatchPairs is then pure
+      // integer lane arithmetic on two carried longs.
+      charBagSig(col(nameCol)).as("sig"))
 
     // Index side: one row per (string, segment).
     val segStructs = (0 until k).map { i =>
@@ -265,9 +269,10 @@ object TextOps {
     val index = base
       .select(col("blk").as("blk_b"), col("id").as("id_b"),
         col("name").as("name_b"), col("len").as("lb"),
+        col("sig").as("sig_b"),
         explode(array(segStructs: _*)).as("seg"))
       .select(col("blk_b"), col("id_b"), col("name_b"), col("lb"),
-        col("seg.i").as("i_b"), col("seg.v").as("seg_v"))
+        col("sig_b"), col("seg.i").as("i_b"), col("seg.v").as("seg_v"))
 
     // Probe side: for each candidate index length l = len+dl and segment
     // i, every substring of the probe at shift s within the admissible
@@ -291,12 +296,13 @@ object TextOps {
     val probe = base
       .repartition(nPart, col("blk"), col("id"))
       .select(col("blk"), col("id").as("id_a"), col("name").as("name_a"),
-        col("len"),
+        col("len"), col("sig").as("sig_a"),
         explode(array((-maxDist to maxDist).map(lit): _*)).as("dl"))
       .withColumn("l", col("len") + col("dl"))
       .where(col("l") >= 1)
       .select(col("blk"), col("id_a"), col("name_a"), col("len"),
-        col("dl"), col("l"), explode(array(segStructsOfL: _*)).as("g"))
+        col("sig_a"), col("dl"), col("l"),
+        explode(array(segStructsOfL: _*)).as("g"))
       // admissible shift window: s ∈ [−d, d] ∩ [Δ−d, Δ+d], Δ = len−l = −dl
       .withColumn("s", explode(sequence(
         greatest(lit(-maxDist), -col("dl") - maxDist),
@@ -304,7 +310,7 @@ object TextOps {
       .withColumn("start", col("g.p") + col("s"))
       .where(col("start") >= 0 && col("start") + col("g.sl") <= col("len"))
       .select(col("blk"), col("id_a"), col("name_a"), col("l"),
-        col("g.i").as("i_a"),
+        col("sig_a"), col("g.i").as("i_a"),
         expr("substring(name_a, start + 1, g.sl)").as("probe_v"))
     // No probe-side distinct: repeated substrings (shift windows inside
     // character runs) only add bounded pair multiplicity, which the
@@ -316,12 +322,40 @@ object TextOps {
         col("i_a") === col("i_b") && col("probe_v") === col("seg_v") &&
         col("id_a") < col("id_b"))
       .select(col("blk"), col("id_a"), col("id_b"),
-        col("name_a"), col("name_b"))
+        col("name_a"), col("name_b"), col("sig_a"), col("sig_b"))
   }
+
+  /** Character-bag signature: counts of each `alphabet` char packed into
+    * disjoint 6-bit lanes of one BIGINT (counts saturate at 63 — the
+    * 1-Lipschitz `min(·,63)` keeps the bound below sound). For ANY char
+    * subset, one edit changes at most two lanes by 1 each, so
+    *   edit_dist(a,b) ≥ ⌈Σ|lane_i(a) − lane_i(b)| / 2⌉
+    * — a sound pre-filter computed once per STRING (not per pair) and
+    * evaluated per pair as ~40 codegen'd integer ops, vs a banded-DP
+    * levenshtein call that allocates working arrays per invocation.
+    * Alphabet defaults to digits: discriminative for id-bearing names
+    * (the q57 customer corpus), harmless (all-zero lanes) otherwise. */
+  def charBagSig(c: Column, alphabet: String = "0123456789"): Column =
+    alphabet.zipWithIndex.map { case (ch, i) =>
+      shiftleft(least(length(c) - length(
+        regexp_replace(c, java.util.regex.Pattern.quote(ch.toString), "")),
+        lit(63)).cast("long"), i * 6)
+    }.reduce(_ + _) // disjoint lanes: + ≡ bitwise OR
+
+  private def bagDiff(a: Column, b: Column, nLanes: Int): Column =
+    (0 until nLanes).map { i =>
+      abs(shiftright(a, i * 6).bitwiseAND(lit(63L)) -
+        shiftright(b, i * 6).bitwiseAND(lit(63L)))
+    }.reduce(_ + _)
 
   def fuzzyMatchPairs(df: DataFrame, blockCol: String, idCol: String,
       nameCol: String, maxDist: Int = 2): DataFrame =
     fuzzyMatchCandidates(df, blockCol, idCol, nameCol, maxDist)
+      // Bag filter FIRST: rejects the bulk of the colliding-segment
+      // candidates (fixed-format names share long constant prefixes, so
+      // segment blocking alone can't prune them) before the costly DP;
+      // sig_a/sig_b were computed per-string in fuzzyMatchCandidates.
+      .where(bagDiff(col("sig_a"), col("sig_b"), 10) <= lit(2L * maxDist))
       // threshold form: −1 when the banded DP proves dist > maxDist
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))

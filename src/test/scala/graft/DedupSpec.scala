@@ -259,4 +259,20 @@ class DedupSpec extends SparkSpecBase {
     val j = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
     assert(j.filter(col("doc_a") === 1 && col("doc_b") === 2).count() == 0)
   }
+
+  test("containmentPairs: df-capped ≡ uncapped, for caps that force both " +
+      "the capped-array path and the heavy-doc residual") {
+    val docs = Dedup.docsWithNearDups(
+      graft.Tables.load(spark, sf, "documents"))
+    def run(cap: Int): Set[(Long, Long, Long, Long)] =
+      Dedup.containmentPairs(docs, dfCap = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val uncapped = run(Int.MaxValue)
+    assert(uncapped.nonEmpty)
+    // cap=2 pushes nearly every posting into the capped/residual branch;
+    // cap=64 is the production default — both must be bit-identical
+    assert(run(64) == uncapped)
+    assert(run(2) == uncapped)
+  }
 }
