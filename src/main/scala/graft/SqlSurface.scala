@@ -138,4 +138,27 @@ object SqlSurface {
     Quality.dataQualityReport(spark.table("orders"),
       spark.table("lineitem"), spark.table("customer"),
       spark.table("nation")).createOrReplaceTempView(viewName)
+
+  /** Misra–Gries heavy hitters of a token view (`tokenCol` string
+    * column) → view (w, c): every token with frequency >
+    * n·`thresholdNum`/`thresholdDen`, exact counts, O(k) state per
+    * partition — the 100 TB path that never shuffles the full
+    * vocabulary. */
+  def createHeavyHittersView(spark: SparkSession, tokensView: String,
+      tokenCol: String, k: Int, viewName: String,
+      thresholdNum: Long = 1, thresholdDen: Long = 400): Unit =
+    TextOps.heavyHittersMG(spark.table(tokensView), tokenCol, k,
+      thresholdNum, thresholdDen).createOrReplaceTempView(viewName)
+
+  /** Z-order layout from SQL: writes `srcView` to `path` laid out
+    * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
+    * registers the written files as `viewName` so subsequent SQL box
+    * queries scan the skipping-friendly layout. */
+  def zOrderWriteAsView(spark: SparkSession, srcView: String,
+      xCol: String, yCol: String, bits: Int, numFiles: Int,
+      path: String, viewName: String): Unit = {
+    operators.ZOrder.zOrderWrite(spark.table(srcView), xCol, yCol,
+      bits, numFiles, path)
+    spark.read.parquet(path).createOrReplaceTempView(viewName)
+  }
 }

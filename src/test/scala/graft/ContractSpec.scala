@@ -72,6 +72,19 @@ class ContractSpec extends AnyFunSuite {
     assert(total >= 150, s"query count regressed: $total")
   }
 
+  test("README's coverage claim equals the shipped surface (single " +
+      "source of truth — the prose number may not drift, advice r4/r5)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = """(\d+) oracle-gated queries \(of (\d+) total\)""".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README no longer states the coverage census"))
+    assert(m.group(1).toInt == SparkEntry.oracleSql.size,
+      s"README says ${m.group(1)} gated, code has ${SparkEntry.oracleSql.size}")
+    assert(m.group(2).toInt == SparkEntry.queries.size,
+      s"README says ${m.group(2)} total, code has ${SparkEntry.queries.size}")
+  }
+
   test("every queries key is documented in SURVEY.md (round-3 verdict: " +
       "the shipped surface and the coverage map must not drift)") {
     val survey = new String(java.nio.file.Files.readAllBytes(

@@ -173,4 +173,44 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val bad = spark.sql("SELECT SUM(n_bad) FROM dq").collect().head
     assert(bad.getLong(0) == 0L, "fixture is clean")
   }
+
+  test("heavy-hitters view builder: SQL ≡ Scala operator (advice r5)") {
+    SqlSurface.registerTables(spark, sf)
+    spark.sql("SELECT explode(split(text, ' ')) AS w FROM documents")
+      .createOrReplaceTempView("doc_tokens")
+    SqlSurface.createHeavyHittersView(spark, "doc_tokens", "w",
+      k = 400, viewName = "hh")
+    val viaSql = spark.sql(
+        "SELECT w, cnt, freq_bp FROM hh ORDER BY cnt DESC, w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val direct = graft.operators.TextOps.heavyHittersMG(
+        spark.table("doc_tokens"), "w", 400)
+      .orderBy(org.apache.spark.sql.functions.col("cnt").desc,
+        org.apache.spark.sql.functions.col("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(viaSql == direct && viaSql.nonEmpty)
+  }
+
+  test("z-order write view builder: SQL box query scans the z-laid-out " +
+      "files and matches a direct scan (advice r5)") {
+    SqlSurface.registerTables(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("zorder-sql").toString
+    spark.sql("SELECT p_partkey, p_partkey % 256 AS x, " +
+        "CAST(p_size AS BIGINT) AS y FROM part")
+      .createOrReplaceTempView("part_xy")
+    SqlSurface.zOrderWriteAsView(spark, "part_xy", "x", "y",
+      bits = 8, numFiles = 4, path = path, viewName = "part_z")
+    val boxSql = spark.sql("SELECT COUNT(*) FROM part_z WHERE " +
+      "x BETWEEN 10 AND 20 AND y BETWEEN 10 AND 20")
+      .collect().head.getLong(0)
+    val boxDirect = spark.table("part_xy").where(
+      "x BETWEEN 10 AND 20 AND y BETWEEN 10 AND 20").count()
+    assert(boxSql == boxDirect)
+    // layout really is z-sorted: row count preserved too
+    assert(spark.sql("SELECT COUNT(*) FROM part_z").collect().head
+      .getLong(0) == spark.table("part_xy").count())
+  }
 }
