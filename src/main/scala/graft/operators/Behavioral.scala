@@ -241,6 +241,23 @@ object Behavioral {
     eventPaths(Tables.events(spark, dir))
       .orderBy(col("n_users").desc, col("path"))
 
+  /** Q128: conversion attribution — every (click, purchase) pair of the
+    * same user within a 1-hour horizon, strictly after. The body is
+    * [[graft.streaming.StreamOps.intervalJoinStream]] — literally the
+    * streaming stream-stream interval join run on a batch frame
+    * (withWatermark is a no-op in batch), so the gated oracle pins the
+    * SAME code path the streaming deployment executes; StreamingSpec
+    * pins batch ≡ stream on a MemoryStream replay of the same shape.
+    *
+    * Scale shape: equi-join on user_id (shuffle carries ids + two
+    * timestamps), horizon inequality as a join residual; in streaming
+    * the watermark + interval bound the state store on both sides. */
+  def q128Attribution(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.intervalJoinStream(
+      Tables.events(spark, dir), Tables.events(spark, dir),
+      "click", "purchase", horizonSeconds = 3600)
+      .orderBy("user_id", "a_id", "b_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_cohort" -> (q72Cohort _),
     "q73_funnel" -> (q73Funnel _),
@@ -249,9 +266,19 @@ object Behavioral {
     "q84_rfm" -> (q84Rfm _),
     "q85_stickiness" -> (q85Stickiness _),
     "q89_event_paths" -> (q89EventPaths _),
+    "q128_attribution" -> (q128Attribution _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q128_attribution" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  b.value AS b_value,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a
+        |JOIN events b ON b.user_id = a.user_id
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin,
     // q84: per-user monetary stays exact DECIMAL(18,2) (the per-user
     // re-cast keeps the D6 CAST(SUM discipline); values < 10^16 so the
     // width is lossless); every ntile window totally ordered with the

@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   *      oracle-gated query is hash-neutral. PercentileRankSpec pins
   *      rank-based ≡ builtin on real and adversarial (tied) data.
   *
-  * Residual caveat (documented, not hidden): a single group still sorts
-  * in a single task — rank selection removes the MEMORY ceiling, not
-  * the single-reducer sort. For sub-task parallelism on one colossal
-  * group the bounded-memory path remains `approx_percentile` (q42b).
+  * Residual caveat of [[discByRank]]/[[contByRank]]: a single group
+  * still sorts in a single task — rank selection removes the MEMORY
+  * ceiling, not the single-reducer sort. [[discByRankSplit]] removes
+  * THAT too: range-bucketize values per group, locate each target
+  * rank's bucket from the (tiny) per-bucket cumulative counts, and
+  * sort ONLY inside the hit buckets — sub-task parallelism on one
+  * colossal group, still bit-exact.
   */
 object Percentiles {
 
@@ -106,6 +109,74 @@ object Percentiles {
       }
     r.filter(keep)
       .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((groupCols.map(col) ++ countName.map(col).toSeq ++
+        fractions.map { case (_, n) => col(n) }): _*)
+  }
+
+  /** PERCENTILE_DISC for COLOSSAL groups — same answer as
+    * [[discByRank]] (spec-pinned), different physics: no task ever
+    * sorts a whole group.
+    *
+    *   1. per-group (min, max, n) — one hash agg;
+    *   2. every value gets an order-preserving bucket id via
+    *      `width_bucket` over the group's range (monotone: equal
+    *      values share a bucket, so boundary ties are safe);
+    *   3. per-(group, bucket) counts + a cumulative window over the
+    *      ≤`buckets` rows per group locate, for each fraction, WHICH
+    *      bucket holds rank ⌈p·n⌉ and the residual rank inside it;
+    *   4. only the hit buckets' rows are ranked (row_number within
+    *      (group, fraction) — a sort of ~n/buckets rows per task).
+    *
+    * Worst case (all values equal → one bucket) degrades to
+    * discByRank's single-task sort, never worse. Skewed-but-unequal
+    * distributions split ~uniformly because buckets are VALUE-range
+    * slices of the group's actual [min, max]. */
+  def discByRankSplit(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, fractions: Seq[(Double, String)],
+      buckets: Int = 1024, countName: Option[String] = None)
+      : DataFrame = {
+    val g = groupCols.map(col)
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).as("__v"): _*)
+    val stats = vals.groupBy(g: _*).agg(
+      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      count(lit(1)).as("__n"))
+    val bucketed = vals.join(stats, groupCols)
+      .withColumn("__b",
+        when(col("__mx") <= col("__mn"), lit(1L))
+          .otherwise(least(
+            width_bucket(col("__v").cast("double"),
+              col("__mn").cast("double"), col("__mx").cast("double"),
+              lit(buckets)), lit(buckets.toLong))))
+    val cnts = bucketed.groupBy(g :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"), max(col("__n")).as("__n"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cnts.withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__before", col("__cum") - col("__c"))
+    // one row per (group, fraction): hit bucket + rank inside it
+    val picked = fractions.map { case (p, name) =>
+      cum.withColumn("__t", greatest(
+          ceil(lit(p) * col("__n").cast("double")).cast("long"),
+          lit(1L)))
+        .filter(col("__before") < col("__t") &&
+          col("__t") <= col("__cum"))
+        .select(g :+ col("__b") :+
+          (col("__t") - col("__before")).as("__lr") :+
+          lit(name).as("__f"): _*)
+    }.reduce(_ unionByName _)
+    val wIn = Window.partitionBy(g :+ col("__f"): _*).orderBy(col("__v"))
+    val chosen = bucketed
+      .join(picked, groupCols :+ "__b")
+      .withColumn("__rn", row_number().over(wIn))
+      .filter(col("__rn") === col("__lr"))
+    val aggs = countName.map(n => Seq(max(col("__n")).as(n)))
+      .getOrElse(Nil) ++
+      fractions.map { case (_, name) =>
+        max(when(col("__f") === name, col("__v"))).as(name)
+      }
+    chosen.groupBy(g: _*)
       .agg(aggs.head, aggs.tail: _*)
       .select((groupCols.map(col) ++ countName.map(col).toSeq ++
         fractions.map { case (_, n) => col(n) }): _*)

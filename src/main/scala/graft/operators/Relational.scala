@@ -1086,6 +1086,220 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Q118: TPC-H Q2 shape — minimum-cost supplier per part, with the
+    * correlated MIN decorrelated into a per-part aggregate joined back
+    * on equality (lineitem stands in for partsupp: a supplier's "offer"
+    * for a part is its cheapest extended price; MIN over doubles is
+    * exact — selection, not arithmetic — so the equality join is safe).
+    * Plan: one hash agg over the (part, supplier) offers, broadcast
+    * part/supplier/nation dims, ties kept like Q2's. */
+  def q118MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val offers = load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("offer"))
+    val minOffer = offers.groupBy(col("l_partkey"))
+      .agg(min(col("offer")).as("min_offer"))
+    val parts = load(spark, dir, "part")
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"))
+    offers
+      .join(minOffer, Seq("l_partkey"))
+      .filter(col("offer") === col("min_offer"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("n_name"), col("s_name"),
+        col("p_partkey"), col("p_name"), col("offer"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q119: TPC-H Q3 shape — top-10 highest-revenue orders not yet
+    * shipped by the cutoff: segment-filtered customers broadcast into
+    * the orders join, revenue aggregated per order AFTER both date
+    * filters prune the fact scans (PushedFilters on both). */
+  def q119UnshippedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-07-01").cast("timestamp")
+    val cust = load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    load(spark, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(load(spark, dir, "lineitem")
+          .filter(col("l_shipdate") > cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(lineRevenue).as("revenue"))
+      .select(col("o_orderkey"),
+        col("revenue").cast("double").as("revenue"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Q120: TPC-H Q6 shape — the forecast-revenue-change scan: one
+    * filter + one global agg, zero joins. The whole query is a single
+    * parquet scan with every predicate pushed down; at 100 TB it is
+    * I/O-bound by design (the optimizer cannot beat a full-scan agg,
+    * only the format's min/max pruning can). */
+  def q120ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) *
+        dec(col("l_discount"))).cast("double").as("revenue"))
+
+  /** Q121: TPC-H Q9 shape — product-line profit by (nation, year).
+    * Profit = revenue − retail cost of the quantity (p_retailprice is
+    * this schema's stand-in for ps_supplycost); both terms are
+    * (18,2)·(18,2) decimal products — exact at 4 decimal places on
+    * both engines; a third factor would push past DECIMAL(38) and hit
+    * engine-specific precision-loss rules, so there isn't one (D6).
+    * Green-named parts prune the part dim before it broadcasts into
+    * the fact join. */
+  def q121ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val parts = load(spark, dir, "part")
+      .filter(col("p_name").startsWith("blue"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    load(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(load(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(lineRevenue -
+          dec(col("p_retailprice")) * dec(col("l_quantity")))
+        .cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q122: TPC-H Q10 shape — top-20 customers by returned-item revenue
+    * in a quarter: the R-flagged fact rows aggregate per customer first
+    * (shuffle carries (custkey, partial sum), never names), THEN the
+    * customer/nation dims broadcast onto the 20-row-bound result. */
+  def q122ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val rev = load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(load(spark, dir, "lineitem")
+          .filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(lineRevenue).as("revenue"))
+    rev.join(broadcast(load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("revenue").cast("double").as("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q123: TPC-H Q11 shape — "important stock": parts whose revenue
+    * exceeds 1.5× the mean per-part share (TPC-H scales Q11's fraction
+    * by 1/SF for the same reason — an absolute fraction empties or
+    * floods as the part count scales; the mean-relative form is
+    * SF-invariant). The (total, n_parts) frame is a 1-row broadcast
+    * crossJoin (q108/q115 pattern) and the predicate is exact
+    * decimal·integer `value·n·2 > 3·total` — no division, no window
+    * over the whole aggregate. */
+  def q123ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(lineRevenue).as("value"))
+    val total = perPart.agg(sum(col("value")).as("total"),
+      count(lit(1)).as("np"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value") * col("np") * lit(2) > col("total") * lit(3))
+      .select(col("l_partkey"), col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** Q124: TPC-H Q12 shape — late-shipment priority census per quantity
+    * band (the schema's stand-in for l_shipmode): one fact join, the
+    * CASE-bucketed priority counts aggregate map-side. */
+  def q124LatePriority(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .join(load(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(when(col("l_quantity") < 10, "SMALL")
+        .when(col("l_quantity") < 30, "MEDIUM")
+        .otherwise("BULK").as("qty_band"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("qty_band")
+
+  /** Q125: TPC-H Q16 shape — supplier diversity per part attribute
+    * triple, excluding one brand and the complaint-list suppliers via
+    * NOT IN (here: negative account balance). The exclusion list is a
+    * broadcast anti-join; COUNT(DISTINCT) shuffles (attrs, suppkey)
+    * pairs only. */
+  def q125SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val badSupp = load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = load(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#45")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+    load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(100)
+  }
+
+  /** Q126: TPC-H Q20 shape — suppliers with substantial 1996 volume in
+    * red-named parts: the nested part-list IN prunes fact rows first,
+    * the per-supplier quantity agg applies the volume threshold, and
+    * only then do supplier/nation dims join (semi-join chain, every
+    * dim broadcast). */
+  def q126VolumeSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = load(spark, dir, "part")
+      .filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val bigSupp = load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > lit(50))
+    bigSupp.join(broadcast(load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"),
+        col("qty").cast("double").as("red_qty"))
+      .orderBy("s_name")
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -1154,6 +1368,15 @@ object Relational {
     "q113_disjunctive" -> (q113Disjunctive _),
     "q114_priority_late" -> (q114PriorityLate _),
     "q115_top_supplier" -> (q115TopSupplier _),
+    "q118_min_cost_supplier" -> (q118MinCostSupplier _),
+    "q119_unshipped_orders" -> (q119UnshippedOrders _),
+    "q120_forecast_revenue" -> (q120ForecastRevenue _),
+    "q121_product_profit" -> (q121ProductProfit _),
+    "q122_returned_items" -> (q122ReturnedItems _),
+    "q123_important_parts" -> (q123ImportantParts _),
+    "q124_late_priority" -> (q124LatePriority _),
+    "q125_supplier_diversity" -> (q125SupplierDiversity _),
+    "q126_volume_suppliers" -> (q126VolumeSuppliers _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -1349,6 +1572,131 @@ object Relational {
         |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         |WHERE r.total = (SELECT MAX(total) FROM rev)
         |ORDER BY s.s_suppkey""".stripMargin,
+    "q118_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS offer
+        |  FROM lineitem GROUP BY 1, 2),
+        |mo AS (SELECT l_partkey, MIN(offer) AS min_offer
+        |  FROM offers GROUP BY 1)
+        |SELECT s.s_acctbal, n.n_name, s.s_name, p.p_partkey, p.p_name,
+        |  o.offer
+        |FROM offers o
+        |JOIN mo ON mo.l_partkey = o.l_partkey AND o.offer = mo.min_offer
+        |JOIN part p ON p.p_partkey = o.l_partkey
+        |  AND p.p_size = 15 AND p.p_type = 'STANDARD'
+        |JOIN supplier s ON s.s_suppkey = o.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+    "q119_unshipped_orders" ->
+      """SELECT o.o_orderkey,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l.l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+    "q120_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q121_product_profit" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(1 - l.l_discount AS DECIMAL(18,2)) -
+        |           CAST(p.p_retailprice AS DECIMAL(18,2)) *
+        |             CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |  AND p.p_name LIKE 'blue%'
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q122_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM orders o
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  AND l.l_returnflag = 'R'
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    "q123_important_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,4)) AS val
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(val) AS DECIMAL(38,4)) AS total,
+        |  COUNT(*) AS np FROM pp)
+        |SELECT pp.l_partkey, CAST(pp.val AS DOUBLE) AS value
+        |FROM pp, tot
+        |WHERE pp.val * tot.np * 2 > tot.total * 3
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q124_late_priority" ->
+      """SELECT CASE WHEN l.l_quantity < 10 THEN 'SMALL'
+        |            WHEN l.l_quantity < 30 THEN 'MEDIUM'
+        |            ELSE 'BULK' END AS qty_band,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders o
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q125_supplier_diversity" ->
+      """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        |  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#45'
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 100""".stripMargin,
+    "q126_volume_suppliers" ->
+      """WITH big AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,2)) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) > 50)
+        |SELECT s.s_name, n.n_name, CAST(b.qty AS DOUBLE) AS red_qty
+        |FROM big b
+        |JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |ORDER BY s.s_name""".stripMargin,
     "q01_count" -> "SELECT COUNT(*) AS n FROM lineitem",
     "q14b_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt

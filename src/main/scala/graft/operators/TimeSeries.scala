@@ -136,13 +136,53 @@ object TimeSeries {
       .orderBy("month")
   }
 
+  /** Q127: inter-arrival-gap percentiles per event type — the latency/
+    * cadence profile behind rate limiting, anomaly detection and
+    * session-gap tuning (pick the sessionization gap where p99 jumps).
+    * Gap = consecutive same-(user, type) event spacing in exact
+    * microseconds (ts_ns div 1000 — integer, D6-safe).
+    *
+    * Scale shape: ONE window pass partitioned by (user_id, event_type)
+    * — millions of small partitions, never a global sort — then
+    * [[Percentiles.discByRank]]'s disk-spilling rank selection per
+    * event_type (the q42/q61 scale fix: no per-group value buffer). */
+  def q127ArrivalGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gaps = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"),
+        col("event_id"))
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .filter(col("prev_ns").isNotNull)
+      .select(col("event_type"),
+        expr("(ts_ns - prev_ns) div 1000").as("gap_us"))
+    Percentiles.discByRank(gaps, Seq("event_type"), "gap_us",
+      Seq(0.5 -> "p50_gap_us", 0.9 -> "p90_gap_us",
+        0.99 -> "p99_gap_us"), countName = Some("n_gaps"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_gapfill" -> (q54GapFill _),
     "q97_scd2" -> (q97Scd2 _),
     "q100_concurrency" -> (q100Concurrency _),
+    "q127_arrival_gaps" -> (q127ArrivalGaps _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q127_arrival_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  quantile_disc(gap_us, 0.5) AS p50_gap_us,
+        |  quantile_disc(gap_us, 0.9) AS p90_gap_us,
+        |  quantile_disc(gap_us, 0.99) AS p99_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q97_scd2" ->
       """SELECT o_custkey,
         |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,

@@ -290,4 +290,43 @@ object StreamOps {
         col("__bench_sh"))) < minOverlap)
       .drop("__w", "__bg", "__h", "__bench_sh")
   }
+
+  /** STREAM-STREAM event-time interval join — the conversion-attribution
+    * shape (each trigger event joined to its follow-up events within
+    * `horizonSeconds`), and the one streaming join class the surface
+    * was missing: both sides are unbounded, so the engine must buffer
+    * BOTH in the state store and the join condition must bound how
+    * long (Spark requires either a time-interval condition or
+    * watermarks on both sides to evict; we provide both — state per
+    * side is O(events inside the watermark+horizon window), not O(∞)).
+    *
+    * Written against plain DataFrames so the SAME body runs in batch
+    * (where it degenerates to a theta join) and streaming —
+    * StreamingSpec pins batch ≡ stream on a MemoryStream replay.
+    *
+    * Output: one row per (trigger, follow-up) pair within the horizon,
+    * strictly after (gap > 0 — an instantaneous echo is not a
+    * conversion), keyed by user. */
+  def intervalJoinStream(triggers: DataFrame, followUps: DataFrame,
+      triggerType: String, followType: String, horizonSeconds: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val a = triggers
+      .filter(col("event_type") === triggerType)
+      .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = followUps
+      .filter(col("event_type") === followType)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"), col("value").as("b_value"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        col("b_value"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts")))
+          .as("gap_us"))
+  }
 }

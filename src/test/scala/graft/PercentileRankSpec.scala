@@ -105,4 +105,46 @@ class PercentileRankSpec extends SparkSpecBase {
     // counts per returnflag are stable fixture facts
     assert(rows.map(_.getLong(1)).sum == 6000L)
   }
+
+  test("discByRankSplit ≡ discByRank on lineitem (sub-task parallel " +
+      "colossal-group path, advice r5 stretch)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val fracs = Seq(0.1 -> "p10", 0.5 -> "p50", 0.9 -> "p90",
+      0.99 -> "p99")
+    val whole = Percentiles.discByRank(li, Seq("l_returnflag"),
+      "l_quantity", fracs, countName = Some("cnt"))
+      .orderBy("l_returnflag").collect()
+    val split = Percentiles.discByRankSplit(li, Seq("l_returnflag"),
+      "l_quantity", fracs, buckets = 16, countName = Some("cnt"))
+      .orderBy("l_returnflag").collect()
+    assert(whole.length == split.length && whole.nonEmpty)
+    whole.zip(split).foreach { case (w, s) =>
+      (0 until w.length).foreach { i =>
+        assert(w.get(i) == s.get(i), s"col $i group ${w.get(0)}")
+      }
+    }
+  }
+
+  test("discByRankSplit survives the degenerate buckets: all-equal " +
+      "values, singleton groups, heavy boundary ties, buckets=2") {
+    import spark.implicits._
+    val df = (Seq.fill(500)(("a", 7.0)) ++ // one bucket only
+      Seq(("b", 1.0)) ++ // singleton
+      (1 to 100).map(i => ("c", (i % 4).toDouble)) ++ // 4 tied plateaus
+      (1 to 100).map(i => ("d", i.toDouble))) // distinct run
+      .toDF("g", "v")
+    val fracs = Seq(0.0 -> "p0", 0.5 -> "p50", 0.75 -> "p75",
+      1.0 -> "p100")
+    val whole = Percentiles.discByRank(df, Seq("g"), "v", fracs)
+      .orderBy("g").collect()
+    Seq(2, 8, 1024).foreach { b =>
+      val split = Percentiles.discByRankSplit(df, Seq("g"), "v", fracs,
+        buckets = b).orderBy("g").collect()
+      whole.zip(split).foreach { case (w, s) =>
+        (0 until w.length).foreach { i =>
+          assert(w.get(i) == s.get(i), s"buckets=$b col $i ${w.get(0)}")
+        }
+      }
+    }
+  }
 }

@@ -19,6 +19,10 @@ case class SDoc(ts: Timestamp, text: String)
 /** Streaming document row with card dimensions (corpus-report test). */
 case class SRep(ts: Timestamp, text: String, lang: String, source: String)
 
+/** Event row with an id — stream-stream interval-join test. */
+case class EvI(ts: Timestamp, event_type: String, value: Double,
+    user_id: Long, event_id: Long)
+
 /** Streaming semantics (SURVEY §2-B Q35): batch≡stream equivalence for
   * tumbling windows, late-data drop past the watermark, session windows,
   * streaming dedup, and the foreachBatch at-least-once file sink (the
@@ -457,5 +461,36 @@ class StreamingSpec extends SparkSpecBase {
       graft.operators.Stats.valueStats(history.toDF()))
       .collect().map(_.getAs[Long]("user_id")).toSet
     assert(batchFlag == streamed)
+  }
+
+  test("stream-stream interval join ≡ the same body run as a batch " +
+      "theta join (conversion attribution within the horizon)") {
+    val evs = Seq(
+      EvI(ts(0), "click", 0.0, 1, 1),
+      EvI(ts(5), "purchase", 10.0, 1, 2), // within 10 min of click 1
+      EvI(ts(20), "purchase", 20.0, 1, 3), // outside the horizon
+      EvI(ts(2), "click", 0.0, 2, 4),
+      EvI(ts(2), "purchase", 5.0, 2, 5), // same instant → gap>0 excludes
+      EvI(ts(8), "purchase", 7.0, 2, 6), // within
+      EvI(ts(9), "purchase", 8.0, 3, 7), // no click for this user
+      // watermark pusher closes all state
+      EvI(Timestamp.valueOf("2024-01-01 13:00:00"), "z", 0.0, 9, 99))
+    val input = MemoryStream[EvI](spark)
+    input.addData(evs: _*)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "a_id", "b_id", "gap_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamed = pairs(runAvailableNow(
+      StreamOps.intervalJoinStream(input.toDF(), input.toDF(),
+        "click", "purchase", horizonSeconds = 600,
+        watermark = "1 minute"), "ssjoin"))
+    val batch = pairs(StreamOps.intervalJoinStream(evs.toDF(),
+      evs.toDF(), "click", "purchase", horizonSeconds = 600))
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, 1L, 2L, 300000000L), // 5 min in micros
+      (2L, 4L, 6L, 360000000L))) // 6 min in micros
   }
 }
