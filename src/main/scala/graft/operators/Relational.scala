@@ -1300,6 +1300,72 @@ object Relational {
       .orderBy("s_name")
   }
 
+  /** SNAPSHOT DIFF — the CDC primitive: given two versions of a keyed
+    * table, emit one row per changed key with op ∈ {I, U, D} and the
+    * old/new values of the compared columns. Null-safe comparison
+    * (`<=>`) so NULL→value and value→NULL transitions count as updates.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — the minimal
+    * movement any exact diff needs; both sides partition by the same
+    * key, so with [[Bucketing]]-laid-out snapshots the Exchange
+    * disappears entirely. Unchanged keys are filtered before the
+    * projection, so the output is proportional to the CHANGE volume,
+    * not the table. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.as("o")
+    val n = newDf.as("n")
+    val changed = compareCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .withColumn("op",
+        when(col(s"o.$key").isNull, lit("I"))
+          .when(col(s"n.$key").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(Seq(coalesce(col(s"o.$key"), col(s"n.$key")).as(key),
+        col("op")) ++
+        compareCols.flatMap(c => Seq(col(s"o.$c").as(s"old_$c"),
+          col(s"n.$c").as(s"new_$c"))): _*)
+  }
+
+  /** Q129: snapshot diff over deterministic orders "versions" — v_old =
+    * the orders table; v_new = orders with every 97th key deleted,
+    * every 13th status rewritten, and a shifted-key insert slice. The
+    * derivation is pure projection (both engines replay it exactly);
+    * the diff itself is [[snapshotDiff]]. */
+  def q129SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val vNew = base
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_totalprice"))
+      .unionAll(base.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 9000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice")))
+    snapshotDiff(base, vNew, "o_orderkey",
+      Seq("o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q130: equi-depth histogram boundaries (8 buckets → 7 interior
+    * cuts) per return flag — [[Percentiles.discByRankSplit]]'s
+    * colossal-group machinery under the hard oracle. The /8 fractions
+    * are exact binary doubles, so ⌈p·n⌉ is bit-identical on both
+    * engines; boundaries are actual input values (percentile_disc
+    * semantics — no interpolation, no representation drift). */
+  def q130EquiDepthHist(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.discByRankSplit(load(spark, dir, "lineitem"),
+      Seq("l_returnflag"), "l_extendedprice",
+      (1 to 7).map(i => (i / 8.0) -> s"b$i"), buckets = 64,
+      countName = Some("cnt"))
+      .orderBy("l_returnflag")
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> (q01Count _),
@@ -1377,6 +1443,8 @@ object Relational {
     "q124_late_priority" -> (q124LatePriority _),
     "q125_supplier_diversity" -> (q125SupplierDiversity _),
     "q126_volume_suppliers" -> (q126VolumeSuppliers _),
+    "q129_snapshot_diff" -> (q129SnapshotDiff _),
+    "q130_equidepth_hist" -> (q130EquiDepthHist _),
   )
 
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
@@ -1697,6 +1765,47 @@ object Relational {
         |JOIN supplier s ON s.s_suppkey = b.l_suppkey
         |JOIN nation n ON n.n_nationkey = s.s_nationkey
         |ORDER BY s.s_name""".stripMargin,
+    "q129_snapshot_diff" ->
+      """WITH v_old AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v_new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 9000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |       WHEN n.o_orderkey IS NULL THEN 'D'
+        |       WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |         THEN 'U' END AS op,
+        |  o.o_orderstatus AS old_o_orderstatus,
+        |  n.o_orderstatus AS new_o_orderstatus,
+        |  o.o_totalprice AS old_o_totalprice,
+        |  n.o_totalprice AS new_o_totalprice
+        |FROM v_old o FULL OUTER JOIN v_new n
+        |  ON n.o_orderkey = o.o_orderkey
+        |WHERE CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |           WHEN n.o_orderkey IS NULL THEN 'D'
+        |           WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |             OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |             THEN 'U' END IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "q130_equidepth_hist" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  quantile_disc(l_extendedprice, 0.125) AS b1,
+        |  quantile_disc(l_extendedprice, 0.25) AS b2,
+        |  quantile_disc(l_extendedprice, 0.375) AS b3,
+        |  quantile_disc(l_extendedprice, 0.5) AS b4,
+        |  quantile_disc(l_extendedprice, 0.625) AS b5,
+        |  quantile_disc(l_extendedprice, 0.75) AS b6,
+        |  quantile_disc(l_extendedprice, 0.875) AS b7
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q01_count" -> "SELECT COUNT(*) AS n FROM lineitem",
     "q14b_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
