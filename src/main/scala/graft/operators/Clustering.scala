@@ -71,6 +71,12 @@ object Clustering {
     call_function(NearestCentroidExpr.name, augment(v),
       typedlit(cids.toSeq), typedlit(augmentMat(mat).map(_.toSeq).toSeq))
 
+  /** Public Euclidean argmin-assignment against a driver-held codebook
+    * (the augmented argmax-dot trick above) — zero-shuffle codegen'd
+    * projection; used by [[Similarity.pqEncode]] per subspace. */
+  def assignEuclidean(v: Column, mat: Array[Array[Double]]): Column =
+    assignCell(v, Array.tabulate(mat.length)(_.toLong), mat)
+
   /** Train a k-cell codebook; returns (cell ids 0..k-1, centroids). */
   def kMeansCentroids(vectors: DataFrame, vecCol: String, k: Int,
       iters: Int = 5): (Array[Long], Array[Array[Double]]) = {

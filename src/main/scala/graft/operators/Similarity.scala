@@ -186,6 +186,100 @@ object Similarity {
         aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"))
       .orderBy("vec_id")
 
+  // ------------------------------------------------------- PQ (round 6)
+
+  /** PRODUCT QUANTIZATION codebooks: the vector space is split into `m`
+    * contiguous subspaces and each gets its own `kSub`-cell Lloyd's
+    * codebook (Jégou/Douze/Schmid, TPAMI'11 — the public standard for
+    * billion-scale ANN). Driver state is m·kSub·(dim/m) = kSub·dim
+    * doubles — independent of N; each training pass is
+    * [[Clustering.kMeansCentroids]]'s zero-shuffle assignment +
+    * partial-combining sum. Returns books(s)(c) = centroid c of
+    * subspace s. */
+  def pqTrain(vectors: DataFrame, m: Int = 8, kSub: Int = 16,
+      iters: Int = 3): Array[Array[Array[Double]]] = {
+    val base = vectors.select(asDouble(col("embedding")).as("v"))
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val d = dim / m
+    (0 until m).map { s =>
+      val sub = base.select(slice(col("v"), s * d + 1, d).as("sv"))
+      Clustering.kMeansCentroids(sub, "sv", kSub, iters)._2
+    }.toArray
+  }
+
+  /** Encode every vector as `m` small codes (argmin-Euclidean per
+    * subspace — a pure codegen'd projection, no shuffle) plus the
+    * reconstructed norm² from the codebooks (needed for approximate
+    * cosine; computed ONCE at encode time, not per query). 64 doubles
+    * → 8 codes is a 64× compression of what the compressed-domain scan
+    * reads. */
+  def pqEncode(vectors: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    NearestCentroidExpr.register(vectors.sparkSession)
+    val m = books.length
+    val d = books(0)(0).length
+    val base = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val codes = array((0 until m).map { s =>
+      Clustering.assignEuclidean(slice(col("v"), s * d + 1, d), books(s))
+    }: _*)
+    val cn2 = typedlit(books.map(_.map(c =>
+      c.map(x => x * x).sum).toSeq).toSeq) // m × kSub centroid norms²
+    base.withColumn("codes", codes)
+      .withColumn("vn2a", aggregate(sequence(lit(0), lit(m - 1)),
+        lit(0.0), (acc, s) => acc + element_at(element_at(cn2, s + 1),
+          element_at(col("codes"), s + 1).cast("int") + 1)))
+      .drop("v")
+  }
+
+  /** Approximate kNN by ASYMMETRIC DISTANCE COMPUTATION over PQ codes,
+    * with exact re-ranking: each query precomputes its m×kSub table of
+    * subvector·centroid dots (tiny, broadcast with the query), so
+    * scoring a candidate is m ARRAY LOOKUPS instead of a dim-length
+    * dot — the compressed-domain scan reads codes (bytes), never
+    * vectors. The approximate top `k·refine` then re-rank EXACTLY
+    * against the raw vectors (a k·refine-per-query join, not a scan).
+    * Recall < 1 by construction (quantization error) — measured, not
+    * asserted away, in SimilaritySpec; `refine` is the recall knob. */
+  def knnPq(vectors: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      kSub: Int = 16, iters: Int = 3, refine: Int = 4): DataFrame = {
+    DotProductExpr.register(vectors.sparkSession)
+    val books = pqTrain(vectors, m, kSub, iters)
+    val d = books(0)(0).length
+    val coded = pqEncode(vectors, books)
+    val booksL = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val qs = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("nq", nativeNorm(col("qv")))
+      .withColumn("qtab", transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(sequence(lit(0), lit(kSub - 1)), c =>
+          aggregate(zip_with(
+            slice(col("qv"), s * d + lit(1), lit(d)),
+            element_at(element_at(booksL, s + 1), c + 1),
+            (x, y) => x * y), lit(0.0), (a, x) => a + x))))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(element_at(col("qtab"), s + 1),
+        element_at(col("codes"), s + 1).cast("int") + 1))
+    val approx = coded.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosinePrenormed(adc, sqrt(col("vn2a")), col("nq")))
+    val cand = topKPerQuery(approx, k * refine)
+      .select(col("qid").as("cqid"), col("neighbor"))
+    // exact re-rank of the shortlist only
+    val base = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", nativeNorm(col("v")))
+    val rescored = cand
+      .join(base, col("neighbor") === col("vec_id"))
+      .join(broadcast(qs.select(col("qid"), col("qv"), col("nq"))),
+        col("cqid") === col("qid"))
+      .withColumn("cos", cosinePrenormed(
+        nativeDot(col("v"), col("qv")), col("nv"), col("nq")))
+    topKPerQuery(rescored, k)
+  }
+
   /** Exact cosine pair join: every unordered vector pair whose cosine,
     * rounded to integer millionths (the q34a discipline — identical raw
     * doubles round identically in any engine), clears `thresholdE6`.

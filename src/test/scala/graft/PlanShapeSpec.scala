@@ -179,4 +179,57 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "an FK check regressed to a nested loop:\n" + p.take(1200))
   }
+
+  test("q120 pure scan-agg: every predicate reaches PushedFilters, " +
+      "read schema is the 4 predicate/agg columns only") {
+    val p = plan(Relational.q120ForecastRevenue(spark, sf))
+    val pushed = p.split("PushedFilters: ").last.takeWhile(_ != ']')
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"), s"PushedFilters: $pushed")
+    val readSchema = p.split("ReadSchema: ").last.takeWhile(_ != '\n')
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_returnflag"), readSchema)
+    assert(!p.contains("Join"), "a scan-agg query must not join")
+  }
+
+  test("round-6 TPC-H shapes broadcast every dimension (q119/q121/" +
+      "q122/q125/q126) — no dim ever shuffles the fact side") {
+    Seq(
+      Relational.q119UnshippedOrders(spark, sf),
+      Relational.q121ProductProfit(spark, sf),
+      Relational.q122ReturnedItems(spark, sf),
+      Relational.q125SupplierDiversity(spark, sf),
+      Relational.q126VolumeSuppliers(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p.take(600))
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        "dim join regressed:\n" + p.take(1200))
+    }
+  }
+
+  test("q118 correlated-MIN decorrelation: aggregate + equality join, " +
+      "no per-part subquery re-execution (no nested loop)") {
+    val p = plan(Relational.q118MinCostSupplier(spark, sf))
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      p.take(800))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "decorrelation regressed:\n" + p.take(1200))
+  }
+
+  test("q129 snapshot diff is ONE full-outer join on the key") {
+    val p = plan(Relational.q129SnapshotDiff(spark, sf))
+    assert(p.contains("FullOuter"), p.take(800))
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length == 1,
+      "diff must be exactly one keyed join:\n" + p.take(1200))
+  }
+
+  test("q130 equi-depth histogram never sorts a whole group: the only " +
+      "row_number window partitions by (group, fraction-hit bucket)") {
+    val p = plan(Relational.q130EquiDepthHist(spark, sf))
+    assert(p.contains("Window"), p.take(600))
+    // the full-group variant would window-partition by l_returnflag
+    // alone; the split path always carries the __f partition column
+    assert(p.contains("__f"), "hit-bucket ranking lost its fraction key")
+  }
 }
