@@ -284,6 +284,75 @@ object Graph {
     d
   }
 
+  /** K-CORE: the maximal subgraph in which every node has degree ≥ k —
+    * the standard graph-cleaning primitive (peel leaves/noise before
+    * community detection or embedding training). Iterative peeling:
+    * remove all nodes of degree < k, recompute degrees, repeat to the
+    * fixpoint. Peeling is monotone (the survivor set only shrinks), so
+    * the fixpoint is the unique k-core regardless of removal order.
+    *
+    * Scale shape per round: one partial+final degree agg over the
+    * surviving edge list + two broadcast-able anti-joins; edges
+    * localCheckpoint per round (iterative-loop rule — lineage growth
+    * would otherwise re-analyze an O(rounds)-deep plan). Rounds needed
+    * = peeling depth, O(log n) on real sparse graphs. REFUSES to
+    * return an unconverged subgraph (the connectedComponents
+    * discipline: a wrong answer must not look like an answer).
+    *
+    * Returns the k-core's edge list (u, v). */
+  def kCore(edges: DataFrame, k: Long, maxIter: Int = 30): DataFrame = {
+    var cur = edges.select(col("u"), col("v")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val deg = cur.select(col("u").as("n"))
+        .unionAll(cur.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val bad = deg.filter(col("d") < k).select(col("n"))
+      if (bad.isEmpty) converged = true
+      else {
+        cur = cur
+          .join(bad.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
+          .join(bad.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+      }
+      i += 1
+    }
+    require(converged,
+      s"k-core peeling did not converge in $maxIter rounds — raise " +
+        "maxIter; refusing to return a non-fixpoint subgraph")
+    cur
+  }
+
+  /** Core numbers per node: core(n) = max k with n in the k-core —
+    * computed by peeling k = 1, 2, … until the core empties. The loop
+    * over k is driver control flow; each level reuses the PREVIOUS
+    * level's (already peeled, checkpointed) edges as its input, so
+    * total work is the telescoped peel, not #levels × full graph. */
+  def coreNumbers(edges: DataFrame, maxK: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var cur = edges.select(col("u"), col("v"))
+    var out: DataFrame = null
+    var k = 1L
+    var done = false
+    while (!done && k <= maxK) {
+      cur = kCore(cur, k)
+      val nodes = cur.select(col("u").as("node"))
+        .unionAll(cur.select(col("v").as("node"))).distinct()
+        .withColumn("core", lit(k))
+      if (nodes.isEmpty) done = true
+      else {
+        out = if (out == null) nodes else out.unionAll(nodes)
+        k += 1
+      }
+    }
+    if (out == null) spark.emptyDataset[(Long, Long)]
+      .toDF("node", "core")
+    else out.groupBy("node").agg(max(col("core")).as("core"))
+  }
+
   /** Q99: co-supply distance from the nation-0 supplier cohort, 4 hops. */
   def q99Bfs(spark: SparkSession, dir: String): DataFrame = {
     val seeds = load(spark, dir, "supplier")

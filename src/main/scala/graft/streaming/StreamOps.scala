@@ -152,6 +152,45 @@ object StreamOps {
       .toDF("user_id", "stage")
   }
 
+  /** Streaming twin of q127's gap computation: per (user, event_type),
+    * carry the last (ts_ns, event_id) across micro-batches and emit one
+    * gap row per subsequent event — the live feed a cadence monitor or
+    * rate-limit alerter consumes (batch q127 then takes percentiles of
+    * exactly these gaps; StreamingSpec pins the gap MULTISET equal to
+    * the batch lag-window computation, including across a batch
+    * boundary).
+    *
+    * State is two longs per (user, type) key; intra-batch disorder is
+    * repaired by sorting each batch's group slice on (ts_ns, event_id)
+    * — the same D1 tiebreak the batch window uses. Cross-batch late
+    * data is the documented funnel-twin limit. At 100 TB keyspace,
+    * evict idle keys with a ProcessingTimeTimeout. */
+  def arrivalGapsStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id").cast("long"), col("event_type"),
+      col("ts_ns").cast("long"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var prev = state.getOption
+          val out = Vector.newBuilder[(Long, String, Long, Long)]
+          rows.toVector.sortBy(r => (r._3, r._4)).foreach {
+            case (_, _, ts, eid) =>
+              prev.foreach { case (pts, _) =>
+                out += ((key._1, key._2, (ts - pts) / 1000L, eid))
+              }
+              prev = Some((ts, eid))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "event_type", "gap_us", "event_id")
+  }
+
   /** Batch-side reference implementation for the equivalence tests:
     * floor ts to the window width. */
   def batchTumblingCounts(events: DataFrame, widthSeconds: Long): Column = {

@@ -188,4 +188,43 @@ class GraphSpec extends SparkSpecBase {
     assert(rules((20L, 10L)) == ((2L, 1000000L, 1333333L)))
     assert(!rules.contains((10L, 30L))) // co=1 < minCo
   }
+
+  test("k-core golden: K4 with a chain tail peels the tail at k=2, " +
+      "keeps exactly K4 at k=3, and empties at k=4") {
+    // K4 on {1,2,3,4} + tail 4-5-6-7
+    val g = edgeDF((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    def nodes(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("u").as("n"))
+        .unionAll(df.select(col("v").as("n")))
+        .distinct().collect().map(_.getLong(0)).toSet
+    assert(nodes(Graph.kCore(g, 1)) == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(nodes(Graph.kCore(g, 2)) == Set(1L, 2L, 3L, 4L))
+    assert(nodes(Graph.kCore(g, 3)) == Set(1L, 2L, 3L, 4L))
+    assert(Graph.kCore(g, 4).isEmpty)
+    // core numbers agree: core(n) ≥ k ⟺ n ∈ k-core
+    val cores = Graph.coreNumbers(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cores == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L))
+  }
+
+  test("k-core on the co-supply graph ≡ a driver-side peeling replay") {
+    val edges = Graph.coEdges25(spark, sf)
+    val mine = Graph.kCore(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent replay: naive peel over the collected edge list
+    var es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val bad = deg.filter(_._2 < 3).keySet
+      val next = es.filter(e => !bad(e._1) && !bad(e._2))
+      changed = next != es
+      es = next
+    }
+    assert(mine == es, s"spark ${mine.size} edges vs replay ${es.size}")
+    assert(mine.nonEmpty || es.isEmpty)
+  }
 }

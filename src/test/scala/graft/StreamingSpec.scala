@@ -433,6 +433,53 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming arrival gaps ≡ batch lag window (q127 twin), gap " +
+      "spanning the batch boundary included, disorder repaired") {
+    // u1/click emits gaps 2min (batch 1) and 3min (ACROSS the batch
+    // boundary); u1/view is a different state key (no cross-type gap);
+    // batch-1 rows for u1 arrive out of time order.
+    val b1 = Seq(
+      EvI(ts(3), "click", 0.0, 1, 11), EvI(ts(1), "click", 0.0, 1, 10),
+      EvI(ts(2), "view", 0.0, 1, 12), EvI(ts(4), "click", 0.0, 2, 13))
+    val b2 = Seq(
+      EvI(ts(6), "click", 0.0, 1, 14), EvI(ts(9), "view", 0.0, 1, 15))
+    val withNs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    val input = MemoryStream[EvI](spark)
+    val q = graft.streaming.StreamOps
+      .arrivalGapsStream(withNs(input.toDF()))
+      .writeStream.format("memory").queryName("gapstream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-gaps").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("gapstream")
+        .select("user_id", "event_type", "gap_us", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // batch reference: the q127 lag window over the union of batches
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy("ts_ns", "event_id")
+      val batch = withNs((b1 ++ b2).toDF())
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+        .filter(col("prev_ns").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("(ts_ns - prev_ns) div 1000").as("gap_us"),
+          col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.contains((1L, "click", 180000000L, 14L)),
+        "the cross-batch gap (3 min) must be emitted from carried state")
+    } finally q.stop()
+  }
+
   test("streaming outlier filter ≡ batch q90 against the same history") {
     // history: type 'p' has 29×10.0 and one 1000.0 (z ≈ 5.4), type 'q'
     // constant (σ = 0 → nothing can be flagged)
