@@ -353,6 +353,38 @@ object Graph {
     else out.groupBy("node").agg(max(col("core")).as("core"))
   }
 
+  /** Fixed-round peel — the oracle-gateable sibling of [[kCore]] (the
+    * q93/q99 discipline: both engines run EXACTLY `rounds` rounds, so
+    * the result is deterministic whether or not the peel has converged;
+    * [[kCore]] remains the to-convergence operator). */
+  def kCorePeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    var cur = edges.select(col("u"), col("v")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = cur.select(col("u").as("n"))
+        .unionAll(cur.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val bad = deg.filter(col("d") < k).select(col("n"))
+      cur = cur
+        .join(bad.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
+        .join(bad.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    cur
+  }
+
+  /** Q131: 4 peel rounds at k=3 over the minCo=4 co-purchase graph
+    * (the q94 basket machinery, tighter threshold so the graph is
+    * sparse enough to actually peel — the memoized minCo=2 `co` frame
+    * re-filters for free). Converges inside the 4 rounds at sf0.01,
+    * but the oracle equality does NOT depend on that (fixed rounds). */
+  def q131KCorePeel(spark: SparkSession, dir: String): DataFrame = {
+    val (_, co) = basketCo(spark, dir)
+    val edges = co.filter(col("co") >= 4L)
+      .select(col("a").as("u"), col("b").as("v"))
+    kCorePeel(edges, k = 3L, rounds = 4).orderBy("u", "v")
+  }
+
   /** Q99: co-supply distance from the nation-0 supplier cohort, 4 hops. */
   def q99Bfs(spark: SparkSession, dir: String): DataFrame = {
     val seeds = load(spark, dir, "supplier")
@@ -416,7 +448,39 @@ object Graph {
     "q94_item_similarity" -> (q94ItemSimilarity _),
     "q99_bfs" -> (q99Bfs _),
     "q104_assoc_rules" -> (q104AssocRules _),
+    "q131_kcore_peel" -> (q131KCorePeel _),
   )
+
+  /** The q131 oracle unrolls the four fixed peel rounds as chained
+    * CTEs (the q93/q99 discipline — pure integer set algebra, bit-
+    * identical in any engine). The edge CTE is the q94 basket shape at
+    * minCo = 4. Every e/d level is AS MATERIALIZED: DuckDB inlines
+    * plain CTEs, and each level references its predecessor three
+    * times, so inlining would expand the expensive pair join 3^rounds
+    * times (observed: temp-disk exhaustion at sf0.01). */
+  private val kCorePeelOracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT n, COUNT(*) AS d FROM (
+         |    SELECT u AS n FROM e${i - 1}
+         |    UNION ALL SELECT v AS n FROM e${i - 1})
+         |  GROUP BY n),
+         |b$i AS MATERIALIZED (SELECT n FROM d$i WHERE d < 3),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  WHERE u NOT IN (SELECT n FROM b$i)
+         |    AND v NOT IN (SELECT n FROM b$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b0 AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.item AS u, b.item AS v FROM b0 a
+       |  JOIN b0 b ON a.cust = b.cust AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+       |$rounds
+       |SELECT u, v FROM e4 ORDER BY u, v""".stripMargin
+  }
 
   /** The q93 oracle unrolls the FIXED five iterations as chained CTEs
     * (DuckDB recursive CTEs cannot aggregate per step); every step is
@@ -475,6 +539,7 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q99_bfs" -> bfsOracle,
+    "q131_kcore_peel" -> kCorePeelOracle,
     // q104: same distinct buyer sets and co counts as q94, both rule
     // directions, integer-exact confidence and lift; (lift desc, conf
     // desc, a, b) is a total order under the LIMIT.
