@@ -473,15 +473,21 @@ object Dedup {
     * dfCap only moves cost between the two branches. */
   def containmentPairs(docs: DataFrame, k: Int = 3, minBp: Long = 8000L,
       dfCap: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         explode(transform(shinglesOf(col("w"), k), s => xxhash64(s)))
           .as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // posted feeds both split branches and, through them, five more
+    // scans (pairs, capped arrays, heavy residual): persist so the
+    // shingle explode + postings agg runs once per action, not ~6×
+    // (ReuseExchange can't cover subtrees that repartition differently)
     val posted = sh.groupBy("sh")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) >= 2)
+      .persist(MEMORY_AND_DISK)
     val smallP = posted.filter(size(col("docs")) <= dfCap)
     val cappedP = posted.filter(size(col("docs")) > dfCap)
     // Per-doc sorted array of the capped-out shingles it contains —
@@ -501,6 +507,7 @@ object Dedup {
         size(col("docs")))).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_small"))
+      .persist(MEMORY_AND_DISK) // scanned by branch A and B's anti-join
     val withCapped = pairsSmall
       .join(cappedArr.as("ca"), col("doc_a") === col("ca.doc_id"), "left")
       .join(cappedArr.as("cb"), col("doc_b") === col("cb.doc_id"), "left")
