@@ -150,6 +150,26 @@ object SqlSurface {
     TextOps.heavyHittersMG(spark.table(tokensView), tokenCol, k,
       thresholdNum, thresholdDen).createOrReplaceTempView(viewName)
 
+  /** Snapshot diff (CDC) of two keyed views → view (key, op ∈ I/U/D,
+    * plus old_c and new_c for each compared column c). */
+  def createSnapshotDiffView(spark: SparkSession, oldView: String,
+      newView: String, key: String, compareCols: Seq[String],
+      viewName: String): Unit =
+    operators.Relational.snapshotDiff(spark.table(oldView),
+      spark.table(newView), key, compareCols)
+      .createOrReplaceTempView(viewName)
+
+  /** Event-time interval join (conversion attribution) of two event
+    * views → view (user_id, a_id, b_id, b_value, gap_us). On batch
+    * views this is the theta join; the SAME builder body on streaming
+    * views yields the state-bounded stream-stream join. */
+  def createIntervalJoinView(spark: SparkSession, triggersView: String,
+      followUpsView: String, triggerType: String, followType: String,
+      horizonSeconds: Long, viewName: String): Unit =
+    streaming.StreamOps.intervalJoinStream(spark.table(triggersView),
+      spark.table(followUpsView), triggerType, followType,
+      horizonSeconds).createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

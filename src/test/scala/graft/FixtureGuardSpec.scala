@@ -45,4 +45,27 @@ class FixtureGuardSpec extends SparkSpecBase {
       assert(df.limit(1).count() == 1L, s"table $n is empty or unreadable")
     }
   }
+
+  test("every SparkEntry query ANALYZES against the current fixtures " +
+      "(no execution) — one named failure instead of 19 scattered ones " +
+      "when a fixture's physical schema drifts") {
+    // Round-5 failure mode: the regenerated events fixture broke 17
+    // queries at ANALYSIS time (DATATYPE_MISMATCH), surfacing as
+    // cryptic failures across five unrelated specs. Forcing analysis
+    // here costs ~50 ms per query and names the broken query directly.
+    // Queries whose construction RUNS jobs (memoized pair sets,
+    // codebook training, iterative loops) still only pay planning for
+    // their FINAL frame; total cost is bounded by the iterative
+    // builders, which sf0.001 keeps small.
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sf).queryExecution.analyzed; None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(2).mkString(" / ").take(200)}")
+        }
+    }
+    assert(broken.isEmpty,
+      s"${broken.size} queries no longer analyze:\n${broken.mkString("\n")}")
+  }
 }

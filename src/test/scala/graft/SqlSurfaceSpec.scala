@@ -193,6 +193,34 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(viaSql == direct && viaSql.nonEmpty)
   }
 
+  test("snapshot-diff and interval-join view builders: SQL ≡ Scala " +
+      "(round-6 whole-operators reachable from plain SQL)") {
+    SqlSurface.registerTables(spark, sf)
+    spark.sql("SELECT o_orderkey, o_orderstatus FROM orders")
+      .createOrReplaceTempView("v_old")
+    spark.sql("SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN 'Z' " +
+        "ELSE o_orderstatus END AS o_orderstatus FROM orders " +
+        "WHERE o_orderkey % 11 <> 0")
+      .createOrReplaceTempView("v_new")
+    SqlSurface.createSnapshotDiffView(spark, "v_old", "v_new",
+      "o_orderkey", Seq("o_orderstatus"), "diff")
+    val viaSql = spark.sql("SELECT o_orderkey, op FROM diff")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val direct = graft.operators.Relational.snapshotDiff(
+        spark.table("v_old"), spark.table("v_new"),
+        "o_orderkey", Seq("o_orderstatus"))
+      .select("o_orderkey", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql == direct && viaSql.nonEmpty)
+    SqlSurface.createIntervalJoinView(spark, "events", "events",
+      "click", "purchase", 3600, "attrib")
+    val nSql = spark.sql("SELECT COUNT(*) FROM attrib")
+      .collect().head.getLong(0)
+    val nDirect = graft.operators.Behavioral
+      .q128Attribution(spark, sf).count()
+    assert(nSql == nDirect)
+  }
+
   test("z-order write view builder: SQL box query scans the z-laid-out " +
       "files and matches a direct scan (advice r5)") {
     SqlSurface.registerTables(spark, sf)
