@@ -104,6 +104,50 @@ class TextOpsSpec extends SparkSpecBase {
     d(a.length)(b.length)
   }
 
+  test("charBagSig soundness theorem on random pairs: the bag lower " +
+      "bound never exceeds the true edit distance (the q57 filter can " +
+      "prune but never drop a true match)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    def randStr(): String = {
+      val alpha = "0123456789abc# "
+      (0 until 1 + rng.nextInt(24))
+        .map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    }
+    // mix of independent pairs and edit-perturbed pairs (the adversarial
+    // case: small true distance, filter must never claim more)
+    val pairs = (1 to 150).map { _ => (randStr(), randStr()) } ++
+      (1 to 150).map { _ =>
+        val a = randStr()
+        val b = new StringBuilder(a)
+        (0 until rng.nextInt(4)).foreach { _ =>
+          if (b.nonEmpty) {
+            val p = rng.nextInt(b.length)
+            rng.nextInt(3) match {
+              case 0 => b.setCharAt(p, ('0' + rng.nextInt(10)).toChar)
+              case 1 => b.deleteCharAt(p)
+              case 2 => b.insert(p, ('0' + rng.nextInt(10)).toChar)
+            }
+          }
+        }
+        (a, b.toString)
+      }
+    val df = pairs.toDF("a", "b")
+      .withColumn("sig_a", TextOps.charBagSig(col("a")))
+      .withColumn("sig_b", TextOps.charBagSig(col("b")))
+    val sigRows = df.collect()
+    sigRows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (r.getLong(2), r.getLong(3))
+      val bagDiff = (0 until 10).map { i =>
+        math.abs(((sa >> (i * 6)) & 63L) - ((sb >> (i * 6)) & 63L))
+      }.sum
+      val dist = levenshteinRef(a, b)
+      assert(bagDiff <= 2L * dist,
+        s"""UNSOUND: bagDiff $bagDiff > 2·dist(${dist}) for "$a" vs "$b"""")
+    }
+  }
+
   test("q59: tf-idf scores match a hand-computed golden") {
     import spark.implicits._
     // 4 docs; "rare" appears in 1 doc, "common" in all 4.
