@@ -64,4 +64,36 @@ class BucketingSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS b4_lineitem")
     }
   }
+
+  test("snapshot diff over co-bucketed versions plans with ZERO " +
+      "Exchange — the nightly-CDC claim in snapshotDiff's scaladoc, " +
+      "measured") {
+    val v0 = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val v1 = v0.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, "Z")
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+    Bucketing.writeBucketed(v0, "snap_v0", "o_orderkey", 8)
+    Bucketing.writeBucketed(v1, "snap_v1", "o_orderkey", 8)
+    try {
+      val diff = graft.operators.Relational.snapshotDiff(
+        spark.table("snap_v0"), spark.table("snap_v1"),
+        "o_orderkey", Seq("o_orderstatus"))
+      val p = planOf(diff)
+      assert(!p.contains("Exchange"),
+        "bucketed snapshot diff still shuffles:\n" + p.take(1200))
+      // and the result matches the plain-read diff
+      val plain = graft.operators.Relational.snapshotDiff(
+          v0, v1, "o_orderkey", Seq("o_orderstatus"))
+        .select("o_orderkey", "op").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val bucketed = diff.select("o_orderkey", "op").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(bucketed == plain && bucketed.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS snap_v0")
+      spark.sql("DROP TABLE IF EXISTS snap_v1")
+    }
+  }
 }
