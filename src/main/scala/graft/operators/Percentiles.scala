@@ -167,8 +167,10 @@ object Percentiles {
           lit(name).as("__f"): _*)
     }.reduce(_ unionByName _)
     val wIn = Window.partitionBy(g :+ col("__f"): _*).orderBy(col("__v"))
+    // picked is ≤ #groups × #fractions rows by construction — broadcast
+    // so the candidate restriction never shuffles the full value table
     val chosen = bucketed
-      .join(picked, groupCols :+ "__b")
+      .join(broadcast(picked), groupCols :+ "__b")
       .withColumn("__rn", row_number().over(wIn))
       .filter(col("__rn") === col("__lr"))
     val aggs = countName.map(n => Seq(max(col("__n")).as(n)))
