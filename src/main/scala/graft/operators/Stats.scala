@@ -165,14 +165,52 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** Q132: integer-scaled EWMA (λ = 1/8) of each user's event values in
+    * strict (ts_ns, event_id) order — the exponentially-weighted
+    * smoothing every monitoring/anomaly stack keeps per entity, as a
+    * STATEFUL SEQUENTIAL FOLD, a computation class none of the window
+    * queries exercise (windows aggregate; this recurses:
+    * ewmaₖ = (7·ewmaₖ₋₁ + vₖ) div 8, seed 0, v scaled to integer
+    * thousandths via the q34a floor(x·1000+0.5) discipline).
+    * All-integer recursion ⇒ bit-identical in any engine — the same
+    * property that gates q93's PageRank; the oracle replays it with
+    * DuckDB's ordered `list(... ORDER BY ...)` + `list_reduce`.
+    *
+    * Scale shape: ONE hash agg; the fold runs inside the aggregate
+    * buffer per user (collect_list bounded by per-user event count —
+    * the same bound every per-user window query already carries). */
+  def q132Ewma(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("""aggregate(
+          array_sort(collect_list(struct(ts_ns, event_id,
+            CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v))),
+          0L, (acc, s) -> (7 * acc + s.v) div 8)""").as("ewma_e3"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_stats" -> (q51Stats _),
     "q55_cond_aggs" -> (q55CondAggs _),
     "q90_value_outliers" -> (q90ValueOutliers _),
     "q101_mad_outliers" -> (q101MadOutliers _),
+    "q132_ewma" -> (q132Ewma _),
   )
 
   val oracle: Map[String, String] = Map(
+    // q132: list_reduce has no seed parameter — prepending 0 makes the
+    // first element the seed, ≡ Spark's aggregate(…, 0L, …). Integer
+    // `//` and `div` agree (operands non-negative).
+    "q132_ewma" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list(CAST(floor(value * 1000 + 0.5) AS BIGINT)
+        |        ORDER BY ts, event_id)),
+        |    (acc, v) -> (7 * acc + v) // 8) AS ewma_e3
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q101: quantile_disc matches discByRank's ceil(p·n) rank pin
     // (proven by q61); the deviation arithmetic is the identical IEEE
     // op sequence on both engines.
