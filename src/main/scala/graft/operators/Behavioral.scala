@@ -258,6 +258,33 @@ object Behavioral {
       "click", "purchase", horizonSeconds = 3600)
       .orderBy("user_id", "a_id", "b_id")
 
+  /** Q133: longest consecutive-day activity streak per user — the
+    * GAPS-AND-ISLANDS pattern (the one classic windowing shape the
+    * surface didn't yet exercise): distinct active days → row_number
+    * per user in day order → `day − rn` is constant exactly within a
+    * consecutive run (the island key, pure integer arithmetic) → count
+    * per island → max per user.
+    *
+    * Scale shape: the distinct-day projection collapses the event
+    * table FIRST (shuffle carries (user, epoch-day) pairs), then one
+    * per-user window + two slim aggs — per-user state is the day
+    * count, never the event count. */
+  def q133Streaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .distinct()
+      .withColumn("island", col("d") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_cohort" -> (q72Cohort _),
     "q73_funnel" -> (q73Funnel _),
@@ -267,9 +294,26 @@ object Behavioral {
     "q85_stickiness" -> (q85Stickiness _),
     "q89_event_paths" -> (q89EventPaths _),
     "q128_attribution" -> (q128Attribution _),
+    "q133_streaks" -> (q133Streaks _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q133_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id,
+        |    d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS island
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, island, COUNT(*) AS len
+        |  FROM islands GROUP BY 1, 2)
+        |SELECT user_id, MAX(len) AS max_streak,
+        |  COUNT(*) AS n_streaks
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q128_attribution" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
         |  b.value AS b_value,
