@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{dec, load}
@@ -190,12 +191,44 @@ object Stats {
           0L, (acc, s) -> (7 * acc + s.v) div 8)""").as("ewma_e3"))
       .orderBy("user_id")
 
+  /** Q134: WEIGHTED median — smallest value whose cumulative weight
+    * reaches half the group's total (weights = exact-decimal revenue).
+    * The weighted-quantile selection none of the percentile queries
+    * exercise (q42/q61/q130 are count-ranked; this ranks by a weight
+    * measure). Ties collapse FIRST (weight aggregated per (group,
+    * value)), so the cumulative order is over unique values — no
+    * tiebreak ambiguity; the crossing predicate `2·cw ≥ W` is exact
+    * decimal arithmetic (D6: no IEEE halves, doubles only in the final
+    * projection).
+    *
+    * Scale shape: one hash agg to (group, value, weight), one per-group
+    * window over the ~|distinct values| rows, two slim aggs. */
+  def q134WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val perVal = load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(sum(dec(col("l_extendedprice"))).as("w"))
+    val wRun = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perVal
+      .withColumn("cw", sum(col("w")).over(wRun))
+      .withColumn("tw", sum(col("w")).over(wAll))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("wmedian"),
+        max(col("tw")).cast("double").as("total_wt"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_stats" -> (q51Stats _),
     "q55_cond_aggs" -> (q55CondAggs _),
     "q90_value_outliers" -> (q90ValueOutliers _),
     "q101_mad_outliers" -> (q101MadOutliers _),
     "q132_ewma" -> (q132Ewma _),
+    "q134_weighted_median" -> (q134WeightedMedian _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -211,6 +244,27 @@ object Stats {
         |    (acc, v) -> (7 * acc + v) // 8) AS ewma_e3
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q134: ties collapse before the cumulative window (unique values
+    // per group ⇒ ROWS ≡ RANGE frames); 2·cw ≥ W is exact decimal.
+    "q134_weighted_median" ->
+      """WITH pv AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,2)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(38,2)) AS cw,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag)
+        |      AS DECIMAL(38,2)) AS tw
+        |  FROM pv)
+        |SELECT l_returnflag, MIN(l_quantity) AS wmedian,
+        |  CAST(MAX(tw) AS DOUBLE) AS total_wt
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q101: quantile_disc matches discByRank's ceil(p·n) rank pin
     // (proven by q61); the deviation arithmetic is the identical IEEE
     // op sequence on both engines.
