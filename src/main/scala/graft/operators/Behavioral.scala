@@ -285,6 +285,29 @@ object Behavioral {
       .orderBy("user_id")
   }
 
+  /** Q135: daily non-return churn — users active on day d with no
+    * activity on d+1 (the retention complement q72's cohort diagonal
+    * doesn't expose): distinct (user, epoch-day) projection, then one
+    * LEFT ANTI self-join shifted by a day. Set difference over time
+    * buckets — an anti-join at the (user, day) grain, not a window.
+    * Integer day keys make the +1 shift plain arithmetic; the last
+    * observed day is excluded (its churn is undefined, not zero). */
+  def q135DailyChurn(spark: SparkSession, dir: String): DataFrame = {
+    val um = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .distinct()
+    val last = um.agg(max(col("d")).as("last_d"))
+    um.crossJoin(broadcast(last))
+      .filter(col("d") < col("last_d"))
+      .join(um.select(col("user_id"), (col("d") - 1).as("d")),
+        Seq("user_id", "d"), "left_anti")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("churned"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_cohort" -> (q72Cohort _),
     "q73_funnel" -> (q73Funnel _),
@@ -295,9 +318,23 @@ object Behavioral {
     "q89_event_paths" -> (q89EventPaths _),
     "q128_attribution" -> (q128Attribution _),
     "q133_streaks" -> (q133Streaks _),
+    "q135_daily_churn" -> (q135DailyChurn _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q135_daily_churn" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d
+        |  FROM events),
+        |last AS (SELECT MAX(d) AS last_d FROM um)
+        |SELECT a.d, COUNT(*) AS churned
+        |FROM um a, last
+        |WHERE a.d < last.last_d
+        |  AND NOT EXISTS (SELECT 1 FROM um b
+        |    WHERE b.user_id = a.user_id AND b.d = a.d + 1)
+        |GROUP BY a.d ORDER BY a.d""".stripMargin,
     "q133_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,
