@@ -166,30 +166,69 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** The q132 integer-EWMA step: λ = 1/8 as the exact integer recursion
+    * ewmaₖ = ⌊(7·ewmaₖ₋₁ + vₖ) / 8⌋, seed 0. `Math.floorDiv` FLOORS like
+    * DuckDB's `//` (Spark SQL's `div` truncates toward zero — they only
+    * agree for non-negative operands, so the JVM fold is the
+    * floor-consistent formulation that stays correct even if a fixture
+    * regeneration introduces negative values). */
+  @inline def ewmaStep(acc: Long, v: Long): Long =
+    Math.floorDiv(7L * acc + v, 8L)
+
   /** Q132: integer-scaled EWMA (λ = 1/8) of each user's event values in
     * strict (ts_ns, event_id) order — the exponentially-weighted
     * smoothing every monitoring/anomaly stack keeps per entity, as a
     * STATEFUL SEQUENTIAL FOLD, a computation class none of the window
-    * queries exercise (windows aggregate; this recurses:
-    * ewmaₖ = (7·ewmaₖ₋₁ + vₖ) div 8, seed 0, v scaled to integer
-    * thousandths via the q34a floor(x·1000+0.5) discipline).
+    * queries exercise (windows aggregate; this recurses; v scaled to
+    * integer thousandths via the q34a floor(x·1000+0.5) discipline).
     * All-integer recursion ⇒ bit-identical in any engine — the same
     * property that gates q93's PageRank; the oracle replays it with
     * DuckDB's ordered `list(... ORDER BY ...)` + `list_reduce`.
     *
-    * Scale shape: ONE hash agg; the fold runs inside the aggregate
-    * buffer per user (collect_list bounded by per-user event count —
-    * the same bound every per-user window query already carries). */
+    * Scale shape (the q42/q61 discipline — NO per-group in-heap buffer):
+    * hash-repartition by user, SORT WITHIN PARTITIONS on (user, ts_ns,
+    * event_id) — Spark's external sort spills to disk — then one
+    * streaming mapPartitions pass folds each user's consecutive run.
+    * Integer div does NOT compose as affine maps (truncation at every
+    * step), so a mergeable segment aggregation cannot reproduce the
+    * recursion exactly; the spill-sort + linear scan is the scalable
+    * exact form. A hot user costs a disk sort, never an executor OOM. */
+  /** The distributed EWMA fold over a frame with columns
+    * (user_id: long, ts_ns: long, event_id: long, value: double) —
+    * split out of [[q132Ewma]] so the spec can plant a hot user and a
+    * multi-partition shuffle and pin the result against a driver-side
+    * replay of the recursion. */
+  def ewmaByUser(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_ns", "event_id")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Long) = {
+            val user = buf.head._1
+            var n = 0L
+            var acc = 0L
+            while (buf.hasNext && buf.head._1 == user) {
+              val row = buf.next()
+              n += 1L
+              acc = ewmaStep(acc, row._4)
+            }
+            (user, n, acc)
+          }
+        }
+      }
+      .toDF("user_id", "n_events", "ewma_e3")
+  }
+
   def q132Ewma(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.events(spark, dir)
-      .filter(col("value").isNotNull)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        expr("""aggregate(
-          array_sort(collect_list(struct(ts_ns, event_id,
-            CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v))),
-          0L, (acc, s) -> (7 * acc + s.v) div 8)""").as("ewma_e3"))
-      .orderBy("user_id")
+    ewmaByUser(graft.Tables.events(spark, dir)).orderBy("user_id")
 
   /** Q134: WEIGHTED median — smallest value whose cumulative weight
     * reaches half the group's total (weights = exact-decimal revenue).

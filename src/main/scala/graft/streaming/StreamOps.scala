@@ -191,6 +191,41 @@ object StreamOps {
       .toDF("user_id", "event_type", "gap_us", "event_id")
   }
 
+  /** STREAMING EWMA — q132's twin: the integer λ = 1/8 recursion
+    * (`Stats.ewmaStep`, floor-div, seed 0) kept continuously per user as
+    * TWO LONGS of state (event count, accumulator) via
+    * flatMapGroupsWithState — the q127/funnel pattern. Each micro-batch
+    * sorts its own group slice on (ts_ns, event_id) (the D1 tiebreak)
+    * and emits the user's updated (n_events, ewma_e3); replaying the
+    * same events through any batch partitioning yields exactly the
+    * batch `Stats.ewmaByUser` fold (pinned in StreamingSpec, including
+    * cross-batch carry). Cross-batch late data is the documented
+    * funnel-twin limit; at 100 TB keyspace, evict idle users with a
+    * ProcessingTimeTimeout. */
+  def ewmaStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.filter(col("value").isNotNull)
+      .select(col("user_id").cast("long"), col("ts_ns").cast("long"),
+        col("event_id").cast("long"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var (n, acc) = state.getOption.getOrElse((0L, 0L))
+          rows.toVector.sortBy(r => (r._2, r._3)).foreach { r =>
+            n += 1L
+            acc = graft.operators.Stats.ewmaStep(acc, r._4)
+          }
+          state.update((n, acc))
+          Iterator.single((user, n, acc))
+      }
+      .toDF("user_id", "n_events", "ewma_e3")
+  }
+
   /** Batch-side reference implementation for the equivalence tests:
     * floor ts to the window width. */
   def batchTumblingCounts(events: DataFrame, widthSeconds: Long): Column = {

@@ -97,6 +97,44 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q132: plan is the spill-sort fold — no per-user collect_list " +
+      "buffer anywhere in the plan") {
+    val plan = Stats.q132Ewma(spark, sf).queryExecution.analyzed.toString
+    assert(!plan.toLowerCase.contains("collect_list"),
+      "q132 must not materialize a user's history in an agg buffer")
+    assert(plan.contains("MapPartitions") || plan.contains("mapPartitions"),
+      "expected the streaming mapPartitions fold")
+  }
+
+  test("q132: planted hot user folds exactly (driver replay), across a " +
+      "many-partition shuffle, with out-of-order input") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // hot user 1: 5000 events; users 2..40: a handful each; input order
+    // scrambled so only the operator's own sort can produce ts order
+    val rows = rng.shuffle(
+      (1L to 5000L).map(i => (1L, i * 1000L, i, rng.nextDouble() * 50)) ++
+      (2L to 40L).flatMap(u => (1L to 7L).map(i =>
+        (u, i * 1000L, u * 100 + i, rng.nextDouble() * 50))))
+    val df = rows.toDF("user_id", "ts_ns", "event_id", "value")
+      .repartition(16)
+    val got = Stats.ewmaByUser(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = rows.groupBy(_._1).map { case (u, rs) =>
+      val vs = rs.sortBy(r => (r._2, r._3))
+        .map(r => math.floor(r._4 * 1000 + 0.5).toLong)
+      u -> (vs.size.toLong, vs.foldLeft(0L)(Stats.ewmaStep))
+    }
+    assert(got == want)
+  }
+
+  test("q132: ewmaStep floors like DuckDB's // for negative accumulators") {
+    // (7 * -1 + 0) / 8: floor = -1, truncation = 0 — the fold must floor
+    assert(Stats.ewmaStep(-1L, 0L) == -1L)
+    assert(Stats.ewmaStep(0L, -9L) == -2L)
+    assert(Stats.ewmaStep(0L, 9L) == 1L)
+  }
+
   test("q101 at sf0.001: MAD outlier counts match a driver-side " +
       "median/MAD recomputation") {
     val rows = Stats.q101MadOutliers(spark, sf).collect()

@@ -433,6 +433,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming EWMA ≡ batch ewmaByUser (q132 twin), two-long state " +
+      "carried across batches, intra-batch disorder repaired") {
+    // u1 accumulates across TWO batches (fed out of time order in batch
+    // 1); u2 spans both; u3 appears only in batch 2.
+    val b1 = Seq(
+      EvI(ts(2), "e", 12.34, 1, 11), EvI(ts(1), "e", 40.0, 1, 10),
+      EvI(ts(1), "e", 7.5, 2, 12))
+    val b2 = Seq(
+      EvI(ts(3), "e", 25.0, 1, 13), EvI(ts(4), "e", 3.25, 2, 14),
+      EvI(ts(5), "e", 18.0, 3, 15))
+    val withNs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    val input = MemoryStream[EvI](spark)
+    val q = graft.streaming.StreamOps
+      .ewmaStream(withNs(input.toDF()))
+      .writeStream.format("memory").queryName("ewmastream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-ewma").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // n_events is monotone per user, so the final state = max-n row
+      val streamed = spark.table("ewmastream")
+        .groupBy("user_id")
+        .agg(max_by(struct(col("n_events"), col("ewma_e3")),
+          col("n_events")).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.ewma_e3"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val batch = graft.operators.Stats
+        .ewmaByUser(withNs((b1 ++ b2).toDF()))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(streamed == batch)
+      // the cross-batch carry: u1's final fold saw all 3 events
+      assert(streamed(1L)._1 == 3L)
+    } finally q.stop()
+  }
+
   test("streaming arrival gaps ≡ batch lag window (q127 twin), gap " +
       "spanning the batch boundary included, disorder repaired") {
     // u1/click emits gaps 2min (batch 1) and 3min (ACROSS the batch
