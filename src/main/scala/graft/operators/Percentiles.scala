@@ -136,6 +136,95 @@ object Percentiles {
       valueCol: String, fractions: Seq[(Double, String)],
       buckets: Int = 1024, countName: Option[String] = None)
       : DataFrame = {
+    require(fractions.nonEmpty || countName.nonEmpty,
+      "discByRankSplit: need at least one fraction or a countName — " +
+        "an empty selection has no aggregate to compute")
+    val g = groupCols.map(col)
+    if (fractions.isEmpty) // count-only degenerate: one hash agg
+      return df.filter(col(valueCol).isNotNull)
+        .groupBy(g: _*).agg(count(lit(1)).as(countName.get))
+    val (bucketed, cum) = bucketCum(df, groupCols, valueCol, buckets)
+    // one row per (group, fraction): hit bucket + rank inside it
+    val picked = fractions.map { case (p, name) =>
+      cum.withColumn("__t", greatest(
+          ceil(lit(p) * col("__n").cast("double")).cast("long"),
+          lit(1L)))
+        .filter(col("__before") < col("__t") &&
+          col("__t") <= col("__cum"))
+        .select(g :+ col("__b") :+
+          (col("__t") - col("__before")).as("__lr") :+
+          lit(name).as("__f"): _*)
+    }.reduce(_ unionByName _)
+    val aggs = countName.map(n => Seq(max(col("__n")).as(n)))
+      .getOrElse(Nil) ++
+      fractions.map { case (_, name) =>
+        max(when(col("__f") === name, col("__v"))).as(name)
+      }
+    chosenRows(bucketed, picked, groupCols)
+      .groupBy(g: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((groupCols.map(col) ++ countName.map(col).toSeq ++
+        fractions.map { case (_, n) => col(n) }): _*)
+  }
+
+  /** PERCENTILE_CONT for COLOSSAL groups — [[contByRank]]'s answer
+    * ([[PercentileRankSpec]] pins bit-identity against the builtin and
+    * the whole-group path) with [[discByRankSplit]]'s physics: two
+    * target ranks per fraction (⌊p·(n−1)⌋+1 and ⌈p·(n−1)⌉+1) are
+    * located via the bucket cumulative counts, only hit buckets sort,
+    * and the final agg interpolates with EXACTLY the builtin
+    * Percentile's two-sided-weight arithmetic. */
+  def contByRankSplit(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, fractions: Seq[(Double, String)],
+      buckets: Int = 1024, countName: Option[String] = None)
+      : DataFrame = {
+    require(fractions.nonEmpty,
+      "contByRankSplit: need at least one fraction")
+    val g = groupCols.map(col)
+    val (bucketed, cum) = bucketCum(df, groupCols, valueCol, buckets)
+    def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")
+    val picked = fractions.zipWithIndex.flatMap { case ((p, _), i) =>
+      Seq(s"__lo$i" -> (floor(pos(p)).cast("long") + 1),
+        s"__hi$i" -> (ceil(pos(p)).cast("long") + 1))
+    }.map { case (tag, t) =>
+      cum.withColumn("__t", t)
+        .filter(col("__before") < col("__t") &&
+          col("__t") <= col("__cum"))
+        .select(g :+ col("__b") :+
+          (col("__t") - col("__before")).as("__lr") :+
+          lit(tag).as("__f"): _*)
+    }.reduce(_ unionByName _)
+    val aggs = countName.map(n => Seq(max(col("__n")).as(n)))
+      .getOrElse(Nil) ++
+      fractions.indices.flatMap { i =>
+        Seq(
+          max(when(col("__f") === s"__lo$i", col("__v").cast("double")))
+            .as(s"__lo$i"),
+          max(when(col("__f") === s"__hi$i", col("__v").cast("double")))
+            .as(s"__hi$i"))
+      }
+    val out = groupCols.map(col) ++ countName.map(col).toSeq ++
+      fractions.zipWithIndex.map { case ((p, name), i) =>
+        // the contByRank / builtin Percentile arithmetic verbatim —
+        // bit-identical doubles (the hash gate demands exact ulps)
+        when(floor(pos(p)) === ceil(pos(p)), col(s"__lo$i"))
+          .otherwise(
+            (ceil(pos(p)) - pos(p)) * col(s"__lo$i") +
+              (pos(p) - floor(pos(p))) * col(s"__hi$i"))
+          .as(name)
+      }
+    chosenRows(bucketed, picked, groupCols)
+      .groupBy(g: _*)
+      .agg(max(col("__n")).as("__n"), aggs: _*)
+      .select(out: _*)
+  }
+
+  /** Shared split-path machinery: order-preserving value-range buckets
+    * per group plus the tiny per-bucket cumulative-count frame that
+    * locates target ranks. Returns (bucketed values, cum frame with
+    * __b/__c/__n/__cum/__before). */
+  private def bucketCum(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, buckets: Int): (DataFrame, DataFrame) = {
     val g = groupCols.map(col)
     val vals = df.filter(col(valueCol).isNotNull)
       .select(g :+ col(valueCol).as("__v"): _*)
@@ -155,32 +244,20 @@ object Percentiles {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cnts.withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__before", col("__cum") - col("__c"))
-    // one row per (group, fraction): hit bucket + rank inside it
-    val picked = fractions.map { case (p, name) =>
-      cum.withColumn("__t", greatest(
-          ceil(lit(p) * col("__n").cast("double")).cast("long"),
-          lit(1L)))
-        .filter(col("__before") < col("__t") &&
-          col("__t") <= col("__cum"))
-        .select(g :+ col("__b") :+
-          (col("__t") - col("__before")).as("__lr") :+
-          lit(name).as("__f"): _*)
-    }.reduce(_ unionByName _)
-    val wIn = Window.partitionBy(g :+ col("__f"): _*).orderBy(col("__v"))
-    // picked is ≤ #groups × #fractions rows by construction — broadcast
-    // so the candidate restriction never shuffles the full value table
-    val chosen = bucketed
-      .join(broadcast(picked), groupCols :+ "__b")
+    (bucketed, cum)
+  }
+
+  /** Restrict the value table to the hit buckets and rank within each
+    * (group, target tag) — a sort of ~n/buckets rows per task. `picked`
+    * is ≤ #groups × #targets rows by construction — broadcast, so the
+    * candidate restriction never shuffles the full value table. */
+  private def chosenRows(bucketed: DataFrame, picked: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val wIn = Window
+      .partitionBy((groupCols.map(col) :+ col("__f")): _*)
+      .orderBy(col("__v"))
+    bucketed.join(broadcast(picked), groupCols :+ "__b")
       .withColumn("__rn", row_number().over(wIn))
       .filter(col("__rn") === col("__lr"))
-    val aggs = countName.map(n => Seq(max(col("__n")).as(n)))
-      .getOrElse(Nil) ++
-      fractions.map { case (_, name) =>
-        max(when(col("__f") === name, col("__v"))).as(name)
-      }
-    chosen.groupBy(g: _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .select((groupCols.map(col) ++ countName.map(col).toSeq ++
-        fractions.map { case (_, n) => col(n) }): _*)
   }
 }

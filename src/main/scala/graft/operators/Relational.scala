@@ -436,13 +436,17 @@ object Relational {
     * swapped the implementation to rank selection: the builtin buffers
     * every group value in one in-heap agg buffer (the round-3 scale
     * caveat); rank selection rides the window sorter's disk spill, so
-    * per-executor memory is bounded at 100 TB. Oracle unchanged. */
+    * per-executor memory is bounded at 100 TB. Round 7 defaulted to the
+    * SPLIT path ([[Percentiles.contByRankSplit]]): value-range buckets
+    * locate the two target ranks per fraction, so no single task ever
+    * sorts a whole group — a colossal group costs sub-task-parallel
+    * bucket sorts, not one straggler reducer. Oracle unchanged. */
   def q42Percentile(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
-    val qty = Percentiles.contByRank(li, Seq("l_returnflag"),
+    val qty = Percentiles.contByRankSplit(li, Seq("l_returnflag"),
       "l_quantity", Seq(0.5 -> "med_qty", 0.9 -> "p90_qty"),
       countName = Some("cnt"))
-    val price = Percentiles.contByRank(li, Seq("l_returnflag"),
+    val price = Percentiles.contByRankSplit(li, Seq("l_returnflag"),
       "l_extendedprice", Seq(0.25 -> "p25_price"))
     qty.join(broadcast(price), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("cnt"), col("med_qty"),
@@ -458,13 +462,15 @@ object Relational {
     * definition; the boundary-fraction pin lives in RelationalSpec).
     * Round 4 swapped the per-group value buffer for
     * [[Percentiles.discByRank]] (disk-spilling window sort — the same
-    * scale fix as Q42); oracle unchanged. */
+    * scale fix as Q42); round 7 defaulted to the SPLIT path
+    * ([[Percentiles.discByRankSplit]], q130-gated) so no single task
+    * sorts a whole group; oracle unchanged. */
   def q61PercentileDisc(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
-    val qty = Percentiles.discByRank(li, Seq("l_returnflag"),
+    val qty = Percentiles.discByRankSplit(li, Seq("l_returnflag"),
       "l_quantity", Seq(0.1 -> "pd10_qty", 0.5 -> "pd50_qty",
         0.9 -> "pd90_qty"), countName = Some("cnt"))
-    val price = Percentiles.discByRank(li, Seq("l_returnflag"),
+    val price = Percentiles.discByRankSplit(li, Seq("l_returnflag"),
       "l_extendedprice", Seq(0.5 -> "pd50_price"))
     qty.join(broadcast(price), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("cnt"), col("pd10_qty"),

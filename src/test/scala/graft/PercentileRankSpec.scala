@@ -87,7 +87,8 @@ class PercentileRankSpec extends SparkSpecBase {
     }
   }
 
-  test("q42/q61 plans use the window sorter, not a percentile buffer") {
+  test("q42/q61 plans use the bucket-SPLIT rank selection: no " +
+      "percentile buffer, and no single task sorts a whole group") {
     val p42 = Relational.q42Percentile(spark, sf)
       .queryExecution.executedPlan.toString
     val p61 = Relational.q61PercentileDisc(spark, sf)
@@ -96,7 +97,66 @@ class PercentileRankSpec extends SparkSpecBase {
       assert(p.contains("Window"), "rank selection runs on the window op")
       assert(!p.toLowerCase.contains("percentile"),
         "no buffering percentile aggregate anywhere in the plan")
+      // width_bucket is the split path's signature: values are range-
+      // sliced per group, so the ranking window only ever sorts a hit
+      // bucket's ~n/buckets rows — never a whole group in one task
+      assert(p.toLowerCase.contains("width_bucket"),
+        "expected the bucket-split path (width_bucket range slicing)")
     }
+  }
+
+  test("contByRankSplit ≡ contByRank bit-identically on lineitem and " +
+      "on degenerate groups (all-equal, singleton, ties), any buckets") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val fracs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90")
+    val whole = Percentiles.contByRank(li, Seq("l_returnflag"),
+      "l_extendedprice", fracs, countName = Some("cnt"))
+      .orderBy("l_returnflag").collect()
+    val split = Percentiles.contByRankSplit(li, Seq("l_returnflag"),
+      "l_extendedprice", fracs, buckets = 16, countName = Some("cnt"))
+      .orderBy("l_returnflag").collect()
+    assert(whole.length == split.length && whole.nonEmpty)
+    whole.zip(split).foreach { case (w, s) =>
+      (0 until w.length).foreach { i =>
+        assert(w.get(i) == s.get(i), s"col $i group ${w.get(0)}")
+      }
+    }
+    val df = (Seq.fill(500)(("a", 7.0)) ++
+      Seq(("b", 1.0)) ++
+      (1 to 100).map(i => ("c", (i % 4).toDouble)) ++
+      (1 to 100).map(i => ("d", i.toDouble))).toDF("g", "v")
+    val fr2 = Seq(0.0 -> "p0", (1.0 / 3.0) -> "p33", 0.5 -> "p50",
+      1.0 -> "p100")
+    val w2 = Percentiles.contByRank(df, Seq("g"), "v", fr2)
+      .orderBy("g").collect()
+    Seq(2, 8, 1024).foreach { b =>
+      val s2 = Percentiles.contByRankSplit(df, Seq("g"), "v", fr2,
+        buckets = b).orderBy("g").collect()
+      w2.zip(s2).foreach { case (w, s) =>
+        (1 until w.length).foreach { i =>
+          assert(w.getDouble(i) == s.getDouble(i),
+            s"buckets=$b col $i ${w.get(0)}")
+        }
+      }
+    }
+  }
+
+  test("split paths reject an empty selection with a descriptive error") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Percentiles.discByRankSplit(df, Seq("g"), "v", Nil)
+    }
+    assert(e1.getMessage.contains("fraction"))
+    val e2 = intercept[IllegalArgumentException] {
+      Percentiles.contByRankSplit(df, Seq("g"), "v", Nil)
+    }
+    assert(e2.getMessage.contains("fraction"))
+    // count-only disc selection is well-defined: per-group counts
+    val cnt = Percentiles.discByRankSplit(df, Seq("g"), "v", Nil,
+      countName = Some("n")).collect()
+    assert(cnt.length == 1 && cnt.head.getLong(1) == 1L)
   }
 
   test("q42 rank-based matches known golden at sf0.001") {
