@@ -101,17 +101,33 @@ object TextOps {
       greatest(best: _*).getField("l"))
   }
 
-  /** Document fingerprint (north star, implementation-only): 64-bit
-    * content hash + a shift-rolling hash over word tokens — stable input
-    * to large-scale exact/near dedup. */
-  def fingerprint(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"),
-      xxhash64(col("text")).as("content_hash"),
-      // rotate-left-5 ⊕ token-hash: overflow-free under ANSI mode (shifts
-      // and xor never overflow, unlike the classic *31+h polynomial).
-      aggregate(split(col("text"), " "), lit(0L), (acc, w) =>
-        (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
-          .bitwiseXOR(xxhash64(w))).as("rolling_hash"))
+  /** Document fingerprint (north star): whole-content hash + an
+    * order-sensitive rolling hash over word tokens — stable input to
+    * large-scale exact dedup and provenance tracking.
+    *
+    * Round 7: hashes switched from xxhash64 (engine-specific — DuckDB
+    * has none, which kept tx4 rows-only) to the q95-proven ENGINE-SHARED
+    * polynomial folds mod P = 10⁹+7: content hash = char-code fold base
+    * 31 over the whole text; rolling hash = base-131 fold over the word
+    * hashes (order-sensitive, so shuffled tokens fingerprint
+    * differently). Same integer op sequence in any engine ⇒ tx4 now
+    * sits under the HARD oracle. ANSI-safe: every intermediate ≤
+    * 131·P + 127 ≪ 2⁶³. Scale: pure per-row projection at scan speed;
+    * tokenize ONCE (cs/ws materialized before the folds — q56
+    * discipline). */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val P = 1000000007L
+    documents
+      .select(col("doc_id"), split(col("text"), "").as("cs"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        aggregate(col("cs"), lit(0L),
+          (h, c) => (h * 31 + ascii(c)) % P).as("content_hash"),
+        aggregate(transform(col("ws"), wd =>
+            aggregate(split(wd, ""), lit(0L),
+              (h, c) => (h * 31 + ascii(c)) % P)), lit(0L),
+          (acc, wh) => (acc * 131 + wh) % P).as("rolling_hash"))
+  }
 
   // ---------------------------------------------------------------- q95
 
@@ -592,14 +608,33 @@ object TextOps {
     "tx4_fingerprint" -> (tx4Fingerprint _),
   )
 
-  /** tx4 is implementation-only (xxhash64-specific — DuckDB has no
-    * xxhash64). tx3 IS oracle-gated (round 2): `size(split(text, re))-1`
+  /** tx3 IS oracle-gated (round 2): `size(split(text, re))-1`
     * equals DuckDB's `len(regexp_extract_all(text, re))` (split keeps
     * leading/trailing empties, so parts−1 = match count), and the
     * greatest-struct argmax is replicated by CASE arms evaluated in
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // tx4 (round 7): the q95 polynomial folds replayed whole-document —
+    // char fold base 31 mod P for content_hash, word-hash fold base 131
+    // mod P for rolling_hash; list_reduce has no init so 0 is prepended.
+    // An empty word (consecutive spaces) hashes to 0 on both engines
+    // (Spark: ascii('') = 0 under the seed; DuckDB: empty range keeps
+    // the prepended seed).
+    "tx4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, len(text) + 1),
+        |      i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS content_hash,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      wd -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, len(wd) + 1),
+        |          i -> CAST(ord(substr(wd, i, 1)) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1000000007))),
+        |    (acc, wh) -> (acc * 131 + wh) % 1000000007) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q95: same polynomial folds (char codes base 31 mod P, word
     // hashes base 131 mod P — list_reduce has no init, so 0 is
     // prepended), same hash·2²⁴+pos packing, same clamped 4-slices;

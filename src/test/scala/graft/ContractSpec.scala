@@ -68,7 +68,7 @@ class ContractSpec extends AnyFunSuite {
   test("oracle coverage census (ratchet: only goes up)") {
     val gated = SparkEntry.oracleSql.keySet.size
     val total = SparkEntry.queries.size
-    assert(gated >= 156, s"oracle-gated regressed: $gated")
+    assert(gated >= 157, s"oracle-gated regressed: $gated")
     assert(total >= 168, s"query count regressed: $total")
   }
 
