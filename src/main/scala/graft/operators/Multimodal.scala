@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * typed metadata struct), partition-parallel batched processing via
   * `mapPartitions` on a typed Dataset (the JVM analog of Python's
   * `mapInPandas` — one iterator per partition, amortized per-batch
-  * setup), and a projection-pushable metadata path. The actual codecs are
-  * STUBBED behind `MediaCodec` with a deterministic fake (image/audio
-  * libraries are not in this container); swap the stub for a real decoder
-  * without touching any Spark code.
+  * setup), and a projection-pushable metadata path. `MediaCodec` ships
+  * REAL pure-JVM decoders for 24bpp BMP and 16-bit PCM WAV (golden-
+  * pinned in MultimodalSpec) and a deterministic byte-sum fallback for
+  * payloads in no supported container (the synthetic fixture kinds);
+  * heavier codecs (JPEG, mel spectrogram) slot in without touching any
+  * Spark code.
   *
   * 100 TB notes: payloads stay columnar-binary end to end (no base64, no
   * driver collect); decode parallelism = partition count; metadata-only
@@ -32,15 +34,152 @@ object Multimodal {
       media_id: Long, kind: String, feat_dim: Int, features: Array[Float],
       decoded_ok: Boolean)
 
-  /** STUB decode: deterministic feature vector derived from the payload
-    * bytes — stands in for e.g. JPEG decode + CNN embed or PCM decode +
-    * mel spectrogram. Real implementations replace ONLY this object. */
+  /** Media codec: REAL pure-JVM decoders for the two trivially-public
+    * uncompressed formats — 24bpp BMP (pixel parse → per-channel image
+    * stats) and 16-bit PCM WAV (sample parse → amplitude stats) — with
+    * the deterministic byte-sum path retained as the fallback for the
+    * synthetic fixture kinds (no magic bytes). A payload that LOOKS like
+    * BMP/WAV but fails structural validation also falls back — decode
+    * never throws. Heavier codecs (JPEG decode + CNN embed, mel
+    * spectrograms) slot in beside these; the Spark plumbing is
+    * format-agnostic. */
   object MediaCodec {
     val FeatureDim = 8
 
-    def decodeToFeatures(payload: Array[Byte], kind: String): Array[Float] = {
-      // ??? in spirit: a real decoder goes here. Deterministic fake:
-      // chunked byte sums, normalized — stable across JVMs/partitions.
+    /** Decoded 24bpp image: rgb is 3 bytes/pixel, row-major TOP-down. */
+    final case class BmpImage(width: Int, height: Int, rgb: Array[Byte])
+
+    private def le16(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    private def le32(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+        ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+
+    /** Parse an uncompressed 24bpp bottom-up BMP (BITMAPINFOHEADER).
+      * Returns None on any structural mismatch — callers fall back. */
+    def decodeBmp(p: Array[Byte]): Option[BmpImage] = {
+      if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+      val dataOff = le32(p, 10)
+      val hdrSize = le32(p, 14)
+      if (hdrSize < 40) return None
+      val w = le32(p, 18)
+      val h = le32(p, 22)
+      val bpp = le16(p, 28)
+      val compression = le32(p, 30)
+      if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (dataOff < 54 || dataOff.toLong + stride.toLong * h > p.length)
+        return None
+      val rgb = new Array[Byte](w * h * 3)
+      var row = 0
+      while (row < h) {
+        val src = dataOff + (h - 1 - row) * stride // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val s = src + x * 3 // BGR on disk
+          val d = (row * w + x) * 3
+          rgb(d) = p(s + 2); rgb(d + 1) = p(s + 1); rgb(d + 2) = p(s)
+          x += 1
+        }
+        row += 1
+      }
+      Some(BmpImage(w, h, rgb))
+    }
+
+    /** Decoded 16-bit PCM audio: interleaved samples. */
+    final case class WavAudio(sampleRate: Int, channels: Int,
+        samples: Array[Short])
+
+    /** Parse a RIFF/WAVE container with a PCM (format 1, 16-bit) fmt
+      * chunk and a data chunk. Returns None on structural mismatch. */
+    def decodeWav(p: Array[Byte]): Option[WavAudio] = {
+      def tag(o: Int, s: String): Boolean =
+        p.length >= o + 4 && s.indices.forall(i => p(o + i) == s(i).toByte)
+      if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+      var off = 12
+      var rate = -1; var ch = -1; var bits = -1
+      var samples: Array[Short] = null
+      while (off + 8 <= p.length) {
+        val size = le32(p, off + 4)
+        if (size < 0 || off + 8 + size > p.length) return None
+        if (tag(off, "fmt ")) {
+          if (size < 16) return None
+          if (le16(p, off + 8) != 1) return None // PCM only
+          ch = le16(p, off + 10)
+          rate = le32(p, off + 12)
+          bits = le16(p, off + 22)
+        } else if (tag(off, "data")) {
+          if (bits != 16 || ch <= 0 || rate <= 0) return None // fmt first
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = le16(p, off + 8 + i * 2).toShort
+            i += 1
+          }
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+      }
+      if (samples == null || rate <= 0 || ch <= 0) None
+      else Some(WavAudio(rate, ch, samples))
+    }
+
+    /** Per-channel image stats as the feature vector: mean R/G/B and the
+      * population stddev of Rec.601 luminance (all scaled to [0,1]),
+      * plus width, height, aspect, and the format tag 2.0. */
+    def bmpFeatures(img: BmpImage): Array[Float] = {
+      val n = img.width * img.height
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var sl = 0.0; var sll = 0.0
+      var i = 0
+      while (i < n) {
+        val r = img.rgb(i * 3) & 0xff
+        val g = img.rgb(i * 3 + 1) & 0xff
+        val b = img.rgb(i * 3 + 2) & 0xff
+        sr += r; sg += g; sb += b
+        val lum = 0.299 * r + 0.587 * g + 0.114 * b
+        sl += lum; sll += lum * lum
+        i += 1
+      }
+      val nd = n.toDouble
+      val varLum = math.max(0.0, sll / nd - (sl / nd) * (sl / nd))
+      Array(
+        (sr / nd / 255.0).toFloat, (sg / nd / 255.0).toFloat,
+        (sb / nd / 255.0).toFloat, (math.sqrt(varLum) / 255.0).toFloat,
+        img.width.toFloat, img.height.toFloat,
+        img.width.toFloat / img.height.toFloat, 2.0f)
+    }
+
+    /** Amplitude stats as the feature vector: mean, RMS, zero-crossing
+      * rate, peak (sample-scale normalized), plus sample rate, sample
+      * count, channels, and the format tag 3.0. */
+    def wavFeatures(a: WavAudio): Array[Float] = {
+      val n = a.samples.length
+      var s = 0L; var ss = 0.0; var zc = 0L; var peak = 0L
+      var i = 0
+      while (i < n) {
+        val v = a.samples(i).toLong
+        s += v; ss += v.toDouble * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && ((a.samples(i - 1) < 0) != (v < 0))) zc += 1
+        i += 1
+      }
+      val nd = math.max(1, n).toDouble
+      Array(
+        (s / nd / 32768.0).toFloat, (math.sqrt(ss / nd) / 32768.0).toFloat,
+        (zc / math.max(1.0, nd - 1)).toFloat, (peak / 32768.0).toFloat,
+        a.sampleRate.toFloat, n.toFloat, a.channels.toFloat, 3.0f)
+    }
+
+    def decodeToFeatures(payload: Array[Byte], kind: String): Array[Float] =
+      decodeBmp(payload).map(bmpFeatures)
+        .orElse(decodeWav(payload).map(wavFeatures))
+        .getOrElse(fakeFeatures(payload, kind))
+
+    /** Deterministic fallback for payloads in no supported container
+      * (the synthetic fixture kinds): chunked byte sums, normalized —
+      * stable across JVMs/partitions. */
+    def fakeFeatures(payload: Array[Byte], kind: String): Array[Float] = {
       val out = new Array[Float](FeatureDim)
       var i = 0
       while (i < payload.length) {

@@ -1,10 +1,126 @@
 package graft
 
 import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaCodec, MediaRow}
 
 /** Multimodal plumbing: schema, partition-parallel decode, determinism,
-  * and metadata-only pruning. The codec itself is a stub by design. */
+  * metadata-only pruning — and REAL decode goldens: hand-built 24bpp
+  * BMP and 16-bit PCM WAV payloads whose per-channel/amplitude stats
+  * are verified against independent hand computation (round-7 verdict
+  * item 4; the byte-sum path remains only for container-less synthetic
+  * payloads). */
 class MultimodalSpec extends SparkSpecBase {
+
+  /** Hand-assembled 2×2 24bpp bottom-up BMP: logical top row = red,
+    * green; bottom row = blue, white. Stride 8 (6 data + 2 pad). */
+  private def tinyBmp(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    def le16(v: Int): Unit =
+      (0 until 2).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    out.write('B'); out.write('M')
+    le32(54 + 16) // file size
+    le32(0)       // reserved
+    le32(54)      // pixel data offset
+    le32(40)      // BITMAPINFOHEADER size
+    le32(2); le32(2) // width, height (positive = bottom-up)
+    le16(1); le16(24) // planes, bpp
+    le32(0)       // BI_RGB
+    le32(16); le32(0); le32(0); le32(0); le32(0) // sizes/resolutions
+    // bottom storage row = logical row 1: blue (B G R), white; pad
+    Seq(0xff, 0, 0, 0xff, 0xff, 0xff, 0, 0).foreach(out.write)
+    // top logical row 0: red, green; pad
+    Seq(0, 0, 0xff, 0, 0xff, 0, 0, 0).foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Hand-assembled PCM WAV: 8 kHz mono, samples 0, 16384, −16384,
+    * 32767. */
+  private def tinyWav(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    def le16(v: Int): Unit =
+      (0 until 2).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    def tag(s: String): Unit = s.foreach(c => out.write(c))
+    tag("RIFF"); le32(36 + 8); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1); le16(1)        // PCM, mono
+    le32(8000); le32(16000) // sample rate, byte rate
+    le16(2); le16(16)       // block align, bits
+    tag("data"); le32(8)
+    Seq(0, 16384, -16384, 32767).foreach(le16)
+    out.toByteArray
+  }
+
+  test("BMP decode golden: pixels parse BGR/bottom-up correctly and " +
+      "channel stats match hand computation") {
+    val img = MediaCodec.decodeBmp(tinyBmp()).get
+    assert(img.width == 2 && img.height == 2)
+    // top-down row-major RGB: red, green / blue, white
+    val px = img.rgb.map(_ & 0xff).grouped(3).map(_.toSeq).toSeq
+    assert(px == Seq(Seq(255, 0, 0), Seq(0, 255, 0),
+      Seq(0, 0, 255), Seq(255, 255, 255)))
+    val f = MediaCodec.bmpFeatures(img)
+    // each channel: (255+0+0+255)/4/255 = exactly 0.5
+    assert(f(0) == 0.5f && f(1) == 0.5f && f(2) == 0.5f)
+    // stddev of Rec.601 luminances {76.245, 149.685, 29.07, 255.0}
+    val lums = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255))
+      .map { case (r, g, b) => 0.299 * r + 0.587 * g + 0.114 * b }
+    val mu = lums.sum / 4
+    val sd = math.sqrt(lums.map(l => (l - mu) * (l - mu)).sum / 4)
+    assert(math.abs(f(3) - sd / 255.0) < 1e-6, s"stdLum ${f(3)} vs $sd")
+    assert(f(4) == 2.0f && f(5) == 2.0f && f(6) == 1.0f && f(7) == 2.0f)
+  }
+
+  test("WAV decode golden: PCM samples parse and amplitude stats match " +
+      "hand computation") {
+    val a = MediaCodec.decodeWav(tinyWav()).get
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.samples.toSeq == Seq[Short](0, 16384, -16384, 32767))
+    val f = MediaCodec.wavFeatures(a)
+    assert(math.abs(f(0) - (0 + 16384 - 16384 + 32767) / 4.0 / 32768.0)
+      < 1e-7)
+    val rms = math.sqrt((16384.0 * 16384 * 2 + 32767.0 * 32767) / 4)
+    assert(math.abs(f(1) - rms / 32768.0) < 1e-7)
+    assert(math.abs(f(2) - 2.0 / 3.0) < 1e-7) // two sign changes / 3
+    assert(math.abs(f(3) - 32767.0 / 32768.0) < 1e-7)
+    assert(f(4) == 8000.0f && f(5) == 4.0f && f(6) == 1.0f && f(7) == 3.0f)
+  }
+
+  test("malformed magic bytes fall back to the deterministic byte-sum " +
+      "path — decode never throws") {
+    val fakeBmp = "BMnot really a bitmap".getBytes("UTF-8")
+    val fakeWav = "RIFFxxxxWAVEgarbage!".getBytes("UTF-8")
+    Seq(fakeBmp, fakeWav).foreach { p =>
+      val f = MediaCodec.decodeToFeatures(p, "image")
+      assert(f.length == MediaCodec.FeatureDim)
+      assert(f sameElements MediaCodec.fakeFeatures(p, "image"))
+    }
+    // truncated real headers must also fall back, not throw
+    Seq(tinyBmp().take(30), tinyWav().take(20)).foreach { p =>
+      assert(MediaCodec.decodeToFeatures(p, "audio").length == 8)
+    }
+  }
+
+  test("real decode flows through the distributed extractFeatures " +
+      "path: planted BMP/WAV rows get their golden features") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "image", tinyBmp(), 2, 2, 0, 1),
+      MediaRow(2L, "audio", tinyWav(), 0, 0, 8000, 1),
+      MediaRow(3L, "video", "no container here".getBytes("UTF-8"),
+        0, 0, 0, 1))
+    val got = Multimodal.extractFeatures(rows.toDS().repartition(3))
+      .collect().map(f => f.media_id -> f.features).toMap
+    assert(got(1L) sameElements
+      MediaCodec.bmpFeatures(MediaCodec.decodeBmp(tinyBmp()).get))
+    assert(got(2L) sameElements
+      MediaCodec.wavFeatures(MediaCodec.decodeWav(tinyWav()).get))
+    assert(got(3L) sameElements MediaCodec.fakeFeatures(
+      "no container here".getBytes("UTF-8"), "video"))
+  }
 
   test("feature extraction: one vector per row, stable across runs") {
     val a = Multimodal.qm1Features(spark, sf).collect()
