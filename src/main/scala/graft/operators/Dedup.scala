@@ -65,17 +65,21 @@ object Dedup {
     // shingle sets carried as 64-bit hashes: verification intersects long
     // arrays instead of shingle text (same jaccard modulo ~n²/2⁶⁴
     // collisions; ~3× cheaper and the join moves no document text)
-    // Persisted: this subtree feeds the band explode AND both
-    // verification sides — without persist it is recomputed up to 3× in
-    // one DAG (ReuseExchange can't cover it: the three consumers
-    // partition on different keys). MEMORY_AND_DISK so a 100 TB corpus
-    // spills instead of OOMing; the payload is (doc_id, long[]), not text.
+    // Materialized once (eager localCheckpoint): this subtree feeds the
+    // band explode AND both verification sides — otherwise recomputed up
+    // to 3× in one DAG (ReuseExchange can't cover it: the three
+    // consumers partition on different keys). localCheckpoint, not
+    // persist (advice r6): a returned-lazy frame can never unpersist,
+    // so persist leaked cached blocks in long-lived sessions; checkpoint
+    // blocks are context-cleaned when unreferenced, and they spill to
+    // disk so a 100 TB corpus doesn't OOM. Payload is (doc_id, long[]),
+    // not text.
     val withSh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         array_distinct(transform(shinglesOf(col("w"), k),
           s => xxhash64(s))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val banded = withSh
       .select(col("doc_id"),
         posexplode(bandKeys(minhashSignature(col("sh"), numHashes),
@@ -237,7 +241,6 @@ object Dedup {
     * `connectedComponents`; isolated nodes label themselves. */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Work on undirected edges canonicalized as (lo, hi), no self-loops.
     def canon(e: DataFrame): DataFrame = e
       .select(least(col("src"), col("dst")).as("src"),
@@ -374,14 +377,16 @@ object Dedup {
       threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     // 64-bit shingle hashes, not strings — shuffles move 8-byte keys
     // (collision odds ~n²/2⁶⁴); sorted ascending = the global token order
-    // the prefix filter requires. Persisted: feeds the prefix index and
-    // both verification sides.
+    // the prefix filter requires. Materialized once (eager
+    // localCheckpoint — not persist, which leaks blocks from a
+    // returned-lazy frame): feeds the prefix index and both
+    // verification sides.
     val shSets = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         array_sort(array_distinct(transform(shinglesOf(col("w"), k),
           s => xxhash64(s)))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val prefixLen = (size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))).cast("int") + 1)
     val prefix = shSets
@@ -473,7 +478,6 @@ object Dedup {
     * dfCap only moves cost between the two branches. */
   def containmentPairs(docs: DataFrame, k: Int = 3, minBp: Long = 8000L,
       dfCap: Int = 64): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
@@ -481,13 +485,16 @@ object Dedup {
           .as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // posted feeds both split branches and, through them, five more
-    // scans (pairs, capped arrays, heavy residual): persist so the
-    // shingle explode + postings agg runs once per action, not ~6×
-    // (ReuseExchange can't cover subtrees that repartition differently)
+    // scans (pairs, capped arrays, heavy residual): eager
+    // localCheckpoint so the shingle explode + postings agg runs ONCE
+    // (ReuseExchange can't cover subtrees that repartition
+    // differently). localCheckpoint, not persist (advice r6): persist
+    // leaked cached blocks in long-lived sessions — checkpoint blocks
+    // are dropped by the ContextCleaner when the frame is unreferenced.
     val posted = sh.groupBy("sh")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) >= 2)
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint()
     val smallP = posted.filter(size(col("docs")) <= dfCap)
     val cappedP = posted.filter(size(col("docs")) > dfCap)
     // Per-doc sorted array of the capped-out shingles it contains —
@@ -507,7 +514,7 @@ object Dedup {
         size(col("docs")))).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_small"))
-      .persist(MEMORY_AND_DISK) // scanned by branch A and B's anti-join
+      .localCheckpoint() // scanned by branch A and B's anti-join
     val withCapped = pairsSmall
       .join(cappedArr.as("ca"), col("doc_a") === col("ca.doc_id"), "left")
       .join(cappedArr.as("cb"), col("doc_b") === col("cb.doc_id"), "left")

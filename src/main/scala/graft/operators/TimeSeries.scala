@@ -147,15 +147,24 @@ object TimeSeries {
     * [[Percentiles.discByRank]]'s disk-spilling rank selection per
     * event_type (the q42/q61 scale fix: no per-group value buffer). */
   def q127ArrivalGaps(spark: SparkSession, dir: String): DataFrame = {
+    // Truncate to MICROSECONDS before ordering and differencing (advice
+    // r6): the DuckDB oracle sees `ts` at µs precision, so under an
+    // INT64-nanos fixture ordering by raw ts_ns and flooring the ns
+    // difference would both diverge from the oracle (floor-of-diff ≠
+    // diff-of-floors when sub-µs remainders exist). Diff of truncated
+    // micros ordered by (µs, event_id) is what the oracle computes in
+    // EITHER fixture shape; FixtureGuardSpec additionally asserts the
+    // current fixture's ts_ns % 1000 == 0 invariant so a nanos
+    // regeneration trips loudly.
     val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts_ns"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
     val gaps = graft.Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts_ns"),
-        col("event_id"))
-      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
-      .filter(col("prev_ns").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
       .select(col("event_type"),
-        expr("(ts_ns - prev_ns) div 1000").as("gap_us"))
+        (col("ts_us") - col("prev_us")).as("gap_us"))
     Percentiles.discByRank(gaps, Seq("event_type"), "gap_us",
       Seq(0.5 -> "p50_gap_us", 0.9 -> "p90_gap_us",
         0.99 -> "p99_gap_us"), countName = Some("n_gaps"))

@@ -68,4 +68,24 @@ class FixtureGuardSpec extends SparkSpecBase {
     assert(broken.isEmpty,
       s"${broken.size} queries no longer analyze:\n${broken.mkString("\n")}")
   }
+
+  test("events timestamps are whole microseconds (ts_ns % 1000 == 0) — " +
+      "the ordering contract q127/q132 share with the µs-precision " +
+      "DuckDB oracle") {
+    // The oracle orders by `ts` at microsecond precision. Spark-side
+    // orderings tie-break on (µs, event_id); if a fixture regeneration
+    // ever ships true sub-µs nanos, floor-of-difference arithmetic and
+    // ns-ordering would silently diverge from the oracle — fail HERE
+    // with a named message instead (advice r6).
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val bad = Tables.events(spark, sf)
+      .agg(sum(when(col("ts_ns") % 1000 =!= 0, lit(1L))
+        .otherwise(lit(0L))).as("bad"), count(lit(1)).as("n"))
+      .head()
+    assert(bad.getLong(1) > 0, "events fixture is empty")
+    assert(bad.getLong(0) == 0L,
+      s"${bad.getLong(0)} events carry sub-microsecond timestamps: the " +
+        "µs-truncation ordering contract (q127/q132 vs the DuckDB " +
+        "oracle) no longer holds — re-audit ts_ns orderings/diffs")
+  }
 }
