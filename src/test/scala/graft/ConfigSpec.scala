@@ -151,6 +151,58 @@ class ConfigSpec extends AnyFunSuite {
     assert(opts("kafka.session.timeout.ms") == "9000")
   }
 
+  test("kafka option KEYS match the Spark structured-streaming-kafka " +
+      "documented vocabulary (drift pin, verdict r6 item 8)") {
+    // Key names from the public Spark 4.x "Structured Streaming + Kafka
+    // Integration Guide". The connector silently IGNORES unknown
+    // options, so a misspelled key would surface only as wrong runtime
+    // behavior on a real cluster (no kafka jars ship in this image) —
+    // this golden catches drift at test time instead. Client configs
+    // must be `kafka.`-prefixed to reach the underlying consumer/
+    // producer; everything unprefixed must be a documented
+    // connector-level option.
+    val readerKeys = Set(
+      "assign", "subscribe", "subscribePattern",
+      "startingOffsets", "startingOffsetsByTimestamp",
+      "startingTimestamp", "endingOffsets", "endingOffsetsByTimestamp",
+      "endingTimestamp", "failOnDataLoss",
+      "kafkaConsumer.pollTimeoutMs", "fetchOffset.numRetries",
+      "fetchOffset.retryIntervalMs", "maxOffsetsPerTrigger",
+      "minOffsetsPerTrigger", "maxTriggerDelay", "minPartitions",
+      "groupIdPrefix", "includeHeaders")
+    val writerKeys = Set("topic", "includeHeaders")
+    def pin(opts: Map[String, String], allowed: Set[String],
+        ctx: String): Unit = opts.keys.foreach { k =>
+      assert(k.startsWith("kafka.") || allowed.contains(k),
+        s"$ctx: '$k' is neither kafka.-prefixed client passthrough nor " +
+          "a documented Spark Kafka connector option — misspelled keys " +
+          "are silently ignored at runtime")
+    }
+    // exercise every branch: plain + pattern subscription, finite +
+    // disabled poll timeout, base/consumer/producer passthrough maps
+    val sinkCfgs = Seq(
+      SinkConfig.fromMap(minimalSink +
+        ("kafka_opts" -> Map("security.protocol" -> "SASL_SSL")) +
+        ("kafka_consumer_opts" -> Map("session.timeout.ms" -> "9000"))),
+      SinkConfig.fromMap(minimalSink + ("topics" -> "^logs-.*")),
+      SinkConfig.fromMap(minimalSink + ("poll_timeout" -> "-1")))
+    sinkCfgs.foreach(c =>
+      pin(KafkaOptions.forSink(c), readerKeys, "forSink(reader)"))
+    val srcCfg = SourceConfig.fromMap(Map[String, Any](
+      "bootstrap_servers" -> "b:9092",
+      "schema_registry" -> "http://sr:8081",
+      "topic" -> "out", "offset_topic" -> "out-offsets",
+      "kafka_producer_opts" -> Map("linger.ms" -> "5")))
+    pin(KafkaOptions.forSource(srcCfg), writerKeys, "forSource(writer)")
+    pin(KafkaOptions.forOffsetConsumer(srcCfg), readerKeys,
+      "forOffsetConsumer(reader)")
+    // the two non-negotiable passthroughs reach the client layer
+    assert(KafkaOptions.forSink(sinkCfgs.head)
+      .contains("kafka.bootstrap.servers"))
+    assert(KafkaOptions.forSource(srcCfg)
+      .contains("kafka.bootstrap.servers"))
+  }
+
   test("kafka_opts as a JSON string (config.py:426 json.loads parser)") {
     val c = SinkConfig.fromMap(minimalSink +
       ("kafka_opts" -> """{"sasl.password": "hunter2", "client.id": "c9"}"""))
