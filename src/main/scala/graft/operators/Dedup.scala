@@ -681,6 +681,67 @@ object Dedup {
           (x, i) => when(i === 0, x * lit(1.5f))
             .otherwise(x * lit(1.01f))).as("embedding")))
 
+  /** CROSS-CORPUS dedup: drop each INCOMING document whose exact
+    * k-shingle jaccard against ANY EXISTING document reaches
+    * `threshold` — the INCREMENTAL-ingest primitive (new crawl batch vs
+    * the already-cleaned corpus) that the self-join dedups (q33*) don't
+    * express: candidates come from an existing×incoming shared-shingle
+    * inverted index, so the work is |batch|-proportional, never a
+    * corpus self-join.
+    *
+    * Returns the surviving incoming doc_ids. Uncapped postings (the
+    * oracle-exact form, like q33c); the 100 TB path reuses the q102
+    * df-cap + heavy-residual machinery or an LSH prefilter with this
+    * exact join as the residual. */
+  def crossCorpusDedup(existing: DataFrame, incoming: DataFrame,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def shSets(d: DataFrame) = d
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        array_distinct(transform(shinglesOf(col("w"), k),
+          s => xxhash64(s))).as("sh"))
+      .localCheckpoint() // feeds the index AND the verification side
+    val ex = shSets(existing)
+    val in = shSets(incoming)
+    val cand = in
+      .select(col("doc_id").as("new_id"), explode(col("sh")).as("h"))
+      .join(ex.select(col("doc_id").as("old_id"),
+        explode(col("sh")).as("h")), "h")
+      .select("new_id", "old_id").distinct()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val dropped = cand
+      .join(in.select(col("doc_id").as("new_id"), col("sh").as("sa")),
+        "new_id")
+      .join(ex.select(col("doc_id").as("old_id"), col("sh").as("sb")),
+        "old_id")
+      .filter(inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter).cast("double")
+          >= threshold)
+      .select(col("new_id")).distinct()
+    in.select(col("doc_id"))
+      .join(dropped.select(col("new_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+  }
+
+  /** Q137's derived incoming batch: every corpus doc re-arrives with a
+    * shifted id — doc_id % 3 == 0 as a LAST-3-WORDS-DROPPED near-dup
+    * (must be caught), the rest as a FIRST-HALF excerpt (jaccard vs the
+    * source ≈ ⅓ < 0.5 — survives, and documents the known jaccard
+    * blindness to containment that q102 exists for). */
+  def q137IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    val nearDup = concat_ws(" ",
+      slice(w, lit(1), greatest(size(w) - 3, lit(1))))
+    val half = concat_ws(" ",
+      slice(w, lit(1), greatest((size(w).cast("double") / 2).cast("int"),
+        lit(1))))
+    val incoming = docs.select(
+      (col("doc_id") + lit(NearDupIdOffset)).as("doc_id"),
+      when(col("doc_id") % 3 === 0, nearDup).otherwise(half).as("text"))
+    crossCorpusDedup(docs, incoming).orderBy("doc_id")
+  }
+
   /** Memoized exact near-dup pair set shared by q33c/q33f/q33g — the
     * three queries are views over ONE pair computation (the pair list,
     * its survivors, its transitive closure), and round 3 recomputed the
@@ -823,6 +884,7 @@ object Dedup {
     "q62_decontaminate" -> (q62Decontaminate _),
     "q63_pipeline" -> (q63Pipeline _),
     "q102_containment_pairs" -> (q102ContainmentPairs _),
+    "q137_incremental_dedup" -> (q137IncrementalDedup _),
   )
 
   /** DuckDB oracle for the EXACT jaccard query: same shingling (word
@@ -833,6 +895,42 @@ object Dedup {
     * O(n²) list-intersects are fine at the driver's sf0.01 (500k pairs,
     * ~3 s); skip locally at sf0.1 via CHECK_SKIP (tools/check.py). */
   val oracle: Map[String, String] = Map(
+    // q137: same derived incoming batch (truncated vs first-half), same
+    // shingling as q33c, jaccard over shingle STRING sets (the Spark
+    // side hashes — equal absent ~n²/2⁶⁴ collisions), existing×incoming
+    // join only (never a self-join).
+    "q137_incremental_dedup" ->
+      """WITH incoming AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      array_to_string(string_split(text, ' ')[1:greatest(
+        |        len(string_split(text, ' ')) - 3, 1)], ' ')
+        |    ELSE
+        |      array_to_string(string_split(text, ' ')[1:greatest(
+        |        len(string_split(text, ' ')) // 2, 1)], ' ')
+        |    END AS text
+        |  FROM documents),
+        |she AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))
+        |    AS s
+        |  FROM documents),
+        |shi AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))
+        |    AS s
+        |  FROM incoming),
+        |dropped AS (
+        |  SELECT DISTINCT i.doc_id
+        |  FROM shi i JOIN she e ON
+        |    CAST(len(list_intersect(i.s, e.s)) AS DOUBLE) /
+        |    CAST(len(i.s) + len(e.s) - len(list_intersect(i.s, e.s))
+        |      AS DOUBLE) >= 0.5)
+        |SELECT doc_id FROM incoming
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     // q102: same derived corpus and shingling as q33c, overlap
     // coefficient against the smaller set in exact integer bp.
     "q102_containment_pairs" ->

@@ -161,6 +161,61 @@ object Graph {
   def q93PageRank(spark: SparkSession, dir: String): DataFrame =
     pageRank(coEdges25(spark, dir)).orderBy("node")
 
+  /** PERSONALIZED PageRank — q93's recursion with the teleport mass
+    * restricted to a SEED set: r(v) = 10⁶·[v ∈ seeds], s₀ = r,
+    * s_{k+1}(v) = (15·r(v)) div 100 + (85·Σ_{u→v} s_k(u) div d(u)) div
+    * 100. Scores measure proximity TO THE SEEDS ("suppliers related to
+    * this watchlist", "docs related to these references") rather than
+    * global centrality — the recommendation/expansion primitive plain
+    * PageRank can't express. Same integer-floor discipline ⇒ a fixed
+    * iteration count is bit-identical in any engine (operands
+    * non-negative, so Spark `div` ≡ DuckDB `//`).
+    *
+    * Scale shape is q93's: per round one src-keyed join against the
+    * slim score frame + one dst-keyed sum, then a LEFT join back onto
+    * the (checkpointed) reset frame so zero-in-degree nodes keep their
+    * teleport-only mass; per-round localCheckpoint (iterative-loop
+    * rule). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val resetAll = deg.select(col("src").as("node"))
+      .join(seeds.select(col("node"), lit(1L).as("__seed")),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(1000000L)).otherwise(lit(0L))
+          .as("r"))
+      .localCheckpoint()
+    var scores = resetAll.select(col("node"), col("r").as("s"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(deg, "src")
+        .join(scores.select(col("node").as("src"), col("s")), "src")
+        .select(col("dst").as("node"), expr("s div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("cs"))
+      scores = resetAll.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr("(15 * r) div 100 + (85 * coalesce(cs, 0L)) div 100")
+            .as("s"))
+        .localCheckpoint()
+    }
+    scores.select(col("node"), col("s").as("score"))
+  }
+
+  /** Q140: PPR over the co-supply graph from the `node % 10 == 0`
+    * watchlist. */
+  def q140Ppr(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges25(spark, dir)
+    val seeds = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .distinct().filter(col("node") % 10 === 0)
+    personalizedPageRank(edges, seeds).orderBy("node")
+  }
+
   /** q91/q93/q99 all analyze the SAME co-supply graph (minShared=25):
     * memoized per (session, dir) so one Verify/Bench run builds the
     * edge list once (the Dedup.exactPairs pattern — eager
@@ -449,7 +504,42 @@ object Graph {
     "q99_bfs" -> (q99Bfs _),
     "q104_assoc_rules" -> (q104AssocRules _),
     "q131_kcore_peel" -> (q131KCorePeel _),
+    "q140_ppr" -> (q140Ppr _),
   )
+
+  /** The q140 oracle: q93's unrolled-iteration discipline with the
+    * seed-restricted reset; each level LEFT-joins the contribution sum
+    * onto the full reset frame so teleport-only nodes survive. One
+    * predecessor reference per level ⇒ plain CTEs are safe (the q131
+    * 3-ref blowup doesn't apply). */
+  private val pprOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"""p$i AS (
+         |  SELECT n.node,
+         |    (15 * n.r) // 100 + (85 * COALESCE(c.cs, 0)) // 100 AS s
+         |  FROM r n LEFT JOIN (
+         |    SELECT sym.dst AS node, CAST(SUM(p.s // g.d) AS BIGINT) AS cs
+         |    FROM sym JOIN deg g ON g.src = sym.src
+         |    JOIN p${i - 1} p ON p.node = sym.src
+         |    GROUP BY sym.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |e AS (
+       |  SELECT a.s AS u, b.s AS v FROM ps a
+       |  JOIN ps b ON a.p = b.p AND a.s < b.s
+       |  GROUP BY a.s, b.s HAVING COUNT(*) >= 25),
+       |sym AS (SELECT u AS src, v AS dst FROM e
+       |        UNION ALL SELECT v AS src, u AS dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+       |r AS (SELECT src AS node,
+       |        CASE WHEN src % 10 = 0 THEN CAST(1000000 AS BIGINT)
+       |             ELSE CAST(0 AS BIGINT) END AS r
+       |      FROM deg),
+       |p0 AS (SELECT node, r AS s FROM r),
+       |$iters
+       |SELECT node, s AS score FROM p5 ORDER BY node""".stripMargin
+  }
 
   /** The q131 oracle unrolls the four fixed peel rounds as chained
     * CTEs (the q93/q99 discipline — pure integer set algebra, bit-
@@ -566,6 +656,7 @@ object Graph {
         |ORDER BY lift_e6 DESC, conf_e6 DESC, antecedent, consequent
         |LIMIT 100""".stripMargin,
     "q93_pagerank" -> pageRankOracle,
+    "q140_ppr" -> pprOracle,
     // q94: same distinct buyer sets, same integer jaccard, same unique
     // (jaccard desc, pair) total order under the LIMIT.
     "q94_item_similarity" ->

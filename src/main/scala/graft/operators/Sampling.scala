@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{dec, load}
@@ -94,12 +95,67 @@ object Sampling {
       .orderBy("o_orderpriority")
   }
 
+  /** Q139: TEMPERATURE-SCALED mixture apportionment (the mC4/"α=0.5
+    * sampling" recipe): per-source weights w_s = ⌊√(n_s·10⁶)⌋ (integer
+    * scaled isqrt — √ flattens the size distribution so small sources
+    * aren't drowned), then EXACT LARGEST-REMAINDER apportionment of
+    * 10000 bp: floor shares qₛ = ⌊10⁴·wₛ/W⌋ first, then the leftover
+    * 10⁴ − Σqₛ basis points go to the largest integer remainders
+    * (10⁴·wₛ mod W, source tiebreak). Σ alloc_bp = 10⁴ EXACTLY — the
+    * allocation a mixture scheduler can hand straight to a sampler —
+    * and a computation class nothing else exercises (apportionment).
+    *
+    * Determinism: n·10⁶ < 2⁵³ casts to double exactly and IEEE √ is
+    * correctly rounded, so ⌊√.⌋ is engine-exact; everything after is
+    * BIGINT arithmetic. Scale: per-source counts partial-combine; the
+    * apportionment runs on the tiny per-source frame (one window). */
+  def q139TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val w = load(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wt",
+        expr("CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT)"))
+    val withTot = w.crossJoin(broadcast(w.agg(sum(col("wt")).as("wsum"))))
+      .withColumn("fl", expr("(wt * 10000) div wsum"))
+      .withColumn("rem", expr("(wt * 10000) % wsum"))
+    val deficit = withTot.agg((lit(10000L) - sum(col("fl"))).as("deficit"))
+    val wRank = Window.orderBy(col("rem").desc, col("source"))
+    withTot.crossJoin(broadcast(deficit))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("source"), col("n_docs"), col("wt"),
+        (col("fl") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc_bp"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_det_sample" -> (q46Sample _),
     "q103_weighted_sample" -> (q103WeightedSample _),
+    "q139_temperature_mix" -> (q139TemperatureMix _),
   )
 
   val oracle: Map[String, String] = Map(
+    // q139: same scaled isqrt weights, same exact integer
+    // largest-remainder apportionment (rem desc, source tiebreak).
+    "q139_temperature_mix" ->
+      """WITH w AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(COUNT(*) * 1000000 AS DOUBLE)))
+        |      AS BIGINT) AS wt
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(wt) AS BIGINT) AS wsum FROM w),
+        |f AS (
+        |  SELECT source, n_docs, wt,
+        |    (wt * 10000) // wsum AS fl,
+        |    (wt * 10000) % wsum AS rem
+        |  FROM w, t),
+        |d AS (SELECT 10000 - CAST(SUM(fl) AS BIGINT) AS deficit FROM f),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM f)
+        |SELECT source, n_docs, wt,
+        |  CAST(fl + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_bp
+        |FROM r, d ORDER BY source""".stripMargin,
     // q103: the same five-nibble bucket spelled with strpos (DuckDB's
     // 1-based instr), the same exact-integer threshold compare.
     "q103_weighted_sample" ->

@@ -590,9 +590,38 @@ object TextOps {
       .orderBy(col("cnt").desc, col("w"))
   }
 
+  /** Q138: rare-token document scoring — the integer SURPRISAL
+    * surrogate for "LM quality scoring": each token contributes the
+    * inverse of its corpus frequency (⌊N / cnt(w)⌋, N = total token
+    * occurrences), a document's rarity is the per-token mean, and the
+    * 50 rarest documents surface (jargon, garbled text, codey blobs —
+    * exactly what a mixture curator inspects first). The q80 discipline:
+    * an ENGINE-EXACT integer stand-in for the log-based score (−log p
+    * is monotone in N/cnt), because ln/log2 doubles are libm-dependent
+    * and would never hash-match.
+    *
+    * Scale: (token, count) partial-combining agg, one broadcast 1-row
+    * total, one shuffle join of tokens→counts on token, one per-doc hash
+    * agg, TakeOrdered(50). No window, no global sort. */
+  def q138RareDocs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val cnts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = cnts.agg(sum(col("cnt")).as("total"))
+    toks.join(cnts, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("total div cnt")).as("surprisal"))
+      .withColumn("rarity", expr("surprisal div n_tokens"))
+      .orderBy(col("rarity").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31a_text_lang" -> (q31Lang _),
     "q31b_text_tokens" -> (q31Tokens _),
+    "q138_rare_docs" -> (q138RareDocs _),
     "q56_top_ngrams" -> (q56TopNgrams _),
     "q57_fuzzy_match" -> (q57FuzzyMatch _),
     "q59_tfidf" -> (q59Tfidf _),
@@ -615,6 +644,23 @@ object TextOps {
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // q138: same integer inverse-frequency fold; unnest ≡ explode over
+    // the identical split, integer div both sides, (rarity desc,
+    // doc_id) total order.
+    "q138_rare_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnts AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts),
+        |scored AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(tot.total // c.cnt) AS BIGINT) AS surprisal
+        |  FROM toks t JOIN cnts c USING (w) CROSS JOIN tot
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, surprisal,
+        |  surprisal // n_tokens AS rarity
+        |FROM scored ORDER BY rarity DESC, doc_id LIMIT 50""".stripMargin,
     // tx4 (round 7): the q95 polynomial folds replayed whole-document —
     // char fold base 31 mod P for content_hash, word-hash fold base 131
     // mod P for rolling_hash; list_reduce has no init so 0 is prepended.

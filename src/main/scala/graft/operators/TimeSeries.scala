@@ -171,14 +171,71 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Q136: OHLC resampling bars — per (event_type, day): first (open),
+    * max (high), min (low) and last (close) value plus the event count.
+    * The canonical downsampling shape every metrics/market pipeline
+    * runs; a FIRST/LAST-in-order aggregation, a class none of the other
+    * window or agg queries exercise (q16's rank picks rows; this picks
+    * boundary VALUES under a total in-bar order).
+    *
+    * Determinism (D1): in-bar order is (µs, event_id) — the same
+    * truncation contract as q127, total because event_id is unique.
+    * open/close come from two row_number passes (one per direction)
+    * rather than min_by/max_by over a struct: both engines express
+    * row_number identically, and the window sort spills instead of
+    * buffering.
+    *
+    * Scale: two window passes per (type, day) partition — small dense
+    * partitions, no global sort — then one hash agg. */
+  def q136Ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"), col("value"))
+    val wf = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wr = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(wf))
+      .withColumn("rr", row_number().over(wr))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rr") === 1, col("value"))).as("close"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_gapfill" -> (q54GapFill _),
     "q97_scd2" -> (q97Scd2 _),
     "q100_concurrency" -> (q100Concurrency _),
     "q127_arrival_gaps" -> (q127ArrivalGaps _),
+    "q136_ohlc" -> (q136Ohlc _),
   )
 
   val oracle: Map[String, String] = Map(
+    // q136: identical two-direction row_number selection under the
+    // (µs, event_id) in-bar order; CAST(ts AS DATE) ≡ to_date under the
+    // UTC session.
+    "q136_ohlc" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts_us, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts_us DESC, event_id DESC) AS rr
+        |  FROM ev)
+        |SELECT event_type, day, COUNT(*) AS n_events,
+        |  MAX(CASE WHEN rn = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rr = 1 THEN value END) AS close
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q127_arrival_gaps" ->
       """WITH g AS (
         |  SELECT event_type,

@@ -226,6 +226,29 @@ object StreamOps {
       .toDF("user_id", "n_events", "ewma_e3")
   }
 
+  /** STREAMING OHLC — q136's twin as a watermarked tumbling-window
+    * aggregate: open/close are `min_by`/`max_by` keyed by the D1
+    * (ts_ns, event_id) struct (streaming can't window-sort, but the
+    * boundary-value selection is an ordinary declarative agg, so the
+    * bar closes exactly once when the watermark passes). Equivalent to
+    * the batch row_number selection by definition of min_by over a
+    * total key — pinned batch≡stream in StreamingSpec. */
+  def ohlcStream(events: DataFrame, width: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events.filter(col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), struct(col("ts_ns"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_ns"), col("event_id")))
+          .as("close"))
+      .select(col("window.start").as("w"), col("event_type"),
+        col("n_events"), col("open"), col("high"), col("low"),
+        col("close"))
+
   /** Batch-side reference implementation for the equivalence tests:
     * floor ts to the window width. */
   def batchTumblingCounts(events: DataFrame, widthSeconds: Long): Column = {

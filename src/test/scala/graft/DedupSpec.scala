@@ -275,4 +275,26 @@ class DedupSpec extends SparkSpecBase {
     assert(run(64) == uncapped)
     assert(run(2) == uncapped)
   }
+
+  test("q137 crossCorpusDedup: planted near-copy is dropped, novel and " +
+      "excerpt docs survive, and existing docs are never candidates " +
+      "for self-matching") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      // near-copy of doc 1 (one word dropped) -> jaccard high, dropped
+      (11L, "alpha beta gamma delta epsilon zeta eta"),
+      // half-excerpt of doc 2 -> jaccard ~ 1/3 < 0.5, survives
+      (12L, "one two three four five"),
+      // genuinely novel -> survives
+      (13L, "completely unrelated words in this new document"))
+      .toDF("doc_id", "text")
+    val survivors = graft.operators.Dedup
+      .crossCorpusDedup(existing, incoming)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(12L, 13L))
+  }
 }

@@ -227,4 +227,37 @@ class GraphSpec extends SparkSpecBase {
     assert(mine == es, s"spark ${mine.size} edges vs replay ${es.size}")
     assert(mine.nonEmpty || es.isEmpty)
   }
+
+  test("q140 PPR: planted path graph matches an exact driver-side " +
+      "replay of the integer recursion; unreachable nodes score 0") {
+    import spark.implicits._
+    // path 0-1-2-...-9, seed {0}
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("u", "v")
+    val seeds = Seq(0L).toDF("node")
+    val scores = graft.operators.Graph
+      .personalizedPageRank(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact integer replay
+    val nbrs = (0L to 9L).map(i =>
+      i -> Seq(i - 1, i + 1).filter(j => j >= 0 && j <= 9)).toMap
+    val reset = (0L to 9L).map(i =>
+      i -> (if (i == 0L) 1000000L else 0L)).toMap
+    var s = reset
+    for (_ <- 1 to 5) {
+      s = (0L to 9L).map { v =>
+        val cs = nbrs(v).map(u => s(u) / nbrs(u).size).sum
+        v -> ((15L * reset(v)) / 100L + (85L * cs) / 100L)
+      }.toMap
+    }
+    assert(scores == s, s"spark $scores vs replay $s")
+    assert(scores(0L) >= 150000L, "seed keeps its teleport floor")
+    // mass travels at most 5 hops in 5 iterations
+    (6L to 9L).foreach(i => assert(scores(i) == 0L,
+      s"node $i is unreachable in 5 iterations"))
+    // a seedless run is all zeros (teleport mass gates everything)
+    val zero = graft.operators.Graph
+      .personalizedPageRank(edges, Seq.empty[Long].toDF("node"))
+      .collect().map(_.getLong(1))
+    assert(zero.forall(_ == 0L))
+  }
 }

@@ -70,4 +70,19 @@ class SamplingSpec extends SparkSpecBase {
       (col("w") + 50) * (1L << 20)).collect().map(_.getLong(0)).toSet
     assert(low.subsetOf(high))
   }
+
+  test("q139: largest-remainder apportionment sums to exactly 10000 bp " +
+      "and every source appears once") {
+    val rows = graft.operators.Sampling.q139TemperatureMix(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    assert(rows.map(_.getLong(3)).sum == 10000L,
+      "alloc_bp must apportion the full 10000 basis points exactly")
+    // floor shares alone under-allocate; the remainder distribution
+    // never hands any source more than floor + 1
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 10000L)
+    }
+  }
 }

@@ -433,6 +433,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming OHLC ≡ batch first/last/min/max per closed window " +
+      "(q136 twin)") {
+    val events = Seq(
+      EvI(ts(1), "a", 5.0, 1, 10), EvI(ts(3), "a", 9.0, 1, 11),
+      EvI(ts(2), "a", 1.0, 1, 12), EvI(ts(8), "a", 7.0, 2, 13),
+      EvI(ts(35), "b", 4.0, 2, 14), EvI(ts(40), "b", 2.0, 1, 15),
+      // watermark pusher closes all earlier 30-min windows
+      EvI(Timestamp.valueOf("2024-01-01 13:00:00"), "z", 0.0, 9, 99))
+    val withNs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    val input = MemoryStream[EvI](spark)
+    input.addData(events: _*)
+    val streamed = runAvailableNow(
+      StreamOps.ohlcStream(withNs(input.toDF()), width = "30 minutes",
+        watermark = "1 minute"), "ohlcstream")
+      .filter(col("event_type") =!= "z")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toSet
+    val batch = withNs(events.toDF())
+      .filter(col("event_type") =!= "z")
+      .groupBy(StreamOps.batchTumblingCounts(events.toDF(), 1800).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), struct(col("ts_ns"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_ns"), col("event_id")))
+          .as("close"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the 10:00-10:30 'a' bar: open = value at earliest (ts, id)
+    val bar = streamed.find(b => b._2 == "a" &&
+      b._1 == Timestamp.valueOf("2024-01-01 10:00:00")).get
+    // 4 events (10:01, 10:02, 10:03, 10:08): open = 5.0 (earliest),
+    // high 9.0, low 1.0, close = 7.0 (latest)
+    assert(bar._3 == 4L && bar._4 == 5.0 && bar._5 == 9.0 &&
+      bar._6 == 1.0 && bar._7 == 7.0)
+  }
+
   test("streaming EWMA ≡ batch ewmaByUser (q132 twin), two-long state " +
       "carried across batches, intra-batch disorder repaired") {
     // u1 accumulates across TWO batches (fed out of time order in batch
