@@ -308,7 +308,40 @@ object Behavioral {
       .orderBy("d")
   }
 
+  /** Q141: batch SESSIONIZATION with per-session stats — the 30-minute
+    * inactivity-gap session derivation (the analytics-standard
+    * definition) as a window computation: a session starts at any event
+    * whose gap from the user's previous event exceeds the threshold;
+    * the session number is the running count of starts; stats aggregate
+    * per (user, session). q35b sessionizes a STREAM via Spark's
+    * session_window state; this is its deterministic batch form under
+    * the hard oracle, and the input to bounce/dwell analyses.
+    *
+    * Determinism: (µs, event_id) total order (the q127/q136 contract);
+    * every derived quantity is integer. Scale: one lag window + one
+    * running-sum window + one hash agg, all partitioned per user. */
+  def q141Sessions(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L // 30 min
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > lit(gapUs), 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy("user_id", "session_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_sessions" -> (q141Sessions _),
     "q72_cohort" -> (q72Cohort _),
     "q73_funnel" -> (q73Funnel _),
     "q74_transitions" -> (q74Transitions _),
@@ -322,6 +355,33 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    // q141: same lag → gap-flag → running-sum session derivation under
+    // the (µs, event_id) order; session_no cast to BIGINT (DuckDB
+    // widens window SUMs — D6).
+    "q141_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_us
+        |  FROM ev),
+        |s AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |n AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_no
+        |  FROM s)
+        |SELECT user_id, session_no,
+        |  COUNT(*) AS n_events,
+        |  CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+        |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q135_daily_churn" ->
       """WITH um AS (
         |  SELECT DISTINCT user_id,

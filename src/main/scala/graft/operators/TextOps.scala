@@ -395,6 +395,30 @@ object TextOps {
       .withColumnRenamed("blk", "nation")
       .orderBy("nation", "id_a", "id_b")
 
+  /** Q142: ENTITY RESOLUTION end-to-end — q57's fuzzy pair graph closed
+    * into canonical entities: every customer appearing in a
+    * distance-≤2 pair maps to its cluster's minimum custkey (the MDM
+    * "golden record" id). Record linkage emits PAIRS; resolution needs
+    * the transitive closure — fuzzy chains (#1~#2~#3 by one digit each)
+    * make the diameter LINEAR in cluster size, so the closure runs on
+    * [[Dedup.connectedComponentsStar]] (large-star/small-star, O(log n)
+    * rounds — min-label propagation would need diameter rounds and
+    * refuses on these chains).
+    *
+    * Scale: pairs from the PassJoin blocking (q57's machinery — never
+    * O(n²)); the closure touches only paired nodes (a small fraction of
+    * the customer table). */
+  def q142EntityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyMatchPairs(load(spark, dir, "customer"),
+      "c_nationkey", "c_custkey", "c_name")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    Dedup.connectedComponentsStar(nodes, edges)
+      .select(col("id").as("c_custkey"), col("component").as("entity_id"))
+      .orderBy("c_custkey")
+  }
+
   /** Q59: TF-IDF top-k terms per document — the keyword-extraction /
     * relevance-weighting primitive of every text pipeline. The idf is
     * the integer-scaled rational `(N·10000) div df` instead of the
@@ -635,6 +659,7 @@ object TextOps {
     "tx2_quality" -> (tx2Quality _),
     "tx3_lang_id" -> (tx3LangId _),
     "tx4_fingerprint" -> (tx4Fingerprint _),
+    "q142_entity_clusters" -> (q142EntityClusters _),
   )
 
   /** tx3 IS oracle-gated (round 2): `size(split(text, re))-1`
@@ -739,6 +764,29 @@ object TextOps {
     // q57: the oracle states the SEMANTICS (all same-block pairs within
     // edit distance 2); the Spark side reaches the same set through the
     // lossless length-band prefilter.
+    // q142: q57's pair predicate + the q33g recursive-closure
+    // discipline — min reachable id per paired node ≡ the large-star/
+    // small-star fixpoint.
+    "q142_entity_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+        |nodes AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT id_a AS id FROM pairs
+        |    UNION ALL SELECT id_b FROM pairs)),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, re.r FROM edges e JOIN reach re ON e.src = re.node)
+        |SELECT node AS c_custkey, CAST(MIN(r) AS BIGINT) AS entity_id
+        |FROM reach GROUP BY node ORDER BY c_custkey""".stripMargin,
     "q57_fuzzy_match" ->
       """SELECT CAST(a.c_nationkey AS BIGINT) AS nation,
         |  a.c_custkey AS id_a, b.c_custkey AS id_b,
