@@ -37,6 +37,22 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     shinglesOf(split(text, " "), k)
 
+  /** Eagerly materialize a (small) RESULT frame, then release the
+    * internal persisted subtrees — the advice-r6 leak fix that keeps
+    * persist's speed: internal shingle/postings frames stay in the
+    * columnar cache (measured 3× faster than localCheckpoint'ing those
+    * wide internals, which stores raw rows and loses lazy
+    * co-scheduling), while the blocks are explicitly unpersisted here
+    * instead of leaking for the session's lifetime. The returned frame
+    * is a checkpointed leaf: tiny (verified pairs / survivor ids) and
+    * immune to the bench's clearCache. */
+  private def finishAndRelease(result: DataFrame, cached: DataFrame*)
+      : DataFrame = {
+    val out = result.localCheckpoint() // eager
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** MinHash signature — reference HOF formulation (kept for semantics
     * docs): min over shingles of xxhash64(shingle, s) per seed. The
     * production path uses the native `graft_minhash` expression
@@ -64,22 +80,19 @@ object Dedup {
     val r = numHashes / bands
     // shingle sets carried as 64-bit hashes: verification intersects long
     // arrays instead of shingle text (same jaccard modulo ~n²/2⁶⁴
-    // collisions; ~3× cheaper and the join moves no document text)
-    // Materialized once (eager localCheckpoint): this subtree feeds the
-    // band explode AND both verification sides — otherwise recomputed up
-    // to 3× in one DAG (ReuseExchange can't cover it: the three
-    // consumers partition on different keys). localCheckpoint, not
-    // persist (advice r6): a returned-lazy frame can never unpersist,
-    // so persist leaked cached blocks in long-lived sessions; checkpoint
-    // blocks are context-cleaned when unreferenced, and they spill to
-    // disk so a 100 TB corpus doesn't OOM. Payload is (doc_id, long[]),
-    // not text.
+    // collisions; ~3× cheaper and the join moves no document text).
+    // Persisted: this subtree feeds the band explode AND both
+    // verification sides — recomputed up to 3× in one DAG otherwise
+    // (ReuseExchange can't cover it: the three consumers partition on
+    // different keys). MEMORY_AND_DISK so a 100 TB corpus spills; the
+    // blocks are released by finishAndRelease below (advice r6 — no
+    // session-lifetime leak).
     val withSh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         array_distinct(transform(shinglesOf(col("w"), k),
           s => xxhash64(s))).as("sh"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSh
       .select(col("doc_id"),
         posexplode(bandKeys(minhashSignature(col("sh"), numHashes),
@@ -92,14 +105,14 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // Verification: shingle-hash sets join back once per side.
-    cand
+    finishAndRelease(cand
       .join(withSh.as("va"), col("doc_a") === col("va.doc_id"))
       .join(withSh.as("vb"), col("doc_b") === col("vb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("va.sh"), col("vb.sh"))).cast("double") /
           size(array_union(col("va.sh"), col("vb.sh"))).cast("double"))
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold), withSh)
   }
 
   /** EXACT dedup at scale: shuffle (content-hash, doc_id) pairs — never
@@ -377,16 +390,14 @@ object Dedup {
       threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     // 64-bit shingle hashes, not strings — shuffles move 8-byte keys
     // (collision odds ~n²/2⁶⁴); sorted ascending = the global token order
-    // the prefix filter requires. Materialized once (eager
-    // localCheckpoint — not persist, which leaks blocks from a
-    // returned-lazy frame): feeds the prefix index and both
-    // verification sides.
+    // the prefix filter requires. Persisted (feeds the prefix index and
+    // both verification sides); released by finishAndRelease (advice r6).
     val shSets = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         array_sort(array_distinct(transform(shinglesOf(col("w"), k),
           s => xxhash64(s)))).as("sh"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))).cast("int") + 1)
     val prefix = shSets
@@ -405,14 +416,14 @@ object Dedup {
       .select(col("doc_a"), explode(slice(col("docs"), col("i") + lit(2),
         size(col("docs")))).as("doc_b"))
       .distinct()
-    cand
+    finishAndRelease(cand
       .join(shSets.as("va"), col("doc_a") === col("va.doc_id"))
       .join(shSets.as("vb"), col("doc_b") === col("vb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("va.sh"), col("vb.sh"))).cast("double") /
           size(array_union(col("va.sh"), col("vb.sh"))).cast("double"))
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold), shSets)
   }
 
   /** Full-index postings form — the DEFAULT (and q33c's path): at
@@ -485,16 +496,14 @@ object Dedup {
           .as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // posted feeds both split branches and, through them, five more
-    // scans (pairs, capped arrays, heavy residual): eager
-    // localCheckpoint so the shingle explode + postings agg runs ONCE
+    // scans (pairs, capped arrays, heavy residual): persist so the
+    // shingle explode + postings agg runs once per action, not ~6×
     // (ReuseExchange can't cover subtrees that repartition
-    // differently). localCheckpoint, not persist (advice r6): persist
-    // leaked cached blocks in long-lived sessions — checkpoint blocks
-    // are dropped by the ContextCleaner when the frame is unreferenced.
+    // differently); released by finishAndRelease (advice r6).
     val posted = sh.groupBy("sh")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) >= 2)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallP = posted.filter(size(col("docs")) <= dfCap)
     val cappedP = posted.filter(size(col("docs")) > dfCap)
     // Per-doc sorted array of the capped-out shingles it contains —
@@ -514,7 +523,7 @@ object Dedup {
         size(col("docs")))).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_small"))
-      .localCheckpoint() // scanned by branch A and B's anti-join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withCapped = pairsSmall
       .join(cappedArr.as("ca"), col("doc_a") === col("ca.doc_id"), "left")
       .join(cappedArr.as("cb"), col("doc_b") === col("cb.doc_id"), "left")
@@ -548,12 +557,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ca.carr"), col("cb.carr")))
           .cast("long").as("shared"))
-    withCapped.unionByName(pairsHeavy)
+    finishAndRelease(withCapped.unionByName(pairsHeavy)
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         expr("(shared * 10000) div least(sa.sz, sb.sz)").as("cont_bp"))
-      .filter(col("cont_bp") >= minBp)
+      .filter(col("cont_bp") >= minBp), posted, pairsSmall)
   }
 
   def q102ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
@@ -700,7 +709,8 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(transform(shinglesOf(col("w"), k),
           s => xxhash64(s))).as("sh"))
-      .localCheckpoint() // feeds the index AND the verification side
+      // feeds the index AND the verification side; released below
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = shSets(existing)
     val in = shSets(incoming)
     val cand = in
@@ -718,9 +728,9 @@ object Dedup {
         (size(col("sa")) + size(col("sb")) - inter).cast("double")
           >= threshold)
       .select(col("new_id")).distinct()
-    in.select(col("doc_id"))
+    finishAndRelease(in.select(col("doc_id"))
       .join(dropped.select(col("new_id").as("doc_id")),
-        Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_anti"), ex, in)
   }
 
   /** Q137's derived incoming batch: every corpus doc re-arrives with a

@@ -389,11 +389,23 @@ object TextOps {
       // partitioning keeps all 32 tasks busy; the redundant DP on
       // multi-segment pairs is the cheaper evil.
 
+  /** Memoized q57 fuzzy pair set shared by q57/q142 (the
+    * Dedup.exactPairs pattern): both queries are views over ONE PassJoin
+    * computation — the pair list, and its transitive closure.
+    * localCheckpoint'ed so the second consumer reads a few hundred
+    * materialized rows instead of re-running the segment blocking. */
+  private val fuzzyPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairsCache.getOrElseUpdate((spark, dir),
+      fuzzyMatchPairs(load(spark, dir, "customer"), "c_nationkey",
+        "c_custkey", "c_name")
+        .withColumnRenamed("blk", "nation")
+        .localCheckpoint(true))
+
   def q57FuzzyMatch(spark: SparkSession, dir: String): DataFrame =
-    fuzzyMatchPairs(load(spark, dir, "customer"), "c_nationkey",
-      "c_custkey", "c_name")
-      .withColumnRenamed("blk", "nation")
-      .orderBy("nation", "id_a", "id_b")
+    fuzzyPairs(spark, dir).orderBy("nation", "id_a", "id_b")
 
   /** Q142: ENTITY RESOLUTION end-to-end — q57's fuzzy pair graph closed
     * into canonical entities: every customer appearing in a
@@ -409,8 +421,7 @@ object TextOps {
     * O(n²)); the closure touches only paired nodes (a small fraction of
     * the customer table). */
   def q142EntityClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = fuzzyMatchPairs(load(spark, dir, "customer"),
-      "c_nationkey", "c_custkey", "c_name")
+    val pairs = fuzzyPairs(spark, dir)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
