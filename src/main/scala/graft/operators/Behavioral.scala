@@ -340,7 +340,39 @@ object Behavioral {
       .orderBy("user_id", "session_no")
   }
 
+  // ---------------------------------------------------------------- q144
+
+  /** Q144: ROLLING 7-day distinct users per day (rolling WAU) — the
+    * trailing-window DISTINCT aggregate that a plain window frame
+    * cannot express (COUNT(DISTINCT) OVER a frame is unsupported in
+    * both engines), so it becomes a bounded fan-out join: each
+    * (user, active-day) row matches the ≤ 7 anchor days it is visible
+    * from. Distinct from q85 (calendar-week WAU buckets) — this is
+    * the smooth trailing curve dashboards plot.
+    *
+    * Scale shape: the big frame collapses FIRST to distinct (user,
+    * day) — one partial-combining shuffle on (user, day), never raw
+    * events downstream. The anchor-day dimension (~|date domain|,
+    * fact-independent) broadcasts; the range join fans each user-day
+    * out ≤ 7×, then one (anchor, user)-keyed distinct-count shuffle.
+    * No global window, no per-day state. */
+  def rollingWau(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val anchors = ud.select(col("d").as("ad")).distinct()
+    ud.join(broadcast(anchors),
+        col("d") <= col("ad") &&
+          col("d") > date_sub(col("ad"), windowDays))
+      .groupBy(col("ad").as("d"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+      .orderBy("d")
+  }
+
+  def q144RollingWau(spark: SparkSession, dir: String): DataFrame =
+    rollingWau(Tables.events(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_rolling_wau" -> (q144RollingWau _),
     "q141_sessions" -> (q141Sessions _),
     "q72_cohort" -> (q72Cohort _),
     "q73_funnel" -> (q73Funnel _),
@@ -355,6 +387,17 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    // q144: same distinct (user, day) collapse + ≤7-day range join to
+    // the observed-day anchors; DATE - 7 is date arithmetic in both
+    // engines.
+    "q144_rolling_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |anchors AS (SELECT DISTINCT d AS ad FROM ud)
+        |SELECT a.ad AS d, COUNT(DISTINCT u.user_id) AS wau7
+        |FROM ud u JOIN anchors a
+        |  ON u.d <= a.ad AND u.d > a.ad - 7
+        |GROUP BY a.ad ORDER BY a.ad""".stripMargin,
     // q141: same lag → gap-flag → running-sum session derivation under
     // the (µs, event_id) order; session_no cast to BIGINT (DuckDB
     // widens window SUMs — D6).

@@ -467,7 +467,71 @@ object CorpusPrep {
       Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"), Some("n_docs"))
       .orderBy("source")
 
+  // ---------------------------------------------------------------- q148
+
+  /** Q148: lang × source ASSOCIATION — the contingency-table
+    * independence check a corpus audit runs before trusting per-source
+    * language mixes: for every (lang, source) cell, the observed
+    * count, the integer lift (obs·N·10⁶ div (rowTot·colTot), 10⁶ =
+    * independence), and the signed excess obs·N − rowTot·colTot (the
+    * χ² numerator's sign — which cells are over/under-represented).
+    *
+    * Scale: one partial-combining (lang, source) count agg collapses
+    * the corpus to the contingency table (|langs|·|sources| rows —
+    * fact-independent); margins come from windows over that tiny
+    * frame. All-integer (D6); obs·N ≤ N² keeps BIGINT exact to
+    * N ≈ 3·10⁹ docs — beyond that the lift moves to DECIMAL
+    * internally. */
+  def q148LangSourceLift(spark: SparkSession, dir: String): DataFrame = {
+    val obs = load(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val wL = Window.partitionBy("lang")
+    val wS = Window.partitionBy("source")
+    val wAll = Window.partitionBy()
+    obs
+      .withColumn("row_tot", sum(col("n")).over(wL))
+      .withColumn("col_tot", sum(col("n")).over(wS))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .select(col("lang"), col("source"), col("n"),
+        expr("(n * tot * 1000000) div (row_tot * col_tot)")
+          .as("lift_ppm"),
+        expr("n * tot - row_tot * col_tot").as("excess"))
+      .orderBy("lang", "source")
+  }
+
+  // ---------------------------------------------------------------- q152
+
+  /** Q152: within-source PERCENTILE-RANK normalization — each
+    * document's token length mapped to its exact basis-point percent
+    * rank inside its source, pr_bp = (rank−1)·10⁴ div (n−1). The
+    * feature-normalization step that makes per-source thresholds
+    * comparable (a "long" doc on a tweets source and a "long" doc on
+    * a books source land at the same pr_bp); SQL percent_rank in its
+    * D6 integer form (no IEEE division in the gate).
+    *
+    * Ties share a RANK (same length ⇒ same pr_bp — deterministic
+    * without a tiebreak); the n = 1 degenerate source maps to 0
+    * (guarded: ANSI mode makes the bare n−1 division an error, not a
+    * null). Scale: two windows over the same source partitioning (one
+    * sort, one unordered count) — spill-sorted, no per-group buffer. */
+  def q152RankNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val w = Window.partitionBy("source").orderBy("toks")
+    val wn = Window.partitionBy("source")
+    d.withColumn("rk", rank().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("doc_id"), col("source"), col("toks"),
+        expr("CASE WHEN n > 1 THEN" +
+          " ((CAST(rk AS BIGINT) - 1) * 10000) div (n - 1)" +
+          " ELSE 0L END").as("pr_bp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_lang_source_lift" -> (q148LangSourceLift _),
+    "q152_rank_normalize" -> (q152RankNormalize _),
     "q64_normalize" -> (q64Normalize _),
     "q65_pii_redact" -> (q65PiiRedact _),
     "q66_seq_pack" -> (q66SeqPack _),
@@ -485,6 +549,39 @@ object CorpusPrep {
   )
 
   val oracle: Map[String, String] = Map(
+    // q152: RANK ties ≡ Spark rank; integer pr formula both sides;
+    // len(string_split) counts empties exactly like size(split).
+    "q152_rank_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, toks,
+        |    RANK() OVER (PARTITION BY source ORDER BY toks) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM d)
+        |SELECT doc_id, source, toks,
+        |  CASE WHEN n > 1
+        |       THEN ((CAST(rk AS BIGINT) - 1) * 10000) // (n - 1)
+        |       ELSE CAST(0 AS BIGINT) END AS pr_bp
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q148: margins as window sums over the same contingency frame;
+    // integer lift and signed excess on both sides.
+    "q148_lang_source_lift" ->
+      """WITH obs AS (
+        |  SELECT lang, source, COUNT(*) AS n
+        |  FROM documents GROUP BY lang, source),
+        |m AS (
+        |  SELECT lang, source, n,
+        |    CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS row_tot,
+        |    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS col_tot,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS tot
+        |  FROM obs)
+        |SELECT lang, source, n,
+        |  (n * tot * 1000000) // (row_tot * col_tot) AS lift_ppm,
+        |  n * tot - row_tot * col_tot AS excess
+        |FROM m ORDER BY lang, source""".stripMargin,
     // q64: same messy-blob construction, same normalization chain.
     // DuckDB regexp_replace needs the 'g' flag (Spark replaces all
     // matches by default).

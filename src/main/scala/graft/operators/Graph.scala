@@ -216,6 +216,54 @@ object Graph {
     personalizedPageRank(edges, seeds).orderBy("node")
   }
 
+  // ---------------------------------------------------------------- q143
+
+  /** Synchronous LABEL PROPAGATION community detection, fixed rounds —
+    * the modularity-free community primitive (Raghavan et al. 2007):
+    * every node starts labelled with itself; each round it adopts the
+    * label carried by MOST of its neighbours, ties broken by the
+    * smallest label. Distinct from connected components (which merge
+    * everything reachable) and k-core (which prunes) — LPA finds dense
+    * sub-communities INSIDE one component.
+    *
+    * Determinism (the q93/q131 discipline): synchronous rounds + an
+    * integer argmax with a total tie order ((count desc, label asc) —
+    * selected via `min(struct(-c, lab))`, no engine-arbitrary
+    * `arg_min`), fixed round count ⇒ bit-identical labels in any
+    * engine, converged or not, which is what puts a community
+    * algorithm under the hard SQL oracle.
+    *
+    * Scale: per round one src-keyed join of the symmetric edge list
+    * against the slim (node, label) frame, one (dst, label) count agg,
+    * one dst-keyed argmax agg — all partial-combining shuffles on node
+    * ids, never adjacency lists in a single buffer. Per-round
+    * localCheckpoint (iterative-loop rule). Every node has ≥1
+    * neighbour by construction (node set = edge endpoints), so the
+    * vote frame preserves the node set each round. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("src"), col("lab")), "src")
+        .groupBy(col("dst"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("lab"))).as("m"))
+        .select(col("dst").as("node"), col("m.lab").as("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
+  /** Q143: 3 LPA rounds over the co-supply graph. */
+  def q143Lpa(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(coEdges25(spark, dir), rounds = 3).orderBy("node")
+
   /** q91/q93/q99 all analyze the SAME co-supply graph (minShared=25):
     * memoized per (session, dir) so one Verify/Bench run builds the
     * edge list once (the Dedup.exactPairs pattern — eager
@@ -505,7 +553,39 @@ object Graph {
     "q104_assoc_rules" -> (q104AssocRules _),
     "q131_kcore_peel" -> (q131KCorePeel _),
     "q140_ppr" -> (q140Ppr _),
+    "q143_lpa_communities" -> (q143Lpa _),
   )
+
+  /** The q143 oracle unrolls the three synchronous LPA rounds; the
+    * argmax is a ROW_NUMBER window with the same (count desc, label
+    * asc) total tie order as the Spark `min(struct(-c, lab))`. Each
+    * level references its predecessor once, but MATERIALIZED keeps the
+    * vote join from being inlined into the window subquery. */
+  private val lpaOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT sym.dst AS node, p.lab AS lab, COUNT(*) AS c
+         |  FROM sym JOIN l${i - 1} p ON p.node = sym.src
+         |  GROUP BY sym.dst, p.lab),
+         |l$i AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |      ROW_NUMBER() OVER (PARTITION BY node
+         |        ORDER BY c DESC, lab) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |e AS (
+       |  SELECT a.s AS u, b.s AS v FROM ps a
+       |  JOIN ps b ON a.p = b.p AND a.s < b.s
+       |  GROUP BY a.s, b.s HAVING COUNT(*) >= 25),
+       |sym AS (SELECT u AS src, v AS dst FROM e
+       |        UNION ALL SELECT v AS src, u AS dst FROM e),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+       |$rounds
+       |SELECT node, lab AS community FROM l3 ORDER BY node""".stripMargin
+  }
 
   /** The q140 oracle: q93's unrolled-iteration discipline with the
     * seed-restricted reset; each level LEFT-joins the contribution sum
@@ -628,6 +708,7 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "q143_lpa_communities" -> lpaOracle,
     "q99_bfs" -> bfsOracle,
     "q131_kcore_peel" -> kCorePeelOracle,
     // q104: same distinct buyer sets and co counts as q94, both rule

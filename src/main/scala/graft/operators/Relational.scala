@@ -1372,8 +1372,47 @@ object Relational {
       countName = Some("cnt"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q150
+
+  /** Q150: 2-D SKYLINE (Pareto frontier) — orders that are
+    * "early AND expensive": no other order has an earlier-or-equal
+    * date with a strictly higher price, or a strictly earlier date
+    * with an equal-or-higher price. The multi-criteria dominance
+    * operator (Börzsönyi et al., ICDE 2001) — a computation class the
+    * rank/frame windows don't exercise because dominance is a partial
+    * order.
+    *
+    * Scale shape: the skyline is DISTRIBUTIVE — skyline(A ∪ B) ⊆
+    * skyline(A) ∪ skyline(B) — so the plan prunes with a
+    * partial-combining per-date MAX aggregation first (any row below
+    * its date's max is dominated by the max at the same date). The
+    * surviving one-row-per-distinct-date frame (~|date domain|, 2.4 k
+    * for 7 years — independent of fact cardinality) takes one
+    * running-max window for cross-date dominance. Ties at (date, max
+    * price) all survive (neither strictly dominates) — reported as
+    * n_tied. Doubles are only compared, never combined (D-rules:
+    * comparison of identical parquet values is engine-exact). */
+  def q150Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+    val pm = o.groupBy("d")
+      .agg(max(col("o_totalprice")).as("price"),
+        count(lit(1)).as("n_day"))
+    val tied = o.join(pm, "d")
+      .filter(col("o_totalprice") === col("price"))
+      .groupBy("d").agg(count(lit(1)).as("n_tied"))
+    val wPrev = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pm.withColumn("mprev", max(col("price")).over(wPrev))
+      .filter(col("mprev").isNull || col("price") > col("mprev"))
+      .join(tied, "d")
+      .select(col("d"), col("price"), col("n_tied"))
+      .orderBy("d")
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_skyline" -> (q150Skyline _),
     "q01_count" -> (q01Count _),
     "q02_project" -> (q02Project _),
     "q03_filter" -> (q03Filter _),
@@ -1456,6 +1495,25 @@ object Relational {
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
     * implementation-only → intentionally absent). */
   val oracle: Map[String, String] = Map(
+    // q150: skyline via the same per-date-max prune + strict-before
+    // running max; one row per distinct date so ROWS ≡ RANGE; doubles
+    // compared, never combined.
+    "q150_skyline" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice
+        |  FROM orders),
+        |pm AS (SELECT d, MAX(o_totalprice) AS price FROM o GROUP BY d),
+        |tied AS (
+        |  SELECT o.d, COUNT(*) AS n_tied
+        |  FROM o JOIN pm ON pm.d = o.d AND o.o_totalprice = pm.price
+        |  GROUP BY o.d)
+        |SELECT s.d, s.price, t.n_tied FROM (
+        |  SELECT d, price, MAX(price) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+        |  FROM pm) s
+        |JOIN tied t ON t.d = s.d
+        |WHERE s.mprev IS NULL OR s.price > s.mprev
+        |ORDER BY s.d""".stripMargin,
     "q98_merge_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name,

@@ -127,13 +127,67 @@ object Sampling {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q153
+
+  /** Q153: deterministic TRAIN/VAL/TEST split assignment + split audit
+    * — the reproducibility contract of a training pipeline: membership
+    * is a pure function of doc_id (first two hex chars of md5, string-
+    * compared against 'cd'/'e6' → ≈80.1/9.8/10.2%), so holdout sets
+    * never drift across runs, engines, partitionings or cluster
+    * sizes. Output is the per-(split, source) audit card: doc count,
+    * token volume, and each cell's share of the corpus in basis
+    * points — the table a data-card review checks before a train run.
+    *
+    * Determinism: md5 renders identical lowercase hex in both engines
+    * (the q46 bucket discipline); thresholds are string compares — no
+    * integer-conversion dialect. Scale: codegen'd projection + one
+    * partial-combining (split, source) agg + a 1-row broadcast. */
+  def q153SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        expr("substring(md5(CAST(doc_id AS STRING)), 1, 2)").as("h2"))
+      .withColumn("split",
+        expr("CASE WHEN h2 < 'cd' THEN 'train'" +
+          " WHEN h2 < 'e6' THEN 'val' ELSE 'test' END"))
+    val agg = d.groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    agg.crossJoin(broadcast(agg.agg(sum(col("n_docs")).as("total"))))
+      .select(col("split"), col("source"), col("n_docs"),
+        col("n_tokens"),
+        expr("(n_docs * 10000) div total").as("share_bp"))
+      .orderBy("split", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_det_sample" -> (q46Sample _),
     "q103_weighted_sample" -> (q103WeightedSample _),
     "q139_temperature_mix" -> (q139TemperatureMix _),
+    "q153_split_assign" -> (q153SplitAssign _),
   )
 
   val oracle: Map[String, String] = Map(
+    // q153: same md5-prefix assignment (identical lowercase hex both
+    // engines), string-compared thresholds, integer share.
+    "q153_split_assign" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+        |  FROM documents),
+        |s AS (
+        |  SELECT CASE WHEN h2 < 'cd' THEN 'train'
+        |              WHEN h2 < 'e6' THEN 'val'
+        |              ELSE 'test' END AS split, source, toks
+        |  FROM d),
+        |agg AS (
+        |  SELECT split, source, COUNT(*) AS n_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS n_tokens
+        |  FROM s GROUP BY split, source),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM agg)
+        |SELECT split, source, n_docs, n_tokens,
+        |  (n_docs * 10000) // total AS share_bp
+        |FROM agg, tot ORDER BY split, source""".stripMargin,
     // q139: same scaled isqrt weights, same exact integer
     // largest-remainder apportionment (rem desc, source tiebreak).
     "q139_temperature_mix" ->

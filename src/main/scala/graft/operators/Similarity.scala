@@ -338,7 +338,90 @@ object Similarity {
     * algorithmic — recall < 1 by design, so no SQL oracle can equal it).
     * q34a IS exact, so it is hash-gated against a DuckDB list-function
     * recomputation (see `oracle`). */
+  // --------------------------------------------------------------- q151
+
+  /** Q151: HARD-NEGATIVE mining — for every vector, the most similar
+    * vector carrying a DIFFERENT label (exact integer-rounded cosine,
+    * ties → smaller neighbor id). The contrastive-training data-prep
+    * primitive: hard negatives are what make embedding fine-tunes
+    * sharp, and they are by definition cross-label nearest neighbors.
+    *
+    * This is the recall-1 BASELINE (q92's discipline): an all-pairs
+    * label-filtered join with a partial-combining per-vector argmax —
+    * map-side combine collapses each partition's candidates to one
+    * row per vec before the shuffle, so the exchange moves |V| rows,
+    * not |V|². The documented 100 TB path swaps the cross join for
+    * the IVF/PQ candidate generators (knnIvf/knnPq) + exact re-rank
+    * with the label predicate pushed into the candidate filter —
+    * identical scoring, recall < 1. cos_e6 is BIGINT (D6). */
+  def hardNegatives(vectors: DataFrame): DataFrame = {
+    DotProductExpr.register(vectors.sparkSession)
+    val v = vectors
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nv", nativeNorm(col("v")))
+    v.as("a").join(v.as("b"),
+        col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.label") =!= col("b.label"))
+      .withColumn("cos_e6", floor(cosinePrenormed(
+          nativeDot(col("a.v"), col("b.v")), col("a.nv"), col("b.nv"))
+        * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(struct((-col("cos_e6")).as("nc"),
+        col("b.vec_id").as("nbr"))).as("m"))
+      .select(col("vec_id"), col("m.nbr").as("hard_neg"),
+        (-col("m.nc")).as("cos_e6"))
+  }
+
+  def q151HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(load(spark, dir, "embeddings")).orderBy("vec_id")
+
+  // --------------------------------------------------------------- q154
+
+  /** Q154: per-label EMBEDDING DISPERSION — the mean pairwise squared
+    * distance inside each label, computed WITHOUT a pair join via the
+    * algebraic identity
+    *   Σ_{i<j} ‖xᵢ − xⱼ‖² = n·Σᵢ‖xᵢ‖² − ‖Σᵢxᵢ‖²
+    * over e3-quantized integer coordinates. The cluster-compactness /
+    * diversity audit an embedding pipeline runs per class — and the
+    * repo's showcase of the REWRITE discipline: a quadratic pairwise
+    * quantity reduced to two linear partial-combining aggregations
+    * (per-(label, dim) sums, then per-label rollup). O(n·d) at any
+    * scale; the q92-style pair join would be O(n²·d).
+    *
+    * Determinism: float→double cast is exact, floor(x·1000+0.5) is the
+    * q34a rounding discipline, everything after is BIGINT (D6 — and
+    * all operands non-negative, so div ≡ `//`). Magnitudes: q ~ 10³,
+    * so n·Q ~ n²·d·10⁶ — exact in BIGINT to n ≈ 10⁵ per label at
+    * d = 64; beyond that the rollup moves to DECIMAL internally
+    * (documented, not needed at any fixture SF). */
+  def embedDispersion(vectors: DataFrame): DataFrame = {
+    val ex = vectors
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("label"), col("dim"),
+        expr("CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT)")
+          .as("q"))
+    val perDim = ex.groupBy("label", "dim")
+      .agg(sum(col("q")).as("s"), sum(expr("q * q")).as("qq"))
+    val perLab = perDim.groupBy("label")
+      .agg(sum(col("qq")).as("qsum"), sum(expr("s * s")).as("s2"))
+    val n = vectors.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    perLab.join(n, "label")
+      .select(col("label"), col("n_vecs"),
+        expr("n_vecs * qsum - s2").as("disp2_e6"),
+        expr("CASE WHEN n_vecs > 1 THEN (n_vecs * qsum - s2)" +
+          " div ((n_vecs * (n_vecs - 1)) div 2) ELSE 0L END")
+          .as("mean_pair_e6"))
+  }
+
+  def q154EmbedDispersion(spark: SparkSession, dir: String): DataFrame =
+    embedDispersion(load(spark, dir, "embeddings")).orderBy("label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_embed_dispersion" -> (q154EmbedDispersion _),
+    "q151_hard_negatives" -> (q151HardNegatives _),
     "q34a_knn_brute" -> (q34aKnnBrute _),
     "q34b_knn_lsh" -> (q34bKnnLsh _),
     "q34c_knn_ivf" -> (q34cKnnIvf _),
@@ -353,6 +436,58 @@ object Similarity {
     * so both engines rank identical values. Ties at equal rounded cos
     * break by neighbor id (D1). */
   val oracle: Map[String, String] = Map(
+    // q154: same e3 quantization, same two-level integer sums, same
+    // identity; Spark's 0-based posexplode dim vs the 1-based list
+    // index here only relabels the per-dim GROUP — the rollup is
+    // index-invariant.
+    "q154_embed_dispersion" ->
+      """WITH v AS (
+        |  SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+        |ex AS (
+        |  SELECT label, CAST(i AS INTEGER) AS dim,
+        |    CAST(floor(e[CAST(i AS INTEGER)] * 1000 + 0.5) AS BIGINT)
+        |      AS q
+        |  FROM (SELECT label, e,
+        |          unnest(generate_series(1, len(e))) AS i FROM v)),
+        |pd AS (
+        |  SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s,
+        |    CAST(SUM(q * q) AS BIGINT) AS qq
+        |  FROM ex GROUP BY label, dim),
+        |pl AS (
+        |  SELECT label, CAST(SUM(qq) AS BIGINT) AS qsum,
+        |    CAST(SUM(s * s) AS BIGINT) AS s2
+        |  FROM pd GROUP BY label),
+        |n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings
+        |      GROUP BY label)
+        |SELECT CAST(pl.label AS BIGINT) AS label, n.n_vecs,
+        |  n.n_vecs * pl.qsum - pl.s2 AS disp2_e6,
+        |  CASE WHEN n.n_vecs > 1
+        |       THEN (n.n_vecs * pl.qsum - pl.s2) //
+        |            ((n.n_vecs * (n.n_vecs - 1)) // 2)
+        |       ELSE CAST(0 AS BIGINT) END AS mean_pair_e6
+        |FROM pl JOIN n ON n.label = pl.label
+        |ORDER BY label""".stripMargin,
+    // q151: same IEEE op sequence as q92 (list_dot_product ≡ the
+    // codegen'd graft_dot loop, same cos association, same
+    // floor(x·1e6+0.5) rounding); argmax = ROW_NUMBER under the
+    // (cos desc, nbr asc) total tie order ≡ min(struct(-cos, nbr)).
+    "q151_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    CAST(floor((list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) *
+        |       sqrt(list_dot_product(b.e, b.e)))) * 1e6 + 0.5)
+        |      AS BIGINT) AS cos_e6
+        |  FROM v a JOIN v b
+        |    ON a.vec_id <> b.vec_id AND a.label <> b.label)
+        |SELECT vec_id, nbr AS hard_neg, cos_e6 FROM (
+        |  SELECT vec_id, nbr, cos_e6,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_e6 DESC, nbr) AS rn
+        |  FROM c) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q34a_knn_brute" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

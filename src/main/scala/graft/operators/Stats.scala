@@ -167,13 +167,17 @@ object Stats {
   }
 
   /** The q132 integer-EWMA step: λ = 1/8 as the exact integer recursion
-    * ewmaₖ = ⌊(7·ewmaₖ₋₁ + vₖ) / 8⌋, seed 0. `Math.floorDiv` FLOORS like
-    * DuckDB's `//` (Spark SQL's `div` truncates toward zero — they only
-    * agree for non-negative operands, so the JVM fold is the
-    * floor-consistent formulation that stays correct even if a fixture
-    * regeneration introduces negative values). */
+    * ewmaₖ = trunc((7·ewmaₖ₋₁ + vₖ) / 8), seed 0. Round-7 correction:
+    * DuckDB's BIGINT `//` TRUNCATES toward zero (measured: -7 // 4 =
+    * -1), so Java long division — NOT Math.floorDiv — is the
+    * any-sign-safe twin of the oracle's `(7*acc + v) // 8`. For the
+    * guarded non-negative fixture (FixtureGuardSpec pins min(value) ≥
+    * 0) the two are identical, so the oracle and all goldens are
+    * unchanged; a fixture regeneration with negative values now stays
+    * engine-consistent instead of drifting one ulp per negative
+    * step. */
   @inline def ewmaStep(acc: Long, v: Long): Long =
-    Math.floorDiv(7L * acc + v, 8L)
+    (7L * acc + v) / 8L
 
   /** Q132: integer-scaled EWMA (λ = 1/8) of each user's event values in
     * strict (ts_ns, event_id) order — the exponentially-weighted
@@ -261,7 +265,88 @@ object Stats {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q146
+
+  /** One Holt step on (level, trend) with α = β = 1/4 as exact integer
+    * recursions under TRUNCATING division (Java long `/`):
+    *   lₖ = trunc((vₖ + 3·(lₖ₋₁ + bₖ₋₁)) / 4)
+    *   bₖ = trunc(((lₖ − lₖ₋₁) + 3·bₖ₋₁) / 4)
+    * The trend numerator goes negative on falling series, and DuckDB's
+    * BIGINT `//` TRUNCATES toward zero there (measured: -7 // 4 = -1 —
+    * it is NOT floor division, despite its docs-adjacent reputation;
+    * Math.floorDiv would give -2 and drift one ulp per falling step).
+    * Java long division has exactly DuckDB's truncation semantics, so
+    * the JVM fold and the oracle recursion agree for ANY sign. */
+  @inline def holtStep(l: Long, b: Long, v: Long): (Long, Long) = {
+    val l1 = (v + 3L * (l + b)) / 4L
+    (l1, ((l1 - l) + 3L * b) / 4L)
+  }
+
+  /** Q146: HOLT double-exponential smoothing (level + trend) of each
+    * event type's daily value total — the trend-aware forecasting
+    * recursion EWMA (q132) can't express: a steadily growing series
+    * keeps a positive trend term and forecasts ABOVE its level. Seeds
+    * l₁ = v₁, b₁ = 0; output is the final (level, trend) state and
+    * the one-step forecast l + b.
+    *
+    * COUPLED 2-D state (each step needs both previous level and
+    * previous trend), so the computation class is the q132 stateful
+    * sequential fold with a vector accumulator — not a window, not a
+    * mergeable agg (integer floors don't compose). Scale shape is
+    * q132's exactly: the corpus collapses to (type, day) partials
+    * first (ONE shuffle sees volume), then repartition by type +
+    * sortWithinPartitions (spill sort) + one streaming mapPartitions
+    * fold — per-group state is two longs, never a buffered history.
+    * The oracle replays the recursion as a DuckDB RECURSIVE CTE
+    * stepping rn → rn+1 (breadth-wise: iterations = max days per
+    * type, rows per step = |types| — tiny). */
+  def holtByType(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily.select(col("event_type"), col("dnum"), col("v"))
+      .as[(String, Int, Long)]
+      .repartition(col("event_type"))
+      .sortWithinPartitions("event_type", "dnum")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(String, Long, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, Long, Long, Long) = {
+            val et = buf.head._1
+            var n = 0L
+            var l = 0L
+            var b = 0L
+            while (buf.hasNext && buf.head._1 == et) {
+              val v = buf.next()._3
+              if (n == 0L) { l = v; b = 0L }
+              else {
+                val st = holtStep(l, b, v)
+                l = st._1
+                b = st._2
+              }
+              n += 1L
+            }
+            (et, n, l, b)
+          }
+        }
+      }
+      .toDF("event_type", "n_days", "level_e3", "trend_e3")
+      .withColumn("forecast_e3", col("level_e3") + col("trend_e3"))
+  }
+
+  def q146Holt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+        .as("v"))
+      .select(col("event_type"), expr("unix_date(day)").as("dnum"),
+        col("v"))
+    holtByType(daily).orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_holt" -> (q146Holt _),
     "q51_stats" -> (q51Stats _),
     "q55_cond_aggs" -> (q55CondAggs _),
     "q90_value_outliers" -> (q90ValueOutliers _),
@@ -271,6 +356,39 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // q146: the Holt recursion replayed as a RECURSIVE CTE stepping
+    // rn → rn+1 per event type; BIGINT `//` truncates toward zero
+    // exactly like the JVM fold's long division (see holtStep — the
+    // trend numerator goes negative); lₖ is written out twice inside
+    // the step (SQL can't bind it) — same integer ops, same result.
+    "q146_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
+        |t AS (
+        |  SELECT event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS rn, v
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, rn, v AS l, CAST(0 AS BIGINT) AS b
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.event_type, t.rn,
+        |    (t.v + 3 * (s.l + s.b)) // 4 AS l,
+        |    (((t.v + 3 * (s.l + s.b)) // 4) - s.l + 3 * s.b) // 4 AS b
+        |  FROM s JOIN t
+        |    ON t.event_type = s.event_type AND t.rn = s.rn + 1),
+        |mx AS (SELECT event_type, MAX(rn) AS mr FROM t
+        |       GROUP BY event_type)
+        |SELECT s.event_type, CAST(mx.mr AS BIGINT) AS n_days,
+        |  s.l AS level_e3, s.b AS trend_e3, s.l + s.b AS forecast_e3
+        |FROM s JOIN mx
+        |  ON mx.event_type = s.event_type AND s.rn = mx.mr
+        |ORDER BY s.event_type""".stripMargin,
     // q132: list_reduce has no seed parameter — prepending 0 makes the
     // first element the seed, ≡ Spark's aggregate(…, 0L, …). Integer
     // `//` and `div` agree (operands non-negative).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -653,7 +654,109 @@ object TextOps {
       .limit(50)
   }
 
+  // ---------------------------------------------------------------- q145
+
+  /** Q145: BPE merge-candidate statistics — the FIRST round of
+    * byte-pair-encoding tokenizer training: over the word vocabulary
+    * (weighted by word frequency), count every adjacent character
+    * pair and rank the top 20 merge candidates. The "train a
+    * tokenizer on the corpus" primitive; round k > 1 only differs by
+    * applying the chosen merge, so the round-1 statistics exercise
+    * the whole computation shape.
+    *
+    * Scale: the corpus collapses to the (word, count) vocabulary
+    * FIRST (Heaps' law: vocab ≪ corpus — the one shuffle that sees
+    * volume carries (word, partial count)); the char-pair fan-out
+    * runs over the vocab only, ≤ |word| pairs per type, then one slim
+    * (pair, weight) agg and a TakeOrdered(20). All-integer (D6).
+    * `substr`/`char_length` are codepoint-based in both engines, so
+    * multi-byte text agrees. Words of length < 2 are filtered BEFORE
+    * the `sequence` fan-out (Spark's sequence(1, 0) counts DOWN —
+    * the guard is load-bearing). */
+  def q145BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wc = load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    wc.filter(length(col("w")) >= 2)
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, char_length(w) - 1)," +
+          " i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("c")).as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- q147
+
+  /** Q147: INVERTED INDEX construction — per token: document
+    * frequency, first posting, and the first 5 doc ids as a
+    * comma-joined posting-list prefix. The retrieval-side artifact a
+    * corpus pipeline materializes next to the training shards (BM25 /
+    * keyword search both start here).
+    *
+    * Determinism: postings prefix is rank-selected under the total
+    * (w, doc_id) order via a row_number window, THEN collected — the
+    * q42 discipline: the window sort spills, and the per-token
+    * collect buffer holds ≤ 5 ids by construction, never a stopword's
+    * full posting list. `collect_list(CASE …)` drops the rank > 5
+    * nulls on the Spark side exactly like DuckDB's `string_agg(CASE
+    * …)` skips them. */
+  def q147InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val td = load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"), col("doc_id"))
+      .distinct()
+    val wByW = Window.partitionBy("w").orderBy("doc_id")
+    td.withColumn("rn", row_number().over(wByW))
+      .groupBy("w")
+      .agg(count(lit(1)).as("df"),
+        min(col("doc_id")).as("min_doc"),
+        expr("concat_ws(',', transform(array_sort(" +
+          "collect_list(CASE WHEN rn <= 5 THEN doc_id END))," +
+          " x -> CAST(x AS STRING)))").as("postings"))
+      .orderBy("w")
+  }
+
+  // ---------------------------------------------------------------- q149
+
+  /** Q149: BIGRAM-MODEL surprisal scoring — train bigram + unigram
+    * counts on the corpus itself, then score each document by the
+    * mean integer inverse conditional probability of its bigrams,
+    * ⌊n(w₁)·10⁶ div n(w₁w₂)⌋ (monotone in −log p(w₂|w₁) per bigram).
+    * The fluency/perplexity-style quality signal q138's unigram
+    * rarity can't see: a document of common words in IMPROBABLE order
+    * scores high here and low there. Top 50 most-surprising docs.
+    *
+    * Scale: bigram counts are a partial-combining (wa, wb) agg; the
+    * score join is bigram-keyed (shuffle carries two words + a
+    * count); unigram vocab joins by wa (broadcast-eligible by Heaps'
+    * law, left to AQE). All-integer; n(w₁)·10⁶ ≤ 10⁶·|tokens| sits
+    * far under BIGINT for any per-partition exact count. */
+  def q149BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val ws = load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val bigr = ws.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> struct(element_at(ws, i) AS wa," +
+          " element_at(ws, i + 1) AS wb))")).as("p"))
+      .select(col("doc_id"), col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val uni = ws.select(explode(col("ws")).as("wa"))
+      .groupBy("wa").agg(count(lit(1)).as("na"))
+    val bc = bigr.groupBy("wa", "wb").agg(count(lit(1)).as("nab"))
+    bigr.join(bc, Seq("wa", "wb"))
+      .join(uni, "wa")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(na * 1000000) div nab")).as("surp_sum"))
+      .withColumn("surp_mean", expr("surp_sum div n_bigrams"))
+      .orderBy(col("surp_mean").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_bpe_pairs" -> (q145BpePairs _),
+    "q147_inverted_index" -> (q147InvertedIndex _),
+    "q149_bigram_surprisal" -> (q149BigramSurprisal _),
     "q31a_text_lang" -> (q31Lang _),
     "q31b_text_tokens" -> (q31Tokens _),
     "q138_rare_docs" -> (q138RareDocs _),
@@ -680,6 +783,66 @@ object TextOps {
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // q145: same vocab-first collapse + lateral pair fan-out;
+    // length/substr are codepoint-based in both engines, and the
+    // length >= 2 guard runs before the series on both sides.
+    "q145_bpe_pairs" ->
+      """WITH wc AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, c FROM (
+        |    SELECT w, c,
+        |      unnest(generate_series(1, length(w) - 1)) AS i
+        |    FROM wc WHERE length(w) >= 2))
+        |SELECT pair, CAST(SUM(c) AS BIGINT) AS weight
+        |FROM pairs GROUP BY pair
+        |ORDER BY weight DESC, pair LIMIT 20""".stripMargin,
+    // q147: string_agg skips the rank > 5 NULLs exactly like Spark's
+    // collect_list; ORDER BY doc_id inside the agg ≡ array_sort
+    // (postings per token are distinct).
+    "q147_inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT w, doc_id FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w, doc_id
+        |    FROM documents)),
+        |r AS (
+        |  SELECT w, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id) AS rn
+        |  FROM td)
+        |SELECT w, COUNT(*) AS df, MIN(doc_id) AS min_doc,
+        |  COALESCE(string_agg(
+        |    CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+        |    ',' ORDER BY doc_id), '') AS postings
+        |FROM r GROUP BY w ORDER BY w""".stripMargin,
+    // q149: same bigram/unigram training counts and integer inverse
+    // conditional probability; list indexing is 1-based in both
+    // engines' formulations.
+    "q149_bigram_surprisal" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bigr AS (
+        |  SELECT doc_id, ws[CAST(i AS INTEGER)] AS wa,
+        |    ws[CAST(i AS INTEGER) + 1] AS wb
+        |  FROM (
+        |    SELECT doc_id, ws,
+        |      unnest(generate_series(1, len(ws) - 1)) AS i
+        |    FROM ws WHERE len(ws) >= 2)),
+        |uni AS (
+        |  SELECT wa, COUNT(*) AS na FROM (
+        |    SELECT unnest(ws) AS wa FROM ws) GROUP BY wa),
+        |bc AS (
+        |  SELECT wa, wb, COUNT(*) AS nab FROM bigr GROUP BY wa, wb),
+        |scored AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM((u.na * 1000000) // c.nab) AS BIGINT) AS surp_sum
+        |  FROM bigr b JOIN bc c USING (wa, wb) JOIN uni u USING (wa)
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams, surp_sum,
+        |  surp_sum // n_bigrams AS surp_mean
+        |FROM scored ORDER BY surp_mean DESC, doc_id LIMIT 50""".stripMargin,
     // q138: same integer inverse-frequency fold; unnest ≡ explode over
     // the identical split, integer div both sides, (rarity desc,
     // doc_id) total order.

@@ -226,6 +226,45 @@ object StreamOps {
       .toDF("user_id", "n_events", "ewma_e3")
   }
 
+  /** STREAMING HOLT — q146's twin: the coupled (level, trend)
+    * recursion (`Stats.holtStep`, truncating division, seeds l₁ = v₁,
+    * b₁ = 0) kept continuously per event type as THREE LONGS of state
+    * (day count, level, trend) via flatMapGroupsWithState — the
+    * ewmaStream pattern with a 2-D accumulator. Input is the (type,
+    * dnum, v) daily frame (in production the upstream watermarked
+    * daily aggregate); each micro-batch sorts its slice by dnum and
+    * folds, so replaying the same days through any batching equals
+    * the batch `Stats.holtByType` fold (pinned in StreamingSpec,
+    * including cross-batch carry). Cross-batch late days are the
+    * documented funnel-twin limit. */
+  def holtStream(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    daily.select(col("event_type").cast("string"),
+        col("dnum").cast("int"), col("v").cast("long"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[(String, Int, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (n, l, b) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.toVector.sortBy(_._2).foreach { r =>
+            if (n == 0L) { l = r._3; b = 0L }
+            else {
+              val st = graft.operators.Stats.holtStep(l, b, r._3)
+              l = st._1
+              b = st._2
+            }
+            n += 1L
+          }
+          state.update((n, l, b))
+          Iterator.single((et, n, l, b, l + b))
+      }
+      .toDF("event_type", "n_days", "level_e3", "trend_e3",
+        "forecast_e3")
+  }
+
   /** STREAMING OHLC — q136's twin as a watermarked tumbling-window
     * aggregate: open/close are `min_by`/`max_by` keyed by the D1
     * (ts_ns, event_id) struct (streaming can't window-sort, but the

@@ -163,4 +163,26 @@ class BehavioralSpec extends SparkSpecBase {
       .find(_.getLong(0) == 4L).map(_.getLong(1)).getOrElse(0L)
     assert(nConv == depth4)
   }
+
+  test("q144 rolling WAU == driver-side trailing-7-day distinct count") {
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    val expect = days.map { ad =>
+      ad -> ud.filter { case (_, d) =>
+        !d.isAfter(ad) && d.isAfter(ad.minusDays(7))
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    val got = Behavioral.q144RollingWau(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(got == expect)
+    // sanity: the window is trailing — the first day's WAU equals its
+    // own DAU
+    val first = days.min(Ordering.by((d: java.time.LocalDate) =>
+      d.toEpochDay))
+    assert(got(first) ==
+      ud.filter(_._2 == first).map(_._1).distinct.length.toLong)
+  }
 }

@@ -224,4 +224,27 @@ class CorpusPrepSpec extends SparkSpecBase {
       assert(r.getAs[Long]("rate16") == (16L * mn) / counts(r.getString(0)))
     }
   }
+
+  test("q148 lang×source lift: margins reconcile and cells sum to N") {
+    val rows = CorpusPrep.q148LangSourceLift(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val n = rows.map(_._2._1).sum
+    val rowTot = rows.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._1).sum).toMap
+    val colTot = rows.groupBy(_._1._2).view
+      .mapValues(_.map(_._2._1).sum).toMap
+    assert(n == load(spark, sf, "documents").count())
+    rows.foreach { case ((lang, source), (obs, liftPpm, excess)) =>
+      val rt = rowTot(lang); val ct = colTot(source)
+      assert(liftPpm == (obs * n * 1000000L) / (rt * ct))
+      assert(excess == obs * n - rt * ct)
+    }
+    // the lift is centered: positive-excess cells have lift > 1e6,
+    // negative-excess cells < 1e6 (integer floor keeps the boundary)
+    rows.foreach { case (_, (_, liftPpm, excess)) =>
+      if (excess > 0) assert(liftPpm >= 1000000L)
+      else if (excess < 0) assert(liftPpm < 1000000L)
+    }
+  }
 }

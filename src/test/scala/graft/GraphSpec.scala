@@ -260,4 +260,36 @@ class GraphSpec extends SparkSpecBase {
       .collect().map(_.getLong(1))
     assert(zero.forall(_ == 0L))
   }
+
+  test("q143 LPA: two cliques joined by a bridge resolve to two " +
+      "communities with min-label tie-breaks") {
+    // clique A = {1..5}, clique B = {11..15}, bridge (5, 11).
+    // Hand-simulated 3 synchronous rounds (round 1 is all-ties → min
+    // neighbour; round 2 counts dominate; round 3 is stable): every A
+    // node lands on label 1, every B node on label 11.
+    val edges = edgeDF(
+      ((for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) ++
+        (for (a <- 11L to 15L; b <- (a + 1) to 15L) yield (a, b)) ++
+        Seq((5L, 11L))): _*)
+    val got = Graph.labelPropagation(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert((11L to 15L).forall(got(_) == 11L))
+  }
+
+  test("q143 LPA: one-round vote goldens (all-tie → min label, " +
+      "neighbours only — a node never votes for itself)") {
+    // center 0 wired to {1,2,3,9}, triangle on {1,2,3}. One round:
+    // node 0 sees labels {1,2,3,9} once each → tie → min = 1;
+    // node 1 sees {0,2,3} → 0; leaf 9 sees only {0} → 0.
+    val star = edgeDF((0L, 1L), (0L, 2L), (0L, 3L), (0L, 9L),
+      (1L, 2L), (1L, 3L), (2L, 3L))
+    val r1 = Graph.labelPropagation(star, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(0L) == 1L) // all-tie → min label
+    // node 1's neighbours are {0, 2, 3} — all singleton labels, min 0
+    assert(r1(1L) == 0L)
+    // node 9's only neighbour is the center
+    assert(r1(9L) == 0L)
+  }
 }

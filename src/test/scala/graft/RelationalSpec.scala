@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Relational
 
 /** Golden-value regression for the relational surface at sf0.001 (fast
@@ -376,6 +378,33 @@ class RelationalSpec extends SparkSpecBase {
     p.foreach { r =>
       assert(!r.isNullAt(1)) // PROMO parts present in every ship-year
       assert(r.getDouble(3) == r.getDouble(1) / r.getDouble(2))
+    }
+  }
+
+  test("q150 skyline == brute-force dominance check over the fixture") {
+    val pts = graft.Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getDouble(1)))
+    // brute skyline: (d, p) survives iff no point has (d' <= d,
+    // p' >= p) with one strict — evaluated on the per-date max frame
+    // (any sub-max row at a date is dominated by its date's max).
+    val pm = pts.groupBy(_._1).map { case (d, xs) =>
+      (d, xs.map(_._2).max)
+    }.toSeq
+    val expect = pm.filter { case (d, p) =>
+      !pm.exists { case (d2, p2) =>
+        d2 <= d && p2 >= p && (d2 < d || p2 > p)
+      }
+    }.toMap
+    val got = Relational.q150Skyline(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        (r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.view.mapValues(_._1).toMap == expect)
+    // n_tied counts the rows at exactly (date, max price)
+    got.foreach { case (d, (p, nTied)) =>
+      assert(nTied ==
+        pts.count { case (d2, p2) => d2 == d && p2 == p }.toLong)
     }
   }
 }

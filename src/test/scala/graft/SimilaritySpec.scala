@@ -171,4 +171,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r4 >= r1, s"refine=4 recall $r4 < refine=1 recall $r1")
     assert(r4 > 0.5, s"refine=4 recall $r4 — ADC shortlist too lossy")
   }
+
+  test("q154 dispersion identity == brute-force pairwise sum on " +
+      "planted vectors (incl. a singleton label)") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, Seq(1.0f, 0.0f, 2.5f), 0),
+      (2L, Seq(0.0f, 1.0f, -1.5f), 0),
+      (3L, Seq(2.0f, 2.0f, 0.0f), 0),
+      (4L, Seq(-1.0f, 0.5f, 0.25f), 1),
+      (5L, Seq(1.0f, -0.5f, 3.0f), 1),
+      (6L, Seq(9.0f, 9.0f, 9.0f), 7)) // singleton label
+    val df = data.toDF("vec_id", "embedding", "label")
+    val got = Similarity.embedDispersion(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+    data.groupBy(_._3).foreach { case (label, vs) =>
+      val qs = vs.map(v => quant(v._2))
+      val brute = (for {
+        i <- qs.indices; j <- (i + 1) until qs.size
+      } yield qs(i).zip(qs(j)).map { case (a, b) =>
+        (a - b) * (a - b)
+      }.sum).sum
+      val n = qs.size.toLong
+      val (gn, gd, gm) = got(label.toLong)
+      assert(gn == n)
+      assert(gd == brute, s"label $label disp $gd != brute $brute")
+      assert(gm == (if (n > 1) brute / (n * (n - 1) / 2) else 0L))
+    }
+  }
 }

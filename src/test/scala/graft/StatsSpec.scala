@@ -128,10 +128,17 @@ class StatsSpec extends SparkSpecBase {
     assert(got == want)
   }
 
-  test("q132: ewmaStep floors like DuckDB's // for negative accumulators") {
-    // (7 * -1 + 0) / 8: floor = -1, truncation = 0 — the fold must floor
-    assert(Stats.ewmaStep(-1L, 0L) == -1L)
-    assert(Stats.ewmaStep(0L, -9L) == -2L)
+  test("q132: ewmaStep TRUNCATES like DuckDB's measured BIGINT // " +
+      "for negative accumulators (round-7 correction)") {
+    // Measured in DuckDB 1.0.0, including inside the oracle's
+    // list_reduce lambda: (7 * -1 + 0) // 8 = 0 (truncation toward
+    // zero), NOT -1 (floor) — the round-6 version of this test pinned
+    // floor semantics from the docs' reputation and was wrong. The
+    // fold must truncate to stay the oracle's twin on any sign
+    // (irrelevant under the FixtureGuardSpec min(value) >= 0 pin,
+    // load-bearing the day that pin is relaxed).
+    assert(Stats.ewmaStep(-1L, 0L) == 0L)
+    assert(Stats.ewmaStep(0L, -9L) == -1L)
     assert(Stats.ewmaStep(0L, 9L) == 1L)
   }
 
@@ -152,5 +159,43 @@ class StatsSpec extends SparkSpecBase {
       assert(r.getLong(4) == xs.count(x => math.abs(x - med) > 3.0 * mad))
     }
     assert(rows.nonEmpty)
+  }
+
+  test("q146 holtStep: truncating division goldens, incl. the " +
+      "negative-trend branch where floorDiv would differ") {
+    // seed l=100, b=0 then v=0: l' = (0 + 300)/4 = 75,
+    // b' = (75 - 100 + 0)/4 = -25/4 → -6 under truncation (-7 under
+    // floor — the DuckDB BIGINT `//` measurement pinned in holtStep).
+    assert(Stats.holtStep(100L, 0L, 0L) == ((75L, -6L)))
+    // rising series keeps a positive trend
+    assert(Stats.holtStep(0L, 0L, 100L) == ((25L, 6L)))
+  }
+
+  test("q146 holtByType: distributed fold == driver replay on a " +
+      "planted hot type spanning every shuffle partition") {
+    import spark.implicits._
+    // hot type: 5000 days with sign-alternating values (exercises the
+    // negative-trend branch); cold type: 3 days. Input deliberately
+    // shuffled so the repartition+sortWithinPartitions order does the
+    // work.
+    val hot = (0 until 5000).map(i =>
+      ("hot", i, ((i % 7) - 3).toLong * 1000L + i))
+    val cold = Seq(("cold", 0, 50L), ("cold", 1, -20L), ("cold", 2, 7L))
+    val daily = scala.util.Random.shuffle(hot ++ cold)
+      .toDF("event_type", "dnum", "v").repartition(7)
+    val got = Stats.holtByType(daily).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def replay(vs: Seq[Long]): (Long, Long, Long, Long) = {
+      var l = 0L; var b = 0L; var n = 0L
+      vs.foreach { v =>
+        if (n == 0L) { l = v; b = 0L }
+        else { val st = Stats.holtStep(l, b, v); l = st._1; b = st._2 }
+        n += 1L
+      }
+      (n, l, b, l + b)
+    }
+    assert(got("hot") == replay(hot.sortBy(_._2).map(_._3)))
+    assert(got("cold") == replay(cold.sortBy(_._2).map(_._3)))
   }
 }

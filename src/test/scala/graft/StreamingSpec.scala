@@ -518,6 +518,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming Holt ≡ batch holtByType (q146 twin), coupled " +
+      "(level, trend) state across batches, disorder repaired") {
+    // 'hot' spans both batches with batch-1 days out of order (the
+    // sort-within-slice repair); 'cold' appears only in batch 2. The
+    // falling tail exercises the negative-trend truncation branch.
+    val b1 = Seq(("hot", 2, 300L), ("hot", 1, 100L), ("hot", 3, -50L))
+    val b2 = Seq(("hot", 4, -200L), ("cold", 1, 40L), ("cold", 2, 10L))
+    val input = MemoryStream[(String, Int, Long)](spark)
+    val q = graft.streaming.StreamOps
+      .holtStream(input.toDF()
+        .toDF("event_type", "dnum", "v"))
+      .writeStream.format("memory").queryName("holtstream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-holt").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("holtstream")
+        .groupBy("event_type")
+        .agg(max_by(struct(col("n_days"), col("level_e3"),
+          col("trend_e3"), col("forecast_e3")), col("n_days")).as("s"))
+        .select(col("event_type"), col("s.n_days"), col("s.level_e3"),
+          col("s.trend_e3"), col("s.forecast_e3"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val batch = graft.operators.Stats
+        .holtByType((b1 ++ b2).toDF("event_type", "dnum", "v"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(streamed == batch)
+      // the cross-batch carry: 'hot' folded all four days
+      assert(streamed("hot")._1 == 4L)
+    } finally q.stop()
+  }
+
   test("streaming arrival gaps ≡ batch lag window (q127 twin), gap " +
       "spanning the batch boundary included, disorder repaired") {
     // u1/click emits gaps 2min (batch 1) and 3min (ACROSS the batch

@@ -274,4 +274,61 @@ class TextOpsSpec extends SparkSpecBase {
     // 100 tokens: hot=30 (30% > 25%) qualifies; warm=24 (24%) does not
     assert(got == Seq(("hot", 30L)))
   }
+
+  test("q145 BPE pairs == driver recomputation over the fixture vocab") {
+    val texts = load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val wc = texts.flatMap(_.split(" ", -1))
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+    val weights = collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      if (w.length >= 2)
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          weights(p) = weights.getOrElse(p, 0L) + c
+        }
+    }
+    val expect = weights.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = TextOps.q145BpePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("q147 inverted index: df / min / postings prefix goldens from " +
+      "a driver recomputation") {
+    val docs = load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val postings = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).distinct.map(w => (w, id))
+    }.groupBy(_._1).map { case (w, xs) =>
+      val ids = xs.map(_._2).distinct.sorted
+      (w, (ids.length.toLong, ids.head,
+        ids.take(5).mkString(",")))
+    }
+    val got = TextOps.q147InvertedIndex(spark, sf).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == postings)
+  }
+
+  test("q149 bigram surprisal: common words in improbable order score " +
+      "higher than the same words in probable order") {
+    import spark.implicits._
+    // corpus: "a b" dominates; one doc reverses it. na(a)=11 for the
+    // 10 "a b" docs + 1 "b a" doc: bigram (a,b) count 10, (b,a) count
+    // 1; na(a)=11, na(b)=11. surp(a,b) = 11e6 div 10 = 1.1e6;
+    // surp(b,a) = 11e6 div 1 = 11e6 — the reversed doc scores 10×.
+    val docs = ((1 to 10).map(i => (i.toLong, "a b")) :+
+      (99L, "b a")).toDF("doc_id", "text")
+      .withColumn("lang", lit("x")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(3L))
+    val tmp = java.nio.file.Files.createTempDirectory("q149").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q149BigramSurprisal(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(99L) == 11000000L)
+    assert(got(1L) == 1100000L)
+    assert(got(99L) > got(1L))
+  }
 }
