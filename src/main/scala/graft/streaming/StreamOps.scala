@@ -226,6 +226,41 @@ object StreamOps {
       .toDF("user_id", "n_events", "ewma_e3")
   }
 
+  /** STREAMING rolling WAU — q144's twin. The batch body's ≤7× anchor
+    * fan-out join becomes a projection: every event emits its 7
+    * visible anchor days (`sequence(d, d+6)`), then TWO CHAINED
+    * STATEFUL operators do the distinct-count —
+    * dropDuplicatesWithinWatermark on (user, anchor) bounds dedup
+    * state by the watermark horizon, and a 1-day tumbling window on
+    * the anchor-as-event-time counts the survivors. Chained stateful
+    * ops are legal here because both key on the same derived event
+    * time (Spark 4 multi-stateful support); output is Append — an
+    * anchor's WAU emits exactly once, when the watermark passes its
+    * day. The anchor timestamp leads the real event time by up to 6
+    * days, so on the ANCHOR clock a fresh event's anchors make other
+    * users' rows for the same anchor look up to 6 days late — the
+    * watermark must be ≥ 6 days + the real lateness budget or
+    * same-anchor contributions from later batches are dropped as late
+    * (measured: a 1-day watermark lost a cross-batch user). Default 7
+    * days = the window width + 1 day of true lateness; state is
+    * ≤ 7·|user-days in horizon| on the dedup side. Unlike the batch
+    * body, anchors with no OBSERVED events on their own day still
+    * emit (the trailing window keeps counting for 6 days after
+    * activity stops) — the StreamingSpec pin compares on the batch
+    * side's observed-day anchors. */
+  def rollingWauStream(events: DataFrame,
+      watermark: String = "7 days"): DataFrame =
+    events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .withColumn("anchor",
+        explode(expr("sequence(d, date_add(d, 6))")))
+      .withColumn("ats", col("anchor").cast("timestamp"))
+      .withWatermark("ats", watermark)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "anchor"))
+      .groupBy(window(col("ats"), "1 day").as("win"))
+      .agg(count(lit(1)).as("wau7"))
+      .select(to_date(col("win.start")).as("d"), col("wau7"))
+
   /** STREAMING HOLT — q146's twin: the coupled (level, trend)
     * recursion (`Stats.holtStep`, truncating division, seeds l₁ = v₁,
     * b₁ = 0) kept continuously per event type as THREE LONGS of state

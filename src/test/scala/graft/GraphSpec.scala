@@ -277,6 +277,29 @@ class GraphSpec extends SparkSpecBase {
     assert((11L to 15L).forall(got(_) == 11L))
   }
 
+  test("q155 modularity: hand-computed goldens on the two-clique " +
+      "bridge graph") {
+    // two 5-cliques bridged at (5, 11): m = 21 edges; LPA labels the
+    // cliques {1..5} → 1 and {11..15} → 11 (previous test). Each
+    // community: e_in = 10 (the bridge is cross-community), K = 4·4+5
+    // = 21 (four degree-4 nodes + the degree-5 bridge endpoint), so
+    // q_num = 4·21·10 − 21² = 399 and q_e6 = 399·10⁶ div 4·21² =
+    // 226190.
+    val edges = edgeDF(
+      ((for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) ++
+        (for (a <- 11L to 15L; b <- (a + 1) to 15L) yield (a, b)) ++
+        Seq((5L, 11L))): _*)
+    val labels = Graph.labelPropagation(edges, rounds = 3)
+    val got = Graph.modularityByCommunity(edges, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == Set(1L, 11L))
+    got.values.foreach { case (nNodes, kSum, eIn, qNum, qE6) =>
+      assert(nNodes == 5L && kSum == 21L && eIn == 10L)
+      assert(qNum == 399L && qE6 == 226190L)
+    }
+  }
+
   test("q143 LPA: one-round vote goldens (all-tie → min label, " +
       "neighbours only — a node never votes for itself)") {
     // center 0 wired to {1,2,3,9}, triangle on {1,2,3}. One round:

@@ -518,6 +518,48 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming rolling WAU ≡ batch rollingWau on observed anchor " +
+      "days (q144 twin, chained dedup + windowed agg)") {
+    def dts(day: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // u1 active days 1 and 3, u2 day 1, u3 day 8 (second batch);
+    // anchors: day 1 → {u1,u2}; day 3 → {u1,u2}; day 8 → {u1(day 3),
+    // u3} — the cross-batch carry: u1's day-3 activity is still
+    // visible from day 8.
+    val b1 = Seq(Ev(dts(1), "e", 0.0, 1), Ev(dts(1), "e", 0.0, 2),
+      Ev(dts(3), "e", 0.0, 1))
+    val b2 = Seq(Ev(dts(8), "e", 0.0, 3))
+    // far-future sentinel advances the watermark so every real
+    // anchor's 1-day window closes (its own anchors stay open and
+    // unemitted — append mode)
+    val sentinel = Ev(Timestamp.valueOf("2024-03-01 00:00:00"),
+      "e", 0.0, 99)
+    val input = MemoryStream[Ev](spark)
+    val q = StreamOps.rollingWauStream(input.toDF())
+      .writeStream.format("memory").queryName("waustream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-wau").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(sentinel); q.processAllAvailable()
+      val streamed = spark.table("waustream").collect()
+        .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+      import spark.implicits._
+      val batch = graft.operators.Behavioral
+        .rollingWau((b1 ++ b2).toDF())
+        .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+        .toMap
+      assert(batch.nonEmpty)
+      batch.foreach { case (d, n) =>
+        assert(streamed.get(d).contains(n),
+          s"anchor $d: streamed ${streamed.get(d)} vs batch $n")
+      }
+    } finally q.stop()
+  }
+
   test("streaming Holt ≡ batch holtByType (q146 twin), coupled " +
       "(level, trend) state across batches, disorder repaired") {
     // 'hot' spans both batches with batch-1 days out of order (the
