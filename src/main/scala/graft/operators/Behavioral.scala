@@ -320,24 +320,72 @@ object Behavioral {
     * Determinism: (µs, event_id) total order (the q127/q136 contract);
     * every derived quantity is integer. Scale: one lag window + one
     * running-sum window + one hash agg, all partitioned per user. */
-  def q141Sessions(spark: SparkSession, dir: String): DataFrame = {
-    val gapUs = 1800L * 1000000L // 30 min
+  /** Per-event session labels — the q141 derivation (lag → gap flag →
+    * running sum under the (µs, event_id) total order) exposed as a
+    * frame so q158's session baskets reuse the identical session
+    * numbering. One lag window + one running-sum window per user —
+    * spill-sorted, no per-user buffer. */
+  def sessionized(events: DataFrame,
+      gapUs: Long = 1800L * 1000000L): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
-    graft.Tables.events(spark, dir)
+    events
       .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
-        col("event_id"))
+        col("event_id"), col("event_type"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
       .withColumn("new_s",
         when(col("prev_us").isNull ||
           col("ts_us") - col("prev_us") > lit(gapUs), 1L).otherwise(0L))
       .withColumn("session_no", sum(col("new_s")).over(wRun))
+  }
+
+  def q141Sessions(spark: SparkSession, dir: String): DataFrame =
+    sessionized(graft.Tables.events(spark, dir))
       .groupBy(col("user_id"), col("session_no"))
       .agg(count(lit(1)).as("n_events"),
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
       .orderBy("user_id", "session_no")
+
+  // ---------------------------------------------------------------- q158
+
+  /** Q158: SESSION-SCOPED event-type co-occurrence — for every pair
+    * of event types, how many SESSIONS contain both, with the integer
+    * lift against the types' session frequencies (10⁶ =
+    * independence). The market-basket analysis q94 runs over purchase
+    * baskets, recomposed over q141's behavioral sessions — "what do
+    * people do in the SAME sitting" (co-intent), which neither the
+    * per-customer basket nor the global transition matrix (q74) can
+    * answer.
+    *
+    * Scale: sessions collapse to distinct (user, session, type)
+    * baskets first; the pair join is session-keyed with fan-out
+    * ≤ C(|type alphabet|, 2) per session — alphabet-bounded, never
+    * event-bounded; size/total frames broadcast. */
+  def q158SessionCooc(spark: SparkSession, dir: String): DataFrame = {
+    val b = sessionized(graft.Tables.events(spark, dir))
+      .select(col("user_id"), col("session_no"), col("event_type"))
+      .distinct()
+    val sizes = b.groupBy("event_type").agg(count(lit(1)).as("ns"))
+    val total = b.select("user_id", "session_no").distinct()
+      .agg(count(lit(1)).as("s_total"))
+    b.as("a").join(b.as("x"),
+        col("a.user_id") === col("x.user_id") &&
+          col("a.session_no") === col("x.session_no") &&
+          col("a.event_type") < col("x.event_type"))
+      .groupBy(col("a.event_type").as("ta"),
+        col("x.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_co"))
+      .join(broadcast(sizes.select(col("event_type").as("ta"),
+        col("ns").as("na"))), "ta")
+      .join(broadcast(sizes.select(col("event_type").as("tb"),
+        col("ns").as("nb"))), "tb")
+      .crossJoin(broadcast(total))
+      .select(col("ta"), col("tb"), col("n_co"), col("na"), col("nb"),
+        expr("(n_co * s_total * 1000000) div (na * nb)")
+          .as("lift_ppm"))
+      .orderBy("ta", "tb")
   }
 
   // ---------------------------------------------------------------- q144
@@ -373,6 +421,7 @@ object Behavioral {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_rolling_wau" -> (q144RollingWau _),
+    "q158_session_cooc" -> (q158SessionCooc _),
     "q141_sessions" -> (q141Sessions _),
     "q72_cohort" -> (q72Cohort _),
     "q73_funnel" -> (q73Funnel _),
@@ -387,6 +436,48 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    // q158: the q141 session numbering carried per event type, then
+    // distinct session baskets + ordered pair join + integer lift.
+    "q158_session_cooc" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_us
+        |  FROM ev),
+        |s AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |n AS (
+        |  SELECT user_id, event_type,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_no
+        |  FROM s),
+        |b AS (SELECT DISTINCT user_id, session_no, event_type FROM n),
+        |sizes AS (SELECT event_type, COUNT(*) AS ns FROM b
+        |          GROUP BY event_type),
+        |tot AS (SELECT COUNT(*) AS s_total FROM (
+        |  SELECT DISTINCT user_id, session_no FROM b)),
+        |co AS (
+        |  SELECT a.event_type AS ta, x.event_type AS tb,
+        |    COUNT(*) AS n_co
+        |  FROM b a JOIN b x
+        |    ON a.user_id = x.user_id
+        |   AND a.session_no = x.session_no
+        |   AND a.event_type < x.event_type
+        |  GROUP BY 1, 2)
+        |SELECT co.ta, co.tb, co.n_co, sa.ns AS na, sb.ns AS nb,
+        |  (co.n_co * t.s_total * 1000000) // (sa.ns * sb.ns)
+        |    AS lift_ppm
+        |FROM co JOIN sizes sa ON sa.event_type = co.ta
+        |JOIN sizes sb ON sb.event_type = co.tb, tot t
+        |ORDER BY co.ta, co.tb""".stripMargin,
     // q144: same distinct (user, day) collapse + ≤7-day range join to
     // the observed-day anchors; DATE - 7 is date arithmetic in both
     // engines.

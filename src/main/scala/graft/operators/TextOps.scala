@@ -753,7 +753,29 @@ object TextOps {
       .limit(50)
   }
 
+  // ---------------------------------------------------------------- q156
+
+  /** Q156: token FREQUENCY SPECTRUM — the frequency-of-frequencies
+    * table: how many token types occur exactly k times (k = 1..10,
+    * 11 = tail), with each bucket's total token mass. The Zipf/Heaps
+    * audit of a corpus (a healthy natural corpus has a hapax-heavy
+    * spectrum; a templated one collapses into the tail), and the
+    * input table of Good–Turing smoothing. A statistic CLASS nothing
+    * else computes: aggregating the aggregate (counts of counts).
+    *
+    * Scale: the vocab count is the one volume shuffle; the spectrum
+    * is a second tiny agg over vocab-sized input. All-integer. */
+  def q156FreqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("k", least(col("cnt"), lit(11L)))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("mass"))
+      .orderBy("k")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_freq_spectrum" -> (q156FreqSpectrum _),
     "q145_bpe_pairs" -> (q145BpePairs _),
     "q147_inverted_index" -> (q147InvertedIndex _),
     "q149_bigram_surprisal" -> (q149BigramSurprisal _),
@@ -783,6 +805,16 @@ object TextOps {
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // q156: counts-of-counts over the identical tokenization; LEAST
+    // caps the tail bucket identically (both BIGINT).
+    "q156_freq_spectrum" ->
+      """WITH c AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY w)
+        |SELECT LEAST(cnt, 11) AS k, COUNT(*) AS n_types,
+        |  CAST(SUM(cnt) AS BIGINT) AS mass
+        |FROM c GROUP BY 1 ORDER BY k""".stripMargin,
     // q145: same vocab-first collapse + lateral pair fan-out;
     // length/substr are codepoint-based in both engines, and the
     // length >= 2 guard runs before the series on both sides.

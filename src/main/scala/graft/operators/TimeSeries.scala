@@ -207,7 +207,41 @@ object TimeSeries {
       .orderBy("event_type", "day")
   }
 
+  // ---------------------------------------------------------------- q157
+
+  /** Q157: DAY-OF-WEEK seasonality audit — per (event type, ISO
+    * weekday): event count, the signed excess over a uniform week
+    * (n·7 − total), and the uniformity ratio in ppm (10⁶ = flat). The
+    * weekly-periodicity check a monitoring stack runs before trusting
+    * any day-grain threshold.
+    *
+    * Weekday is computed ARITHMETICALLY — ((epoch_day + 3) mod 7) + 1,
+    * Monday = 1 (1970-01-01 was a Thursday) — because calendar
+    * functions disagree across engines (Spark dayofweek is
+    * 1 = Sunday, DuckDB dayofweek is 0 = Sunday): pure integer
+    * arithmetic on epoch days is dialect-free. (Dividend is
+    * non-negative for any post-1970 date; both engines' % follow the
+    * dividend sign, so pre-1970 data would need a pmod — guarded by
+    * the fixture's 2024 range.)
+    *
+    * Scale: one partial-combining (type, dow) agg — ≤ 7·|types| rows
+    * out — then margins as a window over that tiny frame. */
+  def q157DowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(unix_date(CAST(ts AS DATE)) + 3) % 7 + 1").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val wT = Window.partitionBy("event_type")
+    cnt.withColumn("total", sum(col("n")).over(wT))
+      .select(col("event_type"), col("dow").cast("long").as("dow"),
+        col("n"),
+        expr("n * 7 - total").as("excess7"),
+        expr("(n * 7 * 1000000) div total").as("ratio_ppm"))
+      .orderBy("event_type", "dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_dow_seasonality" -> (q157DowSeasonality _),
     "q54_gapfill" -> (q54GapFill _),
     "q97_scd2" -> (q97Scd2 _),
     "q100_concurrency" -> (q100Concurrency _),
@@ -216,6 +250,23 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q157: same arithmetic weekday (date minus epoch is integer days
+    // in DuckDB), same integer margins.
+    "q157_dow_seasonality" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3)
+        |      % 7 + 1 AS dow,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, dow, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS total
+        |  FROM c)
+        |SELECT event_type, dow, n, n * 7 - total AS excess7,
+        |  (n * 7 * 1000000) // total AS ratio_ppm
+        |FROM m ORDER BY event_type, dow""".stripMargin,
     // q136: identical two-direction row_number selection under the
     // (µs, event_id) in-bar order; CAST(ts AS DATE) ≡ to_date under the
     // UTC session.

@@ -164,6 +164,31 @@ class BehavioralSpec extends SparkSpecBase {
     assert(nConv == depth4)
   }
 
+  test("q158 session co-occurrence: counts reconcile against the " +
+      "session baskets and lift uses the shared total") {
+    val b = Behavioral.sessionized(graft.Tables.events(spark, sf))
+      .select("user_id", "session_no", "event_type").distinct()
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getString(2)))
+    val baskets = b.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val sTotal = baskets.size.toLong
+    val typeCount = b.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet.size.toLong).toMap
+    val rows = Behavioral.q158SessionCooc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val co = baskets.values
+        .count(s => s.contains(ta) && s.contains(tb)).toLong
+      assert(r.getLong(2) == co, s"($ta,$tb) co")
+      assert(r.getLong(3) == typeCount(ta))
+      assert(r.getLong(4) == typeCount(tb))
+      assert(r.getLong(5) ==
+        (co * sTotal * 1000000L) / (typeCount(ta) * typeCount(tb)))
+    }
+  }
+
   test("q144 rolling WAU == driver-side trailing-7-day distinct count") {
     val ud = graft.Tables.events(spark, sf)
       .select(col("user_id"), to_date(col("ts")).as("d"))

@@ -232,4 +232,26 @@ class PlanShapeSpec extends SparkSpecBase {
     // alone; the split path always carries the __f partition column
     assert(p.contains("__f"), "hit-bucket ranking lost its fraction key")
   }
+
+  test("q154 dispersion has NO pair join — the identity keeps the " +
+      "plan to aggregations plus one slim label join") {
+    val p = plan(Similarity
+      .q154EmbedDispersion(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "dispersion regressed to a pair join:\n" + p.take(800))
+    assert(!p.contains("NestedLoop"),
+      "dispersion regressed to a nested loop:\n" + p.take(800))
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      "per-dim sums must partial-combine:\n" + p.take(800))
+  }
+
+  test("q144 rolling WAU's anchor join is the broadcast range join, " +
+      "and the distinct collapse partial-combines before it") {
+    val p = plan(graft.operators.Behavioral
+      .q144RollingWau(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "anchor range join lost its broadcast:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "anchor join regressed to a cartesian:\n" + p.take(800))
+  }
 }

@@ -275,6 +275,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got == Seq(("hot", 30L)))
   }
 
+  test("q156 frequency spectrum == driver recomputation, and buckets " +
+      "conserve the vocab and token mass") {
+    val texts = load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = texts.flatMap(_.split(" ", -1))
+      .groupBy(identity).map(_._2.length.toLong)
+    val expect = counts.groupBy(c => math.min(c, 11L)).map {
+      case (k, cs) => k -> (cs.size.toLong, cs.sum)
+    }
+    val got = graft.operators.TextOps.q156FreqSpectrum(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == counts.size.toLong)
+    assert(got.values.map(_._2).sum == counts.sum)
+  }
+
   test("q145 BPE pairs == driver recomputation over the fixture vocab") {
     val texts = load(spark, sf, "documents")
       .select("text").collect().map(_.getString(0))

@@ -99,4 +99,27 @@ class TimeSeriesSpec extends SparkSpecBase {
     }
     assert(got == exp.toMap)
   }
+
+  test("q157: arithmetic weekday matches java.time on the fixture " +
+      "dates, and weekly margins reconcile") {
+    import java.time.LocalDate
+    val rows = graft.operators.TimeSeries
+      .q157DowSeasonality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute per (type, java.time ISO dow) from raw events
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getString(0),
+        r.getDate(1).toLocalDate.getDayOfWeek.getValue.toLong))
+    val expect = ev.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert(expect(key) == r.getLong(2), s"$key")
+    }
+    // margins: per type, Σn = total and Σexcess7 = 0
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sum == 0L)
+    }
+  }
 }
