@@ -345,7 +345,55 @@ object Stats {
     holtByType(daily).orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q159
+
+  /** Q159: GINI coefficient of customer spend per nation — the
+    * inequality/concentration audit ("how top-heavy is this market"),
+    * in exact basis points from the rank formulation
+    *   G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ),  x sorted ascending —
+    * an order-statistic FUNCTIONAL (rank-weighted sum), a class the
+    * percentile machinery (value selection) never touches. Customers
+    * with no orders count as zero spend (population Gini, not
+    * buyers-only). Ties in spend share a value, so the rank tiebreak
+    * (custkey) cannot change Σi·xᵢ — deterministic without
+    * convention.
+    *
+    * Determinism: spend is exact DECIMAL, scaled to BIGINT cents
+    * (integral ⇒ exact cast); everything after is integer; the one
+    * double (total_spend) is a single cents/100 division written
+    * identically on both engines. Numerator 2T − (n+1)S ≥ 0 always,
+    * so div ≡ `//` trivially. Scale: one partial-combining spend agg,
+    * one per-nation window rank (spill sort), one slim rollup. BIGINT
+    * holds Σi·cents to ~10⁷ customers/nation at 10⁵-dollar spends;
+    * beyond that T moves to DECIMAL internally (documented). */
+  def q159Gini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = load(spark, dir, "orders")
+      .groupBy("o_custkey").agg(sum(dec(col("o_totalprice"))).as("sp"))
+    val cust = load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(spend.withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"), "left")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_custkey"),
+        coalesce(expr("CAST(sp * 100 AS BIGINT)"), lit(0L))
+          .as("cents"))
+    val w = Window.partitionBy("nation")
+      .orderBy(col("cents"), col("c_custkey"))
+    cust.withColumn("i", row_number().over(w))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("cents")).as("s"),
+        sum(expr("CAST(i AS BIGINT) * cents")).as("t"))
+      .select(col("nation"), col("n_cust"),
+        expr("CAST(s AS DOUBLE) / 100").as("total_spend"),
+        expr("CASE WHEN s > 0 THEN" +
+          " ((2 * t - (n_cust + 1) * s) * 10000) div (n_cust * s)" +
+          " ELSE 0L END").as("gini_bp"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_gini" -> (q159Gini _),
     "q146_holt" -> (q146Holt _),
     "q51_stats" -> (q51Stats _),
     "q55_cond_aggs" -> (q55CondAggs _),
@@ -356,6 +404,35 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // q159: same exact-cents ranks (ROW_NUMBER under (cents, custkey)
+    // — spend ties share a value so the tiebreak can't move Σi·x),
+    // same integer Gini; SUMs recast to BIGINT (DuckDB widens).
+    "q159_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |cu AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS nation, c.c_custkey,
+        |    COALESCE(s.cents, 0) AS cents
+        |  FROM customer c LEFT JOIN spend s
+        |    ON s.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT nation, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY nation
+        |      ORDER BY cents, c_custkey) AS i
+        |  FROM cu),
+        |a AS (
+        |  SELECT nation, COUNT(*) AS n_cust,
+        |    CAST(SUM(cents) AS BIGINT) AS s,
+        |    CAST(SUM(i * cents) AS BIGINT) AS t
+        |  FROM r GROUP BY nation)
+        |SELECT nation, n_cust, CAST(s AS DOUBLE) / 100 AS total_spend,
+        |  CASE WHEN s > 0
+        |       THEN ((2 * t - (n_cust + 1) * s) * 10000) // (n_cust * s)
+        |       ELSE CAST(0 AS BIGINT) END AS gini_bp
+        |FROM a ORDER BY nation""".stripMargin,
     // q146: the Holt recursion replayed as a RECURSIVE CTE stepping
     // rn → rn+1 per event type; BIGINT `//` truncates toward zero
     // exactly like the JVM fold's long division (see holtStep — the

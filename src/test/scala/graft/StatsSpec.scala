@@ -161,6 +161,36 @@ class StatsSpec extends SparkSpecBase {
     assert(rows.nonEmpty)
   }
 
+  test("q159 Gini == driver recomputation; bounds and degenerate " +
+      "cases hold") {
+    val got = Stats.q159Gini(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    val spend = graft.Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(graft.Tables.dec(col("o_totalprice"))).as("sp"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDecimal(1).movePointRight(2).longValueExact())).toMap
+    val cust = graft.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    cust.groupBy(_._2).foreach { case (nation, cs) =>
+      val cents = cs.map { case (ck, _) => (spend.getOrElse(ck, 0L), ck) }
+        .sortBy(identity).map(_._1)
+      val n = cents.size.toLong
+      val s = cents.sum
+      val t = cents.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      val gini = if (s > 0) ((2 * t - (n + 1) * s) * 10000L) / (n * s)
+      else 0L
+      val (gn, gts, gg) = got(nation)
+      assert(gn == n && gg == gini, s"nation $nation")
+      assert(math.abs(gts - s.toDouble / 100) < 1e-6)
+      assert(gg >= 0L && gg < 10000L)
+    }
+  }
+
   test("q146 holtStep: truncating division goldens, incl. the " +
       "negative-trend branch where floorDiv would differ") {
     // seed l=100, b=0 then v=0: l' = (0 + 300)/4 = 75,
