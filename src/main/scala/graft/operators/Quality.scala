@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
@@ -54,6 +55,61 @@ object Quality {
     ).reduce(_.unionAll(_))
   }
 
+  // ---------------------------------------------------------------- q162
+
+  /** Q162: BENFORD first-digit audit of order totals — the forensic
+    * data-quality check (fabricated or unit-mangled monetary data
+    * flattens the leading-digit distribution; organic data follows
+    * Benford's log curve). Emits the observed first-digit histogram
+    * with exact ppm shares; judging against the Benford curve is the
+    * reader's log-table lookup — the GATE carries only integers.
+    *
+    * Determinism: price → exact DECIMAL → BIGINT cents; the leading
+    * digit comes from the BIGINT's decimal rendering (positive BIGINT
+    * → identical digit strings in both engines — no float formatting
+    * in sight). Scale: one partial-combining 9-row agg + a window
+    * total over 9 rows. */
+  def q162Benford(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    load(spark, dir, "orders")
+      .select(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("c"))
+      .filter(col("c") > 0)
+      .select(expr("CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)")
+        .as("d1"))
+      .groupBy("d1").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .select(col("d1"), col("n"),
+        expr("(n * 1000000) div total").as("share_ppm"))
+      .orderBy("d1")
+  }
+
+  // ---------------------------------------------------------------- q163
+
+  /** Q163: K-ANONYMITY audit — for the quasi-identifier pair (nation,
+    * market segment): at each disclosure threshold k ∈ {2, 5, 10,
+    * 25}, how many equivalence classes fall below k and how many
+    * ROWS those classes expose. The privacy-risk report a dataset
+    * release runs before publishing joins of "harmless" demographic
+    * columns — a compliance-audit CLASS nothing else in the surface
+    * covers.
+    *
+    * Scale: one partial-combining QI-class count (classes ≪ rows),
+    * then a 4× threshold fan-out over the class frame. All-integer. */
+  def q163KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .select(explode(expr("array(2L, 5L, 10L, 25L)")).as("k"),
+        col("n"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_classes"),
+        expr("CAST(count_if(n < k) AS BIGINT)").as("classes_below"),
+        expr("CAST(sum(CASE WHEN n < k THEN n ELSE 0L END) AS BIGINT)")
+          .as("rows_exposed"))
+      .orderBy("k")
+
   def q96DataQuality(spark: SparkSession, dir: String): DataFrame =
     dataQualityReport(load(spark, dir, "orders"),
       load(spark, dir, "lineitem"), load(spark, dir, "customer"),
@@ -62,9 +118,41 @@ object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_data_quality" -> (q96DataQuality _),
+    "q162_benford" -> (q162Benford _),
+    "q163_k_anonymity" -> (q163KAnonymity _),
   )
 
   val oracle: Map[String, String] = Map(
+    // q162: same exact-cents leading digit (positive BIGINT renders
+    // identical decimal strings in both engines).
+    "q162_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS c
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS d1, COUNT(*) AS n
+        |  FROM c WHERE c > 0 GROUP BY 1),
+        |t AS (SELECT d1, n, CAST(SUM(n) OVER () AS BIGINT) AS total
+        |      FROM d)
+        |SELECT d1, n, (n * 1000000) // total AS share_ppm
+        |FROM t ORDER BY d1""".stripMargin,
+    // q163: same QI-class counts, same threshold fan-out (UNNEST ≡
+    // explode), CASE sums (no FILTER-clause dialect).
+    "q163_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |f AS (
+        |  SELECT CAST(k AS BIGINT) AS k, n
+        |  FROM g, UNNEST([2, 5, 10, 25]) AS u(k))
+        |SELECT k, COUNT(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_below,
+        |  CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_exposed
+        |FROM f GROUP BY k ORDER BY k""".stripMargin,
     // Same checks as scalar subqueries; NOT IN is safe — the key
     // columns are non-null in this schema (and the anti-join form on
     // the Spark side is null-agnostic anyway).

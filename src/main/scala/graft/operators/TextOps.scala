@@ -774,7 +774,34 @@ object TextOps {
       .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("mass"))
       .orderBy("k")
 
+  // ---------------------------------------------------------------- q160
+
+  /** Q160: GINI–SIMPSON lexical diversity per source — 1 − Σpᵢ² in
+    * exact ppm via (T² − Σc²)·10⁶ div T² (T = token total, c = per-type
+    * counts). The probability two random tokens differ: a
+    * division-and-log-free diversity index (TTR's q79 cousin that
+    * weights by frequency, catching a source whose huge vocab hides a
+    * few dominating stopwords). Σpᵢ² is the collision probability —
+    * the same quantity an LM head's repetition penalty fights.
+    *
+    * Scale: one (source, token) partial-combining count, one
+    * vocab-sized rollup. T²·10⁶ holds in BIGINT to T ≈ 3·10⁶ tokens
+    * per source; beyond, the rollup moves to DECIMAL internally
+    * (documented — fixture max is well under). */
+  def q160SimpsonDiversity(spark: SparkSession, dir: String)
+      : DataFrame =
+    load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("t"), sum(expr("c * c")).as("sq"))
+      .select(col("source"), col("t").as("n_tokens"),
+        expr("((t * t - sq) * 1000000) div (t * t)")
+          .as("simpson_ppm"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_simpson_diversity" -> (q160SimpsonDiversity _),
     "q156_freq_spectrum" -> (q156FreqSpectrum _),
     "q145_bpe_pairs" -> (q145BpePairs _),
     "q147_inverted_index" -> (q147InvertedIndex _),
@@ -805,6 +832,19 @@ object TextOps {
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // q160: same two-level integer sums; SUMs recast to BIGINT.
+    "q160_simpson_diversity" ->
+      """WITH c AS (
+        |  SELECT source, w, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY source, w),
+        |a AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS t,
+        |    CAST(SUM(c * c) AS BIGINT) AS sq
+        |  FROM c GROUP BY source)
+        |SELECT source, t AS n_tokens,
+        |  ((t * t - sq) * 1000000) // (t * t) AS simpson_ppm
+        |FROM a ORDER BY source""".stripMargin,
     // q156: counts-of-counts over the identical tokenization; LEAST
     // caps the tail bucket identically (both BIGINT).
     "q156_freq_spectrum" ->

@@ -240,7 +240,37 @@ object TimeSeries {
       .orderBy("event_type", "dow")
   }
 
+  // ---------------------------------------------------------------- q161
+
+  /** Q161: FANO FACTOR (burstiness) of each event type's daily count
+    * series — the variance-to-mean ratio of counts in exact ppm,
+    *   fano_ppm = (D·Σn² − (Σn)²)·10⁶ div ((D−1)·Σn),  D = #days —
+    * 10⁶ ≈ Poisson arrivals, ≫10⁶ = bursty/overdispersed, ≪10⁶ =
+    * metronomic. The overdispersion diagnostic behind alert
+    * thresholds: q157 checks WHICH day, this checks HOW SPIKY.
+    * All-integer because the observations are counts — no value
+    * quantization at all (the power sums are exact by construction;
+    * the q51 machinery needed decimals for this, counts don't).
+    *
+    * Scale: one (type, day) partial-combining count, one ≤|types|·D
+    * rollup. D·Σn² stays in BIGINT to ~3·10⁵ events/day/type over a
+    * decade; DECIMAL path documented beyond. Degenerate D = 1 maps to
+    * 0 (guarded — ANSI). */
+  def q161FanoFactor(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s"),
+        sum(expr("n * n")).as("q"))
+      .select(col("event_type"), col("n_days"), col("s").as("n_events"),
+        expr("CASE WHEN n_days > 1 AND s > 0 THEN" +
+          " ((n_days * q - s * s) * 1000000)" +
+          " div ((n_days - 1) * s) ELSE 0L END").as("fano_ppm"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_fano_factor" -> (q161FanoFactor _),
     "q157_dow_seasonality" -> (q157DowSeasonality _),
     "q54_gapfill" -> (q54GapFill _),
     "q97_scd2" -> (q97Scd2 _),
@@ -250,6 +280,22 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q161: same daily counts, same integer power-sum dispersion.
+    "q161_fano_factor" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(n) AS BIGINT) AS s,
+        |    CAST(SUM(n * n) AS BIGINT) AS q
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type, n_days, s AS n_events,
+        |  CASE WHEN n_days > 1 AND s > 0
+        |       THEN ((n_days * q - s * s) * 1000000)
+        |            // ((n_days - 1) * s)
+        |       ELSE CAST(0 AS BIGINT) END AS fano_ppm
+        |FROM a ORDER BY event_type""".stripMargin,
     // q157: same arithmetic weekday (date minus epoch is integer days
     // in DuckDB), same integer margins.
     "q157_dow_seasonality" ->

@@ -48,4 +48,43 @@ class QualitySpec extends SparkSpecBase {
     assert(rows.values.forall(_ == 0L),
       s"TPC-H-ish generator should be clean, got $rows")
   }
+
+  test("q162 Benford == driver recomputation from exact cents; " +
+      "shares conserve") {
+    import org.apache.spark.sql.functions._
+    val cents = graft.Tables.load(spark, sf, "orders")
+      .select(graft.Tables.dec(col("o_totalprice")).as("p")).collect()
+      .map(_.getDecimal(0).movePointRight(2).longValueExact())
+      .filter(_ > 0)
+    val expect = cents.map(_.toString.charAt(0).asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = cents.length.toLong
+    val got = Quality.q162Benford(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap == expect)
+    got.foreach { case (_, n, ppm) =>
+      assert(ppm == n * 1000000L / total)
+    }
+    assert(got.map(_._2).sum == total)
+  }
+
+  test("q163 k-anonymity == driver recomputation over QI classes, " +
+      "monotone in k") {
+    import org.apache.spark.sql.functions._
+    val classes = graft.Tables.load(spark, sf, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(2))
+    val got = Quality.q163KAnonymity(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    Seq(2L, 5L, 10L, 25L).foreach { k =>
+      val (nc, below, exposed) = got(k)
+      assert(nc == classes.length.toLong)
+      assert(below == classes.count(_ < k).toLong, s"k=$k")
+      assert(exposed == classes.filter(_ < k).sum, s"k=$k")
+    }
+    // risk is monotone in the threshold
+    val ks = Seq(2L, 5L, 10L, 25L).map(got(_)._2)
+    assert(ks == ks.sorted)
+  }
 }

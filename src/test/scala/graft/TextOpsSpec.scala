@@ -292,6 +292,27 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got.values.map(_._2).sum == counts.sum)
   }
 
+  test("q160 Simpson diversity == driver recomputation per source") {
+    val docs = load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val cs = ds.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map(_._2.length.toLong)
+      val t = cs.sum
+      val sq = cs.map(c => c * c).sum
+      src -> (t, ((t * t - sq) * 1000000L) / (t * t))
+    }
+    val got = graft.operators.TextOps.q160SimpsonDiversity(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    // diversity is a proper probability complement
+    got.values.foreach { case (_, ppm) =>
+      assert(ppm >= 0L && ppm < 1000000L)
+    }
+  }
+
   test("q145 BPE pairs == driver recomputation over the fixture vocab") {
     val texts = load(spark, sf, "documents")
       .select("text").collect().map(_.getString(0))

@@ -100,6 +100,27 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(got == exp.toMap)
   }
 
+  test("q161 Fano factor == driver power-sum recomputation") {
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = daily.groupBy(_._1._1).map { case (et, m) =>
+      val ns = m.values.toSeq
+      val dDays = ns.size.toLong
+      val s = ns.sum
+      val q = ns.map(n => n * n).sum
+      et -> (dDays, s,
+        if (dDays > 1 && s > 0) ((dDays * q - s * s) * 1000000L) /
+          ((dDays - 1) * s)
+        else 0L)
+    }
+    val got = graft.operators.TimeSeries.q161FanoFactor(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+  }
+
   test("q157: arithmetic weekday matches java.time on the fixture " +
       "dates, and weekly margins reconcile") {
     import java.time.LocalDate
