@@ -159,14 +159,83 @@ object Sampling {
       .orderBy("split", "source")
   }
 
+  // ---------------------------------------------------------------- q164
+
+  /** Q164: A/B SWITCHBACK READOUT — deterministic 50/50 customer
+    * assignment (first md5 hex nibble < '8' → treatment) and the
+    * per-priority uplift readout: counts, mean order value per arm,
+    * and the relative uplift in ppm. The experimentation-analysis
+    * class (assignment + causal readout) the sampling family sets up
+    * but nothing previously read out.
+    *
+    * Determinism: assignment is a pure function of custkey (the q46
+    * discipline — membership can never drift); sums are exact DECIMAL
+    * cents; the three doubles (means, uplift) are computed with the
+    * SAME op sequence on the same integers in both engines (the
+    * q51/q92 IEEE rule), so the gate hash holds. The cross-multiplied
+    * integer form of uplift would overflow BIGINT at fixture scale
+    * (S·N ≈ 10¹⁷ · 10⁶), so the ratio is the documented double path.
+    * Scale: one partial-combining (priority, variant) agg — six rows
+    * out — then a pivot-by-join on the tiny frame. */
+  def q164AbReadout(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT)").as("cents"),
+        expr("CASE WHEN substring(md5(CAST(o_custkey AS STRING)), 1, 1)" +
+          " < '8' THEN 'T' ELSE 'C' END").as("variant"))
+    val arm = assigned.groupBy("priority", "variant")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val t = arm.filter(col("variant") === "T")
+      .select(col("priority"), col("n").as("n_t"), col("s").as("s_t"))
+    val c = arm.filter(col("variant") === "C")
+      .select(col("priority"), col("n").as("n_c"), col("s").as("s_c"))
+    t.join(c, "priority")
+      .select(col("priority"), col("n_t"), col("n_c"),
+        expr("CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) / 100")
+          .as("mean_t"),
+        expr("CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100")
+          .as("mean_c"),
+        expr("(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) /" +
+          " (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)) - 1.0)" +
+          " * 1000000").as("uplift_ppm"))
+      .orderBy("priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_det_sample" -> (q46Sample _),
     "q103_weighted_sample" -> (q103WeightedSample _),
     "q139_temperature_mix" -> (q139TemperatureMix _),
     "q153_split_assign" -> (q153SplitAssign _),
+    "q164_ab_readout" -> (q164AbReadout _),
   )
 
   val oracle: Map[String, String] = Map(
+    // q164: same md5-nibble assignment, same exact-cents sums, same
+    // double op sequence for the means/uplift (identical ints →
+    // identical IEEE results).
+    "q164_ab_readout" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+        |      < '8' THEN 'T' ELSE 'C' END AS variant
+        |  FROM orders),
+        |arm AS (
+        |  SELECT priority, variant, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS s
+        |  FROM a GROUP BY priority, variant)
+        |SELECT t.priority, t.n AS n_t, c.n AS n_c,
+        |  CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) / 100 AS mean_t,
+        |  CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) / 100 AS mean_c,
+        |  (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) /
+        |   (CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE)) - 1.0)
+        |    * 1000000 AS uplift_ppm
+        |FROM arm t JOIN arm c
+        |  ON c.priority = t.priority
+        | AND t.variant = 'T' AND c.variant = 'C'
+        |ORDER BY t.priority""".stripMargin,
     // q153: same md5-prefix assignment (identical lowercase hex both
     // engines), string-compared thresholds, integer share.
     "q153_split_assign" ->

@@ -269,7 +269,48 @@ object TimeSeries {
           " div ((n_days - 1) * s) ELSE 0L END").as("fano_ppm"))
       .orderBy("event_type")
 
+  // ---------------------------------------------------------------- q165
+
+  /** Q165: CUSUM CHANGEPOINT detection — per event type, the day
+    * where the cumulative deviation of daily counts from the series
+    * mean peaks, with the peak's magnitude. The level-shift locator
+    * (a regime change maximizes |Σ_{i≤k}(nᵢ − n̄)|) behind "when did
+    * the traffic change" — a changepoint CLASS distinct from
+    * outliers (q90: single points) and burstiness (q161: global
+    * dispersion).
+    *
+    * Integer-exact: the mean is a fraction, so the statistic is
+    * scaled by D — cₖ = D·Pₖ − k·S (Pₖ = prefix sum, S = total, D =
+    * #days): exactly D·Σ(nᵢ − S/D), all BIGINT. Argmax under
+    * (|c| desc, day asc) via min(struct(−|c|, day)) — deterministic.
+    * Scale: one (type, day) partial-combining count, one per-type
+    * running-sum window (spill-sorted), one argmax agg. */
+  def q165CusumChangepoint(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy("event_type").orderBy("d")
+    val wAll = Window.partitionBy("event_type")
+    daily
+      .withColumn("p", sum(col("n"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("s", sum(col("n")).over(wAll))
+      .withColumn("dd", count(lit(1)).over(wAll))
+      .withColumn("c", expr("dd * p - CAST(k AS BIGINT) * s"))
+      .groupBy("event_type")
+      .agg(max(col("dd")).as("n_days"), max(col("s")).as("n_events"),
+        min(struct(expr("-abs(c)").as("na"), col("d").as("day")))
+          .as("m"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("m.day").as("peak_day"), (-col("m.na")).as("cusum_peak"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_cusum_changepoint" -> (q165CusumChangepoint _),
     "q161_fano_factor" -> (q161FanoFactor _),
     "q157_dow_seasonality" -> (q157DowSeasonality _),
     "q54_gapfill" -> (q54GapFill _),
@@ -280,6 +321,32 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q165: same scaled-CUSUM prefix statistic; argmax = ROW_NUMBER
+    // under (|c| desc, day asc) ≡ min(struct(-|c|, day)).
+    "q165_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, d,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS p,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY d) AS BIGINT) AS k,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS s,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS dd
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, dd AS n_days, s AS n_events,
+        |    d AS peak_day, abs(dd * p - k * s) AS cusum_peak,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY abs(dd * p - k * s) DESC, d) AS rn
+        |  FROM w)
+        |SELECT event_type, n_days, n_events, peak_day, cusum_peak
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // q161: same daily counts, same integer power-sum dispersion.
     "q161_fano_factor" ->
       """WITH d AS (

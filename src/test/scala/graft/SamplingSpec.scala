@@ -85,4 +85,40 @@ class SamplingSpec extends SparkSpecBase {
       assert(r.getLong(3) >= 0L && r.getLong(3) <= 10000L)
     }
   }
+
+  test("q164 A/B readout == driver recomputation; assignment is a " +
+      "pure function of custkey") {
+    import org.apache.spark.sql.functions._
+    val orders = load(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"),
+        graft.Tables.dec(col("o_totalprice")).as("p")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).movePointRight(2).longValueExact()))
+    def variant(ck: Long): Char = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(ck.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 'T' else 'C'
+    }
+    val byArm = orders.groupBy(o => (o._1, variant(o._2)))
+      .view.mapValues(os => (os.length.toLong, os.map(_._3).sum))
+      .toMap
+    val got = Sampling.q164AbReadout(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val prio = r.getString(0)
+      val (nt, st) = byArm((prio, 'T'))
+      val (nc, sc) = byArm((prio, 'C'))
+      assert(r.getLong(1) == nt && r.getLong(2) == nc, prio)
+      val meanT = st.toDouble / nt.toDouble / 100
+      val meanC = sc.toDouble / nc.toDouble / 100
+      assert(math.abs(r.getDouble(3) - meanT) < 1e-9)
+      assert(math.abs(r.getDouble(4) - meanC) < 1e-9)
+      // uplift replays exactly (same double op sequence); no
+      // statistical bound — at sf0.001 the ~150-order arms carry
+      // >10% sampling noise, which is the readout's JOB to surface
+      assert(math.abs(r.getDouble(5) -
+        (meanT / meanC - 1.0) * 1000000) < 1e-6, prio)
+    }
+  }
 }

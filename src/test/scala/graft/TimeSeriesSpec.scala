@@ -100,6 +100,33 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(got == exp.toMap)
   }
 
+  test("q165 CUSUM changepoint == driver replay of the scaled " +
+      "prefix statistic") {
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.toSeq.map { case ((_, d), n) => (d, n) }
+        .sortBy(_._1.toEpochDay)).toMap
+    val got = graft.operators.TimeSeries
+      .q165CusumChangepoint(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDate(3).toLocalDate, r.getLong(4))).toMap
+    daily.foreach { case (et, ds) =>
+      val dd = ds.size.toLong
+      val s = ds.map(_._2).sum
+      var p = 0L
+      val cs = ds.zipWithIndex.map { case ((d, n), i) =>
+        p += n
+        (d, (dd * p - (i + 1) * s).abs)
+      }
+      val peak = cs.maxBy(_._2)
+      val day = cs.filter(_._2 == peak._2).minBy(_._1.toEpochDay)._1
+      assert(got(et) == ((dd, s, day, peak._2)), et)
+    }
+  }
+
   test("q161 Fano factor == driver power-sum recomputation") {
     val daily = graft.Tables.events(spark, sf)
       .select(col("event_type"), to_date(col("ts")).as("d")).collect()
