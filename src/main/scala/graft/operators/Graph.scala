@@ -324,6 +324,45 @@ object Graph {
     modularityByCommunity(coEdges25(spark, dir), lpa25(spark, dir))
       .orderBy("community")
 
+  // ---------------------------------------------------------------- q167
+
+  /** Q167: DEGREE ASSORTATIVITY — the Pearson correlation of endpoint
+    * degrees across (directed-symmetrized) edges: r > 0 means hubs
+    * link hubs (social-style topology), r < 0 means hubs link leaves
+    * (star/infrastructure-style). The one-number topology audit that
+    * complements q155 (which evaluates a PARTITION; this audits the
+    * raw graph) — and it decides whether degree-based partitioning
+    * strategies will skew.
+    *
+    * Determinism: on a symmetric edge list Σdu = Σdv and Σdu² = Σdv²,
+    * so r = (n·Σdudv − (Σdu)²) / (n·Σdu² − (Σdu)²) — exact BIGINT
+    * power sums (the q51 discipline; degrees are integers, no
+    * quantization at all), one identical-op double division at the
+    * end, and an INTEGER equality guard for the 0/0 regular-graph
+    * case. Sums stay under 2⁵³ to ~10⁷ edges at hub degree 10³
+    * (double-exact division operands; DECIMAL path documented
+    * beyond). Scale: two node-keyed degree joins + one 1-row agg. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select(col("src"), col("d").as("du")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dv")), "dst")
+      .agg(count(lit(1)).as("n"), sum(col("du")).as("sx"),
+        sum(expr("du * dv")).as("sxy"),
+        sum(expr("du * du")).as("sxx"))
+      .select(col("n"), col("sx"), col("sxy"), col("sxx"),
+        expr("CASE WHEN n * sxx = sx * sx THEN 0.0 ELSE" +
+          " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+          "  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /" +
+          " (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+          "  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END").as("r"))
+  }
+
+  def q167Assortativity(spark: SparkSession, dir: String): DataFrame =
+    degreeAssortativity(coEdges25(spark, dir))
+
   /** q91/q93/q99 all analyze the SAME co-supply graph (minShared=25):
     * memoized per (session, dir) so one Verify/Bench run builds the
     * edge list once (the Dedup.exactPairs pattern — eager
@@ -615,6 +654,7 @@ object Graph {
     "q140_ppr" -> (q140Ppr _),
     "q143_lpa_communities" -> (q143Lpa _),
     "q155_modularity" -> (q155Modularity _),
+    "q167_assortativity" -> (q167Assortativity _),
   )
 
   /** The q143 oracle unrolls the three synchronous LPA rounds; the
@@ -803,6 +843,36 @@ object Graph {
   val oracle: Map[String, String] = Map(
     "q143_lpa_communities" -> lpaOracle,
     "q155_modularity" -> modularityOracle,
+    // q167: same symmetrized degree joins, same exact integer power
+    // sums, same single double division (operands < 2⁵³ ⇒ exact),
+    // same integer 0/0 guard.
+    "q167_assortativity" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT a.s AS u, b.s AS v FROM ps a
+        |  JOIN ps b ON a.p = b.p AND a.s < b.s
+        |  GROUP BY a.s, b.s HAVING COUNT(*) >= 25),
+        |sym AS (SELECT u AS src, v AS dst FROM e
+        |        UNION ALL SELECT v AS src, u AS dst FROM e),
+        |deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+        |j AS (
+        |  SELECT du.d AS du, dv.d AS dv
+        |  FROM sym JOIN deg du ON du.src = sym.src
+        |  JOIN deg dv ON dv.src = sym.dst),
+        |a AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(du) AS BIGINT) AS sx,
+        |    CAST(SUM(du * dv) AS BIGINT) AS sxy,
+        |    CAST(SUM(du * du) AS BIGINT) AS sxx
+        |  FROM j)
+        |SELECT n, sx, sxy, sxx,
+        |  CASE WHEN n * sxx = sx * sx THEN 0.0 ELSE
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS r
+        |FROM a""".stripMargin,
     "q99_bfs" -> bfsOracle,
     "q131_kcore_peel" -> kCorePeelOracle,
     // q104: same distinct buyer sets and co counts as q94, both rule

@@ -334,16 +334,100 @@ object Stats {
       .withColumn("forecast_e3", col("level_e3") + col("trend_e3"))
   }
 
-  def q146Holt(spark: SparkSession, dir: String): DataFrame = {
-    val daily = graft.Tables.events(spark, dir)
+  private def holtDaily(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
       .filter(col("value").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
         .as("v"))
       .select(col("event_type"), expr("unix_date(day)").as("dnum"),
         col("v"))
-    holtByType(daily).orderBy("event_type")
+
+  def q146Holt(spark: SparkSession, dir: String): DataFrame =
+    holtByType(holtDaily(spark, dir)).orderBy("event_type")
+
+  // ---------------------------------------------------------------- q166
+
+  /** Q166: HOLT walk-forward BACKTEST — at every step k ≥ 2, score the
+    * one-step-ahead forecast lₖ₋₁ + bₖ₋₁ against the realized vₖ
+    * BEFORE folding vₖ in; emit the per-type prediction count, summed
+    * absolute error, and integer MAE. The evaluate-your-forecaster
+    * operator: q146 fits, q166 says whether the fit was worth
+    * anything (the q143 ↔ q155 pairing for the time-series family —
+    * every model operator ships with its evaluation operator).
+    *
+    * Same fold, one extra accumulator (error sum) — scale shape
+    * unchanged: two longs + one error long per group, spill-sorted
+    * input, no history buffer. The oracle reuses q146's RECURSIVE CTE
+    * state chain and joins state rn against actual rn+1. */
+  def holtBacktest(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily.select(col("event_type"), col("dnum"), col("v"))
+      .as[(String, Int, Long)]
+      .repartition(col("event_type"))
+      .sortWithinPartitions("event_type", "dnum")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(String, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, Long, Long) = {
+            val et = buf.head._1
+            var n = 0L
+            var l = 0L
+            var b = 0L
+            var sae = 0L
+            while (buf.hasNext && buf.head._1 == et) {
+              val v = buf.next()._3
+              if (n == 0L) { l = v; b = 0L }
+              else {
+                sae += math.abs(l + b - v)
+                val st = holtStep(l, b, v)
+                l = st._1
+                b = st._2
+              }
+              n += 1L
+            }
+            (et, n - 1L, sae)
+          }
+        }
+      }
+      .toDF("event_type", "n_pred", "sae_e3")
+      .withColumn("mae_e3",
+        expr("CASE WHEN n_pred > 0 THEN sae_e3 div n_pred" +
+          " ELSE 0L END"))
   }
+
+  /** n_pred = 0 (single-day types) filtered to match the oracle's
+    * prediction join, which has no row to score there. */
+  def q166HoltBacktest(spark: SparkSession, dir: String): DataFrame =
+    holtBacktest(holtDaily(spark, dir))
+      .filter(col("n_pred") > 0).orderBy("event_type")
+
+  /** Shared WITH-RECURSIVE prefix of the q146/q166 oracles: daily
+    * integer totals → rn numbering → the stepped (l, b) state chain. */
+  private val holtCtes: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY event_type, CAST(ts AS DATE)),
+      |t AS (
+      |  SELECT event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+      |      AS rn, v
+      |  FROM daily),
+      |s AS (
+      |  SELECT event_type, rn, v AS l, CAST(0 AS BIGINT) AS b
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.event_type, t.rn,
+      |    (t.v + 3 * (s.l + s.b)) // 4 AS l,
+      |    (((t.v + 3 * (s.l + s.b)) // 4) - s.l + 3 * s.b) // 4 AS b
+      |  FROM s JOIN t
+      |    ON t.event_type = s.event_type AND t.rn = s.rn + 1)"""
+      .stripMargin
 
   // ---------------------------------------------------------------- q159
 
@@ -395,6 +479,7 @@ object Stats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_gini" -> (q159Gini _),
     "q146_holt" -> (q146Holt _),
+    "q166_holt_backtest" -> (q166HoltBacktest _),
     "q51_stats" -> (q51Stats _),
     "q55_cond_aggs" -> (q55CondAggs _),
     "q90_value_outliers" -> (q90ValueOutliers _),
@@ -439,33 +524,27 @@ object Stats {
     // trend numerator goes negative); lₖ is written out twice inside
     // the step (SQL can't bind it) — same integer ops, same result.
     "q146_holt" ->
-      """WITH RECURSIVE daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS d,
-        |    CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT))
-        |      AS BIGINT) AS v
-        |  FROM events WHERE value IS NOT NULL
-        |  GROUP BY event_type, CAST(ts AS DATE)),
-        |t AS (
-        |  SELECT event_type,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
-        |      AS rn, v
-        |  FROM daily),
-        |s AS (
-        |  SELECT event_type, rn, v AS l, CAST(0 AS BIGINT) AS b
-        |  FROM t WHERE rn = 1
-        |  UNION ALL
-        |  SELECT t.event_type, t.rn,
-        |    (t.v + 3 * (s.l + s.b)) // 4 AS l,
-        |    (((t.v + 3 * (s.l + s.b)) // 4) - s.l + 3 * s.b) // 4 AS b
-        |  FROM s JOIN t
-        |    ON t.event_type = s.event_type AND t.rn = s.rn + 1),
-        |mx AS (SELECT event_type, MAX(rn) AS mr FROM t
-        |       GROUP BY event_type)
-        |SELECT s.event_type, CAST(mx.mr AS BIGINT) AS n_days,
-        |  s.l AS level_e3, s.b AS trend_e3, s.l + s.b AS forecast_e3
-        |FROM s JOIN mx
-        |  ON mx.event_type = s.event_type AND s.rn = mx.mr
-        |ORDER BY s.event_type""".stripMargin,
+      s"""$holtCtes,
+         |mx AS (SELECT event_type, MAX(rn) AS mr FROM t
+         |       GROUP BY event_type)
+         |SELECT s.event_type, CAST(mx.mr AS BIGINT) AS n_days,
+         |  s.l AS level_e3, s.b AS trend_e3, s.l + s.b AS forecast_e3
+         |FROM s JOIN mx
+         |  ON mx.event_type = s.event_type AND s.rn = mx.mr
+         |ORDER BY s.event_type""".stripMargin,
+    // q166: the same state chain scored one step ahead — state at rn
+    // joins the actual at rn+1, so |l + b − v| is the walk-forward
+    // absolute error the JVM fold accumulates before each update.
+    "q166_holt_backtest" ->
+      s"""$holtCtes,
+         |e AS (
+         |  SELECT s.event_type, abs(s.l + s.b - t2.v) AS ae
+         |  FROM s JOIN t t2
+         |    ON t2.event_type = s.event_type AND t2.rn = s.rn + 1)
+         |SELECT event_type, COUNT(*) AS n_pred,
+         |  CAST(SUM(ae) AS BIGINT) AS sae_e3,
+         |  CAST(SUM(ae) AS BIGINT) // COUNT(*) AS mae_e3
+         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q132: list_reduce has no seed parameter — prepending 0 makes the
     // first element the seed, ≡ Spark's aggregate(…, 0L, …). Integer
     // `//` and `div` agree (operands non-negative).

@@ -300,6 +300,22 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("q167 assortativity goldens: a star is perfectly " +
+      "disassortative (r = -1), a clique hits the 0/0 guard") {
+    // star 0–{1..4}: n=8 directed edges, Σdu=20, Σdudv=32, Σdu²=68 →
+    // r = (8·32 − 400)/(8·68 − 400) = −144/144 = −1
+    val star = Graph.degreeAssortativity(
+      edgeDF((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))).collect().head
+    assert(star.getLong(0) == 8L && star.getLong(1) == 20L &&
+      star.getLong(2) == 32L && star.getLong(3) == 68L)
+    assert(star.getDouble(4) == -1.0)
+    // K4 is 3-regular: n·Σdu² = (Σdu)² exactly → guarded r = 0
+    val k4 = Graph.degreeAssortativity(edgeDF(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      .collect().head
+    assert(k4.getDouble(4) == 0.0)
+  }
+
   test("q143 LPA: one-round vote goldens (all-tie → min label, " +
       "neighbours only — a node never votes for itself)") {
     // center 0 wired to {1,2,3,9}, triangle on {1,2,3}. One round:

@@ -201,6 +201,28 @@ class StatsSpec extends SparkSpecBase {
     assert(Stats.holtStep(0L, 0L, 100L) == ((25L, 6L)))
   }
 
+  test("q166 holtBacktest: walk-forward errors == driver replay, " +
+      "scored BEFORE each state update") {
+    import spark.implicits._
+    val daily = Seq(("a", 1, 100L), ("a", 2, 300L), ("a", 3, -50L),
+      ("a", 4, -200L), ("b", 1, 40L)).toDF("event_type", "dnum", "v")
+    val got = Stats.holtBacktest(daily).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // replay: l=100,b=0 → pred 100 vs 300 (ae 200), step → l=150,
+    // b=12; pred 162 vs -50 (ae 212), step → l=109 b=-1... compute
+    // via holtStep to avoid hand-arithmetic drift:
+    var (l, b) = (100L, 0L)
+    var sae = 0L
+    Seq(300L, -50L, -200L).foreach { v =>
+      sae += math.abs(l + b - v)
+      val st = Stats.holtStep(l, b, v); l = st._1; b = st._2
+    }
+    assert(got("a") == ((3L, sae, sae / 3L)))
+    // single-day type: zero predictions, zero error
+    assert(got("b") == ((0L, 0L, 0L)))
+  }
+
   test("q146 holtByType: distributed fold == driver replay on a " +
       "planted hot type spanning every shuffle partition") {
     import spark.implicits._
