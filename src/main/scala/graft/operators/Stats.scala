@@ -404,6 +404,43 @@ object Stats {
     holtBacktest(holtDaily(spark, dir))
       .filter(col("n_pred") > 0).orderBy("event_type")
 
+  // ---------------------------------------------------------------- q168
+
+  /** Q168: LORENZ top-share readout — the revenue share held by the
+    * top 1/5/10/25% of customers, in exact basis points. Reads points
+    * off the concentration curve q159's Gini integrates — the "whale
+    * dependence" numbers a revenue dashboard actually shows. Top-k
+    * membership is deterministic: rank desc by (cents, custkey);
+    * k = max(1, ⌊n·p/100⌋).
+    *
+    * Scale: the spend collapse + ONE global rank window (single
+    * total order — the documented small frame: one row per customer,
+    * not per order; at 10⁹ customers this moves to the q42
+    * range-split discipline), then a broadcast 4-row threshold
+    * fan-out and a slim rollup. All-BIGINT. */
+  def q168TopShare(spark: SparkSession, dir: String): DataFrame = {
+    val spend = load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100" +
+        " AS BIGINT)").as("cents"))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val ranked = spend
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("cents")).over(wAll))
+    ranked
+      .select(col("rn"), col("cents"), col("n"), col("tot"),
+        explode(expr("array(1L, 5L, 10L, 25L)")).as("pct"))
+      .filter(col("rn") <=
+        expr("GREATEST(1L, (n * pct) div 100)"))
+      .groupBy("pct")
+      .agg(count(lit(1)).as("n_top"),
+        expr("(CAST(SUM(cents) AS BIGINT) * 10000) div MAX(tot)")
+          .as("share_bp"))
+      .orderBy("pct")
+  }
+
   /** Shared WITH-RECURSIVE prefix of the q146/q166 oracles: daily
     * integer totals → rn numbering → the stepped (l, b) state chain. */
   private val holtCtes: String =
@@ -480,6 +517,7 @@ object Stats {
     "q159_gini" -> (q159Gini _),
     "q146_holt" -> (q146Holt _),
     "q166_holt_backtest" -> (q166HoltBacktest _),
+    "q168_top_share" -> (q168TopShare _),
     "q51_stats" -> (q51Stats _),
     "q55_cond_aggs" -> (q55CondAggs _),
     "q90_value_outliers" -> (q90ValueOutliers _),
@@ -489,6 +527,28 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // q168: same desc rank, same floor-k membership, same integer
+    // share; SUMs recast to BIGINT.
+    "q168_top_share" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(cents) OVER () AS BIGINT) AS tot
+        |  FROM spend),
+        |f AS (
+        |  SELECT CAST(pct AS BIGINT) AS pct, cents, tot
+        |  FROM r, UNNEST([1, 5, 10, 25]) AS u(pct)
+        |  WHERE rn <= GREATEST(1, (n * pct) // 100))
+        |SELECT pct, COUNT(*) AS n_top,
+        |  (CAST(SUM(cents) AS BIGINT) * 10000) // MAX(tot)
+        |    AS share_bp
+        |FROM f GROUP BY pct ORDER BY pct""".stripMargin,
     // q159: same exact-cents ranks (ROW_NUMBER under (cents, custkey)
     // — spend ties share a value so the tiebreak can't move Σi·x),
     // same integer Gini; SUMs recast to BIGINT (DuckDB widens).

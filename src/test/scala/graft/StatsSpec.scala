@@ -201,6 +201,31 @@ class StatsSpec extends SparkSpecBase {
     assert(Stats.holtStep(0L, 0L, 100L) == ((25L, 6L)))
   }
 
+  test("q168 top-share == driver recomputation; shares are monotone " +
+      "and bounded") {
+    val spend = graft.Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(graft.Tables.dec(col("o_totalprice"))).as("sp"))
+      .collect().map(r => (r.getLong(0),
+        r.getDecimal(1).movePointRight(2).longValueExact()))
+    val ranked = spend.sortBy { case (ck, c) => (-c, ck) }.map(_._2)
+    val n = ranked.length.toLong
+    val tot = ranked.sum
+    val got = Stats.q168TopShare(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq(1L, 5L, 10L, 25L).foreach { p =>
+      val k = math.max(1L, (n * p) / 100L)
+      val share = (ranked.take(k.toInt).sum * 10000L) / tot
+      assert(got(p) == ((k, share)), s"pct $p")
+      // sound bound: the top k spenders' mean ≥ the overall mean, so
+      // their share is at least k/n of revenue (floor-rounded)
+      assert(share >= (k * 10000L) / n - 1L,
+        s"top-share below its k/n floor at $p%")
+    }
+    assert(got(1L)._2 <= got(5L)._2 && got(5L)._2 <= got(10L)._2 &&
+      got(10L)._2 <= got(25L)._2)
+  }
+
   test("q166 holtBacktest: walk-forward errors == driver replay, " +
       "scored BEFORE each state update") {
     import spark.implicits._
