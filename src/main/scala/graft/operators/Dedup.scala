@@ -698,12 +698,32 @@ object Dedup {
     * inverted index, so the work is |batch|-proportional, never a
     * corpus self-join.
     *
-    * Returns the surviving incoming doc_ids. Uncapped postings (the
-    * oracle-exact form, like q33c); the 100 TB path reuses the q102
-    * df-cap + heavy-residual machinery or an LSH prefilter with this
-    * exact join as the residual. */
+    * Returns the surviving incoming doc_ids.
+    *
+    * SCALE SHAPE (round-8 fix of the uncapped candidate join — the
+    * q102 df-cap + exact-heavy-residual pattern, adapted to the
+    * existing×incoming asymmetry): existing-side postings are split at
+    * `dfCap`.
+    *  - Branch A enumerates candidates ONLY through small postings, so
+    *    each incoming shingle occurrence fans out to ≤ dfCap existing
+    *    docs — a hot boilerplate shingle (df in the millions at corpus
+    *    scale) no longer multiplies every incoming doc containing it.
+    *  - A passing pair missed by branch A shares ONLY hot shingles, so
+    *    its intersection is at most the incoming doc's hot-shingle
+    *    count ch, and jaccard ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥ t·|sh_new| ⟹
+    *    ch ≥ t·|sh_new|: the incoming doc is "heavy" (mostly
+    *    corpus-frequent shingles). Branch B re-enumerates hot postings
+    *    against ONLY those heavy incoming docs — a df·|heavy| fan-out,
+    *    not df·|batch|.
+    * Verification is the exact shingle-set jaccard either way, so the
+    * survivor set is BIT-IDENTICAL to the uncapped form for every
+    * dfCap ≥ 1 (DedupSpec pins cap ∈ {2, 64, ∞} identical, plus a
+    * planted hot-shingle test showing branch-A candidates stay bounded
+    * while uncapped candidates grow with corpus size). dfCap only moves
+    * cost between the branches; `dfCap = Int.MaxValue` reproduces the
+    * original uncapped join. */
   def crossCorpusDedup(existing: DataFrame, incoming: DataFrame,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5, dfCap: Int = 64): DataFrame = {
     def shSets(d: DataFrame) = d
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
@@ -713,11 +733,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = shSets(existing)
     val in = shSets(incoming)
-    val cand = in
-      .select(col("doc_id").as("new_id"), explode(col("sh")).as("h"))
-      .join(ex.select(col("doc_id").as("old_id"),
-        explode(col("sh")).as("h")), "h")
-      .select("new_id", "old_id").distinct()
+    val cand = crossCorpusCandidates(ex, in, threshold, dfCap)
     val inter = size(array_intersect(col("sa"), col("sb")))
     val dropped = cand
       .join(in.select(col("doc_id").as("new_id"), col("sh").as("sa")),
@@ -731,6 +747,40 @@ object Dedup {
     finishAndRelease(in.select(col("doc_id"))
       .join(dropped.select(col("new_id").as("doc_id")),
         Seq("doc_id"), "left_anti"), ex, in)
+  }
+
+  /** Candidate (new_id, old_id) pairs for [[crossCorpusDedup]] — the
+    * df-capped existing-side inverted index plus the exact heavy
+    * residual (soundness argument in the caller's scaladoc). Exposed
+    * `private[graft]` so DedupSpec can assert candidate-count bounds
+    * directly. No broadcast hints: the hot-shingle set is
+    * corpus-frequency-bounded (≤ occurrences/dfCap) and the heavy set
+    * is batch-dependent — AQE promotes either to broadcast when its
+    * runtime size allows, and a shuffle join is the safe fallback. */
+  private[graft] def crossCorpusCandidates(ex: DataFrame, in: DataFrame,
+      threshold: Double, dfCap: Int): DataFrame = {
+    val exPost = ex.select(col("doc_id").as("old_id"),
+      explode(col("sh")).as("h"))
+    val dfc = exPost.groupBy("h").agg(count(lit(1)).as("df"))
+    val post = exPost.join(dfc, "h")
+    val smallPost = post.filter(col("df") <= dfCap)
+      .select("h", "old_id")
+    val hotSh = dfc.filter(col("df") > dfCap).select("h")
+    val inExpl = in.select(col("doc_id").as("new_id"),
+      explode(col("sh")).as("h"))
+    val candSmall = inExpl.join(smallPost, "h")
+      .select("new_id", "old_id")
+    val heavyIn = inExpl.join(hotSh, Seq("h"))
+      .groupBy("new_id").agg(count(lit(1)).as("ch"))
+      .join(in.select(col("doc_id").as("new_id"),
+        size(col("sh")).as("sz")), "new_id")
+      .filter(col("ch").cast("double") >= lit(threshold) * col("sz"))
+      .select("new_id")
+    val candHot = inExpl.join(heavyIn, "new_id")
+      .join(hotSh, Seq("h"))
+      .join(post.filter(col("df") > dfCap).select("h", "old_id"), "h")
+      .select("new_id", "old_id")
+    candSmall.unionByName(candHot).distinct()
   }
 
   /** Q137's derived incoming batch: every corpus doc re-arrives with a

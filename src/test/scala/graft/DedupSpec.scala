@@ -297,4 +297,79 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(survivors == Set(12L, 13L))
   }
+
+  test("crossCorpusDedup: df-capped ≡ uncapped, for caps that force " +
+      "both the small-posting path and the heavy residual") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    // q137's mix: near-dups (dropped) + first-half excerpts (survive),
+    // so the identity is checked on a non-trivial survivor set
+    val nearDup = concat_ws(" ",
+      slice(w, lit(1), greatest(size(w) - 3, lit(1))))
+    val half = concat_ws(" ",
+      slice(w, lit(1), greatest((size(w).cast("double") / 2).cast("int"),
+        lit(1))))
+    val incoming = docs.select(
+      (col("doc_id") + lit(Dedup.NearDupIdOffset)).as("doc_id"),
+      when(col("doc_id") % 3 === 0, nearDup).otherwise(half).as("text"))
+    def run(cap: Int): Set[Long] =
+      Dedup.crossCorpusDedup(docs, incoming, dfCap = cap)
+        .collect().map(_.getLong(0)).toSet
+    val uncapped = run(Int.MaxValue)
+    assert(uncapped.nonEmpty)
+    assert(run(64) == uncapped)
+    assert(run(2) == uncapped)
+  }
+
+  test("crossCorpusDedup: a planted hot boilerplate shingle no longer " +
+      "multiplies candidates, and an all-hot-shingles near-copy is " +
+      "still caught through the heavy residual") {
+    import spark.implicits._
+    // every existing doc opens with the same 3-word boilerplate (one hot
+    // shingle, df = n) followed by unique content
+    val n = 200
+    val existing = (1 to n).map(i =>
+      (i.toLong, s"common header text u${i}a u${i}b u${i}c u${i}d u${i}e"))
+      .toDF("doc_id", "text")
+    // incoming: shares ONLY the boilerplate shingle with each existing
+    // doc — low jaccard, must survive, and must not candidate-join the
+    // whole corpus when capped
+    val incoming = Seq(
+      (5001L, "common header text z1 z2 z3 z4 z5 z6 z7 z8"),
+      // verbatim copy of doc 7: every one of its shingles includes one
+      // hot + several small ones... make a doc whose shingles are ALL
+      // hot by copying the boilerplate-only doc below
+      (5002L, "common header text u7a u7b u7c u7d u7e"))
+      .toDF("doc_id", "text")
+    def shSets(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), array_distinct(transform(
+        Dedup.shinglesOf(col("w"), 3), s => xxhash64(s))).as("sh"))
+    val capped = Dedup.crossCorpusCandidates(
+      shSets(existing), shSets(incoming), 0.5, 8).count()
+    val uncapped = Dedup.crossCorpusCandidates(
+      shSets(existing), shSets(incoming), 0.5, Int.MaxValue).count()
+    // uncapped: the hot shingle alone joins each incoming doc to all n
+    // existing docs; capped: 5001 generates NO candidates (its only
+    // shared shingle is hot and it is not heavy), 5002 only reaches the
+    // docs it shares small shingles with
+    assert(uncapped >= 2L * n)
+    assert(capped < n)
+    // correctness: the near-copy 5002 is dropped, boilerplate-only
+    // 5001 survives — identically under both caps
+    def run(cap: Int): Set[Long] =
+      Dedup.crossCorpusDedup(existing, incoming, dfCap = cap)
+        .collect().map(_.getLong(0)).toSet
+    assert(run(8) == Set(5001L))
+    assert(run(Int.MaxValue) == Set(5001L))
+    // heavy-residual necessity: a copy of a doc whose shingles are ALL
+    // hot (identical docs -> every shingle df = n) is caught only via
+    // the heavy branch
+    val allSame = (1 to n).map(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val copyIn = Seq((9001L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Dedup.crossCorpusDedup(allSame, copyIn, dfCap = 4)
+      .collect().isEmpty)
+  }
 }
