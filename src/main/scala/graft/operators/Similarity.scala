@@ -376,6 +376,85 @@ object Similarity {
   def q151HardNegatives(spark: SparkSession, dir: String): DataFrame =
     hardNegatives(load(spark, dir, "embeddings")).orderBy("vec_id")
 
+  /** ANN-backed hard negatives — the production-scale path q151's
+    * scaladoc promised (round-7 verdict Next #2), now composed: IVF
+    * cell assignment on BOTH sides (every vector is a query, so
+    * nothing broadcasts — the join shuffles on the short `cell` key),
+    * the different-label predicate pushed into the candidate join, and
+    * the SAME exact integer-rounded cosine + partial-combining argmax
+    * as [[hardNegatives]] on the shortlist. Candidate volume is
+    * Σ_cells |probe(c)|·|assigned(c)| ≈ N²·probes/C instead of N² —
+    * `cells` and `probes` are the cost/recall knobs.
+    *
+    * `probes = cells` probes every cell, so the candidate set equals
+    * the brute pair set and the output is BIT-IDENTICAL to
+    * [[hardNegatives]] (SimilaritySpec pins this, plus a recall floor
+    * and probe-monotonicity at partial probes against the brute
+    * truth). A vector whose probed cells hold no cross-label vector
+    * emits no row — misses count against recall, exactly as in ANN
+    * serving.
+    *
+    * Cell ranking on the query side is the knnIvf HOF (O(C·d) per
+    * row — the irreducible IVF assignment cost; a codegen'd top-p
+    * centroid expression would shave the interpretation constant, not
+    * the complexity). */
+  def hardNegativesAnn(vectors: DataFrame, cells: Int = 16,
+      probes: Int = 2): DataFrame = {
+    DotProductExpr.register(vectors.sparkSession)
+    NearestCentroidExpr.register(vectors.sparkSession)
+    val base = vectors
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+    val centroidRows = base
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cells)
+      .select(col("vec_id"), col("v"))
+      .collect()
+    val cids = centroidRows.map(_.getLong(0)).toSeq
+    val mat = centroidRows.map(_.getSeq[Double](1)).toSeq
+    val assigned = base
+      .withColumn("cell", call_function(NearestCentroidExpr.name,
+        col("v"), typedlit(cids), typedlit(mat)))
+      .withColumn("nv", nativeNorm(col("v")))
+    val matL = typedlit(mat)
+    val cidsL = typedlit(cids)
+    val cellScores = transform(sequence(lit(0), lit(cids.length - 1)), i =>
+      struct(
+        aggregate(zip_with(col("v"), element_at(matL, i + 1),
+          (x, y) => x * y), lit(0.0), (a, x) => a + x).as("dot"),
+        element_at(cidsL, i + 1).as("cid")))
+    val probed = slice(array_sort(cellScores, (l, r) =>
+      when(l("dot") > r("dot"), -1)
+        .when(l("dot") < r("dot"), 1)
+        .when(l("cid") < r("cid"), -1)
+        .when(l("cid") > r("cid"), 1)
+        .otherwise(0)), 1, math.min(probes, cells))
+    val qs = base
+      .withColumn("cell", explode(transform(probed, s => s("cid"))))
+      .withColumn("nq", nativeNorm(col("v")))
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nq"), col("cell"))
+    assigned.as("b").join(qs.as("a"),
+        col("b.cell") === col("a.cell") &&
+          col("b.vec_id") =!= col("a.qid") &&
+          col("b.label") =!= col("a.qlabel"))
+      .withColumn("cos_e6", floor(cosinePrenormed(
+          nativeDot(col("b.v"), col("a.qv")), col("b.nv"), col("a.nq"))
+        * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("a.qid").as("vec_id"))
+      .agg(min(struct((-col("cos_e6")).as("nc"),
+        col("b.vec_id").as("nbr"))).as("m"))
+      .select(col("vec_id"), col("m.nbr").as("hard_neg"),
+        (-col("m.nc")).as("cos_e6"))
+  }
+
+  /** Impl-only twin of q151 (the q34b/q34c precedent: approximate
+    * candidate generation is engine-specific — recall < 1 by design,
+    * no SQL oracle can equal it; SimilaritySpec carries the recall
+    * contract vs the gated brute baseline). */
+  def q151bHardNegativesAnn(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesAnn(load(spark, dir, "embeddings")).orderBy("vec_id")
+
   // --------------------------------------------------------------- q154
 
   /** Q154: per-label EMBEDDING DISPERSION — the mean pairwise squared
@@ -422,6 +501,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_embed_dispersion" -> (q154EmbedDispersion _),
     "q151_hard_negatives" -> (q151HardNegatives _),
+    "q151b_hard_negatives_ann" -> (q151bHardNegativesAnn _),
     "q34a_knn_brute" -> (q34aKnnBrute _),
     "q34b_knn_lsh" -> (q34bKnnLsh _),
     "q34c_knn_ivf" -> (q34cKnnIvf _),

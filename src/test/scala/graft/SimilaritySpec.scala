@@ -78,6 +78,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r4 > 0.2, s"nprobe=4 recall $r4")
   }
 
+  test("hardNegativesAnn: full probe ≡ brute bit-identical; partial " +
+      "probes are recall-monotone with a useful floor") {
+    val brute = Similarity.hardNegatives(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    def ann(probes: Int): Set[(Long, Long, Long)] =
+      Similarity.hardNegativesAnn(emb, cells = 16, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // probes = cells ⟹ candidate set = the brute pair set ⟹ identical
+    assert(ann(16) == brute)
+    def recall(probes: Int): Double =
+      brute.count(ann(probes).contains).toDouble / brute.size
+    val r1 = recall(1)
+    val r2 = recall(2)
+    val r4 = recall(4)
+    // candidate supersets preserve a found true argmax (min-struct tie
+    // order), so recall is monotone by construction — pin it
+    assert(r2 >= r1, s"probes=2 recall $r2 < probes=1 recall $r1")
+    assert(r4 >= r2, s"probes=4 recall $r4 < probes=2 recall $r2")
+    assert(r4 > 0.2, s"probes=4 recall $r4 — shortlist too lossy")
+  }
+
   test("quantize: codes in [0,255], dequantization error ≤ scale/2") {
     val rows = Similarity.quantize(emb.limit(20))
       .select("e", "mn", "scale", "codes").collect()
