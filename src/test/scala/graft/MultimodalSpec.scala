@@ -89,6 +89,52 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f(4) == 8000.0f && f(5) == 4.0f && f(6) == 1.0f && f(7) == 3.0f)
   }
 
+  /** Encode a BufferedImage to bytes with ImageIO (the same JDK codec
+    * users' payloads come from). */
+  private def encodeImage(fmt: String,
+      px: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val h = px.length; val w = px.head.length
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(y)(x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out))
+    out.toByteArray
+  }
+
+  test("PNG decode golden: lossless round-trip gives exact pixels and " +
+      "channel means; JPEG decode recovers a uniform block within " +
+      "lossy tolerance") {
+    val quad = Seq(
+      Seq((255, 0, 0), (0, 255, 0)),
+      Seq((0, 0, 255), (255, 255, 255)))
+    val png = encodeImage("png", quad)
+    val img = MediaCodec.decodeImageIo(png).get
+    assert(img.width == 2 && img.height == 2)
+    val px = img.rgb.map(_ & 0xff).grouped(3).map(_.toSeq).toSeq
+    assert(px == Seq(Seq(255, 0, 0), Seq(0, 255, 0),
+      Seq(0, 0, 255), Seq(255, 255, 255)))
+    // shared feature path: exact channel means like the BMP golden
+    val f = MediaCodec.bmpFeatures(img)
+    assert(f(0) == 0.5f && f(1) == 0.5f && f(2) == 0.5f)
+    assert(f(4) == 2.0f && f(5) == 2.0f && f(7) == 2.0f)
+    // JPEG: uniform mid-gray 8×8 block — lossy, but a flat field
+    // round-trips within a couple of code values
+    val gray = Seq.fill(8)(Seq.fill(8)((120, 120, 120)))
+    val jf = MediaCodec.decodeToFeatures(encodeImage("jpg", gray), "image")
+    assert(jf(4) == 8.0f && jf(5) == 8.0f && jf(7) == 2.0f)
+    Seq(jf(0), jf(1), jf(2)).foreach { m =>
+      assert(math.abs(m - 120.0 / 255.0) < 3.0 / 255.0, s"mean $m") }
+    assert(jf(3) < 3.0 / 255.0, s"uniform block stddev ${jf(3)}")
+    // corrupt JPEG magic falls back to byte-sum, never throws
+    val bad = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 1, 2, 3)
+    assert(MediaCodec.decodeToFeatures(bad, "image")
+      .sameElements(MediaCodec.fakeFeatures(bad, "image")))
+  }
+
   test("malformed magic bytes fall back to the deterministic byte-sum " +
       "path — decode never throws") {
     val fakeBmp = "BMnot really a bitmap".getBytes("UTF-8")
