@@ -170,6 +170,57 @@ object SqlSurface {
       spark.table(followUpsView), triggerType, followType,
       horizonSeconds).createOrReplaceTempView(viewName)
 
+  /** Per-event session labels of an events view (user_id, ts_ns,
+    * event_id, event_type) → view with (…, session_no) under the
+    * 30-minute (default) inactivity-gap definition — q141's exact
+    * derivation (round 8). */
+  def createSessionsView(spark: SparkSession, eventsView: String,
+      viewName: String, gapUs: Long = 1800L * 1000000L): Unit =
+    Behavioral.sessionized(spark.table(eventsView), gapUs)
+      .createOrReplaceTempView(viewName)
+
+  /** Rolling distinct-user window (7-day WAU by default) of an events
+    * view (user_id, ts) → view (d, wau7) — q144's distinct-collapse +
+    * broadcast anchor-range plan. */
+  def createRollingWauView(spark: SparkSession, eventsView: String,
+      viewName: String, windowDays: Int = 7): Unit =
+    Behavioral.rollingWau(spark.table(eventsView), windowDays)
+      .createOrReplaceTempView(viewName)
+
+  /** Fixed-round label-propagation communities of an edge-list view
+    * (u, v) → view (node, community) — q143's deterministic argmax
+    * propagation. */
+  def createCommunitiesView(spark: SparkSession, edgesView: String,
+      viewName: String, rounds: Int = 3): Unit =
+    Graph.labelPropagation(spark.table(edgesView), rounds)
+      .createOrReplaceTempView(viewName)
+
+  /** Per-community modularity decomposition of an edge-list view
+    * against a (node, community) labels view → view (community,
+    * n_nodes, e_in, k_sum, q_num, q_e6) — q155's exact integer
+    * Newman–Girvan audit. */
+  def createModularityView(spark: SparkSession, edgesView: String,
+      labelsView: String, viewName: String): Unit =
+    Graph.modularityByCommunity(spark.table(edgesView),
+      spark.table(labelsView)).createOrReplaceTempView(viewName)
+
+  /** Holt level+trend smoothing of a per-key daily series view
+    * (event_type, dnum, v) → view (event_type, n_days, level_e3,
+    * trend_e3, forecast_e3) — q146's two-long-state spill-sorted
+    * fold. */
+  def createHoltView(spark: SparkSession, dailyView: String,
+      viewName: String): Unit =
+    operators.Stats.holtByType(spark.table(dailyView))
+      .createOrReplaceTempView(viewName)
+
+  /** Daily OHLC bars of an events view (event_type, ts, ts_ns,
+    * event_id, value) → view (event_type, day, n_events, open, high,
+    * low, close) — q136's two-direction row_number selection. */
+  def createOhlcView(spark: SparkSession, eventsView: String,
+      viewName: String): Unit =
+    operators.TimeSeries.ohlcBars(spark.table(eventsView))
+      .createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

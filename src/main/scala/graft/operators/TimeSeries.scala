@@ -187,8 +187,11 @@ object TimeSeries {
     *
     * Scale: two window passes per (type, day) partition — small dense
     * partitions, no global sort — then one hash agg. */
-  def q136Ohlc(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables.events(spark, dir)
+  /** Operator form over any events frame with (event_type, ts, ts_ns,
+    * event_id, value) — the SqlSurface builder target; q136 gates it
+    * on the fixture. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val ev = events
       .filter(col("value").isNotNull)
       .select(col("event_type"), to_date(col("ts")).as("day"),
         expr("ts_ns div 1000").as("ts_us"), col("event_id"), col("value"))
@@ -206,6 +209,9 @@ object TimeSeries {
         max(when(col("rr") === 1, col("value"))).as("close"))
       .orderBy("event_type", "day")
   }
+
+  def q136Ohlc(spark: SparkSession, dir: String): DataFrame =
+    ohlcBars(graft.Tables.events(spark, dir))
 
   // ---------------------------------------------------------------- q157
 

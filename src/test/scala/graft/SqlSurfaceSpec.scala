@@ -221,6 +221,72 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(nSql == nDirect)
   }
 
+  test("round-7 family view builders (sessions / rolling WAU / LPA + " +
+      "modularity / Holt / OHLC): SQL ≡ Scala operator") {
+    SqlSurface.registerTables(spark, sf)
+    import org.apache.spark.sql.functions.{col, desc}
+
+    SqlSurface.createSessionsView(spark, "events", "sess")
+    val sSql = spark.sql("SELECT user_id, event_id, session_no FROM sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sDir = graft.operators.Behavioral.sessionized(spark.table("events"))
+      .select("user_id", "event_id", "session_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sSql == sDir && sSql.nonEmpty)
+
+    SqlSurface.createRollingWauView(spark, "events", "wau")
+    val wSql = spark.sql("SELECT d, wau7 FROM wau")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    val wDir = graft.operators.Behavioral.rollingWau(spark.table("events"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    assert(wSql == wDir && wSql.nonEmpty)
+
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("u", "v").createOrReplaceTempView("lpa_edges")
+    SqlSurface.createCommunitiesView(spark, "lpa_edges", "comm")
+    val cSql = spark.sql("SELECT node, community FROM comm")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cDir = graft.operators.Graph
+      .labelPropagation(spark.table("lpa_edges"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cSql == cDir && cSql.nonEmpty)
+    SqlSurface.createModularityView(spark, "lpa_edges", "comm", "modu")
+    val mSql = spark.sql("SELECT community, q_num FROM modu")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mDir = graft.operators.Graph.modularityByCommunity(
+        spark.table("lpa_edges"), spark.table("comm"))
+      .select("community", "q_num")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mSql == mDir && mSql.nonEmpty)
+
+    spark.sql("SELECT event_type, unix_date(to_date(ts)) AS dnum, " +
+        "SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS v " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2")
+      .createOrReplaceTempView("daily")
+    SqlSurface.createHoltView(spark, "daily", "holt")
+    val hSql = spark.sql(
+        "SELECT event_type, level_e3, trend_e3 FROM holt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val hDir = graft.operators.Stats.holtByType(spark.table("daily"))
+      .select("event_type", "level_e3", "trend_e3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(hSql == hDir && hSql.nonEmpty)
+
+    SqlSurface.createOhlcView(spark, "events", "ohlc")
+    val oSql = spark.sql(
+        "SELECT event_type, day, open, close FROM ohlc")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getDouble(3))).toSet
+    val oDir = graft.operators.TimeSeries.ohlcBars(spark.table("events"))
+      .select("event_type", "day", "open", "close")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getDouble(3))).toSet
+    assert(oSql == oDir && oSql.nonEmpty)
+  }
+
   test("z-order write view builder: SQL box query scans the z-laid-out " +
       "files and matches a direct scan (advice r5)") {
     SqlSurface.registerTables(spark, sf)
