@@ -16,6 +16,9 @@ case class Ev(ts: Timestamp, event_type: String, value: Double,
 /** Streaming document row for the near-dedup test. */
 case class SDoc(ts: Timestamp, text: String)
 
+/** Streaming document row with an id — incremental-dedup twin test. */
+case class IDoc(ts: Timestamp, doc_id: Long, text: String)
+
 /** Streaming document row with card dimensions (corpus-report test). */
 case class SRep(ts: Timestamp, text: String, lang: String, source: String)
 
@@ -295,6 +298,51 @@ class StreamingSpec extends SparkSpecBase {
       (w0, "s1", 2L, 5L, 1L),   // "a b c"(en) + "d e"(fr)
       (w0, "s2", 1L, 4L, 1L),
       (w1, "s1", 1L, 2L, 1L)))
+  }
+
+  test("streaming incremental cross-corpus dedup ≡ batch crossCorpusDedup " +
+      "(q137 twin): vs-corpus near-dups drop statelessly, a CROSS-BATCH " +
+      "stream duplicate collapses within the watermark") {
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // near-dup of doc 1 (last word dropped -> jaccard >= 0.5), two
+    // novel docs, an exact re-arrival of 102's text in a LATER batch,
+    // and a near-dup of doc 2 arriving late in batch 2
+    val b1 = Seq(
+      IDoc(ts(1), 101L, "alpha beta gamma delta epsilon zeta eta"),
+      IDoc(ts(2), 102L, "novel words about spark streaming engines here"))
+    val b2 = Seq(
+      IDoc(ts(3), 103L, "novel words about spark streaming engines here"),
+      IDoc(ts(4), 104L, "completely different content regarding graphs"),
+      IDoc(ts(5), 105L, "one two three four five six seven eight nine"),
+      IDoc(Timestamp.valueOf("2024-01-01 11:00:00"), 999L,
+        "watermark flush marker row payload"))
+    val input = MemoryStream[IDoc](spark)
+    val df = StreamOps.crossCorpusDedupStream(input.toDF(), existing,
+      watermark = "10 minutes")
+    val q = df.writeStream.format("memory").queryName("xcstream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-xcstream").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("xcstream").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // batch twin: first arrivals (103's text already seen in batch 1)
+    // through the batch operator
+    val firstArrivals = (b1 ++ b2).filterNot(_.doc_id == 103L)
+      .map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val batch = graft.operators.Dedup
+      .crossCorpusDedup(existing, firstArrivals)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch == Set(102L, 104L, 999L))
+    assert(streamed == batch,
+      s"stream $streamed != batch $batch")
   }
 
   test("flatMapGroupsWithState: per-user counts persist across batches") {
