@@ -362,7 +362,14 @@ object Behavioral {
     * Scale: sessions collapse to distinct (user, session, type)
     * baskets first; the pair join is session-keyed with fan-out
     * ≤ C(|type alphabet|, 2) per session — alphabet-bounded, never
-    * event-bounded; size/total frames broadcast. */
+    * event-bounded; size/total frames broadcast.
+    *
+    * BIGINT headroom (D6, the q148/q160 convention): lift_ppm's
+    * numerator is n_co · s_total · 10⁶ with n_co ≤ s_total, so it is
+    * exact while s_total² · 10⁶ < 2⁶³ — about 3·10⁶ sessions. Beyond
+    * that the multiplication moves to DECIMAL(38,0) internally with
+    * the same final BIGINT `div` projection (ANSI mode fails loudly,
+    * never wraps, if this ceiling is hit first). */
   def q158SessionCooc(spark: SparkSession, dir: String): DataFrame = {
     val b = sessionized(graft.Tables.events(spark, dir))
       .select(col("user_id"), col("session_no"), col("event_type"))

@@ -417,7 +417,14 @@ object Stats {
     * total order — the documented small frame: one row per customer,
     * not per order; at 10⁹ customers this moves to the q42
     * range-split discipline), then a broadcast 4-row threshold
-    * fan-out and a slim rollup. All-BIGINT. */
+    * fan-out and a slim rollup. All-BIGINT.
+    *
+    * BIGINT headroom (D6): share_bp multiplies the top-group cents
+    * sum by 10⁴, so it is exact while total revenue < 2⁶³/10⁴ cents
+    * ≈ $9.2·10¹² — roughly sf 6·10³ of this schema. Beyond that the
+    * numerator moves to DECIMAL(38,0) internally with the same final
+    * BIGINT `div` projection (the q148/q158/q160 convention; ANSI
+    * fails loudly, never wraps, if hit first). */
   def q168TopShare(spark: SparkSession, dir: String): DataFrame = {
     val spend = load(spark, dir, "orders")
       .groupBy("o_custkey")

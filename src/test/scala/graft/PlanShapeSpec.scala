@@ -249,7 +249,11 @@ class PlanShapeSpec extends SparkSpecBase {
       "and the distinct collapse partial-combines before it") {
     val p = plan(graft.operators.Behavioral
       .q144RollingWau(spark, sf))
-    assert(p.contains("BroadcastNestedLoopJoin"),
+    // Match "Broadcast", not the literal BroadcastNestedLoopJoin
+    // operator name: a stats/AQE drift that picks a different broadcast
+    // strategy is fine — only losing the broadcast (a cartesian or a
+    // shuffled nested loop) is a regression (advice r7).
+    assert(p.contains("Broadcast"),
       "anchor range join lost its broadcast:\n" + p.take(800))
     assert(!p.contains("CartesianProduct"),
       "anchor join regressed to a cartesian:\n" + p.take(800))
