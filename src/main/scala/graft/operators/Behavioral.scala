@@ -426,7 +426,96 @@ object Behavioral {
   def q144RollingWau(spark: SparkSession, dir: String): DataFrame =
     rollingWau(Tables.events(spark, dir))
 
+  // ---------------------------------------------------------------- q169
+
+  /** Q169: LAST-TOUCH ATTRIBUTION — every purchase is credited to the
+    * user's latest PRECEDING non-purchase event type (the marketing
+    * channel); purchases with no preceding touch credit "direct". The
+    * assignment model the q128 interval join deliberately isn't:
+    * q128 enumerates ALL (trigger, follow-up) pairs in a horizon,
+    * last-touch picks exactly ONE credit per conversion — the standard
+    * revenue-attribution readout.
+    *
+    * Determinism: the carry window orders by the (µs, event_id) total
+    * order (q127 contract); revenue is exact cents via the
+    * floor(v·100+0.5) rounding discipline. Scale: one user-keyed
+    * window pass (spill-sorted) + one channel-keyed slim agg — no
+    * joins, no pair fan-out. */
+  def q169LastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("channel", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("channel"), lit("direct")).as("channel"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy("channel")
+  }
+
+  // ---------------------------------------------------------------- q170
+
+  /** Q170: SESSION-SIZE/DURATION distribution — q141's sessions rolled
+    * up to a size-bucketed histogram: per session-event-count bucket
+    * (counts ≥ 10 collapse into one tail bucket), the number of
+    * sessions, total and max duration in whole seconds. The
+    * engagement-shape readout (how long are visits, how much do they
+    * contain) that sits one aggregation above the q141 labels.
+    *
+    * All integers; duration is µs-difference `div` 10⁶ (truncating in
+    * both engines). Scale: the sessionized window output collapses to
+    * one row per (user, session) in a partial-combining agg, then to
+    * ≤ 10 bucket rows. */
+  def q170SessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionized(Tables.events(spark, dir))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_ev"),
+        expr("(max(ts_us) - min(ts_us)) div 1000000").as("dur_s"))
+      .select(least(col("n_ev"), lit(10L)).as("size_bucket"),
+        col("dur_s"))
+      .groupBy("size_bucket")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("dur_s")).as("sum_dur_s"),
+        max(col("dur_s")).as("max_dur_s"))
+      .orderBy("size_bucket")
+
+  // ---------------------------------------------------------------- q171
+
+  /** Q171: TWO-HOP TRANSITION MASS — the matrix square of q74's
+    * first-order transition counts: mass2(a, c) = Σ_b n(a→b)·n(b→c),
+    * the path-count surrogate for "where do users end up two steps
+    * after a?" that the single-step matrix can't answer (and the
+    * algebraic bridge to q93's power iteration: one more multiply is
+    * one more hop).
+    *
+    * Exact BIGINT: n ≤ |events|, so each product is ≤ |events|² and
+    * the sum over ≤ |alphabet| middle states stays far inside 2⁶³ for
+    * any realistic event volume (10⁹ events · alphabet 10² ≈ 10²⁰
+    * would need the DECIMAL-internal fallback — documented, not
+    * reachable at fixture scale). Scale: the transition matrix is
+    * |alphabet|² rows (alphabet-bounded, fact-independent) — the self
+    * join is trivially broadcast. */
+  def q171TwoHop(spark: SparkSession, dir: String): DataFrame = {
+    val t = transitionMatrix(Tables.events(spark, dir))
+    t.as("ab").join(broadcast(t.as("bc")),
+        col("ab.next_type") === col("bc.prev_type"))
+      .groupBy(col("ab.prev_type").as("src_type"),
+        col("bc.next_type").as("dst_type"))
+      .agg(sum(col("ab.n") * col("bc.n")).as("mass2"))
+      .orderBy("src_type", "dst_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_last_touch" -> (q169LastTouch _),
+    "q170_session_stats" -> (q170SessionStats _),
+    "q171_two_hop" -> (q171TwoHop _),
     "q144_rolling_wau" -> (q144RollingWau _),
     "q158_session_cooc" -> (q158SessionCooc _),
     "q141_sessions" -> (q141Sessions _),
@@ -443,6 +532,79 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    // q169: same (µs, event_id)-ordered carry window (last_value
+    // IGNORE NULLS ≡ Spark last(..., ignoreNulls)), same cents
+    // rounding, same direct fallback.
+    "q169_last_touch" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    value
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts_us, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS channel
+        |  FROM ev)
+        |SELECT COALESCE(channel, 'direct') AS channel,
+        |  COUNT(*) AS n_conv,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM c WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q170: the q141 session CTE chain rolled up per (user, session)
+    // then per size bucket; duration is truncating µs // 10⁶ on both
+    // sides.
+    "q170_session_stats" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_us
+        |  FROM ev),
+        |s AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |n AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_no
+        |  FROM s),
+        |per AS (
+        |  SELECT user_id, session_no, COUNT(*) AS n_ev,
+        |    (MAX(ts_us) - MIN(ts_us)) // 1000000 AS dur_s
+        |  FROM n GROUP BY user_id, session_no)
+        |SELECT LEAST(n_ev, 10) AS size_bucket,
+        |  COUNT(*) AS n_sessions,
+        |  CAST(SUM(dur_s) AS BIGINT) AS sum_dur_s,
+        |  MAX(dur_s) AS max_dur_s
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q171: q74's lag-window transition counts squared through the
+    // shared middle state; products/sums exact BIGINT.
+    "q171_two_hop" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_type
+        |  FROM ev),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |  FROM l WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT ab.prev_type AS src_type, bc.next_type AS dst_type,
+        |  CAST(SUM(ab.n * bc.n) AS BIGINT) AS mass2
+        |FROM t ab JOIN t bc ON ab.next_type = bc.prev_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q158: the q141 session numbering carried per event type, then
     // distinct session baskets + ordered pair join + integer lift.
     "q158_session_cooc" ->

@@ -363,6 +363,55 @@ object Graph {
   def q167Assortativity(spark: SparkSession, dir: String): DataFrame =
     degreeAssortativity(coEdges25(spark, dir))
 
+  // ---------------------------------------------------------------- q175
+
+  /** Q175: LINK PREDICTION by the Resource-Allocation index — for
+    * every NON-adjacent pair (a, b), Σ over common neighbours w of
+    * 1/deg(w), in exact integer millionths (10⁶ div deg(w) — the q80
+    * integer-surrogate discipline for a log/reciprocal score: RA is
+    * Adamic–Adar with 1/d in place of 1/log d, same ranking intent,
+    * exactly representable). The "which edge forms next" primitive of
+    * graph-based recommenders — and the inverse of q91's closure view:
+    * q91 counts closed wedges, this scores the OPEN ones.
+    *
+    * Runs on the item CO-PURCHASE graph (q94's basket machinery,
+    * co ≥ 3), not the co-supply graph: minShared=25 co-supply is a
+    * CLIQUE below sf0.1 (every wedge closed, nothing to predict);
+    * the co-purchase graph has open wedges at every fixture SF.
+    *
+    * Scale: wedge enumeration is C(deg(w), 2) per node — the q91
+    * fan-out class; at hub-heavy corpus scale the standard df-cut
+    * (cap or drop top-degree hubs, whose 1/deg contribution is
+    * negligible by construction) bounds it. Degree frame broadcasts;
+    * the anti-join removes existing edges; the gated output is the
+    * top-100 under the (ra_ppm desc, n_common desc, a, b) total
+    * order — a TakeOrdered, no global sort materialization. */
+  def raLinkPrediction(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = sym.groupBy(col("src").as("w")).agg(count(lit(1)).as("d"))
+    val adj = sym.select(col("src").as("w"), col("dst").as("n"))
+    adj.as("x").join(adj.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select(col("x.w").as("w"), col("x.n").as("a"), col("y.n").as("b"))
+      .join(broadcast(deg), "w")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 div d")).as("ra_ppm"))
+      .join(edges.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+  }
+
+  def q175RaLinkpred(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coCounts(boughtItems(load(spark, dir, "lineitem"),
+        load(spark, dir, "orders")), minCo = 3L)
+      .select(col("a").as("u"), col("b").as("v"))
+    raLinkPrediction(edges)
+      .orderBy(col("ra_ppm").desc, col("n_common").desc,
+        col("a"), col("b"))
+      .limit(100)
+  }
+
   /** q91/q93/q99 all analyze the SAME co-supply graph (minShared=25):
     * memoized per (session, dir) so one Verify/Bench run builds the
     * edge list once (the Dedup.exactPairs pattern — eager
@@ -645,6 +694,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_ra_linkpred" -> (q175RaLinkpred _),
     "q91_triangles" -> (q91Triangles _),
     "q93_pagerank" -> (q93PageRank _),
     "q94_item_similarity" -> (q94ItemSimilarity _),
@@ -843,6 +893,34 @@ object Graph {
   val oracle: Map[String, String] = Map(
     "q143_lpa_communities" -> lpaOracle,
     "q155_modularity" -> modularityOracle,
+    // q175: same wedge enumeration over the shared co-supply edge CTE,
+    // same non-negative integer `//` score, same anti-join of existing
+    // edges.
+    "q175_ra_linkpred" ->
+      """WITH bought AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS i
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT a.i AS u, b.i AS v FROM bought a
+        |  JOIN bought b ON a.c = b.c AND a.i < b.i
+        |  GROUP BY a.i, b.i HAVING COUNT(*) >= 3),
+        |sym AS (SELECT u AS src, v AS dst FROM e
+        |        UNION ALL SELECT v AS src, u AS dst FROM e),
+        |deg AS (SELECT src AS w, COUNT(*) AS d FROM sym GROUP BY src),
+        |adj AS (SELECT src AS w, dst AS n FROM sym),
+        |wed AS (
+        |  SELECT x.w, x.n AS a, y.n AS b
+        |  FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n),
+        |sc AS (
+        |  SELECT wed.a, wed.b, COUNT(*) AS n_common,
+        |    CAST(SUM(1000000 // deg.d) AS BIGINT) AS ra_ppm
+        |  FROM wed JOIN deg ON deg.w = wed.w
+        |  GROUP BY wed.a, wed.b)
+        |SELECT sc.a, sc.b, sc.n_common, sc.ra_ppm
+        |FROM sc LEFT JOIN e ON e.u = sc.a AND e.v = sc.b
+        |WHERE e.u IS NULL
+        |ORDER BY sc.ra_ppm DESC, sc.n_common DESC, sc.a, sc.b
+        |LIMIT 100""".stripMargin,
     // q167: same symmetrized degree joins, same exact integer power
     // sums, same single double division (operands < 2⁵³ ⇒ exact),
     // same integer 0/0 guard.

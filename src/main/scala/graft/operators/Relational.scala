@@ -1410,8 +1410,53 @@ object Relational {
       .orderBy("d")
   }
 
+  // ---------------------------------------------------------------- q178
+
+  /** Q178: ABC INVENTORY CLASSIFICATION — parts ranked by exact
+    * revenue, classified by CUMULATIVE share (A: first 80% of revenue,
+    * B: next 15%, C: tail), reported per class. The warehouse
+    * stock-policy primitive; distinct from q168's Lorenz readout:
+    * q168 asks "how much do the top p% of HOLDERS own", ABC cuts at
+    * fixed CUMULATIVE-REVENUE thresholds, so class sizes are the
+    * unknown being computed.
+    *
+    * Determinism: revenue is the exact-decimal lineRevenue scaled to
+    * integral e4 units; the cumulative window runs under the (rev
+    * desc, partkey) total order; class predicates are integer cross
+    * multiplications (cum·10⁴ ≤ tot·bp — no division until the final
+    * share). BIGINT headroom: tot_e4·10⁴ < 2⁶³ to ~$9·10¹³ total
+    * revenue; beyond, DECIMAL internally (q168's convention).
+    *
+    * Scale: one partial-combining per-part agg collapses the fact
+    * table; the global window runs on one row per part (q168's
+    * documented small-frame case — at 10⁹ parts it moves to the q42
+    * range-split discipline). */
+  def q178AbcClass(spark: SparkSession, dir: String): DataFrame = {
+    val rev = load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg((sum(lineRevenue) * lit(10000)).cast("long").as("rev_e4"))
+    val wCum = Window.orderBy(col("rev_e4").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    rev
+      .withColumn("cum", sum(col("rev_e4")).over(wCum))
+      .withColumn("tot", sum(col("rev_e4")).over(wAll))
+      .withColumn("cls",
+        when(expr("cum * 10000 <= tot * 8000"), "A")
+          .when(expr("cum * 10000 <= tot * 9500"), "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_e4")).as("class_rev_e4"),
+        max(col("tot")).as("tot"))
+      .select(col("cls"), col("n_parts"), col("class_rev_e4"),
+        expr("(class_rev_e4 * 10000) div tot").as("share_bp"))
+      .orderBy("cls")
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_abc_class" -> (q178AbcClass _),
     "q150_skyline" -> (q150Skyline _),
     "q01_count" -> (q01Count _),
     "q02_project" -> (q02Project _),
@@ -1495,6 +1540,34 @@ object Relational {
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
     * implementation-only → intentionally absent). */
   val oracle: Map[String, String] = Map(
+    // q178: same exact-decimal e4 revenue, same (rev desc, partkey)
+    // cumulative order, same integer cross-multiplied class cuts;
+    // DuckDB window/agg SUMs recast to BIGINT (D6).
+    "q178_abc_class" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+        |      AS BIGINT) AS rev_e4
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_partkey, rev_e4,
+        |    CAST(SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(rev_e4) OVER () AS BIGINT) AS tot
+        |  FROM rev),
+        |k AS (
+        |  SELECT CASE WHEN cum * 10000 <= tot * 8000 THEN 'A'
+        |              WHEN cum * 10000 <= tot * 9500 THEN 'B'
+        |              ELSE 'C' END AS cls,
+        |    rev_e4, tot
+        |  FROM c)
+        |SELECT cls, COUNT(*) AS n_parts,
+        |  CAST(SUM(rev_e4) AS BIGINT) AS class_rev_e4,
+        |  CAST((CAST(SUM(rev_e4) AS BIGINT) * 10000) // MAX(tot)
+        |    AS BIGINT) AS share_bp
+        |FROM k GROUP BY cls ORDER BY cls""".stripMargin,
     // q150: skyline via the same per-date-max prune + strict-before
     // running max; one row per distinct date so ROWS ≡ RANGE; doubles
     // compared, never combined.

@@ -498,8 +498,55 @@ object Similarity {
   def q154EmbedDispersion(spark: SparkSession, dir: String): DataFrame =
     embedDispersion(load(spark, dir, "embeddings")).orderBy("label")
 
+  // --------------------------------------------------------------- q176
+
+  /** Q176: BETWEEN-label centroid separation — the squared Euclidean
+    * distance between every pair of per-label centroids, on e3-
+    * quantized integer coordinates with the centroid mean taken as
+    * truncating integer division (Spark `div` ≡ DuckDB `//` for any
+    * sign — the round-7 measured rule). q154 measures WITHIN-label
+    * spread; this is the matching BETWEEN-label axis — together they
+    * are the integer-exact skeleton of a silhouette/separability
+    * audit (are classes far apart relative to their spread?).
+    *
+    * Magnitudes: centroid coords ≤ ~10³ in e3 units, so each squared
+    * diff ≤ 4·10⁶ and the d-dim sum ≤ 2.6·10⁸ — exact BIGINT with
+    * room for d ~ 10¹⁰. Scale: one posexplode agg collapses the
+    * corpus to |labels|·d centroid rows; the pair join runs on that
+    * fact-independent frame. */
+  def labelCentroidDistances(vectors: DataFrame): DataFrame = {
+    val ex = vectors
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("label"), col("dim"),
+        expr("CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT)")
+          .as("q"))
+    val n = vectors.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val m = ex.groupBy("label", "dim").agg(sum(col("q")).as("s"))
+      .join(broadcast(n), "label")
+      .select(col("label"), col("dim"), expr("s div n").as("m"))
+    m.as("a").join(m.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("la"), col("b.label").as("lb"),
+        ((col("a.m") - col("b.m")) * (col("a.m") - col("b.m"))).as("d2"))
+      .groupBy("la", "lb")
+      .agg(sum(col("d2")).as("dist2_e6"))
+      .join(broadcast(n.select(col("label").as("la"),
+        col("n").as("n_a"))), "la")
+      .join(broadcast(n.select(col("label").as("lb"),
+        col("n").as("n_b"))), "lb")
+      .select(col("la"), col("lb"), col("n_a"), col("n_b"),
+        col("dist2_e6"))
+  }
+
+  def q176LabelCentroidDist(spark: SparkSession, dir: String): DataFrame =
+    labelCentroidDistances(load(spark, dir, "embeddings"))
+      .orderBy("la", "lb")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_embed_dispersion" -> (q154EmbedDispersion _),
+    "q176_label_centroid_dist" -> (q176LabelCentroidDist _),
     "q151_hard_negatives" -> (q151HardNegatives _),
     "q151b_hard_negatives_ann" -> (q151bHardNegativesAnn _),
     "q34a_knn_brute" -> (q34aKnnBrute _),
@@ -516,6 +563,37 @@ object Similarity {
     * so both engines rank identical values. Ties at equal rounded cos
     * break by neighbor id (D1). */
   val oracle: Map[String, String] = Map(
+    // q176: same e3 quantization, same truncating integer-mean
+    // centroids (// ≡ div for any sign), same per-dim pair join; the
+    // 1-based list index vs 0-based posexplode only relabels dims —
+    // pairing is per-dim, index-invariant (q154's argument).
+    "q176_label_centroid_dist" ->
+      """WITH v AS (
+        |  SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+        |ex AS (
+        |  SELECT label, CAST(i AS INTEGER) AS dim,
+        |    CAST(floor(e[CAST(i AS INTEGER)] * 1000 + 0.5) AS BIGINT)
+        |      AS q
+        |  FROM (SELECT label, e,
+        |          unnest(generate_series(1, len(e))) AS i FROM v)),
+        |n AS (SELECT label, COUNT(*) AS n FROM embeddings
+        |      GROUP BY label),
+        |m AS (
+        |  SELECT ex.label, ex.dim,
+        |    CAST(SUM(ex.q) AS BIGINT) // n.n AS m
+        |  FROM ex JOIN n ON n.label = ex.label
+        |  GROUP BY ex.label, ex.dim, n.n),
+        |d AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |    CAST(SUM((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS dist2_e6
+        |  FROM m a JOIN m b
+        |    ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT CAST(d.la AS BIGINT) AS la, CAST(d.lb AS BIGINT) AS lb,
+        |  na.n AS n_a, nb.n AS n_b, d.dist2_e6
+        |FROM d JOIN n na ON na.label = d.la
+        |JOIN n nb ON nb.label = d.lb
+        |ORDER BY la, lb""".stripMargin,
     // q154: same e3 quantization, same two-level integer sums, same
     // identity; Spark's 0-based posexplode dim vs the 1-based list
     // index here only relabels the per-dim GROUP — the rollup is

@@ -520,7 +520,70 @@ object Stats {
       .orderBy("nation")
   }
 
+  // ---------------------------------------------------------------- q174
+
+  /** Q174: CLAMPED RUNNING LEDGER — per-supplier stock replay:
+    * deliveries add quantity, returns (`l_returnflag = 'R'`) subtract
+    * it, and stock CLAMPS at zero (you cannot ship inventory you don't
+    * hold). Emits per supplier the day count, final stock, and how
+    * many days hit the clamp. The inventory/balance primitive whose
+    * recursion is NON-LINEAR (max(0, prev+δ) is no prefix sum — a
+    * window cannot express it), exercising the q132/q146 sequential-
+    * fold machinery on a branching recurrence.
+    *
+    * Determinism: deltas aggregate per (supplier, ship DAY) first, so
+    * the fold's step order is the unique day sequence — immune to the
+    * fixture's duplicate (l_orderkey, l_linenumber) pairs that would
+    * make an item-level order ambiguous. Quantities are whole numbers
+    * in this schema; floor(q+0.5) makes the integer cast explicit.
+    * All state is two longs (stock, clamp count) — the oracle replays
+    * the recursion as a RECURSIVE CTE stepping rn → rn+1
+    * (breadth-wise: |suppliers| rows per step).
+    *
+    * Scale: one partial-combining (supplier, day) agg sees volume;
+    * the fold runs on repartition(supplier) + sortWithinPartitions
+    * (spill sort, no per-group buffer) exactly like holtByType. */
+  def clampedLedger(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily.select(col("l_suppkey"), col("dnum"), col("delta"))
+      .as[(Long, Long, Long)]
+      .repartition(col("l_suppkey"))
+      .sortWithinPartitions("l_suppkey", "dnum")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Long, Long) = {
+            val k = buf.head._1
+            var n = 0L
+            var stock = 0L
+            var clamps = 0L
+            while (buf.hasNext && buf.head._1 == k) {
+              val d = buf.next()._3
+              val s = stock + d
+              if (s < 0L) { clamps += 1L; stock = 0L }
+              else stock = s
+              n += 1L
+            }
+            (k, n, stock, clamps)
+          }
+        }
+      }
+      .toDF("l_suppkey", "n_days", "final_stock", "n_clamped")
+  }
+
+  def q174ClampedLedger(spark: SparkSession, dir: String): DataFrame =
+    clampedLedger(load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"),
+        expr("unix_date(to_date(l_shipdate))").as("dnum"))
+      .agg(sum(expr("CAST(floor(l_quantity + 0.5) AS BIGINT) *" +
+        " (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END)"))
+        .as("delta")))
+      .orderBy("l_suppkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_clamped_ledger" -> (q174ClampedLedger _),
     "q159_gini" -> (q159Gini _),
     "q146_holt" -> (q146Holt _),
     "q166_holt_backtest" -> (q166HoltBacktest _),
@@ -534,6 +597,42 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // q174: the recursion replayed breadth-wise rn → rn+1 per
+    // supplier; GREATEST clamp and the <0 clamp counter are exactly
+    // the fold's branch; deltas per (supplier, day) make step order
+    // unique.
+    "q174_clamped_ledger" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT) *
+        |      (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END))
+        |      AS BIGINT) AS delta
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (
+        |  SELECT l_suppkey,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY d)
+        |      AS rn, delta
+        |  FROM daily),
+        |s AS (
+        |  SELECT l_suppkey, rn,
+        |    GREATEST(CAST(0 AS BIGINT), delta) AS stock,
+        |    CASE WHEN delta < 0 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS clamps
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.l_suppkey, t.rn,
+        |    GREATEST(CAST(0 AS BIGINT), s.stock + t.delta),
+        |    s.clamps + CASE WHEN s.stock + t.delta < 0
+        |                    THEN 1 ELSE 0 END
+        |  FROM s JOIN t
+        |    ON t.l_suppkey = s.l_suppkey AND t.rn = s.rn + 1),
+        |fin AS (
+        |  SELECT l_suppkey, MAX(rn) AS n_days FROM s GROUP BY 1)
+        |SELECT s.l_suppkey, CAST(f.n_days AS BIGINT) AS n_days,
+        |  s.stock AS final_stock, CAST(s.clamps AS BIGINT) AS n_clamped
+        |FROM s JOIN fin f
+        |  ON f.l_suppkey = s.l_suppkey AND s.rn = f.n_days
+        |ORDER BY s.l_suppkey""".stripMargin,
     // q168: same desc rank, same floor-k membership, same integer
     // share; SUMs recast to BIGINT.
     "q168_top_share" ->

@@ -800,7 +800,38 @@ object TextOps {
           .as("simpson_ppm"))
       .orderBy("source")
 
+  // ---------------------------------------------------------------- q177
+
+  /** Q177: per-document TOP-3 TF-IDF terms — tf · idf with idf as the
+    * exact integer surrogate (N·10⁶) div df (monotone in N/df, the
+    * q138/q80 no-log discipline; q138 ranks DOCS by corpus rarity,
+    * this ranks TERMS within each doc — the keyword-extraction /
+    * sparse-retrieval primitive that feeds BM25-style indexes and
+    * topic labels). Rank ties break by term (D1 total order).
+    *
+    * Scale: (doc, term) tf counts and the term-keyed df frame are
+    * partial-combining aggs; the per-doc rank window is bounded by a
+    * doc's distinct-term count (document length), never corpus
+    * vocabulary. */
+  def q177TfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val tf = load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = load(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * ((n_docs * 1000000) div df)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_tfidf_top" -> (q177TfidfTop _),
     "q160_simpson_diversity" -> (q160SimpsonDiversity _),
     "q156_freq_spectrum" -> (q156FreqSpectrum _),
     "q145_bpe_pairs" -> (q145BpePairs _),
@@ -832,6 +863,28 @@ object TextOps {
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // q177: same tf/df counts, same non-negative integer idf
+    // surrogate, same (score desc, term) rank tie order.
+    "q177_tfidf_top" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * ((n.n_docs * 1000000) // df.df) AS BIGINT)
+        |      AS score
+        |  FROM tf JOIN df ON df.term = tf.term, n),
+        |r AS (
+        |  SELECT doc_id, term, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rank
+        |  FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // q160: same two-level integer sums; SUMs recast to BIGINT.
     "q160_simpson_diversity" ->
       """WITH c AS (

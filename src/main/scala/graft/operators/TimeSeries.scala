@@ -315,7 +315,99 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q172
+
+  /** Shared daily count series: (event_type, epoch-day, BIGINT count).
+    * Counts, not value sums — naturally BIGINT with no quantization
+    * choice, and the sums-of-products below stay far inside 2⁶³. */
+  private def dailyCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_date(to_date(ts))").as("dnum"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Q172: AUTOCORRELATION of each event type's daily count series at
+    * lags 1..7 — the seasonality/persistence diagnostic (a weekly
+    * cycle shows as a lag-7 peak, q157's fixed weekday view can't see
+    * arbitrary-lag structure). Pairs are observed days (t, t+k) —
+    * the fixture grid is dense, and missing days simply drop the pair.
+    *
+    * Determinism: all five sums (Σx, Σy, Σxy, Σx², Σy²) and both
+    * variance numerators are exact BIGINT (counts ≤ 10⁴/day keep
+    * n·Σxy < 10¹⁴ ≪ 2⁶³ and < 2⁵³, so the final double CAST is
+    * exact); the only IEEE steps are one multiply, one sqrt, one
+    * divide, then the floor(x·10⁶+0.5) rounding — the q92/q51
+    * identical-op rule. Degenerate (constant) series filter out via
+    * the integer variance test, never a 0/0.
+    *
+    * Scale: one partial-combining (type, day) agg collapses the
+    * corpus; everything after runs on |types|·|days| rows. */
+  def q172Acf(spark: SparkSession, dir: String): DataFrame = {
+    val d = dailyCounts(spark, dir)
+    val a = d.withColumn("lag", explode(expr("sequence(1L, 7L)")))
+      .select(col("event_type"), col("lag"),
+        (col("dnum") + col("lag")).as("dn2"), col("c").as("x"))
+    val paired = a.join(
+      d.select(col("event_type"), col("dnum").as("dn2"),
+        col("c").as("y")),
+      Seq("event_type", "dn2"))
+    paired.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .withColumn("num", expr("n_pairs * sxy - sx * sy"))
+      .withColumn("varx", expr("n_pairs * sxx - sx * sx"))
+      .withColumn("vary", expr("n_pairs * syy - sy * sy"))
+      .filter(col("varx") > 0 && col("vary") > 0)
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        expr("CAST(floor(CAST(num AS DOUBLE) /" +
+          " sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE))" +
+          " * 1000000 + 0.5) AS BIGINT)").as("acf_e6"))
+      .orderBy("event_type", "lag")
+  }
+
+  // ---------------------------------------------------------------- q173
+
+  /** Q173: CROSS-SERIES CORRELATION MATRIX — Pearson r between every
+    * pair of event types' daily count series, over the days BOTH
+    * observed (inner join on the day key). The metric-relatedness
+    * audit (do errors spike with clicks?) that q172 answers for one
+    * series against itself; same exact-integer + identical-IEEE-final
+    * discipline, same magnitudes.
+    *
+    * Scale: the collapsed (type, day) frame self-joins on the day key
+    * only (|types|² fan-out per day — alphabet-bounded); sums
+    * partial-combine per type pair. */
+  def q173CorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = dailyCounts(spark, dir)
+    d.as("a").join(d.as("b"),
+        col("a.dnum") === col("b.dnum") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"),
+        col("b.event_type").as("tb"),
+        col("a.c").as("x"), col("b.c").as("y"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .withColumn("num", expr("n_days * sxy - sx * sy"))
+      .withColumn("varx", expr("n_days * sxx - sx * sx"))
+      .withColumn("vary", expr("n_days * syy - sy * sy"))
+      .filter(col("varx") > 0 && col("vary") > 0)
+      .select(col("ta"), col("tb"), col("n_days"),
+        expr("CAST(floor(CAST(num AS DOUBLE) /" +
+          " sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE))" +
+          " * 1000000 + 0.5) AS BIGINT)").as("corr_e6"))
+      .orderBy("ta", "tb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_acf" -> (q172Acf _),
+    "q173_corr_matrix" -> (q173CorrMatrix _),
     "q165_cusum_changepoint" -> (q165CusumChangepoint _),
     "q161_fano_factor" -> (q161FanoFactor _),
     "q157_dow_seasonality" -> (q157DowSeasonality _),
@@ -327,6 +419,73 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q172/q173: identical integer sums, identical final IEEE sequence
+    // (cast, multiply, sqrt, divide, floor-round) — the q92 rule.
+    "q172_acf" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS dnum,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT d.event_type, CAST(l.lag AS BIGINT) AS lag,
+        |    d.dnum + l.lag AS dn2, d.c AS x
+        |  FROM d, (SELECT unnest(generate_series(1, 7)) AS lag) l),
+        |p AS (
+        |  SELECT a.event_type, a.lag, a.x, b.c AS y
+        |  FROM a JOIN d b
+        |    ON b.event_type = a.event_type AND b.dnum = a.dn2),
+        |s AS (
+        |  SELECT event_type, lag, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, lag, n_pairs,
+        |    n_pairs * sxy - sx * sy AS num,
+        |    n_pairs * sxx - sx * sx AS varx,
+        |    n_pairs * syy - sy * sy AS vary
+        |  FROM s)
+        |SELECT event_type, lag, n_pairs,
+        |  CAST(floor(CAST(num AS DOUBLE) /
+        |    sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE))
+        |    * 1000000 + 0.5) AS BIGINT) AS acf_e6
+        |FROM v WHERE varx > 0 AND vary > 0
+        |ORDER BY event_type, lag""".stripMargin,
+    "q173_corr_matrix" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS dnum,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    a.c AS x, b.c AS y
+        |  FROM d a JOIN d b
+        |    ON a.dnum = b.dnum AND a.event_type < b.event_type),
+        |s AS (
+        |  SELECT ta, tb, COUNT(*) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |v AS (
+        |  SELECT ta, tb, n_days,
+        |    n_days * sxy - sx * sy AS num,
+        |    n_days * sxx - sx * sx AS varx,
+        |    n_days * syy - sy * sy AS vary
+        |  FROM s)
+        |SELECT ta, tb, n_days,
+        |  CAST(floor(CAST(num AS DOUBLE) /
+        |    sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE))
+        |    * 1000000 + 0.5) AS BIGINT) AS corr_e6
+        |FROM v WHERE varx > 0 AND vary > 0
+        |ORDER BY ta, tb""".stripMargin,
     // q165: same scaled-CUSUM prefix statistic; argmax = ROW_NUMBER
     // under (|c| desc, day asc) ≡ min(struct(-|c|, day)).
     "q165_cusum_changepoint" ->
