@@ -402,9 +402,14 @@ object Graph {
         Seq("a", "b"), "left_anti")
   }
 
+  /** Shares the q94/q104 memoized basket pair set (minCo=2,
+    * localCheckpoint'ed) and filters to co ≥ 3 — a superset filter, so
+    * the expensive C(basket,2) explode runs once per session across
+    * all three basket queries (the exactPairs discipline; an inline
+    * rebuild measured 10 s/run at sf0.1 vs ~0 for the wedge work). */
   def q175RaLinkpred(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coCounts(boughtItems(load(spark, dir, "lineitem"),
-        load(spark, dir, "orders")), minCo = 3L)
+    val (_, co2) = basketCo(spark, dir)
+    val edges = co2.filter(col("co") >= 3L)
       .select(col("a").as("u"), col("b").as("v"))
     raLinkPrediction(edges)
       .orderBy(col("ra_ppm").desc, col("n_common").desc,

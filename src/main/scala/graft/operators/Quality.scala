@@ -116,13 +116,54 @@ object Quality {
       load(spark, dir, "nation"))
       .orderBy("check_name")
 
+  // ---------------------------------------------------------------- q180
+
+  /** Q180: COLUMN PROFILING — the data-profiling primitive every
+    * warehouse onboarding runs (and the input to constraint inference
+    * à la q96): per column of the events table, row count, null count,
+    * and EXACT distinct cardinality, in long format. Distinct from
+    * q96's rule CHECKING: profiling discovers the shape rules are
+    * written against.
+    *
+    * One aggregation pass per column — deliberate: parquet column
+    * pruning makes each pass read exactly one column, which is how a
+    * 100 TB profiler is actually run (per-column scans parallelize
+    * independently; a single multi-countDistinct agg would EXPAND the
+    * scan |cols|× through one shuffle instead). The exact-distinct
+    * shuffle carries one column's values; the q13 HLL path is the
+    * documented approximation when even that is too wide. */
+  def profile(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame =
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"), count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"),
+          col("n_distinct"))
+    }.reduce(_ unionByName _)
+
+  def q180Profile(spark: SparkSession, dir: String): DataFrame =
+    profile(graft.Tables.events(spark, dir),
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy("col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_data_quality" -> (q96DataQuality _),
     "q162_benford" -> (q162Benford _),
     "q163_k_anonymity" -> (q163KAnonymity _),
+    "q180_profile" -> (q180Profile _),
   )
 
   val oracle: Map[String, String] = Map(
+    // q180: one profiling select per column, unioned — COUNT(DISTINCT)
+    // over identical parquet values is engine-exact for every type
+    // here (timestamps compare at µs, doubles by IEEE equality).
+    "q180_profile" -> Seq("event_id", "ts", "user_id", "event_type",
+        "value", "props")
+      .map(c => s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct FROM events""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // q162: same exact-cents leading digit (positive BIGINT renders
     // identical decimal strings in both engines).
     "q162_benford" ->

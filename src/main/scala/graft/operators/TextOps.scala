@@ -830,8 +830,35 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q181
+
+  /** Q181: TEMPLATE/BOILERPLATE CLUSTERS — documents grouped by their
+    * first-8-word prefix; clusters of ≥2 expose mirrored or templated
+    * pages (crawl boilerplate, form letters) BEFORE any expensive
+    * similarity pass — the cheap blocking audit a corpus curator runs
+    * first (q77 then removes the duplicated spans, q33 the near-dups;
+    * this finds the template FAMILIES). Runs on the derived near-dup
+    * corpus (the fixture's random words share no organic prefixes; the
+    * truncation twins share their source's prefix by construction —
+    * every cluster's keeper is the original doc, spec-checkable).
+    *
+    * Scale: the prefix is a per-row projection; one (prefix)
+    * partial-combining agg — shuffle carries 8-word strings, never
+    * documents. */
+  def q181TemplateClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.docsWithNearDups(load(spark, dir, "documents"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ")
+          .as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+        sum(col("nc")).as("total_chars"))
+      .filter(col("n_docs") > 1)
+      .orderBy("prefix")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_tfidf_top" -> (q177TfidfTop _),
+    "q181_template_clusters" -> (q181TemplateClusters _),
     "q160_simpson_diversity" -> (q160SimpsonDiversity _),
     "q156_freq_spectrum" -> (q156FreqSpectrum _),
     "q145_bpe_pairs" -> (q145BpePairs _),
@@ -863,6 +890,25 @@ object TextOps {
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // q181: same derived corpus (q33c's near-dup twin encoding), same
+    // 8-word prefix key (both slices clamp short docs).
+    "q181_template_clusters" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split(text, ' ')[1:greatest(
+        |      len(string_split(text, ' ')) - 3, 1)], ' ')
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, length(text) AS nc,
+        |    array_to_string(string_split(text, ' ')[1:8], ' ')
+        |      AS prefix
+        |  FROM corpus)
+        |SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS keeper,
+        |  CAST(SUM(nc) AS BIGINT) AS total_chars
+        |FROM p GROUP BY prefix HAVING COUNT(*) > 1
+        |ORDER BY prefix""".stripMargin,
     // q177: same tf/df counts, same non-negative integer idf
     // surrogate, same (score desc, term) rank tie order.
     "q177_tfidf_top" ->

@@ -405,7 +405,40 @@ object TimeSeries {
       .orderBy("ta", "tb")
   }
 
+  // ---------------------------------------------------------------- q179
+
+  /** Q179: SEASONALLY-ADJUSTED anomalies — each (type, day)'s relative
+    * deviation from its own WEEKDAY's mean, in exact ppm via the
+    * cross-multiplied form (c·n_dow − Σ_dow)·10⁶ div Σ_dow (the q165
+    * mean-clearing trick applied per weekday bucket), and the top-3
+    * deviating days per type. What q90's global z-score flags wrongly
+    * on weekly-cyclic series — a quiet Sunday is NORMAL — this flags
+    * correctly: deviation is measured against the matching weekday.
+    * Weekday is the q157 arithmetic form (dialect-free).
+    *
+    * Scale: the (type, day) collapse sees volume once; dow means are a
+    * ≤7·|types| broadcast; the rank window runs per type over its day
+    * rows. */
+  def q179SeasonalAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val d = dailyCounts(spark, dir)
+      .withColumn("dow", expr("(dnum + 3) % 7 + 1"))
+    val dowMean = d.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_dow"), sum(col("c")).as("sum_dow"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(abs(col("dev_ppm")).desc, col("dnum"))
+    d.join(broadcast(dowMean), Seq("event_type", "dow"))
+      .withColumn("dev_ppm",
+        expr("((c * n_dow - sum_dow) * 1000000) div sum_dow"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("event_type"), col("rank"),
+        col("dnum").cast("long").as("dnum"),
+        col("dow").cast("long").as("dow"), col("c"), col("dev_ppm"))
+      .orderBy("event_type", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_seasonal_adjust" -> (q179SeasonalAdjust _),
     "q172_acf" -> (q172Acf _),
     "q173_corr_matrix" -> (q173CorrMatrix _),
     "q165_cusum_changepoint" -> (q165CusumChangepoint _),
@@ -419,6 +452,37 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q179: same arithmetic weekday, same cross-multiplied ppm
+    // deviation (signed // truncates identically), same
+    // (|dev| desc, day) rank order.
+    "q179_seasonal_adjust" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS dnum,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type, dnum, c, (dnum + 3) % 7 + 1 AS dow
+        |  FROM d),
+        |m AS (
+        |  SELECT event_type, dow, COUNT(*) AS n_dow,
+        |    CAST(SUM(c) AS BIGINT) AS sum_dow
+        |  FROM dd GROUP BY 1, 2),
+        |x AS (
+        |  SELECT dd.event_type, dd.dnum, dd.dow, dd.c,
+        |    ((dd.c * m.n_dow - m.sum_dow) * 1000000) // m.sum_dow
+        |      AS dev_ppm
+        |  FROM dd JOIN m
+        |    ON m.event_type = dd.event_type AND m.dow = dd.dow),
+        |r AS (
+        |  SELECT event_type, dnum, dow, c, dev_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY abs(dev_ppm) DESC, dnum) AS rank
+        |  FROM x)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, dnum, dow, c,
+        |  dev_ppm
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     // q172/q173: identical integer sums, identical final IEEE sequence
     // (cast, multiply, sqrt, divide, floor-round) — the q92 rule.
     "q172_acf" ->

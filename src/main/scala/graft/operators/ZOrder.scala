@@ -77,10 +77,90 @@ object ZOrder {
         zValue(col("x"), col("y"), 8).as("zval"))
       .orderBy("zval", "p_partkey").limit(200)
 
+  // ---------------------------------------------------------------- q182
+
+  /** Q182: COMPACTION PLANNING by next-fit bin packing — per source,
+    * documents in doc_id order pack into ≤64 KiB bins (a blob larger
+    * than the cap gets its own bin and the next item starts fresh);
+    * emits per source the doc count, byte total, bin count, and
+    * fullest bin. The small-file compaction planner every lakehouse
+    * maintenance job runs; next-fit (not first-fit-decreasing) is the
+    * STREAMING packing — single-bin state, order-respecting, exactly
+    * what an ingest-time writer can do, and a 2-approximation of
+    * optimal.
+    *
+    * Like q174, the recurrence is non-linear (conditional reset — no
+    * window expresses it): the q132/q146 spill-sort fold, state = four
+    * longs; the oracle replays it as a RECURSIVE CTE per source. */
+  def q182CompactionNextfit(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cap = 65536L
+    load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(String, Long, Long, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, Long, Long, Long, Long) = {
+            val src = buf.head._1
+            var n = 0L; var total = 0L; var bins = 0L
+            var fill = 0L; var maxFill = 0L
+            while (buf.hasNext && buf.head._1 == src) {
+              val s = buf.next()._3
+              if (bins == 0L || fill + s > cap) { bins += 1L; fill = s }
+              else fill += s
+              if (fill > maxFill) maxFill = fill
+              n += 1L; total += s
+            }
+            (src, n, total, bins, maxFill)
+          }
+        }
+      }
+      .toDF("source", "n_docs", "total_chars", "n_bins", "max_fill")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q117_zvalue" -> (q117ZValue _))
+    "q117_zvalue" -> (q117ZValue _),
+    "q182_compaction_nextfit" -> (q182CompactionNextfit _))
 
   val oracle: Map[String, String] = Map(
+    // q182: the fold replayed breadth-wise rn → rn+1 per source; the
+    // conditional reset and GREATEST running max are the fold's exact
+    // branches. max_fill initializes to the first item's size (one
+    // bin, fill = size) — matching the Scala init.
+    "q182_compaction_nextfit" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, rn, n_chars AS fill,
+        |    CAST(1 AS BIGINT) AS bins, n_chars AS max_fill,
+        |    n_chars AS total
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn,
+        |    CASE WHEN s.fill + d.n_chars > 65536 THEN d.n_chars
+        |         ELSE s.fill + d.n_chars END,
+        |    s.bins + CASE WHEN s.fill + d.n_chars > 65536
+        |                  THEN 1 ELSE 0 END,
+        |    GREATEST(s.max_fill,
+        |      CASE WHEN s.fill + d.n_chars > 65536 THEN d.n_chars
+        |           ELSE s.fill + d.n_chars END),
+        |    s.total + d.n_chars
+        |  FROM s JOIN d ON d.source = s.source AND d.rn = s.rn + 1),
+        |fin AS (SELECT source, MAX(rn) AS n_docs FROM s GROUP BY 1)
+        |SELECT s.source, CAST(f.n_docs AS BIGINT) AS n_docs,
+        |  s.total AS total_chars, s.bins AS n_bins, s.max_fill
+        |FROM s JOIN fin f
+        |  ON f.source = s.source AND s.rn = f.n_docs
+        |ORDER BY s.source""".stripMargin,
     "q117_zvalue" ->
       s"""WITH b AS (
          |  SELECT p_partkey, p_partkey % 256 AS x,
