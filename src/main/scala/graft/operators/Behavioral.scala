@@ -441,24 +441,33 @@ object Behavioral {
     * floor(v·100+0.5) rounding discipline. Scale: one user-keyed
     * window pass (spill-sorted) + one channel-keyed slim agg — no
     * joins, no pair fan-out. */
-  def q169LastTouch(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-purchase credit assignment (user_id, event_id, channel,
+    * cents) — factored out so the streaming twin
+    * `StreamOps.lastTouchStream` pins the ASSIGNMENT, not just the
+    * rollup. */
+  def lastTouchAssign(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
         col("event_id"), col("event_type"), col("value"))
       .withColumn("channel", last(
         when(col("event_type") =!= "purchase", col("event_type")),
         ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
-      .select(coalesce(col("channel"), lit("direct")).as("channel"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("channel"), lit("direct")).as("channel"),
+        coalesce(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+          lit(0L)).as("cents"))
+  }
+
+  def q169LastTouch(spark: SparkSession, dir: String): DataFrame =
+    lastTouchAssign(Tables.events(spark, dir))
       .groupBy("channel")
       .agg(count(lit(1)).as("n_conv"),
         sum(col("cents")).as("revenue_cents"))
       .orderBy("channel")
-  }
 
   // ---------------------------------------------------------------- q170
 

@@ -92,11 +92,12 @@ object ZOrder {
     * Like q174, the recurrence is non-linear (conditional reset — no
     * window expresses it): the q132/q146 spill-sort fold, state = four
     * longs; the oracle replays it as a RECURSIVE CTE per source. */
-  def q182CompactionNextfit(spark: SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
+  /** The fold core over (source, doc_id, n_chars) — exposed so
+    * ZOrderSpec can golden-test the packing on planted sequences. */
+  def nextFitBins(sized: DataFrame, cap: Long): DataFrame = {
+    val spark = sized.sparkSession
     import spark.implicits._
-    val cap = 65536L
-    load(spark, dir, "documents")
+    sized
       .select(col("source"), col("doc_id"), col("n_chars"))
       .as[(String, Long, Long)]
       .repartition(col("source"))
@@ -121,8 +122,11 @@ object ZOrder {
         }
       }
       .toDF("source", "n_docs", "total_chars", "n_bins", "max_fill")
-      .orderBy("source")
   }
+
+  def q182CompactionNextfit(spark: SparkSession, dir: String): DataFrame =
+    nextFitBins(load(spark, dir, "documents"), cap = 65536L)
+      .orderBy("source")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_zvalue" -> (q117ZValue _),

@@ -130,6 +130,49 @@ object StreamOps {
       .drop("__h", "__sh")
   }
 
+  /** STREAMING LAST-TOUCH ATTRIBUTION — q169's credit assignment as
+    * keyed carry-forward state: per user, the latest non-purchase
+    * event type persists in `flatMapGroupsWithState`; each purchase
+    * emits exactly one (user, purchase event, channel, cents) credit
+    * row, in append mode, with cross-batch carry (a touch in batch N
+    * credits a purchase in batch N+1 — pinned in StreamingSpec
+    * against `Behavioral.lastTouchAssign`).
+    *
+    * Each micro-batch's per-user rows are sorted by (µs, event_id)
+    * inside the handler — buffering is bounded by one USER's volume in
+    * one BATCH, not history. State is one string per user; at 100 TB
+    * key-space add a ProcessingTimeTimeout to evict idle users (the
+    * runningUserCounts note). */
+  def lastTouchStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"), col("event_type"),
+        coalesce(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+          lit(0L)).as("cents"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+            state: GroupState[String]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var lastTouch = state.getOption.orNull
+          val out =
+            scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
+          sorted.foreach { case (_, _, eid, typ, cents) =>
+            if (typ == "purchase")
+              out += ((uid, eid,
+                if (lastTouch == null) "direct" else lastTouch, cents))
+            else lastTouch = typ
+          }
+          if (lastTouch != null) state.update(lastTouch)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "channel", "cents")
+  }
+
   /** Custom keyed state via flatMapGroupsWithState — the Spark form of
     * "arbitrary user state per key" (SURVEY §2-B Q35): a per-user running
     * event counter whose state survives across micro-batches (checkpoint

@@ -275,4 +275,26 @@ class StatsSpec extends SparkSpecBase {
     assert(got("hot") == replay(hot.sortBy(_._2).map(_._3)))
     assert(got("cold") == replay(cold.sortBy(_._2).map(_._3)))
   }
+
+  test("q174 clampedLedger golden: clamp at zero, clamp count, and " +
+      "shuffled-input order independence") {
+    import spark.implicits._
+    // supplier 1: 5, -10 (clamp -> 0), 4, -1, -9 (clamp -> 0):
+    //   final 0, 2 clamps, 5 days
+    // supplier 2: -3 (clamp on first day), 8: final 8, 1 clamp
+    // supplier 3: all positive, never clamps
+    val rows = Seq(
+      (1L, 10L, 5L), (1L, 11L, -10L), (1L, 12L, 4L), (1L, 13L, -1L),
+      (1L, 14L, -9L),
+      (2L, 10L, -3L), (2L, 11L, 8L),
+      (3L, 10L, 7L), (3L, 11L, 2L))
+    val daily = scala.util.Random.shuffle(rows)
+      .toDF("l_suppkey", "dnum", "delta").repartition(5)
+    val got = Stats.clampedLedger(daily).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((5L, 0L, 2L)))
+    assert(got(2L) == ((2L, 8L, 1L)))
+    assert(got(3L) == ((2L, 9L, 0L)))
+  }
 }

@@ -345,6 +345,46 @@ class StreamingSpec extends SparkSpecBase {
       s"stream $streamed != batch $batch")
   }
 
+  test("streaming last-touch attribution ≡ batch lastTouchAssign " +
+      "(q169 twin): carry-forward state credits a batch-N+1 purchase " +
+      "to a batch-N touch; first-purchase-before-any-touch is direct") {
+    val b1 = Seq(
+      EvI(ts(1), "view", 0.0, 7L, 1L),
+      EvI(ts(2), "purchase", 9.99, 7L, 2L),   // credit: view
+      EvI(ts(3), "purchase", 5.0, 8L, 3L))    // credit: direct
+    val b2 = Seq(
+      EvI(ts(4), "purchase", 1.5, 7L, 4L),    // cross-batch: view
+      EvI(ts(5), "click", 0.0, 8L, 5L),
+      EvI(ts(6), "purchase", 2.5, 8L, 6L))    // credit: click
+    val input = MemoryStream[EvI](spark)
+    val q = StreamOps.lastTouchStream(input.toDF())
+      .writeStream.format("memory").queryName("ltstream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-ltstream").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ltstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(streamed == Set(
+      (7L, 2L, "view", 999L), (8L, 3L, "direct", 500L),
+      (7L, 4L, "view", 150L), (8L, 6L, "click", 250L)))
+    // batch twin over the union of both batches
+    import org.apache.spark.sql.functions.expr
+    val batchEv = (b1 ++ b2)
+      .toDF()
+      .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    val batch = graft.operators.Behavioral.lastTouchAssign(batchEv)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("flatMapGroupsWithState: per-user counts persist across batches") {
     val input = MemoryStream[Ev](spark)
     val q = graft.streaming.StreamOps.runningUserCounts(input.toDF())

@@ -87,4 +87,26 @@ class ZOrderSpec extends SparkSpecBase {
     assert(zY < linY,
       s"z-order must y-prune where single-sort can't: $zY >= $linY")
   }
+
+  test("q182 next-fit golden: bin breaks, oversized blobs, max fill, " +
+      "and shuffled-input order independence") {
+    import spark.implicits._
+    // cap 100. source a, sizes in doc order: 60, 30, 20, 90, 150, 10
+    //   bins: [60+30], [20], wait: 60+30=90, +20 -> 110 > 100 so
+    //   [60,30] | [20,90 -> 110? no: 20+90=110 > 100 so [20] | [90] |
+    //   [150] oversized own bin | [10] (150+10 > 100 starts new)
+    //   -> bins [90],[20],[90],[150],[10]: n_bins 5, max_fill 150
+    // source b: 40, 40, 15 -> [40+40+15=95]: 1 bin, max 95
+    val rows = Seq(
+      ("a", 1L, 60L), ("a", 2L, 30L), ("a", 3L, 20L), ("a", 4L, 90L),
+      ("a", 5L, 150L), ("a", 6L, 10L),
+      ("b", 1L, 40L), ("b", 2L, 40L), ("b", 3L, 15L))
+    val df = scala.util.Random.shuffle(rows)
+      .toDF("source", "doc_id", "n_chars").repartition(4)
+    val got = graft.operators.ZOrder.nextFitBins(df, cap = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((6L, 360L, 5L, 150L)))
+    assert(got("b") == ((3L, 95L, 1L, 95L)))
+  }
 }
