@@ -521,8 +521,35 @@ object Behavioral {
       .orderBy("src_type", "dst_type")
   }
 
+  // ---------------------------------------------------------------- q185
+
+  /** Q185: ENTRY-TYPE BOUNCE RATES — sessions grouped by their FIRST
+    * event's type; per entry type: session count, single-event
+    * ("bounce") count, bounce rate in bp. The landing-page health
+    * readout, one argmin above q170's size histogram: WHERE a visit
+    * starts predicts whether it goes anywhere.
+    *
+    * The entry event is the (µs, event_id)-lexicographic minimum —
+    * unique, so `min(struct(ts, id, type))` carries the type
+    * deterministically (the q143 argmax discipline, min side).
+    * Scale: the per-(user, session) collapse is partial-combining;
+    * the entry-type rollup is alphabet-sized. */
+  def q185BounceRate(spark: SparkSession, dir: String): DataFrame =
+    sessionized(Tables.events(spark, dir))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_ev"),
+        min(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .as("first"))
+      .select(col("first.event_type").as("entry_type"), col("n_ev"))
+      .groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        expr("CAST(count_if(n_ev = 1) AS BIGINT)").as("n_bounce"))
+      .withColumn("bounce_bp", expr("(n_bounce * 10000) div n_sessions"))
+      .orderBy("entry_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_last_touch" -> (q169LastTouch _),
+    "q185_bounce_rate" -> (q185BounceRate _),
     "q170_session_stats" -> (q170SessionStats _),
     "q171_two_hop" -> (q171TwoHop _),
     "q144_rolling_wau" -> (q144RollingWau _),
@@ -541,6 +568,45 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    // q185: the q141 session chain with event_type carried; entry =
+    // ROW_NUMBER argmin under the unique (µs, event_id) order.
+    "q185_bounce_rate" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_us
+        |  FROM ev),
+        |s AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |n AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_no
+        |  FROM s),
+        |per AS (
+        |  SELECT user_id, session_no, COUNT(*) AS n_ev
+        |  FROM n GROUP BY 1, 2),
+        |fst AS (
+        |  SELECT user_id, session_no, event_type AS entry_type FROM (
+        |    SELECT user_id, session_no, event_type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+        |        ORDER BY ts_us, event_id) AS rn
+        |    FROM n) WHERE rn = 1)
+        |SELECT f.entry_type, COUNT(*) AS n_sessions,
+        |  CAST(count_if(p.n_ev = 1) AS BIGINT) AS n_bounce,
+        |  (CAST(count_if(p.n_ev = 1) AS BIGINT) * 10000) // COUNT(*)
+        |    AS bounce_bp
+        |FROM per p JOIN fst f
+        |  ON f.user_id = p.user_id AND f.session_no = p.session_no
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q169: same (µs, event_id)-ordered carry window (last_value
     // IGNORE NULLS ≡ Spark last(..., ignoreNulls)), same cents
     // rounding, same direct fallback.

@@ -544,9 +544,47 @@ object Similarity {
     labelCentroidDistances(load(spark, dir, "embeddings"))
       .orderBy("la", "lb")
 
+  // --------------------------------------------------------------- q184
+
+  /** Q184: kNN-CLASSIFIER EVALUATION — leave-one-out 5-NN majority
+    * vote over the first 50 vectors, scored against their true
+    * labels; per-label query and correct counts. The embedding-
+    * quality eval every labeled-embedding pipeline runs (a label
+    * whose vectors don't vote for themselves is a label the encoder
+    * can't separate — the eval q154/q176's geometry summarizes,
+    * actually measured). Composes the q34a exact-ranked kNN (rounded-
+    * cos total order) with the q143 argmax discipline
+    * (min(struct(−c, label)) — vote ties break to the smaller label).
+    *
+    * Scale: the query side broadcasts (eval sets are small by
+    * construction); candidate scoring is the knnBrute scan with
+    * bounded top-k partial aggregation; everything after runs on
+    * |queries| rows. */
+  def q184KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = load(spark, dir, "embeddings")
+    val nn = knnBrute(vecs, vecs.filter(col("vec_id") < 50), k = 5)
+    val labels = vecs.select(col("vec_id").as("neighbor"),
+      col("label").cast("long").as("nlabel"))
+    val pred = nn.join(broadcast(labels), "neighbor")
+      .groupBy("qid", "nlabel").agg(count(lit(1)).as("c"))
+      .groupBy("qid")
+      .agg(min(struct((-col("c")).as("nc"),
+        col("nlabel").as("lab"))).as("m"))
+      .select(col("qid"), col("m.lab").as("pred"))
+    val truth = vecs.select(col("vec_id").as("qid"),
+      col("label").cast("long").as("true_label"))
+    pred.join(broadcast(truth), "qid")
+      .groupBy("true_label")
+      .agg(count(lit(1)).as("n_queries"),
+        expr("CAST(count_if(pred = true_label) AS BIGINT)")
+          .as("n_correct"))
+      .orderBy("true_label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_embed_dispersion" -> (q154EmbedDispersion _),
     "q176_label_centroid_dist" -> (q176LabelCentroidDist _),
+    "q184_knn_classify" -> (q184KnnClassify _),
     "q151_hard_negatives" -> (q151HardNegatives _),
     "q151b_hard_negatives_ann" -> (q151bHardNegativesAnn _),
     "q34a_knn_brute" -> (q34aKnnBrute _),
@@ -563,6 +601,40 @@ object Similarity {
     * so both engines rank identical values. Ties at equal rounded cos
     * break by neighbor id (D1). */
   val oracle: Map[String, String] = Map(
+    // q184: the q34a ranked-kNN oracle at k=5 plus the vote argmax
+    // under the (count desc, label asc) total tie order.
+    "q184_knn_classify" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe, label AS true_label
+        |      FROM v WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q.qid, v.vec_id AS neighbor, v.label AS nlabel,
+        |    floor((list_dot_product(v.e, q.qe) /
+        |      (sqrt(list_dot_product(v.e, v.e)) *
+        |       sqrt(list_dot_product(q.qe, q.qe)))) * 1e6 + 0.5) / 1e6
+        |      AS cos
+        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, nlabel, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, neighbor) AS rnk
+        |  FROM scored),
+        |votes AS (
+        |  SELECT qid, CAST(nlabel AS BIGINT) AS nlabel, COUNT(*) AS c
+        |  FROM ranked WHERE rnk <= 5 GROUP BY 1, 2),
+        |pick AS (
+        |  SELECT qid, nlabel AS pred FROM (
+        |    SELECT qid, nlabel,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY c DESC, nlabel) AS rn
+        |    FROM votes) WHERE rn = 1)
+        |SELECT CAST(q.true_label AS BIGINT) AS true_label,
+        |  COUNT(*) AS n_queries,
+        |  CAST(count_if(pick.pred = q.true_label) AS BIGINT)
+        |    AS n_correct
+        |FROM pick JOIN q ON q.qid = pick.qid
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q176: same e3 quantization, same truncating integer-mean
     // centroids (// ≡ div for any sign), same per-dim pair join; the
     // 1-based list index vs 0-based posexplode only relabels dims —

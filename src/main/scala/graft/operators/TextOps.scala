@@ -856,8 +856,53 @@ object TextOps {
       .filter(col("n_docs") > 1)
       .orderBy("prefix")
 
+  // ---------------------------------------------------------------- q183
+
+  /** Q183: VOCABULARY GROWTH CURVE (Heaps' law audit) — at corpus
+    * prefixes of 10%/25%/50%/100% of documents in ingest (doc_id)
+    * order: tokens seen and distinct vocabulary seen. The sub-linear
+    * vocab curve is what sizes tokenizer vocabularies and detects
+    * synthetic/templated corpora (whose curves flatten early); the
+    * PREFIX framing makes it exact without any windowed distinct:
+    * a type is in the k-prefix vocabulary iff its FIRST occurrence
+    * rank ≤ k — one MIN per token.
+    *
+    * Scale: token explode collapses to (token, first_rank, count) in
+    * one partial-combining agg; doc ranks are a window over the
+    * one-row-per-doc frame (q168's small-frame case); the 4 thresholds
+    * fan out over the vocab-sized frame. */
+  def q183VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val ranked = docs
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy("doc_id")).cast("long")
+          .as("rnk"))
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(ranked, "doc_id")
+      .groupBy("w")
+      .agg(min(col("rnk")).as("first_rnk"), count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val occ = docs
+      .select(col("doc_id"), size(split(col("text"), " "))
+        .cast("long").as("ntok"))
+      .join(ranked, "doc_id")
+    val th = n.select(explode(expr(
+      "array(greatest(n_docs div 10, 1L), greatest(n_docs div 4, 1L)," +
+        " greatest(n_docs div 2, 1L), n_docs)")).as("k_docs")).distinct()
+    th.join(tok, col("first_rnk") <= col("k_docs"))
+      .groupBy("k_docs")
+      .agg(count(lit(1)).as("vocab"))
+      .join(th.join(occ, col("rnk") <= col("k_docs"))
+        .groupBy("k_docs").agg(sum(col("ntok")).as("tokens_seen")),
+        "k_docs")
+      .select(col("k_docs"), col("tokens_seen"), col("vocab"))
+      .orderBy("k_docs")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_tfidf_top" -> (q177TfidfTop _),
+    "q183_vocab_growth" -> (q183VocabGrowth _),
     "q181_template_clusters" -> (q181TemplateClusters _),
     "q160_simpson_diversity" -> (q160SimpsonDiversity _),
     "q156_freq_spectrum" -> (q156FreqSpectrum _),
@@ -890,6 +935,42 @@ object TextOps {
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // q183: same doc-rank prefix framing (first-occurrence MIN per
+    // type), same threshold set; joins are range predicates on the
+    // vocab-sized frame.
+    "q183_vocab_growth" ->
+      """WITH ranked AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rnk
+        |  FROM documents),
+        |tok AS (
+        |  SELECT w, MIN(r.rnk) AS first_rnk
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) t
+        |  JOIN ranked r ON r.doc_id = t.doc_id
+        |  GROUP BY w),
+        |occ AS (
+        |  SELECT r.rnk,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents d JOIN ranked r ON r.doc_id = d.doc_id),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |th AS (
+        |  SELECT DISTINCT unnest(ARRAY[
+        |    GREATEST(n_docs // 10, 1), GREATEST(n_docs // 4, 1),
+        |    GREATEST(n_docs // 2, 1), n_docs]) AS k_docs
+        |  FROM n),
+        |v AS (
+        |  SELECT th.k_docs, COUNT(*) AS vocab
+        |  FROM th JOIN tok ON tok.first_rnk <= th.k_docs
+        |  GROUP BY th.k_docs),
+        |s AS (
+        |  SELECT th.k_docs, CAST(SUM(occ.ntok) AS BIGINT)
+        |    AS tokens_seen
+        |  FROM th JOIN occ ON occ.rnk <= th.k_docs
+        |  GROUP BY th.k_docs)
+        |SELECT v.k_docs, s.tokens_seen, v.vocab
+        |FROM v JOIN s ON s.k_docs = v.k_docs
+        |ORDER BY v.k_docs""".stripMargin,
     // q181: same derived corpus (q33c's near-dup twin encoding), same
     // 8-word prefix key (both slices clamp short docs).
     "q181_template_clusters" ->
