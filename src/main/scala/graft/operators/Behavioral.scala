@@ -547,9 +547,61 @@ object Behavioral {
       .withColumn("bounce_bp", expr("(n_bounce * 10000) div n_sessions"))
       .orderBy("entry_type")
 
+  // ---------------------------------------------------------------- q186
+
+  /** Q186: TIME-WINDOWED FUNNEL — q73's strict funnel with a
+    * completion horizon: a user counts at depth k only when the k-th
+    * first-completion time sits within 1 h of their funnel start
+    * (depths are measured on the FIRST strict chain — the q73/q75
+    * contract — so the horizon is a filter, deterministic on both
+    * sides). "Signed up AND converted within the hour" is the funnel
+    * product analytics actually reports; the unbounded q73 can't say
+    * it. Same scale shape as q73: per-stage min aggs + slim user
+    * joins. */
+  def q186FunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val h = 3600L * 1000000000L
+    val t = funnelTimes(Tables.events(spark, dir),
+      Seq("signup", "view", "click", "purchase"))
+    val depth = (0 to 3).map(i =>
+      when(col(s"t$i").isNotNull && col(s"t$i") - col("t0") <= h, 1)
+        .otherwise(0)).reduce(_ + _)
+    t.select(depth.cast(LongType).as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  // ---------------------------------------------------------------- q187
+
+  /** Q187: DAY-N RETENTION — for N ∈ {1, 7, 14}: the share of users
+    * active EXACTLY N days after their first-seen day, in bp of the
+    * full cohort. The growth-accounting curve (D1/D7/D14) q72's weekly
+    * cohort grid doesn't emit and q135's churn (absence) inverts.
+    * Scale: distinct (user, day) collapse, per-user min, 3-row
+    * threshold fan-out, day-keyed semi join. */
+  def q187DnRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val first = ud.groupBy("user_id").agg(min(col("d")).as("f"))
+    val n = first.agg(count(lit(1)).as("n_cohort"))
+    val fan = first.select(col("user_id"), col("f"),
+      explode(expr("array(1, 7, 14)")).as("n_day"))
+    fan.join(ud, fan("user_id") === ud("user_id") &&
+        ud("d") === expr("date_add(f, n_day)"), "left_semi")
+      .groupBy("n_day")
+      .agg(count(lit(1)).as("n_retained"))
+      .crossJoin(broadcast(n))
+      .select(col("n_day").cast("long").as("n_day"), col("n_cohort"),
+        col("n_retained"),
+        expr("(n_retained * 10000) div n_cohort").as("retention_bp"))
+      .orderBy("n_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_last_touch" -> (q169LastTouch _),
     "q185_bounce_rate" -> (q185BounceRate _),
+    "q186_funnel_windowed" -> (q186FunnelWindowed _),
+    "q187_dn_retention" -> (q187DnRetention _),
     "q170_session_stats" -> (q170SessionStats _),
     "q171_two_hop" -> (q171TwoHop _),
     "q144_rolling_wau" -> (q144RollingWau _),
@@ -568,6 +620,61 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    // q186: the q73 chain with the 1 h horizon folded into each depth
+    // indicator (first-chain times, so the horizon is a pure filter).
+    "q186_funnel_windowed" ->
+      """WITH t0 AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t1 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t1 FROM events e
+        |  JOIN t0 USING (user_id)
+        |  WHERE e.event_type = 'view' AND epoch_ns(e.ts) >= t0.t0
+        |  GROUP BY e.user_id),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2 FROM events e
+        |  JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= t1.t1
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3 FROM events e
+        |  JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= t2.t2
+        |  GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CAST(
+        |    (CASE WHEN t0.user_id IS NOT NULL THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t1.user_id IS NOT NULL
+        |          AND t1.t1 - t0.t0 <= 3600000000000 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t2.user_id IS NOT NULL
+        |          AND t2.t2 - t0.t0 <= 3600000000000 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t3.user_id IS NOT NULL
+        |          AND t3.t3 - t0.t0 <= 3600000000000 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS stage, COUNT(*) AS n_users
+        |FROM u LEFT JOIN t0 USING (user_id) LEFT JOIN t1 USING (user_id)
+        |  LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q187: same distinct-day collapse, per-user MIN, EXISTS at
+    // first-day + N (date + int is date arithmetic in both engines).
+    "q187_dn_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS f FROM ud GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_cohort FROM f),
+        |fan AS (
+        |  SELECT f.user_id, f.f, t.n_day
+        |  FROM f, (SELECT unnest(ARRAY[1, 7, 14]) AS n_day) t),
+        |r AS (
+        |  SELECT fan.n_day, COUNT(*) AS n_retained
+        |  FROM fan WHERE EXISTS (
+        |    SELECT 1 FROM ud
+        |    WHERE ud.user_id = fan.user_id
+        |      AND ud.d = fan.f + fan.n_day)
+        |  GROUP BY 1)
+        |SELECT CAST(r.n_day AS BIGINT) AS n_day, n.n_cohort,
+        |  r.n_retained,
+        |  (r.n_retained * 10000) // n.n_cohort AS retention_bp
+        |FROM r, n ORDER BY n_day""".stripMargin,
     // q185: the q141 session chain with event_type carried; entry =
     // ROW_NUMBER argmin under the unique (µs, event_id) order.
     "q185_bounce_rate" ->

@@ -529,7 +529,44 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q188
+
+  /** Q188: CHARACTER-CLASS PROFILE — per source, the share of letter /
+    * digit / whitespace / other characters in exact bp. The charset
+    * sanity audit that catches mojibake, base64-blob and code-heavy
+    * sources before tokenization (tx2's word-level quality can't: a
+    * doc of hex dumps has fine word lengths). Class counts come from
+    * the dialect-safe length-difference idiom — length(text) minus
+    * length(regexp_replace(text, class, '')) — never per-char explode.
+    *
+    * Scale: pure per-row projection + one alphabet-of-sources agg; the
+    * regex work is codegen'd and scan-local. */
+  def q188CharclassProfile(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("source"),
+        length(col("text")).cast("long").as("nc"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[A-Za-z]", "")))
+          .cast("long").as("nl"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("nd"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", "")))
+          .cast("long").as("ns"))
+      .groupBy("source")
+      .agg(sum(col("nc")).as("n_chars"), sum(col("nl")).as("n_letters"),
+        sum(col("nd")).as("n_digits"), sum(col("ns")).as("n_spaces"))
+      .select(col("source"), col("n_chars"),
+        expr("(n_letters * 10000) div n_chars").as("letters_bp"),
+        expr("(n_digits * 10000) div n_chars").as("digits_bp"),
+        expr("(n_spaces * 10000) div n_chars").as("spaces_bp"),
+        expr("((n_chars - n_letters - n_digits - n_spaces) * 10000)" +
+          " div n_chars").as("other_bp"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_charclass_profile" -> (q188CharclassProfile _),
     "q148_lang_source_lift" -> (q148LangSourceLift _),
     "q152_rank_normalize" -> (q152RankNormalize _),
     "q64_normalize" -> (q64Normalize _),
@@ -549,6 +586,35 @@ object CorpusPrep {
   )
 
   val oracle: Map[String, String] = Map(
+    // q188: same length-difference class counts (DuckDB needs the 'g'
+    // flag — its regexp_replace is first-match by default, Spark's is
+    // global), same bp divisions.
+    "q188_charclass_profile" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS nl,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS nd,
+        |    CAST(length(text) - length(replace(text, ' ', ''))
+        |      AS BIGINT) AS ns
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |    CAST(SUM(nl) AS BIGINT) AS n_letters,
+        |    CAST(SUM(nd) AS BIGINT) AS n_digits,
+        |    CAST(SUM(ns) AS BIGINT) AS n_spaces
+        |  FROM d GROUP BY source)
+        |SELECT source, n_chars,
+        |  (n_letters * 10000) // n_chars AS letters_bp,
+        |  (n_digits * 10000) // n_chars AS digits_bp,
+        |  (n_spaces * 10000) // n_chars AS spaces_bp,
+        |  ((n_chars - n_letters - n_digits - n_spaces) * 10000)
+        |    // n_chars AS other_bp
+        |FROM s ORDER BY source""".stripMargin,
     // q152: RANK ties ≡ Spark rank; integer pr formula both sides;
     // len(string_split) counts empties exactly like size(split).
     "q152_rank_normalize" ->
