@@ -245,6 +245,41 @@ class PlanShapeSpec extends SparkSpecBase {
       "per-dim sums must partial-combine:\n" + p.take(800))
   }
 
+  test("q176 centroid distances never pair-join raw vectors — the " +
+      "posexplode aggregation collapses the corpus before any join") {
+    val p = plan(Similarity.q176LabelCentroidDist(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "centroid pair join regressed to a cartesian:\n" + p.take(800))
+    // the per-(label, dim) sum must partial-combine below the join:
+    // the first HashAggregate (bottom-up = last in text) sits under
+    // every SortMergeJoin/BroadcastHashJoin occurrence
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(lastAgg >= 0 && p.contains("partial_sum"),
+      "per-dim sums must partial-combine:\n" + p.take(800))
+  }
+
+  test("q171 two-hop joins the alphabet-sized matrix by broadcast — " +
+      "no shuffle join, no cartesian") {
+    val p = plan(graft.operators.Behavioral.q171TwoHop(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "matrix self-join lost its broadcast:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q178 ABC classification partial-combines the per-part revenue " +
+      "before the cumulative window") {
+    val p = plan(Relational.q178AbcClass(spark, sf))
+    assert(p.contains("partial_sum"),
+      "per-part revenue must partial-combine:\n" + p.take(800))
+    // the global window runs AFTER (above) the per-part aggregate:
+    // Window appears before the last HashAggregate in text
+    val win = p.indexOf("Window")
+    val bottomAgg = p.lastIndexOf("HashAggregate")
+    assert(win >= 0 && bottomAgg > win,
+      "cumulative window must run on the collapsed per-part frame:\n" +
+        p.take(800))
+  }
+
   test("q144 rolling WAU's anchor join is the broadcast range join, " +
       "and the distinct collapse partial-combines before it") {
     val p = plan(graft.operators.Behavioral
