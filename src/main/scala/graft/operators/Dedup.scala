@@ -72,6 +72,24 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(sig, b * lit(r) + 1, lit(r))))
 
+  /** LSH PARAMETER PLANNER — pick (bands, rows) for a signature of
+    * `numHashes` so the banding S-curve's threshold (1/b)^(1/r) (the
+    * jaccard at which collision probability crosses ½, standard MMDS
+    * §3.4 analysis) lands closest to the target. The knob users
+    * otherwise hand-tune; `minhashPairs`' defaults (64 hashes, 16
+    * bands) are exactly `lshPlan(0.5, 64)` — (1/16)^(1/4) = 0.5 on
+    * the nose (DedupSpec pins this and the monotone rows-per-band
+    * growth with threshold). Driver-side arithmetic over the ≤
+    * d(numHashes) divisors — no data touched. */
+  def lshPlan(threshold: Double, numHashes: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 && numHashes > 0)
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .minBy { case (b, r) =>
+        math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+      }
+  }
+
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     * Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold. */
   def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 64,

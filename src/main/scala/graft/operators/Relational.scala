@@ -1454,9 +1454,57 @@ object Relational {
       .orderBy("cls")
   }
 
+  // ---------------------------------------------------------------- q189
+
+  /** Q189: NTILE decile assignment — customers cut into 10
+    * equal-count balance deciles, per-decile count and balance range.
+    * The one rank-window function the surface didn't yet gate; NTILE
+    * is engine-identical GIVEN a total order (both engines hand the
+    * first n mod 10 tiles the extra row), so the (acctbal desc,
+    * custkey) tiebreak is what makes it gateable. Doubles are only
+    * compared/selected, never combined (D-rules).
+    *
+    * Scale: one global rank window over the one-row-per-customer
+    * frame (q168's documented small-frame case). */
+  def q189NtileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"),
+        max(col("c_acctbal")).as("hi"), min(col("c_acctbal")).as("lo"))
+      .orderBy("decile")
+  }
+
+  // ---------------------------------------------------------------- q190
+
+  /** Q190: 2-D EQUI-WIDTH HISTOGRAM — lineitem binned on (quantity in
+    * widths of 5, discount in whole cents), per cell: row count and
+    * exact quantity mass. The heatmap/cube-binning primitive (q130 is
+    * equi-DEPTH in one dimension; this is the fixed-grid 2-D form a
+    * BI layer renders directly). Bin indexes are floor-rounded
+    * integers (identical IEEE floor on identical parquet doubles), so
+    * the whole result is integer-exact.
+    *
+    * Scale: pure per-row projection + one ≤(10·11)-cell
+    * partial-combining agg. */
+  def q190Hist2d(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .select(
+        expr("CAST(floor((l_quantity - 1) / 5) AS BIGINT)").as("qty_bin"),
+        expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")
+          .as("disc_cents"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy("qty_bin", "disc_cents")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qty_sum"))
+      .orderBy("qty_bin", "disc_cents")
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_abc_class" -> (q178AbcClass _),
+    "q189_ntile_deciles" -> (q189NtileDeciles _),
+    "q190_hist2d" -> (q190Hist2d _),
     "q150_skyline" -> (q150Skyline _),
     "q01_count" -> (q01Count _),
     "q02_project" -> (q02Project _),
@@ -1540,6 +1588,26 @@ object Relational {
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
     * implementation-only → intentionally absent). */
   val oracle: Map[String, String] = Map(
+    // q189: NTILE under the same total order distributes remainders
+    // identically in both engines; doubles only compared/selected.
+    "q189_ntile_deciles" ->
+      """WITH t AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    CAST(NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+        |      AS BIGINT) AS decile
+        |  FROM customer)
+        |SELECT decile, COUNT(*) AS n_cust, MAX(c_acctbal) AS hi,
+        |  MIN(c_acctbal) AS lo
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+    // q190: identical IEEE floor bins on identical parquet doubles;
+    // everything after is integer.
+    "q190_hist2d" ->
+      """SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS qty_bin,
+        |  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_cents,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS qty_sum
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q178: same exact-decimal e4 revenue, same (rev desc, partkey)
     // cumulative order, same integer cross-multiplied class cuts;
     // DuckDB window/agg SUMs recast to BIGINT (D6).

@@ -298,6 +298,19 @@ class DedupSpec extends SparkSpecBase {
     assert(survivors == Set(12L, 13L))
   }
 
+  test("lshPlan: the minhashPairs defaults are the planned optimum at " +
+      "t=0.5, and rows-per-band grow monotonically with threshold") {
+    assert(Dedup.lshPlan(0.5, 64) == ((16, 4))) // (1/16)^(1/4) = 0.5
+    val rs = Seq(0.2, 0.5, 0.8, 0.95)
+      .map(t => Dedup.lshPlan(t, 64)._2)
+    assert(rs == rs.sorted, s"rows not monotone in threshold: $rs")
+    // bands * rows always equals the signature length
+    Seq(0.3, 0.6, 0.9).foreach { t =>
+      val (b, r) = Dedup.lshPlan(t, 48)
+      assert(b * r == 48)
+    }
+  }
+
   test("crossCorpusDedup: df-capped ≡ uncapped, for caps that force " +
       "both the small-posting path and the heavy residual") {
     val docs = graft.Tables.load(spark, sf, "documents")
