@@ -597,11 +597,67 @@ object Behavioral {
       .orderBy("n_day")
   }
 
+  // ---------------------------------------------------------------- q191
+
+  /** Q191: WEEK-OVER-WEEK AUDIENCE OVERLAP — exact jaccard (bp)
+    * between adjacent weeks' distinct-user sets. The audience-drift
+    * readout (is this week's traffic the same people?) — q187 measures
+    * individual return, this measures SET stability; a campaign that
+    * swaps the audience keeps DAU flat while overlap craters. Week key
+    * is arithmetic epoch-day div 7 (dialect-free, the q157 rule).
+    *
+    * Scale: distinct (user, week) collapse first; the adjacency
+    * self-join is user-keyed with ≤|weeks| fan-out per user; size
+    * frames broadcast. */
+  def q191AudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_date(to_date(ts)) div 7").as("wk")).distinct()
+    val sizes = uw.groupBy("wk").agg(count(lit(1)).as("n"))
+    val inter = uw.as("a")
+      .join(uw.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("b.wk") === col("a.wk") + 1)
+      .groupBy(col("a.wk").as("iwk"))
+      .agg(count(lit(1)).as("n_common"))
+    sizes.as("sa")
+      .join(sizes.as("sb"), col("sb.wk") === col("sa.wk") + 1)
+      .join(inter, col("iwk") === col("sa.wk"), "left")
+      .select(col("sa.wk").as("wk"), (col("sa.wk") + 1).as("wk_next"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard_bp",
+        expr("(n_common * 10000) div (n_a + n_b - n_common)"))
+      .orderBy("wk")
+  }
+
+  // ---------------------------------------------------------------- q192
+
+  /** Q192: CHANNEL CONVERSION RATES — per touch channel: touch volume,
+    * last-touch conversion credits (q169's assignment), and CVR in bp.
+    * The spend-allocation readout attribution exists to produce:
+    * credits alone (q169) rank channels by volume, CVR ranks them by
+    * efficiency. Scale: q169's window + two alphabet-sized aggs. */
+  def q192ChannelCvr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"))
+    val credits = lastTouchAssign(ev)
+      .groupBy("channel").agg(count(lit(1)).as("n_conv"))
+    touches.join(credits, Seq("channel"), "left")
+      .select(col("channel"), col("n_touches"),
+        coalesce(col("n_conv"), lit(0L)).as("n_conv"))
+      .withColumn("cvr_bp", expr("(n_conv * 10000) div n_touches"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_last_touch" -> (q169LastTouch _),
     "q185_bounce_rate" -> (q185BounceRate _),
     "q186_funnel_windowed" -> (q186FunnelWindowed _),
     "q187_dn_retention" -> (q187DnRetention _),
+    "q191_audience_overlap" -> (q191AudienceOverlap _),
+    "q192_channel_cvr" -> (q192ChannelCvr _),
     "q170_session_stats" -> (q170SessionStats _),
     "q171_two_hop" -> (q171TwoHop _),
     "q144_rolling_wau" -> (q144RollingWau _),
@@ -620,6 +676,54 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    // q191: same distinct (user, epoch-week) collapse, same adjacency
+    // join, same integer jaccard.
+    "q191_audience_overlap" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+        |  FROM events),
+        |sizes AS (SELECT wk, COUNT(*) AS n FROM uw GROUP BY wk),
+        |inter AS (
+        |  SELECT a.wk, COUNT(*) AS n_common
+        |  FROM uw a JOIN uw b
+        |    ON b.user_id = a.user_id AND b.wk = a.wk + 1
+        |  GROUP BY a.wk)
+        |SELECT CAST(sa.wk AS BIGINT) AS wk,
+        |  CAST(sa.wk + 1 AS BIGINT) AS wk_next,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  COALESCE(i.n_common, 0) AS n_common,
+        |  (COALESCE(i.n_common, 0) * 10000)
+        |    // (sa.n + sb.n - COALESCE(i.n_common, 0)) AS jaccard_bp
+        |FROM sizes sa JOIN sizes sb ON sb.wk = sa.wk + 1
+        |LEFT JOIN inter i ON i.wk = sa.wk
+        |ORDER BY wk""".stripMargin,
+    // q192: q169's carry window re-aggregated per channel against the
+    // touch volume.
+    "q192_channel_cvr" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS channel
+        |  FROM ev),
+        |credits AS (
+        |  SELECT COALESCE(channel, 'direct') AS channel,
+        |    COUNT(*) AS n_conv
+        |  FROM c WHERE event_type = 'purchase' GROUP BY 1),
+        |touches AS (
+        |  SELECT event_type AS channel, COUNT(*) AS n_touches
+        |  FROM events WHERE event_type <> 'purchase' GROUP BY 1)
+        |SELECT t.channel, t.n_touches,
+        |  COALESCE(cr.n_conv, 0) AS n_conv,
+        |  (COALESCE(cr.n_conv, 0) * 10000) // t.n_touches AS cvr_bp
+        |FROM touches t LEFT JOIN credits cr ON cr.channel = t.channel
+        |ORDER BY t.channel""".stripMargin,
     // q186: the q73 chain with the 1 h horizon folded into each depth
     // indicator (first-chain times, so the horizon is a pure filter).
     "q186_funnel_windowed" ->

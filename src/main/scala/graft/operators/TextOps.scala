@@ -900,9 +900,49 @@ object TextOps {
       .orderBy("k_docs")
   }
 
+  // ---------------------------------------------------------------- q193
+
+  /** Q193: VOCABULARY DRIFT — the 20 terms whose frequency shifts most
+    * between the first and second corpus half (by ingest rank), scored
+    * by the cross-multiplied imbalance c1·T2 − c2·T1 (the exact-integer
+    * two-sample proportion test numerator — sign says which half, the
+    * χ² denominator is monotone-irrelevant for ranking). The
+    * distribution-shift monitor a streaming corpus needs: new jargon,
+    * template churn and crawler drift surface here first.
+    *
+    * Scale: token counts partial-combine per (term, half); totals are
+    * a 1-row broadcast; selection is TakeOrdered(20) under the
+    * (|imb| desc, term) total order, then a 20-row rank window. */
+  def q193VocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val ranked = docs.select(col("doc_id"),
+      row_number().over(Window.orderBy("doc_id")).cast("long").as("rnk"))
+    val half = docs.agg(expr("count(1) div 2").as("h"))
+    val cnt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(ranked, "doc_id")
+      .crossJoin(broadcast(half))
+      .select(col("w"),
+        when(col("rnk") <= col("h"), 1L).otherwise(0L).as("in1"))
+      .groupBy("w")
+      .agg(sum(col("in1")).as("c1"),
+        sum(lit(1L) - col("in1")).as("c2"))
+    val tot = cnt.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("imb", expr("c1 * t2 - c2 * t1"))
+      .orderBy(abs(col("imb")).desc, col("w"))
+      .limit(20)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(abs(col("imb")).desc, col("w")))
+        .cast("long"))
+      .select(col("rank"), col("w"), col("c1"), col("c2"), col("imb"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_tfidf_top" -> (q177TfidfTop _),
     "q183_vocab_growth" -> (q183VocabGrowth _),
+    "q193_vocab_drift" -> (q193VocabDrift _),
     "q181_template_clusters" -> (q181TemplateClusters _),
     "q160_simpson_diversity" -> (q160SimpsonDiversity _),
     "q156_freq_spectrum" -> (q156FreqSpectrum _),
@@ -935,6 +975,36 @@ object TextOps {
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // q193: same ingest-rank halving, same cross-multiplied imbalance,
+    // same (|imb| desc, term) selection order.
+    "q193_vocab_drift" ->
+      """WITH ranked AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rnk
+        |  FROM documents),
+        |h AS (SELECT COUNT(*) // 2 AS h FROM documents),
+        |tok AS (
+        |  SELECT t.w,
+        |    CASE WHEN r.rnk <= h.h THEN 1 ELSE 0 END AS in1
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) t
+        |  JOIN ranked r ON r.doc_id = t.doc_id, h),
+        |cnt AS (
+        |  SELECT w, CAST(SUM(in1) AS BIGINT) AS c1,
+        |    CAST(SUM(1 - in1) AS BIGINT) AS c2
+        |  FROM tok GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+        |    CAST(SUM(c2) AS BIGINT) AS t2 FROM cnt),
+        |sc AS (
+        |  SELECT w, c1, c2, c1 * t.t2 - c2 * t.t1 AS imb
+        |  FROM cnt, tot t),
+        |r AS (
+        |  SELECT w, c1, c2, imb,
+        |    ROW_NUMBER() OVER (ORDER BY abs(imb) DESC, w) AS rank
+        |  FROM sc)
+        |SELECT CAST(rank AS BIGINT) AS rank, w, c1, c2, imb
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // q183: same doc-rank prefix framing (first-occurrence MIN per
     // type), same threshold set; joins are range predicates on the
     // vocab-sized frame.
