@@ -582,7 +582,109 @@ object Stats {
         .as("delta")))
       .orderBy("l_suppkey")
 
+  // ---------------------------------------------------------------- q194
+
+  /** Q194: MULTI-HORIZON Holt backtest — q166 walk-forward error at
+    * horizons 1, 3 and 7 steps: the forecast from the state after step
+    * k is l + h·b, scored against the actual at step k+h. How forecast
+    * quality DECAYS with horizon is the number capacity planning
+    * actually needs (1-step MAE flatters any smoother).
+    *
+    * The fold stays bounded-state: a ring buffer of the last 7 (l, b)
+    * states per type — 14 longs, never the series (the q132/q146
+    * discipline extended to lagged self-reference). The oracle joins
+    * the recursive state chain to actuals at rn + h. A horizon with no
+    * (k, k+h) pair (short series) emits no row on either side. */
+  def holtBacktestHorizons(daily: DataFrame,
+      horizons: Seq[Int] = Seq(1, 3, 7)): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val hmax = horizons.max
+    daily.select(col("event_type"), col("dnum"), col("v"))
+      .as[(String, Int, Long)]
+      .repartition(col("event_type"))
+      .sortWithinPartitions("event_type", "dnum")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Seq[(String, Long, Long, Long)]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[(String, Long, Long, Long)] = {
+            val et = buf.head._1
+            // ring of states AFTER step k, keyed k % (hmax + 1)
+            val ring = new Array[(Long, Long)](hmax + 1)
+            val n = scala.collection.mutable.Map.empty[Int, Long]
+            val sae = scala.collection.mutable.Map.empty[Int, Long]
+            var k = 0L
+            var l = 0L
+            var b = 0L
+            while (buf.hasNext && buf.head._1 == et) {
+              val v = buf.next()._3
+              k += 1L
+              horizons.foreach { h =>
+                if (k - h >= 1L) {
+                  val st = ring(((k - h) % (hmax + 1)).toInt)
+                  sae(h) = sae.getOrElse(h, 0L) +
+                    math.abs(v - (st._1 + h * st._2))
+                  n(h) = n.getOrElse(h, 0L) + 1L
+                }
+              }
+              if (k == 1L) { l = v; b = 0L }
+              else {
+                val st = holtStep(l, b, v)
+                l = st._1
+                b = st._2
+              }
+              ring((k % (hmax + 1)).toInt) = (l, b)
+            }
+            horizons.filter(h => n.getOrElse(h, 0L) > 0L)
+              .map(h => (et, h.toLong, n(h), sae(h)))
+          }
+        }
+      }
+      .flatMap(identity)
+      .toDF("event_type", "horizon", "n_evals", "sae_e3")
+      .withColumn("mae_e3", expr("sae_e3 div n_evals"))
+  }
+
+  def q194HoltHorizons(spark: SparkSession, dir: String): DataFrame =
+    holtBacktestHorizons(holtDaily(spark, dir))
+      .orderBy("event_type", "horizon")
+
+  // ---------------------------------------------------------------- q195
+
+  /** Q195: TRIMMED MEAN (5–95%) of event values per type, in exact
+    * cents — the robust location estimate between q51's mean (outlier-
+    * dragged) and q61's median (throws away 98% of the data): drop the
+    * bottom and top n/20 ranks under the (cents, event_id) total
+    * order, integer-mean the rest. Rank selection, not a value
+    * buffer — the percentile discipline applied to a trimmed
+    * aggregate; truncating div matches `//` for any sign.
+    *
+    * Scale: one spill-sorted per-type rank window + one slim agg (the
+    * q42/q61 split machinery applies verbatim if a single type ever
+    * outgrows a task's sort). */
+  def q195TrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    graft.Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("event_type")).cast("long"))
+      .filter(col("rn") > expr("n div 20") &&
+        col("rn") <= expr("n - n div 20"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_total"), count(lit(1)).as("n_kept"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("trimmed_mean_cents", expr("sum_cents div n_kept"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_holt_horizons" -> (q194HoltHorizons _),
+    "q195_trimmed_mean" -> (q195TrimmedMean _),
     "q174_clamped_ledger" -> (q174ClampedLedger _),
     "q159_gini" -> (q159Gini _),
     "q146_holt" -> (q146Holt _),
@@ -597,6 +699,42 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // q195: same (cents, event_id) rank order, same n/20 trim bounds,
+    // same truncating integer mean.
+    "q195_trimmed_mean" ->
+      """WITH c AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n
+        |  FROM c)
+        |SELECT event_type, MAX(n) AS n_total, COUNT(*) AS n_kept,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(SUM(cents) AS BIGINT) // COUNT(*) AS trimmed_mean_cents
+        |FROM r
+        |WHERE rn > n // 20 AND rn <= n - n // 20
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q194: the shared recursive state chain joined to actuals at
+    // rn + h; forecast l + h·b from the state after step rn; ae ≥ 0
+    // so // ≡ div.
+    "q194_holt_horizons" ->
+      s"""$holtCtes,
+         |hz AS (SELECT unnest(ARRAY[1, 3, 7]) AS h),
+         |e AS (
+         |  SELECT s.event_type, CAST(hz.h AS BIGINT) AS horizon,
+         |    ABS(t.v - (s.l + hz.h * s.b)) AS ae
+         |  FROM s CROSS JOIN hz
+         |  JOIN t ON t.event_type = s.event_type
+         |        AND t.rn = s.rn + hz.h)
+         |SELECT event_type, horizon, COUNT(*) AS n_evals,
+         |  CAST(SUM(ae) AS BIGINT) AS sae_e3,
+         |  CAST(SUM(ae) AS BIGINT) // COUNT(*) AS mae_e3
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q174: the recursion replayed breadth-wise rn → rn+1 per
     // supplier; GREATEST clamp and the <0 clamp counter are exactly
     // the fold's branch; deltas per (supplier, day) make step order
