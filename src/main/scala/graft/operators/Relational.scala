@@ -1500,9 +1500,64 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("q")).as("qty_sum"))
       .orderBy("qty_bin", "disc_cents")
 
+  // ---------------------------------------------------------------- q196
+
+  /** Q196: REVENUE BRIDGE (price/volume decomposition) — for each
+    * adjacent ship-year pair, the year-over-year revenue change split
+    * into volume effect Σ(q₂−q₁)·p₁, price effect Σq₂·(p₂−p₁), the
+    * cross residual, and the new/lost-part revenue outside the matched
+    * set. The finance-waterfall class (variance decomposition) nothing
+    * else in the surface computes — "did we sell more, or charge
+    * more?".
+    *
+    * Determinism: quantities integer, revenue exact-decimal e4, unit
+    * price = rev div qty (truncating, per matched part — identical in
+    * both engines for any sign). The identity d_rev = vol + price +
+    * resid holds EXACTLY by construction. Scale: one (year, part)
+    * partial-combining collapse of the fact table; the year-pair join
+    * runs per part on the collapsed frame; calendar YEAR is
+    * engine-safe (unlike weekday). */
+  def q196RevenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val py = load(spark, dir, "lineitem")
+      .groupBy(expr("year(l_shipdate)").cast("long").as("y"),
+        col("l_partkey"))
+      .agg(sum(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")).as("q"),
+        (sum(lineRevenue) * lit(10000)).cast("long").as("rev_e4"))
+      .withColumn("p_e4", expr("rev_e4 div q"))
+    val matched = py.as("a").join(py.as("b"),
+        col("a.l_partkey") === col("b.l_partkey") &&
+          col("b.y") === col("a.y") + 1)
+      .groupBy(col("a.y").as("y1"))
+      .agg(
+        sum(expr("b.rev_e4 - a.rev_e4")).as("d_rev_e4"),
+        sum(expr("(b.q - a.q) * a.p_e4")).as("vol_eff_e4"),
+        sum(expr("b.q * (b.p_e4 - a.p_e4)")).as("price_eff_e4"))
+      .withColumn("resid_e4",
+        expr("d_rev_e4 - vol_eff_e4 - price_eff_e4"))
+    val newRev = py.as("b").join(py.as("a"),
+        col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.y") === col("b.y") - 1, "left_anti")
+      .groupBy((col("y") - 1).as("y1"))
+      .agg(sum(col("rev_e4")).as("new_rev_e4"))
+    val lostRev = py.as("a").join(py.as("b"),
+        col("b.l_partkey") === col("a.l_partkey") &&
+          col("b.y") === col("a.y") + 1, "left_anti")
+      .groupBy(col("y").as("y1"))
+      .agg(sum(col("rev_e4")).as("lost_rev_e4"))
+    matched
+      .join(newRev, Seq("y1"), "left")
+      .join(lostRev, Seq("y1"), "left")
+      .select(col("y1"), (col("y1") + 1).as("y2"), col("d_rev_e4"),
+        col("vol_eff_e4"), col("price_eff_e4"), col("resid_e4"),
+        coalesce(col("new_rev_e4"), lit(0L)).as("new_rev_e4"),
+        coalesce(col("lost_rev_e4"), lit(0L)).as("lost_rev_e4"))
+      .orderBy("y1")
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_abc_class" -> (q178AbcClass _),
+    "q196_revenue_bridge" -> (q196RevenueBridge _),
     "q189_ntile_deciles" -> (q189NtileDeciles _),
     "q190_hist2d" -> (q190Hist2d _),
     "q150_skyline" -> (q150Skyline _),
@@ -1588,6 +1643,51 @@ object Relational {
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
     * implementation-only → intentionally absent). */
   val oracle: Map[String, String] = Map(
+    // q196: same (year, part) collapse, same truncating unit price,
+    // same matched/new/lost split; the decomposition identity is
+    // exact on both sides.
+    "q196_revenue_bridge" ->
+      """WITH py AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS y, l_partkey,
+        |    CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+        |      AS BIGINT) AS q,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+        |      AS BIGINT) AS rev_e4
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT y, l_partkey, q, rev_e4, rev_e4 // q AS p_e4
+        |      FROM py),
+        |m AS (
+        |  SELECT a.y AS y1,
+        |    CAST(SUM(b.rev_e4 - a.rev_e4) AS BIGINT) AS d_rev_e4,
+        |    CAST(SUM((b.q - a.q) * a.p_e4) AS BIGINT) AS vol_eff_e4,
+        |    CAST(SUM(b.q * (b.p_e4 - a.p_e4)) AS BIGINT)
+        |      AS price_eff_e4
+        |  FROM p a JOIN p b
+        |    ON b.l_partkey = a.l_partkey AND b.y = a.y + 1
+        |  GROUP BY a.y),
+        |nr AS (
+        |  SELECT b.y - 1 AS y1,
+        |    CAST(SUM(b.rev_e4) AS BIGINT) AS new_rev_e4
+        |  FROM p b WHERE NOT EXISTS (
+        |    SELECT 1 FROM p a
+        |    WHERE a.l_partkey = b.l_partkey AND a.y = b.y - 1)
+        |  GROUP BY b.y - 1),
+        |lr AS (
+        |  SELECT a.y AS y1,
+        |    CAST(SUM(a.rev_e4) AS BIGINT) AS lost_rev_e4
+        |  FROM p a WHERE NOT EXISTS (
+        |    SELECT 1 FROM p b
+        |    WHERE b.l_partkey = a.l_partkey AND b.y = a.y + 1)
+        |  GROUP BY a.y)
+        |SELECT m.y1, m.y1 + 1 AS y2, m.d_rev_e4, m.vol_eff_e4,
+        |  m.price_eff_e4,
+        |  m.d_rev_e4 - m.vol_eff_e4 - m.price_eff_e4 AS resid_e4,
+        |  COALESCE(nr.new_rev_e4, 0) AS new_rev_e4,
+        |  COALESCE(lr.lost_rev_e4, 0) AS lost_rev_e4
+        |FROM m LEFT JOIN nr ON nr.y1 = m.y1
+        |LEFT JOIN lr ON lr.y1 = m.y1
+        |ORDER BY m.y1""".stripMargin,
     // q189: NTILE under the same total order distributes remainders
     // identically in both engines; doubles only compared/selected.
     "q189_ntile_deciles" ->

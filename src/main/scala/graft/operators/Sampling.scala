@@ -202,7 +202,39 @@ object Sampling {
       .orderBy("priority")
   }
 
+  // ---------------------------------------------------------------- q197
+
+  /** Q197: CLASS-BALANCED DOWNSAMPLING — every label reduced to the
+    * minority class's size, membership a pure function of the key
+    * (per-label rank under the (md5(id), id) order — the q153/q46
+    * discipline: no seed, no partitioning dependence, identical in
+    * any engine). THE class-imbalance prep a classifier-training
+    * pipeline runs before fitting; the gated output is the per-label
+    * audit (before/after counts + the kept-id checksum that pins the
+    * exact membership).
+    *
+    * Scale: one per-label rank window (spill-sorted) + slim aggs; the
+    * minority size is a 1-row broadcast. */
+  def q197ClassBalance(spark: SparkSession, dir: String): DataFrame = {
+    val v = load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val sizes = v.groupBy("label").agg(count(lit(1)).as("n_before"))
+    val m = sizes.agg(min(col("n_before")).as("m"))
+    val w = Window.partitionBy("label")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    v.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(m))
+      .filter(col("rk") <= col("m"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
+      .join(broadcast(sizes), "label")
+      .select(col("label"), col("n_before"), col("n_kept"),
+        col("id_sum"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_class_balance" -> (q197ClassBalance _),
     "q46_det_sample" -> (q46Sample _),
     "q103_weighted_sample" -> (q103WeightedSample _),
     "q139_temperature_mix" -> (q139TemperatureMix _),
@@ -211,6 +243,29 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    // q197: same pure-function-of-key rank (BIGINT→string rendering
+    // is identical, so md5 agrees), same minority-size cut, same
+    // membership checksum.
+    "q197_class_balance" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label
+        |  FROM embeddings),
+        |sizes AS (SELECT label, COUNT(*) AS n_before FROM v
+        |          GROUP BY label),
+        |m AS (SELECT MIN(n_before) AS m FROM sizes),
+        |r AS (
+        |  SELECT label, vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |      AS BIGINT) AS rk
+        |  FROM v),
+        |k AS (
+        |  SELECT r.label, COUNT(*) AS n_kept,
+        |    CAST(SUM(r.vec_id) AS BIGINT) AS id_sum
+        |  FROM r, m WHERE r.rk <= m.m GROUP BY r.label)
+        |SELECT k.label, s.n_before, k.n_kept, k.id_sum
+        |FROM k JOIN sizes s ON s.label = k.label
+        |ORDER BY k.label""".stripMargin,
     // q164: same md5-nibble assignment, same exact-cents sums, same
     // double op sequence for the means/uplift (identical ints →
     // identical IEEE results).
