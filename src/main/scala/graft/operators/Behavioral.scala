@@ -597,6 +597,33 @@ object Behavioral {
       .orderBy("n_day")
   }
 
+  // ---------------------------------------------------------------- q199
+
+  /** Q199: GROWTH ACCOUNTING — per day: active users decomposed into
+    * NEW (first-seen today) and RETURNING, plus the cumulative
+    * distinct-user total (exact, via the first-seen-day frame — no
+    * windowed distinct). The standard growth dashboard table tying
+    * q85's stickiness, q187's retention and q135's churn to one
+    * ledger: active = new + returning, every day.
+    *
+    * Scale: distinct (user, day) collapse; first-seen is a per-user
+    * MIN; the cumulative window runs on the one-row-per-day frame. */
+  def q199GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val perDay = ud.groupBy("d").agg(count(lit(1)).as("n_active"))
+    val newPer = ud.groupBy("user_id").agg(min(col("d")).as("f"))
+      .groupBy(col("f").as("d")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.join(newPer, Seq("d"), "left")
+      .select(col("d"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_returning", expr("n_active - n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy("d")
+  }
+
   // ---------------------------------------------------------------- q191
 
   /** Q191: WEEK-OVER-WEEK AUDIENCE OVERLAP — exact jaccard (bp)
@@ -658,6 +685,7 @@ object Behavioral {
     "q187_dn_retention" -> (q187DnRetention _),
     "q191_audience_overlap" -> (q191AudienceOverlap _),
     "q192_channel_cvr" -> (q192ChannelCvr _),
+    "q199_growth_accounting" -> (q199GrowthAccounting _),
     "q170_session_stats" -> (q170SessionStats _),
     "q171_two_hop" -> (q171TwoHop _),
     "q144_rolling_wau" -> (q144RollingWau _),
@@ -676,6 +704,22 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    // q199: same distinct-day collapse and first-seen decomposition;
+    // window SUM recast to BIGINT (D6).
+    "q199_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |perday AS (SELECT d, COUNT(*) AS n_active FROM ud GROUP BY d),
+        |f AS (SELECT user_id, MIN(d) AS f FROM ud GROUP BY 1),
+        |newper AS (SELECT f AS d, COUNT(*) AS n_new FROM f GROUP BY 1),
+        |j AS (
+        |  SELECT p.d, p.n_active, COALESCE(n.n_new, 0) AS n_new
+        |  FROM perday p LEFT JOIN newper n ON n.d = p.d)
+        |SELECT d, n_active, n_new, n_active - n_new AS n_returning,
+        |  CAST(SUM(n_new) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM j ORDER BY d""".stripMargin,
     // q191: same distinct (user, epoch-week) collapse, same adjacency
     // join, same integer jaccard.
     "q191_audience_overlap" ->

@@ -682,9 +682,48 @@ object Stats {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q198
+
+  /** Q198: LIFE TABLE (survival-analysis prep) — customer relationship
+    * durations in quarters (first to last order date), churn = quiet
+    * for the trailing 90 days of the observation window, else
+    * censored; per quarter: the risk set (duration ≥ q), observed
+    * churn events (churned AND duration = q), and the discrete hazard
+    * in ppm. The Kaplan–Meier input table — the survival CLASS
+    * (censoring-aware duration analysis) nothing else in the surface
+    * touches; the KM curve itself is the cumulative product of
+    * (1 − hazard), a consumer-side fold over these ≤30 rows.
+    *
+    * All integer: date subtraction, `div 90` quarters, cross-
+    * multiplied hazard. Events are too dense for survival (every user
+    * lives the whole fixture); order lifetimes span years. Scale: one
+    * per-customer collapse, ≤|quarters| threshold fan-out via a range
+    * join on the broadcast quarter dimension. */
+  def q198LifeTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+    val life = o.groupBy("o_custkey")
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val horizon = o.agg(max(col("d")).as("dmax"))
+    val durs = life.crossJoin(broadcast(horizon))
+      .select(expr("CAST(datediff(l, f) AS BIGINT) div 90").as("dur_q"),
+        when(expr("datediff(dmax, l) > 90"), 1L).otherwise(0L)
+          .as("churned"))
+    val quarters = durs.select(col("dur_q")).distinct()
+      .select(col("dur_q").as("q"))
+    durs.join(broadcast(quarters), col("dur_q") >= col("q"))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_risk"),
+        expr("CAST(count_if(churned = 1 AND dur_q = q) AS BIGINT)")
+          .as("n_churn"))
+      .withColumn("hazard_ppm", expr("(n_churn * 1000000) div n_risk"))
+      .orderBy("q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_holt_horizons" -> (q194HoltHorizons _),
     "q195_trimmed_mean" -> (q195TrimmedMean _),
+    "q198_life_table" -> (q198LifeTable _),
     "q174_clamped_ledger" -> (q174ClampedLedger _),
     "q159_gini" -> (q159Gini _),
     "q146_holt" -> (q146Holt _),
@@ -699,6 +738,28 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // q198: same integer quarters, same 90-day churn rule, same
+    // risk-set range join; all counts/divisions integer.
+    "q198_life_table" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |life AS (
+        |  SELECT o_custkey, MIN(d) AS f, MAX(d) AS l
+        |  FROM o GROUP BY 1),
+        |h AS (SELECT MAX(d) AS dmax FROM o),
+        |durs AS (
+        |  SELECT CAST(l - f AS BIGINT) // 90 AS dur_q,
+        |    CASE WHEN dmax - l > 90 THEN 1 ELSE 0 END AS churned
+        |  FROM life, h),
+        |quarters AS (SELECT DISTINCT dur_q AS q FROM durs)
+        |SELECT q.q, COUNT(*) AS n_risk,
+        |  CAST(count_if(d.churned = 1 AND d.dur_q = q.q) AS BIGINT)
+        |    AS n_churn,
+        |  (CAST(count_if(d.churned = 1 AND d.dur_q = q.q) AS BIGINT)
+        |    * 1000000) // COUNT(*) AS hazard_ppm
+        |FROM durs d JOIN quarters q ON d.dur_q >= q.q
+        |GROUP BY q.q ORDER BY q.q""".stripMargin,
     // q195: same (cents, event_id) rank order, same n/20 trim bounds,
     // same truncating integer mean.
     "q195_trimmed_mean" ->
