@@ -846,6 +846,12 @@ object Dedup {
   private val lshPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop this object's memoized frames (see [[Memos.clearAll]]). */
+  private[operators] def clearMemos(): Unit = {
+    exactPairsCache.clear()
+    lshPairsCache.clear()
+  }
+
   def lshPairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsCache.getOrElseUpdate((spark, dir),
       minhashPairs(docsWithNearDups(load(spark, dir, "documents")))

@@ -498,6 +498,13 @@ object Graph {
   private val basketCoCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
+  /** Drop this object's memoized frames (see [[Memos.clearAll]]). */
+  private[operators] def clearMemos(): Unit = {
+    coEdgesCache.clear()
+    lpaCache.clear()
+    basketCoCache.clear()
+  }
+
   private def basketCo(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) =
     basketCoCache.getOrElseUpdate((spark, dir), {
