@@ -1554,10 +1554,51 @@ object Relational {
       .orderBy("y1")
   }
 
+  // ---------------------------------------------------------------- q200
+
+  /** Q200: KPI TILES — the cross-table executive dashboard in long
+    * format: one row per headline metric across all five fact domains
+    * (revenue, orders, customers-with-orders, active users, purchase
+    * events, corpus docs/tokens, embedding count). The most-executed
+    * query class in any BI deployment; gating it pins the cross-
+    * domain scalar composition (each tile is an independent pruned
+    * scan + 1-row aggregate, unioned — tiles parallelize and cache
+    * independently, exactly how a dashboard serves them).
+    *
+    * All BIGINT (revenue in exact e4; counts natural). */
+  def q200KpiTiles(spark: SparkSession, dir: String): DataFrame = {
+    def tile(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("kpi"), col("v"))
+    val li = load(spark, dir, "lineitem")
+    val o = load(spark, dir, "orders")
+    val ev = graft.Tables.events(spark, dir)
+    val docs = load(spark, dir, "documents")
+    Seq(
+      tile("revenue_e4",
+        li.agg((sum(lineRevenue) * lit(10000)).cast("long").as("v"))),
+      tile("orders", o.agg(count(lit(1)).as("v"))),
+      tile("buying_customers",
+        o.agg(countDistinct(col("o_custkey")).as("v"))),
+      tile("active_users",
+        ev.agg(countDistinct(col("user_id")).as("v"))),
+      tile("purchase_events",
+        ev.filter(col("event_type") === "purchase")
+          .agg(count(lit(1)).as("v"))),
+      tile("corpus_docs", docs.agg(count(lit(1)).as("v"))),
+      tile("corpus_tokens",
+        docs.agg(sum(size(split(col("text"), " ")).cast("long"))
+          .as("v"))),
+      tile("embeddings",
+        load(spark, dir, "embeddings").agg(count(lit(1)).as("v"))))
+      .reduce(_ unionByName _)
+      .orderBy("kpi")
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_abc_class" -> (q178AbcClass _),
     "q196_revenue_bridge" -> (q196RevenueBridge _),
+    "q200_kpi_tiles" -> (q200KpiTiles _),
     "q189_ntile_deciles" -> (q189NtileDeciles _),
     "q190_hist2d" -> (q190Hist2d _),
     "q150_skyline" -> (q150Skyline _),
@@ -1643,6 +1684,33 @@ object Relational {
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
     * implementation-only → intentionally absent). */
   val oracle: Map[String, String] = Map(
+    // q200: one pruned scan + 1-row aggregate per tile, unioned; the
+    // exact-decimal revenue and natural counts are all BIGINT.
+    "q200_kpi_tiles" ->
+      """SELECT 'revenue_e4' AS kpi,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1 - l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |    AS v
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders', COUNT(*) FROM orders
+        |UNION ALL
+        |SELECT 'buying_customers', COUNT(DISTINCT o_custkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'active_users', COUNT(DISTINCT user_id) FROM events
+        |UNION ALL
+        |SELECT 'purchase_events', COUNT(*) FROM events
+        |WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT 'corpus_docs', COUNT(*) FROM documents
+        |UNION ALL
+        |SELECT 'corpus_tokens',
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'embeddings', COUNT(*) FROM embeddings
+        |ORDER BY kpi""".stripMargin,
     // q196: same (year, part) collapse, same truncating unit price,
     // same matched/new/lost split; the decomposition identity is
     // exact on both sides.
