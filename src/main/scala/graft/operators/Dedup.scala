@@ -788,11 +788,20 @@ object Dedup {
       explode(col("sh")).as("h"))
     val candSmall = inExpl.join(smallPost, "h")
       .select("new_id", "old_id")
+    // The +1 slack makes the prefilter's soundness independent of
+    // IEEE rounding: verification computes jaccard by double division,
+    // and a pair whose rounded jaccard just crosses `threshold` could
+    // in principle sit one ulp below the double-rounded threshold·sz
+    // bound (unreachable below ~1e15 shingles/doc, but the
+    // BIT-IDENTICAL-for-every-dfCap claim should not rest on an FP
+    // margin). Prefilters may only over-admit — never under-admit —
+    // so relaxing by one is free correctness (advice r8).
     val heavyIn = inExpl.join(hotSh, Seq("h"))
       .groupBy("new_id").agg(count(lit(1)).as("ch"))
       .join(in.select(col("doc_id").as("new_id"),
         size(col("sh")).as("sz")), "new_id")
-      .filter(col("ch").cast("double") >= lit(threshold) * col("sz"))
+      .filter((col("ch") + 1L).cast("double") >=
+        lit(threshold) * col("sz"))
       .select("new_id")
     val candHot = inExpl.join(heavyIn, "new_id")
       .join(hotSh, Seq("h"))

@@ -35,33 +35,103 @@ object Graph {
     * supplier pairs sharing ≥ `minShared` distinct parts. The per-part
     * self-join fans out C(suppliers-per-part, 2) pair rows; the count
     * agg is partial-combining, so the shuffle carries (u, v) pairs. */
-  def coSupplyEdges(lineitem: DataFrame, minShared: Long): DataFrame = {
-    // one p-keyed shuffle: collect each part's distinct supplier set
-    // map-side (collect_set partial-combines), sort it, stream the
-    // C(k,2) ordered pairs out with posexplode + per-row slice (no
-    // per-row pair-array materialization — the G1 humongous-allocation
-    // trap), then count pairs. A distinct-then-self-join does the same
-    // work with two parquet scans and three exchanges.
-    val bySupp = lineitem
-      .groupBy(col("l_partkey"))
-      .agg(sort_array(collect_set(col("l_suppkey"))).as("w"))
-      .filter(size(col("w")) >= 2)
-    // Explicit partition count: the per-part frame is tiny in bytes but
-    // fans out C(k,2) pair rows each — AQE's size-based coalescing
-    // would run the explode on one partition (user-specified counts
-    // are exempt).
-    val nPart = lineitem.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    bySupp
-      .repartition(nPart, col("l_partkey"))
-      .select(posexplode(col("w")).as(Seq("i", "u")),
-        col("w"))
-      .select(col("u"), explode(slice(col("w"), col("i") + 2,
-        size(col("w")))).as("v"))
-      .groupBy("u", "v")
+  def coSupplyEdges(lineitem: DataFrame, minShared: Long,
+      cap: Int = DefaultBasketCap): DataFrame =
+    groupedOrderedPairs(
+      lineitem.select(col("l_partkey").as("k"),
+        col("l_suppkey").as("it")),
+      cap)
+      .groupBy(col("a").as("u"), col("b").as("v"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select("u", "v")
+
+  /** Whale-group cap: groups (baskets / hot parts) with more than this
+    * many distinct items leave the one-row collect_set fast-path for
+    * the chunk-tiled pair join in [[groupedOrderedPairs]]. cap² pairs
+    * per task at most — 512² ≈ 2.6·10⁵, a sub-second tile. */
+  val DefaultBasketCap = 512
+
+  /** Within-group ordered item pairs (a < b), one output row per pair
+    * per group — exact for ANY cap, task-bounded for every cap.
+    *
+    * Input: (k, it) rows, not necessarily distinct per group
+    * (collect_set dedups). Two plans by group size:
+    *
+    *  - **size ≤ cap (fast path)**: one k-keyed shuffle collects each
+    *    group's sorted distinct item array map-side, then streams the
+    *    C(sz, 2) ordered pairs with posexplode + per-row slice (no
+    *    per-row pair-array materialization — the G1
+    *    humongous-allocation trap).
+    *  - **size > cap (whale path)**: a bot/whale group with 10⁵
+    *    distinct items is a ~5·10⁹-pair enumeration — as ONE array row
+    *    that is a single task and a multi-hundred-KB aggregation
+    *    buffer, the last single-task quadratic this repo had. Instead
+    *    the sorted array is split into ⌈sz/cap⌉ index CHUNKS and pairs
+    *    are enumerated per chunk TILE (ci ≤ cj): each side replicates
+    *    its rows to the tiles it participates in (left: cj ∈
+    *    [c, maxc]; right: ci ∈ [0, c]) and the equi-join on
+    *    (k, ci, cj) makes every tile its own join key — ≤ cap² pairs
+    *    per task, C(sz,2) total, no tile ever sees the whole whale.
+    *    Because the array is sorted, position order = item order, so
+    *    `ci < cj OR i < j` IS `a < b` — no value comparison, no ties.
+    *
+    * The union is exact: every group takes exactly one path, and both
+    * paths emit each unordered pair exactly once in sorted order
+    * (GraphSpec pins capped ≡ uncapped plus a planted whale basket
+    * with bounded tile width — the q102/q137 df-cap playbook applied
+    * to basket enumeration). */
+  private[graft] def groupedOrderedPairs(pairs: DataFrame,
+      cap: Int): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val baskets = pairs
+      .groupBy(col("k"))
+      .agg(sort_array(collect_set(col("it"))).as("w"))
+      .filter(size(col("w")) >= 2)
+    // Explicit partition count: these frames are tiny in bytes but fan
+    // out C(k, 2) pair rows each — AQE's size-based coalescing would
+    // run the explode on one partition (user-specified counts are
+    // exempt).
+    val nPart = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val small = baskets
+      .filter(size(col("w")) <= cap)
+      .repartition(nPart, col("k"))
+      .select(posexplode(col("w")).as(Seq("i", "a")), col("w"))
+      .select(col("a"), explode(slice(col("w"), col("i") + 2,
+        size(col("w")))).as("b"))
+    small.unionAll(whalePairTiles(baskets, cap, nPart)
+      .select(col("a"), col("b")))
+  }
+
+  /** The whale-path tile join of [[groupedOrderedPairs]], with the
+    * (k, ci, cj) tile key retained so GraphSpec can pin per-tile
+    * width ≤ cap². */
+  private[graft] def whalePairTiles(baskets: DataFrame, cap: Int,
+      nPart: Int): DataFrame = {
+    val witems = baskets
+      .filter(size(col("w")) > cap)
+      .select(col("k"), size(col("w")).as("sz"),
+        posexplode(col("w")).as(Seq("i", "it")))
+      .select(col("k"), col("it"),
+        col("i").cast("long").as("i"),
+        expr(s"CAST(i AS BIGINT) div $cap").as("c"),
+        expr(s"CAST(sz - 1 AS BIGINT) div $cap").as("maxc"))
+    val leftRep = witems.select(col("k"), col("i"), col("it").as("a"),
+      col("c").as("ci"),
+      explode(sequence(col("c"), col("maxc"))).as("cj"))
+    val rightRep = witems.select(col("k"), col("i").as("j"),
+      col("it").as("b"),
+      explode(sequence(lit(0L), col("c"))).as("ci"),
+      col("c").as("cj"))
+    leftRep
+      .repartition(nPart, col("k"), col("ci"), col("cj"))
+      .join(rightRep.repartition(nPart, col("k"), col("ci"), col("cj")),
+        Seq("k", "ci", "cj"))
+      // across tiles position order implies item order; within a tile
+      // (ci = cj) the i < j residual keeps exactly the ordered pairs
+      .filter(col("ci") < col("cj") || col("i") < col("j"))
+      .select(col("k"), col("ci"), col("cj"), col("a"), col("b"))
   }
 
   /** Triangle census of an undirected edge list (columns u, v with
@@ -462,21 +532,15 @@ object Graph {
       .distinct()
 
   /** Ordered co-purchase pair counts (a < b, co ≥ minCo) from the
-    * basket base frame — the expensive C(basket,2) explode. */
-  private def coCounts(bought: DataFrame, minCo: Long): DataFrame = {
-    val baskets = bought
-      .groupBy("cust").agg(sort_array(collect_set(col("item"))).as("w"))
-      .filter(size(col("w")) >= 2)
-    val nPart = bought.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    baskets
-      .repartition(nPart, col("cust"))
-      .select(posexplode(col("w")).as(Seq("i", "a")), col("w"))
-      .select(col("a"), explode(slice(col("w"), col("i") + 2,
-        size(col("w")))).as("b"))
+    * basket base frame — the expensive C(basket,2) enumeration, capped
+    * per [[groupedOrderedPairs]] (whale baskets take the chunk-tiled
+    * join; exact for any cap). */
+  private[graft] def coCounts(bought: DataFrame, minCo: Long,
+      cap: Int = DefaultBasketCap): DataFrame =
+    groupedOrderedPairs(
+      bought.select(col("cust").as("k"), col("item").as("it")), cap)
       .groupBy("a", "b").agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
-  }
 
   private def itemSimilarityFrom(bought: DataFrame, co: DataFrame,
       k: Int): DataFrame = {
@@ -905,7 +969,9 @@ object Graph {
   val oracle: Map[String, String] = Map(
     "q143_lpa_communities" -> lpaOracle,
     "q155_modularity" -> modularityOracle,
-    // q175: same wedge enumeration over the shared co-supply edge CTE,
+    // q175: same wedge enumeration over the co-purchase edge CTE
+    // (lineitem ⋈ orders baskets, co ≥ 3 — co-supply is a clique
+    // below sf0.1, see the main scaladoc),
     // same non-negative integer `//` score, same anti-join of existing
     // edges.
     "q175_ra_linkpred" ->

@@ -881,7 +881,7 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .join(ranked, "doc_id")
       .groupBy("w")
-      .agg(min(col("rnk")).as("first_rnk"), count(lit(1)).as("c"))
+      .agg(min(col("rnk")).as("first_rnk"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val occ = docs
       .select(col("doc_id"), size(split(col("text"), " "))

@@ -36,6 +36,67 @@ class GraphSpec extends SparkSpecBase {
     assert(got.getLong(0) == n && got.getLong(1) == n)
   }
 
+  test("whale-basket cap: capped pair enumeration is bit-identical to " +
+      "uncapped on the fixture for cap in {2, 8, huge} (round-8 " +
+      "verdict item 1 — the q102/q137 df-cap playbook applied to " +
+      "basket enumeration)") {
+    import spark.implicits._
+    val bought = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L), (1L, 50L),
+      (2L, 10L), (2L, 20L), (2L, 30L),
+      (3L, 20L), (3L, 30L), (3L, 40L),
+      (4L, 10L), (4L, 50L)).toDF("k", "it")
+    val want = Graph.groupedOrderedPairs(bought, cap = 1 << 20)
+      .groupBy("a", "b").count().orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (cap <- Seq(2, 8)) {
+      val got = Graph.groupedOrderedPairs(bought, cap)
+        .groupBy("a", "b").count().orderBy("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq, s"cap=$cap")
+    }
+    // fixture-scale equality through a real consumer: q94's coCounts
+    val fx = Seq.tabulate(40)(i => (i.toLong % 7L, i.toLong % 11L))
+      .toDF("cust", "item").distinct()
+    val wantCo = Graph.coCounts(fx, minCo = 1L, cap = 1 << 20)
+      .orderBy("a", "b").collect().map(_.toSeq)
+    val gotCo = Graph.coCounts(fx, minCo = 1L, cap = 3)
+      .orderBy("a", "b").collect().map(_.toSeq)
+    assert(gotCo.toSeq == wantCo.toSeq)
+  }
+
+  test("planted whale basket: every tile of the whale path holds at " +
+      "most cap^2 pairs and the tiles sum to exactly C(n,2) — no task " +
+      "ever enumerates the whole whale") {
+    import spark.implicits._
+    val n = 50
+    val cap = 8
+    // one whale basket of 50 distinct items, plus a small basket that
+    // must NOT leak into the whale path
+    val whale = (1 to n).map(i => (99L, i.toLong))
+    val smallB = Seq((7L, 1L), (7L, 2L))
+    val baskets = (whale ++ smallB).toDF("k", "it")
+      .groupBy("k").agg(sort_array(collect_set(col("it"))).as("w"))
+    val tiles = Graph.whalePairTiles(baskets, cap, nPart = 8)
+      .groupBy("k", "ci", "cj").count().collect()
+    assert(tiles.forall(_.getLong(0) == 99L), "small basket excluded")
+    assert(tiles.forall(_.getLong(3) <= cap.toLong * cap),
+      "tile width bounded by cap^2")
+    assert(tiles.map(_.getLong(3)).sum == n.toLong * (n - 1) / 2,
+      "tiles partition C(n,2) exactly")
+    val nTiles = tiles.length
+    val nChunks = (n + cap - 1) / cap
+    assert(nTiles == nChunks * (nChunks + 1) / 2,
+      "one tile per chunk pair (ci <= cj)")
+    // and the pairs themselves are the ordered pairs
+    val pairs = Graph.groupedOrderedPairs(
+      whale.toDF("k", "it"), cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == n * (n - 1) / 2)
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.toSet.size == pairs.length, "no duplicate pairs")
+  }
+
   test("census golden: K4 minus one edge") {
     // nodes {1,2,3,4}, all edges except (3,4): degrees 3,3,2,2 →
     // wedges C(3,2)+C(3,2)+1+1 = 8; triangles {1,2,3},{1,2,4} = 2;

@@ -293,4 +293,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"),
       "anchor join regressed to a cartesian:\n" + p.take(800))
   }
+
+  test("q200 KPI tiles scan each fact table AT MOST ONCE — same-table " +
+      "tiles fuse into one aggregate (round-8 verdict item 3: at " +
+      "100 TB the events/orders scans ARE the query cost)") {
+    val p = plan(Relational.q200KpiTiles(spark, sf))
+    for (t <- Seq("events.parquet", "orders.parquet",
+        "documents.parquet", "lineitem.parquet")) {
+      val n = p.sliding(t.length).count(_ == t)
+      assert(n <= 1, s"$t scanned $n times:\n" + p.take(1500))
+    }
+  }
 }
