@@ -133,6 +133,37 @@ object Bench {
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // Memo builds as first-class `memo:*` line items (round-8 verdict
+    // item 4): previously the FIRST consumer of a memoized frame
+    // absorbed its build cost, so a query's number depended on suite
+    // order (q33e read 0.55 s or 3.2 s depending on whether q33a ran
+    // first — three rounds of bench-reading confusion). Clearing the
+    // registry and timing each named build up front makes every
+    // per-query number mean one thing: the query's own compute over
+    // pre-built shared state. The memo lines participate in `value`,
+    // so the suite total is unchanged in meaning. Skipped under
+    // SPARK_GRAFT_ONLY (subset runs build on demand as before).
+    if (only.isEmpty) {
+      graft.operators.Memos.clearAll()
+      graft.operators.Memos.builders.foreach { case (name, build) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          build(spark, sfDir)
+          val sec = (System.nanoTime() - t0) / 1e9
+          results += (name -> sec)
+          println(s"""{"query":"$name","sec":$sec}""")
+        } catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(300)
+          failed += (name -> msg)
+          println(s"""{"query":${jq(name)},"err":${jq(msg)}}""")
+        }
+      }
+      println(writeLatest(results.toSeq, failed.toSeq, done = false))
+      System.out.flush()
+    }
     picked.foreach { case (name, fn) =>
       // Adaptive min-of-N: cross-query JVM degradation (GC pressure,
       // codegen-cache churn) can poison a single measurement by 10×+.

@@ -569,7 +569,7 @@ object Graph {
     basketCoCache.clear()
   }
 
-  private def basketCo(spark: SparkSession,
+  private[operators] def basketCo(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) =
     basketCoCache.getOrElseUpdate((spark, dir), {
       val bought = boughtItems(load(spark, dir, "lineitem"),

@@ -21,5 +21,30 @@ object Memos {
   def clearAll(): Unit = {
     Dedup.clearMemos()
     Graph.clearMemos()
+    TextOps.clearMemos()
   }
+
+  /** Every memoized build, NAMED, in dependency order (lpa25 layers on
+    * coEdges25, so timing them in this order attributes each layer's
+    * cost to its own line). Each builder forces materialization — the
+    * getters end in an EAGER localCheckpoint, so returning is
+    * materialized. Bench times these as first-class `memo:*` line
+    * items before the query loop (round-8 verdict item 4: the first
+    * consumer of a memoized frame used to absorb its build, which made
+    * per-query numbers mean different things depending on suite order
+    * — three rounds of bench-reading confusion). */
+  def builders: Seq[(String, (org.apache.spark.sql.SparkSession,
+      String) => Unit)] = Seq(
+    "memo:dedup_exact_pairs" ->
+      ((s, d) => { Dedup.exactPairs(s, d); () }),
+    "memo:dedup_lsh_pairs" ->
+      ((s, d) => { Dedup.lshPairs(s, d); () }),
+    "memo:co_edges25" ->
+      ((s, d) => { Graph.coEdges25(s, d); () }),
+    "memo:lpa25" ->
+      ((s, d) => { Graph.lpa25(s, d); () }),
+    "memo:basket_co" ->
+      ((s, d) => { Graph.basketCo(s, d); () }),
+    "memo:fuzzy_pairs" ->
+      ((s, d) => { TextOps.fuzzyPairs(s, d); () }))
 }

@@ -329,15 +329,25 @@ object Similarity {
     knnLsh(vecs, queryVectors(vecs), k = 10).orderBy("qid", "rank")
   }
 
+  /** Graded at FULL PROBE (probes = cells): every cell is searched, so
+    * the candidate set equals the brute pair set and the output is
+    * bit-identical to [[q34aKnnBrute]] — deterministic, so it sits
+    * under the hard DuckDB oracle (round-8 verdict item 6). The gate
+    * thereby pins the whole IVF machinery (codebook sampling, codegen'd
+    * cell assignment, probe ranking, candidate join, top-k) rather than
+    * only its recall envelope; the partial-probe configs stay covered
+    * by SimilaritySpec's nprobe-monotonicity contract. */
   def q34cKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val vecs = load(spark, dir, "embeddings")
-    knnIvf(vecs, queryVectors(vecs), k = 10).orderBy("qid", "rank")
+    knnIvf(vecs, queryVectors(vecs), k = 10, cells = 16, probes = 16)
+      .orderBy("qid", "rank")
   }
 
-  /** q34b/q34c are implementation-only (LSH/IVF candidate generation is
-    * algorithmic — recall < 1 by design, so no SQL oracle can equal it).
-    * q34a IS exact, so it is hash-gated against a DuckDB list-function
-    * recomputation (see `oracle`). */
+  /** q34b is implementation-only (LSH candidate generation is
+    * algorithmic — recall < 1 by design, so no SQL oracle can equal
+    * it). q34a is exact and q34c probes every cell, so both are
+    * hash-gated against a DuckDB list-function recomputation (see
+    * `oracle`). */
   // --------------------------------------------------------------- q151
 
   /** Q151: HARD-NEGATIVE mining — for every vector, the most similar
@@ -448,12 +458,16 @@ object Similarity {
         (-col("m.nc")).as("cos_e6"))
   }
 
-  /** Impl-only twin of q151 (the q34b/q34c precedent: approximate
-    * candidate generation is engine-specific — recall < 1 by design,
-    * no SQL oracle can equal it; SimilaritySpec carries the recall
-    * contract vs the gated brute baseline). */
+  /** Graded at FULL PROBE (probes = cells, the q34c move): the
+    * candidate set equals the brute pair set, the output is
+    * bit-identical to [[hardNegatives]], and the whole composed ANN
+    * pipeline (two-sided cell assignment, label predicate in the
+    * candidate join, exact re-rank argmax) sits under the hard DuckDB
+    * oracle (round-8 verdict item 6). Partial-probe recall stays
+    * spec'd in SimilaritySpec. */
   def q151bHardNegativesAnn(spark: SparkSession, dir: String): DataFrame =
-    hardNegativesAnn(load(spark, dir, "embeddings")).orderBy("vec_id")
+    hardNegativesAnn(load(spark, dir, "embeddings"), cells = 16,
+      probes = 16).orderBy("vec_id")
 
   // --------------------------------------------------------------- q154
 
@@ -718,6 +732,46 @@ object Similarity {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id
         |      ORDER BY cos_e6 DESC, nbr) AS rn
         |  FROM c) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // q151b: graded at probes = cells, where the ANN candidate set IS
+    // the brute pair set — the oracle is q151's (same IEEE op
+    // sequence: dot and norm products commute bitwise, so the swapped
+    // operand order in the candidate join is the identical double).
+    "q151b_hard_negatives_ann" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    CAST(floor((list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) *
+        |       sqrt(list_dot_product(b.e, b.e)))) * 1e6 + 0.5)
+        |      AS BIGINT) AS cos_e6
+        |  FROM v a JOIN v b
+        |    ON a.vec_id <> b.vec_id AND a.label <> b.label)
+        |SELECT vec_id, nbr AS hard_neg, cos_e6 FROM (
+        |  SELECT vec_id, nbr, cos_e6,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_e6 DESC, nbr) AS rn
+        |  FROM c) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // q34c: graded at probes = cells — candidate set = brute, so the
+    // oracle is q34a's.
+    "q34c_knn_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, v.vec_id AS neighbor,
+        |    floor((list_dot_product(v.e, q.qe) /
+        |      (sqrt(list_dot_product(v.e, v.e)) *
+        |       sqrt(list_dot_product(q.qe, q.qe)))) * 1e6 + 0.5) / 1e6
+        |      AS cos
+        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, neighbor, cos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, neighbor) AS rnk
+        |  FROM scored)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, cos
+        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
     "q34a_knn_brute" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -398,6 +398,10 @@ object TextOps {
   private val fuzzyPairsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Drop this object's memoized frames (see [[Memos.clearAll]]). */
+  private[operators] def clearMemos(): Unit =
+    fuzzyPairsCache.clear()
+
   def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
     fuzzyPairsCache.getOrElseUpdate((spark, dir),
       fuzzyMatchPairs(load(spark, dir, "customer"), "c_nationkey",

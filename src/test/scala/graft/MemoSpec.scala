@@ -22,4 +22,19 @@ class MemoSpec extends SparkSpecBase {
     assert(c.collect().map(_.toString).sorted
       .sameElements(a.collect().map(_.toString).sorted))
   }
+
+  test("builders registry names every memo once, every build runs " +
+      "green, and clearAll covers the q57/q142 fuzzy pair memo " +
+      "(round-8 verdict item 4)") {
+    val names = Memos.builders.map(_._1)
+    assert(names.distinct == names, "duplicate builder names")
+    assert(names.size == 6, s"builder census drifted: $names")
+    assert(names.forall(_.startsWith("memo:")))
+    val f1 = graft.operators.TextOps.fuzzyPairs(spark, sf)
+    Memos.clearAll()
+    val f2 = graft.operators.TextOps.fuzzyPairs(spark, sf)
+    assert(!(f1 eq f2), "clearAll must drop the fuzzy pair memo")
+    Memos.clearAll()
+    Memos.builders.foreach { case (_, b) => b(spark, sf) }
+  }
 }
