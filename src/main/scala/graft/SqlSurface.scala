@@ -221,6 +221,56 @@ object SqlSurface {
     operators.TimeSeries.ohlcBars(spark.table(eventsView))
       .createOrReplaceTempView(viewName)
 
+  /** Last-touch attribution rollup of an events view (user_id, ts_ns,
+    * event_id, event_type, value) → view (channel, n_conv,
+    * revenue_cents) — q169's single window-pass credit assignment
+    * (round 8). */
+  def createAttributionView(spark: SparkSession, eventsView: String,
+      viewName: String): Unit =
+    Behavioral.lastTouchReport(spark.table(eventsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Time-windowed funnel census of an events view → view (stage,
+    * n_users): users counted at the deepest stage whose strict
+    * first-completion chain finishes within `horizonNs` of the funnel
+    * start — q186 (round 8). */
+  def createWindowedFunnelView(spark: SparkSession, eventsView: String,
+      stages: Seq[String], horizonNs: Long, viewName: String): Unit =
+    Behavioral.funnelWindowed(spark.table(eventsView), stages,
+      horizonNs).createOrReplaceTempView(viewName)
+
+  /** Day-N retention of an events view (user_id, ts) → view (n_day,
+    * n_cohort, n_retained, retention_bp) — q187's exact
+    * active-exactly-N-days-later curve (round 8). */
+  def createDnRetentionView(spark: SparkSession, eventsView: String,
+      viewName: String, days: Seq[Int] = Seq(1, 7, 14)): Unit =
+    Behavioral.dnRetention(spark.table(eventsView), days)
+      .createOrReplaceTempView(viewName)
+
+  /** Growth accounting of an events view (user_id, ts) → view (d,
+    * n_active, n_new, n_returning, cum_users) — q199's new/returning
+    * decomposition with exact cumulative distinct users (round 8). */
+  def createGrowthAccountingView(spark: SparkSession,
+      eventsView: String, viewName: String): Unit =
+    Behavioral.growthAccounting(spark.table(eventsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Discrete-hazard life table of an orders view (o_custkey,
+    * o_orderdate) → view (q, n_risk, n_churn, hazard_ppm) — q198's
+    * censoring-aware Kaplan–Meier input (round 8). */
+  def createLifeTableView(spark: SparkSession, ordersView: String,
+      viewName: String): Unit =
+    operators.Stats.lifeTable(spark.table(ordersView))
+      .createOrReplaceTempView(viewName)
+
+  /** Balance-decile report of a customer view (c_custkey, c_acctbal)
+    * → view (decile, n_cust, hi, lo) — q189's NTILE cut under the
+    * deterministic (balance desc, key) total order (round 8). */
+  def createDecilesView(spark: SparkSession, customersView: String,
+      viewName: String): Unit =
+    operators.Relational.ntileDeciles(spark.table(customersView))
+      .createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

@@ -462,12 +462,17 @@ object Behavioral {
           lit(0L)).as("cents"))
   }
 
-  def q169LastTouch(spark: SparkSession, dir: String): DataFrame =
-    lastTouchAssign(Tables.events(spark, dir))
+  /** Per-channel attribution rollup over [[lastTouchAssign]] —
+    * frame-shaped for the SqlSurface view builder. */
+  def lastTouchReport(events: DataFrame): DataFrame =
+    lastTouchAssign(events)
       .groupBy("channel")
       .agg(count(lit(1)).as("n_conv"),
         sum(col("cents")).as("revenue_cents"))
       .orderBy("channel")
+
+  def q169LastTouch(spark: SparkSession, dir: String): DataFrame =
+    lastTouchReport(Tables.events(spark, dir))
 
   // ---------------------------------------------------------------- q170
 
@@ -558,18 +563,37 @@ object Behavioral {
     * product analytics actually reports; the unbounded q73 can't say
     * it. Same scale shape as q73: per-stage min aggs + slim user
     * joins. */
-  def q186FunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
-    val h = 3600L * 1000000000L
-    val t = funnelTimes(Tables.events(spark, dir),
-      Seq("signup", "view", "click", "purchase"))
-    val depth = (0 to 3).map(i =>
-      when(col(s"t$i").isNotNull && col(s"t$i") - col("t0") <= h, 1)
+  /** Frame-shaped core of q186 (SqlSurface view builder entry):
+    * stage-depth census of the strict first-completion chain, counting
+    * a stage only when it completes within `horizonNs` of the funnel
+    * start. */
+  /** Per-user windowed funnel depth (user_id, stage) — the frame the
+    * census aggregates and the streaming twin
+    * (`StreamOps.funnelWindowedStream`) pins against. The per-stage
+    * indicator is MONOTONE (chain times only grow, so once a stage
+    * misses the horizon every later one does), which is what lets the
+    * streaming state machine carry a single windowed depth. */
+  def funnelWindowedStages(events: DataFrame, stages: Seq[String],
+      horizonNs: Long): DataFrame = {
+    val t = funnelTimes(events, stages)
+    val depth = stages.indices.map(i =>
+      when(col(s"t$i").isNotNull &&
+          col(s"t$i") - col("t0") <= horizonNs, 1)
         .otherwise(0)).reduce(_ + _)
-    t.select(depth.cast(LongType).as("stage"))
+    t.select(col("user_id"), depth.cast(LongType).as("stage"))
+  }
+
+  def funnelWindowed(events: DataFrame, stages: Seq[String],
+      horizonNs: Long): DataFrame =
+    funnelWindowedStages(events, stages, horizonNs)
       .groupBy("stage")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("stage")
-  }
+
+  def q186FunnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    funnelWindowed(Tables.events(spark, dir),
+      Seq("signup", "view", "click", "purchase"),
+      horizonNs = 3600L * 1000000000L)
 
   // ---------------------------------------------------------------- q187
 
@@ -579,13 +603,15 @@ object Behavioral {
     * cohort grid doesn't emit and q135's churn (absence) inverts.
     * Scale: distinct (user, day) collapse, per-user min, 3-row
     * threshold fan-out, day-keyed semi join. */
-  def q187DnRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(spark, dir)
+  /** Frame-shaped core of q187 (SqlSurface view builder entry). */
+  def dnRetention(events: DataFrame,
+      days: Seq[Int] = Seq(1, 7, 14)): DataFrame = {
+    val ud = events
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
     val first = ud.groupBy("user_id").agg(min(col("d")).as("f"))
     val n = first.agg(count(lit(1)).as("n_cohort"))
     val fan = first.select(col("user_id"), col("f"),
-      explode(expr("array(1, 7, 14)")).as("n_day"))
+      explode(typedlit(days)).as("n_day"))
     fan.join(ud, fan("user_id") === ud("user_id") &&
         ud("d") === expr("date_add(f, n_day)"), "left_semi")
       .groupBy("n_day")
@@ -596,6 +622,9 @@ object Behavioral {
         expr("(n_retained * 10000) div n_cohort").as("retention_bp"))
       .orderBy("n_day")
   }
+
+  def q187DnRetention(spark: SparkSession, dir: String): DataFrame =
+    dnRetention(Tables.events(spark, dir))
 
   // ---------------------------------------------------------------- q199
 
@@ -608,8 +637,9 @@ object Behavioral {
     *
     * Scale: distinct (user, day) collapse; first-seen is a per-user
     * MIN; the cumulative window runs on the one-row-per-day frame. */
-  def q199GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(spark, dir)
+  /** Frame-shaped core of q199 (SqlSurface view builder entry). */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val ud = events
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
     val perDay = ud.groupBy("d").agg(count(lit(1)).as("n_active"))
     val newPer = ud.groupBy("user_id").agg(min(col("d")).as("f"))
@@ -623,6 +653,9 @@ object Behavioral {
       .withColumn("cum_users", sum(col("n_new")).over(w))
       .orderBy("d")
   }
+
+  def q199GrowthAccounting(spark: SparkSession, dir: String): DataFrame =
+    growthAccounting(Tables.events(spark, dir))
 
   // ---------------------------------------------------------------- q191
 

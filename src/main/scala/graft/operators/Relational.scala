@@ -1466,9 +1466,11 @@ object Relational {
     *
     * Scale: one global rank window over the one-row-per-customer
     * frame (q168's documented small-frame case). */
-  def q189NtileDeciles(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame-shaped core of q189 (SqlSurface view builder entry):
+    * expects a customer frame with (c_custkey, c_acctbal). */
+  def ntileDeciles(customers: DataFrame): DataFrame = {
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    load(spark, dir, "customer")
+    customers
       .select(col("c_custkey"), col("c_acctbal"))
       .withColumn("decile", ntile(10).over(w).cast("long"))
       .groupBy("decile")
@@ -1476,6 +1478,9 @@ object Relational {
         max(col("c_acctbal")).as("hi"), min(col("c_acctbal")).as("lo"))
       .orderBy("decile")
   }
+
+  def q189NtileDeciles(spark: SparkSession, dir: String): DataFrame =
+    ntileDeciles(load(spark, dir, "customer"))
 
   // ---------------------------------------------------------------- q190
 

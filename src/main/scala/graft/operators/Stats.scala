@@ -699,8 +699,10 @@ object Stats {
     * lives the whole fixture); order lifetimes span years. Scale: one
     * per-customer collapse, ≤|quarters| threshold fan-out via a range
     * join on the broadcast quarter dimension. */
-  def q198LifeTable(spark: SparkSession, dir: String): DataFrame = {
-    val o = load(spark, dir, "orders")
+  /** Frame-shaped core of q198 (SqlSurface view builder entry):
+    * expects an orders frame with (o_custkey, o_orderdate). */
+  def lifeTable(orders: DataFrame): DataFrame = {
+    val o = orders
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
     val life = o.groupBy("o_custkey")
       .agg(min(col("d")).as("f"), max(col("d")).as("l"))
@@ -719,6 +721,9 @@ object Stats {
       .withColumn("hazard_ppm", expr("(n_churn * 1000000) div n_risk"))
       .orderBy("q")
   }
+
+  def q198LifeTable(spark: SparkSession, dir: String): DataFrame =
+    lifeTable(load(spark, dir, "orders"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_holt_horizons" -> (q194HoltHorizons _),

@@ -244,6 +244,55 @@ object StreamOps {
       .toDF("user_id", "stage")
   }
 
+  /** Streaming twin of q186's TIME-WINDOWED funnel (round-8 verdict
+    * item 7): [[funnelDepthStream]]'s chain state machine plus the
+    * completion horizon — a chain advance only raises the REPORTED
+    * depth while it lands within `horizonNs` of the funnel start.
+    * The batch indicator is monotone (chain times only grow), so one
+    * extra windowed-depth counter is the whole horizon state; the
+    * funnel start t0 is pinned when depth goes 0→1, exactly the
+    * batch `t0`.
+    *
+    * State is (depth, tLast, t0, wDepth) — four numbers per user.
+    * Same contracts as [[funnelDepthStream]]: intra-batch disorder
+    * repaired by the (ts_ns, event_id) sort, cross-batch late data is
+    * the documented limit, idle users evict via timeout at scale.
+    * StreamingSpec pins per-user depths ≡ `funnelWindowedStages` on a
+    * replay whose horizon overflow AND chain completion straddle a
+    * batch boundary. */
+  def funnelWindowedStream(events: DataFrame, stages: Seq[String],
+      horizonNs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.nonEmpty, "at least one funnel stage")
+    val tieCol = if (events.columns.contains("event_id"))
+      col("event_id").cast("long") else lit(0L)
+    events.select(col("user_id").cast("long"), col("event_type"),
+      col("ts_ns").cast("long"), tieCol)
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[(Int, Long, Long, Int)]) =>
+          var (depth, tLast, t0, wDepth) =
+            state.getOption.getOrElse((0, Long.MinValue, 0L, 0))
+          rows.toVector.sortBy(r => (r._3, r._4))
+            .foreach { case (_, typ, ts, _) =>
+              if (depth < stages.length && typ == stages(depth) &&
+                ts >= tLast) {
+                if (depth == 0) t0 = ts
+                depth += 1
+                tLast = ts
+                if (ts - t0 <= horizonNs) wDepth = depth
+              }
+            }
+          state.update((depth, tLast, t0, wDepth))
+          Iterator((user, wDepth.toLong))
+      }
+      .toDF("user_id", "stage")
+  }
+
   /** Streaming twin of q127's gap computation: per (user, event_type),
     * carry the last (ts_ns, event_id) across micro-batches and emit one
     * gap row per subsequent event — the live feed a cadence monitor or

@@ -287,6 +287,72 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(oSql == oDir && oSql.nonEmpty)
   }
 
+  test("round-8 family view builders (attribution / windowed funnel / " +
+      "D-N retention / growth accounting / life table / deciles): " +
+      "SQL ≡ Scala operator (round-8 verdict item 5)") {
+    SqlSurface.registerTables(spark, sf)
+
+    SqlSurface.createAttributionView(spark, "events", "attrib")
+    val aSql = spark.sql(
+        "SELECT channel, n_conv, revenue_cents FROM attrib")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val aDir = graft.operators.Behavioral
+      .lastTouchReport(spark.table("events"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(aSql == aDir && aSql.nonEmpty)
+
+    SqlSurface.createWindowedFunnelView(spark, "events",
+      Seq("signup", "view", "click", "purchase"),
+      horizonNs = 3600L * 1000000000L, "wfunnel")
+    val fSql = spark.sql("SELECT stage, n_users FROM wfunnel")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fDir = graft.operators.Behavioral.q186FunnelWindowed(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fSql == fDir && fSql.nonEmpty)
+
+    SqlSurface.createDnRetentionView(spark, "events", "dnret")
+    val rSql = spark.sql(
+        "SELECT n_day, n_retained, retention_bp FROM dnret")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val rDir = graft.operators.Behavioral.q187DnRetention(spark, sf)
+      .select("n_day", "n_retained", "retention_bp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(rSql == rDir && rSql.nonEmpty)
+
+    SqlSurface.createGrowthAccountingView(spark, "events", "growth")
+    val gSql = spark.sql(
+        "SELECT d, n_active, n_new, n_returning, cum_users FROM growth")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val gDir = graft.operators.Behavioral.q199GrowthAccounting(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(gSql == gDir && gSql.nonEmpty)
+
+    SqlSurface.createLifeTableView(spark, "orders", "lifetab")
+    val lSql = spark.sql(
+        "SELECT q, n_risk, n_churn, hazard_ppm FROM lifetab")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val lDir = graft.operators.Stats.q198LifeTable(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(lSql == lDir && lSql.nonEmpty)
+
+    SqlSurface.createDecilesView(spark, "customer", "deciles")
+    val dSql = spark.sql("SELECT decile, n_cust, hi, lo FROM deciles")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val dDir = graft.operators.Relational.q189NtileDeciles(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(dSql == dDir && dSql.nonEmpty)
+  }
+
   test("z-order write view builder: SQL box query scans the z-laid-out " +
       "files and matches a direct scan (advice r5)") {
     SqlSurface.registerTables(spark, sf)

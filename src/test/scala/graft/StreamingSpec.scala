@@ -521,6 +521,53 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming windowed funnel ≡ batch funnelWindowedStages (q186 " +
+      "twin): horizon overflow and chain completion both straddle a " +
+      "batch boundary") {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val horizonNs = 3600L * 1000000000L // 1 h
+    // u1: full chain but purchase at minute 70 — 69 min after t0,
+    //     OUTSIDE the horizon → windowed depth 3 (chain depth 4); the
+    //     overflow event arrives in batch 2.
+    // u2: full chain within the hour, split across the two batches.
+    // u3: signup only (depth 1); u4: view before signup (depth 0 until
+    //     the batch-2 signup → depth 1).
+    val b1 = Seq(
+      Ev(ts(2), "view", 0.0, 1), Ev(ts(1), "signup", 0.0, 1),
+      Ev(ts(3), "click", 0.0, 1),
+      Ev(ts(5), "signup", 0.0, 2), Ev(ts(6), "view", 0.0, 2),
+      Ev(ts(4), "view", 0.0, 4))
+    val b2 = Seq(
+      Ev(ts(70), "purchase", 0.0, 1),
+      Ev(ts(7), "click", 0.0, 2), Ev(ts(30), "purchase", 0.0, 2),
+      Ev(ts(8), "signup", 0.0, 3), Ev(ts(9), "signup", 0.0, 4))
+    val withNs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    val input = MemoryStream[Ev](spark)
+    val q = graft.streaming.StreamOps
+      .funnelWindowedStream(withNs(input.toDF()), stages, horizonNs)
+      .writeStream.format("memory").queryName("wfunnelstream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-wfunnel").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // windowed depth is monotone → final value = max emission
+      val streamed = spark.table("wfunnelstream")
+        .groupBy("user_id").agg(max("stage").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.Behavioral
+        .funnelWindowedStages(withNs((b1 ++ b2).toDF()), stages,
+          horizonNs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+      assert(streamed ==
+        Map(1L -> 3L, 2L -> 4L, 3L -> 1L, 4L -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming OHLC ≡ batch first/last/min/max per closed window " +
       "(q136 twin)") {
     val events = Seq(
