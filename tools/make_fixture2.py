@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Second-fixture robustness gate (round-8 verdict item 2).
+
+Builds a PERTURBED copy of a testdata scale dir in an output dir, then
+`graft.Verify` + `tools/check.py` run against it exactly like the main
+gate — the DuckDB oracle reads the same perturbed parquet, so every
+oracle-gated query must still hash-match. The perturbations target the
+documented data assumptions the seed-42 fixture never exercises:
+
+  * global row-order shuffle of every table (order-independence —
+    seed 1337 permutation);
+  * HOT KEYS: one user's events replicated 20x (new event_ids, ts
+    nudged +1..+20 us), one customer's orders replicated 30x (new
+    orderkeys);
+  * duplicate (l_orderkey, l_linenumber) pairs at small SF (the sf0.1
+    hazard: order-by-non-unique-prefix bugs) by replicating one part's
+    lineitems verbatim;
+  * EMPTY GROUP: all customers of nation 7 removed (their orders
+    remain — referential-violation counts move on both sides equally);
+  * PLANTED NULLS: ~1% of events.value set NULL (nullable measure in
+    aggregation/order paths);
+  * EMPTY STRINGS: 3 documents with text='' and n_chars=0 (tokenizer /
+    shingle edge);
+  * EXACT TIE: vec 0's embedding duplicated under a new vec_id with a
+    different label (cos=1.0 ties exercise the (metric, id) total
+    orders).
+
+Usage: python3 tools/make_fixture2.py SRC_DIR OUT_DIR
+e.g.:  python3 tools/make_fixture2.py /root/testdata/sf0.001 /tmp/fixture2
+"""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def shuffle(table: pa.Table, rng: np.random.RandomState) -> pa.Table:
+    idx = rng.permutation(table.num_rows)
+    return table.take(pa.array(idx))
+
+
+def main(src: str, out: str) -> None:
+    rng = np.random.RandomState(1337)
+    os.makedirs(out, exist_ok=True)
+    tabs = {t: pq.read_table(os.path.join(src, f"{t}.parquet"))
+            for t in TABLES}
+
+    # customer: drop nation 7 (empty group)
+    cust = tabs["customer"]
+    keep = pa.compute.not_equal(cust["c_nationkey"], pa.scalar(7, pa.int32()))
+    tabs["customer"] = cust.filter(keep)
+
+    # orders: replicate one customer's orders 30x with fresh orderkeys
+    orders = tabs["orders"]
+    hot_cust = orders["o_custkey"][0].as_py()
+    hot = orders.filter(pa.compute.equal(orders["o_custkey"], hot_cust))
+    max_ok = pa.compute.max(orders["o_orderkey"]).as_py()
+    extra = []
+    next_ok = max_ok + 1
+    for rep in range(30):
+        block = hot.to_pydict()
+        n = len(block["o_orderkey"])
+        block["o_orderkey"] = list(range(next_ok, next_ok + n))
+        next_ok += n
+        extra.append(pa.Table.from_pydict(block, schema=orders.schema))
+    tabs["orders"] = pa.concat_tables([orders] + extra)
+
+    # lineitem: replicate one part's rows VERBATIM (duplicate
+    # (l_orderkey, l_linenumber) pairs — the sf0.1 hazard)
+    li = tabs["lineitem"]
+    hot_part = li["l_partkey"][0].as_py()
+    dup = li.filter(pa.compute.equal(li["l_partkey"], hot_part))
+    tabs["lineitem"] = pa.concat_tables([li, dup])
+
+    # events: hot user 20x + ~1% NULL value
+    ev = tabs["events"]
+    hot_user = ev["user_id"][0].as_py()
+    he = ev.filter(pa.compute.equal(ev["user_id"], hot_user))
+    max_eid = pa.compute.max(ev["event_id"]).as_py()
+    next_eid = max_eid + 1
+    eextra = []
+    for rep in range(20):
+        block = he.to_pydict()
+        n = len(block["event_id"])
+        block["event_id"] = list(range(next_eid, next_eid + n))
+        next_eid += n
+        block["ts"] = [t + np.timedelta64(rep + 1, "us") for t in
+                       he["ts"].to_numpy(zero_copy_only=False)]
+        eextra.append(pa.Table.from_pydict(block, schema=ev.schema))
+    ev = pa.concat_tables([ev] + eextra)
+    vals = ev["value"].to_numpy(zero_copy_only=False).copy()
+    null_idx = rng.choice(len(vals), size=max(1, len(vals) // 100),
+                          replace=False)
+    mask = np.zeros(len(vals), dtype=bool)
+    mask[null_idx] = True
+    val_arr = pa.array(vals, mask=mask, type=pa.float64())
+    ev = ev.set_column(ev.schema.get_field_index("value"), "value",
+                       val_arr)
+    tabs["events"] = ev
+
+    # documents: 3 empty texts (n_chars consistent)
+    docs = tabs["documents"].to_pydict()
+    for i in range(min(3, len(docs["doc_id"]))):
+        docs["text"][i] = ""
+        docs["n_chars"][i] = 0
+    tabs["documents"] = pa.Table.from_pydict(
+        docs, schema=tabs["documents"].schema)
+
+    # embeddings: duplicate vec 0 under a new id with another label
+    emb = tabs["embeddings"]
+    v0 = emb.slice(0, 1).to_pydict()
+    v0["vec_id"] = [pa.compute.max(emb["vec_id"]).as_py() + 1]
+    v0["label"] = [(v0["label"][0] + 1) % 5]
+    tabs["embeddings"] = pa.concat_tables(
+        [emb, pa.Table.from_pydict(v0, schema=emb.schema)])
+
+    for t in TABLES:
+        out_t = shuffle(tabs[t], rng)
+        pq.write_table(out_t, os.path.join(out, f"{t}.parquet"))
+        print(f"{t}: {tabs[t].num_rows} rows -> {out_t.num_rows}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
