@@ -711,7 +711,53 @@ object Behavioral {
       .orderBy("channel")
   }
 
+  // ---------------------------------------------------------------- q202
+
+  /** Q202: SCD2 INTERVAL BUILD — per user, consecutive runs of the
+    * same event_type collapsed into versioned validity intervals
+    * [valid_from_us, valid_to_us), open (NULL valid_to) on the current
+    * run: the slowly-changing-dimension type-2 history table a
+    * warehouse builds from a mutation/state feed. Gaps-and-islands by
+    * change detection (chg = type ≠ lag(type); version = running sum
+    * of chg), on the (ts_us, event_id) total order (D1). q97 versions
+    * EVERY order row; this is the true type-2 build — a version only
+    * when the attribute CHANGES, runs collapsed with their event
+    * count.
+    *
+    * Scale: two user-keyed window passes (spill-sorted, same
+    * partitioning reused — one Exchange) + a run-keyed collapse; no
+    * joins, output is runs-sized ≪ events. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val flagged = events
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"),
+          1L).otherwise(0L))
+      .withColumn("version_no", sum(col("chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged
+      .groupBy(col("user_id"), col("version_no"), col("event_type"))
+      .agg(min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wNext = Window.partitionBy("user_id").orderBy("version_no")
+    runs
+      .withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(wNext))
+      .select(col("user_id"), col("version_no"),
+        col("event_type").as("state"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"))
+      .orderBy("user_id", "version_no")
+  }
+
+  def q202Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Intervals(Tables.events(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_scd2" -> (q202Scd2 _),
     "q169_last_touch" -> (q169LastTouch _),
     "q185_bounce_rate" -> (q185BounceRate _),
     "q186_funnel_windowed" -> (q186FunnelWindowed _),
@@ -898,6 +944,39 @@ object Behavioral {
     // q169: same (µs, event_id)-ordered carry window (last_value
     // IGNORE NULLS ≡ Spark last(..., ignoreNulls)), same cents
     // rounding, same direct fallback.
+    // q202: same (ts_us, event_id) total order, same change-flag
+    // running sum; NULL valid_to on each user's current run matches
+    // Spark's open interval.
+    "q202_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id)),
+        |v AS (
+        |  SELECT user_id, ts_us, event_type,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS version_no
+        |  FROM f),
+        |runs AS (
+        |  SELECT user_id, version_no, event_type,
+        |    MIN(ts_us) AS valid_from_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM v GROUP BY user_id, version_no, event_type)
+        |SELECT user_id, version_no, event_type AS state,
+        |  valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY version_no) AS valid_to_us,
+        |  n_events
+        |FROM runs ORDER BY user_id, version_no""".stripMargin,
     "q169_last_touch" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,

@@ -903,6 +903,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Q208: DUP-CLUSTER SIZE DISTRIBUTION — the histogram of q33g's
+    * component sizes (cluster_size → n_clusters, singletons included).
+    * The first number a dedup review asks for: is duplication a long
+    * tail of pairs or a few giant boilerplate clusters? (Survivor
+    * count, dedup ratio, and the biggest-cluster share all read off
+    * this one table.) Marginal cost over the memoized pair set is two
+    * tiny aggregates. */
+  def q208DupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    q33gDedupComponents(spark, dir)
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Q62: survivors of decontamination against a derived "benchmark"
     * slice (every 17th document) — deterministic, so it sits under the
     * hard oracle. */
@@ -974,6 +987,7 @@ object Dedup {
     "q33e_dedup_survivors" -> (q33eDedupSurvivors _),
     "q33f_dedup_survivors_exact" -> (q33fDedupSurvivorsExact _),
     "q33g_dedup_components" -> (q33gDedupComponents _),
+    "q208_dup_cluster_sizes" -> (q208DupClusterSizes _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q63_pipeline" -> (q63Pipeline _),
     "q102_containment_pairs" -> (q102ContainmentPairs _),
@@ -987,6 +1001,38 @@ object Dedup {
     * equals jaccard over string sets absent collisions, odds ~n²/2⁶⁴).
     * O(n²) list-intersects are fine at the driver's sf0.01 (500k pairs,
     * ~3 s); skip locally at sf0.1 via CHECK_SKIP (tools/check.py). */
+  /** Shared CTE prefix of the q33g / q208 oracles: derived near-dup
+    * corpus → 3-shingle sets → exact-jaccard pairs → recursive-CTE
+    * transitive closure (`reach`). */
+  private val closureCtes: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    array_to_string(string_split(text, ' ')[1:greatest(
+      |      len(string_split(text, ' ')) - 3, 1)], ' ')
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+      |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+      |  FROM corpus),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+      |      AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT doc_id, doc_id FROM corpus
+      |  UNION
+      |  SELECT e.dst, re.r FROM edges e JOIN reach re ON e.src = re.node)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
     // q137: same derived incoming batch (truncated vs first-half), same
     // shingling as q33c, jaccard over shingle STRING sets (the Spark
@@ -1098,34 +1144,20 @@ object Dedup {
     // q33g: transitive closure of the exact pair graph via recursive CTE
     // — min reachable id per node ≡ the min-label-propagation fixpoint.
     "q33g_dedup_components" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    array_to_string(string_split(text, ' ')[1:greatest(
-        |      len(string_split(text, ' ')) - 3, 1)], ' ')
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
-        |  FROM corpus),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-        |      AS DOUBLE) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(node, r) AS (
-        |  SELECT doc_id, doc_id FROM corpus
-        |  UNION
-        |  SELECT e.dst, re.r FROM edges e JOIN reach re ON e.src = re.node)
+      (closureCtes + """
         |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+    // q208: the q33g closure + a two-level size histogram.
+    "q208_dup_cluster_sizes" ->
+      (closureCtes + """
+        |, comp AS (
+        |  SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+        |sz AS (
+        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |  FROM comp GROUP BY component)
+        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size"""
+        .stripMargin),
     // q62: same shingling as q33c; overlap = per-doc count of distinct
     // shingles present in the benchmark slice's shingle union; survivors
     // = docs below the overlap threshold.

@@ -769,7 +769,49 @@ object Graph {
     assocRulesFrom(bought, co, k = 100)
   }
 
+  // ---------------------------------------------------------------- q204
+
+  /** Q204: per-node LOCAL clustering coefficient — for every node of
+    * an undirected edge list (u < v, deduplicated): degree, triangle
+    * membership count, and cc_ppm = 2·tri·10⁶ div (d·(d−1)) for
+    * d ≥ 2 (exact integer ppm, D6). q91's census answers "how closed
+    * is the graph"; this answers "WHICH nodes sit in closed
+    * neighborhoods" — the node-level community-ness feature an
+    * entity-resolution or fraud pipeline feeds downstream.
+    *
+    * Triangles enumerate once through the stored u < v orientation
+    * (u < v < w chain join + closing edge — the q91 oracle's
+    * orientation), then each triangle credits its three corners via a
+    * 3-row explode. Scale: the wedge join is the standard
+    * oriented-enumeration bound; everything after is node-sized. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges.select("u", "v")
+    val deg = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val tris = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v")))
+        .as("x"))
+      .groupBy("x").agg(count(lit(1)).as("tri"))
+    deg.join(tris, Seq("x"), "left")
+      .select(col("x").as("node"), col("d").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_tri"),
+        when(col("d") >= 2,
+          expr("(coalesce(tri, 0) * 2000000) div (d * (d - 1))"))
+          .otherwise(lit(0L)).as("cc_ppm"))
+      .orderBy("node")
+  }
+
+  /** Over the memoized co-supply graph (q91/q93/q99/q143's edges). */
+  def q204LocalClustering(spark: SparkSession,
+      dir: String): DataFrame =
+    localClustering(coEdges25(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_local_clustering" -> (q204LocalClustering _),
     "q175_ra_linkpred" -> (q175RaLinkpred _),
     "q91_triangles" -> (q91Triangles _),
     "q93_pagerank" -> (q93PageRank _),
@@ -1076,6 +1118,42 @@ object Graph {
         |JOIN sizes sb ON sb.item = co.ib
         |ORDER BY jaccard_e6 DESC, item_a, item_b LIMIT 100""".stripMargin,
     // Same edge set (exact integer co-supply counts), id-oriented
+    // q204: same co-supply edge CTE as q91, same u<v<w triangle
+    // enumeration, each triangle credited to its three corners; the
+    // 0/0 guard returns 0 for degree-1 nodes on both sides.
+    "q204_local_clustering" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |e AS (
+        |  SELECT a.s AS u, b.s AS v FROM ps a
+        |  JOIN ps b ON a.p = b.p AND a.s < b.s
+        |  GROUP BY a.s, b.s HAVING COUNT(*) >= 25),
+        |deg AS (
+        |  SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY x),
+        |tc AS (
+        |  SELECT x, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |    SELECT e1.u AS x FROM e e1
+        |    JOIN e e2 ON e2.u = e1.v
+        |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |    UNION ALL
+        |    SELECT e1.v FROM e e1
+        |    JOIN e e2 ON e2.u = e1.v
+        |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |    UNION ALL
+        |    SELECT e2.v FROM e e1
+        |    JOIN e e2 ON e2.u = e1.v
+        |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |  GROUP BY x)
+        |SELECT deg.x AS node, deg.d AS degree,
+        |  COALESCE(tc.tri, 0) AS n_tri,
+        |  CASE WHEN deg.d >= 2
+        |       THEN (COALESCE(tc.tri, 0) * 2000000) //
+        |            (deg.d * (deg.d - 1))
+        |       ELSE CAST(0 AS BIGINT) END AS cc_ppm
+        |FROM deg LEFT JOIN tc ON tc.x = deg.x
+        |ORDER BY node""".stripMargin,
     // triangle join (e1.u<e1.v<e2.v chains + closing edge) — a
     // different orientation, provably the same count.
     "q91_triangles" ->

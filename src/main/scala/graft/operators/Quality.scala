@@ -147,7 +147,44 @@ object Quality {
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
       .orderBy("col_name")
 
+  // ---------------------------------------------------------------- q207
+
+  /** Q207: PARTITION-KEY SKEW AUDIT — for each candidate shuffle key,
+    * the numbers an engineer reads BEFORE choosing join/bucket keys at
+    * 100 TB: distinct-key count, rows, the hottest key's row count and
+    * corpus share (ppm), and the hot/mean ratio in e3 (how many times
+    * the mean the hottest reducer would carry). The repo's whole skew
+    * playbook (SCALE.md) starts with this measurement; shipping it as
+    * a graded query makes the audit itself first-class.
+    *
+    * Long format: (key_col, n_rows, n_keys, max_cnt, top_share_ppm,
+    * skew_x1000 = max_cnt·n_keys·1000 div n_rows — 1000 = perfectly
+    * uniform). Per column: one partial-combining count agg + a 1-row
+    * rollup; hottest-key selection is an argmax, no sort. */
+  def skewAudit(cols: Seq[(String, DataFrame, String)]): DataFrame =
+    cols.map { case (name, df, key) =>
+      df.select(col(key).cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_cnt"))
+        .select(lit(name).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_cnt"),
+          expr("(max_cnt * 1000000) div n_rows").as("top_share_ppm"),
+          expr("(max_cnt * n_keys * 1000) div n_rows").as("skew_x1000"))
+    }.reduce(_ unionByName _).orderBy("key_col")
+
+  def q207SkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    skewAudit(Seq(
+      ("events.user_id", graft.Tables.events(spark, dir), "user_id"),
+      ("lineitem.l_orderkey", li, "l_orderkey"),
+      ("lineitem.l_partkey", li, "l_partkey"),
+      ("lineitem.l_suppkey", li, "l_suppkey"),
+      ("orders.o_custkey", load(spark, dir, "orders"), "o_custkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_skew_audit" -> (q207SkewAudit _),
     "q96_data_quality" -> (q96DataQuality _),
     "q162_benford" -> (q162Benford _),
     "q163_k_anonymity" -> (q163KAnonymity _),
@@ -155,6 +192,26 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    // q207: one two-level aggregate per key column, unioned; all
+    // integer (counts + cross-multiplied ratios).
+    "q207_skew_audit" -> Seq(
+      ("events.user_id", "events", "user_id"),
+      ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey"),
+      ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      ("orders.o_custkey", "orders", "o_custkey"))
+      .map { case (name, table, key) =>
+        s"""SELECT '$name' AS key_col,
+           |  CAST(SUM(c) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(MAX(c) AS BIGINT) AS max_cnt,
+           |  (CAST(MAX(c) AS BIGINT) * 1000000) //
+           |    CAST(SUM(c) AS BIGINT) AS top_share_ppm,
+           |  (CAST(MAX(c) AS BIGINT) * CAST(COUNT(*) AS BIGINT)
+           |    * 1000) // CAST(SUM(c) AS BIGINT) AS skew_x1000
+           |FROM (SELECT $key, COUNT(*) AS c FROM $table
+           |      GROUP BY $key)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col"),
     // q180: one profiling select per column, unioned — COUNT(DISTINCT)
     // over identical parquet values is engine-exact for every type
     // here (timestamps compare at µs, doubles by IEEE equality).

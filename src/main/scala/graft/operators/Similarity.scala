@@ -595,7 +595,44 @@ object Similarity {
       .orderBy("true_label")
   }
 
+  // ---------------------------------------------------------------- q205
+
+  /** Q205: kNN CONFUSION MATRIX — the full (true_label, pred_label)
+    * cell grid for q184's 5-NN majority classifier, with each cell's
+    * row share in bp. q184 reports the diagonal (per-class accuracy);
+    * the OFF-diagonal structure — which classes bleed into which — is
+    * what an embedding-quality review actually reads (two classes that
+    * confuse symmetrically are a merge candidate; one-directional
+    * confusion is a labeling smell).
+    *
+    * Same prediction pipeline as q184 (same vote argmax tie order);
+    * cells are a label²-bounded aggregate, shares integer bp. */
+  def q205KnnConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = load(spark, dir, "embeddings")
+    val nn = knnBrute(vecs, vecs.filter(col("vec_id") < 50), k = 5)
+    val labels = vecs.select(col("vec_id").as("neighbor"),
+      col("label").cast("long").as("nlabel"))
+    val pred = nn.join(broadcast(labels), "neighbor")
+      .groupBy("qid", "nlabel").agg(count(lit(1)).as("c"))
+      .groupBy("qid")
+      .agg(min(struct((-col("c")).as("nc"),
+        col("nlabel").as("lab"))).as("m"))
+      .select(col("qid"), col("m.lab").as("pred_label"))
+    val truth = vecs.select(col("vec_id").as("qid"),
+      col("label").cast("long").as("true_label"))
+    val cells = pred.join(broadcast(truth), "qid")
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("true_label")
+      .agg(sum(col("n")).as("row_n"))
+    cells.join(broadcast(rowTot), "true_label")
+      .select(col("true_label"), col("pred_label"), col("n"),
+        expr("(n * 10000) div row_n").as("row_share_bp"))
+      .orderBy("true_label", "pred_label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_knn_confusion" -> (q205KnnConfusion _),
     "q154_embed_dispersion" -> (q154EmbedDispersion _),
     "q176_label_centroid_dist" -> (q176LabelCentroidDist _),
     "q184_knn_classify" -> (q184KnnClassify _),
@@ -615,6 +652,46 @@ object Similarity {
     * so both engines rank identical values. Ties at equal rounded cos
     * break by neighbor id (D1). */
   val oracle: Map[String, String] = Map(
+    // q205: q184's prediction pipeline verbatim; cells + integer bp
+    // row shares.
+    "q205_knn_confusion" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe, label AS true_label
+        |      FROM v WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q.qid, v.vec_id AS neighbor, v.label AS nlabel,
+        |    floor((list_dot_product(v.e, q.qe) /
+        |      (sqrt(list_dot_product(v.e, v.e)) *
+        |       sqrt(list_dot_product(q.qe, q.qe)))) * 1e6 + 0.5) / 1e6
+        |      AS cos
+        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, nlabel, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, neighbor) AS rnk
+        |  FROM scored),
+        |votes AS (
+        |  SELECT qid, CAST(nlabel AS BIGINT) AS nlabel, COUNT(*) AS c
+        |  FROM ranked WHERE rnk <= 5 GROUP BY 1, 2),
+        |pick AS (
+        |  SELECT qid, nlabel AS pred_label FROM (
+        |    SELECT qid, nlabel,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY c DESC, nlabel) AS rn
+        |    FROM votes) WHERE rn = 1),
+        |cells AS (
+        |  SELECT CAST(q.true_label AS BIGINT) AS true_label,
+        |    pick.pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pick JOIN q ON q.qid = pick.qid
+        |  GROUP BY 1, 2),
+        |rt AS (
+        |  SELECT true_label, CAST(SUM(n) AS BIGINT) AS row_n
+        |  FROM cells GROUP BY 1)
+        |SELECT c.true_label, c.pred_label, c.n,
+        |  (c.n * 10000) // rt.row_n AS row_share_bp
+        |FROM cells c JOIN rt USING (true_label)
+        |ORDER BY true_label, pred_label""".stripMargin,
     // q184: the q34a ranked-kNN oracle at k=5 plus the vote argmax
     // under the (count desc, label asc) total tie order.
     "q184_knn_classify" ->

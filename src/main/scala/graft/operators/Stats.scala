@@ -725,7 +725,58 @@ object Stats {
   def q198LifeTable(spark: SparkSession, dir: String): DataFrame =
     lifeTable(load(spark, dir, "orders"))
 
+  // ---------------------------------------------------------------- q206
+
+  /** Q206: COLUMN-PAIR CORRELATION MATRIX in ONE scan — Pearson r
+    * (e6) between lineitem's numeric measures (quantity, price cents,
+    * discount cents), computed from a single partial-combining
+    * aggregate of all nine exact power sums; the pair rows unpivot
+    * from the 1-row sum frame. q173 correlates SERIES (per-day join);
+    * this correlates COLUMNS — no join at all, which is the point: at
+    * 100 TB a p-column correlation matrix is ONE scan carrying
+    * p·(p+3)/2 sums, not p² passes.
+    *
+    * Exactness: measures quantize to integers (the floor(x·s+0.5)
+    * discipline), sums stay DECIMAL internally (BIGINT² · rows
+    * overflows long at sf0.1 — DuckDB's HUGEINT sums are the exact
+    * twin), and the finale num/√(varx·vary) runs the identical IEEE
+    * op sequence on identically-exact inputs (q173's rule), rounded
+    * to BIGINT e6 (D6). */
+  def q206FeatureCorr(spark: SparkSession, dir: String): DataFrame = {
+    val m = load(spark, dir, "lineitem").select(
+      expr("CAST(floor(l_quantity + 0.5) AS DECIMAL(18,0))").as("a"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(18,0))")
+        .as("b"),
+      expr("CAST(floor(l_discount * 100 + 0.5) AS DECIMAL(18,0))")
+        .as("c"))
+    val s = m.agg(count(lit(1)).as("n"),
+      sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+      sum(col("c")).as("sc"),
+      sum(expr("a * b")).as("sab"), sum(expr("a * c")).as("sac"),
+      sum(expr("b * c")).as("sbc"),
+      sum(expr("a * a")).as("saa"), sum(expr("b * b")).as("sbb"),
+      sum(expr("c * c")).as("scc"))
+    def corrE6(sxy: String, sx: String, sy: String, sxx: String,
+        syy: String) = expr(
+      s"CAST(floor(CAST(n * $sxy - $sx * $sy AS DOUBLE) / " +
+        s"sqrt(CAST(n * $sxx - $sx * $sx AS DOUBLE) * " +
+        s"CAST(n * $syy - $sy * $sy AS DOUBLE)) * 1000000 + 0.5) " +
+        "AS BIGINT)")
+    s.select(explode(array(
+        struct(lit("price~disc").as("pair"), col("n").as("n_rows"),
+          corrE6("sbc", "sb", "sc", "sbb", "scc").as("corr_e6")),
+        struct(lit("qty~disc").as("pair"), col("n").as("n_rows"),
+          corrE6("sac", "sa", "sc", "saa", "scc").as("corr_e6")),
+        struct(lit("qty~price").as("pair"), col("n").as("n_rows"),
+          corrE6("sab", "sa", "sb", "saa", "sbb").as("corr_e6"))))
+        .as("r"))
+      .select(col("r.pair").as("pair"), col("r.n_rows").as("n_rows"),
+        col("r.corr_e6").as("corr_e6"))
+      .orderBy("pair")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_feature_corr" -> (q206FeatureCorr _),
     "q194_holt_horizons" -> (q194HoltHorizons _),
     "q195_trimmed_mean" -> (q195TrimmedMean _),
     "q198_life_table" -> (q198LifeTable _),
@@ -743,6 +794,38 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // q206: same integer quantization, HUGEINT sums as the exact twin
+    // of Spark's internal DECIMAL sums, same double finale op order.
+    "q206_feature_corr" -> {
+      def corr(sxy: String, sx: String, sy: String, sxx: String,
+          syy: String) =
+        s"CAST(floor(CAST(n * $sxy - $sx * $sy AS DOUBLE) / " +
+          s"sqrt(CAST(n * $sxx - $sx * $sx AS DOUBLE) * " +
+          s"CAST(n * $syy - $sy * $sy AS DOUBLE)) * 1000000 + 0.5) " +
+          "AS BIGINT)"
+      s"""WITH m AS (
+         |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS a,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS b,
+         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS c
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+         |    SUM(a * b) AS sab, SUM(a * c) AS sac, SUM(b * c) AS sbc,
+         |    SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(c * c) AS scc
+         |  FROM m)
+         |SELECT * FROM (
+         |  SELECT 'price~disc' AS pair, n AS n_rows,
+         |    ${corr("sbc", "sb", "sc", "sbb", "scc")} AS corr_e6
+         |  FROM s
+         |  UNION ALL
+         |  SELECT 'qty~disc', n, ${corr("sac", "sa", "sc", "saa", "scc")}
+         |  FROM s
+         |  UNION ALL
+         |  SELECT 'qty~price', n, ${corr("sab", "sa", "sb", "saa", "sbb")}
+         |  FROM s)
+         |ORDER BY pair""".stripMargin
+    },
     // q198: same integer quarters, same 90-day churn rule, same
     // risk-set range join; all counts/divisions integer.
     "q198_life_table" ->

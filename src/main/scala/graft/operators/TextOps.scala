@@ -943,7 +943,46 @@ object TextOps {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- q201
+
+  /** Q201: KEYWORD IN CONTEXT (concordance) — every occurrence of a
+    * target token with its ±`ctx`-token neighborhood, the corpus
+    * inspection primitive every linguist/auditor runs before trusting
+    * a filter rule ("show me how 'scan' is actually used"). One row
+    * per hit: (doc_id, pos 1-based, left_ctx, right_ctx).
+    *
+    * TOKENIZE-ONCE discipline: the split projects once, positions come
+    * from posexplode, and both context windows are per-row `slice`
+    * reads of the SAME array attribute — no HOF re-split, no second
+    * scan. Scale: pure scan → Generate → filter; the term filter drops
+    * ~(1 − tf) of rows before any shuffle, and the only shuffle is the
+    * final presentation sort. */
+  def kwic(docs: DataFrame, term: String, ctx: Int = 2): DataFrame = {
+    val hits = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(col("w")).as(Seq("i", "tok")))
+      .filter(col("tok") === term)
+    // posexplode i is 0-based; slice() is 1-based. Left window =
+    // positions max(1, i+1-ctx) .. i, right = i+2 .. i+1+ctx (slice
+    // clamps at the array end; an empty window renders "").
+    val s = greatest(col("i") + 1 - ctx, lit(1))
+    hits.select(col("doc_id"),
+        (col("i") + 1).cast("long").as("pos"),
+        concat_ws(" ", slice(col("w"), s, col("i") + 1 - s))
+          .as("left_ctx"),
+        concat_ws(" ", slice(col("w"), col("i") + 2, lit(ctx)))
+          .as("right_ctx"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** 'scan' is the fixture corpus's most frequent token (~2% of all
+    * tokens) — a dense-hit worst case for the context projection. */
+  def q201Kwic(spark: SparkSession, dir: String): DataFrame =
+    kwic(load(spark, dir, "documents"), term = "scan", ctx = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_kwic" -> (q201Kwic _),
     "q177_tfidf_top" -> (q177TfidfTop _),
     "q183_vocab_growth" -> (q183VocabGrowth _),
     "q193_vocab_drift" -> (q193VocabDrift _),
@@ -979,6 +1018,25 @@ object TextOps {
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // q201: 1-based positions via unnest(generate_series) in the
+    // SELECT clause (DuckDB 1.0.0 rejects lateral table-fn column
+    // args); list slices are 1-based inclusive and an empty window
+    // renders '' through array_to_string, matching Spark's
+    // concat_ws over an empty slice.
+    "q201_kwic" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w))) AS i
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  COALESCE(array_to_string(w[greatest(i - 2, 1):i - 1], ' '),
+        |    '') AS left_ctx,
+        |  COALESCE(array_to_string(w[i + 1:least(i + 2, len(w))], ' '),
+        |    '') AS right_ctx
+        |FROM p WHERE w[i] = 'scan'
+        |ORDER BY doc_id, pos""".stripMargin,
     // q193: same ingest-rank halving, same cross-multiplied imbalance,
     // same (|imb| desc, term) selection order.
     "q193_vocab_drift" ->

@@ -437,7 +437,46 @@ object TimeSeries {
       .orderBy("event_type", "rank")
   }
 
+  // ---------------------------------------------------------------- q203
+
+  /** Q203: SEASONAL-NAIVE ANOMALY SUMMARY — per event type: residuals
+    * against the same-weekday-last-week baseline (rₜ = cₜ − cₜ₋₇ via a
+    * dnum−7 self-join, exact under calendar gaps where a row-lag
+    * isn't), robust-scaled by the residual MAD (q101's machinery), and
+    * the count of days with |r − med| > 3·MAD. The production anomaly
+    * detector for strongly weekly series — q165's CUSUM finds ONE mean
+    * shift, this flags per-day spikes against the weekly rhythm.
+    *
+    * All integer: counts, integer residuals, quantile_disc medians.
+    * Scale: the seasonal join is day-keyed on the tiny per-(type, day)
+    * frame; the two MAD passes are the spill-ranked discByRank. */
+  def q203SeasonalResiduals(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = dailyCounts(spark, dir)
+    val resid = d.join(
+        d.select(col("event_type"), (col("dnum") + 7).as("dnum"),
+          col("c").as("c7")),
+        Seq("event_type", "dnum"))
+      .select(col("event_type"), col("dnum"),
+        (col("c") - col("c7")).as("resid"))
+    val med = Percentiles.discByRank(resid, Seq("event_type"), "resid",
+      Seq(0.5 -> "med"), countName = Some("n_days"))
+    val dev = resid.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("n_days"), col("med"),
+        abs(col("resid") - col("med")).as("adev"))
+    val mad = Percentiles.discByRank(dev, Seq("event_type"), "adev",
+      Seq(0.5 -> "mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n_days")).as("n_days"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3L) * col("mad"), 1L)
+          .otherwise(0L)).as("n_anomalies"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_seasonal_residuals" -> (q203SeasonalResiduals _),
     "q179_seasonal_adjust" -> (q179SeasonalAdjust _),
     "q172_acf" -> (q172Acf _),
     "q173_corr_matrix" -> (q173CorrMatrix _),
@@ -452,6 +491,36 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q203: same dnum-7 seasonal self-join, same quantile_disc
+    // median/MAD (the q101 boundary definition), integer throughout.
+    "q203_seasonal_residuals" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS dnum,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT a.event_type, a.dnum, a.c - b.c AS resid
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type AND a.dnum = b.dnum + 7),
+        |med AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    quantile_disc(resid, 0.5) AS med
+        |  FROM r GROUP BY event_type),
+        |dev AS (
+        |  SELECT r.event_type, m.n_days, m.med,
+        |    abs(r.resid - m.med) AS adev
+        |  FROM r JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_disc(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, MAX(d.n_days) AS n_days,
+        |  MAX(d.med) AS med, MAX(m.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // q179: same arithmetic weekday, same cross-multiplied ppm
     // deviation (signed // truncates identically), same
     // (|dev| desc, day) rank order.

@@ -99,12 +99,21 @@ class ContractSpec extends AnyFunSuite {
     // window/CASE whose outer projection casts — approximate by
     // requiring the literal substring "CAST(SUM" for each "SUM(" usage
     // unless the query opts out (quantile/list aggregates are not SUM).
+    // q206 is the documented exception: its nine power sums MUST stay
+    // un-cast in the CTE — the HUGEINT intermediates are the exactness
+    // (CAST(... AS BIGINT) would overflow at sf0.1: cents² · 6·10⁵
+    // rows ≈ 6·10¹⁹), and every path to the output goes through
+    // CAST(... AS DOUBLE) in the finale, so no widened type ever
+    // reaches the hash gate.
+    val exempt = Set("q206_feature_corr")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val sums = "SUM\\(".r.findAllIn(sql).length
-      val casted = "CAST\\(SUM\\(".r.findAllIn(sql).length
-      assert(sums == casted,
-        s"$name: $sums SUM( vs $casted CAST(SUM( — DuckDB widens " +
-          "un-cast SUMs to HUGEINT/DECIMAL(38,x), failing the hash gate")
+      if (!exempt(name)) {
+        val sums = "SUM\\(".r.findAllIn(sql).length
+        val casted = "CAST\\(SUM\\(".r.findAllIn(sql).length
+        assert(sums == casted,
+          s"$name: $sums SUM( vs $casted CAST(SUM( — DuckDB widens " +
+            "un-cast SUMs to HUGEINT/DECIMAL(38,x), failing the hash gate")
+      }
     }
   }
 }
