@@ -756,7 +756,118 @@ object Behavioral {
   def q202Scd2(spark: SparkSession, dir: String): DataFrame =
     scd2Intervals(Tables.events(spark, dir))
 
+  // ---------------------------------------------------------------- q210
+
+  /** Q210: POWER-USER REVENUE CONCENTRATION — users cut into spend
+    * deciles (NTILE over the (cents desc, user_id) total order — the
+    * q189 gateability rule), per decile: user count, exact cents, and
+    * the revenue share in bp. The "top 10% of users = how much of
+    * revenue" concentration readout q159's Gini summarizes into one
+    * number and this keeps legible per band.
+    *
+    * Scale: per-user collapse first (events-sized scan → users-sized
+    * frame); the rank window runs on one row per buying user; the
+    * zero-total guard keeps degenerate slices ANSI-safe. */
+  def q210PowerUserShare(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(coalesce(
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"), lit(0L)))
+        .as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("user_id"))
+    perUser
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+      .withColumn("total", sum(col("cents"))
+        .over(Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("decile"), col("n_users"), col("cents"),
+        when(col("total") > 0,
+          expr("(cents * 10000) div total")).otherwise(lit(0L))
+          .as("share_bp"))
+      .orderBy("decile")
+  }
+
+  // ---------------------------------------------------------------- q212
+
+  /** Q212: FUNNEL STAGE LATENCY — exact p50/p90 of the gap between
+    * adjacent stage first-completions (µs), per transition. q75 times
+    * the END-TO-END conversion; this localizes WHERE the funnel is
+    * slow (a fast signup→view but slow click→purchase is a checkout
+    * problem, not an acquisition problem). Chain times from
+    * [[funnelTimes]] (t_{i} non-null ⟹ t_{i−1} non-null, so each gap
+    * row is well-defined and ≥ 0).
+    *
+    * Scale: the per-user chain frame is users-sized; gaps unpivot to
+    * ≤ 3 rows per converting user; percentiles are the spill-ranked
+    * discByRank over 3 groups. */
+  def q212StageLatency(spark: SparkSession, dir: String): DataFrame = {
+    val t = funnelTimes(Tables.events(spark, dir),
+      Seq("signup", "view", "click", "purchase"))
+    val gaps = Seq((1L, "t0", "t1"), (2L, "t1", "t2"),
+      (3L, "t2", "t3")).map { case (i, a, b) =>
+      t.filter(col(b).isNotNull)
+        .select(lit(i).as("stage_no"),
+          expr(s"($b - $a) div 1000").as("gap_us"))
+    }.reduce(_ unionAll _)
+    Percentiles.discByRank(gaps, Seq("stage_no"), "gap_us",
+      Seq(0.5 -> "p50_us", 0.9 -> "p90_us"),
+      countName = Some("n_users"))
+      .orderBy("stage_no")
+  }
+
+  // ---------------------------------------------------------------- q213
+
+  /** Q213: MARKOV STEADY-STATE over the q74 transition matrix — 5
+    * fixed power iterations in integer ppm from the uniform start:
+    *   π₀(s) = 10⁶ div |S|;   πₖ₊₁(t) = Σ_s (πₖ(s)·c(s,t)) div tot(s)
+    * The long-run "where do users spend their time" distribution the
+    * raw transition counts only imply. Every step is integer multiply/
+    * truncating-divide/sum — bit-identical in any engine (the q93
+    * PageRank discipline), so the oracle unrolls the same 5 rounds as
+    * chained CTEs. Mass truncates at each div (documented: ppm totals
+    * drift below 10⁶, exactly like q93's floor loss).
+    *
+    * Scale: the state space is the event-type alphabet — every frame
+    * after the one events scan is |S|- or |S|²-sized; iterations
+    * localCheckpoint (iterative-loop lineage rule) even though the
+    * frames are tiny. */
+  def q213MarkovSteady(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+    val tr = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"),
+        col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("s"), col("event_type").as("t"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = tr.groupBy("s").agg(sum(col("c")).as("tot"))
+    val edges = tr.join(tot, "s").localCheckpoint(true)
+    val states = tr.select(col("s"))
+      .unionAll(tr.select(col("t").as("s")))
+      .distinct().localCheckpoint(true)
+    val n = states.agg(count(lit(1)).as("ns"))
+    var pi = states.crossJoin(broadcast(n))
+      .select(col("s"), expr("1000000 div ns").as("pi"))
+    for (_ <- 1 to 5)
+      pi = edges.join(pi, "s")
+        .select(col("t").as("s"), expr("(pi * c) div tot").as("m"))
+        .groupBy("s").agg(sum(col("m")).as("pi"))
+        .localCheckpoint(true)
+    states.join(pi, Seq("s"), "left")
+      .select(col("s").as("state"),
+        coalesce(col("pi"), lit(0L)).as("pi_ppm"))
+      .orderBy("state")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_stage_latency" -> (q212StageLatency _),
+    "q213_markov_steady" -> (q213MarkovSteady _),
+    "q210_power_user_share" -> (q210PowerUserShare _),
     "q202_scd2" -> (q202Scd2 _),
     "q169_last_touch" -> (q169LastTouch _),
     "q185_bounce_rate" -> (q185BounceRate _),
@@ -783,6 +894,101 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    // q210: same cents rounding, same NTILE under the (cents desc,
+    // user) total order (both engines hand the first n mod 10 tiles
+    // the extra row — the q189 rule).
+    "q210_power_user_share" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(COALESCE(
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT), 0))
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id),
+        |d AS (
+        |  SELECT cents, NTILE(10) OVER (
+        |    ORDER BY cents DESC, user_id) AS decile
+        |  FROM pu),
+        |g AS (
+        |  SELECT CAST(decile AS BIGINT) AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM d GROUP BY decile),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM g)
+        |SELECT decile, n_users, cents,
+        |  CASE WHEN total > 0 THEN (cents * 10000) // total
+        |       ELSE CAST(0 AS BIGINT) END AS share_bp
+        |FROM g, t ORDER BY decile""".stripMargin,
+    // q212: the q73 chain CTEs + per-transition µs gaps;
+    // quantile_disc is the pinned percentile_disc definition.
+    "q212_stage_latency" ->
+      """WITH t0 AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t1 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t1 FROM events e
+        |  JOIN t0 USING (user_id)
+        |  WHERE e.event_type = 'view' AND epoch_ns(e.ts) >= t0.t0
+        |  GROUP BY e.user_id),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2 FROM events e
+        |  JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= t1.t1
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3 FROM events e
+        |  JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= t2.t2
+        |  GROUP BY e.user_id),
+        |g AS (
+        |  SELECT 1 AS stage_no, (t1.t1 - t0.t0) // 1000 AS gap_us
+        |  FROM t1 JOIN t0 USING (user_id)
+        |  UNION ALL
+        |  SELECT 2, (t2.t2 - t1.t1) // 1000
+        |  FROM t2 JOIN t1 USING (user_id)
+        |  UNION ALL
+        |  SELECT 3, (t3.t3 - t2.t2) // 1000
+        |  FROM t3 JOIN t2 USING (user_id))
+        |SELECT CAST(stage_no AS BIGINT) AS stage_no,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  quantile_disc(gap_us, 0.5) AS p50_us,
+        |  quantile_disc(gap_us, 0.9) AS p90_us
+        |FROM g GROUP BY stage_no ORDER BY stage_no""".stripMargin,
+    // q213: same (ts_ns, event_id) lag order, same integer recursion —
+    // 5 rounds unrolled as single-reference chained CTEs (the q93
+    // discipline; `//` ≡ `div`, both truncate).
+    "q213_markov_steady" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""p$i AS (
+           |  SELECT e.t AS s,
+           |    CAST(SUM((p.pi * e.c) // e.tot) AS BIGINT) AS pi
+           |  FROM p${i - 1} p JOIN ed e ON e.s = p.s
+           |  GROUP BY e.t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH o AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ns(ts), event_id) AS prev_type
+         |  FROM events),
+         |tr AS (
+         |  SELECT prev_type AS s, event_type AS t,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT s, CAST(SUM(c) AS BIGINT) AS tot
+         |        FROM tr GROUP BY s),
+         |ed AS (SELECT tr.s, tr.t, tr.c, tot.tot
+         |       FROM tr JOIN tot USING (s)),
+         |states AS (
+         |  SELECT DISTINCT s FROM (
+         |    SELECT s FROM tr UNION ALL SELECT t FROM tr)),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM states),
+         |p0 AS (SELECT s, 1000000 // ns AS pi FROM states, n),
+         |$rounds
+         |SELECT st.s AS state,
+         |  CAST(COALESCE(p5.pi, 0) AS BIGINT) AS pi_ppm
+         |FROM states st LEFT JOIN p5 ON p5.s = st.s
+         |ORDER BY state""".stripMargin
+    },
     // q199: same distinct-day collapse and first-seen decomposition;
     // window SUM recast to BIGINT (D6).
     "q199_growth_accounting" ->

@@ -183,7 +183,46 @@ object Quality {
       ("orders.o_custkey", load(spark, dir, "orders"), "o_custkey")))
   }
 
+  // ---------------------------------------------------------------- q215
+
+  /** Q215: FUNCTIONAL-DEPENDENCY AUDIT — for each candidate FD
+    * A → B: how many A-values exist, how many of them map to more
+    * than one B (violations), and a holds bit. The schema-inference /
+    * normalization primitive profilers run to discover real
+    * constraints (q96 CHECKS declared constraints; this DISCOVERS
+    * which hold) — a violated "key → attribute" FD is a dirty
+    * dimension, a held one is a normalization candidate.
+    *
+    * Values compare as strings (uniform across types). Scale: one
+    * partial-combining (A → distinct-B count) aggregate per FD +
+    * a 1-row rollup; FDs on the same table share its scan cache. */
+  def q215FdAudit(spark: SparkSession, dir: String): DataFrame = {
+    def fd(name: String, df: DataFrame, lhs: String,
+        rhs: String): DataFrame =
+      df.select(col(lhs).cast("string").as("l"),
+          col(rhs).cast("string").as("r"))
+        .groupBy("l").agg(countDistinct(col("r")).as("nr"))
+        .agg(count(lit(1)).as("n_lhs"),
+          expr("CAST(count_if(nr > 1) AS BIGINT)").as("n_violating"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          when(col("n_violating") === 0, 1L).otherwise(0L).as("holds"))
+    val li = load(spark, dir, "lineitem")
+    Seq(
+      fd("customer: c_nationkey->c_mktsegment",
+        load(spark, dir, "customer"), "c_nationkey", "c_mktsegment"),
+      fd("events: user_id->event_type",
+        graft.Tables.events(spark, dir), "user_id", "event_type"),
+      fd("lineitem: l_partkey->l_returnflag", li,
+        "l_partkey", "l_returnflag"),
+      fd("orders: o_custkey->o_orderpriority",
+        load(spark, dir, "orders"), "o_custkey", "o_orderpriority"),
+      fd("part: p_partkey->p_brand", load(spark, dir, "part"),
+        "p_partkey", "p_brand"))
+      .reduce(_ unionByName _).orderBy("fd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_fd_audit" -> (q215FdAudit _),
     "q207_skew_audit" -> (q207SkewAudit _),
     "q96_data_quality" -> (q96DataQuality _),
     "q162_benford" -> (q162Benford _),
@@ -192,6 +231,28 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    // q215: same string-compared values, same distinct-RHS counting.
+    "q215_fd_audit" -> Seq(
+      ("customer: c_nationkey->c_mktsegment", "customer",
+        "c_nationkey", "c_mktsegment"),
+      ("events: user_id->event_type", "events",
+        "user_id", "event_type"),
+      ("lineitem: l_partkey->l_returnflag", "lineitem",
+        "l_partkey", "l_returnflag"),
+      ("orders: o_custkey->o_orderpriority", "orders",
+        "o_custkey", "o_orderpriority"),
+      ("part: p_partkey->p_brand", "part", "p_partkey", "p_brand"))
+      .map { case (name, table, lhs, rhs) =>
+        s"""SELECT '$name' AS fd,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           |  CAST(count_if(nr > 1) AS BIGINT) AS n_violating,
+           |  CASE WHEN count_if(nr > 1) = 0 THEN CAST(1 AS BIGINT)
+           |       ELSE CAST(0 AS BIGINT) END AS holds
+           |FROM (
+           |  SELECT CAST($lhs AS VARCHAR) AS l,
+           |    COUNT(DISTINCT CAST($rhs AS VARCHAR)) AS nr
+           |  FROM $table GROUP BY 1)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY fd"),
     // q207: one two-level aggregate per key column, unioned; all
     // integer (counts + cross-multiplied ratios).
     "q207_skew_audit" -> Seq(

@@ -775,7 +775,35 @@ object Stats {
       .orderBy("pair")
   }
 
+  // ---------------------------------------------------------------- q209
+
+  /** Q209: FULFILLMENT LEAD-TIME TREND — ship-minus-order days per
+    * line item, monthly p50/p90 via the spill-ranked exact percentile
+    * machinery (no per-group buffers). The operational SLA trend every
+    * logistics dashboard leads with; integer day arithmetic keeps it
+    * engine-exact, the (year·100+month) key is calendar-dialect-free.
+    *
+    * Scale: one fact-fact join on the orderkey (bucketable — SCALE.md
+    * layout section), one collapse to (month, days), then discByRank
+    * over months ≪ facts. */
+  def q209LeadTime(spark: SparkSession, dir: String): DataFrame = {
+    val lt = load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      .join(load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")), "o_orderkey")
+      .select(
+        expr("CAST(year(o_orderdate) * 100 + month(o_orderdate)" +
+          " AS BIGINT)").as("ym"),
+        expr("CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)")
+          .as("lead_days"))
+    Percentiles.discByRank(lt, Seq("ym"), "lead_days",
+      Seq(0.5 -> "p50_days", 0.9 -> "p90_days"),
+      countName = Some("n_lines"))
+      .orderBy("ym")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_lead_time" -> (q209LeadTime _),
     "q206_feature_corr" -> (q206FeatureCorr _),
     "q194_holt_horizons" -> (q194HoltHorizons _),
     "q195_trimmed_mean" -> (q195TrimmedMean _),
@@ -794,6 +822,20 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // q209: same integer day difference and arithmetic month key,
+    // quantile_disc = discByRank's boundary definition.
+    "q209_lead_time" ->
+      """WITH lt AS (
+        |  SELECT CAST(year(o.o_orderdate) * 100 +
+        |      month(o.o_orderdate) AS BIGINT) AS ym,
+        |    CAST(CAST(l.l_shipdate AS DATE) -
+        |      CAST(o.o_orderdate AS DATE) AS BIGINT) AS lead_days
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey)
+        |SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  quantile_disc(lead_days, 0.5) AS p50_days,
+        |  quantile_disc(lead_days, 0.9) AS p90_days
+        |FROM lt GROUP BY ym ORDER BY ym""".stripMargin,
     // q206: same integer quantization, HUGEINT sums as the exact twin
     // of Spark's internal DECIMAL sums, same double finale op order.
     "q206_feature_corr" -> {
