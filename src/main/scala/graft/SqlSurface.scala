@@ -271,6 +271,53 @@ object SqlSurface {
     operators.Relational.ntileDeciles(spark.table(customersView))
       .createOrReplaceTempView(viewName)
 
+  /** Keyword-in-context concordance of a docs view (doc_id, text) →
+    * view (doc_id, pos, left_ctx, right_ctx) — q201 (round 9). */
+  def createKwicView(spark: SparkSession, docsView: String,
+      term: String, viewName: String, ctx: Int = 2): Unit =
+    TextOps.kwic(spark.table(docsView), term, ctx)
+      .createOrReplaceTempView(viewName)
+
+  /** SCD2 interval history of an events view (user_id, ts_ns,
+    * event_id, event_type) → view (user_id, version_no, state,
+    * valid_from_us, valid_to_us, n_events) — q202's change-only run
+    * collapse (round 9). */
+  def createScd2View(spark: SparkSession, eventsView: String,
+      viewName: String): Unit =
+    Behavioral.scd2Intervals(spark.table(eventsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Per-node local clustering of an edge-list view (u, v with
+    * u < v, deduplicated) → view (node, degree, n_tri, cc_ppm) —
+    * q204 (round 9). */
+  def createLocalClusteringView(spark: SparkSession, edgesView: String,
+      viewName: String): Unit =
+    operators.Graph.localClustering(spark.table(edgesView))
+      .createOrReplaceTempView(viewName)
+
+  /** Partition-key skew audit over (label, view, keyCol) triples →
+    * view (key_col, n_rows, n_keys, max_cnt, top_share_ppm,
+    * skew_x1000) — q207 (round 9). */
+  def createSkewAuditView(spark: SparkSession,
+      cols: Seq[(String, String, String)], viewName: String): Unit =
+    Quality.skewAudit(cols.map { case (n, v, k) =>
+      (n, spark.table(v), k) }).createOrReplaceTempView(viewName)
+
+  /** Markov steady-state distribution of an events view → view
+    * (state, pi_ppm) — q213's 5 integer power iterations (round 9). */
+  def createMarkovSteadyView(spark: SparkSession, eventsView: String,
+      viewName: String, iters: Int = 5): Unit =
+    Behavioral.markovSteady(spark.table(eventsView), iters)
+      .createOrReplaceTempView(viewName)
+
+  /** Functional-dependency audit over (name, view, lhs, rhs) tuples →
+    * view (fd, n_lhs, n_violating, holds) — q215 (round 9). */
+  def createFdAuditView(spark: SparkSession,
+      fds: Seq[(String, String, String, String)],
+      viewName: String): Unit =
+    Quality.fdAudit(fds.map { case (n, v, l, r) =>
+      (n, spark.table(v), l, r) }).createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

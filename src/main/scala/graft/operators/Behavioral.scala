@@ -834,10 +834,11 @@ object Behavioral {
     * after the one events scan is |S|- or |S|²-sized; iterations
     * localCheckpoint (iterative-loop lineage rule) even though the
     * frames are tiny. */
-  def q213MarkovSteady(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame-shaped core of q213 (SqlSurface view builder entry). */
+  def markovSteady(events: DataFrame, iters: Int = 5): DataFrame = {
     val wOrd = Window.partitionBy("user_id")
       .orderBy(col("ts_ns"), col("event_id"))
-    val tr = Tables.events(spark, dir)
+    val tr = events
       .select(col("user_id"), col("event_type"), col("ts_ns"),
         col("event_id"))
       .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
@@ -853,7 +854,7 @@ object Behavioral {
     val n = states.agg(count(lit(1)).as("ns"))
     var pi = states.crossJoin(broadcast(n))
       .select(col("s"), expr("1000000 div ns").as("pi"))
-    for (_ <- 1 to 5)
+    for (_ <- 1 to iters)
       pi = edges.join(pi, "s")
         .select(col("t").as("s"), expr("(pi * c) div tot").as("m"))
         .groupBy("s").agg(sum(col("m")).as("pi"))
@@ -863,6 +864,9 @@ object Behavioral {
         coalesce(col("pi"), lit(0L)).as("pi_ppm"))
       .orderBy("state")
   }
+
+  def q213MarkovSteady(spark: SparkSession, dir: String): DataFrame =
+    markovSteady(Tables.events(spark, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q212_stage_latency" -> (q212StageLatency _),

@@ -196,9 +196,10 @@ object Quality {
     * Values compare as strings (uniform across types). Scale: one
     * partial-combining (A → distinct-B count) aggregate per FD +
     * a 1-row rollup; FDs on the same table share its scan cache. */
-  def q215FdAudit(spark: SparkSession, dir: String): DataFrame = {
-    def fd(name: String, df: DataFrame, lhs: String,
-        rhs: String): DataFrame =
+  /** Frame-shaped core of q215 (SqlSurface view builder entry): each
+    * entry is (fd name, frame, lhs col, rhs col). */
+  def fdAudit(fds: Seq[(String, DataFrame, String, String)]): DataFrame =
+    fds.map { case (name, df, lhs, rhs) =>
       df.select(col(lhs).cast("string").as("l"),
           col(rhs).cast("string").as("r"))
         .groupBy("l").agg(countDistinct(col("r")).as("nr"))
@@ -206,8 +207,13 @@ object Quality {
           expr("CAST(count_if(nr > 1) AS BIGINT)").as("n_violating"))
         .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
           when(col("n_violating") === 0, 1L).otherwise(0L).as("holds"))
+    }.reduce(_ unionByName _).orderBy("fd")
+
+  def q215FdAudit(spark: SparkSession, dir: String): DataFrame = {
+    def fd(name: String, df: DataFrame, lhs: String,
+        rhs: String) = (name, df, lhs, rhs)
     val li = load(spark, dir, "lineitem")
-    Seq(
+    fdAudit(Seq(
       fd("customer: c_nationkey->c_mktsegment",
         load(spark, dir, "customer"), "c_nationkey", "c_mktsegment"),
       fd("events: user_id->event_type",
@@ -217,8 +223,7 @@ object Quality {
       fd("orders: o_custkey->o_orderpriority",
         load(spark, dir, "orders"), "o_custkey", "o_orderpriority"),
       fd("part: p_partkey->p_brand", load(spark, dir, "part"),
-        "p_partkey", "p_brand"))
-      .reduce(_ unionByName _).orderBy("fd")
+        "p_partkey", "p_brand")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -353,6 +353,72 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(dSql == dDir && dSql.nonEmpty)
   }
 
+  test("round-9 family view builders (kwic / scd2 / local clustering " +
+      "/ skew audit / markov / fd audit): SQL ≡ Scala operator") {
+    SqlSurface.registerTables(spark, sf)
+
+    SqlSurface.createKwicView(spark, "documents", "scan", "kwic")
+    val kSql = spark.sql(
+        "SELECT doc_id, pos, left_ctx, right_ctx FROM kwic")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    val kDir = graft.operators.TextOps
+      .kwic(spark.table("documents"), "scan")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(kSql == kDir && kSql.nonEmpty)
+
+    SqlSurface.createScd2View(spark, "events", "scd2")
+    val sSql = spark.sql(
+        "SELECT user_id, version_no, state, n_events FROM scd2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    val sDir = graft.operators.Behavioral
+      .scd2Intervals(spark.table("events"))
+      .select("user_id", "version_no", "state", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(sSql == sDir && sSql.nonEmpty)
+
+    import spark.implicits._
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("u", "v").createOrReplaceTempView("cc_edges")
+    SqlSurface.createLocalClusteringView(spark, "cc_edges", "lcc")
+    val cSql = spark.sql("SELECT node, cc_ppm FROM lcc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cSql == Set((1L, 666666L), (2L, 666666L), (3L, 1000000L),
+      (4L, 1000000L)))
+
+    SqlSurface.createSkewAuditView(spark,
+      Seq(("orders.o_custkey", "orders", "o_custkey")), "skew")
+    val wSql = spark.sql(
+        "SELECT key_col, n_rows, n_keys, max_cnt FROM skew")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val wDir = graft.operators.Quality.skewAudit(
+        Seq(("orders.o_custkey", spark.table("orders"), "o_custkey")))
+      .select("key_col", "n_rows", "n_keys", "max_cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(wSql == wDir && wSql.nonEmpty)
+
+    SqlSurface.createMarkovSteadyView(spark, "events", "markov")
+    val mSql = spark.sql("SELECT state, pi_ppm FROM markov")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val mDir = graft.operators.Behavioral.q213MarkovSteady(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(mSql == mDir && mSql.nonEmpty)
+
+    SqlSurface.createFdAuditView(spark,
+      Seq(("part: p_partkey->p_brand", "part", "p_partkey", "p_brand"),
+        ("events: user_id->event_type", "events", "user_id",
+          "event_type")), "fds")
+    val fSql = spark.sql("SELECT fd, holds FROM fds")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fSql("part: p_partkey->p_brand") == 1L)
+    assert(fSql("events: user_id->event_type") == 0L)
+  }
+
   test("z-order write view builder: SQL box query scans the z-laid-out " +
       "files and matches a direct scan (advice r5)") {
     SqlSurface.registerTables(spark, sf)
