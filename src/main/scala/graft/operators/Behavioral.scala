@@ -868,7 +868,98 @@ object Behavioral {
   def q213MarkovSteady(spark: SparkSession, dir: String): DataFrame =
     markovSteady(Tables.events(spark, dir))
 
+  // ---------------------------------------------------------------- q218
+
+  /** Q218: CONVERSION BY SESSION ORDINAL — for the user's 1st, 2nd,
+    * …, Nth session: how many such sessions exist and what share
+    * contain a purchase (bp). The "do users convert on their first
+    * visit or after warming up" curve — q192's channel CVR says
+    * where, this says WHEN in the relationship. Rides q141's
+    * sessionization (same gap, same (ts_us, event_id) total order).
+    *
+    * Scale: the sessionized frame collapses to one row per (user,
+    * session) before the ordinal rollup — events-sized scan, session-
+    * sized aggregate, ≤ max-ordinal output rows. */
+  def q218SessionCvr(spark: SparkSession, dir: String): DataFrame =
+    sessionized(Tables.events(spark, dir))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("converted"))
+      .groupBy(col("session_no"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("cvr_bp",
+        expr("(n_converted * 10000) div n_sessions"))
+      .orderBy("session_no")
+
+  // ---------------------------------------------------------------- q219
+
+  /** Q219: EXPERIMENT FUNNEL READOUT — the q186 WINDOWED funnel
+    * census (1 h completion horizon) split by a deterministic
+    * md5-nibble A/B arm over user_id (the q164 assignment discipline:
+    * membership is a pure function of the key and can never drift).
+    * The table an experimenter reads to see WHERE the treatment moves
+    * the funnel, not just whether the end-to-end rate moved. The
+    * horizon matters doubly here: the UNBOUNDED q73 census is
+    * saturated on the fixture (every user eventually completes all
+    * four stages — measured at sf0.001 and sf0.01), so only the
+    * windowed form has a distribution worth splitting.
+    *
+    * Scale: q186's per-stage min aggregates; the arm column is a
+    * scan-side projection joined nowhere. */
+  def q219FunnelByArm(spark: SparkSession, dir: String): DataFrame = {
+    val h = 3600L * 1000000000L
+    val t = funnelTimes(Tables.events(spark, dir),
+      Seq("signup", "view", "click", "purchase"))
+    val depth = (0 to 3).map(i =>
+      when(col(s"t$i").isNotNull && col(s"t$i") - col("t0") <= h, 1)
+        .otherwise(0)).reduce(_ + _)
+    t.select(
+        expr("CASE WHEN substring(md5(CAST(user_id AS STRING)), 1, 1)" +
+          " < '8' THEN 'T' ELSE 'C' END").as("variant"),
+        depth.cast(LongType).as("stage"))
+      .groupBy("variant", "stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("variant", "stage")
+  }
+
+  // ---------------------------------------------------------------- q220
+
+  /** Q220: COHORT LTV TRIANGLE — q72's retention triangle with exact
+    * purchase CENTS instead of user counts, plus the running
+    * cumulative per cohort: the lifetime-value curve ("how much has
+    * the week-W cohort spent by offset k") that payback-period
+    * decisions read directly.
+    *
+    * Scale: purchases collapse to (user, week, cents) first; the
+    * cumulative window runs per cohort over ≤ #weeks rows. */
+  def q220CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"),
+        coalesce(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+          lit(0L)).as("cents"))
+    val first = Tables.events(spark, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val cells = p.join(first, "user_id")
+      .withColumn("week_offset",
+        expr("datediff(wk, cohort_wk) div 7").cast(LongType))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(sum(col("cents")).as("cents"))
+    val wCum = Window.partitionBy("cohort_wk").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("cents")).over(wCum))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_session_cvr" -> (q218SessionCvr _),
+    "q219_funnel_by_arm" -> (q219FunnelByArm _),
+    "q220_cohort_ltv" -> (q220CohortLtv _),
     "q212_stage_latency" -> (q212StageLatency _),
     "q213_markov_steady" -> (q213MarkovSteady _),
     "q210_power_user_share" -> (q210PowerUserShare _),
@@ -898,6 +989,101 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    // q218: q141's session CTEs + per-session purchase flag.
+    "q218_session_cvr" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_us
+        |  FROM ev),
+        |s AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |n AS (
+        |  SELECT user_id, event_type,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_no
+        |  FROM s),
+        |per AS (
+        |  SELECT user_id, session_no,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS converted
+        |  FROM n GROUP BY 1, 2)
+        |SELECT session_no, COUNT(*) AS n_sessions,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  (CAST(SUM(converted) AS BIGINT) * 10000) // COUNT(*)
+        |    AS cvr_bp
+        |FROM per GROUP BY session_no ORDER BY session_no""".stripMargin,
+    // q219: the q73 chain + the q186 1-hour horizon + the q164
+    // md5-nibble arm (pure function of user_id — identical hex in
+    // both engines).
+    "q219_funnel_by_arm" ->
+      """WITH t0 AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t1 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t1 FROM events e
+        |  JOIN t0 USING (user_id)
+        |  WHERE e.event_type = 'view' AND epoch_ns(e.ts) >= t0.t0
+        |  GROUP BY e.user_id),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2 FROM events e
+        |  JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= t1.t1
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3 FROM events e
+        |  JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= t2.t2
+        |  GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT
+        |  CASE WHEN substring(md5(CAST(u.user_id AS VARCHAR)), 1, 1)
+        |         < '8' THEN 'T' ELSE 'C' END AS variant,
+        |  CAST(
+        |    (CASE WHEN t0.t0 IS NOT NULL THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t1.t1 IS NOT NULL
+        |      AND t1.t1 - t0.t0 <= 3600000000000 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t2.t2 IS NOT NULL
+        |      AND t2.t2 - t0.t0 <= 3600000000000 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN t3.t3 IS NOT NULL
+        |      AND t3.t3 - t0.t0 <= 3600000000000 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS stage, COUNT(*) AS n_users
+        |FROM u LEFT JOIN t0 USING (user_id) LEFT JOIN t1 USING (user_id)
+        |  LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        |GROUP BY 1, 2 ORDER BY variant, stage""".stripMargin,
+    // q220: q72's week cohorts + exact purchase cents + window cum.
+    "q220_cohort_ltv" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk
+        |      GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |cells AS (
+        |  SELECT f.cohort_wk,
+        |    CAST((p.wk - f.cohort_wk) // 7 AS BIGINT) AS week_offset,
+        |    CAST(SUM(p.cents) AS BIGINT) AS cents
+        |  FROM p JOIN f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_wk, week_offset, cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY cohort_wk
+        |    ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_cents
+        |FROM cells ORDER BY cohort_wk, week_offset""".stripMargin,
     // q210: same cents rounding, same NTILE under the (cents desc,
     // user) total order (both engines hand the first n mod 10 tiles
     // the extra row — the q189 rule).

@@ -916,6 +916,24 @@ object Dedup {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Q217: DEDUP LINEAGE TABLE — one row per DROPPED document:
+    * (loser, winner = its cluster's min id, cluster_size). The
+    * provenance record a compliant dedup pipeline must keep — "why is
+    * doc X gone, and which survivor represents it" — and the join key
+    * for propagating labels/weights from losers onto survivors.
+    * Views over the same memoized closure as q33f/q33g (survivors =
+    * everything NOT in this table). */
+  def q217DedupLineage(spark: SparkSession, dir: String): DataFrame = {
+    val comp = q33gDedupComponents(spark, dir)
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.filter(col("doc_id") =!= col("component"))
+      .join(sizes, "component")
+      .select(col("doc_id").as("loser"), col("component").as("winner"),
+        col("cluster_size"))
+      .orderBy("loser")
+  }
+
   /** Q62: survivors of decontamination against a derived "benchmark"
     * slice (every 17th document) — deterministic, so it sits under the
     * hard oracle. */
@@ -988,6 +1006,7 @@ object Dedup {
     "q33f_dedup_survivors_exact" -> (q33fDedupSurvivorsExact _),
     "q33g_dedup_components" -> (q33gDedupComponents _),
     "q208_dup_cluster_sizes" -> (q208DupClusterSizes _),
+    "q217_dedup_lineage" -> (q217DedupLineage _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q63_pipeline" -> (q63Pipeline _),
     "q102_containment_pairs" -> (q102ContainmentPairs _),
@@ -1147,6 +1166,20 @@ object Dedup {
       (closureCtes + """
         |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+    // q217: the q33g closure; losers (node ≠ min label) mapped to
+    // their winner with the cluster size joined on.
+    "q217_dedup_lineage" ->
+      (closureCtes + """
+        |, comp AS (
+        |  SELECT node, CAST(MIN(r) AS BIGINT) AS component
+        |  FROM reach GROUP BY node),
+        |sz AS (
+        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |  FROM comp GROUP BY component)
+        |SELECT c.node AS loser, c.component AS winner, sz.cluster_size
+        |FROM comp c JOIN sz USING (component)
+        |WHERE c.node <> c.component
+        |ORDER BY loser""".stripMargin),
     // q208: the q33g closure + a two-level size histogram.
     "q208_dup_cluster_sizes" ->
       (closureCtes + """

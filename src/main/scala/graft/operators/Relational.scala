@@ -1454,6 +1454,57 @@ object Relational {
       .orderBy("cls")
   }
 
+  // ---------------------------------------------------------------- q216
+
+  /** Q216: ABC–XYZ GRID — the inventory-management double
+    * classification: ABC by cumulative revenue share (q178's 80/95
+    * cuts) crossed with XYZ by demand VARIABILITY (monthly quantity
+    * CV² banded at 0.25 / 1.0). "A-X" parts (high value, steady
+    * demand) get tight stock policies; "C-Z" (low value, erratic)
+    * get make-to-order — the grid is the policy map.
+    *
+    * CV² is exact-integer via the algebraic identity
+    * CV² = (n·Σx² − S²) / S² (population variance over mean², the
+    * q154 power-sum discipline): cv2_e4 = ((n·Σx² − S²)·10⁴) div S²,
+    * X ≤ 2500 < Y ≤ 10000 < Z. No sqrt, no doubles anywhere.
+    *
+    * Scale: two partial-combining passes over lineitem (revenue per
+    * part; (part, month) quantities → per-part power sums) + the
+    * q178 rank window over the parts frame; the grid is ≤ 9 rows. */
+  def q216AbcXyz(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val rev = li.groupBy(col("l_partkey"))
+      .agg((sum(lineRevenue) * lit(10000)).cast("long").as("rev_e4"))
+    val wCum = Window.orderBy(col("rev_e4").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val abc = rev
+      .withColumn("cum", sum(col("rev_e4")).over(wCum))
+      .withColumn("tot", sum(col("rev_e4")).over(Window.partitionBy()))
+      .select(col("l_partkey"),
+        when(expr("cum * 10000 <= tot * 8000"), "A")
+          .when(expr("cum * 10000 <= tot * 9500"), "B")
+          .otherwise("C").as("abc"))
+    val xyz = li
+      .select(col("l_partkey"),
+        expr("CAST(year(l_shipdate) * 100 + month(l_shipdate)" +
+          " AS BIGINT)").as("ym"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy("l_partkey", "ym").agg(sum(col("q")).as("x"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(expr("x * x")).as("sxx"))
+      .select(col("l_partkey"),
+        expr("((n * sxx - s * s) * 10000) div (s * s)").as("cv2_e4"))
+      .select(col("l_partkey"),
+        when(col("cv2_e4") <= 2500L, "X")
+          .when(col("cv2_e4") <= 10000L, "Y")
+          .otherwise("Z").as("xyz"))
+    abc.join(xyz, "l_partkey")
+      .groupBy("abc", "xyz")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("abc", "xyz")
+  }
+
   // ---------------------------------------------------------------- q189
 
   /** Q189: NTILE decile assignment — customers cut into 10
@@ -1607,6 +1658,7 @@ object Relational {
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_abc_class" -> (q178AbcClass _),
+    "q216_abc_xyz" -> (q216AbcXyz _),
     "q196_revenue_bridge" -> (q196RevenueBridge _),
     "q200_kpi_tiles" -> (q200KpiTiles _),
     "q189_ntile_deciles" -> (q189NtileDeciles _),
@@ -1790,6 +1842,51 @@ object Relational {
     // q178: same exact-decimal e4 revenue, same (rev desc, partkey)
     // cumulative order, same integer cross-multiplied class cuts;
     // DuckDB window/agg SUMs recast to BIGINT (D6).
+    // q216: q178's cum-share window for ABC; integer CV² power sums
+    // for XYZ (X ≤ 0.25 < Y ≤ 1.0 < Z in e4).
+    "q216_abc_xyz" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1 - l_discount AS DECIMAL(18,2))) * 10000
+        |      AS BIGINT) AS rev_e4
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_partkey, rev_e4,
+        |    CAST(SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(rev_e4) OVER () AS BIGINT) AS tot
+        |  FROM rev),
+        |abc AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN cum * 10000 <= tot * 8000 THEN 'A'
+        |         WHEN cum * 10000 <= tot * 9500 THEN 'B'
+        |         ELSE 'C' END AS abc
+        |  FROM c),
+        |mq AS (
+        |  SELECT l_partkey,
+        |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+        |      AS ym,
+        |    CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |ps AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM mq GROUP BY 1),
+        |xyz AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN ((n * sxx - s * s) * 10000) // (s * s) <= 2500
+        |           THEN 'X'
+        |         WHEN ((n * sxx - s * s) * 10000) // (s * s) <= 10000
+        |           THEN 'Y'
+        |         ELSE 'Z' END AS xyz
+        |  FROM ps)
+        |SELECT abc.abc, xyz.xyz, COUNT(*) AS n_parts
+        |FROM abc JOIN xyz USING (l_partkey)
+        |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin,
     "q178_abc_class" ->
       """WITH rev AS (
         |  SELECT l_partkey,
