@@ -293,6 +293,54 @@ object StreamOps {
       .toDF("user_id", "stage")
   }
 
+  /** Streaming twin of q202's SCD2 interval build — the CDC shape:
+    * per user, carry the OPEN run (state, valid_from, n_events,
+    * version) across micro-batches and emit each run's row the moment
+    * a different state CLOSES it (valid_to = the closing event's
+    * time). A run spanning a batch boundary must NOT close at the
+    * boundary — StreamingSpec pins the closed-interval set ≡ the
+    * batch `scd2Intervals` rows with non-null valid_to, including
+    * exactly that case. The open run is carried state (its row
+    * materializes on the next change or, in production, on a
+    * session-close timeout).
+    *
+    * State is four scalars per user; intra-batch disorder is repaired
+    * by the (ts_us, event_id) sort (D1); cross-batch late data is the
+    * documented funnel-twin limit. */
+  def scd2Stream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id").cast("long"),
+      expr("ts_ns div 1000").cast("long").as("ts_us"),
+      col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            st: GroupState[(String, Long, Long, Long)]) =>
+          var cur = st.getOption
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, String, Long, Long, Long)]
+          rows.toVector.sortBy(r => (r._2, r._3))
+            .foreach { case (_, ts, _, typ) =>
+              cur match {
+                case Some((s, f, n, v)) if s == typ =>
+                  cur = Some((s, f, n + 1, v))
+                case Some((s, f, n, v)) =>
+                  out += ((user, v, s, f, ts, n))
+                  cur = Some((typ, ts, 1L, v + 1))
+                case None =>
+                  cur = Some((typ, ts, 1L, 1L))
+              }
+            }
+          cur.foreach(st.update)
+          out.iterator
+      }
+      .toDF("user_id", "version_no", "state", "valid_from_us",
+        "valid_to_us", "n_events")
+  }
+
   /** Streaming twin of q127's gap computation: per (user, event_type),
     * carry the last (ts_ns, event_id) across micro-batches and emit one
     * gap row per subsequent event — the live feed a cadence monitor or

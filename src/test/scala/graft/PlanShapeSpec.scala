@@ -294,6 +294,17 @@ class PlanShapeSpec extends SparkSpecBase {
       "anchor join regressed to a cartesian:\n" + p.take(800))
   }
 
+  test("q206 correlation matrix is ONE lineitem scan and join-free — " +
+      "p columns must cost one pass carrying the power sums, never " +
+      "p² passes (the whole point of the column-pair form vs q173's " +
+      "series joins)") {
+    val p = plan(graft.operators.Stats.q206FeatureCorr(spark, sf))
+    val scans = p.sliding("lineitem.parquet".length)
+      .count(_ == "lineitem.parquet")
+    assert(scans == 1, s"lineitem scanned $scans times:\n" + p.take(1200))
+    assert(!p.contains("Join"), "q206 must not join:\n" + p.take(1200))
+  }
+
   test("q200 KPI tiles scan each fact table AT MOST ONCE — same-table " +
       "tiles fuse into one aggregate (round-8 verdict item 3: at " +
       "100 TB the events/orders scans ARE the query cost)") {

@@ -568,6 +568,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming SCD2 ≡ batch closed intervals (q202 twin): a run " +
+      "spanning the batch boundary does NOT close at the boundary") {
+    // u1: signup(1,2) | view(3), signup(4) — the signup run spans the
+    //     batch boundary and must close only at the view; final
+    //     signup run stays OPEN (carried state, no emission).
+    // u2: view(5) | view(6), click(7) — view run spans the boundary.
+    val b1 = Seq(
+      Ev(ts(1), "signup", 0.0, 1), Ev(ts(2), "signup", 0.0, 1),
+      Ev(ts(5), "view", 0.0, 2))
+    val b2 = Seq(
+      Ev(ts(3), "view", 0.0, 1), Ev(ts(4), "signup", 0.0, 1),
+      Ev(ts(6), "view", 0.0, 2), Ev(ts(7), "click", 0.0, 2))
+    val withNs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+        .withColumn("event_id",
+          (unix_micros(col("ts")) % 1000000L).cast("long"))
+    val input = MemoryStream[Ev](spark)
+    val q = graft.streaming.StreamOps
+      .scd2Stream(withNs(input.toDF()))
+      .writeStream.format("memory").queryName("scd2stream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-scd2").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("scd2stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val batch = graft.operators.Behavioral
+        .scd2Intervals(withNs((b1 ++ b2).toDF()))
+        .filter(col("valid_to_us").isNotNull)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // the boundary-spanning signup run closed at the VIEW (minute
+      // 3), with BOTH its events counted — not at the batch boundary
+      assert(streamed.exists { case (u, v, s, _, _, n) =>
+        u == 1L && v == 1L && s == "signup" && n == 2L })
+    } finally q.stop()
+  }
+
   test("streaming OHLC ≡ batch first/last/min/max per closed window " +
       "(q136 twin)") {
     val events = Seq(
