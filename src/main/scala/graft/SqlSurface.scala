@@ -318,6 +318,34 @@ object SqlSurface {
     Quality.fdAudit(fds.map { case (n, v, l, r) =>
       (n, spark.table(v), l, r) }).createOrReplaceTempView(viewName)
 
+  /** Join-cardinality audit over (label, leftView, leftKey,
+    * rightView, rightKey) tuples → view (join_key, left_rows,
+    * right_rows, n_matched_keys, join_rows, amp_x1000) — q221's
+    * exact-size-without-running-it planner readout (round 9). */
+  def createJoinCardinalityView(spark: SparkSession,
+      joins: Seq[(String, String, String, String, String)],
+      viewName: String): Unit =
+    Quality.joinCardinality(joins.map { case (n, lv, lk, rv, rk) =>
+      (n, spark.table(lv), lk, spark.table(rv), rk)
+    }).createOrReplaceTempView(viewName)
+
+  /** Peak ingest rate of an events view (event_type, ts_ns) → view
+    * (event_type, n_active_minutes, n_events, peak_per_min,
+    * peak_minute, mean_per_min_e3, burst_x1000) — q222 (round 9). */
+  def createPeakRateView(spark: SparkSession, eventsView: String,
+      viewName: String): Unit =
+    operators.TimeSeries.peakRate(spark.table(eventsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Length-distribution drift between the two ingest halves of a
+    * documents view (doc_id, n_chars) → view (bucket, n1, n2, s1_ppm,
+    * s2_ppm, d_ppm) with a bucket = -1 TOTAL row carrying the exact
+    * TVD — q223 (round 9). */
+  def createDistDriftView(spark: SparkSession, docsView: String,
+      viewName: String): Unit =
+    TextOps.distDrift(spark.table(docsView))
+      .createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

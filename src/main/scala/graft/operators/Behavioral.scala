@@ -756,6 +756,31 @@ object Behavioral {
   def q202Scd2(spark: SparkSession, dir: String): DataFrame =
     scd2Intervals(Tables.events(spark, dir))
 
+  // ---------------------------------------------------------------- q228
+
+  /** Q228: STATE DWELL-TIME PERCENTILES — per SCD2 state: p50/p90 of
+    * how long users SIT in that state before transitioning (closed
+    * q202 intervals only; the open current run has no dwell yet). The
+    * lifecycle-velocity readout on top of q202's history: q74 says
+    * where users go next, q213 where they end up, this says how long
+    * each stop takes — the number session-timeout and re-engagement
+    * triggers are tuned against.
+    *
+    * Scale: reuses the q202 run collapse (two window passes over
+    * per-user partitions), then [[Percentiles.discByRank]]'s
+    * disk-spilling rank selection per state over the runs-sized
+    * frame. */
+  def q228StateDwell(spark: SparkSession, dir: String): DataFrame = {
+    val closed = scd2Intervals(Tables.events(spark, dir))
+      .filter(col("valid_to_us").isNotNull)
+      .select(col("state"),
+        (col("valid_to_us") - col("valid_from_us")).as("dwell_us"))
+    Percentiles.discByRank(closed, Seq("state"), "dwell_us",
+      Seq(0.5 -> "p50_dwell_us", 0.9 -> "p90_dwell_us"),
+      countName = Some("n_runs"))
+      .orderBy("state")
+  }
+
   // ---------------------------------------------------------------- q210
 
   /** Q210: POWER-USER REVENUE CONCENTRATION — users cut into spend
@@ -964,6 +989,7 @@ object Behavioral {
     "q213_markov_steady" -> (q213MarkovSteady _),
     "q210_power_user_share" -> (q210PowerUserShare _),
     "q202_scd2" -> (q202Scd2 _),
+    "q228_state_dwell" -> (q228StateDwell _),
     "q169_last_touch" -> (q169LastTouch _),
     "q185_bounce_rate" -> (q185BounceRate _),
     "q186_funnel_windowed" -> (q186FunnelWindowed _),
@@ -1343,6 +1369,41 @@ object Behavioral {
     // q202: same (ts_us, event_id) total order, same change-flag
     // running sum; NULL valid_to on each user's current run matches
     // Spark's open interval.
+    // q228: the q202 CTE chain, closed intervals only, quantile_disc
+    // under the shared boundary pin.
+    "q228_state_dwell" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id)),
+        |v AS (
+        |  SELECT user_id, ts_us, event_type,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS version_no
+        |  FROM f),
+        |runs AS (
+        |  SELECT user_id, version_no, event_type,
+        |    MIN(ts_us) AS valid_from_us
+        |  FROM v GROUP BY user_id, version_no, event_type),
+        |iv AS (
+        |  SELECT event_type AS state,
+        |    lead(valid_from_us) OVER (PARTITION BY user_id
+        |      ORDER BY version_no) - valid_from_us AS dwell_us
+        |  FROM runs)
+        |SELECT state, COUNT(*) AS n_runs,
+        |  quantile_disc(dwell_us, 0.5) AS p50_dwell_us,
+        |  quantile_disc(dwell_us, 0.9) AS p90_dwell_us
+        |FROM iv WHERE dwell_us IS NOT NULL
+        |GROUP BY state ORDER BY state""".stripMargin,
     "q202_scd2" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type

@@ -226,7 +226,58 @@ object Quality {
         "p_partkey", "p_brand")))
   }
 
+  // ---------------------------------------------------------------- q221
+
+  /** Q221: JOIN-CARDINALITY AUDIT — the EXACT output size of each
+    * candidate fact join computed WITHOUT running the join:
+    * |L ⋈ₖ R| = Σ_k cntL(k)·cntR(k) over the two per-key count
+    * frames. At 100 TB this is how you find the join that would
+    * explode BEFORE paying for it (a stats-estimator gives a guess;
+    * this gives the number, at the cost of two cheap count aggs and a
+    * key-frame join that is |keys|-sized, not |rows|-sized).
+    * amplification = join rows per max-side row, in e3.
+    *
+    * Long format per join: (join_key, left_rows, right_rows,
+    * n_matched_keys, join_rows, amp_x1000). */
+  def joinCardinality(
+      joins: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame =
+    joins.map { case (name, l, lk, r, rk) =>
+      val lc = l.groupBy(col(lk).cast("long").as("k"))
+        .agg(count(lit(1)).as("cl"))
+      val rc = r.groupBy(col(rk).cast("long").as("k"))
+        .agg(count(lit(1)).as("cr"))
+      lc.join(rc, "k")
+        .agg(count(lit(1)).as("n_matched_keys"),
+          sum(expr("cl * cr")).as("join_rows"))
+        .crossJoin(broadcast(l.agg(count(lit(1)).as("left_rows"))))
+        .crossJoin(broadcast(r.agg(count(lit(1)).as("right_rows"))))
+        .select(lit(name).as("join_key"), col("left_rows"),
+          col("right_rows"),
+          coalesce(col("n_matched_keys"), lit(0L))
+            .as("n_matched_keys"),
+          coalesce(col("join_rows"), lit(0L)).as("join_rows"),
+          expr("(coalesce(join_rows, 0) * 1000) div " +
+            "greatest(left_rows, right_rows)").as("amp_x1000"))
+    }.reduce(_ unionByName _).orderBy("join_key")
+
+  def q221JoinCardinality(spark: SparkSession,
+      dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val o = load(spark, dir, "orders")
+    joinCardinality(Seq(
+      ("customer.c_custkey=orders.o_custkey",
+        load(spark, dir, "customer"), "c_custkey", o, "o_custkey"),
+      ("lineitem.l_partkey=lineitem.l_partkey", li, "l_partkey",
+        li, "l_partkey"),
+      ("orders.o_orderkey=lineitem.l_orderkey", o, "o_orderkey",
+        li, "l_orderkey"),
+      ("part.p_partkey=lineitem.l_partkey",
+        load(spark, dir, "part"), "p_partkey", li, "l_partkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_join_cardinality" -> (q221JoinCardinality _),
     "q215_fd_audit" -> (q215FdAudit _),
     "q207_skew_audit" -> (q207SkewAudit _),
     "q96_data_quality" -> (q96DataQuality _),
@@ -236,6 +287,33 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    // q221: same per-key count frames, same Σ cl·cr (both exact
+    // BIGINT — counts per key are far under the overflow line).
+    "q221_join_cardinality" -> Seq(
+      ("customer.c_custkey=orders.o_custkey", "customer", "c_custkey",
+        "orders", "o_custkey"),
+      ("lineitem.l_partkey=lineitem.l_partkey", "lineitem",
+        "l_partkey", "lineitem", "l_partkey"),
+      ("orders.o_orderkey=lineitem.l_orderkey", "orders", "o_orderkey",
+        "lineitem", "l_orderkey"),
+      ("part.p_partkey=lineitem.l_partkey", "part", "p_partkey",
+        "lineitem", "l_partkey"))
+      .map { case (name, lt, lk, rt, rk) =>
+        s"""SELECT '$name' AS join_key,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $lt) AS left_rows,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $rt) AS right_rows,
+           |  CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+           |  COALESCE(CAST(SUM(cl * cr) AS BIGINT), 0) AS join_rows,
+           |  (COALESCE(CAST(SUM(cl * cr) AS BIGINT), 0) * 1000) //
+           |    greatest((SELECT CAST(COUNT(*) AS BIGINT) FROM $lt),
+           |      (SELECT CAST(COUNT(*) AS BIGINT) FROM $rt))
+           |    AS amp_x1000
+           |FROM (SELECT CAST($lk AS BIGINT) AS k,
+           |        COUNT(*) AS cl FROM $lt GROUP BY 1) a
+           |JOIN (SELECT CAST($rk AS BIGINT) AS k,
+           |        COUNT(*) AS cr FROM $rt GROUP BY 1) b
+           |  USING (k)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY join_key"),
     // q215: same string-compared values, same distinct-RHS counting.
     "q215_fd_audit" -> Seq(
       ("customer: c_nationkey->c_mktsegment", "customer",

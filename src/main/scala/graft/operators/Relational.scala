@@ -1655,8 +1655,96 @@ object Relational {
       .orderBy("kpi")
   }
 
+  // ---------------------------------------------------------------- q225
+
+  /** Q225: DISCOUNT-QUANTITY UPLIFT — per part brand: mean line
+    * quantity under meaningful discount (≥ 5 cents on the dollar) vs
+    * low discount, and the ratio of the two means in e3 — the promo-
+    * effectiveness contrast every merchandising readout runs (q164 is
+    * the randomized A/B version of this; here the "arm" is a natural
+    * pricing dimension, so it's the observational twin).
+    *
+    * All integer: quantity in exact hundredths (floor(q·100 + 0.5) —
+    * fixture quantities are integral so this is ×100), discount
+    * bucketed by its exact cents (the q190/q202 convention), means in
+    * e3 via cross-multiplied div, uplift = ratio of the ALREADY-
+    * FLOORED means (both engines fold identically, D6-safe; the
+    * bounded intermediate also keeps 100 TB sums inside BIGINT — a
+    * raw sum_hi·n_lo cross-product would not).
+    *
+    * Scale: one fact scan, one (brand)-keyed conditional partial-
+    * combining agg; part joins broadcast-or-shuffle on the fact key.
+    * Brands with an empty arm drop (guards the ANSI division). */
+  def q225DiscountUplift(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .join(load(spark, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      .select(col("p_brand"),
+        expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)").as("qc"),
+        when(expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)") >= 5,
+          1L).otherwise(0L).as("hi"))
+      .groupBy("p_brand")
+      .agg(sum(col("hi")).as("n_hi"),
+        sum(lit(1L) - col("hi")).as("n_lo"),
+        sum(when(col("hi") === 1L, col("qc")).otherwise(0L)).as("s_hi"),
+        sum(when(col("hi") === 0L, col("qc")).otherwise(0L)).as("s_lo"))
+      .filter(col("n_lo") > 0 && col("n_hi") > 0)
+      .select(col("p_brand"), col("n_lo"), col("n_hi"),
+        expr("(s_lo * 10) div n_lo").as("mean_lo_e3"),
+        expr("(s_hi * 10) div n_hi").as("mean_hi_e3"),
+        expr("(((s_hi * 10) div n_hi) * 1000) div " +
+          "((s_lo * 10) div n_lo)").as("uplift_e3"))
+      .orderBy("p_brand")
+
+  // ---------------------------------------------------------------- q227
+
+  /** Q227: SUPPLIER CONCENTRATION (HHI) per nation — revenue share of
+    * each supplier within its nation in floored ppm, then the
+    * Herfindahl–Hirschman index Σshare² (ppm scale) plus the top
+    * supplier's share. The procurement-risk readout (HHI > 0.25 ≡
+    * 250 000 ppm = "concentrated market"); q159's Gini measures spread
+    * over CUSTOMERS, this measures market power over SUPPLIERS — and
+    * the floored-share formulation keeps it bit-exact on both engines.
+    *
+    * Integer discipline: revenue in exact e4 (the q200 convention;
+    * per-supplier rev_e4·10⁶ holds in BIGINT to ~9·10¹² per-nation
+    * totals — beyond that the rollup moves to DECIMAL internally, the
+    * documented q160 path); shares floored ppm; HHI = Σppm² div 10⁶
+    * (≤ 10⁶ by construction).
+    *
+    * Scale: fact-sized (supplier, revenue) partial-combining agg →
+    * suppliers-sized frame; everything after is per-nation rollups on
+    * ≤|suppliers| rows. */
+  def q227SupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = load(spark, dir, "lineitem")
+      .join(load(spark, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        "l_suppkey")
+      .groupBy(col("s_nationkey"), col("l_suppkey"))
+      .agg((sum(lineRevenue) * lit(10000)).cast("long").as("rev_e4"))
+    val tot = rev.groupBy("s_nationkey")
+      .agg(sum(col("rev_e4")).as("tot"),
+        count(lit(1)).as("n_suppliers"))
+    val shares = rev.join(tot, "s_nationkey")
+      .select(col("s_nationkey"),
+        expr("(rev_e4 * 1000000) div tot").as("ppm"))
+    shares.groupBy("s_nationkey")
+      .agg(max(col("ppm")).as("top_share_ppm"),
+        expr("sum(ppm * ppm) div 1000000").as("hhi_ppm"))
+      .join(tot, "s_nationkey")
+      .join(broadcast(load(spark, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        "s_nationkey")
+      .select(col("n_name").as("nation"), col("n_suppliers"),
+        col("tot").as("rev_e4"), col("top_share_ppm"), col("hhi_ppm"))
+      .orderBy("nation")
+  }
+
   /** queries-map wiring for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_supplier_hhi" -> (q227SupplierHhi _),
+    "q225_discount_uplift" -> (q225DiscountUplift _),
     "q178_abc_class" -> (q178AbcClass _),
     "q216_abc_xyz" -> (q216AbcXyz _),
     "q196_revenue_bridge" -> (q196RevenueBridge _),
@@ -1746,6 +1834,58 @@ object Relational {
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
     * implementation-only → intentionally absent). */
   val oracle: Map[String, String] = Map(
+    // q227: same exact-e4 revenue collapse, same floored-ppm shares,
+    // same Σppm² div 1e6 (all BIGINT after the decimal sum).
+    "q227_supplier_hhi" ->
+      """WITH r AS (
+        |  SELECT s_nationkey, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1 - l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |      AS rev_e4
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT s_nationkey, CAST(SUM(rev_e4) AS BIGINT) AS tot,
+        |    CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        |  FROM r GROUP BY 1),
+        |s AS (
+        |  SELECT r.s_nationkey, (rev_e4 * 1000000) // tot AS ppm
+        |  FROM r JOIN t USING (s_nationkey)),
+        |g AS (
+        |  SELECT s_nationkey, CAST(MAX(ppm) AS BIGINT)
+        |      AS top_share_ppm,
+        |    CAST(SUM(ppm * ppm) AS BIGINT) // 1000000 AS hhi_ppm
+        |  FROM s GROUP BY 1)
+        |SELECT n_name AS nation, n_suppliers, tot AS rev_e4,
+        |  top_share_ppm, hhi_ppm
+        |FROM g JOIN t USING (s_nationkey)
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY nation""".stripMargin,
+    // q225: same exact-hundredths quantity, same disc-cents arm split,
+    // same floored-means ratio (all BIGINT, both engines fold alike).
+    "q225_discount_uplift" ->
+      """WITH f AS (
+        |  SELECT p_brand,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+        |    CASE WHEN CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |      >= 5 THEN 1 ELSE 0 END AS hi
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (
+        |  SELECT p_brand,
+        |    CAST(SUM(hi) AS BIGINT) AS n_hi,
+        |    CAST(SUM(1 - hi) AS BIGINT) AS n_lo,
+        |    CAST(SUM(CASE WHEN hi = 1 THEN qc ELSE 0 END) AS BIGINT)
+        |      AS s_hi,
+        |    CAST(SUM(CASE WHEN hi = 0 THEN qc ELSE 0 END) AS BIGINT)
+        |      AS s_lo
+        |  FROM f GROUP BY 1)
+        |SELECT p_brand, n_lo, n_hi,
+        |  (s_lo * 10) // n_lo AS mean_lo_e3,
+        |  (s_hi * 10) // n_hi AS mean_hi_e3,
+        |  (((s_hi * 10) // n_hi) * 1000) // ((s_lo * 10) // n_lo)
+        |    AS uplift_e3
+        |FROM a WHERE n_lo > 0 AND n_hi > 0
+        |ORDER BY p_brand""".stripMargin,
     // q200: the oracle unions per-tile scalars (DuckDB side only —
     // the Spark plan fuses same-table tiles into one scan); the
     // exact-decimal revenue and natural counts are all BIGINT.

@@ -981,7 +981,91 @@ object TextOps {
   def q201Kwic(spark: SparkSession, dir: String): DataFrame =
     kwic(load(spark, dir, "documents"), term = "scan", ctx = 2)
 
+  // ---------------------------------------------------------------- q223
+
+  /** Q223: DISTRIBUTION DRIFT between corpus halves — the
+    * length-bucket histogram of the first ingest half vs the second
+    * (q193's ranked halving), shares in ppm, per-bucket absolute gap,
+    * and a TOTAL row carrying the exact TOTAL VARIATION DISTANCE
+    * (Σ|s₁−s₂| div 2). The integer-exact stand-in for the PSI drift
+    * monitor (PSI needs ln; TVD is the metric bound underneath it) —
+    * the "did the corpus change under me" gate every continuously-fed
+    * training pipeline runs.
+    *
+    * Scale: one pruned (doc_id, n_chars) scan + the global ingest
+    * rank (calendar-thin at any SF ≡ one spill window); buckets are a
+    * ≤10-row frame. */
+  def q223DistDrift(spark: SparkSession, dir: String): DataFrame =
+    distDrift(load(spark, dir, "documents"))
+
+  /** DataFrame core of q223 — input needs (doc_id, n_chars). */
+  def distDrift(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("n_chars"))
+    val ranked = docs
+      .withColumn("rnk", row_number().over(Window.orderBy("doc_id"))
+        .cast("long"))
+    val half = docs.agg(expr("count(1) div 2").as("h"))
+    val buckets = ranked.crossJoin(broadcast(half))
+      .select(expr("least(n_chars div 100, 9)").as("bucket"),
+        when(col("rnk") <= col("h"), 1L).otherwise(0L).as("in1"))
+      .groupBy("bucket")
+      .agg(sum(col("in1")).as("n1"),
+        sum(lit(1L) - col("in1")).as("n2"))
+    val tot = buckets.agg(sum(col("n1")).as("t1"),
+      sum(col("n2")).as("t2"))
+    val shares = buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n1"), col("n2"),
+        expr("(n1 * 1000000) div t1").as("s1_ppm"),
+        expr("(n2 * 1000000) div t2").as("s2_ppm"))
+      .withColumn("d_ppm", abs(col("s1_ppm") - col("s2_ppm")))
+    val total = shares.agg(sum(col("n1")).as("n1"),
+        sum(col("n2")).as("n2"), sum(col("s1_ppm")).as("s1_ppm"),
+        sum(col("s2_ppm")).as("s2_ppm"),
+        expr("sum(d_ppm) div 2").as("d_ppm"))
+      .select(lit(-1L).as("bucket"), col("n1"), col("n2"),
+        col("s1_ppm"), col("s2_ppm"), col("d_ppm"))
+    shares.unionByName(total).orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------- q226
+
+  /** Q226: VOCABULARY HEAD-COVERAGE CURVE — for each power-of-two
+    * vocab budget 2⁰..2¹⁴: how many token OCCURRENCES the top-2ᵏ types
+    * cover (exact ppm). The tokenizer-design readout (pick the vocab
+    * size where the curve flattens = the OOV rate a budget buys);
+    * q156's spectrum slices the same distribution by frequency class,
+    * q183 by ingest order — this slices it by RANK, which is the axis
+    * vocab truncation actually operates on.
+    *
+    * Determinism: rank order (count desc, token asc) is total; all
+    * BIGINT; floor-ppm.
+    *
+    * Scale: one (token) partial-combining count (vocab-sized, ≪
+    * corpus), one vocab-sized spill-window rank+cumsum, budget filter
+    * to ≤15 rows. The corpus-sized work is the first agg only. */
+  def q226HeadCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val budgets = (0 to 14).map(1L << _)
+    val wc = load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = wc.agg(sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"))
+    wc.withColumn("rnk", row_number()
+        .over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
+      .withColumn("cum_tokens", sum(col("c")).over(Window
+        .orderBy(col("rnk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rnk").isin(budgets: _*))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk").as("vocab_budget"), col("cum_tokens"),
+        expr("(cum_tokens * 1000000) div n_tokens").as("coverage_ppm"),
+        col("n_types"), col("n_tokens"))
+      .orderBy("vocab_budget")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_head_coverage" -> (q226HeadCoverage _),
+    "q223_dist_drift" -> (q223DistDrift _),
     "q201_kwic" -> (q201Kwic _),
     "q177_tfidf_top" -> (q177TfidfTop _),
     "q183_vocab_growth" -> (q183VocabGrowth _),
@@ -1018,6 +1102,62 @@ object TextOps {
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
   val oracle: Map[String, String] = Map(
+    // q226: same (count desc, token asc) rank, same running sum,
+    // same power-of-two budget filter, floor-ppm (all BIGINT).
+    "q226_head_coverage" ->
+      """WITH c AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY w),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |             CAST(COUNT(*) AS BIGINT) AS n_types FROM c),
+        |r AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rnk,
+        |    cnt FROM c),
+        |cum AS (
+        |  SELECT rnk, CAST(SUM(cnt) OVER (ORDER BY rnk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_tokens
+        |  FROM r)
+        |SELECT rnk AS vocab_budget, cum_tokens,
+        |  (cum_tokens * 1000000) // n_tokens AS coverage_ppm,
+        |  n_types, n_tokens
+        |FROM cum, t
+        |WHERE rnk IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024,
+        |  2048, 4096, 8192, 16384)
+        |ORDER BY vocab_budget""".stripMargin,
+    // q223: same ingest-rank halving as q193, same floor-ppm shares,
+    // TOTAL row = exact TVD (all-BIGINT).
+    "q223_dist_drift" ->
+      """WITH ranked AS (
+        |  SELECT n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk
+        |  FROM documents),
+        |h AS (SELECT COUNT(*) // 2 AS hf FROM documents),
+        |b AS (
+        |  SELECT least(n_chars // 100, 9) AS bucket,
+        |    CAST(SUM(CASE WHEN rnk <= hf THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN rnk <= hf THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n2
+        |  FROM ranked, h GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+        |             CAST(SUM(n2) AS BIGINT) AS t2 FROM b),
+        |s AS (
+        |  SELECT bucket, n1, n2,
+        |    (n1 * 1000000) // t1 AS s1_ppm,
+        |    (n2 * 1000000) // t2 AS s2_ppm,
+        |    abs((n1 * 1000000) // t1 - (n2 * 1000000) // t2) AS d_ppm
+        |  FROM b, t)
+        |SELECT * FROM (
+        |  SELECT bucket, n1, n2, s1_ppm, s2_ppm, d_ppm FROM s
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(SUM(n1) AS BIGINT),
+        |    CAST(SUM(n2) AS BIGINT), CAST(SUM(s1_ppm) AS BIGINT),
+        |    CAST(SUM(s2_ppm) AS BIGINT),
+        |    CAST(SUM(d_ppm) AS BIGINT) // 2
+        |  FROM s)
+        |ORDER BY bucket""".stripMargin,
     // q201: 1-based positions via unnest(generate_series) in the
     // SELECT clause (DuckDB 1.0.0 rejects lateral table-fn column
     // args); list slices are 1-based inclusive and an empty window

@@ -475,7 +475,92 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q222
+
+  /** Q222: PEAK INGEST RATE — per event type: the busiest 1-minute
+    * bucket (count + which minute, ties → earliest), the mean
+    * per-ACTIVE-minute rate in e3, and the peak/mean burst ratio in
+    * e3. The capacity-planning readout (provision for peak, bill for
+    * mean); q161's Fano factor summarizes burstiness statistically,
+    * this names the actual worst minute. All integer; the argmax is
+    * the min(struct(-c, minute)) total tie order.
+    *
+    * Scale: one (type, minute)-keyed partial-combining count, then a
+    * type-keyed rollup over minutes ≪ events. */
+  def q222PeakRate(spark: SparkSession, dir: String): DataFrame =
+    peakRate(graft.Tables.events(spark, dir))
+
+  /** DataFrame core of q222 — input needs (event_type, ts_ns). */
+  def peakRate(events: DataFrame): DataFrame =
+    peakRollup(events
+      .select(col("event_type"),
+        expr("ts_ns div 60000000000").as("minute"))
+      .groupBy("event_type", "minute")
+      .agg(count(lit(1)).as("c")))
+
+  /** Rollup from per-(event_type, minute) counts to the q222 readout —
+    * factored out so the streaming twin's sink-side fold
+    * ([[graft.streaming.StreamOps.peakRateStream]] emits the
+    * per-minute counts; this folds them) is THE SAME code path as
+    * batch. */
+  def peakRollup(perMinute: DataFrame): DataFrame =
+    perMinute
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_active_minutes"),
+        sum(col("c")).as("n_events"),
+        min(struct((-col("c")).as("nc"), col("minute").as("m")))
+          .as("pk"))
+      .select(col("event_type"), col("n_active_minutes"),
+        col("n_events"), (-col("pk.nc")).as("peak_per_min"),
+        col("pk.m").as("peak_minute"),
+        expr("(n_events * 1000) div n_active_minutes")
+          .as("mean_per_min_e3"),
+        expr("((-pk.nc) * n_active_minutes * 1000) div n_events")
+          .as("burst_x1000"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------- q224
+
+  /** Q224: REPEAT-PURCHASE LATENCY — per market segment: the
+    * distribution (p50/p90 + count) of days between a customer's
+    * consecutive orders. q127 profiles event-arrival cadence and q214
+    * the order→ship lead; this is the CUSTOMER-lifecycle cadence — the
+    * number replenishment forecasting, churn-window sizing ("inactive"
+    * = p90 of the segment's reorder gap) and CRM cadence tuning read.
+    *
+    * Determinism: per-customer order sequence sorted by (orderdate,
+    * orderkey); the multiset of adjacent differences of a sorted
+    * multiset is tie-order invariant, so gap_days is total. Gaps of 0
+    * (same-day reorders) are data, not noise.
+    *
+    * Scale: one window pass over per-customer partitions (millions of
+    * tiny partitions, no global sort), one co-partitioned join to
+    * customer on the SAME key the window just partitioned by, then
+    * [[Percentiles.discByRank]]'s disk-spilling rank selection per
+    * segment — no per-group value buffer anywhere. */
+  def q224RepeatLatency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("dn"), col("o_orderkey"))
+    val gaps = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("dn"))
+      .withColumn("prev", lag(col("dn"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), (col("dn") - col("prev")).as("gap_days"))
+    val seg = gaps.join(
+      graft.Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      "o_custkey")
+    Percentiles.discByRank(seg, Seq("c_mktsegment"), "gap_days",
+      Seq(0.5 -> "p50_days", 0.9 -> "p90_days"),
+      countName = Some("n_gaps"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_repeat_latency" -> (q224RepeatLatency _),
+    "q222_peak_rate" -> (q222PeakRate _),
     "q203_seasonal_residuals" -> (q203SeasonalResiduals _),
     "q179_seasonal_adjust" -> (q179SeasonalAdjust _),
     "q172_acf" -> (q172Acf _),
@@ -491,6 +576,51 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q224: same (orderdate, orderkey) per-customer order, same
+    // day-number differencing, quantile_disc = discByRank boundary
+    // definition (the q42/q101 pin).
+    "q224_repeat_latency" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    datediff('day', DATE '1970-01-01',
+        |        CAST(o_orderdate AS DATE))
+        |      - LAG(datediff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE))) OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS gap_days
+        |  FROM orders)
+        |SELECT c_mktsegment, COUNT(*) AS n_gaps,
+        |  quantile_disc(gap_days, 0.5) AS p50_days,
+        |  quantile_disc(gap_days, 0.9) AS p90_days
+        |FROM g JOIN customer ON o_custkey = c_custkey
+        |WHERE gap_days IS NOT NULL
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // q222: same minute bucketing (epoch-ns div 60e9), same
+    // (count desc, minute asc) argmax, same cross-multiplied ratios.
+    "q222_peak_rate" ->
+      """WITH m AS (
+        |  SELECT event_type, epoch_ns(ts) // 60000000000 AS minute,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pk AS (
+        |  SELECT event_type, minute AS peak_minute, c AS peak_per_min
+        |  FROM (
+        |    SELECT event_type, minute, c, ROW_NUMBER() OVER (
+        |      PARTITION BY event_type ORDER BY c DESC, minute) AS rn
+        |    FROM m) WHERE rn = 1),
+        |agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT)
+        |      AS n_active_minutes,
+        |    CAST(SUM(c) AS BIGINT) AS n_events
+        |  FROM m GROUP BY 1)
+        |SELECT a.event_type, a.n_active_minutes, a.n_events,
+        |  p.peak_per_min, p.peak_minute,
+        |  (a.n_events * 1000) // a.n_active_minutes
+        |    AS mean_per_min_e3,
+        |  (p.peak_per_min * a.n_active_minutes * 1000) // a.n_events
+        |    AS burst_x1000
+        |FROM agg a JOIN pk p USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // q203: same dnum-7 seasonal self-join, same quantile_disc
     // median/MAD (the q101 boundary definition), integer throughout.
     "q203_seasonal_residuals" ->

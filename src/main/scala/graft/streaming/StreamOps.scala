@@ -519,6 +519,29 @@ object StreamOps {
     timestamp_seconds(bucket * widthSeconds)
   }
 
+  /** STREAMING PEAK-RATE FEED — q222's per-(event_type, minute) counts
+    * as a watermarked 1-minute tumbling aggregate in append mode: a
+    * minute's count row is emitted exactly once, when the watermark
+    * passes its end. The peak/mean/burst readout is NOT computed in
+    * the stream (an all-time argmax never finalizes under append
+    * semantics); the sink folds emitted rows through
+    * [[graft.operators.TimeSeries.peakRollup]] — the SAME second-stage
+    * code batch q222 runs, so batch ≡ stream is structural
+    * (StreamingSpec pins it on a MemoryStream replay with the peak
+    * minute split across two batches).
+    *
+    * State: #open windows × #types — bounded by the watermark.
+    * `minute` = unix_micros(window.start) div 60e6 ≡ ts_ns div 60e9
+    * for every event in the window, the exact batch bucketing. */
+  def peakRateStream(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        expr("unix_micros(window.start) div 60000000").as("minute"),
+        col("c"))
+
   /** STREAM-STATIC AS-OF JOIN (round-3 verdict item 9): each streaming
     * event picks up the latest static-dimension row with
     * `right.ts <= event.ts` for its key — "join events to the snapshot

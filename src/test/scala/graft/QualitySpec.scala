@@ -68,6 +68,45 @@ class QualitySpec extends SparkSpecBase {
     assert(got.map(_._2).sum == total)
   }
 
+  test("q221 join cardinality golden: planted duplicate keys, a " +
+      "disjoint key, and a self-join multiply exactly") {
+    import spark.implicits._
+    // L keys [1,1,2,3], R keys [1,2,2,4]:
+    //   matched keys {1,2}; |L⋈R| = 2·1 + 1·2 = 4; amp = 4·1000/4.
+    val l = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val r = Seq(1L, 2L, 2L, 4L).toDF("k")
+    val got = Quality.joinCardinality(Seq(("t", l, "k", r, "k")))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(got.toSeq == Seq(("t", 4L, 4L, 2L, 4L, 1000L)))
+    // empty intersection → zero rows predicted, never null
+    val r2 = Seq(9L).toDF("k")
+    val z = Quality.joinCardinality(Seq(("z", l, "k", r2, "k")))
+      .collect().head
+    assert(z.getLong(3) == 0L && z.getLong(4) == 0L &&
+      z.getLong(5) == 0L)
+  }
+
+  test("q221 law: the predicted join_rows EQUALS the row count of " +
+      "actually executing each join on the fixture") {
+    import org.apache.spark.sql.functions._
+    val rows = Quality.q221JoinCardinality(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    def cnt(lt: String, lk: String, rt: String, rk: String): Long =
+      graft.Tables.load(spark, sf, lt).select(col(lk).as("k"))
+        .join(graft.Tables.load(spark, sf, rt)
+          .select(col(rk).as("k")), "k")
+        .count()
+    assert(rows("customer.c_custkey=orders.o_custkey") ==
+      cnt("customer", "c_custkey", "orders", "o_custkey"))
+    assert(rows("orders.o_orderkey=lineitem.l_orderkey") ==
+      cnt("orders", "o_orderkey", "lineitem", "l_orderkey"))
+    assert(rows("part.p_partkey=lineitem.l_partkey") ==
+      cnt("part", "p_partkey", "lineitem", "l_partkey"))
+    assert(rows("lineitem.l_partkey=lineitem.l_partkey") ==
+      cnt("lineitem", "l_partkey", "lineitem", "l_partkey"))
+  }
+
   test("q163 k-anonymity == driver recomputation over QI classes, " +
       "monotone in k") {
     import org.apache.spark.sql.functions._

@@ -419,6 +419,44 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(fSql("events: user_id->event_type") == 0L)
   }
 
+  test("round-9 batch-5 view builders (join cardinality / peak rate / " +
+      "dist drift): SQL ≡ Scala operator") {
+    SqlSurface.registerTables(spark, sf)
+
+    SqlSurface.createJoinCardinalityView(spark,
+      Seq(("o=l", "orders", "o_orderkey", "lineitem", "l_orderkey")),
+      "jcard")
+    val jSql = spark.sql(
+        "SELECT join_key, join_rows, amp_x1000 FROM jcard")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val jDir = graft.operators.Quality.joinCardinality(
+        Seq(("o=l", spark.table("orders"), "o_orderkey",
+          spark.table("lineitem"), "l_orderkey")))
+      .select("join_key", "join_rows", "amp_x1000")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(jSql.toSeq == jDir.toSeq && jSql.nonEmpty)
+
+    SqlSurface.createPeakRateView(spark, "events", "peak")
+    val pSql = spark.sql(
+        "SELECT event_type, peak_per_min, peak_minute FROM peak")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val pDir = graft.operators.TimeSeries.q222PeakRate(spark, sf)
+      .select("event_type", "peak_per_min", "peak_minute")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pSql == pDir && pSql.nonEmpty)
+
+    SqlSurface.createDistDriftView(spark, "documents", "drift")
+    val dSql = spark.sql("SELECT bucket, d_ppm FROM drift")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dDir = graft.operators.TextOps.q223DistDrift(spark, sf)
+      .select("bucket", "d_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dSql == dDir && dSql.contains(dSql.find(_._1 == -1L).get))
+    assert(dSql.exists(_._1 == -1L), "TOTAL row present")
+  }
+
   test("z-order write view builder: SQL box query scans the z-laid-out " +
       "files and matches a direct scan (advice r5)") {
     SqlSurface.registerTables(spark, sf)

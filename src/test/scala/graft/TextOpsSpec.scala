@@ -275,6 +275,36 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got == Seq(("hot", 30L)))
   }
 
+  test("q223 distribution drift == driver recomputation: floor-ppm " +
+      "shares per half, TVD total row, counts conserve") {
+    val docs = load(spark, sf, "documents")
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val h = docs.length / 2
+    def hist(xs: Array[(Long, Long)]): Map[Long, Long] =
+      xs.groupBy { case (_, nc) => math.min(nc / 100L, 9L) }
+        .view.mapValues(_.length.toLong).toMap
+    val (h1, h2) = (hist(docs.take(h)), hist(docs.drop(h)))
+    val (t1, t2) = (h.toLong, (docs.length - h).toLong)
+    val buckets = (h1.keySet ++ h2.keySet).toSeq.sorted
+    val expect = buckets.map { b =>
+      val (n1, n2) = (h1.getOrElse(b, 0L), h2.getOrElse(b, 0L))
+      val (s1, s2) = (n1 * 1000000L / t1, n2 * 1000000L / t2)
+      b -> (n1, n2, s1, s2, math.abs(s1 - s2))
+    }.toMap
+    val rows = TextOps.q223DistDrift(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    buckets.foreach(b => assert(rows(b) == expect(b), s"bucket $b"))
+    // TOTAL row: counts conserve, d_ppm is the exact TVD
+    val tot = rows(-1L)
+    assert(tot._1 == t1 && tot._2 == t2)
+    assert(tot._5 == expect.values.map(_._5).sum / 2L)
+    // TVD is a [0, 1e6] metric
+    assert(tot._5 >= 0L && tot._5 <= 1000000L)
+  }
+
   test("q156 frequency spectrum == driver recomputation, and buckets " +
       "conserve the vocab and token mass") {
     val texts = load(spark, sf, "documents")

@@ -148,6 +148,31 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("q222 peak rate == driver recomputation of the per-minute " +
+      "argmax (ties → earliest) and cross-multiplied ratios") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("ts_ns div 60000000000").as("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1).view.mapValues { rs =>
+      val perMin = rs.groupBy(_._2).view
+        .mapValues(_.length.toLong).toMap
+      val (pkMin, pkC) = perMin.toSeq
+        .minBy { case (m, c) => (-c, m) } // count desc, minute asc
+      val n = rs.length.toLong
+      val act = perMin.size.toLong
+      (act, n, pkC, pkMin, n * 1000L / act, pkC * act * 1000L / n)
+    }.toMap
+    val got = graft.operators.TimeSeries.q222PeakRate(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == byType)
+    // burst ratio ≥ mean by construction (peak ≥ mean per-active-min)
+    got.values.foreach { case (_, _, _, _, _, burst) =>
+      assert(burst >= 1000L)
+    }
+  }
+
   test("q157: arithmetic weekday matches java.time on the fixture " +
       "dates, and weekly margins reconcile") {
     import java.time.LocalDate
