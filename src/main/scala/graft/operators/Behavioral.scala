@@ -852,8 +852,15 @@ object Behavioral {
     * raw transition counts only imply. Every step is integer multiply/
     * truncating-divide/sum — bit-identical in any engine (the q93
     * PageRank discipline), so the oracle unrolls the same 5 rounds as
-    * chained CTEs. Mass truncates at each div (documented: ppm totals
-    * drift below 10⁶, exactly like q93's floor loss).
+    * chained CTEs. Mass truncates at each div (ppm totals drift below
+    * 10⁶, like q93's floor loss) — and a SINK state (no outgoing
+    * transitions) DELETES its inbound mass entirely on the next round:
+    * `edges.join(pi, "s")` has no row for it, stronger than truncation.
+    * The oracle mirrors the same join so the gate holds either way; the
+    * events fixture has no sinks (every observed type also appears as a
+    * source), so output is unaffected. A production chain wanting
+    * mass conservation would add an implicit self-loop per sink before
+    * iterating.
     *
     * Scale: the state space is the event-type alphabet — every frame
     * after the one events scan is |S|- or |S|²-sized; iterations

@@ -523,7 +523,7 @@ object TimeSeries {
 
   /** Q224: REPEAT-PURCHASE LATENCY — per market segment: the
     * distribution (p50/p90 + count) of days between a customer's
-    * consecutive orders. q127 profiles event-arrival cadence and q214
+    * consecutive orders. q127 profiles event-arrival cadence and q209
     * the order→ship lead; this is the CUSTOMER-lifecycle cadence — the
     * number replenishment forecasting, churn-window sizing ("inactive"
     * = p90 of the segment's reorder gap) and CRM cadence tuning read.

@@ -299,8 +299,9 @@ class StatsSpec extends SparkSpecBase {
   }
 
   test("q206 feature correlations: |r| bounded by 1e6, n_rows equals " +
-      "the lineitem count on every pair row, price~qty strongly " +
-      "positive (extendedprice is qty-proportional by construction)") {
+      "the lineitem count on every pair row, all three pair names " +
+      "present (fixture draws the columns independently, so no sign " +
+      "is pinned)") {
     val rows = Stats.q206FeatureCorr(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.length == 3)
