@@ -37,6 +37,18 @@ object Mix {
   def adds(n: Int): Array[Long] =
     Array.tabulate(n)(i => splitmix64(i.toLong * 2 + 1))
 
+  /** ENGINE-SHARED universal-hash family over Z_P (P = 10⁹+7, the
+    * q95/tx4 polynomial-fold modulus): multipliers in [1, P−1] and
+    * addends in [0, P−1], splitmix64-seeded. These are the constants
+    * `graft_minhash_mod` / `graft_simhash_mod` use AND the literal
+    * arrays the DuckDB oracles inline (Dedup.sharedA/sharedB render
+    * them), so both engines evaluate the identical (a·x + b) mod P. */
+  val P: Long = 1000000007L
+  def modMults(n: Int): Array[Long] =
+    Array.tabulate(n)(i => Math.floorMod(splitmix64(i.toLong * 2), P - 1) + 1)
+  def modAdds(n: Int): Array[Long] =
+    Array.tabulate(n)(i => Math.floorMod(splitmix64(i.toLong * 2 + 1), P))
+
   def hashUtf8(s: UTF8String): Long =
     org.apache.spark.unsafe.hash.Murmur3_x86_32
       .hashUnsafeBytes2(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
@@ -133,6 +145,80 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
       newChild: Expression): MinHashSignatureExpr = copy(child = newChild)
 }
 
+/** array<long> → array<long> ENGINE-SHARED MinHash signature: element
+  * values are expected in [0, P) (graft_polyhash outputs), permutation k
+  * is the universal hash (modMults(k)·x + modAdds(k)) mod P — arithmetic
+  * any SQL engine replays exactly (DuckDB: nested list_transform over
+  * inline constant arrays), unlike the wrapping-multiply production
+  * signature. Same tight one-loop-per-row shape as
+  * [[MinHashSignatureExpr]]; the mod costs ~2× but stays scan-speed. */
+case class MinHashModExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  private lazy val mults = Mix.modMults(numHashes)
+  private lazy val adds = Mix.modAdds(numHashes)
+
+  override def prettyName: String = "graft_minhash_mod"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<long>, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = Math.floorMod(arr.getLong(i), Mix.P)
+        var k = 0
+        while (k < numHashes) {
+          val v = (mults(k) * x + adds(k)) % Mix.P // < P² ≪ 2⁶³, no wrap
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("minhashModMults", mults, "long[]")
+      val ad = ctx.addReferenceObj("minhashModAdds", adds, "long[]")
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val x = ctx.freshName("x"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $x = Math.floorMod($a.getLong($i), 1000000007L);
+         |    for (int $k = 0; $k < $numHashes; $k++) {
+         |      long $v = ($m[$k] * $x + $ad[$k]) % 1000000007L;
+         |      if ($v < $mins[$k]) $mins[$k] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashModExpr = copy(child = newChild)
+}
+
 /** array<string> → long 64-bit SimHash (sign of per-bit ±1 votes). */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression {
@@ -199,6 +285,89 @@ case class SimHash64Expr(child: Expression)
       newChild: Expression): SimHash64Expr = copy(child = newChild)
 }
 
+/** array<long> → array<long> ENGINE-SHARED SimHash as 4 × 16-bit band
+  * values: token hashes (graft_polyhash per occurrence — multiplicity
+  * counts) vote ±1 on each of 64 bits via the parity of the universal
+  * hash (modMults(j)·x + modAdds(j)) mod P; bit j of the signature is
+  * votes(j) > 0, packed as band b = Σ_{j∈[16b,16b+16)} bit_j·2^(j−16b).
+  * Band values stay in [0, 2¹⁶) — always positive, so the DuckDB replay
+  * (relational votes: per-distinct-token counts × 64 parity rows)
+  * needs no sign care, unlike a single packed 64-bit long. */
+case class SimHashModExpr(child: Expression) extends UnaryExpression {
+
+  private lazy val mults = Mix.modMults(64)
+  private lazy val adds = Mix.modAdds(64)
+
+  override def prettyName: String = "graft_simhash_mod"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<long>, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = Math.floorMod(arr.getLong(i), Mix.P)
+        var j = 0
+        while (j < 64) {
+          if ((mults(j) * x + adds(j)) % Mix.P % 2L == 1L) votes(j) += 1
+          else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Long](4)
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out(j / 16) |= (1L << (j % 16))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("simhashModMults", mults, "long[]")
+      val ad = ctx.addReferenceObj("simhashModAdds", adds, "long[]")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
+      val x = ctx.freshName("x"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $votes = new long[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $x = Math.floorMod($a.getLong($i), 1000000007L);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      if (($m[$j] * $x + $ad[$j]) % 1000000007L % 2L == 1L)
+         |        $votes[$j]++; else $votes[$j]--;
+         |    }
+         |  }
+         |}
+         |long[] $out = new long[4];
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) $out[$j / 16] |= (1L << ($j % 16));
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashModExpr = copy(child = newChild)
+}
+
 /** array<float|double> → long: packed sign bits of `planes` pseudo-random
   * hyperplane projections (plane (p,i) weight = ±1 from splitmix64 parity,
   * matching VectorOps.hyperplaneSignature semantics in spirit but one
@@ -263,6 +432,27 @@ object SignatureExprs {
             n.eval().asInstanceOf[Number].intValue())
           case other => throw new IllegalArgumentException(
             s"graft_minhash takes (array, numHashes), got ${other.length} args")
+        }
+      }),
+    (FunctionIdentifier("graft_minhash_mod"),
+      new ExpressionInfo(classOf[MinHashModExpr].getName,
+        "graft_minhash_mod"),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(arr, n) => MinHashModExpr(arr,
+            n.eval().asInstanceOf[Number].intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_mod takes (array, numHashes), got ${other.length} args")
+        }
+      }),
+    (FunctionIdentifier("graft_simhash_mod"),
+      new ExpressionInfo(classOf[SimHashModExpr].getName,
+        "graft_simhash_mod"),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(arr) => SimHashModExpr(arr)
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash_mod takes (array), got ${other.length} args")
         }
       }),
     (FunctionIdentifier("graft_hyperplane"),

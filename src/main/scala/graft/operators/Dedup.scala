@@ -133,6 +133,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold), withSh)
   }
 
+  /** ENGINE-SHARED MinHash+LSH pairs — the ORACLE-GATED form of
+    * [[minhashPairs]] (round-10 flip of the q34c/q151b deterministic-
+    * config playbook onto the LSH family): shingles hash via the
+    * q95/tx4 polynomial fold (`graft_polyhash`, base 31 mod 10⁹+7) and
+    * permutation k is the universal hash (aₖ·x + bₖ) mod P
+    * (`graft_minhash_mod`, constants Mix.modMults/modAdds — the same
+    * literals the DuckDB oracle inlines), so the SIGNATURES, the band
+    * collisions, and therefore the exact candidate-pair set are
+    * bit-identical in any engine that can do BIGINT arithmetic. Band
+    * keys are the raw r-slices of the signature compared by array
+    * equality — no second-level hash to diverge on. Same scale shape
+    * as the production path: slim (doc_id, band, slice) band join,
+    * hash-set verification join, never O(n²). Recall at a given
+    * jaccard is the standard 1−(1−j^r)^b S-curve — UNCHANGED — but the
+    * oracle replays the identical banding, so the gate is exact. */
+  def minhashPairsShared(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    graft.functions.SignatureExprs.register(docs.sparkSession)
+    val r = numHashes / bands
+    val withSh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        array_distinct(transform(shinglesOf(col("w"), k),
+          s => call_function("graft_polyhash", s))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sig projected ONCE (a transform-lambda reference would re-run the
+    // signature expression per band — the tokenize-once rule's cousin).
+    val banded = withSh
+      .select(col("doc_id"),
+        call_function("graft_minhash_mod", col("sh"), lit(numHashes))
+          .as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * lit(r) + 1, lit(r))))
+          .as(Seq("band", "bkey")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    finishAndRelease(cand
+      .join(withSh.as("va"), col("doc_a") === col("va.doc_id"))
+      .join(withSh.as("vb"), col("doc_b") === col("vb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("va.sh"), col("vb.sh"))).cast("double") /
+          size(array_union(col("va.sh"), col("vb.sh"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold), withSh)
+  }
+
   /** EXACT dedup at scale: shuffle (content-hash, doc_id) pairs — never
     * document bodies — and keep the lowest doc_id per hash (the SCALE.md
     * "hash-first" form of dropDuplicates; collision odds n²/2⁶⁵ accepted,
@@ -388,6 +439,42 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** ENGINE-SHARED SimHash pairs — the ORACLE-GATED form of
+    * [[simhashPairs]]: token hashes via `graft_polyhash` (one hash per
+    * OCCURRENCE — multiplicity votes, matching classic SimHash), bit j
+    * votes by the parity of (aⱼ·x + bⱼ) mod P (`graft_simhash_mod`,
+    * same Mix.modMults/modAdds constants the oracle inlines), signature
+    * carried as 4 × 16-bit band values (always positive — no BIGINT
+    * sign traps in SQL). Candidates by band equality (pigeonhole: any
+    * pair within Hamming 3 of 64 bits agrees on ≥ 1 of 4 bands — exact
+    * recall at maxHamming ≤ 3), verified by summed per-band
+    * bit_count(xor). The DuckDB replay is fully relational (per-
+    * distinct-token counts × 64 parity rows → votes → packed bands), so
+    * the gate is exact. */
+  def simhashPairsShared(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    graft.functions.SignatureExprs.register(docs.sparkSession)
+    val sigs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        call_function("graft_simhash_mod",
+          transform(col("w"), t => call_function("graft_polyhash", t)))
+          .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(col("sig")).as(Seq("band", "bkey")))
+    val pairs = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band")
+        && col("a.bkey") === col("b.bkey")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        aggregate(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, h) => acc + h).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    finishAndRelease(pairs, sigs)
   }
 
   /** Exact n-gram Jaccard with AllPairs-style PREFIX FILTERING (Bayardo
@@ -851,7 +938,9 @@ object Dedup {
         .localCheckpoint(true))
 
   /** Same memoization for the LSH pair set shared by q33a/q33e (the
-    * survivor query is the pair set plus one anti-join). */
+    * survivor query is the pair set plus one anti-join). Round 10: the
+    * memo holds the ENGINE-SHARED pair set ([[minhashPairsShared]]) —
+    * both queries now sit under the hard DuckDB oracle. */
   private val lshPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -863,14 +952,14 @@ object Dedup {
 
   def lshPairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsCache.getOrElseUpdate((spark, dir),
-      minhashPairs(docsWithNearDups(load(spark, dir, "documents")))
+      minhashPairsShared(docsWithNearDups(load(spark, dir, "documents")))
         .localCheckpoint(true))
 
   def q33aMinhash(spark: SparkSession, dir: String): DataFrame =
     lshPairs(spark, dir).orderBy("doc_a", "doc_b")
 
   def q33bSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(docsWithNearDups(load(spark, dir, "documents")))
+    simhashPairsShared(docsWithNearDups(load(spark, dir, "documents")))
       .orderBy("doc_a", "doc_b")
 
   def q33cNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -993,10 +1082,11 @@ object Dedup {
       .select("doc_id").orderBy("doc_id")
   }
 
-  /** q33a/b/d/e are implementation-only (LSH candidate generation is
-    * algorithmic — recall < 1 by design, so no SQL oracle can equal it).
-    * q33c IS exact, so it is hash-gated against a DuckDB list-function
-    * formulation (see `oracle`). */
+  /** q33d is implementation-only (embedding LSH buckets are
+    * engine-specific). q33a/b/e flipped under the hard oracle in round
+    * 10: their signatures ride the engine-shared mod-P universal-hash
+    * family, so the exact candidate set — recall < 1 and all — is
+    * replayable in DuckDB SQL. q33c was always exact. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33a_minhash_pairs" -> (q33aMinhash _),
     "q33b_simhash_pairs" -> (q33bSimhash _),
@@ -1052,7 +1142,128 @@ object Dedup {
       |  SELECT e.dst, re.r FROM edges e JOIN reach re ON e.src = re.node)"""
       .stripMargin
 
+  /** The engine-shared universal-hash constants rendered as DuckDB list
+    * literals — SAME arrays `graft_minhash_mod`/`graft_simhash_mod`
+    * embed, so the single source of truth is Mix.modMults/modAdds. */
+  private val sqlA: String =
+    graft.functions.Mix.modMults(64).mkString("[", ",", "]")
+  private val sqlB: String =
+    graft.functions.Mix.modAdds(64).mkString("[", ",", "]")
+
+  /** Shared CTE prefix of the q33a/q33e oracles: derived corpus →
+    * polyhashed 3-shingle sets → RELATIONAL minhash (unnest × 64
+    * permutations → per-(doc,k) MIN) → 16 ordered 4-slice band keys →
+    * band-collision candidates → exact-jaccard verification. The same
+    * postings shape the Spark side runs — no O(n²) self-join. */
+  private val minhashCtes: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(string_split(text, ' ')[1:greatest(
+       |      len(string_split(text, ' ')) - 3, 1)], ' ')
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_distinct(list_transform(
+       |        range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+       |        i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))),
+       |      g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, len(g) + 1),
+       |          j -> CAST(ord(substr(g, j, 1)) AS BIGINT))),
+       |        (h, c) -> (h * 31 + c) % 1000000007))) AS hs
+       |  FROM corpus),
+       |ex AS (SELECT doc_id, unnest(hs) AS x FROM sh),
+       |sigr AS (
+       |  SELECT doc_id, k,
+       |    MIN((($sqlA)[k+1] * x + ($sqlB)[k+1]) % 1000000007) AS s
+       |  FROM ex CROSS JOIN (SELECT unnest(range(0, 64)) AS k) kt
+       |  GROUP BY doc_id, k),
+       |bnd AS (
+       |  SELECT doc_id, k // 4 AS band, list(s ORDER BY k) AS bkey
+       |  FROM sigr GROUP BY doc_id, k // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bnd a JOIN bnd b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |lsh_raw AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+       |    CAST(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))
+       |      AS DOUBLE) AS jaccard
+       |  FROM cand
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id),
+       |lsh_pairs AS (SELECT * FROM lsh_raw WHERE jaccard >= 0.5)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    // q33a (round 10): the engine-shared MinHash replayed relationally —
+    // identical polyhash shingle values, identical (a·x+b) mod P
+    // signatures, identical band collisions, so the exact pair set (and
+    // its recall<1) hash-matches.
+    "q33a_minhash_pairs" ->
+      (minhashCtes + """
+        |SELECT doc_a, doc_b, jaccard FROM lsh_pairs
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // q33e: survivors of greedy keep-lowest-id removal over the SAME
+    // shared LSH pair set.
+    "q33e_dedup_survivors" ->
+      (minhashCtes + """
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_b FROM lsh_pairs)
+        |ORDER BY doc_id""".stripMargin),
+    // q33b (round 10): engine-shared SimHash — per-occurrence polyhash
+    // token votes via universal-hash parity, 4×16-bit packed bands,
+    // band-collision candidates, bit_count(xor) Hamming verify.
+    "q33b_simhash_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    array_to_string(string_split(text, ' ')[1:greatest(
+         |      len(string_split(text, ' ')) - 3, 1)], ' ')
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, h, COUNT(*) AS c FROM (
+         |    SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, len(w) + 1),
+         |        i -> CAST(ord(substr(w, i, 1)) AS BIGINT))),
+         |      (hh, ch) -> (hh * 31 + ch) % 1000000007) AS h
+         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |          FROM corpus))
+         |  GROUP BY doc_id, h),
+         |votes AS (
+         |  SELECT doc_id, j,
+         |    CAST(SUM(CASE WHEN (($sqlA)[j+1] * h + ($sqlB)[j+1])
+         |          % 1000000007 % 2 = 1
+         |        THEN c ELSE -c END) AS BIGINT) AS v
+         |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jt
+         |  GROUP BY doc_id, j),
+         |bnd AS (
+         |  SELECT doc_id, j // 16 AS band,
+         |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (j % 16))
+         |      ELSE 0 END) AS BIGINT) AS bkey
+         |  FROM votes GROUP BY doc_id, j // 16),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bnd a JOIN bnd b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sig AS (
+         |  SELECT doc_id, list(bkey ORDER BY band) AS sg
+         |  FROM bnd GROUP BY doc_id),
+         |ham AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(bit_count(xor(sa.sg[1], sb.sg[1]))
+         |       + bit_count(xor(sa.sg[2], sb.sg[2]))
+         |       + bit_count(xor(sa.sg[3], sb.sg[3]))
+         |       + bit_count(xor(sa.sg[4], sb.sg[4])) AS BIGINT) AS hamming
+         |  FROM cand
+         |  JOIN sig sa ON doc_a = sa.doc_id
+         |  JOIN sig sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // q137: same derived incoming batch (truncated vs first-half), same
     // shingling as q33c, jaccard over shingle STRING sets (the Spark
     // side hashes — equal absent ~n²/2⁶⁴ collisions), existing×incoming

@@ -56,6 +56,52 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh.size.toDouble / exact.size > 0.9)
   }
 
+  test("SHARED minhash (mod-P family): planted recall high, verified " +
+      "jaccard ≥ 0.5, subset of exact pairs") {
+    val pairs = Dedup.minhashPairsShared(Dedup.docsWithNearDups(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.forall(_._3 >= 0.5))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val recall = planted(500).count(found.contains).toDouble / 500
+    assert(recall > 0.95, s"recall $recall")
+    val exact = Dedup.ngramJaccardPairs(Dedup.docsWithNearDups(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(exact))
+  }
+
+  test("graft_minhash_mod ≡ driver-side (a·x+b) mod P fold on a hand frame") {
+    graft.functions.SignatureExprs.register(spark)
+    val xs = Seq(0L, 1L, 999999999L, 123456789L)
+    val df = spark.range(1).select(
+      call_function("graft_minhash_mod",
+        array(xs.map(lit): _*), lit(8)).as("sig"))
+    val got = df.collect()(0).getSeq[Long](0)
+    val P = graft.functions.Mix.P
+    val a = graft.functions.Mix.modMults(8)
+    val b = graft.functions.Mix.modAdds(8)
+    val want = (0 until 8).map(k => xs.map(x => (a(k) * x + b(k)) % P).min)
+    assert(got == want)
+  }
+
+  test("SHARED simhash ≡ brute-force hamming ≤ 3 over the shared " +
+      "signature (pigeonhole exactness)") {
+    graft.functions.SignatureExprs.register(spark)
+    val corpus = Dedup.docsWithNearDups(docs)
+    val sigs = corpus.select(col("doc_id"),
+      call_function("graft_simhash_mod",
+        transform(split(col("text"), " "),
+          t => call_function("graft_polyhash", t))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = sa.zip(sb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    val got = Dedup.simhashPairsShared(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"only-got=${got -- brute} only-brute=${brute -- got}")
+  }
+
   test("simhash multi-band LSH is EXACT for hamming ≤ 3 (pigeonhole)") {
     val corpus = Dedup.docsWithNearDups(docs)
     val found = Dedup.simhashPairs(corpus).collect()
