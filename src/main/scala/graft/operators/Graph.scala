@@ -53,70 +53,83 @@ object Graph {
   val DefaultBasketCap = 512
 
   /** Within-group ordered item pairs (a < b), one output row per pair
-    * per group — exact for ANY cap, task-bounded for every cap.
+    * per group — exact for ANY cap and ANY routing, task- AND
+    * row-width-bounded for every cap.
     *
-    * Input: (k, it) rows, not necessarily distinct per group
-    * (collect_set dedups). Two plans by group size:
+    * Input: (k, it) rows, not necessarily distinct per group. Groups
+    * are ROUTED by key onto one of two exact plans:
     *
-    *  - **size ≤ cap (fast path)**: one k-keyed shuffle collects each
-    *    group's sorted distinct item array map-side, then streams the
-    *    C(sz, 2) ordered pairs with posexplode + per-row slice (no
+    *  - **array path (small groups)**: one k-keyed shuffle collects
+    *    each group's sorted distinct item array map-side, then streams
+    *    the C(sz, 2) ordered pairs with posexplode + per-row slice (no
     *    per-row pair-array materialization — the G1
     *    humongous-allocation trap).
-    *  - **size > cap (whale path)**: a bot/whale group with 10⁵
-    *    distinct items is a ~5·10⁹-pair enumeration — as ONE array row
-    *    that is a single task and a multi-hundred-KB aggregation
-    *    buffer, the last single-task quadratic this repo had. Instead
-    *    the sorted array is split into ⌈sz/cap⌉ index CHUNKS and pairs
-    *    are enumerated per chunk TILE (ci ≤ cj): each side replicates
-    *    its rows to the tiles it participates in (left: cj ∈
-    *    [c, maxc]; right: ci ∈ [0, c]) and the equi-join on
-    *    (k, ci, cj) makes every tile its own join key — ≤ cap² pairs
-    *    per task, C(sz,2) total, no tile ever sees the whole whale.
-    *    Because the array is sorted, position order = item order, so
-    *    `ci < cj OR i < j` IS `a < b` — no value comparison, no ties.
+    *  - **tile path (whale groups)**: a bot/whale group with 10⁷
+    *    distinct items is never materialized as a row AT ALL (round 10
+    *    — the round-9 residual closed): the distinct (k, it) rows get
+    *    their position i from a rank window (one disk-spilling sort
+    *    per whale key, constant row width) and chunk id c = i div cap;
+    *    pairs are enumerated per chunk TILE (ci ≤ cj) by an equi-join
+    *    on (k, ci, cj) — ≤ cap² pairs per task, C(sz, 2) total, and no
+    *    aggregation buffer is ever basket-sized. Rank order = item
+    *    order, so `ci < cj OR i < j` IS `a < b` — no ties.
     *
-    * The union is exact: every group takes exactly one path, and both
-    * paths emit each unordered pair exactly once in sorted order
-    * (GraphSpec pins capped ≡ uncapped plus a planted whale basket
-    * with bounded tile width — the q102/q137 df-cap playbook applied
-    * to basket enumeration). */
+    * Routing is by an approx_count_distinct(it) > cap/2 key set — a
+    * partial-combining HLL agg over slim (k, it) rows, never the data
+    * itself. Routing is PERF-ONLY: both paths enumerate exactly the
+    * ordered pairs of whatever keys they are given (the tile path has
+    * no size filter, the array path no size cap), so an HLL
+    * misestimate can only move a borderline group's plan, never a
+    * pair. The cap/2 margin means a true whale would need a 50% HLL
+    * undercount (≫ 10σ at rsd 0.05) to reach the array path at even
+    * 2·cap width. GraphSpec pins capped ≡ uncapped, tile widths, and
+    * the collect_set-free whale plan. */
   private[graft] def groupedOrderedPairs(pairs: DataFrame,
       cap: Int): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
-    val baskets = pairs
-      .groupBy(col("k"))
-      .agg(sort_array(collect_set(col("it"))).as("w"))
-      .filter(size(col("w")) >= 2)
     // Explicit partition count: these frames are tiny in bytes but fan
     // out C(k, 2) pair rows each — AQE's size-based coalescing would
     // run the explode on one partition (user-specified counts are
     // exempt).
     val nPart = pairs.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    val small = baskets
-      .filter(size(col("w")) <= cap)
+    val whaleKeys = pairs.groupBy(col("k"))
+      .agg(approx_count_distinct(col("it")).as("ad"))
+      .filter(col("ad") > cap / 2)
+      .select("k")
+    val small = pairs.join(whaleKeys, Seq("k"), "left_anti")
+      .groupBy(col("k"))
+      .agg(sort_array(collect_set(col("it"))).as("w"))
+      .filter(size(col("w")) >= 2)
       .repartition(nPart, col("k"))
       .select(posexplode(col("w")).as(Seq("i", "a")), col("w"))
       .select(col("a"), explode(slice(col("w"), col("i") + 2,
         size(col("w")))).as("b"))
-    small.unionAll(whalePairTiles(baskets, cap, nPart)
-      .select(col("a"), col("b")))
+    small.unionAll(
+      whalePairTiles(pairs.join(whaleKeys, Seq("k"), "left_semi"),
+        cap, nPart)
+        .select(col("a"), col("b")))
   }
 
-  /** The whale-path tile join of [[groupedOrderedPairs]], with the
+  /** The tile-join path of [[groupedOrderedPairs]], with the
     * (k, ci, cj) tile key retained so GraphSpec can pin per-tile
-    * width ≤ cap². */
-  private[graft] def whalePairTiles(baskets: DataFrame, cap: Int,
+    * width ≤ cap². Takes raw (k, it) rows — positions come from a
+    * rank window over the distinct rows, so no row is ever
+    * basket-sized (round 10; previously this posexploded a
+    * sort_array(collect_set) whale array). Exact for any group size
+    * (a "small" group routed here is simply one tile). */
+  private[graft] def whalePairTiles(rows: DataFrame, cap: Int,
       nPart: Int): DataFrame = {
-    val witems = baskets
-      .filter(size(col("w")) > cap)
-      .select(col("k"), size(col("w")).as("sz"),
-        posexplode(col("w")).as(Seq("i", "it")))
+    import org.apache.spark.sql.expressions.Window
+    val byItem = Window.partitionBy("k").orderBy("it")
+    val whole = Window.partitionBy("k")
+    val witems = rows.select("k", "it").distinct()
       .select(col("k"), col("it"),
-        col("i").cast("long").as("i"),
-        expr(s"CAST(i AS BIGINT) div $cap").as("c"),
-        expr(s"CAST(sz - 1 AS BIGINT) div $cap").as("maxc"))
+        (row_number().over(byItem).cast("long") - 1L).as("i"),
+        count(lit(1)).over(whole).as("sz"))
+      .select(col("k"), col("it"), col("i"),
+        expr(s"i div $cap").as("c"),
+        expr(s"(sz - 1) div $cap").as("maxc"))
     val leftRep = witems.select(col("k"), col("i"), col("it").as("a"),
       col("c").as("ci"),
       explode(sequence(col("c"), col("maxc"))).as("cj"))

@@ -71,20 +71,24 @@ class GraphSpec extends SparkSpecBase {
     import spark.implicits._
     val n = 50
     val cap = 8
-    // one whale basket of 50 distinct items, plus a small basket that
-    // must NOT leak into the whale path
-    val whale = (1 to n).map(i => (99L, i.toLong))
+    // one whale basket of 50 distinct items (with a duplicate row —
+    // the tile path must dedup), plus a small basket: the tile path is
+    // exact for ANY group handed to it (round 10: a small group is
+    // simply one tile), so feeding both checks the no-size-filter
+    // contract.
+    val whale = (1 to n).map(i => (99L, i.toLong)) ++ Seq((99L, 1L))
     val smallB = Seq((7L, 1L), (7L, 2L))
-    val baskets = (whale ++ smallB).toDF("k", "it")
-      .groupBy("k").agg(sort_array(collect_set(col("it"))).as("w"))
-    val tiles = Graph.whalePairTiles(baskets, cap, nPart = 8)
+    val tiles = Graph.whalePairTiles(
+      (whale ++ smallB).toDF("k", "it"), cap, nPart = 8)
       .groupBy("k", "ci", "cj").count().collect()
-    assert(tiles.forall(_.getLong(0) == 99L), "small basket excluded")
+    val wTiles = tiles.filter(_.getLong(0) == 99L)
     assert(tiles.forall(_.getLong(3) <= cap.toLong * cap),
       "tile width bounded by cap^2")
-    assert(tiles.map(_.getLong(3)).sum == n.toLong * (n - 1) / 2,
-      "tiles partition C(n,2) exactly")
-    val nTiles = tiles.length
+    assert(wTiles.map(_.getLong(3)).sum == n.toLong * (n - 1) / 2,
+      "whale tiles partition C(n,2) exactly")
+    assert(tiles.filter(_.getLong(0) == 7L).map(_.getLong(3)).sum == 1L,
+      "small group handed to the tile path emits its one pair")
+    val nTiles = wTiles.length
     val nChunks = (n + cap - 1) / cap
     assert(nTiles == nChunks * (nChunks + 1) / 2,
       "one tile per chunk pair (ci <= cj)")
@@ -95,6 +99,31 @@ class GraphSpec extends SparkSpecBase {
     assert(pairs.length == n * (n - 1) / 2)
     assert(pairs.forall { case (a, b) => a < b })
     assert(pairs.toSet.size == pairs.length, "no duplicate pairs")
+  }
+
+  test("10^5-item whale is never materialized as a row: the tile path " +
+      "plan has no collect_set, chunk count is ceil(n/cap), and the " +
+      "(0,0) tile alone enumerates C(cap,2) pairs (round-10 " +
+      "de-materialization of the round-9 residual)") {
+    import spark.implicits._
+    val n = 100000
+    val cap = 512
+    val whale = spark.range(n).select(lit(99L).as("k"), col("id").as("it"))
+    val tiles = Graph.whalePairTiles(whale, cap, nPart = 8)
+    assert(!tiles.queryExecution.optimizedPlan.toString.contains("collect_set"),
+      "whale path must not aggregate the basket into an array row")
+    // chunk-id span: ci of the first tile row set, maxc via the widest cj
+    val t00 = tiles.filter(col("ci") === 0L && col("cj") === 0L).count()
+    assert(t00 == cap.toLong * (cap - 1) / 2,
+      s"tile (0,0) must hold C(cap,2) pairs, got $t00")
+    // last-chunk tile (filters push through the join keys — never the
+    // full 5e9-pair enumeration): chunk maxc holds n mod cap items
+    val maxc = (n - 1) / cap
+    val rem = n - maxc * cap
+    val tLast = tiles.filter(col("ci") === maxc.toLong &&
+      col("cj") === maxc.toLong).count()
+    assert(tLast == rem.toLong * (rem - 1) / 2,
+      s"last tile must hold C(n mod cap, 2) pairs, got $tLast")
   }
 
   test("q204 local clustering golden: K4 minus one edge, every cc " +
