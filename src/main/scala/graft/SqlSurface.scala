@@ -278,6 +278,13 @@ object SqlSurface {
     TextOps.kwic(spark.table(docsView), term, ctx)
       .createOrReplaceTempView(viewName)
 
+  /** N-round BPE tokenizer training over a docs view (text) → view
+    * (merge_round, merge_l, merge_r, weight) — q229 (round 10). */
+  def createBpeMergesView(spark: SparkSession, docsView: String,
+      viewName: String, rounds: Int = 6): Unit =
+    TextOps.bpeTrain(spark.table(docsView), rounds)
+      .createOrReplaceTempView(viewName)
+
   /** SCD2 interval history of an events view (user_id, ts_ns,
     * event_id, event_type) → view (user_id, version_no, state,
     * valid_from_us, valid_to_us, n_events) — q202's change-only run

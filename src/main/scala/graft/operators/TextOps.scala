@@ -690,6 +690,102 @@ object TextOps {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q229
+
+  /** Q229: ITERATIVE BPE TOKENIZER TRAINING — `rounds` full
+    * byte-pair-encoding merge rounds over the corpus word vocabulary,
+    * the operator q145 computes the first round of. Output: the merge
+    * table (merge_round, merge_l, merge_r, weight) — the artifact a
+    * tokenizer trainer ships.
+    *
+    * Semantics (classic BPE, Sennrich et al. 2016 — public):
+    *  - words collapse to the (word, count) VOCABULARY first (Heaps'
+    *    law — the only corpus-sized shuffle), then split into
+    *    character symbols;
+    *  - each round counts adjacent symbol pairs weighted by word
+    *    count, picks the max (ties → lexicographic (l, r) — both
+    *    engines compare ASCII binary), and applies the merge
+    *    LEFTMOST-GREEDY non-overlapping (in "aaaa", (a,a) merges
+    *    positions 1 and 3 → [aa, aa]).
+    *  - greedy application is RELATIONAL, not a string replace (a
+    *    replace of "e w" could consume the suffix of a different
+    *    symbol "ze"): adjacency via lead() over pos, overlapping match
+    *    runs via gaps-and-islands on the match ranks, and a match
+    *    merges iff its offset inside its run is even — the exact
+    *    left-to-right rule, expressible identically in DuckDB, so the
+    *    whole N-round training sits under the hard oracle (chained
+    *    MATERIALIZED CTEs, one block per round).
+    *
+    * Scale: every per-round frame is vocabulary-sized (|vocab| ·
+    * word-length symbol rows); windows partition by word — maximal
+    * parallelism, no global sort. The driver loop localCheckpoints
+    * each round (iterative-lineage rule) and the 1-row argmax
+    * broadcasts into the merge-application join. */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val wc = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // char_length >= 1 guard: sequence(1, 0) counts DOWN (round-7
+    // lesson); the empty-string word has no symbols in either engine.
+    var s = wc.filter(length(col("w")) >= 1)
+      .select(col("w"), col("c"),
+        posexplode(expr(
+          "transform(sequence(1, char_length(w)), i -> substr(w, i, 1))"))
+          .as(Seq("p0", "sym")))
+      .select(col("w"), col("c"),
+        (col("p0") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val byPos = Window.partitionBy("w").orderBy("pos")
+    for (k <- 0 until rounds) {
+      // a: symbols + next symbol + dense rank — consumed by the pair
+      // stats, the match set, and the merge application (3×).
+      val a = s.select(col("w"), col("c"), col("pos"), col("sym"),
+        lead(col("sym"), 1).over(byPos).as("nsym"),
+        row_number().over(byPos).cast("long").as("rn"))
+        .localCheckpoint()
+      val best = a.filter(col("nsym").isNotNull)
+        .groupBy(col("sym").as("merge_l"), col("nsym").as("merge_r"))
+        .agg(sum(col("c")).as("weight"))
+        .orderBy(col("weight").desc, col("merge_l"), col("merge_r"))
+        .limit(1)
+        .localCheckpoint()
+      merges += best.select(lit(k.toLong).as("merge_round"),
+        col("merge_l"), col("merge_r"), col("weight"))
+      // match rows → islands of rank-consecutive (overlapping) matches
+      // → merge iff even offset within the island (leftmost-greedy).
+      val m = a.join(broadcast(best),
+        col("sym") === col("merge_l") && col("nsym") === col("merge_r"))
+        .select(col("w"), col("rn"))
+      val g = m
+        .select(col("w"), col("rn"),
+          (col("rn") - row_number().over(
+            Window.partitionBy("w").orderBy("rn"))).as("island"))
+        .select(col("w"), col("rn"),
+          (((col("rn") - min(col("rn")).over(
+            Window.partitionBy("w", "island"))) % 2) === 0).as("mg"))
+        .filter(col("mg"))
+        .select(col("w"), col("rn"))
+      s = a.as("aa")
+        .join(g.as("gg"), col("aa.w") === col("gg.w")
+          && col("aa.rn") === col("gg.rn"), "left")
+        .join(g.as("gp"), col("aa.w") === col("gp.w")
+          && col("aa.rn") - 1 === col("gp.rn"), "left")
+        .filter(col("gp.rn").isNull) // predecessor merged → consumed
+        .select(col("aa.w").as("w"), col("aa.c").as("c"),
+          col("aa.pos").as("pos"),
+          when(col("gg.rn").isNotNull,
+            concat(col("aa.sym"), col("aa.nsym")))
+            .otherwise(col("aa.sym")).as("sym"))
+        .localCheckpoint()
+    }
+    merges.reduce(_ unionAll _).orderBy("merge_round")
+  }
+
+  def q229BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(load(spark, dir, "documents"), rounds = 6)
+
   // ---------------------------------------------------------------- q147
 
   /** Q147: INVERTED INDEX construction — per token: document
@@ -1074,6 +1170,7 @@ object TextOps {
     "q160_simpson_diversity" -> (q160SimpsonDiversity _),
     "q156_freq_spectrum" -> (q156FreqSpectrum _),
     "q145_bpe_pairs" -> (q145BpePairs _),
+    "q229_bpe_merges" -> (q229BpeMerges _),
     "q147_inverted_index" -> (q147InvertedIndex _),
     "q149_bigram_surprisal" -> (q149BigramSurprisal _),
     "q31a_text_lang" -> (q31Lang _),
@@ -1101,6 +1198,60 @@ object TextOps {
     * greatest-struct argmax is replicated by CASE arms evaluated in
     * descending lang order with `>=` (tie → lexicographically larger
     * lang, exactly Spark's struct comparison). */
+  /** One BPE training round as DuckDB CTEs (a = adjacency, b = argmax
+    * merge, g = greedy-merge row set, s{k+1} = applied vocabulary).
+    * MATERIALIZED throughout: a/b/g are each referenced 2-3×, and
+    * plain CTEs would inline the predecessor chain 3^rounds times
+    * (the q131 AS MATERIALIZED lesson). */
+  private def bpeRoundCte(k: Int): String =
+    s"""a$k AS MATERIALIZED (
+       |  SELECT w, c, pos, sym,
+       |    LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym,
+       |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS rn
+       |  FROM s$k),
+       |b$k AS MATERIALIZED (
+       |  SELECT CAST($k AS BIGINT) AS merge_round, sym AS merge_l,
+       |    nsym AS merge_r, CAST(SUM(c) AS BIGINT) AS weight
+       |  FROM a$k WHERE nsym IS NOT NULL GROUP BY sym, nsym
+       |  ORDER BY weight DESC, merge_l, merge_r LIMIT 1),
+       |g$k AS MATERIALIZED (
+       |  SELECT w, rn FROM (
+       |    SELECT w, rn,
+       |      (rn - MIN(rn) OVER (PARTITION BY w, island)) % 2 = 0 AS mg
+       |    FROM (
+       |      SELECT aa.w AS w, aa.rn AS rn,
+       |        aa.rn - ROW_NUMBER() OVER (PARTITION BY aa.w
+       |          ORDER BY aa.rn) AS island
+       |      FROM a$k aa JOIN b$k bb
+       |      ON aa.sym = bb.merge_l AND aa.nsym = bb.merge_r) t1) t2
+       |  WHERE mg),
+       |s${k + 1} AS MATERIALIZED (
+       |  SELECT aa.w AS w, aa.c AS c, aa.pos AS pos,
+       |    CASE WHEN gg.rn IS NOT NULL THEN aa.sym || aa.nsym
+       |         ELSE aa.sym END AS sym
+       |  FROM a$k aa
+       |  LEFT JOIN g$k gg ON aa.w = gg.w AND aa.rn = gg.rn
+       |  LEFT JOIN g$k gp ON aa.w = gp.w AND aa.rn - 1 = gp.rn
+       |  WHERE gp.rn IS NULL)""".stripMargin
+
+  private val bpeOracle: String = {
+    val rounds = 6
+    val head =
+      """WITH wc AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |s0 AS MATERIALIZED (
+        |  SELECT w, c, CAST(i AS BIGINT) AS pos,
+        |    substr(w, CAST(i AS INTEGER), 1) AS sym
+        |  FROM (SELECT w, c, unnest(generate_series(1, length(w))) AS i
+        |        FROM wc WHERE length(w) >= 1))""".stripMargin
+    val body = (0 until rounds).map(bpeRoundCte).mkString(",\n", ",\n", "")
+    val tail = (0 until rounds).map(k => s"SELECT * FROM b$k")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_round")
+    head + body + tail
+  }
+
   val oracle: Map[String, String] = Map(
     // q226: same (count desc, token asc) rank, same running sum,
     // same power-of-two budget filter, floor-ppm (all BIGINT).
@@ -1307,6 +1458,12 @@ object TextOps {
         |SELECT LEAST(cnt, 11) AS k, COUNT(*) AS n_types,
         |  CAST(SUM(cnt) AS BIGINT) AS mass
         |FROM c GROUP BY 1 ORDER BY k""".stripMargin,
+    // q229: the N-round BPE training unrolled as one MATERIALIZED CTE
+    // block per round (each s/a/g level is referenced 2-3x — plain
+    // CTEs would inline 3^rounds, the q131 lesson). Same relational
+    // greedy-merge rule as the Spark loop: islands of rank-consecutive
+    // matches, merge iff even offset.
+    "q229_bpe_merges" -> bpeOracle,
     // q145: same vocab-first collapse + lateral pair fan-out;
     // length/substr are codepoint-based in both engines, and the
     // length >= 2 guard runs before the series on both sides.

@@ -399,4 +399,27 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got(1L) == 1100000L)
     assert(got(99L) > got(1L))
   }
+
+  test("q229 BPE training hand golden: vocab {aaab:2, ab:1, aaaa:1} — " +
+      "greedy leftmost merge (aaaa -> [aa,aa], not [aa,a,a]), " +
+      "lexicographic tie-break, and an exhausted round emits no row") {
+    import spark.implicits._
+    // Round 0: (a,a) = 2·2 + 3·1 = 7 beats (a,b) = 3 -> merge (a,a):
+    //   aaab -> [aa,a,b]; ab -> [a,b]; aaaa -> [aa,aa] (even-offset
+    //   rule: positions 1 and 3 merge, position 2 is consumed).
+    // Round 1: (a,b) = 2+1 = 3 beats (aa,a) = 2 and (aa,aa) = 1.
+    // Round 2: (aa,ab) = 2 beats (aa,aa) = 1.
+    // Round 3: (aa,aa) = 1 is all that's left.
+    // Round 4: no adjacent pairs anywhere -> NO row (argmax of empty).
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaaa"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, rounds = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "a", "a", 7L),
+      (1L, "a", "b", 3L),
+      (2L, "aa", "ab", 2L),
+      (3L, "aa", "aa", 1L)))
+  }
 }
