@@ -278,6 +278,15 @@ object SqlSurface {
     TextOps.kwic(spark.table(docsView), term, ctx)
       .createOrReplaceTempView(viewName)
 
+  /** Semantic dedup (SemDeDup shape) over an embeddings view
+    * (vec_id, embedding) → view (vec_id) of survivors — q230
+    * (round 10): seed-Voronoi cells, within-cell exact-cosine pairs,
+    * greedy keep-lowest-id. */
+  def createSemanticDedupView(spark: SparkSession, embView: String,
+      viewName: String, k: Int = 8, thresholdE6: Long = 900000L): Unit =
+    Similarity.semanticDedup(spark.table(embView), k, thresholdE6)
+      .createOrReplaceTempView(viewName)
+
   /** N-round BPE tokenizer training over a docs view (text) → view
     * (merge_round, merge_l, merge_r, weight) — q229 (round 10). */
   def createBpeMergesView(spark: SparkSession, docsView: String,

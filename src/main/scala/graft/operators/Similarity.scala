@@ -631,7 +631,69 @@ object Similarity {
       .orderBy("true_label", "pred_label")
   }
 
+  // ---------------------------------------------------------------- q230
+
+  /** Q230: SEMANTIC DEDUP — cluster the embedding space, then
+    * exact-cosine dedup WITHIN each cluster (the SemDeDup shape,
+    * Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public). The
+    * cluster-scoped alternative to q33d's LSH buckets: candidates are
+    * cell-bounded by construction, NEVER all-pairs, and a near-dup
+    * pair split across cells is intentionally missed — the published
+    * recall trade (SimilaritySpec plants one and pins its survival).
+    *
+    * Graded at the DETERMINISTIC config (the q34c/q151b playbook):
+    * cells are the Voronoi regions of the k seed vectors vec_id < k —
+    * fixed, engine-replayable — with argmax-cosine assignment and
+    * min-seed-id tie-break. Production swaps in trained centroids
+    * (`Clustering.kMeansCentroids`) and the identical pipeline runs
+    * unchanged; the centroid source is the knob, the machinery is
+    * what's gated. Survivors = greedy keep-lowest-id under the
+    * within-cell pair set (q33f semantics).
+    *
+    * Scale: assignment is a broadcast of k centroid rows (zero
+    * shuffle); the pair join shuffles on the cell key with cell sizes
+    * controlled by k (SemDeDup's own scaling argument: k ∝ n keeps
+    * cells bounded, so each task owns a bounded pair tile); every
+    * float op is the q92 identical-IEEE-op sequence, so the DuckDB
+    * replay is exact. */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8,
+      thresholdE6: Long = 900000L): DataFrame = {
+    DotProductExpr.register(embeddings.sparkSession)
+    val v = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", nativeNorm(col("v")))
+    val seeds = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("sid"), col("v").as("sv"),
+        col("nv").as("snv"))
+    val assigned = v.crossJoin(broadcast(seeds))
+      .withColumn("cos", cosinePrenormed(
+        nativeDot(col("v"), col("sv")), col("nv"), col("snv")))
+      .groupBy(col("vec_id"))
+      // argmax(cos), ties → min sid: max over (cos, -sid)
+      .agg(max(struct(col("cos").as("cos"), (-col("sid")).as("nsid")))
+        .as("m"))
+      .select(col("vec_id"), (-col("m.nsid")).as("cell"))
+    val cv = v.join(assigned, "vec_id")
+    val losers = cv.as("a")
+      .join(cv.as("b"), col("a.cell") === col("b.cell")
+        && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_e6", floor(cosinePrenormed(
+          nativeDot(col("a.v"), col("b.v")), col("a.nv"), col("b.nv"))
+        * lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("cos_e6") >= thresholdE6)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    embeddings.select("vec_id")
+      .join(losers, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  def q230SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Dedup.embeddingsWithNearDups(
+      load(spark, dir, "embeddings")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_semantic_dedup" -> (q230SemanticDedup _),
     "q205_knn_confusion" -> (q205KnnConfusion _),
     "q154_embed_dispersion" -> (q154EmbedDispersion _),
     "q176_label_centroid_dist" -> (q176LabelCentroidDist _),
@@ -652,6 +714,45 @@ object Similarity {
     * so both engines rank identical values. Ties at equal rounded cos
     * break by neighbor id (D1). */
   val oracle: Map[String, String] = Map(
+    // q230: derived corpus = float-exact replay of embeddingsWithNearDups
+    // (CAST(x * CAST(c AS REAL) AS REAL) — the double product of two
+    // floats is exact, so the single rounding back to REAL equals the
+    // float multiply); Voronoi assignment over the vec_id < 8 seeds via
+    // ROW_NUMBER (cos DESC, sid), within-cell pairs only, q92's
+    // identical-IEEE cosine + rounding.
+    "q230_semantic_dedup" ->
+      """WITH basee AS (
+        |  SELECT vec_id, embedding AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> CASE WHEN i = 1
+        |        THEN CAST(embedding[i] * CAST(1.5 AS REAL) AS REAL)
+        |        ELSE CAST(embedding[i] * CAST(1.01 AS REAL) AS REAL)
+        |      END)
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, emb::DOUBLE[] AS e FROM basee),
+        |seeds AS (SELECT vec_id AS sid, e AS se FROM v WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, sid AS cell FROM (
+        |    SELECT v.vec_id, s.sid,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |        (list_dot_product(v.e, s.se) /
+        |         (sqrt(list_dot_product(v.e, v.e)) *
+        |          sqrt(list_dot_product(s.se, s.se)))) DESC, s.sid) AS rn
+        |    FROM v CROSS JOIN seeds s) t WHERE rn = 1),
+        |cv AS (SELECT v.vec_id, v.e, asg.cell
+        |       FROM v JOIN asg USING (vec_id)),
+        |losers AS (
+        |  SELECT DISTINCT b.vec_id FROM cv a JOIN cv b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE CAST(floor((list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) *
+        |       sqrt(list_dot_product(b.e, b.e)))) * 1e6 + 0.5)
+        |    AS BIGINT) >= 900000)
+        |SELECT vec_id FROM basee
+        |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
     // q205: q184's prediction pipeline verbatim; cells + integer bp
     // row shares.
     "q205_knn_confusion" ->

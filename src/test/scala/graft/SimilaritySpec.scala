@@ -225,4 +225,27 @@ class SimilaritySpec extends SparkSpecBase {
       assert(gm == (if (n > 1) brute / (n * (n - 1) / 2) else 0L))
     }
   }
+
+  test("q230 semantic dedup: within-cell duplicate dropped, CROSS-CELL " +
+      "near-identical pair survives (candidates are cell-bounded — the " +
+      "SemDeDup recall trade), and the pair join is never a cartesian") {
+    import spark.implicits._
+    // seeds 0=[1,0,0,0], 1=[0,1,0,0]; 2≡3 both in cell 0 (cos=1 → 3
+    // drops); 4=[.6,.59,0,0]→cell 0 vs 5=[.59,.6,0,0]→cell 1 have
+    // cos≈0.99986 ≥ threshold but NEVER meet: different cells.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)), (3L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (4L, Seq(0.6f, 0.59f, 0f, 0f)), (5L, Seq(0.59f, 0.6f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val dedup = Similarity.semanticDedup(vecs, k = 2,
+      thresholdE6 = 999000L)
+    assert(!dedup.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"),
+      "within-cell pair join must be an equi-join on the cell key")
+    val survivors = dedup.collect().map(_.getLong(0)).toSeq
+    assert(survivors == Seq(0L, 1L, 2L, 4L, 5L),
+      s"got $survivors — 3 (within-cell dup) must drop, 4/5 " +
+        "(cross-cell near-dup) must both survive")
+  }
 }
