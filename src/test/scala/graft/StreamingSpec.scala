@@ -345,6 +345,49 @@ class StreamingSpec extends SparkSpecBase {
       s"stream $streamed != batch $batch")
   }
 
+  test("streaming peak-rate feed ≡ batch q222 readout (q222 twin): " +
+      "append-only per-minute counts fold through the SAME peakRollup, " +
+      "with the peak minute's events split across two batches") {
+    val b1 = Seq(
+      Ev(ts(5), "a", 1.0, 1), Ev(ts(5), "a", 1.0, 2),
+      Ev(ts(7), "a", 1.0, 3), Ev(ts(5), "b", 1.0, 4))
+    val b2 = Seq(
+      Ev(ts(5), "a", 1.0, 5), // same minute as batch 1 → state carries
+      Ev(ts(9), "b", 1.0, 6),
+      // flush marker: pushes the watermark past every real window
+      Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "z", 0.0, 9))
+    val input = MemoryStream[Ev](spark)
+    val df = StreamOps.peakRateStream(input.toDF())
+    val q = df.writeStream.format("memory").queryName("peakstream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-peakstream").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val perMinute = spark.table("peakstream")
+      .filter(col("event_type") =!= "z")
+    // every emitted minute row is final: exactly one row per
+    // (type, minute), with the split minute's count merged to 3
+    val emitted = perMinute.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(emitted.groupBy(t => (t._1, t._2)).forall(_._2.length == 1),
+      "append mode must emit one final row per (type, minute)")
+    assert(emitted.filter(_._1 == "a").map(_._3).max == 3L,
+      "cross-batch peak minute must merge to one count of 3")
+    val streamed = graft.operators.TimeSeries.peakRollup(perMinute)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.TimeSeries.peakRate(
+      (b1 ++ b2).toDF()
+        .filter(col("event_type") =!= "z")
+        .withColumn("ts_ns", expr("unix_micros(ts) * 1000")))
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.toSeq} != batch ${batch.toSeq}")
+  }
+
   test("streaming last-touch attribution ≡ batch lastTouchAssign " +
       "(q169 twin): carry-forward state credits a batch-N+1 purchase " +
       "to a batch-N touch; first-purchase-before-any-touch is direct") {
