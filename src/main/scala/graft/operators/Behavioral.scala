@@ -800,9 +800,14 @@ object Behavioral {
       .agg(sum(coalesce(
         expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"), lit(0L)))
         .as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("user_id"))
-    perUser
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    // round 10: size-switched global rank + arithmetic NTILE (the
+    // q189 discipline) — at 10⁹ buying users the split path range-
+    // partitions the rank instead of one task sorting the frame.
+    val ranked = Percentiles.globalOrderedScan(perUser,
+      Seq(col("cents").desc, col("user_id")), "__rn",
+      nName = Some("__n"))
+    ranked
+      .withColumn("decile", Percentiles.ntileExpr("__rn", "__n", 10))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
       .withColumn("total", sum(col("cents"))

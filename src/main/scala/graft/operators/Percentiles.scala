@@ -260,4 +260,105 @@ object Percentiles {
       .withColumn("__rn", row_number().over(wIn))
       .filter(col("__rn") === col("__lr"))
   }
+
+  /** GLOBAL ORDERED SCAN — row_number (and optional running sums) over
+    * a TOTAL order, switching physics by frame size (round-10 closure
+    * of the "global rank windows" debt in q168/q189/q210/q226):
+    *
+    *  - **≤ splitThreshold rows**: one unpartitioned window — fine for
+    *    entity frames up to ~10⁷ rows, and the fastest plan there;
+    *  - **above**: two-phase range-partitioned rank — repartitionByRange
+    *    on the order columns (global order across partitions), one
+    *    per-partition window (each task sorts only its slice), then a
+    *    broadcast join against the nPart-row prefix-offset frame
+    *    (counts and running-sum offsets both come from ONE tiny
+    *    window over nPart rows). No task ever sorts the whole frame.
+    *
+    * Both paths are bit-identical PROVIDED `order` is a TOTAL order
+    * (the D1 discipline every gated query already follows): range
+    * boundaries only decide which partition a row lands in, never its
+    * rank. The frame is localCheckpoint'ed first — the row count that
+    * picks the path, the scalar totals, and both physical paths read
+    * the one materialization (and the checkpoint pins
+    * spark_partition_id, which is nondeterministic across lineage
+    * replays).
+    *
+    * `nName`/`totals` attach driver-side scalars (row count / column
+    * sums from one agg over the checkpointed frame) as literal
+    * columns — replacing the `count().over(Window.partitionBy())`
+    * whole-frame windows that were themselves single-task. */
+  def globalOrderedScan(frame: DataFrame, order: Seq[Column],
+      rnName: String, cums: Seq[(String, String)] = Nil,
+      nName: Option[String] = None,
+      totals: Seq[(String, String)] = Nil,
+      splitThreshold: Long = 10000000L): DataFrame = {
+    val f = frame.localCheckpoint()
+    val scalarAggs = count(lit(1)).as("__cnt") +:
+      totals.map { case (src, out) => sum(col(src)).as(s"__t_$out") }
+    val scalars = f.agg(scalarAggs.head, scalarAggs.tail: _*).collect()(0)
+    val n = scalars.getAs[Long]("__cnt")
+    val outCols = f.columns.map(col) ++ (col(rnName) +:
+      cums.map { case (_, out) => col(out) }) ++
+      nName.map(_ => lit(n).as(nName.get)).toSeq ++
+      totals.map { case (_, out) =>
+        lit(scalars.getAs[Any](s"__t_$out")).as(out) }
+    if (n <= splitThreshold) {
+      val w = Window.orderBy(order: _*)
+      val wCum = w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      var r = f.withColumn(rnName, row_number().over(w).cast("long"))
+      cums.foreach { case (src, out) =>
+        r = r.withColumn(out, sum(col(src)).over(wCum)) }
+      r.select(outCols: _*)
+    } else {
+      val nPart = frame.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt
+      val ranged = f.repartitionByRange(nPart, order: _*)
+        .withColumn("__pid", spark_partition_id().cast("long"))
+        .localCheckpoint()
+      val wLoc = Window.partitionBy("__pid").orderBy(order: _*)
+      val wLocCum = wLoc.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      var local = ranged
+        .withColumn("__lrn", row_number().over(wLoc).cast("long"))
+      cums.foreach { case (src, out) =>
+        local = local.withColumn(s"__lc_$out",
+          sum(col(src)).over(wLocCum)) }
+      val offAggs = count(lit(1)).as("__pc") +:
+        cums.map { case (src, out) => sum(col(src)).as(s"__ps_$out") }
+      val wOff = Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      var offs = ranged.groupBy("__pid")
+        .agg(offAggs.head, offAggs.tail: _*)
+        .withColumn("__off", coalesce(sum(col("__pc")).over(wOff),
+          lit(0L)))
+      cums.foreach { case (_, out) =>
+        offs = offs.withColumn(s"__so_$out",
+          coalesce(sum(col(s"__ps_$out")).over(wOff), lit(0L))) }
+      var r = local.join(broadcast(offs.select(
+          (col("__pid") +: col("__off") +:
+            cums.map { case (_, out) => col(s"__so_$out") }): _*)),
+          "__pid")
+        .withColumn(rnName, col("__off") + col("__lrn"))
+      cums.foreach { case (_, out) =>
+        r = r.withColumn(out, col(s"__so_$out") + col(s"__lc_$out")) }
+      r.select(outCols: _*)
+    }
+  }
+
+  /** Exact SQL NTILE(k) from a global rank and total count (both
+    * BIGINT column names): the first n mod k tiles hold ⌊n/k⌋+1 rows,
+    * the rest ⌊n/k⌋ — the standard-SQL definition both Spark and
+    * DuckDB implement, reproduced arithmetically so the rank can come
+    * from [[globalOrderedScan]]'s split path. The CASE guards the
+    * n < k edge (every row its own tile; the ELSE division by
+    * ⌊n/k⌋ = 0 is never evaluated there). */
+  def ntileExpr(rnCol: String, nCol: String, k: Int): Column =
+    expr(s"""CASE
+      WHEN $rnCol <= (($nCol div $k) + 1) * ($nCol % $k)
+      THEN ($rnCol - 1) div (($nCol div $k) + 1) + 1
+      ELSE ($nCol % $k) +
+        ($rnCol - (($nCol div $k) + 1) * ($nCol % $k) - 1)
+          div ($nCol div $k) + 1
+    END""")
 }

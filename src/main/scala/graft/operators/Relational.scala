@@ -1520,10 +1520,16 @@ object Relational {
   /** Frame-shaped core of q189 (SqlSurface view builder entry):
     * expects a customer frame with (c_custkey, c_acctbal). */
   def ntileDeciles(customers: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    customers
-      .select(col("c_custkey"), col("c_acctbal"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    // round 10: rank via globalOrderedScan (size-switched — above the
+    // threshold no task sorts the whole frame) + the arithmetic NTILE;
+    // PercentileRankSpec pins ntileExpr ≡ builtin ntile, PlanShapeSpec
+    // pins the split path on a planted colossal frame.
+    val ranked = Percentiles.globalOrderedScan(
+      customers.select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_acctbal").desc, col("c_custkey")), "__rn",
+      nName = Some("__n"))
+    ranked
+      .withColumn("decile", Percentiles.ntileExpr("__rn", "__n", 10))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"),
         max(col("c_acctbal")).as("hi"), min(col("c_acctbal")).as("lo"))

@@ -430,12 +430,12 @@ object Stats {
       .groupBy("o_custkey")
       .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100" +
         " AS BIGINT)").as("cents"))
-    val wAll = Window.partitionBy()
-    val wRank = Window.orderBy(col("cents").desc, col("o_custkey"))
-    val ranked = spend
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("tot", sum(col("cents")).over(wAll))
+    // round 10: size-switched global rank; n/tot are driver scalars
+    // from one agg over the checkpointed frame (the whole-frame
+    // count/sum windows were themselves single-task).
+    val ranked = Percentiles.globalOrderedScan(spend,
+      Seq(col("cents").desc, col("o_custkey")), "rn",
+      nName = Some("n"), totals = Seq("cents" -> "tot"))
     ranked
       .select(col("rn"), col("cents"), col("n"), col("tot"),
         explode(expr("array(1L, 5L, 10L, 25L)")).as("pct"))

@@ -1144,15 +1144,14 @@ object TextOps {
     val wc = load(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val tot = wc.agg(sum(col("c")).as("n_tokens"),
-      count(lit(1)).as("n_types"))
-    wc.withColumn("rnk", row_number()
-        .over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
-      .withColumn("cum_tokens", sum(col("c")).over(Window
-        .orderBy(col("rnk"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // round 10: rank + running sum from the size-switched global scan
+    // (one pass instead of rank window + cum window + total agg); at
+    // 10⁹ types the split path takes over.
+    Percentiles.globalOrderedScan(wc,
+        Seq(col("c").desc, col("w")), "rnk",
+        cums = Seq("c" -> "cum_tokens"),
+        nName = Some("n_types"), totals = Seq("c" -> "n_tokens"))
       .filter(col("rnk").isin(budgets: _*))
-      .crossJoin(broadcast(tot))
       .select(col("rnk").as("vocab_budget"), col("cum_tokens"),
         expr("(cum_tokens * 1000000) div n_tokens").as("coverage_ppm"),
         col("n_types"), col("n_tokens"))

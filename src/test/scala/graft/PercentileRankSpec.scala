@@ -207,4 +207,54 @@ class PercentileRankSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("ntileExpr ≡ builtin ntile for n % k != 0, n % k == 0, and " +
+      "n < k (the arithmetic NTILE the split rank path needs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(3, 10, 23, 40)) {
+      val frame = (1 to n).map(i => (i.toLong, (i * 37 % 101).toLong))
+        .toDF("id", "v")
+      val w = Window.orderBy(col("v").desc, col("id"))
+      val builtin = frame
+        .withColumn("t", ntile(10).over(w).cast("long"))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+      val arith = frame
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", lit(n.toLong))
+        .withColumn("t", Percentiles.ntileExpr("__rn", "__n", 10))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("t")))
+      assert(arith.toSeq == builtin.toSeq, s"n=$n")
+    }
+  }
+
+  test("globalOrderedScan: split path ≡ single-window path bit-exactly " +
+      "(rank, running sum, attached scalars) on a frame with duplicate " +
+      "order-values broken by id — and the split plan range-partitions") {
+    import spark.implicits._
+    val frame = (1 to 500)
+      .map(i => (i.toLong, (i * 7919 % 83).toLong))
+      .toDF("id", "v")
+    val order = Seq(col("v").desc, col("id"))
+    def run(threshold: Long) = Percentiles.globalOrderedScan(
+      frame, order, "rn", cums = Seq("v" -> "cum"),
+      nName = Some("n"), totals = Seq("v" -> "tot"),
+      splitThreshold = threshold)
+    val small = run(1000000L)
+    val split = run(10L)
+    // the checkpoint pins the range exchange outside the visible plan,
+    // so assert the property that matters: the data-sized rank window
+    // is __pid-PARTITIONED (each task sorts only its range slice) —
+    // the single-window path's row_number has an empty partition spec.
+    assert(split.queryExecution.optimizedPlan.toString
+        .contains("row_number() windowspecdefinition(__pid"),
+      "colossal path must compute the rank per range partition")
+    assert(small.queryExecution.optimizedPlan.toString
+        .contains("row_number() windowspecdefinition(v"),
+      "small path keeps the one-window plan")
+    val a = small.orderBy("id").collect().map(_.toSeq)
+    val b = split.orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }

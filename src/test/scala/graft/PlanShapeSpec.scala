@@ -315,4 +315,33 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(n <= 1, s"$t scanned $n times:\n" + p.take(1500))
     }
   }
+
+  test("global rank windows (q189/q210/q168/q226) ride the size-" +
+      "switched scan: fixture frames keep the one-window plan, a " +
+      "planted colossal frame takes the range-split path (round-10 " +
+      "verdict item 6 — no task sorts a 10⁹-entity frame)") {
+    import spark.implicits._
+    // fixture-sized: the four queries' plans all contain a plain
+    // unpartitioned rank window (fastest plan at entity scale)
+    for (df <- Seq(
+        Relational.q189NtileDeciles(spark, sf),
+        graft.operators.Behavioral.q210PowerUserShare(spark, sf),
+        graft.operators.Stats.q168TopShare(spark, sf),
+        graft.operators.TextOps.q226HeadCoverage(spark, sf))) {
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("windowspecdefinition(__pid"),
+        "fixture-sized frame must not pay the split path:\n" + p.take(600))
+    }
+    // planted colossal (threshold forced down): rank is per-range-
+    // partition, bit-equal results pinned in PercentileRankSpec
+    val big = (1 to 200).map(i => (i.toLong, (i % 17).toLong))
+      .toDF("id", "v")
+    val split = graft.operators.Percentiles.globalOrderedScan(big,
+      Seq(org.apache.spark.sql.functions.col("v").desc,
+        org.apache.spark.sql.functions.col("id")),
+      "rn", splitThreshold = 50L)
+    assert(split.queryExecution.optimizedPlan.toString
+      .contains("row_number() windowspecdefinition(__pid"),
+      "colossal frame must take the range-split rank path")
+  }
 }
