@@ -1103,39 +1103,55 @@ object Dedup {
     "q137_incremental_dedup" -> (q137IncrementalDedup _),
   )
 
-  /** DuckDB oracle for the EXACT jaccard query: same shingling (word
-    * 3-shingles, distinct), same derived near-dup corpus, jaccard as a
-    * DOUBLE division of small ints — bit-identical on both engines (the
-    * Spark side hashes shingles to 64-bit first; jaccard over hash sets
-    * equals jaccard over string sets absent collisions, odds ~n²/2⁶⁴).
-    * O(n²) list-intersects are fine at the driver's sf0.01 (500k pairs,
-    * ~3 s); skip locally at sf0.1 via CHECK_SKIP (tools/check.py). */
-  /** Shared CTE prefix of the q33g / q208 oracles: derived near-dup
-    * corpus → 3-shingle sets → exact-jaccard pairs → recursive-CTE
-    * transitive closure (`reach`). */
-  private val closureCtes: String =
-    """WITH RECURSIVE corpus AS (
+  /** DuckDB oracle machinery for the EXACT jaccard family — round 10:
+    * the POSTINGS formulation the Spark side runs (unnest shingles →
+    * self-join per shingle → per-pair COUNT → jaccard from the two set
+    * sizes), replacing the O(n²) pairwise list_intersect that kept
+    * q33c/f/g + q208/q217/q137 in the sf0.1 CHECK_SKIP. Identical
+    * output: a qualifying pair shares ≥ 1 shingle so postings generate
+    * it, shingle sets are non-empty (an empty text still yields its ''
+    * shingle), and the jaccard double divides the same two integers.
+    * Cost is Σ df² like the engine. Same shingling (word 3-shingles,
+    * distinct), same derived near-dup corpus; jaccard over hash sets
+    * (Spark) equals string sets (here) absent ~n²/2⁶⁴ collisions. */
+  private val postingsPairCtes: String =
+    """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000,
       |    array_to_string(string_split(text, ' ')[1:greatest(
       |      len(string_split(text, ' ')) - 3, 1)], ' ')
       |  FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
       |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
       |  FROM corpus),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-      |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-      |      AS DOUBLE) >= 0.5),
+      |exg AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS MATERIALIZED (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      |  FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |jraw AS MATERIALIZED (
+      |  SELECT doc_a, doc_b, shared,
+      |    least(len(sa.s), len(sb.s)) AS minlen,
+      |    CAST(shared AS DOUBLE) /
+      |    CAST(len(sa.s) + len(sb.s) - shared AS DOUBLE) AS jaccard
+      |  FROM inter
+      |  JOIN sh sa ON inter.doc_a = sa.doc_id
+      |  JOIN sh sb ON inter.doc_b = sb.doc_id),
+      |jpairs AS MATERIALIZED (
+      |  SELECT doc_a, doc_b, jaccard FROM jraw WHERE jaccard >= 0.5)"""
+      .stripMargin
+
+  /** Shared CTE prefix of the q33g / q208 / q217 oracles: the postings
+    * pair set → recursive-CTE transitive closure (`reach`). */
+  private val closureCtes: String =
+    "WITH RECURSIVE " + postingsPairCtes + """,
       |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+      |  UNION ALL SELECT doc_b, doc_a FROM jpairs),
       |reach(node, r) AS (
       |  SELECT doc_id, doc_id FROM corpus
       |  UNION
@@ -1268,6 +1284,8 @@ object Dedup {
     // shingling as q33c, jaccard over shingle STRING sets (the Spark
     // side hashes — equal absent ~n²/2⁶⁴ collisions), existing×incoming
     // join only (never a self-join).
+    // Round 10: postings join between incoming and existing (cost
+    // Σ df_i·df_e like the engine, never |shi|×|she| pairwise).
     "q137_incremental_dedup" ->
       """WITH incoming AS (
         |  SELECT doc_id + 1000000 AS doc_id,
@@ -1279,98 +1297,56 @@ object Dedup {
         |        len(string_split(text, ' ')) // 2, 1)], ' ')
         |    END AS text
         |  FROM documents),
-        |she AS (
+        |she AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
         |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))
         |    AS s
         |  FROM documents),
-        |shi AS (
+        |shi AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
         |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))
         |    AS s
         |  FROM incoming),
+        |exe AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM she),
+        |exi AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM shi),
+        |inter AS MATERIALIZED (
+        |  SELECT i.doc_id AS di, e.doc_id AS de, COUNT(*) AS shared
+        |  FROM exi i JOIN exe e ON i.g = e.g
+        |  GROUP BY i.doc_id, e.doc_id),
+        |jr AS (
+        |  SELECT di, CAST(shared AS DOUBLE) /
+        |    CAST(len(si.s) + len(se.s) - shared AS DOUBLE) AS jaccard
+        |  FROM inter
+        |  JOIN shi si ON di = si.doc_id
+        |  JOIN she se ON de = se.doc_id),
         |dropped AS (
-        |  SELECT DISTINCT i.doc_id
-        |  FROM shi i JOIN she e ON
-        |    CAST(len(list_intersect(i.s, e.s)) AS DOUBLE) /
-        |    CAST(len(i.s) + len(e.s) - len(list_intersect(i.s, e.s))
-        |      AS DOUBLE) >= 0.5)
+        |  SELECT DISTINCT di AS doc_id FROM jr WHERE jaccard >= 0.5)
         |SELECT doc_id FROM incoming
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
-    // q102: same derived corpus and shingling as q33c, overlap
-    // coefficient against the smaller set in exact integer bp.
+    // q102: postings pair set; overlap coefficient against the smaller
+    // set in exact integer bp.
     "q102_containment_pairs" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    array_to_string(string_split(text, ' ')[1:greatest(
-        |      len(string_split(text, ' ')) - 3, 1)], ' ')
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
-        |  FROM corpus),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS shared,
-        |    (CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 10000)
-        |      // least(len(a.s), len(b.s)) AS cont_bp
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, shared, CAST(cont_bp AS BIGINT) AS cont_bp
-        |FROM pairs WHERE cont_bp >= 8000 ORDER BY doc_a, doc_b""".stripMargin,
+      ("WITH " + postingsPairCtes + """
+        |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+        |  CAST((CAST(shared AS BIGINT) * 10000) // minlen AS BIGINT)
+        |    AS cont_bp
+        |FROM jraw
+        |WHERE (CAST(shared AS BIGINT) * 10000) // minlen >= 8000
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q33c_ngram_jaccard_pairs" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    array_to_string(string_split(text, ' ')[1:greatest(
-        |      len(string_split(text, ' ')) - 3, 1)], ' ')
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
-        |  FROM corpus),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-        |      AS DOUBLE) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, jaccard FROM pairs
-        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+      ("WITH " + postingsPairCtes + """
+        |SELECT doc_a, doc_b, jaccard FROM jpairs
+        |ORDER BY doc_a, doc_b""".stripMargin),
     // q33f: same exact pair set, then anti-join the greater side out of
     // the corpus — the survivors of greedy keep-lowest-id removal.
     "q33f_dedup_survivors_exact" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    array_to_string(string_split(text, ' ')[1:greatest(
-        |      len(string_split(text, ' ')) - 3, 1)], ' ')
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
-        |  FROM corpus),
-        |losers AS (
-        |  SELECT DISTINCT b.doc_id AS doc_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-        |      AS DOUBLE) >= 0.5)
+      ("WITH " + postingsPairCtes + """
         |SELECT doc_id FROM corpus
-        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-        |ORDER BY doc_id""".stripMargin,
+        |WHERE doc_id NOT IN (SELECT doc_b FROM jpairs)
+        |ORDER BY doc_id""".stripMargin),
     // q33g: transitive closure of the exact pair graph via recursive CTE
     // — min reachable id per node ≡ the min-label-propagation fixpoint.
     "q33g_dedup_components" ->
