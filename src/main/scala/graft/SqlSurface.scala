@@ -362,6 +362,56 @@ object SqlSurface {
     TextOps.distDrift(spark.table(docsView))
       .createOrReplaceTempView(viewName)
 
+  /** Dedup threshold sweep over a verified-pairs view (doc_a, doc_b,
+    * jaccard) → view (threshold_ppm, n_pairs, n_docs) — q237
+    * (round 10). */
+  def createThresholdSweepView(spark: SparkSession, pairsView: String,
+      viewName: String): Unit =
+    Dedup.thresholdSweep(spark.table(pairsView))
+      .createOrReplaceTempView(viewName)
+
+  /** MinHash calibration curve: docs view (doc_id, text) + verified
+    * pairs view (doc_a, doc_b, jaccard) → view (bucket, n_pairs,
+    * agree_ppm) — q236 (round 10). */
+  def createLshCalibrationView(spark: SparkSession, docsView: String,
+      pairsView: String, viewName: String): Unit =
+    Dedup.lshCalibration(spark.table(docsView), spark.table(pairsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Quality-representative selection: docs view (doc_id, text) +
+    * components view (doc_id, component) → view (component,
+    * cluster_size, rep_id, rep_len) — q232 (round 10). */
+  def createClusterRepsView(spark: SparkSession, docsView: String,
+      compsView: String, viewName: String): Unit =
+    Dedup.clusterReps(spark.table(docsView), spark.table(compsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Dedup mixture impact: components view (doc_id, component) + meta
+    * view (doc_id, source, len) → view (source, n_docs, n_removed,
+    * removed_ppm, chars_total, chars_removed, chars_removed_ppm) —
+    * q235 (round 10). */
+  def createDedupImpactView(spark: SparkSession, compsView: String,
+      metaView: String, viewName: String): Unit =
+    Dedup.dedupImpact(spark.table(compsView), spark.table(metaView))
+      .createOrReplaceTempView(viewName)
+
+  /** Split-leakage audit: pairs view (doc_a, doc_b) + splits view
+    * (doc_id, split) → view (split_a, split_b, n_pairs, share_ppm) —
+    * q234 (round 10). */
+  def createSplitLeakageView(spark: SparkSession, pairsView: String,
+      splitsView: String, viewName: String): Unit =
+    Dedup.splitLeakage(spark.table(pairsView), spark.table(splitsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Cross-source contamination matrix: pairs view (doc_a, doc_b) +
+    * sources view (doc_id, source) → view (source_a, source_b,
+    * n_pairs) — q233 (round 10). */
+  def createContaminationMatrixView(spark: SparkSession,
+      pairsView: String, sourcesView: String, viewName: String): Unit =
+    Dedup.contaminationMatrix(spark.table(pairsView),
+      spark.table(sourcesView))
+      .createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

@@ -1023,6 +1023,208 @@ object Dedup {
       .orderBy("loser")
   }
 
+  /** Q232: CLUSTER REPRESENTATIVE SELECTION — for every multi-doc
+    * near-dup cluster (q33g components), pick the representative by
+    * QUALITY (longest text, ties → lowest id) instead of lowest id —
+    * the "keep best, not first" survivor policy real corpora prefer
+    * (the longest member of a boilerplate cluster is usually the
+    * un-truncated one). Output (component, cluster_size, rep_id,
+    * rep_len). Marginal cost over the memoized closure: one length
+    * projection + one argmax agg. */
+  def clusterReps(docs: DataFrame, comps: DataFrame): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+      char_length(col("text")).cast("long").as("len"))
+    comps.join(lens, "doc_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("len").as("len"), (-col("doc_id")).as("nid")))
+          .as("m"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("component"), col("cluster_size"),
+        (-col("m.nid")).as("rep_id"), col("m.len").as("rep_len"))
+      .orderBy("component")
+  }
+
+  def q232ClusterReps(spark: SparkSession, dir: String): DataFrame =
+    clusterReps(docsWithNearDups(load(spark, dir, "documents")),
+      q33gDedupComponents(spark, dir))
+
+  /** Q233: CROSS-SOURCE CONTAMINATION MATRIX — near-dup pair counts
+    * per unordered source pair. The mixture-design readout: a heavy
+    * off-diagonal cell means two "independent" sources share
+    * boilerplate (double-counted mass, train/eval contamination risk);
+    * the diagonal is within-source duplication q208 sizes. Derived
+    * +offset copies inherit their original's source (id mod offset).
+    * Rides the memoized exact pair set; the join side is
+    * documents-sized. */
+  def contaminationMatrix(pairs: DataFrame,
+      sources: DataFrame): DataFrame = {
+    val src = sources.select(col("doc_id").as("odoc"), col("source"))
+    pairs
+      .select(col("doc_a").as("oa"), col("doc_b").as("ob"))
+      .join(src.withColumnRenamed("source", "sa"),
+        col("oa") === col("odoc")).drop("odoc")
+      .join(src.withColumnRenamed("source", "sb"),
+        col("ob") === col("odoc")).drop("odoc")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def q233ContaminationMatrix(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    // derived +offset copies inherit their original's source
+    contaminationMatrix(exactPairs(spark, dir),
+      base.union(base.select(col("doc_id") + lit(NearDupIdOffset),
+        col("source"))))
+  }
+
+  /** Q234: SPLIT-LEAKAGE AUDIT — near-dup pairs crossing the q153
+    * md5 train/val/test boundaries. THE train-eval contamination
+    * number: a (train, test) cell > 0 means held-out docs have
+    * near-duplicates in the training split, so eval scores are
+    * inflated no matter how clean the split function is — hash splits
+    * randomize DOCS, near-dup clusters straddle them. Output one row
+    * per unordered split pair with its pair count and share of all
+    * near-dup pairs (ppm). Rides the memoized pair set + a
+    * corpus-sized pure-function projection (no data movement beyond
+    * two broadcast-eligible id joins). */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame): DataFrame = {
+    val sp = splits.select(col("doc_id").as("sdoc"), col("split"))
+    val cells = pairs
+      .join(sp.withColumnRenamed("split", "pa"),
+        col("doc_a") === col("sdoc")).drop("sdoc")
+      .join(sp.withColumnRenamed("split", "pb"),
+        col("doc_b") === col("sdoc")).drop("sdoc")
+      .select(least(col("pa"), col("pb")).as("split_a"),
+        greatest(col("pa"), col("pb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    cells.crossJoin(broadcast(
+        cells.agg(sum(col("n_pairs")).as("total"))))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        expr("(n_pairs * 1000000) div total").as("share_ppm"))
+      .orderBy("split_a", "split_b")
+  }
+
+  def q234SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(exactPairs(spark, dir),
+      docsWithNearDups(load(spark, dir, "documents"))
+        .select(col("doc_id"),
+          expr("CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2)" +
+            " < 'cd' THEN 'train'" +
+            " WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < 'e6'" +
+            " THEN 'val' ELSE 'test' END").as("split")))
+
+  /** Q235: DEDUP IMPACT BY SOURCE — what near-dup removal does to the
+    * corpus MIXTURE: per source, docs and chars before dedup, docs and
+    * chars removed (q33g non-representatives), both as exact ppm. The
+    * number that re-opens a mixture negotiation: a source that is 40%
+    * of raw bytes but deduplicates to 10% was never 40% of the signal.
+    * Views over the memoized closure + documents-sized source joins —
+    * marginal cost is one aggregate. */
+  def dedupImpact(comps: DataFrame, meta: DataFrame): DataFrame =
+    comps
+      .join(meta.select(col("doc_id"), col("source"), col("len")),
+        "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("component"), 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(col("len")).as("chars_total"),
+        sum(when(col("doc_id") =!= col("component"), col("len"))
+          .otherwise(0L)).as("chars_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        expr("(n_removed * 1000000) div n_docs").as("removed_ppm"),
+        col("chars_total"), col("chars_removed"),
+        expr("CASE WHEN chars_total > 0 THEN" +
+          " (chars_removed * 1000000) div chars_total" +
+          " ELSE 0 END").as("chars_removed_ppm"))
+      .orderBy("source")
+
+  def q235DedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val src = load(spark, dir, "documents")
+      .select(col("doc_id").as("odoc"), col("source"))
+    val meta = docsWithNearDups(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        char_length(col("text")).cast("long").as("len"))
+      .withColumn("odoc", col("doc_id") % lit(NearDupIdOffset))
+      .join(src, "odoc")
+      .select("doc_id", "source", "len")
+    dedupImpact(q33gDedupComponents(spark, dir), meta)
+  }
+
+  /** Q236: LSH CALIBRATION CURVE — per exact-jaccard bucket (width
+    * 0.05 over the verified pair set), the mean MinHash signature
+    * agreement in ppm of 64 permutations. THE empirical check of the
+    * E[agree] = jaccard identity MinHash's whole banding analysis
+    * rests on: a healthy configuration reads ~bucket-midpoint ppm per
+    * row; a broken hash family (correlated permutations) shows up as
+    * systematic bias here long before recall visibly craters. Uses
+    * the engine-shared signatures (graft_minhash_mod over polyhash
+    * shingles — the q33a flip), so the whole curve sits under the
+    * hard oracle. Cost: one signature pass + a pair-sized join. */
+  def lshCalibration(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    graft.functions.SignatureExprs.register(docs.sparkSession)
+    val sig = docs
+      .select(col("doc_id").as("sdoc"),
+        call_function("graft_minhash_mod",
+          array_distinct(transform(
+            shinglesOf(split(col("text"), " "), 3),
+            s => call_function("graft_polyhash", s))),
+          lit(64)).as("sig"))
+    pairs
+      .join(sig.withColumnRenamed("sig", "siga"),
+        col("doc_a") === col("sdoc")).drop("sdoc")
+      .join(sig.withColumnRenamed("sig", "sigb"),
+        col("doc_b") === col("sdoc")).drop("sdoc")
+      .select(
+        least(floor(col("jaccard") * lit(20)).cast("long"), lit(19L))
+          .as("bucket"),
+        expr("CAST(size(filter(zip_with(siga, sigb," +
+          " (x, y) -> x = y), b -> b)) AS BIGINT)").as("agree"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("(SUM(agree) * 1000000) div (64 * COUNT(*))")
+          .as("agree_ppm"))
+      .orderBy("bucket")
+  }
+
+  def q236LshCalibration(spark: SparkSession, dir: String): DataFrame =
+    lshCalibration(docsWithNearDups(load(spark, dir, "documents")),
+      exactPairs(spark, dir))
+
+  /** Q237: DEDUP THRESHOLD SWEEP — for each candidate jaccard
+    * threshold 0.50..0.95 (step 0.05), how many verified pairs and
+    * how many distinct documents the near-dup graph would involve.
+    * The aggressiveness dial read BEFORE committing to a threshold:
+    * the curve's knee is where dedup stops pruning boilerplate and
+    * starts eating genuine variation. One 10× fan-out over the
+    * memoized (tiny, verified-pairs-only) set — no recomputation per
+    * threshold. */
+  def thresholdSweep(pairs: DataFrame): DataFrame = {
+    val fan = pairs
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(sequence(lit(500000L), lit(950000L), lit(50000L)))
+          .as("threshold_ppm"))
+      .filter(col("jaccard") * lit(1000000) >= col("threshold_ppm"))
+    val np = fan.groupBy("threshold_ppm")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nd = fan
+      .select(col("threshold_ppm"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold_ppm")
+      .agg(countDistinct(col("d")).as("n_docs"))
+    np.join(nd, Seq("threshold_ppm")).orderBy("threshold_ppm")
+  }
+
+  def q237ThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweep(exactPairs(spark, dir))
+
   /** Q62: survivors of decontamination against a derived "benchmark"
     * slice (every 17th document) — deterministic, so it sits under the
     * hard oracle. */
@@ -1097,6 +1299,12 @@ object Dedup {
     "q33g_dedup_components" -> (q33gDedupComponents _),
     "q208_dup_cluster_sizes" -> (q208DupClusterSizes _),
     "q217_dedup_lineage" -> (q217DedupLineage _),
+    "q232_cluster_reps" -> (q232ClusterReps _),
+    "q233_contamination_matrix" -> (q233ContaminationMatrix _),
+    "q234_split_leakage" -> (q234SplitLeakage _),
+    "q235_dedup_impact" -> (q235DedupImpact _),
+    "q236_lsh_calibration" -> (q236LshCalibration _),
+    "q237_threshold_sweep" -> (q237ThresholdSweep _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q63_pipeline" -> (q63Pipeline _),
     "q102_containment_pairs" -> (q102ContainmentPairs _),
@@ -1347,6 +1555,147 @@ object Dedup {
         |SELECT doc_id FROM corpus
         |WHERE doc_id NOT IN (SELECT doc_b FROM jpairs)
         |ORDER BY doc_id""".stripMargin),
+    // q232: the closure's clusters, representative by (len DESC, id).
+    "q232_cluster_reps" ->
+      (closureCtes + """
+        |, comp AS (
+        |  SELECT node, CAST(MIN(r) AS BIGINT) AS component
+        |  FROM reach GROUP BY node),
+        |withlen AS (
+        |  SELECT c.component, c.node, length(co.text) AS len
+        |  FROM comp c JOIN corpus co ON c.node = co.doc_id),
+        |ranked AS (
+        |  SELECT component, node, len,
+        |    COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+        |    ROW_NUMBER() OVER (PARTITION BY component
+        |      ORDER BY len DESC, node) AS rn
+        |  FROM withlen)
+        |SELECT component, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  node AS rep_id, CAST(len AS BIGINT) AS rep_len
+        |FROM ranked WHERE rn = 1 AND cluster_size >= 2
+        |ORDER BY component""".stripMargin),
+    // q233: the postings pair set mapped onto original sources
+    // (derived ids inherit via mod offset), unordered source cells.
+    "q233_contamination_matrix" ->
+      ("WITH " + postingsPairCtes + """,
+        |m AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b
+        |  FROM jpairs
+        |  JOIN documents da ON jpairs.doc_a % 1000000 = da.doc_id
+        |  JOIN documents db ON jpairs.doc_b % 1000000 = db.doc_id)
+        |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM m GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin),
+    // q234: same md5-prefix split function as q153 (identical lowercase
+    // hex both engines) applied to BOTH pair endpoints, unordered cells.
+    "q234_split_leakage" ->
+      ("WITH " + postingsPairCtes + """,
+        |sp AS (
+        |  SELECT doc_id AS sdoc,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |           < 'cd' THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |           < 'e6' THEN 'val'
+        |         ELSE 'test' END AS spl
+        |  FROM corpus),
+        |cells AS (
+        |  SELECT least(a.spl, b.spl) AS split_a,
+        |    greatest(a.spl, b.spl) AS split_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM jpairs
+        |  JOIN sp a ON jpairs.doc_a = a.sdoc
+        |  JOIN sp b ON jpairs.doc_b = b.sdoc
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM cells)
+        |SELECT split_a, split_b, n_pairs,
+        |  (n_pairs * 1000000) // total AS share_ppm
+        |FROM cells, tot ORDER BY split_a, split_b""".stripMargin),
+    // q235: the closure's non-representatives aggregated onto original
+    // sources (derived ids inherit via mod offset), exact ppm.
+    "q235_dedup_impact" ->
+      (closureCtes + """
+        |, comp AS (
+        |  SELECT node, CAST(MIN(r) AS BIGINT) AS component
+        |  FROM reach GROUP BY node),
+        |wl AS (
+        |  SELECT c.node, c.component,
+        |    CAST(length(co.text) AS BIGINT) AS len, d.source
+        |  FROM comp c
+        |  JOIN corpus co ON c.node = co.doc_id
+        |  JOIN documents d ON c.node % 1000000 = d.doc_id),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN node <> component THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_removed,
+        |    CAST(SUM(len) AS BIGINT) AS chars_total,
+        |    CAST(SUM(CASE WHEN node <> component THEN len ELSE 0 END)
+        |      AS BIGINT) AS chars_removed
+        |  FROM wl GROUP BY source)
+        |SELECT source, n_docs, n_removed,
+        |  (n_removed * 1000000) // n_docs AS removed_ppm,
+        |  chars_total, chars_removed,
+        |  CASE WHEN chars_total > 0 THEN
+        |    (chars_removed * 1000000) // chars_total
+        |  ELSE 0 END AS chars_removed_ppm
+        |FROM agg ORDER BY source""".stripMargin),
+    // q236: the q33a engine-shared signatures (same polyhash shingles,
+    // same (a·x+b) mod P permutations) joined onto the exact postings
+    // pair set; per-component agreement replayed relationally.
+    "q236_lsh_calibration" ->
+      ("WITH " + postingsPairCtes + s""",
+        |msh AS (
+        |  SELECT doc_id, list_distinct(list_transform(s,
+        |    g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(g) + 1),
+        |        j -> CAST(ord(substr(g, j, 1)) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007))) AS hs
+        |  FROM sh),
+        |mex AS (SELECT doc_id, unnest(hs) AS x FROM msh),
+        |msig AS MATERIALIZED (
+        |  SELECT doc_id, k,
+        |    MIN((($sqlA)[k+1] * x + ($sqlB)[k+1]) % 1000000007) AS s
+        |  FROM mex CROSS JOIN (SELECT unnest(range(0, 64)) AS k) kt
+        |  GROUP BY doc_id, k),
+        |agr AS (
+        |  SELECT jp.doc_a, jp.doc_b, jp.jaccard,
+        |    CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM jpairs jp
+        |  JOIN msig a ON jp.doc_a = a.doc_id
+        |  JOIN msig b ON jp.doc_b = b.doc_id AND a.k = b.k
+        |  GROUP BY jp.doc_a, jp.doc_b, jp.jaccard),
+        |bkt AS (
+        |  SELECT least(CAST(floor(jaccard * 20) AS BIGINT), 19)
+        |      AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(agree) AS BIGINT) AS agree_sum
+        |  FROM agr GROUP BY 1)
+        |SELECT bucket, n_pairs,
+        |  (agree_sum * 1000000) // (64 * n_pairs) AS agree_ppm
+        |FROM bkt ORDER BY bucket""".stripMargin),
+    // q237: 10-threshold fan-out over the verified pair set; same
+    // double multiply + integer compare on both sides.
+    "q237_threshold_sweep" ->
+      ("WITH " + postingsPairCtes + """,
+        |th AS (SELECT CAST(unnest(range(500000, 1000000, 50000))
+        |  AS BIGINT) AS threshold_ppm),
+        |fan AS (
+        |  SELECT threshold_ppm, doc_a, doc_b
+        |  FROM jpairs CROSS JOIN th
+        |  WHERE jaccard * 1000000 >= threshold_ppm),
+        |np AS (
+        |  SELECT threshold_ppm, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM fan GROUP BY threshold_ppm),
+        |nd AS (
+        |  SELECT threshold_ppm, CAST(COUNT(DISTINCT d) AS BIGINT)
+        |    AS n_docs
+        |  FROM (SELECT threshold_ppm, doc_a AS d FROM fan
+        |        UNION ALL SELECT threshold_ppm, doc_b FROM fan)
+        |  GROUP BY threshold_ppm)
+        |SELECT threshold_ppm, n_pairs, n_docs
+        |FROM np JOIN nd USING (threshold_ppm)
+        |ORDER BY threshold_ppm""".stripMargin),
     // q33g: transitive closure of the exact pair graph via recursive CTE
     // — min reachable id per node ≡ the min-label-propagation fixpoint.
     "q33g_dedup_components" ->

@@ -46,5 +46,7 @@ object Memos {
     "memo:basket_co" ->
       ((s, d) => { Graph.basketCo(s, d); () }),
     "memo:fuzzy_pairs" ->
-      ((s, d) => { TextOps.fuzzyPairs(s, d); () }))
+      ((s, d) => { TextOps.fuzzyPairs(s, d); () }),
+    "memo:bpe_state" ->
+      ((s, d) => { TextOps.bpeState6(s, d); () }))
 }

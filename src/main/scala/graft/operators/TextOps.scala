@@ -398,9 +398,24 @@ object TextOps {
   private val fuzzyPairsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Memoized 6-round BPE training state shared by q229 (merge table)
+    * and q231 (encoding readout) — the training loop runs ~30 tiny
+    * jobs (per-round checkpoints), worth computing once per
+    * (session, dir). Both returned frames are already eagerly
+    * checkpointed by the loop. */
+  private val bpeStateCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  def bpeState6(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    bpeStateCache.getOrElseUpdate((spark, dir),
+      bpeTrainState(load(spark, dir, "documents"), rounds = 6))
+
   /** Drop this object's memoized frames (see [[Memos.clearAll]]). */
-  private[operators] def clearMemos(): Unit =
+  private[operators] def clearMemos(): Unit = {
     fuzzyPairsCache.clear()
+    bpeStateCache.clear()
+  }
 
   def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
     fuzzyPairsCache.getOrElseUpdate((spark, dir),
@@ -721,7 +736,13 @@ object TextOps {
     * parallelism, no global sort. The driver loop localCheckpoints
     * each round (iterative-lineage rule) and the 1-row argmax
     * broadcasts into the merge-application join. */
-  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame =
+    bpeTrainState(docs, rounds)._1
+
+  /** [[bpeTrain]] plus the final vocabulary segmentation state
+    * (w, c, pos, sym) — q231 reads tokens-per-word off it. */
+  def bpeTrainState(docs: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     require(rounds >= 1)
     val wc = docs
       .select(explode(split(col("text"), " ")).as("w"))
@@ -780,11 +801,44 @@ object TextOps {
             .otherwise(col("aa.sym")).as("sym"))
         .localCheckpoint()
     }
-    merges.reduce(_ unionAll _).orderBy("merge_round")
+    (merges.reduce(_ unionAll _).orderBy("merge_round"), s)
   }
 
   def q229BpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeTrain(load(spark, dir, "documents"), rounds = 6)
+    bpeState6(spark, dir)._1
+
+  // ---------------------------------------------------------------- q231
+
+  /** Q231: BPE ENCODING READOUT — apply the q229-trained merges and
+    * report, per source: word/char/token totals and the chars→tokens
+    * compression in ppm. The number that justifies a tokenizer budget
+    * (how many tokens does this corpus cost under the trained vocab),
+    * sliced by source because mixtures are negotiated per source.
+    *
+    * Tokens-per-word reads straight off the final training state
+    * (symbols of w after N merges) — encoding a word the trainer saw
+    * IS its final segmentation, no re-application pass. Empty-string
+    * words have no symbols (excluded from s0 in both engines) and
+    * count 0 tokens. Scale: the corpus-sized work is one (source,
+    * word) count; everything else is vocab-sized. */
+  def q231BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val (_, finalSyms) = bpeState6(spark, dir)
+    val symCounts = finalSyms.groupBy("w")
+      .agg(count(lit(1)).as("n_syms"))
+    docs.select(col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .join(symCounts, Seq("w"), "left")
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(expr("cnt * char_length(w)")).as("n_chars"),
+        sum(expr("cnt * coalesce(n_syms, 0)")).as("n_tokens"))
+      .withColumn("compression_ppm",
+        expr("CASE WHEN n_chars > 0 THEN (n_tokens * 1000000)" +
+          " div n_chars ELSE 0 END"))
+      .orderBy("source")
+  }
 
   // ---------------------------------------------------------------- q147
 
@@ -1170,6 +1224,7 @@ object TextOps {
     "q156_freq_spectrum" -> (q156FreqSpectrum _),
     "q145_bpe_pairs" -> (q145BpePairs _),
     "q229_bpe_merges" -> (q229BpeMerges _),
+    "q231_bpe_encode" -> (q231BpeEncode _),
     "q147_inverted_index" -> (q147InvertedIndex _),
     "q149_bigram_surprisal" -> (q149BigramSurprisal _),
     "q31a_text_lang" -> (q31Lang _),
@@ -1233,23 +1288,41 @@ object TextOps {
        |  LEFT JOIN g$k gp ON aa.w = gp.w AND aa.rn - 1 = gp.rn
        |  WHERE gp.rn IS NULL)""".stripMargin
 
-  private val bpeOracle: String = {
-    val rounds = 6
-    val head =
-      """WITH wc AS (
-        |  SELECT w, COUNT(*) AS c FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY w),
-        |s0 AS MATERIALIZED (
-        |  SELECT w, c, CAST(i AS BIGINT) AS pos,
-        |    substr(w, CAST(i AS INTEGER), 1) AS sym
-        |  FROM (SELECT w, c, unnest(generate_series(1, length(w))) AS i
-        |        FROM wc WHERE length(w) >= 1))""".stripMargin
-    val body = (0 until rounds).map(bpeRoundCte).mkString(",\n", ",\n", "")
-    val tail = (0 until rounds).map(k => s"SELECT * FROM b$k")
+  /** The full N-round training chain (wc → s0 → a/b/g/s per round),
+    * ending with the s{rounds} final-state CTE — shared by the q229
+    * (merge table) and q231 (encoding readout) oracles. */
+  private def bpeCtes(rounds: Int): String =
+    """WITH wc AS (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |s0 AS MATERIALIZED (
+      |  SELECT w, c, CAST(i AS BIGINT) AS pos,
+      |    substr(w, CAST(i AS INTEGER), 1) AS sym
+      |  FROM (SELECT w, c, unnest(generate_series(1, length(w))) AS i
+      |        FROM wc WHERE length(w) >= 1))""".stripMargin +
+      (0 until rounds).map(bpeRoundCte).mkString(",\n", ",\n", "")
+
+  private val bpeOracle: String =
+    bpeCtes(6) + (0 until 6).map(k => s"SELECT * FROM b$k")
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_round")
-    head + body + tail
-  }
+
+  private val bpeEncodeOracle: String =
+    bpeCtes(6) + """,
+      |wsum AS (SELECT w, COUNT(*) AS n_syms FROM s6 GROUP BY w),
+      |psrc AS (
+      |  SELECT source, w, COUNT(*) AS cnt FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) GROUP BY source, w),
+      |agg AS (
+      |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_words,
+      |    CAST(SUM(cnt * length(w)) AS BIGINT) AS n_chars,
+      |    CAST(SUM(cnt * COALESCE(n_syms, 0)) AS BIGINT) AS n_tokens
+      |  FROM psrc LEFT JOIN wsum USING (w) GROUP BY source)
+      |SELECT source, n_words, n_chars, n_tokens,
+      |  CASE WHEN n_chars > 0 THEN (n_tokens * 1000000) // n_chars
+      |       ELSE 0 END AS compression_ppm
+      |FROM agg ORDER BY source""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // q226: same (count desc, token asc) rank, same running sum,
@@ -1463,6 +1536,9 @@ object TextOps {
     // greedy-merge rule as the Spark loop: islands of rank-consecutive
     // matches, merge iff even offset.
     "q229_bpe_merges" -> bpeOracle,
+    // q231: the q229 chain + tokens-per-word off the final state,
+    // joined to per-source word counts.
+    "q231_bpe_encode" -> bpeEncodeOracle,
     // q145: same vocab-first collapse + lateral pair fan-out;
     // length/substr are codepoint-based in both engines, and the
     // length >= 2 guard runs before the series on both sides.

@@ -431,4 +431,73 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.crossCorpusDedup(allSame, copyIn, dfCap = 4)
       .collect().isEmpty)
   }
+
+  // ------------------------- round-10 dedup ops-audit family pins
+
+  test("q237 threshold sweep: counts monotone non-increasing; the 0.50 " +
+      "row IS the full verified pair set") {
+    val rows = Dedup.q237ThresholdSweep(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2, s"n_pairs not monotone at ${b._1}")
+        assert(b._3 <= a._3, s"n_docs not monotone at ${b._1}")
+      case _ => ()
+    }
+    assert(rows.head._1 == 500000L)
+    assert(rows.head._2 == Dedup.exactPairs(spark, sf).count())
+  }
+
+  test("q236 calibration: buckets within [10,19], agreement ppm bounded, " +
+      "pair mass equals the verified pair set") {
+    val rows = Dedup.q236LshCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) >= 10L && r.getLong(0) <= 19L))
+    assert(rows.forall(r =>
+      r.getLong(2) >= 0L && r.getLong(2) <= 1000000L))
+    assert(rows.map(_.getLong(1)).sum ==
+      Dedup.exactPairs(spark, sf).count())
+  }
+
+  test("q235 impact: every cluster keeps exactly its representative — " +
+      "kept total = component count") {
+    val rows = Dedup.q235DedupImpact(spark, sf).collect()
+    val kept = rows.map(r => r.getLong(1) - r.getLong(2)).sum
+    val nComponents = Dedup.q33gDedupComponents(spark, sf)
+      .select("component").distinct().count()
+    assert(kept == nComponents)
+    assert(rows.forall(r => r.getLong(5) <= r.getLong(4)),
+      "chars_removed exceeds chars_total")
+  }
+
+  test("q234 split leakage: cells partition the pair set; shares sum " +
+      "to 1e6 within per-cell floor loss") {
+    val rows = Dedup.q234SplitLeakage(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      Dedup.exactPairs(spark, sf).count())
+    val ppm = rows.map(_.getLong(3)).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - rows.length,
+      s"share ppm sum $ppm")
+    val splits = Set("train", "val", "test")
+    assert(rows.forall(r =>
+      splits(r.getString(0)) && splits(r.getString(1))))
+  }
+
+  test("q232 cluster reps: each representative is a cluster member " +
+      "whose length is the cluster max") {
+    val comp = Dedup.q33gDedupComponents(spark, sf)
+    val lens = Dedup.docsWithNearDups(docs)
+      .select(col("doc_id"), char_length(col("text")).cast("long").as("len"))
+    val maxLen = comp.join(lens, "doc_id")
+      .groupBy("component").agg(max("len").as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reps = Dedup.q232ClusterReps(spark, sf).collect()
+    assert(reps.nonEmpty)
+    reps.foreach { r =>
+      assert(r.getLong(3) == maxLen(r.getLong(0)),
+        s"rep_len mismatch for component ${r.getLong(0)}")
+    }
+  }
 }
