@@ -412,6 +412,24 @@ object SqlSurface {
       spark.table(sourcesView))
       .createOrReplaceTempView(viewName)
 
+  /** ANN recall audit: exact and approximate top-k views (qid, rank,
+    * neighbor, cos) → view (qid, n_brute, n_found, recall_ppm) — q239
+    * (round 10). */
+  def createAnnRecallView(spark: SparkSession, exactView: String,
+      approxView: String, viewName: String): Unit =
+    Similarity.annRecall(spark.table(exactView), spark.table(approxView))
+      .createOrReplaceTempView(viewName)
+
+  /** CDC apply / MERGE INTO: old-snapshot view + changelog view (key,
+    * op ∈ {I,U,D}, new_* columns) → view of the reconstructed new
+    * snapshot — q240 (round 10). */
+  def createApplyCdcView(spark: SparkSession, oldView: String,
+      diffView: String, key: String, valueCols: Seq[String],
+      viewName: String): Unit =
+    operators.Relational.applyCdc(spark.table(oldView),
+      spark.table(diffView), key, valueCols)
+      .createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

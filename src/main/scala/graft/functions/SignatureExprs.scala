@@ -417,6 +417,61 @@ case class HyperplaneLshExpr(child: Expression, planes: Int)
       newChild: Expression): HyperplaneLshExpr = copy(child = newChild)
 }
 
+/** ENGINE-SHARED twin of [[HyperplaneLshExpr]] — weight(p,i) = +1 iff
+  * (modMults(p)·i + modAdds(p)) mod P is odd (the same universal-hash
+  * vote parity the shared SimHash uses), and each plane's projection
+  * accumulates in INDEX ORDER, so a relational replay (DuckDB
+  * list_reduce left fold over the same ±x terms) reproduces the
+  * identical IEEE double sum and therefore the identical sign bit.
+  * This is what lets the embedding-LSH candidate set (q33d/q34b) sit
+  * under the hard oracle, the way graft_minhash_mod did for q33a. */
+case class HyperplaneModExpr(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val mults = Mix.modMults(planes)
+  private lazy val adds = Mix.modAdds(planes)
+
+  override def prettyName: String = "graft_hyperplane_mod"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+           ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_hyperplane_mod expects array<float|double>, got ${other.sql}")
+    }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        // (a·i + b) mod P < P² ≪ 2⁶³ — no wrap; parity = the ±1 vote
+        val odd = ((mults(p) * i + adds(p)) % Mix.P & 1L) == 1L
+        acc += (if (odd) x else -x)
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneModExpr = copy(child = newChild)
+}
+
 object SignatureExprs {
 
   /** (identifier, info, builder) triples — shared by post-hoc
@@ -464,6 +519,18 @@ object SignatureExprs {
             n.eval().asInstanceOf[Number].intValue())
           case other => throw new IllegalArgumentException(
             s"graft_hyperplane takes (array, planes), got ${other.length} args")
+        }
+      }),
+    (FunctionIdentifier("graft_hyperplane_mod"),
+      new ExpressionInfo(classOf[HyperplaneModExpr].getName,
+        "graft_hyperplane_mod"),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(arr, n) => HyperplaneModExpr(arr,
+            n.eval().asInstanceOf[Number].intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_mod takes (array, planes), got " +
+              s"${other.length} args")
         }
       }),
     (FunctionIdentifier("graft_simhash"),

@@ -771,6 +771,40 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** ENGINE-SHARED embedding near-dup pairs — the ORACLE-GATED form of
+    * [[embeddingNearDupPairs]] (round-10, the q33a playbook applied to
+    * the cosine-LSH family): sign buckets come from
+    * `graft_hyperplane_mod` (universal-hash parity weights, INDEX-ORDER
+    * accumulation — replayable as a DuckDB list_reduce left fold over
+    * the identical ±x terms), and verification is the q92
+    * identical-IEEE cosine rounded to BIGINT cos_e6 (D6). Same scale
+    * shape as the production path: bucket-equality join, never O(n²).
+    * Recall < 1 across bucket boundaries is the standard LSH trade,
+    * UNCHANGED — the oracle replays the identical bucketing, so the
+    * gate is exact. */
+  def embeddingNearDupPairsShared(embeddings: DataFrame, planes: Int = 8,
+      thresholdE6: Long = 950000L): DataFrame = {
+    import VectorOps.asDouble
+    graft.functions.SignatureExprs.register(embeddings.sparkSession)
+    graft.functions.DotProductExpr.register(embeddings.sparkSession)
+    def dot(a: Column, b: Column): Column =
+      call_function(graft.functions.DotProductExpr.name, a, b)
+    val sigs = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket",
+        call_function("graft_hyperplane_mod", col("v"), lit(planes)))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    sigs.as("a")
+      .join(sigs.as("b"), col("a.bucket") === col("b.bucket")
+        && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_e6", floor(
+        (dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("cos_e6") >= thresholdE6)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("cos_e6"))
+  }
+
   /** The fixture corpus has no organic near-dups (random-word texts), so
     * the runnable query entries exercise the operators on the corpus plus
     * a derived variant of each row (last 3 words dropped / embedding
@@ -965,8 +999,13 @@ object Dedup {
   def q33cNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     exactPairs(spark, dir).orderBy("doc_a", "doc_b")
 
+  /** Round 10: graded on the ENGINE-SHARED hyperplane form — the
+    * candidate set is a deterministic function of the shared signatures,
+    * so the whole LSH pipeline sits under the hard oracle (the
+    * production splitmix-weights form [[embeddingNearDupPairs]] keeps
+    * its recall spec). */
   def q33dEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDupPairs(
+    embeddingNearDupPairsShared(
       embeddingsWithNearDups(load(spark, dir, "embeddings")))
       .orderBy("id_a", "id_b")
 
@@ -1488,6 +1527,52 @@ object Dedup {
          |  JOIN sig sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, hamming FROM ham
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // q33d (round 10): engine-shared hyperplane LSH replayed relationally
+    // — float-exact derived corpus (the q230 basee replay), per-plane
+    // signed sums via list_reduce in index order (identical IEEE adds),
+    // integer bit-pack, bucket-equality candidates, q92 identical-IEEE
+    // cosine → BIGINT cos_e6.
+    "q33d_embed_neardup_pairs" ->
+      s"""WITH basee AS (
+         |  SELECT vec_id, embedding AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(range(1, len(embedding) + 1),
+         |      i -> CASE WHEN i = 1
+         |        THEN CAST(embedding[i] * CAST(1.5 AS REAL) AS REAL)
+         |        ELSE CAST(embedding[i] * CAST(1.01 AS REAL) AS REAL)
+         |      END)
+         |  FROM embeddings),
+         |v AS (SELECT vec_id, emb::DOUBLE[] AS e FROM basee),
+         |acc AS (
+         |  SELECT vec_id, p,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len(e) + 1),
+         |        i -> CASE WHEN (($sqlA)[p+1] * (i-1) + ($sqlB)[p+1])
+         |               % 1000000007 % 2 = 1
+         |             THEN e[i] ELSE -e[i] END)),
+         |      (a, x) -> a + x) AS s
+         |  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pt),
+         |bkt AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << p
+         |      ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM acc GROUP BY vec_id),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bkt a JOIN bkt b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (
+         |  SELECT id_a, id_b,
+         |    CAST(floor(list_dot_product(va.e, vb.e) /
+         |      (sqrt(list_dot_product(va.e, va.e)) *
+         |       sqrt(list_dot_product(vb.e, vb.e))) * 1e6 + 0.5)
+         |      AS BIGINT) AS cos_e6
+         |  FROM cand
+         |  JOIN v va ON id_a = va.vec_id
+         |  JOIN v vb ON id_b = vb.vec_id)
+         |SELECT id_a, id_b, cos_e6 FROM sc
+         |WHERE cos_e6 >= 950000 ORDER BY id_a, id_b""".stripMargin,
     // q137: same derived incoming batch (truncated vs first-half), same
     // shingling as q33c, jaccard over shingle STRING sets (the Spark
     // side hashes — equal absent ~n²/2⁶⁴ collisions), existing×incoming

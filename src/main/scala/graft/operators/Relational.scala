@@ -1359,6 +1359,39 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** MERGE-INTO / CDC APPLY — the inverse of [[snapshotDiff]]: apply a
+    * changelog (key, op ∈ {I,U,D}, new_* value columns) onto the old
+    * snapshot, recovering the new snapshot exactly. I/U rows take the
+    * changelog's new values, D rows drop the key, untouched keys pass
+    * through. Scale shape: ONE key-partitioned full-outer join (the
+    * change volume is usually ≪ the snapshot, so AQE broadcasts the
+    * diff side); with [[Bucketing]]-laid-out snapshots the Exchange
+    * disappears — the lakehouse MERGE pattern. */
+  def applyCdc(oldDf: DataFrame, diff: DataFrame, key: String,
+      valueCols: Seq[String]): DataFrame = {
+    val d = diff.select(
+      col(key) +: col("op") +:
+        valueCols.map(c => col(s"new_$c").as(c)): _*)
+    oldDf.as("o").join(d.as("d"), Seq(key), "full_outer")
+      .filter(col("d.op").isNull || col("d.op") =!= lit("D"))
+      .select(col(key) +: valueCols.map(c =>
+        when(col("d.op").isNotNull, col(s"d.$c"))
+          .otherwise(col(s"o.$c")).as(c)): _*)
+  }
+
+  /** Q240: CDC apply round-trip — [[applyCdc]] over q129's changelog
+    * reconstructs the derived v_new snapshot bit-for-bit; the oracle
+    * derives v_new directly, so the gate proves apply ∘ diff =
+    * identity (the invariant a MERGE implementation owes you). */
+  def q240ApplyCdc(spark: SparkSession, dir: String): DataFrame = {
+    val base = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    applyCdc(base, q129SnapshotDiff(spark, dir), "o_orderkey",
+      Seq("o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Q130: equi-depth histogram boundaries (8 buckets → 7 interior
     * cuts) per return flag — [[Percentiles.discByRankSplit]]'s
     * colossal-group machinery under the hard oracle. The /8 fractions
@@ -1834,6 +1867,7 @@ object Relational {
     "q125_supplier_diversity" -> (q125SupplierDiversity _),
     "q126_volume_suppliers" -> (q126VolumeSuppliers _),
     "q129_snapshot_diff" -> (q129SnapshotDiff _),
+    "q240_apply_cdc" -> (q240ApplyCdc _),
     "q130_equidepth_hist" -> (q130EquiDepthHist _),
   )
 
@@ -2421,6 +2455,19 @@ object Relational {
         |           WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
         |             OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
         |             THEN 'U' END IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    // q240: v_new derived DIRECTLY — the Spark side reconstructs it by
+    // applying q129's changelog to the base, so the gate proves
+    // apply ∘ diff = identity.
+    "q240_apply_cdc" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 97 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 9000000, 'N', o_totalprice
+        |FROM orders WHERE o_orderkey % 101 = 0
         |ORDER BY o_orderkey""".stripMargin,
     "q130_equidepth_hist" ->
       """SELECT l_returnflag, COUNT(*) AS cnt,

@@ -94,6 +94,35 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** ENGINE-SHARED twin of [[knnLsh]] (round-10, the q33d flip applied
+    * to approximate kNN): buckets via `graft_hyperplane_mod`
+    * (universal-hash parity weights, index-order accumulation — DuckDB
+    * replays the fold), so the LSH candidate set — and therefore the
+    * approximate top-k itself, ties broken by neighbor id — is a
+    * deterministic engine-independent function of the data. Recall < 1
+    * is the LSH trade, unchanged; the oracle replays the identical
+    * bucketing, so the gate is exact. */
+  def knnLshShared(vectors: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 4): DataFrame = {
+    graft.functions.SignatureExprs.register(vectors.sparkSession)
+    DotProductExpr.register(vectors.sparkSession)
+    val base = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket",
+        call_function("graft_hyperplane_mod", col("v"), lit(planes)))
+      .withColumn("nv", nativeNorm(col("v")))
+    val qs = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("bucket",
+        call_function("graft_hyperplane_mod", col("qv"), lit(planes)))
+      .withColumn("nq", nativeNorm(col("qv")))
+    val scored = base.join(broadcast(qs),
+        base("bucket") === qs("bucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosinePrenormed(
+        nativeDot(col("v"), col("qv")), col("nv"), col("nq")))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF (inverted-file) approximate kNN: partition vectors into C
     * coarse cells (nearest of C centroids by inner product), search only
     * the query's cell — O(Q·N/C) instead of O(Q·N).
@@ -324,9 +353,12 @@ object Similarity {
     knnBrute(vecs, queryVectors(vecs), k = 10).orderBy("qid", "rank")
   }
 
+  /** Round 10: graded on the ENGINE-SHARED hyperplane form (candidate
+    * set deterministic → hard oracle); the production splitmix-weights
+    * [[knnLsh]] keeps its recall spec. */
   def q34bKnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val vecs = load(spark, dir, "embeddings")
-    knnLsh(vecs, queryVectors(vecs), k = 10).orderBy("qid", "rank")
+    knnLshShared(vecs, queryVectors(vecs), k = 10).orderBy("qid", "rank")
   }
 
   /** Graded at FULL PROBE (probes = cells): every cell is searched, so
@@ -343,11 +375,35 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** q34b is implementation-only (LSH candidate generation is
-    * algorithmic — recall < 1 by design, so no SQL oracle can equal
-    * it). q34a is exact and q34c probes every cell, so both are
-    * hash-gated against a DuckDB list-function recomputation (see
-    * `oracle`). */
+  /** Round 10: q34b joined q34a/q34c under the hard oracle — the
+    * engine-shared hyperplane buckets make the LSH candidate set (and
+    * so the approximate top-k, recall < 1 and all) a deterministic
+    * function of the data that DuckDB replays relationally. */
+
+  /** Q239: ANN RECALL AUDIT — per query: how much of the exact top-10
+    * (q34a) the LSH top-10 (q34b) recovers, in ppm. The index-eval
+    * readout every vector-search deployment runs before trusting an
+    * approximate index — and because both sides are themselves
+    * deterministic (round-10 shared buckets), the audit itself sits
+    * under the hard oracle instead of being a hand-waved spec number.
+    * Cost: the two (already tiny, query-count-sized) top-k frames and
+    * one join on (qid, neighbor). */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val brute = exact.select(col("qid"), col("neighbor"))
+    val lsh = approx
+      .select(col("qid").as("lq"), col("neighbor").as("ln"))
+    brute.join(lsh,
+        col("qid") === col("lq") && col("neighbor") === col("ln"),
+        "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_brute"), count(col("ln")).as("n_found"))
+      .select(col("qid"), col("n_brute"), col("n_found"),
+        expr("(n_found * 1000000) div n_brute").as("recall_ppm"))
+      .orderBy("qid")
+  }
+
+  def q239AnnRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecall(q34aKnnBrute(spark, dir), q34bKnnLsh(spark, dir))
   // --------------------------------------------------------------- q151
 
   /** Q151: HARD-NEGATIVE mining — for every vector, the most similar
@@ -703,6 +759,7 @@ object Similarity {
     "q34a_knn_brute" -> (q34aKnnBrute _),
     "q34b_knn_lsh" -> (q34bKnnLsh _),
     "q34c_knn_ivf" -> (q34cKnnIvf _),
+    "q239_ann_recall" -> (q239AnnRecall _),
     "q58_quantize" -> (q58Quantize _),
     "q92_cosine_pairs" -> (q92CosinePairs _),
   )
@@ -713,6 +770,14 @@ object Similarity {
     * floor(x·1e6+0.5)/1e6 rounding before ranking — all IEEE double ops,
     * so both engines rank identical values. Ties at equal rounded cos
     * break by neighbor id (D1). */
+  /** The engine-shared universal-hash constants as DuckDB list
+    * literals — same single source of truth (Mix.modMults/modAdds) the
+    * graft_hyperplane_mod expression embeds. */
+  private val hypA: String =
+    graft.functions.Mix.modMults(64).mkString("[", ",", "]")
+  private val hypB: String =
+    graft.functions.Mix.modAdds(64).mkString("[", ",", "]")
+
   val oracle: Map[String, String] = Map(
     // q230: derived corpus = float-exact replay of embeddingsWithNearDups
     // (CAST(x * CAST(c AS REAL) AS REAL) — the double product of two
@@ -950,6 +1015,107 @@ object Similarity {
         |  FROM scored)
         |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, cos
         |FROM ranked WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
+    // q239 (round 10): both the q34a brute and q34b shared-bucket
+    // top-10 chains replayed side by side, joined on (qid, neighbor).
+    "q239_ann_recall" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |qb AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         |scored_b AS (
+         |  SELECT qb.qid, v.vec_id AS neighbor,
+         |    floor((list_dot_product(v.e, qb.qe) /
+         |      (sqrt(list_dot_product(v.e, v.e)) *
+         |       sqrt(list_dot_product(qb.qe, qb.qe)))) * 1e6 + 0.5)
+         |      / 1e6 AS cos
+         |  FROM v CROSS JOIN qb WHERE v.vec_id <> qb.qid),
+         |topb AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT qid, neighbor, row_number() OVER (
+         |      PARTITION BY qid ORDER BY cos DESC, neighbor) AS rnk
+         |    FROM scored_b) WHERE rnk <= 10),
+         |acc AS (
+         |  SELECT vec_id, p,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len(e) + 1),
+         |        i -> CASE WHEN (($hypA)[p+1] * (i-1) + ($hypB)[p+1])
+         |               % 1000000007 % 2 = 1
+         |             THEN e[i] ELSE -e[i] END)),
+         |      (a, x) -> a + x) AS s
+         |  FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS p) pt),
+         |bkt AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN s >= 0
+         |    THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
+         |    AS bucket
+         |  FROM acc GROUP BY vec_id),
+         |ql AS (
+         |  SELECT v.vec_id AS qid, e AS qe, bucket
+         |  FROM v JOIN bkt ON v.vec_id = bkt.vec_id
+         |  WHERE v.vec_id < 5),
+         |scored_l AS (
+         |  SELECT ql.qid, v.vec_id AS neighbor,
+         |    floor((list_dot_product(v.e, ql.qe) /
+         |      (sqrt(list_dot_product(v.e, v.e)) *
+         |       sqrt(list_dot_product(ql.qe, ql.qe)))) * 1e6 + 0.5)
+         |      / 1e6 AS cos
+         |  FROM v
+         |  JOIN bkt b2 ON v.vec_id = b2.vec_id
+         |  JOIN ql ON b2.bucket = ql.bucket
+         |  WHERE v.vec_id <> ql.qid),
+         |topl AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT qid, neighbor, row_number() OVER (
+         |      PARTITION BY qid ORDER BY cos DESC, neighbor) AS rnk
+         |    FROM scored_l) WHERE rnk <= 10),
+         |j AS (
+         |  SELECT tb.qid, tl.neighbor AS ln
+         |  FROM topb tb LEFT JOIN topl tl
+         |  ON tb.qid = tl.qid AND tb.neighbor = tl.neighbor)
+         |SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+         |  CAST(COUNT(ln) AS BIGINT) AS n_found,
+         |  (CAST(COUNT(ln) AS BIGINT) * 1000000)
+         |    // CAST(COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM j GROUP BY qid ORDER BY qid""".stripMargin,
+    // q34b (round 10): q34a's scoring restricted to engine-shared
+    // hyperplane-bucket collisions — per-plane signed sums replayed as
+    // list_reduce left folds (identical IEEE adds), integer bit-pack,
+    // bucket-equality join, same rounding/ranking as q34a.
+    "q34b_knn_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |acc AS (
+         |  SELECT vec_id, p,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len(e) + 1),
+         |        i -> CASE WHEN (($hypA)[p+1] * (i-1) + ($hypB)[p+1])
+         |               % 1000000007 % 2 = 1
+         |             THEN e[i] ELSE -e[i] END)),
+         |      (a, x) -> a + x) AS s
+         |  FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS p) pt),
+         |bkt AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN s >= 0
+         |    THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
+         |    AS bucket
+         |  FROM acc GROUP BY vec_id),
+         |q AS (
+         |  SELECT v.vec_id AS qid, e AS qe, bucket
+         |  FROM v JOIN bkt ON v.vec_id = bkt.vec_id
+         |  WHERE v.vec_id < 5),
+         |scored AS (
+         |  SELECT q.qid, v.vec_id AS neighbor,
+         |    floor((list_dot_product(v.e, q.qe) /
+         |      (sqrt(list_dot_product(v.e, v.e)) *
+         |       sqrt(list_dot_product(q.qe, q.qe)))) * 1e6 + 0.5) / 1e6
+         |      AS cos
+         |  FROM v
+         |  JOIN bkt b2 ON v.vec_id = b2.vec_id
+         |  JOIN q ON b2.bucket = q.bucket
+         |  WHERE v.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, neighbor, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, neighbor) AS rnk
+         |  FROM scored)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rank, neighbor, cos
+         |FROM ranked WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
     "q34a_knn_brute" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

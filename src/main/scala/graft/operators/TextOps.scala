@@ -404,10 +404,10 @@ object TextOps {
     * (session, dir). Both returned frames are already eagerly
     * checkpointed by the loop. */
   private val bpeStateCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String), (DataFrame, DataFrame, Seq[(Long, Long)])]
 
   def bpeState6(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) =
+      : (DataFrame, DataFrame, Seq[(Long, Long)]) =
     bpeStateCache.getOrElseUpdate((spark, dir),
       bpeTrainState(load(spark, dir, "documents"), rounds = 6))
 
@@ -740,9 +740,13 @@ object TextOps {
     bpeTrainState(docs, rounds)._1
 
   /** [[bpeTrain]] plus the final vocabulary segmentation state
-    * (w, c, pos, sym) — q231 reads tokens-per-word off it. */
+    * (w, c, pos, sym) — q231 reads tokens-per-word off it — plus the
+    * per-round weighted token totals (round → Σc over state rows;
+    * round 0 = character count) — q238 reads the vocab-budget curve
+    * off them. Each total is one tiny aggregate over the round's
+    * already-checkpointed state. */
   def bpeTrainState(docs: DataFrame, rounds: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
     require(rounds >= 1)
     val wc = docs
       .select(explode(split(col("text"), " ")).as("w"))
@@ -758,6 +762,10 @@ object TextOps {
         (col("p0") + 1).cast("long").as("pos"), col("sym"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val totals = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def total(frame: DataFrame): Long =
+      frame.agg(sum(col("c"))).head.getLong(0)
+    totals += ((0L, total(s)))
     val byPos = Window.partitionBy("w").orderBy("pos")
     for (k <- 0 until rounds) {
       // a: symbols + next symbol + dense rank — consumed by the pair
@@ -800,8 +808,10 @@ object TextOps {
             concat(col("aa.sym"), col("aa.nsym")))
             .otherwise(col("aa.sym")).as("sym"))
         .localCheckpoint()
+      totals += ((k.toLong + 1L, total(s)))
     }
-    (merges.reduce(_ unionAll _).orderBy("merge_round"), s)
+    (merges.reduce(_ unionAll _).orderBy("merge_round"), s,
+      totals.toSeq)
   }
 
   def q229BpeMerges(spark: SparkSession, dir: String): DataFrame =
@@ -823,7 +833,7 @@ object TextOps {
     * word) count; everything else is vocab-sized. */
   def q231BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
-    val (_, finalSyms) = bpeState6(spark, dir)
+    val (_, finalSyms, _) = bpeState6(spark, dir)
     val symCounts = finalSyms.groupBy("w")
       .agg(count(lit(1)).as("n_syms"))
     docs.select(col("source"),
@@ -838,6 +848,27 @@ object TextOps {
         expr("CASE WHEN n_chars > 0 THEN (n_tokens * 1000000)" +
           " div n_chars ELSE 0 END"))
       .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- q238
+
+  /** Q238: BPE VOCAB-BUDGET CURVE — corpus token total after each
+    * training round (round 0 = raw characters) and its compression in
+    * ppm of round 0. THE readout a vocab-size decision reads: each
+    * additional merge buys a measurable token reduction, and the curve
+    * flattening is where a bigger vocabulary stops paying. The totals
+    * are per-round single aggregates over the already-checkpointed
+    * training state (weighted by word count), collected during the
+    * memoized q229 training run — marginal cost ≈ zero. */
+  def q238BpeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, totals) = bpeState6(spark, dir)
+    val chars = totals.head._2
+    import spark.implicits._
+    totals.toDF("merge_round", "n_tokens")
+      .withColumn("compression_ppm",
+        if (chars > 0) expr(s"(n_tokens * 1000000) div $chars")
+        else lit(0L))
+      .orderBy("merge_round")
   }
 
   // ---------------------------------------------------------------- q147
@@ -1225,6 +1256,7 @@ object TextOps {
     "q145_bpe_pairs" -> (q145BpePairs _),
     "q229_bpe_merges" -> (q229BpeMerges _),
     "q231_bpe_encode" -> (q231BpeEncode _),
+    "q238_bpe_curve" -> (q238BpeCurve _),
     "q147_inverted_index" -> (q147InvertedIndex _),
     "q149_bigram_surprisal" -> (q149BigramSurprisal _),
     "q31a_text_lang" -> (q31Lang _),
@@ -1539,6 +1571,23 @@ object TextOps {
     // q231: the q229 chain + tokens-per-word off the final state,
     // joined to per-source word counts.
     "q231_bpe_encode" -> bpeEncodeOracle,
+    // q238: the q229 chain + one Σc total per round state (round 0 =
+    // chars), ppm against the round-0 total.
+    "q238_bpe_curve" ->
+      (bpeCtes(6) + """,
+        |tot AS (
+        |  SELECT 0 AS r, CAST(SUM(c) AS BIGINT) AS t FROM s0
+        |  UNION ALL SELECT 1, CAST(SUM(c) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 2, CAST(SUM(c) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, CAST(SUM(c) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, CAST(SUM(c) AS BIGINT) FROM s4
+        |  UNION ALL SELECT 5, CAST(SUM(c) AS BIGINT) FROM s5
+        |  UNION ALL SELECT 6, CAST(SUM(c) AS BIGINT) FROM s6),
+        |c0 AS (SELECT t AS chars FROM tot WHERE r = 0)
+        |SELECT CAST(r AS BIGINT) AS merge_round, t AS n_tokens,
+        |  CASE WHEN chars > 0 THEN (t * 1000000) // chars
+        |       ELSE 0 END AS compression_ppm
+        |FROM tot, c0 ORDER BY merge_round""".stripMargin),
     // q145: same vocab-first collapse + lateral pair fan-out;
     // length/substr are codepoint-based in both engines, and the
     // length >= 2 guard runs before the series on both sides.

@@ -712,4 +712,39 @@ object StreamOps {
         (unix_micros(col("b_ts")) - unix_micros(col("a_ts")))
           .as("gap_us"))
   }
+
+  /** STREAMING CDC APPLY (q240's twin) — materialized-view maintenance:
+    * a changelog stream in q129/q240 shape (o_orderkey, op ∈ {I,U,D},
+    * new_* values) folds into per-key LATEST state via
+    * `mapGroupsWithState`; each batch emits the key's current resolved
+    * row in update mode. The view at any point = base snapshot with
+    * each emitted key's latest row upserted (or dropped when its
+    * latest op is D) — exactly `Relational.applyCdc` over the
+    * collapsed changelog, pinned in StreamingSpec with a two-batch
+    * replay where batch 2 re-touches batch-1 keys.
+    *
+    * State is one small tuple per CHANGED key (change volume, not
+    * table volume); at 100 TB evict keys with a timeout once the
+    * downstream sink has compacted them. */
+  def applyCdcStream(diff: DataFrame): DataFrame = {
+    import diff.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    diff.select(col("o_orderkey").cast("long"), col("op"),
+        col("new_o_orderstatus"), col("new_o_totalprice").cast("double"))
+      .as[(Long, String, Option[String], Option[Double])]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[(Long, String, Option[String], Option[Double])],
+            st: GroupState[(Long, String, Option[String], Option[Double])]) =>
+          var cur = st.getOption
+          rows.foreach { case (_, op, s, p) =>
+            cur = Some((cur.map(_._1).getOrElse(0L) + 1L, op, s, p))
+          }
+          cur.foreach(st.update)
+          val (n, op, s, p) = cur.get
+          (k, n, op, s, p)
+      }
+      .toDF("o_orderkey", "change_seq", "op", "o_orderstatus",
+        "o_totalprice")
+  }
 }

@@ -96,4 +96,33 @@ class BucketingSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS snap_v1")
     }
   }
+
+  test("applyCdc ∘ snapshotDiff = identity — incl. NULL transitions " +
+      "both ways, inserts, deletes, and untouched keys") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val vOld = Seq(
+      (1L, Option("A"), Option(10.0)),   // untouched
+      (2L, Option("B"), Option(20.0)),   // value update
+      (3L, Option("C"), None),           // NULL -> value update
+      (4L, None, Option(40.0)),          // value -> NULL update
+      (5L, Option("E"), Option(50.0)))   // deleted
+      .toDF("k", "status", "price")
+    val vNew = Seq(
+      (1L, Option("A"), Option(10.0)),
+      (2L, Option("B2"), Option(21.0)),
+      (3L, Option("C"), Option(30.0)),
+      (4L, None, None),
+      (6L, Option("F"), Option(60.0)))   // inserted
+      .toDF("k", "status", "price")
+    val diff = Relational.snapshotDiff(vOld, vNew, "k",
+      Seq("status", "price"))
+    val rebuilt = Relational.applyCdc(vOld, diff, "k",
+      Seq("status", "price"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), Option(r.get(2)))).toSet
+    val want = vNew.collect().map(r => (r.getLong(0),
+      Option(r.getString(1)), Option(r.get(2)))).toSet
+    assert(rebuilt == want)
+  }
 }

@@ -130,6 +130,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh.nonEmpty)
   }
 
+  test("shared-hyperplane near-dup (q33d round-10 form): verified " +
+      "pairs ⊆ exact cos_e6 set; planted scaled copies found") {
+    import graft.operators.Dedup
+    val emb = load(spark, sf, "embeddings")
+    val withDups = Dedup.embeddingsWithNearDups(emb)
+    val shared = Dedup.embeddingNearDupPairsShared(withDups)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shared.nonEmpty)
+    val exact = Similarity.cosinePairsExact(withDups,
+        thresholdE6 = 950000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shared.subsetOf(exact),
+      s"LSH pairs outside exact set: ${shared.diff(exact).take(5)}")
+    val n = emb.count()
+    val found = (0L until n).count(i =>
+      shared.contains((i, i + Dedup.NearDupIdOffset)))
+    assert(found.toDouble / n > 0.5, s"planted recall $found/$n")
+  }
+
   test("q92: LSH near-dup pairs are contained in the exact cosine " +
       "pair set at the same threshold") {
     val vecs = load(spark, sf, "embeddings")

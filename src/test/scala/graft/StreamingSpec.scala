@@ -928,4 +928,59 @@ class StreamingSpec extends SparkSpecBase {
       (1L, 1L, 2L, 300000000L), // 5 min in micros
       (2L, 4L, 6L, 360000000L))) // 6 min in micros
   }
+
+  test("streaming CDC apply ≡ sequential batch applyCdc (q240 twin; " +
+      "batch 2 re-touches batch-1 keys — delete-after-update and " +
+      "update-after-insert both carried in state)") {
+    import graft.operators.Relational
+    val base = Seq(
+      (1L, Option("A"), Option(10.0)),
+      (2L, Option("B"), Option(20.0)),
+      (3L, Option("C"), Option(30.0)))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val b1 = Seq((2L, "U", Option("B2"), Option(21.0)),
+      (4L, "I", Option("D"), Option(40.0)))
+    val b2 = Seq((2L, "D", Option.empty[String], Option.empty[Double]),
+      (4L, "U", Option("D2"), Option(41.0)))
+    def diffDf(rows: Seq[(Long, String, Option[String], Option[Double])]) =
+      rows.toDF("o_orderkey", "op", "new_o_orderstatus",
+        "new_o_totalprice")
+    val input =
+      MemoryStream[(Long, String, Option[String], Option[Double])](spark)
+    val q = StreamOps.applyCdcStream(input.toDF()
+        .toDF("o_orderkey", "op", "new_o_orderstatus",
+          "new_o_totalprice"))
+      .writeStream.format("memory").queryName("cdcstream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-cdc").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val latest = spark.table("cdcstream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)), Option(r.get(4))))
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSeq
+      // reconstruct the maintained view: base upserted with each key's
+      // LATEST emitted state, deletes dropped
+      val baseMap = base.collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.get(2))))).toMap
+      val view = latest.foldLeft(baseMap) {
+        case (m, (k, _, op, s, p)) =>
+          if (op == "D") m - k else m + (k -> ((s, p)))
+      }.map { case (k, (s, p)) => (k, s, p) }.toSet
+      val afterBatch = Relational.applyCdc(
+          Relational.applyCdc(base, diffDf(b1), "o_orderkey",
+            Seq("o_orderstatus", "o_totalprice")),
+          diffDf(b2), "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          Option(r.get(2)))).toSet
+      assert(view == afterBatch && view.nonEmpty)
+      // cross-batch state: key 4's second change carries change_seq 2
+      assert(latest.exists { case (k, n, op, _, _) =>
+        k == 4L && n == 2L && op == "U" })
+      assert(!view.exists(_._1 == 2L), "deleted key survived")
+    } finally q.stop()
+  }
 }

@@ -422,4 +422,24 @@ class TextOpsSpec extends SparkSpecBase {
       (2L, "aa", "ab", 2L),
       (3L, "aa", "aa", 1L)))
   }
+
+  test("q238 curve golden: per-round token totals on the q229 vocab — " +
+      "monotone non-increasing, round 0 = weighted character count") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaaa"))
+      .toDF("doc_id", "text")
+    val (_, _, totals) = TextOps.bpeTrainState(docs, rounds = 5)
+    // chars: aaab·2 (8) + ab·1 (2) + aaaa·1 (4) = 14
+    // r1 merge (a,a): aaab -> 3 syms ·2, ab 2, aaaa -> 2 = 10
+    // r2 merge (a,b): aaab -> [aa,ab] ·2, ab -> [ab] = 7
+    // r3 merge (aa,ab): aaab -> [aaab] ·2 = 5
+    // r4 merge (aa,aa): aaaa -> [aaaa] = 4
+    // r5 nothing mergeable = 4
+    assert(totals == Seq((0L, 14L), (1L, 10L), (2L, 7L), (3L, 5L),
+      (4L, 4L), (5L, 4L)))
+    totals.sliding(2).foreach {
+      case Seq(a, b) => assert(b._2 <= a._2)
+      case _ => ()
+    }
+  }
 }
