@@ -159,6 +159,54 @@ object Sampling {
       .orderBy("split", "source")
   }
 
+  // ---------------------------------------------------------------- q242
+
+  /** Q242: SPLIT-BALANCE AUDIT — does the md5 train/test split
+    * preserve the order-value distribution? (The PSI-style check in
+    * q223's TVD form: floored ppm shares per fixed price bucket, |Δ|
+    * per bucket, bucket −1 = exact TVD.) A hash split is unbiased by
+    * construction, but THIS is the evidence an ML-ops review files —
+    * and the same query audits any non-hash split where bias is
+    * plausible.
+    *
+    * bucket = least(floor(price/30000), 9): floor BEFORE the BIGINT
+    * cast, because CAST(DOUBLE AS BIGINT) ROUNDS in DuckDB and
+    * truncates in Spark — floor is the identical IEEE op in both.
+    * Scale: one orders-sized projection + 10-row aggregates. */
+  def q242SplitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "orders")
+      .select(
+        expr("CASE WHEN substring(md5(CAST(o_orderkey AS STRING)), 1, 2)" +
+          " < 'cd' THEN 'train'" +
+          " WHEN substring(md5(CAST(o_orderkey AS STRING)), 1, 2)" +
+          " < 'e6' THEN 'val' ELSE 'test' END").as("split"),
+        least(floor(col("o_totalprice") / lit(30000.0)).cast("long"),
+          lit(9L)).as("bucket"))
+      .filter(col("split") =!= "val")
+    val cells = d.groupBy("bucket")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L))
+          .as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L))
+          .as("n_test"))
+    val tot = cells.agg(sum(col("n_train")).as("tt"),
+      sum(col("n_test")).as("te"))
+    val shares = cells.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_train"), col("n_test"),
+        expr("CASE WHEN tt > 0 THEN (n_train * 1000000) div tt" +
+          " ELSE 0 END").as("train_ppm"),
+        expr("CASE WHEN te > 0 THEN (n_test * 1000000) div te" +
+          " ELSE 0 END").as("test_ppm"))
+      .withColumn("d_ppm", abs(col("train_ppm") - col("test_ppm")))
+    val total = shares.agg(sum(col("n_train")).as("n_train"),
+        sum(col("n_test")).as("n_test"),
+        sum(col("train_ppm")).as("train_ppm"),
+        sum(col("test_ppm")).as("test_ppm"),
+        expr("sum(d_ppm) div 2").as("d_ppm"))
+      .select(lit(-1L).as("bucket"), col("n_train"), col("n_test"),
+        col("train_ppm"), col("test_ppm"), col("d_ppm"))
+    shares.unionByName(total).orderBy("bucket")
+  }
+
   // ---------------------------------------------------------------- q164
 
   /** Q164: A/B SWITCHBACK READOUT — deterministic 50/50 customer
@@ -239,6 +287,7 @@ object Sampling {
     "q103_weighted_sample" -> (q103WeightedSample _),
     "q139_temperature_mix" -> (q139TemperatureMix _),
     "q153_split_assign" -> (q153SplitAssign _),
+    "q242_split_balance" -> (q242SplitBalance _),
     "q164_ab_readout" -> (q164AbReadout _),
   )
 
@@ -291,6 +340,48 @@ object Sampling {
         |  ON c.priority = t.priority
         | AND t.variant = 'T' AND c.variant = 'C'
         |ORDER BY t.priority""".stripMargin,
+    // q242: same md5 split function, same floor-before-cast bucket,
+    // floored ppm shares, TVD total row (q223 shape).
+    "q242_split_balance" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)),
+        |             1, 2) < 'cd' THEN 'train'
+        |           WHEN substring(md5(CAST(o_orderkey AS VARCHAR)),
+        |             1, 2) < 'e6' THEN 'val'
+        |           ELSE 'test' END AS split,
+        |    least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 9)
+        |      AS bucket
+        |  FROM orders),
+        |cells AS (
+        |  SELECT bucket,
+        |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_train,
+        |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_test
+        |  FROM d WHERE split <> 'val' GROUP BY bucket),
+        |tot AS (
+        |  SELECT CAST(SUM(n_train) AS BIGINT) AS tt,
+        |    CAST(SUM(n_test) AS BIGINT) AS te FROM cells),
+        |sh2 AS (
+        |  SELECT bucket, n_train, n_test, train_ppm, test_ppm,
+        |    abs(train_ppm - test_ppm) AS d_ppm
+        |  FROM (
+        |    SELECT bucket, n_train, n_test,
+        |      CASE WHEN tt > 0 THEN (n_train * 1000000) // tt
+        |           ELSE 0 END AS train_ppm,
+        |      CASE WHEN te > 0 THEN (n_test * 1000000) // te
+        |           ELSE 0 END AS test_ppm
+        |    FROM cells, tot)),
+        |total AS (
+        |  SELECT CAST(-1 AS BIGINT) AS bucket,
+        |    CAST(SUM(n_train) AS BIGINT) AS n_train,
+        |    CAST(SUM(n_test) AS BIGINT) AS n_test,
+        |    CAST(SUM(train_ppm) AS BIGINT) AS train_ppm,
+        |    CAST(SUM(test_ppm) AS BIGINT) AS test_ppm,
+        |    CAST(SUM(d_ppm) AS BIGINT) // 2 AS d_ppm
+        |  FROM sh2)
+        |SELECT * FROM sh2 UNION ALL SELECT * FROM total
+        |ORDER BY bucket""".stripMargin,
     // q153: same md5-prefix assignment (identical lowercase hex both
     // engines), string-compared thresholds, integer share.
     "q153_split_assign" ->

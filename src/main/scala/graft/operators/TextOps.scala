@@ -850,6 +850,39 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q241
+
+  /** Q241: TOKENIZER FERTILITY BY LANGUAGE — tokens-per-word (e3) and
+    * chars-per-token (e3) per lang under the q229-trained merges. THE
+    * standard multilingual-tokenizer equity metric: a vocabulary
+    * trained on a skewed mixture over-segments the under-represented
+    * languages, and this table is where that shows up (fertility ≫
+    * corpus mean = that lang pays more FLOPs and context per word).
+    * q231 slices the same state by source (the procurement axis);
+    * this slices by lang (the equity axis) and reports the fertility
+    * RATIOS a tokenizer review reads. Same scale shape: one (lang,
+    * word) count, vocab-sized joins. */
+  def q241Fertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val (_, finalSyms, _) = bpeState6(spark, dir)
+    val symCounts = finalSyms.groupBy("w")
+      .agg(count(lit(1)).as("n_syms"))
+    docs.select(col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .join(symCounts, Seq("w"), "left")
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(expr("cnt * char_length(w)")).as("n_chars"),
+        sum(expr("cnt * coalesce(n_syms, 0)")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        expr("CASE WHEN n_words > 0 THEN (n_tokens * 1000)" +
+          " div n_words ELSE 0 END").as("tokens_per_word_e3"),
+        expr("CASE WHEN n_tokens > 0 THEN (n_chars * 1000)" +
+          " div n_tokens ELSE 0 END").as("chars_per_token_e3"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- q238
 
   /** Q238: BPE VOCAB-BUDGET CURVE — corpus token total after each
@@ -1257,6 +1290,7 @@ object TextOps {
     "q229_bpe_merges" -> (q229BpeMerges _),
     "q231_bpe_encode" -> (q231BpeEncode _),
     "q238_bpe_curve" -> (q238BpeCurve _),
+    "q241_fertility" -> (q241Fertility _),
     "q147_inverted_index" -> (q147InvertedIndex _),
     "q149_bigram_surprisal" -> (q149BigramSurprisal _),
     "q31a_text_lang" -> (q31Lang _),
@@ -1571,6 +1605,26 @@ object TextOps {
     // q231: the q229 chain + tokens-per-word off the final state,
     // joined to per-source word counts.
     "q231_bpe_encode" -> bpeEncodeOracle,
+    // q241: the q229 chain + tokens-per-word off the final state,
+    // joined to per-LANG word counts; e3 fertility ratios.
+    "q241_fertility" ->
+      (bpeCtes(6) + """,
+        |wsum AS (SELECT w, COUNT(*) AS n_syms FROM s6 GROUP BY w),
+        |plng AS (
+        |  SELECT lang, w, COUNT(*) AS cnt FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY lang, w),
+        |agg AS (
+        |  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |    CAST(SUM(cnt * length(w)) AS BIGINT) AS n_chars,
+        |    CAST(SUM(cnt * COALESCE(n_syms, 0)) AS BIGINT) AS n_tokens
+        |  FROM plng LEFT JOIN wsum USING (w) GROUP BY lang)
+        |SELECT lang, n_words, n_tokens,
+        |  CASE WHEN n_words > 0 THEN (n_tokens * 1000) // n_words
+        |       ELSE 0 END AS tokens_per_word_e3,
+        |  CASE WHEN n_tokens > 0 THEN (n_chars * 1000) // n_tokens
+        |       ELSE 0 END AS chars_per_token_e3
+        |FROM agg ORDER BY lang""".stripMargin),
     // q238: the q229 chain + one Σc total per round state (round 0 =
     // chars), ppm against the round-0 total.
     "q238_bpe_curve" ->
