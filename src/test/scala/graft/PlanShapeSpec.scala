@@ -344,4 +344,40 @@ class PlanShapeSpec extends SparkSpecBase {
       .contains("row_number() windowspecdefinition(__pid"),
       "colossal frame must take the range-split rank path")
   }
+
+  test("q240 CDC apply is ONE join (the full-outer on the key) plus " +
+      "the changelog derivation — no cartesian, no extra snapshot " +
+      "scan joins") {
+    val p = plan(Relational.q240ApplyCdc(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      "CDC apply must never plan a cartesian:\n" + p.take(1200))
+    assert(p.contains("FullOuter"),
+      "upsert shape is the key-partitioned full-outer join:\n" +
+        p.take(1200))
+  }
+
+  test("q236 LSH calibration plans without cartesians — signatures " +
+      "join the pair set by doc id, never all-pairs") {
+    val p = plan(graft.operators.Dedup
+      .q236LshCalibration(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      p.take(1200))
+  }
+
+  test("q233/q234/q235 audit views never re-run the postings " +
+      "pipeline — they plan over the memoized (checkpointed) pair " +
+      "set, so no shingle explode appears") {
+    for (df <- Seq(
+        graft.operators.Dedup.q233ContaminationMatrix(spark, sf),
+        graft.operators.Dedup.q234SplitLeakage(spark, sf),
+        graft.operators.Dedup.q235DedupImpact(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD")
+          || p.contains("Scan rdd"),
+        "audit must read the checkpointed pair set:\n" + p.take(800))
+      assert(!p.contains("Generate"),
+        "audit must not recompute shingle postings (no explode):\n" +
+          p.take(800))
+    }
+  }
 }
