@@ -1264,6 +1264,31 @@ object Dedup {
   def q237ThresholdSweep(spark: SparkSession, dir: String): DataFrame =
     thresholdSweep(exactPairs(spark, dir))
 
+  /** Q243: SHINGLE DF SPECTRUM — the document-frequency distribution
+    * of the 3-shingle vocabulary over the near-dup corpus: per bucket
+    * (df 1..8 exact, 9 = 9..64 i.e. ≤ the production df-cap, 10 =
+    * heavy > cap), shingle-type count and postings mass (Σ df). THE
+    * measurement behind the df-cap design everywhere in this file
+    * (q102/q137 cap hot shingles at 64 and recover them with exact
+    * residuals): the spectrum says how much postings volume the cap
+    * cuts, and a fat heavy bucket is boilerplate the corpus should
+    * lose anyway. Scale: one corpus-sized shingle count (the postings
+    * build's own first stage) + a 10-row rollup. */
+  def q243DfSpectrum(spark: SparkSession, dir: String): DataFrame =
+    docsWithNearDups(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          shinglesOf(split(col("text"), " "), 3))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .select(
+        when(col("df") <= 8, col("df"))
+          .when(col("df") <= 64, lit(9L)).otherwise(lit(10L))
+          .as("bucket"), col("df"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("postings_mass"))
+      .orderBy("bucket")
+
   /** Q62: survivors of decontamination against a derived "benchmark"
     * slice (every 17th document) — deterministic, so it sits under the
     * hard oracle. */
@@ -1344,6 +1369,7 @@ object Dedup {
     "q235_dedup_impact" -> (q235DedupImpact _),
     "q236_lsh_calibration" -> (q236LshCalibration _),
     "q237_threshold_sweep" -> (q237ThresholdSweep _),
+    "q243_df_spectrum" -> (q243DfSpectrum _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q63_pipeline" -> (q63Pipeline _),
     "q102_containment_pairs" -> (q102ContainmentPairs _),
@@ -1527,6 +1553,32 @@ object Dedup {
          |  JOIN sig sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, hamming FROM ham
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // q243: same derived corpus, same distinct shingle-string sets,
+    // df buckets clamped at the production cap boundary.
+    "q243_df_spectrum" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split(text, ' ')[1:greatest(
+        |      len(string_split(text, ' ')) - 3, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))
+        |      AS s
+        |  FROM corpus),
+        |dfreq AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) GROUP BY g),
+        |b AS (
+        |  SELECT CAST(CASE WHEN df <= 8 THEN df WHEN df <= 64 THEN 9
+        |    ELSE 10 END AS BIGINT) AS bucket, df FROM dfreq)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(df) AS BIGINT) AS postings_mass
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // q33d (round 10): engine-shared hyperplane LSH replayed relationally
     // — float-exact derived corpus (the q230 basee replay), per-plane
     // signed sums via list_reduce in index order (identical IEEE adds),
