@@ -23,7 +23,14 @@ documented data assumptions the seed-42 fixture never exercises:
     shingle edge);
   * EXACT TIE: vec 0's embedding duplicated under a new vec_id with a
     different label (cos=1.0 ties exercise the (metric, id) total
-    orders).
+    orders);
+  * round 10 — EXACT-DUPLICATE DOC PAIR (a real dedup cluster beyond
+    the planted +offset copies: jaccard 1.0, equal lengths → the q232
+    rep tie-break), DEGENERATE SHINGLE LENGTHS (a 1-word and a 2-word
+    doc exercise the whole-text-shingle fallback), a SAME-WORD RUN doc
+    (the BPE leftmost-greedy even-offset rule on real data), and
+    BUCKET-BOUNDARY PRICES (o_totalprice exactly on 30000-multiples —
+    the q242 floor-before-cast boundary).
 
 Usage: python3 tools/make_fixture2.py SRC_DIR OUT_DIR
 e.g.:  python3 tools/make_fixture2.py /root/testdata/sf0.001 /tmp/fixture2
@@ -108,8 +115,25 @@ def main(src: str, out: str) -> None:
     for i in range(min(3, len(docs["doc_id"]))):
         docs["text"][i] = ""
         docs["n_chars"][i] = 0
+    # round-10 hazards (positions 5..11, past the empty-text block):
+    # exact-duplicate pair, 1-word / 2-word docs, same-word run
+    if len(docs["doc_id"]) >= 12:
+        docs["text"][5] = "spark"
+        docs["text"][6] = "spark join"
+        docs["text"][7] = "dup dup dup dup dup dup dup"
+        docs["text"][11] = docs["text"][10]
+        for i in (5, 6, 7, 11):
+            docs["n_chars"][i] = len(docs["text"][i])
     tabs["documents"] = pa.Table.from_pydict(
         docs, schema=tabs["documents"].schema)
+
+    # orders: bucket-boundary prices (after the hot replication, so
+    # position 0/1 are original rows)
+    od = tabs["orders"].to_pydict()
+    if len(od["o_orderkey"]) >= 2:
+        od["o_totalprice"][0] = 270000.0
+        od["o_totalprice"][1] = 30000.0
+    tabs["orders"] = pa.Table.from_pydict(od, schema=tabs["orders"].schema)
 
     # embeddings: duplicate vec 0 under a new id with another label
     emb = tabs["embeddings"]
