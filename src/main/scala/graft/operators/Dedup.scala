@@ -978,10 +978,19 @@ object Dedup {
   private val lshPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Memoized q33g component labels — round 10: FOUR queries view the
+    * closure (q208 sizes, q217 lineage, q232 reps, q235 impact) and
+    * each re-ran the ~2 s propagation loop per Verify/Bench pass; the
+    * label table is docs-sized, so holding it is free (same
+    * localCheckpoint discipline as the pair memo). */
+  private val componentsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Drop this object's memoized frames (see [[Memos.clearAll]]). */
   private[operators] def clearMemos(): Unit = {
     exactPairsCache.clear()
     lshPairsCache.clear()
+    componentsCache.clear()
   }
 
   def lshPairs(spark: SparkSession, dir: String): DataFrame =
@@ -1021,15 +1030,22 @@ object Dedup {
       exactPairs(spark, dir))
       .select("doc_id").orderBy("doc_id")
 
-  /** Near-dup component labeling (oracle-gated: recursive-CTE closure). */
-  def q33gDedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = exactPairs(spark, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val docs = docsWithNearDups(load(spark, dir, "documents"))
-    connectedComponents(docs.select(col("doc_id").as("id")), pairs)
-      .select(col("id").as("doc_id"), col("component"))
-      .orderBy("doc_id")
-  }
+  /** Memoized (unsorted) q33g label table — consumers aggregate it, so
+    * only the q33g query entry itself pays the output sort. */
+  private def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsCache.getOrElseUpdate((spark, dir), {
+      val pairs = exactPairs(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val docs = docsWithNearDups(load(spark, dir, "documents"))
+      connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .localCheckpoint(true)
+    })
+
+  /** Near-dup component labeling (oracle-gated: recursive-CTE closure).
+    * Memoized per (session, dir) — see [[componentsCache]]. */
+  def q33gDedupComponents(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir).orderBy("doc_id")
 
   /** Q208: DUP-CLUSTER SIZE DISTRIBUTION — the histogram of q33g's
     * component sizes (cluster_size → n_clusters, singletons included).
@@ -1039,7 +1055,7 @@ object Dedup {
     * this one table.) Marginal cost over the memoized pair set is two
     * tiny aggregates. */
   def q208DupClusterSizes(spark: SparkSession, dir: String): DataFrame =
-    q33gDedupComponents(spark, dir)
+    dedupComponents(spark, dir)
       .groupBy("component").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
@@ -1052,7 +1068,7 @@ object Dedup {
     * Views over the same memoized closure as q33f/q33g (survivors =
     * everything NOT in this table). */
   def q217DedupLineage(spark: SparkSession, dir: String): DataFrame = {
-    val comp = q33gDedupComponents(spark, dir)
+    val comp = dedupComponents(spark, dir)
     val sizes = comp.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"))
     comp.filter(col("doc_id") =!= col("component"))
@@ -1086,7 +1102,7 @@ object Dedup {
 
   def q232ClusterReps(spark: SparkSession, dir: String): DataFrame =
     clusterReps(docsWithNearDups(load(spark, dir, "documents")),
-      q33gDedupComponents(spark, dir))
+      dedupComponents(spark, dir))
 
   /** Q233: CROSS-SOURCE CONTAMINATION MATRIX — near-dup pair counts
     * per unordered source pair. The mixture-design readout: a heavy
@@ -1194,7 +1210,7 @@ object Dedup {
       .withColumn("odoc", col("doc_id") % lit(NearDupIdOffset))
       .join(src, "odoc")
       .select("doc_id", "source", "len")
-    dedupImpact(q33gDedupComponents(spark, dir), meta)
+    dedupImpact(dedupComponents(spark, dir), meta)
   }
 
   /** Q236: LSH CALIBRATION CURVE — per exact-jaccard bucket (width

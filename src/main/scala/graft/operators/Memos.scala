@@ -48,5 +48,7 @@ object Memos {
     "memo:fuzzy_pairs" ->
       ((s, d) => { TextOps.fuzzyPairs(s, d); () }),
     "memo:bpe_state" ->
-      ((s, d) => { TextOps.bpeState6(s, d); () }))
+      ((s, d) => { TextOps.bpeState6(s, d); () }),
+    "memo:dedup_components" ->
+      ((s, d) => { Dedup.q33gDedupComponents(s, d); () }))
 }
