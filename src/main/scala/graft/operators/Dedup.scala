@@ -1280,6 +1280,61 @@ object Dedup {
   def q237ThresholdSweep(spark: SparkSession, dir: String): DataFrame =
     thresholdSweep(exactPairs(spark, dir))
 
+  /** Q244: LSH BANDING SWEEP — for (bands, r) ∈ {(8,8), (16,4),
+    * (32,2)} over the SAME 64-permutation engine-shared signature:
+    * candidate-pair count (collision in ≥ 1 band), verified count
+    * (exact jaccard ≥ 0.5 among candidates), precision ppm. The
+    * second LSH tuning dial next to q237's threshold sweep: narrower
+    * bands move the S-curve left (more candidates, more recall, less
+    * precision) — this is the measured curve a banding decision reads
+    * instead of trusting the (1/b)^(1/r) formula blind ([[lshPlan]]
+    * picks from the same family). One signature pass, one slim band
+    * join per config. */
+  def q244BandingSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SignatureExprs.register(spark)
+    val withSh = docsWithNearDups(load(spark, dir, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        array_distinct(transform(shinglesOf(col("w"), 3),
+          s => call_function("graft_polyhash", s))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigd = withSh
+      .select(col("doc_id"),
+        call_function("graft_minhash_mod", col("sh"), lit(64)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perConfig = Seq(8, 16, 32).map { bands =>
+      val r = 64 / bands
+      val banded = sigd.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * lit(r) + 1, lit(r))))
+          .as(Seq("band", "bkey")))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band")
+            && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(withSh.as("va"), col("doc_a") === col("va.doc_id"))
+        .join(withSh.as("vb"), col("doc_b") === col("vb.doc_id"))
+        .select(when(
+          size(array_intersect(col("va.sh"), col("vb.sh"))).cast("double") /
+            (size(col("va.sh")) + size(col("vb.sh")) -
+              size(array_intersect(col("va.sh"), col("vb.sh"))))
+              .cast("double") >= 0.5, 1L).otherwise(0L).as("ok"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(col("ok")).as("n_verified"))
+        .select(lit(bands.toLong).as("bands"),
+          col("n_candidates"), col("n_verified"),
+          expr("CASE WHEN n_candidates > 0 THEN" +
+            " (n_verified * 1000000) div n_candidates" +
+            " ELSE 0 END").as("precision_ppm"))
+    }
+    finishAndRelease(perConfig.reduce(_ unionAll _).orderBy("bands"),
+      withSh, sigd)
+  }
+
   /** Q243: SHINGLE DF SPECTRUM — the document-frequency distribution
     * of the 3-shingle vocabulary over the near-dup corpus: per bucket
     * (df 1..8 exact, 9 = 9..64 i.e. ≤ the production df-cap, 10 =
@@ -1386,6 +1441,7 @@ object Dedup {
     "q236_lsh_calibration" -> (q236LshCalibration _),
     "q237_threshold_sweep" -> (q237ThresholdSweep _),
     "q243_df_spectrum" -> (q243DfSpectrum _),
+    "q244_banding_sweep" -> (q244BandingSweep _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q63_pipeline" -> (q63Pipeline _),
     "q102_containment_pairs" -> (q102ContainmentPairs _),
@@ -1569,6 +1625,66 @@ object Dedup {
          |  JOIN sig sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, hamming FROM ham
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // q244: one shared relational signature (the q33a sigr chain), then
+    // per config (8,16,32 bands) band grouping, collision candidates,
+    // and exact-jaccard verification with the same |A|+|B|-|∩|
+    // denominator and >= 0.5 double compare.
+    "q244_banding_sweep" ->
+      (s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    array_to_string(string_split(text, ' ')[1:greatest(
+         |      len(string_split(text, ' ')) - 3, 1)], ' ')
+         |  FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      list_distinct(list_transform(
+         |        range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+         |        i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))),
+         |      g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, len(g) + 1),
+         |          j -> CAST(ord(substr(g, j, 1)) AS BIGINT))),
+         |        (h, c) -> (h * 31 + c) % 1000000007))) AS hs
+         |  FROM corpus),
+         |ex AS (SELECT doc_id, unnest(hs) AS x FROM sh),
+         |sigr AS MATERIALIZED (
+         |  SELECT doc_id, k,
+         |    MIN((($sqlA)[k+1] * x + ($sqlB)[k+1]) % 1000000007) AS s
+         |  FROM ex CROSS JOIN (SELECT unnest(range(0, 64)) AS k) kt
+         |  GROUP BY doc_id, k)""" +
+        Seq(8, 16, 32).map { bands =>
+          val r = 64 / bands
+          s""",
+             |bnd$bands AS (
+             |  SELECT doc_id, k // $r AS band, list(s ORDER BY k) AS bkey
+             |  FROM sigr GROUP BY doc_id, k // $r),
+             |cand$bands AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bnd$bands a JOIN bnd$bands b
+             |  ON a.band = b.band AND a.bkey = b.bkey
+             |    AND a.doc_id < b.doc_id),
+             |ver$bands AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             |    CAST(SUM(CASE WHEN
+             |        CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+             |        CAST(len(sa.hs) + len(sb.hs)
+             |          - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+             |        >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+             |  FROM cand$bands
+             |  JOIN sh sa ON doc_a = sa.doc_id
+             |  JOIN sh sb ON doc_b = sb.doc_id)"""
+        }.mkString +
+        Seq(8, 16, 32).map { bands =>
+          s"""SELECT CAST($bands AS BIGINT) AS bands, n_candidates,
+             |  n_verified,
+             |  CASE WHEN n_candidates > 0 THEN
+             |    (n_verified * 1000000) // n_candidates
+             |  ELSE 0 END AS precision_ppm
+             |FROM ver$bands"""
+        }.mkString("\n", "\nUNION ALL\n", "\nORDER BY bands"))
+        .stripMargin,
     // q243: same derived corpus, same distinct shingle-string sets,
     // df buckets clamped at the production cap boundary.
     "q243_df_spectrum" ->

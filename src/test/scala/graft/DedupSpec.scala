@@ -83,6 +83,29 @@ class DedupSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("graft_hyperplane_mod ≡ driver-side parity-weighted index-order " +
+      "fold on a hand frame (the round-10 replay contract)") {
+    graft.functions.SignatureExprs.register(spark)
+    val xs = Seq(0.5f, -1.25f, 3.75f, -0.125f, 2.0f)
+    val df = spark.range(1).select(
+      call_function("graft_hyperplane_mod",
+        array(xs.map(lit): _*), lit(8)).as("bucket"))
+    val got = df.collect()(0).getLong(0)
+    val P = graft.functions.Mix.P
+    val a = graft.functions.Mix.modMults(8)
+    val b = graft.functions.Mix.modAdds(8)
+    var want = 0L
+    for (p <- 0 until 8) {
+      var acc = 0.0
+      for (i <- xs.indices) {
+        val odd = ((a(p) * i + b(p)) % P & 1L) == 1L
+        acc += (if (odd) xs(i).toDouble else -xs(i).toDouble)
+      }
+      if (acc >= 0) want |= (1L << p)
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("SHARED simhash ≡ brute-force hamming ≤ 3 over the shared " +
       "signature (pigeonhole exactness)") {
     graft.functions.SignatureExprs.register(spark)
