@@ -430,6 +430,22 @@ object SqlSurface {
       spark.table(diffView), key, valueCols)
       .createOrReplaceTempView(viewName)
 
+  /** Shingle df spectrum of a docs view (doc_id, text) → view (bucket,
+    * n_shingles, postings_mass) — q243 (round 10): the measurement
+    * behind a df-cap choice. */
+  def createDfSpectrumView(spark: SparkSession, docsView: String,
+      viewName: String, cap: Long = 64L): Unit =
+    Dedup.dfSpectrum(spark.table(docsView), cap)
+      .createOrReplaceTempView(viewName)
+
+  /** LSH banding sweep of a docs view (doc_id, text) → view (bands,
+    * n_candidates, n_verified, precision_ppm) — q244 (round 10): the
+    * measured banding S-curve. */
+  def createBandingSweepView(spark: SparkSession, docsView: String,
+      viewName: String, bandConfigs: Seq[Int] = Seq(8, 16, 32)): Unit =
+    Dedup.bandingSweep(spark.table(docsView), bandConfigs)
+      .createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

@@ -1290,9 +1290,10 @@ object Dedup {
     * instead of trusting the (1/b)^(1/r) formula blind ([[lshPlan]]
     * picks from the same family). One signature pass, one slim band
     * join per config. */
-  def q244BandingSweep(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.SignatureExprs.register(spark)
-    val withSh = docsWithNearDups(load(spark, dir, "documents"))
+  def bandingSweep(docs: DataFrame,
+      bandConfigs: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    graft.functions.SignatureExprs.register(docs.sparkSession)
+    val withSh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         array_distinct(transform(shinglesOf(col("w"), 3),
@@ -1302,7 +1303,7 @@ object Dedup {
       .select(col("doc_id"),
         call_function("graft_minhash_mod", col("sh"), lit(64)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perConfig = Seq(8, 16, 32).map { bands =>
+    val perConfig = bandConfigs.map { bands =>
       val r = 64 / bands
       val banded = sigd.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -1335,6 +1336,9 @@ object Dedup {
       withSh, sigd)
   }
 
+  def q244BandingSweep(spark: SparkSession, dir: String): DataFrame =
+    bandingSweep(docsWithNearDups(load(spark, dir, "documents")))
+
   /** Q243: SHINGLE DF SPECTRUM — the document-frequency distribution
     * of the 3-shingle vocabulary over the near-dup corpus: per bucket
     * (df 1..8 exact, 9 = 9..64 i.e. ≤ the production df-cap, 10 =
@@ -1345,20 +1349,23 @@ object Dedup {
     * cuts, and a fat heavy bucket is boilerplate the corpus should
     * lose anyway. Scale: one corpus-sized shingle count (the postings
     * build's own first stage) + a 10-row rollup. */
-  def q243DfSpectrum(spark: SparkSession, dir: String): DataFrame =
-    docsWithNearDups(load(spark, dir, "documents"))
+  def dfSpectrum(docs: DataFrame, cap: Long = 64L): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(array_distinct(
           shinglesOf(split(col("text"), " "), 3))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .select(
         when(col("df") <= 8, col("df"))
-          .when(col("df") <= 64, lit(9L)).otherwise(lit(10L))
+          .when(col("df") <= cap, lit(9L)).otherwise(lit(10L))
           .as("bucket"), col("df"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_shingles"),
         sum(col("df")).as("postings_mass"))
       .orderBy("bucket")
+
+  def q243DfSpectrum(spark: SparkSession, dir: String): DataFrame =
+    dfSpectrum(docsWithNearDups(load(spark, dir, "documents")))
 
   /** Q62: survivors of decontamination against a derived "benchmark"
     * slice (every 17th document) — deterministic, so it sits under the
