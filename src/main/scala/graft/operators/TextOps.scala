@@ -763,8 +763,10 @@ object TextOps {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val totals = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    def total(frame: DataFrame): Long =
-      frame.agg(sum(col("c"))).head.getLong(0)
+    def total(frame: DataFrame): Long = {
+      val r = frame.agg(sum(col("c"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty corpus → 0
+    }
     totals += ((0L, total(s)))
     val byPos = Window.partitionBy("w").orderBy("pos")
     for (k <- 0 until rounds) {
