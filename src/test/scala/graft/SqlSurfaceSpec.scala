@@ -457,6 +457,117 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(dSql.exists(_._1 == -1L), "TOTAL row present")
   }
 
+  test("round-10 family view builders (threshold sweep / calibration / " +
+      "cluster reps / contamination / df spectrum / banding sweep / " +
+      "CDC apply / ANN recall): SQL ≡ Scala operator") {
+    SqlSurface.registerTables(spark, sf)
+    Dedup.docsWithNearDups(spark.table("documents"))
+      .createOrReplaceTempView("nd_docs")
+
+    // pair-set-derived family over the uncapped pair set as a view
+    // (the builder's capped default is exercised by the round-3 test;
+    // equality against the memoized queries needs the uncapped set)
+    Dedup.exactPairs(spark, sf).createOrReplaceTempView("nd_pairs")
+    SqlSurface.createThresholdSweepView(spark, "nd_pairs", "tsweep")
+    val tSql = spark.sql(
+        "SELECT threshold_ppm, n_pairs, n_docs FROM tsweep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val tDir = Dedup.q237ThresholdSweep(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(tSql == tDir && tSql.nonEmpty)
+
+    SqlSurface.createLshCalibrationView(spark, "nd_docs", "nd_pairs",
+      "calib")
+    val cSql = spark.sql("SELECT bucket, n_pairs, agree_ppm FROM calib")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val cDir = Dedup.q236LshCalibration(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(cSql == cDir && cSql.nonEmpty)
+
+    SqlSurface.createDfSpectrumView(spark, "nd_docs", "dfspec")
+    val fSql = spark.sql(
+        "SELECT bucket, n_shingles, postings_mass FROM dfspec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val fDir = Dedup.q243DfSpectrum(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(fSql == fDir && fSql.nonEmpty)
+
+    SqlSurface.createBandingSweepView(spark, "nd_docs", "bsweep",
+      bandConfigs = Seq(16))
+    val bSql = spark.sql(
+        "SELECT bands, n_candidates, n_verified FROM bsweep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bSql.length == 1 && bSql.head._1 == 16L
+      && bSql.head._2 >= bSql.head._3 && bSql.head._3 > 0L)
+
+    // CDC apply round-trip through views
+    spark.table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("snap_old")
+    graft.operators.Relational.q129SnapshotDiff(spark, sf)
+      .createOrReplaceTempView("snap_diff")
+    SqlSurface.createApplyCdcView(spark, "snap_old", "snap_diff",
+      "o_orderkey", Seq("o_orderstatus", "o_totalprice"), "snap_new")
+    val aSql = spark.sql(
+        "SELECT o_orderkey, o_orderstatus FROM snap_new")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val aDir = graft.operators.Relational.q240ApplyCdc(spark, sf)
+      .select("o_orderkey", "o_orderstatus")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(aSql == aDir && aSql.nonEmpty)
+
+    // ANN recall over the gated top-k queries as views
+    graft.operators.Similarity.q34aKnnBrute(spark, sf)
+      .createOrReplaceTempView("knn_exact")
+    graft.operators.Similarity.q34bKnnLsh(spark, sf)
+      .createOrReplaceTempView("knn_lsh")
+    SqlSurface.createAnnRecallView(spark, "knn_exact", "knn_lsh",
+      "recall")
+    val rSql = spark.sql("SELECT qid, recall_ppm FROM recall")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rDir = graft.operators.Similarity.q239AnnRecall(spark, sf)
+      .select("qid", "recall_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rSql == rDir && rSql.nonEmpty)
+
+    // contamination + cluster reps over the memoized artifacts as views
+    val base = spark.table("documents").select(col("doc_id"),
+      col("source"))
+    base.union(base.select(col("doc_id") + lit(Dedup.NearDupIdOffset),
+        col("source")))
+      .createOrReplaceTempView("nd_sources")
+    Dedup.q33gDedupComponents(spark, sf)
+      .createOrReplaceTempView("nd_comps")
+    SqlSurface.createContaminationMatrixView(spark, "nd_pairs",
+      "nd_sources", "contam")
+    val mSql = spark.sql(
+        "SELECT source_a, source_b, n_pairs FROM contam")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val mDir = Dedup.q233ContaminationMatrix(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(mSql == mDir && mSql.nonEmpty)
+
+    SqlSurface.createClusterRepsView(spark, "nd_docs", "nd_comps",
+      "reps")
+    val pSql = spark.sql(
+        "SELECT component, rep_id, rep_len FROM reps")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val pDir = Dedup.q232ClusterReps(spark, sf)
+      .select("component", "rep_id", "rep_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pSql == pDir && pSql.nonEmpty)
+  }
+
   test("z-order write view builder: SQL box query scans the z-laid-out " +
       "files and matches a direct scan (advice r5)") {
     SqlSurface.registerTables(spark, sf)
