@@ -40,14 +40,21 @@ object Mix {
   /** ENGINE-SHARED universal-hash family over Z_P (P = 10⁹+7, the
     * q95/tx4 polynomial-fold modulus): multipliers in [1, P−1] and
     * addends in [0, P−1], splitmix64-seeded. These are the constants
-    * `graft_minhash_mod` / `graft_simhash_mod` use AND the literal
-    * arrays the DuckDB oracles inline (Dedup.sharedA/sharedB render
-    * them), so both engines evaluate the identical (a·x + b) mod P. */
+    * `graft_minhash_mod` / `graft_simhash_mod` /
+    * `graft_hyperplane_mod` use AND the literal arrays the DuckDB
+    * oracles inline ([[sqlModMults]]/[[sqlModAdds]] below are the ONE
+    * renderer — Dedup.sqlA/sqlB and Similarity.hypA/hypB alias them),
+    * so both engines evaluate the identical (a·x + b) mod P. */
   val P: Long = 1000000007L
   def modMults(n: Int): Array[Long] =
     Array.tabulate(n)(i => Math.floorMod(splitmix64(i.toLong * 2), P - 1) + 1)
   def modAdds(n: Int): Array[Long] =
     Array.tabulate(n)(i => Math.floorMod(splitmix64(i.toLong * 2 + 1), P))
+
+  /** The shared constants as DuckDB list literals — single renderer so
+    * a width/rendering change can never desynchronize the oracles. */
+  def sqlModMults(n: Int): String = modMults(n).mkString("[", ",", "]")
+  def sqlModAdds(n: Int): String = modAdds(n).mkString("[", ",", "]")
 
   def hashUtf8(s: UTF8String): Long =
     org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -426,7 +433,7 @@ case class HyperplaneLshExpr(child: Expression, planes: Int)
   * This is what lets the embedding-LSH candidate set (q33d/q34b) sit
   * under the hard oracle, the way graft_minhash_mod did for q33a. */
 case class HyperplaneModExpr(child: Expression, planes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private lazy val mults = Mix.modMults(planes)
   private lazy val adds = Mix.modAdds(planes)
@@ -456,10 +463,16 @@ case class HyperplaneModExpr(child: Expression, planes: Int)
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        // (a·i + b) mod P < P² ≪ 2⁶³ — no wrap; parity = the ±1 vote
-        val odd = ((mults(p) * i + adds(p)) % Mix.P & 1L) == 1L
-        acc += (if (odd) x else -x)
+        // null elements are SKIPPED (acc unchanged), mirroring the
+        // MinHashModExpr/SimHashModExpr siblings; the gated corpora are
+        // null-free (FixtureGuardSpec) so the oracle replay never sees
+        // one — this guard only fixes the NPE/garbage-read hazard.
+        if (!arr.isNullAt(i)) {
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          // (a·i + b) mod P < P² ≪ 2⁶³ — no wrap; parity = the ±1 vote
+          val odd = ((mults(p) * i + adds(p)) % Mix.P & 1L) == 1L
+          acc += (if (odd) x else -x)
+        }
         i += 1
       }
       if (acc >= 0) bucket |= (1L << p)
@@ -467,6 +480,39 @@ case class HyperplaneModExpr(child: Expression, planes: Int)
     }
     bucket
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("hyperplaneModMults", mults, "long[]")
+      val ad = ctx.addReferenceObj("hyperplaneModAdds", adds, "long[]")
+      val i = ctx.freshName("i"); val p = ctx.freshName("p")
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x"); val bucket = ctx.freshName("bucket")
+      val getElem = if (isFloat) s"(double) $a.getFloat($i)"
+                    else s"$a.getDouble($i)"
+      // IDENTICAL op order to nullSafeEval: per plane, index-order
+      // double adds — the IEEE sum (hence the sign bit) is bit-equal
+      // across interpreted, codegen, and the DuckDB left fold.
+      s"""
+         |int $n = $a.numElements();
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      double $x = $getElem;
+         |      if ((($m[$p] * $i + $ad[$p]) % 1000000007L & 1L) == 1L)
+         |        $acc += $x; else $acc += -$x;
+         |    }
+         |  }
+         |  if ($acc >= 0) $bucket |= (1L << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(
       newChild: Expression): HyperplaneModExpr = copy(child = newChild)

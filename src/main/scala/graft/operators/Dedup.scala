@@ -1514,9 +1514,9 @@ object Dedup {
     * literals — SAME arrays `graft_minhash_mod`/`graft_simhash_mod`
     * embed, so the single source of truth is Mix.modMults/modAdds. */
   private val sqlA: String =
-    graft.functions.Mix.modMults(64).mkString("[", ",", "]")
+    graft.functions.Mix.sqlModMults(64)
   private val sqlB: String =
-    graft.functions.Mix.modAdds(64).mkString("[", ",", "]")
+    graft.functions.Mix.sqlModAdds(64)
 
   /** Shared CTE prefix of the q33a/q33e oracles: derived corpus →
     * polyhashed 3-shingle sets → RELATIONAL minhash (unnest × 64

@@ -297,11 +297,18 @@ object Percentiles {
       totals.map { case (src, out) => sum(col(src)).as(s"__t_$out") }
     val scalars = f.agg(scalarAggs.head, scalarAggs.tail: _*).collect()(0)
     val n = scalars.getAs[Long]("__cnt")
+    // sum() over an empty frame is null → lit(null) would be NullType;
+    // cast to the sum's real type (and zero-fill) so the attached
+    // total column's schema is identical on empty and non-empty frames
+    val sumTypes = f.agg(scalarAggs.head, scalarAggs.tail: _*)
+      .schema.fields.map(sf => sf.name -> sf.dataType).toMap
     val outCols = f.columns.map(col) ++ (col(rnName) +:
       cums.map { case (_, out) => col(out) }) ++
       nName.map(_ => lit(n).as(nName.get)).toSeq ++
       totals.map { case (_, out) =>
-        lit(scalars.getAs[Any](s"__t_$out")).as(out) }
+        val v = scalars.getAs[Any](s"__t_$out")
+        (if (v == null) lit(0L) else lit(v))
+          .cast(sumTypes(s"__t_$out")).as(out) }
     if (n <= splitThreshold) {
       val w = Window.orderBy(order: _*)
       val wCum = w.rowsBetween(Window.unboundedPreceding,

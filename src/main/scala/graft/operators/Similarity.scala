@@ -774,9 +774,9 @@ object Similarity {
     * literals — same single source of truth (Mix.modMults/modAdds) the
     * graft_hyperplane_mod expression embeds. */
   private val hypA: String =
-    graft.functions.Mix.modMults(64).mkString("[", ",", "]")
+    graft.functions.Mix.sqlModMults(64)
   private val hypB: String =
-    graft.functions.Mix.modAdds(64).mkString("[", ",", "]")
+    graft.functions.Mix.sqlModAdds(64)
 
   val oracle: Map[String, String] = Map(
     // q230: derived corpus = float-exact replay of embeddingsWithNearDups

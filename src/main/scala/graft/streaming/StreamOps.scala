@@ -725,19 +725,41 @@ object StreamOps {
     *
     * State is one small tuple per CHANGED key (change volume, not
     * table volume); at 100 TB evict keys with a timeout once the
-    * downstream sink has compacted them. */
-  def applyCdcStream(diff: DataFrame): DataFrame = {
+    * downstream sink has compacted them.
+    *
+    * INTRA-BATCH ORDER: Spark gives NO ordering guarantee for a
+    * group's rows inside a micro-batch, so two ops for one key in one
+    * batch would resolve nondeterministically if folded in arrival
+    * order. Pass `seqCol` (a monotone change-sequence/timestamp column
+    * in the changelog) and the fold applies a key's in-batch rows in
+    * ascending seq order — deterministic, and ≡ the batch twin applied
+    * per-seq. Without `seqCol`, one-op-per-key-per-batch is a HARD
+    * precondition and the fold throws if a batch violates it. */
+  def applyCdcStream(diff: DataFrame,
+      seqCol: Option[String] = None): DataFrame = {
     import diff.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val hasSeq = seqCol.isDefined
+    val inSeq = seqCol.map(c => col(c).cast("long"))
+      .getOrElse(lit(0L)).as("in_seq")
     diff.select(col("o_orderkey").cast("long"), col("op"),
-        col("new_o_orderstatus"), col("new_o_totalprice").cast("double"))
-      .as[(Long, String, Option[String], Option[Double])]
+        col("new_o_orderstatus"), col("new_o_totalprice").cast("double"),
+        inSeq)
+      .as[(Long, String, Option[String], Option[Double], Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (k: Long, rows: Iterator[(Long, String, Option[String], Option[Double])],
+        (k: Long,
+            rows: Iterator[(Long, String, Option[String], Option[Double], Long)],
             st: GroupState[(Long, String, Option[String], Option[Double])]) =>
+          val buf = rows.toVector
+          if (!hasSeq && buf.size > 1)
+            throw new IllegalStateException(
+              s"applyCdcStream: ${buf.size} ops for key $k in one " +
+                "micro-batch but no seqCol — intra-batch order is " +
+                "undefined; pass seqCol to resolve deterministically")
+          val ordered = if (hasSeq) buf.sortBy(_._5) else buf
           var cur = st.getOption
-          rows.foreach { case (_, op, s, p) =>
+          ordered.foreach { case (_, op, s, p, _) =>
             cur = Some((cur.map(_._1).getOrElse(0L) + 1L, op, s, p))
           }
           cur.foreach(st.update)

@@ -106,6 +106,46 @@ class DedupSpec extends SparkSpecBase {
     assert(got == want, s"got $got want $want")
   }
 
+  test("graft_hyperplane_mod codegen ≡ interpreted on real embeddings " +
+      "(bit-identical buckets; round-11 doGenCode pin)") {
+    graft.functions.SignatureExprs.register(spark)
+    val frame = graft.Tables.load(spark, sf, "embeddings").limit(200)
+      .select(col("vec_id"),
+        call_function("graft_hyperplane_mod", col("embedding"), lit(16))
+          .as("b"))
+    def run(mode: String): Map[Long, Long] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try frame.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val cg = run("CODEGEN_ONLY")
+    val interp = run("NO_CODEGEN")
+    assert(cg.nonEmpty && cg == interp)
+  }
+
+  test("graft_hyperplane_mod skips null elements (no NPE; index weights " +
+      "of the surviving elements preserved)") {
+    graft.functions.SignatureExprs.register(spark)
+    val got = spark.sql(
+      """SELECT graft_hyperplane_mod(
+        |  array(1.5D, CAST(NULL AS DOUBLE), -2.25D), 8) AS b""".stripMargin)
+      .collect()(0).getLong(0)
+    val P = graft.functions.Mix.P
+    val a = graft.functions.Mix.modMults(8)
+    val bb = graft.functions.Mix.modAdds(8)
+    val xs = Seq(0 -> 1.5, 2 -> -2.25) // index 1 skipped, others keep index
+    var want = 0L
+    for (p <- 0 until 8) {
+      var acc = 0.0
+      xs.foreach { case (i, x) =>
+        val odd = ((a(p) * i + bb(p)) % P & 1L) == 1L
+        acc += (if (odd) x else -x)
+      }
+      if (acc >= 0) want |= (1L << p)
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("SHARED simhash ≡ brute-force hamming ≤ 3 over the shared " +
       "signature (pigeonhole exactness)") {
     graft.functions.SignatureExprs.register(spark)

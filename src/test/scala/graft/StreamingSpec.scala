@@ -983,4 +983,57 @@ class StreamingSpec extends SparkSpecBase {
       assert(!view.exists(_._1 == 2L), "deleted key survived")
     } finally q.stop()
   }
+
+  test("applyCdcStream seqCol resolves multi-op-per-key batches in " +
+      "sequence order (U seq 1 + D seq 2 delivered REVERSED in one " +
+      "batch → key deleted, both ops counted)") {
+    val input =
+      MemoryStream[(Long, String, Option[String], Option[Double], Long)](spark)
+    val q = StreamOps.applyCdcStream(input.toDF()
+        .toDF("o_orderkey", "op", "new_o_orderstatus",
+          "new_o_totalprice", "chg_seq"), seqCol = Some("chg_seq"))
+      .writeStream.format("memory").queryName("cdcseq")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-cdcseq").toString)
+      .start()
+    try {
+      input.addData(
+        (7L, "D", Option.empty[String], Option.empty[Double], 2L),
+        (7L, "U", Option("X"), Option(1.0), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("cdcseq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(rows == Set((7L, 2L, "D")),
+        s"latest-by-seq must win regardless of arrival order: $rows")
+    } finally q.stop()
+  }
+
+  test("applyCdcStream WITHOUT seqCol enforces the one-op-per-key-" +
+      "per-batch precondition (two ops for one key → query fails)") {
+    val input =
+      MemoryStream[(Long, String, Option[String], Option[Double])](spark)
+    val q = StreamOps.applyCdcStream(input.toDF()
+        .toDF("o_orderkey", "op", "new_o_orderstatus",
+          "new_o_totalprice"))
+      .writeStream.format("memory").queryName("cdcnoseq")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-cdcnoseq").toString)
+      .start()
+    try {
+      input.addData(
+        (7L, "U", Option("X"), Option(1.0)),
+        (7L, "D", Option.empty[String], Option.empty[Double]))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.getMessage != null) &&
+        causes(ex).exists(c => Option(c.getMessage)
+          .exists(_.contains("no seqCol"))),
+        s"expected the precondition message, got: ${ex.getMessage}")
+    } finally q.stop()
+  }
 }
