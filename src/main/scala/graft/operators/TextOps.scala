@@ -819,6 +819,125 @@ object TextOps {
   def q229BpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeState6(spark, dir)._1
 
+  // ---------------------------------------------------------------- q248
+
+  /** BATCHED BPE TRAINING — [[bpeTrain]]'s merge rule, but each round
+    * takes the top-`k` candidate pairs (same (weight desc, l, r) rank)
+    * and applies the PREFIX-GREEDY CONFLICT-FREE subset: walking the
+    * candidates in rank order, a pair is accepted iff both its symbols
+    * are disjoint from every already-accepted pick of this round.
+    * Disjoint accepted pairs cannot produce adjacent matches (two
+    * matches at consecutive positions share the middle symbol, which
+    * disjointness forbids unless it is the SAME (x,x) pair — exactly
+    * the overlapping-run case the island/even-offset rule already
+    * resolves), so one relational application pass applies the whole
+    * batch with the identical leftmost-greedy machinery.
+    *
+    * This is the round-count axis the sequential trainer can't reach:
+    * a production ~30k-merge vocabulary is ~30k sequential
+    * driver-coordinated jobs under [[bpeTrain]] but ~30k/k rounds
+    * here — with k = 64 that is ~470 rounds, a realistic training
+    * run. The trade is fidelity at the margin: counts of pairs
+    * SHARING a symbol with an earlier accepted pick shift after that
+    * merge (and a merge can mint a brand-new pair, e.g. (aa,aa) after
+    * (a,a)), so a batched round can pick a pair sequential recounting
+    * would have re-ranked — the standard batched-BPE caveat (public
+    * practice in distributed tokenizer trainers). For k = 1 the
+    * conflict filter is vacuous and the trainer is EXACTLY
+    * [[bpeTrain]] (pinned in TextOpsSpec), so fidelity is a knob, not
+    * a fork.
+    *
+    * Output: (merge_round, merge_l, merge_r, weight) where
+    * merge_round is the GLOBAL acceptance ordinal (rounds in order,
+    * rank order within a round) — k = 1 reproduces [[bpeTrain]]'s
+    * numbering bit-for-bit. Scale shape per round is unchanged
+    * (vocabulary-sized frames, per-word windows, broadcast of ≤ k
+    * accepted pairs into the match join, per-round localCheckpoint);
+    * the ≤ k-row candidate collect is driver-side by design — it IS
+    * the round's coordination point, same as bpeTrain's limit(1). */
+  def bpeTrainBatched(docs: DataFrame, rounds: Int, k: Int): DataFrame = {
+    require(rounds >= 1 && k >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    var s = wc.filter(length(col("w")) >= 1)
+      .select(col("w"), col("c"),
+        posexplode(expr(
+          "transform(sequence(1, char_length(w)), i -> substr(w, i, 1))"))
+          .as(Seq("p0", "sym")))
+      .select(col("w"), col("c"),
+        (col("p0") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint()
+    val byPos = Window.partitionBy("w").orderBy("pos")
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var ordinal = 0L
+    for (_ <- 0 until rounds) {
+      val a = s.select(col("w"), col("c"), col("pos"), col("sym"),
+        lead(col("sym"), 1).over(byPos).as("nsym"),
+        row_number().over(byPos).cast("long").as("rn"))
+        .localCheckpoint()
+      val cand = a.filter(col("nsym").isNotNull)
+        .groupBy(col("sym").as("merge_l"), col("nsym").as("merge_r"))
+        .agg(sum(col("c")).as("weight"))
+        .orderBy(col("weight").desc, col("merge_l"), col("merge_r"))
+        .limit(k).collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val acc = cand.toSeq.flatMap { row =>
+        val l = row.getString(0); val r = row.getString(1)
+        if (used(l) || used(r)) None
+        else { used += l; used += r; Some((l, r, row.getLong(2))) }
+      }
+      acc.foreach { case (l, r, w) =>
+        merges += ((ordinal, l, r, w)); ordinal += 1L
+      }
+      if (acc.nonEmpty) {
+        val accDf = acc.map(t => (t._1, t._2))
+          .toDF("merge_l", "merge_r")
+        val m = a.join(broadcast(accDf),
+          col("sym") === col("merge_l") && col("nsym") === col("merge_r"))
+          .select(col("w"), col("rn"))
+        val g = m
+          .select(col("w"), col("rn"),
+            (col("rn") - row_number().over(
+              Window.partitionBy("w").orderBy("rn"))).as("island"))
+          .select(col("w"), col("rn"),
+            (((col("rn") - min(col("rn")).over(
+              Window.partitionBy("w", "island"))) % 2) === 0).as("mg"))
+          .filter(col("mg"))
+          .select(col("w"), col("rn"))
+        s = a.as("aa")
+          .join(g.as("gg"), col("aa.w") === col("gg.w")
+            && col("aa.rn") === col("gg.rn"), "left")
+          .join(g.as("gp"), col("aa.w") === col("gp.w")
+            && col("aa.rn") - 1 === col("gp.rn"), "left")
+          .filter(col("gp.rn").isNull)
+          .select(col("aa.w").as("w"), col("aa.c").as("c"),
+            col("aa.pos").as("pos"),
+            when(col("gg.rn").isNotNull,
+              concat(col("aa.sym"), col("aa.nsym")))
+              .otherwise(col("aa.sym")).as("sym"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+      .toDF("merge_round", "merge_l", "merge_r", "weight")
+      .orderBy("merge_round")
+  }
+
+  /** Q248: BATCHED BPE READOUT — 3 rounds × top-2 candidates of
+    * [[bpeTrainBatched]] over the documents corpus: 6 candidate slots,
+    * with any conflicting rank-2 pick skipped (and typically re-won in
+    * a later round at its recounted weight). Gated: the DuckDB oracle
+    * replays rank-2 candidate selection, the k = 2 conflict rule
+    * (rank 2 accepted iff symbol-disjoint from rank 1), the batch
+    * application, and the global acceptance ordinals — chained
+    * MATERIALIZED CTEs exactly like q229's. */
+  def q248BpeBatched(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainBatched(load(spark, dir, "documents"), rounds = 3, k = 2)
+
   // ---------------------------------------------------------------- q231
 
   /** Q231: BPE ENCODING READOUT — apply the q229-trained merges and
@@ -1290,6 +1409,7 @@ object TextOps {
     "q156_freq_spectrum" -> (q156FreqSpectrum _),
     "q145_bpe_pairs" -> (q145BpePairs _),
     "q229_bpe_merges" -> (q229BpeMerges _),
+    "q248_bpe_batched" -> (q248BpeBatched _),
     "q231_bpe_encode" -> (q231BpeEncode _),
     "q238_bpe_curve" -> (q238BpeCurve _),
     "q241_fertility" -> (q241Fertility _),
@@ -1356,10 +1476,9 @@ object TextOps {
        |  LEFT JOIN g$k gp ON aa.w = gp.w AND aa.rn - 1 = gp.rn
        |  WHERE gp.rn IS NULL)""".stripMargin
 
-  /** The full N-round training chain (wc → s0 → a/b/g/s per round),
-    * ending with the s{rounds} final-state CTE — shared by the q229
-    * (merge table) and q231 (encoding readout) oracles. */
-  private def bpeCtes(rounds: Int): String =
+  /** wc → s0 head shared by the sequential AND batched training
+    * oracles (vocabulary collapse + character split). */
+  private val bpeHeadCtes: String =
     """WITH wc AS (
       |  SELECT w, COUNT(*) AS c FROM (
       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -1368,8 +1487,80 @@ object TextOps {
       |  SELECT w, c, CAST(i AS BIGINT) AS pos,
       |    substr(w, CAST(i AS INTEGER), 1) AS sym
       |  FROM (SELECT w, c, unnest(generate_series(1, length(w))) AS i
-      |        FROM wc WHERE length(w) >= 1))""".stripMargin +
-      (0 until rounds).map(bpeRoundCte).mkString(",\n", ",\n", "")
+      |        FROM wc WHERE length(w) >= 1))""".stripMargin
+
+  /** The full N-round training chain (wc → s0 → a/b/g/s per round),
+    * ending with the s{rounds} final-state CTE — shared by the q229
+    * (merge table) and q231 (encoding readout) oracles. */
+  private def bpeCtes(rounds: Int): String =
+    bpeHeadCtes + (0 until rounds).map(bpeRoundCte).mkString(",\n", ",\n", "")
+
+  /** One BATCHED (k = 2) training round — b = ranked top-2 candidate
+    * pairs, acc = the prefix-greedy conflict-free subset (rank 2
+    * accepted iff symbol-disjoint from rank 1; for k = 2 "disjoint
+    * from accepted" ≡ "disjoint from rank 1"), g/s = the identical
+    * leftmost-greedy application with the accepted SET in the match
+    * join (disjointness makes cross-pair matches non-adjacent, so the
+    * island/even-offset rule is unchanged). MATERIALIZED throughout
+    * (the q131 lesson). */
+  private def bpeBatchedRoundCte(k: Int): String =
+    s"""a$k AS MATERIALIZED (
+       |  SELECT w, c, pos, sym,
+       |    LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym,
+       |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS rn
+       |  FROM s$k),
+       |b$k AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT merge_l, merge_r, weight,
+       |      ROW_NUMBER() OVER (ORDER BY weight DESC, merge_l, merge_r)
+       |        AS rk
+       |    FROM (
+       |      SELECT sym AS merge_l, nsym AS merge_r,
+       |        CAST(SUM(c) AS BIGINT) AS weight
+       |      FROM a$k WHERE nsym IS NOT NULL GROUP BY sym, nsym) t0) rb
+       |  WHERE rk <= 2),
+       |acc$k AS MATERIALIZED (
+       |  SELECT b.merge_l, b.merge_r, b.weight, b.rk FROM b$k b
+       |  WHERE b.rk = 1 OR NOT EXISTS (
+       |    SELECT 1 FROM b$k h WHERE h.rk = 1
+       |      AND (h.merge_l = b.merge_l OR h.merge_l = b.merge_r
+       |        OR h.merge_r = b.merge_l OR h.merge_r = b.merge_r))),
+       |g$k AS MATERIALIZED (
+       |  SELECT w, rn FROM (
+       |    SELECT w, rn,
+       |      (rn - MIN(rn) OVER (PARTITION BY w, island)) % 2 = 0 AS mg
+       |    FROM (
+       |      SELECT aa.w AS w, aa.rn AS rn,
+       |        aa.rn - ROW_NUMBER() OVER (PARTITION BY aa.w
+       |          ORDER BY aa.rn) AS island
+       |      FROM a$k aa JOIN acc$k bb
+       |      ON aa.sym = bb.merge_l AND aa.nsym = bb.merge_r) t1) t2
+       |  WHERE mg),
+       |s${k + 1} AS MATERIALIZED (
+       |  SELECT aa.w AS w, aa.c AS c, aa.pos AS pos,
+       |    CASE WHEN gg.rn IS NOT NULL THEN aa.sym || aa.nsym
+       |         ELSE aa.sym END AS sym
+       |  FROM a$k aa
+       |  LEFT JOIN g$k gg ON aa.w = gg.w AND aa.rn = gg.rn
+       |  LEFT JOIN g$k gp ON aa.w = gp.w AND aa.rn - 1 = gp.rn
+       |  WHERE gp.rn IS NULL)""".stripMargin
+
+  /** q248: 3 batched rounds, then global acceptance ordinals (rounds
+    * in order, rank within round) — the Scala trainer's numbering. */
+  private val bpeBatchedOracle: String =
+    bpeHeadCtes +
+      (0 until 3).map(bpeBatchedRoundCte).mkString(",\n", ",\n", "") +
+      """
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, rk) - 1 AS BIGINT)
+        |    AS merge_round,
+        |  merge_l, merge_r, weight
+        |FROM (
+        |  SELECT 0 AS rnd, merge_l, merge_r, weight, rk FROM acc0
+        |  UNION ALL
+        |  SELECT 1 AS rnd, merge_l, merge_r, weight, rk FROM acc1
+        |  UNION ALL
+        |  SELECT 2 AS rnd, merge_l, merge_r, weight, rk FROM acc2)
+        |ORDER BY merge_round""".stripMargin
 
   private val bpeOracle: String =
     bpeCtes(6) + (0 until 6).map(k => s"SELECT * FROM b$k")
@@ -1604,6 +1795,7 @@ object TextOps {
     // greedy-merge rule as the Spark loop: islands of rank-consecutive
     // matches, merge iff even offset.
     "q229_bpe_merges" -> bpeOracle,
+    "q248_bpe_batched" -> bpeBatchedOracle,
     // q231: the q229 chain + tokens-per-word off the final state,
     // joined to per-source word counts.
     "q231_bpe_encode" -> bpeEncodeOracle,

@@ -423,6 +423,50 @@ class TextOpsSpec extends SparkSpecBase {
       (3L, "aa", "aa", 1L)))
   }
 
+  test("bpeTrainBatched(k = 1) ≡ bpeTrain bit-for-bit (hand corpus AND " +
+      "real documents slice — the batched(1) fidelity contract)") {
+    import spark.implicits._
+    val hand = Seq((1L, "aaab aaab ab"), (2L, "aaaa"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(rows(TextOps.bpeTrainBatched(hand, rounds = 5, k = 1)) ==
+      rows(TextOps.bpeTrain(hand, rounds = 5)))
+    val real = graft.Tables.load(spark, sf, "documents").limit(200)
+    assert(rows(TextOps.bpeTrainBatched(real, rounds = 4, k = 1)) ==
+      rows(TextOps.bpeTrain(real, rounds = 4)))
+  }
+
+  test("bpeTrainBatched planted-conflict golden: rank-2 pair sharing a " +
+      "symbol with rank 1 is SKIPPED and re-won next round at its " +
+      "recounted weight — never applied stale") {
+    import spark.implicits._
+    // vocab {aab:3, ab:2}: round-0 candidates (a,b) = 5 (rank 1) and
+    // (a,a) = 3 (rank 2, shares 'a' → skipped). Applying (a,b):
+    // aab → [a,ab], ab → [ab]; round-1 top pair is (a,ab) = 3 — the
+    // deferred region re-counted, NOT the stale (a,a).
+    val docs = Seq((1L, "aab aab aab ab ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrainBatched(docs, rounds = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((0L, "a", "b", 5L), (1L, "a", "ab", 3L)), s"$got")
+    assert(!got.exists(m => m._2 == "a" && m._3 == "a"),
+      "stale conflicting (a,a) must never be applied in the batch")
+  }
+
+  test("bpeTrainBatched disjoint-accept golden: two symbol-disjoint " +
+      "top pairs merge in ONE round (k = 2, rounds = 1 → 2 merges)") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ab cd cd")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrainBatched(docs, rounds = 1, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((0L, "a", "b", 3L), (1L, "c", "d", 2L)), s"$got")
+    // sequential needs two rounds for the same table
+    assert(TextOps.bpeTrain(docs, rounds = 1).count() == 1L)
+  }
+
   test("q238 curve golden: per-round token totals on the q229 vocab — " +
       "monotone non-increasing, round 0 = weighted character count") {
     import spark.implicits._
