@@ -305,6 +305,82 @@ object CorpusPrep {
   def q77SpanRemoval(spark: SparkSession, dir: String): DataFrame =
     removeDupSpans(load(spark, dir, "documents")).orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q245
+
+  /** ANY-LENGTH duplicated-substring pairs — the suffix-array-grade
+    * exact-substring method (Lee et al. 2021, public): every MAXIMAL
+    * shared word-span of length ≥ `minLen` between two corpus
+    * positions, with its TRUE extent —
+    * (doc_a, pos_a, doc_b, pos_b, span_len). q70/q77 see fixed-k gram
+    * coverage; this reports the spans themselves, any length (a
+    * 12-word shared span is ONE row with span_len = 12, not a cloud
+    * of overlapping k-grams).
+    *
+    * WHY NO SUFFIX SORT: the published method suffix-sorts the corpus
+    * and scans ADJACENT suffixes for LCP ≥ L — an artifact of
+    * sequential machines, where sorting is how you co-locate equal
+    * prefixes. Two suffixes have LCP ≥ L **iff their first L words
+    * are equal**, so the LCP ≥ L pair set is exactly the union over
+    * L-gram types of within-type pairs: a hash GROUP BY on the
+    * length-L prefix co-locates them with NO global sort and no
+    * prefix-doubling rounds — Spark's native shape. Maximal extents
+    * then fall out of the diagonal structure: a shared span of length
+    * M ≥ L yields M − L + 1 consecutive L-gram matches at constant
+    * diagonal (pos_a − pos_b), so gaps-and-islands per
+    * (doc_a, doc_b, diagonal) recovers each maximal span ONCE with
+    * span_len = run + L − 1 (the q229 island discipline; runs are
+    * consecutive in pos_a, and pos_a is unique per diagonal, so the
+    * window order is total).
+    *
+    * Orientation: cross-doc pairs carry doc_a < doc_b; within-doc
+    * repeats (periodicity included — overlapping occurrences are
+    * legitimate spans) carry pos_a < pos_b.
+    *
+    * Scale: the gram stream is the q70/q95 first stage (pre-split
+    * array, slice per position — tokenize-once); the only join is
+    * gram-keyed equi (both sides hash-partitioned on gram); pair
+    * fan-out is Σ df² over L-gram types, and at L = 8 the df spectrum
+    * is far sparser than q243's 3-shingles (random text almost never
+    * repeats 8 words by chance — what repeats IS the signal). A
+    * boilerplate-heavy corpus would concentrate df in a few grams;
+    * the q102/q137 df-cap + exact-heavy-residual discipline applies
+    * verbatim (cap the postings, recover capped grams doc-by-doc) and
+    * is the documented extension; island windows partition by
+    * (doc_a, doc_b, diag) — span-count-sized groups, never
+    * corpus-sized. */
+  def substringDupSpans(docs: DataFrame, minLen: Int): DataFrame = {
+    require(minLen >= 2)
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= minLen)
+    val grams = ws.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(1), size(col("w")) - (minLen - 1)),
+        i => concat_ws(" ", slice(col("w"), i, lit(minLen)))))
+        .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
+        col("gram"))
+    val pairs = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") &&
+          (col("a.doc_id") < col("b.doc_id") ||
+            (col("a.doc_id") === col("b.doc_id") &&
+              col("a.pos") < col("b.pos"))))
+      .select(col("a.doc_id").as("doc_a"), col("a.pos").as("pos_a"),
+        col("b.doc_id").as("doc_b"), col("b.pos").as("pos_b"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val isl = pairs.withColumn("island",
+      col("pos_a") - row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")))
+    isl.groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(min(col("pos_a")).as("pos_a"),
+        (count(lit(1)) + (minLen - 1)).cast(LongType).as("span_len"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"),
+        (col("pos_a") - col("diag")).as("pos_b"), col("span_len"))
+  }
+
+  def q245SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDupSpans(load(spark, dir, "documents"), minLen = 8)
+      .orderBy("doc_a", "pos_a", "doc_b", "pos_b")
+
   // ---------------------------------------------------------------- q71
 
   /** Mixture rebalancing — hit a TARGET mixture (uniform here) with
@@ -578,6 +654,7 @@ object CorpusPrep {
     "q70_dup_spans" -> (q70DupSpans _),
     "q71_mixture" -> (q71Mixture _),
     "q77_span_removal" -> (q77SpanRemoval _),
+    "q245_substring_dedup" -> (q245SubstringDedup _),
     "q78_corpus_report" -> (q78CorpusReport _),
     "q81_source_overlap" -> (q81SourceOverlap _),
     "q82_source_novelty" -> (q82SourceNovelty _),
@@ -741,6 +818,39 @@ object CorpusPrep {
         |  CAST(length(substr(text, CAST(start AS INT) + 1, 200))
         |    AS BIGINT) AS chunk_len
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q245: same 1-based 8-gram positions (DuckDB slice w[i:i+7] is
+    // inclusive = 8 words ↔ Spark slice(w, i, 8)), same pair
+    // orientation (doc_a < doc_b, or same-doc pos_a < pos_b), same
+    // diagonal gaps-and-islands maximal-span recovery; pos_a is
+    // unique per (doc_a, doc_b, diag) so the island window order is
+    // total (D1). All-BIGINT output.
+    "q245_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w) - 7)) AS i
+        |        FROM t WHERE len(w) >= 8) t1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+        |    b.doc_id AS doc_b, b.pos AS pos_b,
+        |    a.pos - b.pos AS diag
+        |  FROM g a JOIN g b ON a.gram = b.gram
+        |  WHERE a.doc_id < b.doc_id
+        |     OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
+        |i AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |    pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+        |      ORDER BY pos_a) AS island
+        |  FROM p),
+        |s AS (
+        |  SELECT doc_a, doc_b, diag, MIN(pos_a) AS pos_a,
+        |    CAST(COUNT(*) + 7 AS BIGINT) AS span_len
+        |  FROM i GROUP BY doc_a, doc_b, diag, island)
+        |SELECT doc_a, pos_a, doc_b, pos_a - diag AS pos_b, span_len
+        |FROM s ORDER BY doc_a, pos_a, doc_b, pos_b""".stripMargin,
     // q70: identical 5-gram positions (range stop-exclusive ↔ sequence
     // inclusive), global occurrence counts, per-doc dup coverage in
     // integer basis points. SUM(CASE) is HUGEINT in DuckDB → CAST.

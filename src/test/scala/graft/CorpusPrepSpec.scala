@@ -153,6 +153,37 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(out(5L) == (("one two three", 3L, 0L)))
   }
 
+  test("q245 substring dedup golden: a 12-word shared span is ONE row " +
+      "with its true extent (L = 8 reports span_len = 12 — invisible " +
+      "to fixed-k gram reports), a 7-word overlap is below threshold") {
+    import spark.implicits._
+    val span = (1 to 12).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, s"p1 p2 $span s1"), // span at positions 3..14
+      (2L, s"q1 $span q2 q3"), // span at positions 2..13
+      // 7-word overlap with doc 1's prefix region — under L = 8
+      (3L, "z1 " + (1 to 7).map(i => s"c$i").mkString(" ") + " z2 z3")
+    ).toDF("doc_id", "text")
+    val got = CorpusPrep.substringDupSpans(df, minLen = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((1L, 3L, 2L, 2L, 12L)), s"$got")
+  }
+
+  test("q245 substring dedup: same-doc periodicity — overlapping " +
+      "occurrences are maximal spans per diagonal ('x x x x x', " +
+      "L = 2 → three spans of lengths 4, 3, 2)") {
+    import spark.implicits._
+    val df = Seq((9L, "x x x x x")).toDF("doc_id", "text")
+    val got = CorpusPrep.substringDupSpans(df, minLen = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (9L, 1L, 9L, 2L, 4L), // [1..4] ≡ [2..5]
+      (9L, 1L, 9L, 3L, 3L), // [1..3] ≡ [3..5]
+      (9L, 1L, 9L, 4L, 2L)), s"$got") // [1..2] ≡ [4..5]
+  }
+
   test("q78 corpus report: hand-computed card on a planted corpus") {
     import spark.implicits._
     val df = Seq(
