@@ -109,6 +109,70 @@ object Clustering {
     (cids, mat)
   }
 
+  /** ENGINE-SHARED INTEGER k-MEANS (q246) — Lloyd's algorithm with
+    * every step exact and engine-replayable, the round-11 flip that
+    * puts the clustering TRAINER itself under the hard oracle (the
+    * q33a/q229 playbook applied to k-means):
+    *
+    *  - coordinates integer-quantize to e3 (floor(x·1e3 + 0.5), the
+    *    q154 discipline — float→double cast is exact, the multiply/
+    *    add/floor are identical IEEE ops in both engines, and all
+    *    later arithmetic is BIGINT);
+    *  - init = the k seed vectors vec_id < k (fixed, the q230 seed
+    *    rule);
+    *  - assignment = argmin of the integer squared Euclidean distance
+    *    with the TOTAL tie order (d2, cell) — min(struct) here,
+    *    ROW_NUMBER(ORDER BY d2, cell) in the oracle;
+    *  - update = per-(cell, dim) truncating-div mean `sum(x) div n`
+    *    (Spark `div` ≡ DuckDB `//`, both truncate toward zero for any
+    *    sign), so centroids STAY integers round over round — no IEEE
+    *    mean to diverge. A cell that captures no vectors disappears
+    *    (deterministic; the production trainer keeps its previous
+    *    centroid instead — documented divergence, both well-defined).
+    *
+    * The oracle unrolls rounds as chained MATERIALIZED CTEs (the
+    * q93/q131 discipline). Scale: this form's assignment is one
+    * broadcast(k·dim centroid rows) join + an (N·k)-row partial-
+    * combining aggregate per round — audit-scale honest; the
+    * PRODUCTION path at 100 TB stays [[kMeansCentroids]] (zero-shuffle
+    * codegen'd `graft_nearest_centroid` assignment, k·dim-per-
+    * partition vector-sum update); this shared twin is what CI gates,
+    * exactly as q33a gates the splitmix MinHash.
+    *
+    * Returns (centroids long-format (cell, dim, c), assignment
+    * (vec_id, cell)) after `rounds` assign→update rounds; both frames
+    * localCheckpoint'ed per round (iterative-lineage rule). */
+  def kMeansShared(embeddings: DataFrame, k: Int, rounds: Int)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1 && rounds >= 1)
+    val ex = embeddings.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("d0", "xd")))
+      .select(col("vec_id"), (col("d0") + 1).cast("long").as("dim"),
+        floor(col("xd") * lit(1000.0) + lit(0.5)).cast("long").as("x"))
+      .localCheckpoint()
+    var cent = ex.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("dim"), col("x").as("c"))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    for (_ <- 0 until rounds) {
+      val d2 = ex.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c")))
+          .as("d2"))
+      assign = d2.groupBy("vec_id")
+        .agg(min(struct(col("d2").as("d2"), col("cell").as("cell")))
+          .as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+        .localCheckpoint()
+      cent = ex.join(assign, "vec_id")
+        .groupBy("cell", "dim")
+        .agg(expr("sum(x) div count(1)").as("c"))
+        .localCheckpoint()
+    }
+    (cent, assign)
+  }
+
   /** Within-cluster sum of squared distance — Lloyd's monotone objective
     * (ClusteringSpec asserts non-increase across iterations). */
   def wcss(vectors: DataFrame, vecCol: String, cids: Array[Long],

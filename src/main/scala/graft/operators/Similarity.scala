@@ -748,8 +748,58 @@ object Similarity {
     semanticDedup(Dedup.embeddingsWithNearDups(
       load(spark, dir, "embeddings")))
 
+  // ---------------------------------------------------------------- q246
+
+  /** Q246: the k-MEANS TRAINER under the hard oracle —
+    * [[Clustering.kMeansShared]] (integer e3 quantization, seed init,
+    * 3 assign→update rounds, truncating-div centroids, (d2, cell)
+    * argmin tie order) over the embeddings table; output = the final
+    * centroid table in long format (cell, dim, c_e3) with each cell's
+    * final member count. The artifact a clustering trainer ships,
+    * gated the way q229 gates the BPE merge table. */
+  def q246Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val (cent, assign) = Clustering.kMeansShared(
+      load(spark, dir, "embeddings"), k = 8, rounds = 3)
+    val counts = assign.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"))
+    cent.join(counts, "cell")
+      .select(col("cell"), col("dim"), col("c").as("c_e3"),
+        col("n_members"))
+      .orderBy("cell", "dim")
+  }
+
+  /** [[semanticDedup]] with the PRODUCTION centroid source swapped in
+    * (round-11 closure of the q230 "centroid source is the knob"
+    * note): cells come from [[Clustering.kMeansShared]]'s trained
+    * assignment — itself oracle-gated via q246 — instead of the raw
+    * seed Voronoi; the within-cell exact-cosine dedup machinery is
+    * byte-identical. Candidates stay CELL-BOUNDED by construction
+    * (SimilaritySpec pins pair count = Σ n_c·(n_c−1)/2 and a
+    * cartesian-free plan). */
+  def semanticDedupKMeans(embeddings: DataFrame, k: Int = 8,
+      rounds: Int = 3, thresholdE6: Long = 900000L): DataFrame = {
+    DotProductExpr.register(embeddings.sparkSession)
+    val (_, assigned) = Clustering.kMeansShared(embeddings, k, rounds)
+    val v = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", nativeNorm(col("v")))
+    val cv = v.join(assigned, "vec_id")
+    val losers = cv.as("a")
+      .join(cv.as("b"), col("a.cell") === col("b.cell")
+        && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_e6", floor(cosinePrenormed(
+          nativeDot(col("a.v"), col("b.v")), col("a.nv"), col("b.nv"))
+        * lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("cos_e6") >= thresholdE6)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    embeddings.select("vec_id")
+      .join(losers, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_semantic_dedup" -> (q230SemanticDedup _),
+    "q246_kmeans" -> (q246Kmeans _),
     "q205_knn_confusion" -> (q205KnnConfusion _),
     "q154_embed_dispersion" -> (q154EmbedDispersion _),
     "q176_label_centroid_dist" -> (q176LabelCentroidDist _),
@@ -778,7 +828,54 @@ object Similarity {
   private val hypB: String =
     graft.functions.Mix.sqlModAdds(64)
 
+  /** One shared-k-means round as DuckDB CTEs — d = integer squared
+    * distances against the round's centroids, a = argmin assignment
+    * under the (d2, cell) total tie order, c{r+1} = truncating-div
+    * integer centroid update (`//` ≡ Spark `div` for any sign). The
+    * q93/q131 chained-MATERIALIZED unroll discipline. */
+  private def kmeansRoundCte(r: Int): String =
+    s"""d$r AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cell,
+       |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+       |  FROM ex e JOIN c$r c ON e.dim = c.dim
+       |  GROUP BY e.vec_id, c.cell),
+       |a$r AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY d2, cell) AS rk
+       |    FROM d$r) t WHERE rk = 1),
+       |c${r + 1} AS MATERIALIZED (
+       |  SELECT a.cell, e.dim,
+       |    CAST(SUM(e.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM ex e JOIN a$r a USING (vec_id)
+       |  GROUP BY a.cell, e.dim)""".stripMargin
+
+  private val kmeansOracle: String =
+    """WITH ex AS MATERIALIZED (
+      |  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+      |    CAST(floor(CAST(emb[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      |      AS x
+      |  FROM (SELECT vec_id, embedding AS emb,
+      |          unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings) t),
+      |c0 AS MATERIALIZED (
+      |  SELECT vec_id AS cell, dim, x AS c FROM ex WHERE vec_id < 8)"""
+      .stripMargin +
+      (0 until 3).map(kmeansRoundCte).mkString(",\n", ",\n", "") +
+      """,
+        |n3 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+        |       FROM a2 GROUP BY cell)
+        |SELECT c3.cell, c3.dim, c3.c AS c_e3, n3.n_members
+        |FROM c3 JOIN n3 USING (cell)
+        |ORDER BY cell, dim""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // q246: same e3 quantization (float→double exact, ·1000 + 0.5,
+    // floor — identical IEEE, THEN cast), same seed init, same three
+    // assign→update rounds, same argmin tie order, same truncating
+    // integer centroid means.
+    "q246_kmeans" -> kmeansOracle,
     // q230: derived corpus = float-exact replay of embeddingsWithNearDups
     // (CAST(x * CAST(c AS REAL) AS REAL) — the double product of two
     // floats is exact, so the single rounding back to REAL equals the

@@ -47,4 +47,28 @@ class ClusteringSpec extends SparkSpecBase {
     // every vector lands in exactly one cell (total function)
     assert(assigned.filter(col("cell").isNull).count() == 0)
   }
+
+  test("kMeansShared hand golden: two planted clusters separate, " +
+      "centroids are exact truncating-div integer means, assignment " +
+      "tie order is (d2, cell)") {
+    import spark.implicits._
+    // e3 quantized: A = {[0,0],[1,0],[2,0]}, B = {[1000,1000] ×3 ±1};
+    // seeds vec 0 ∈ A, vec 1 ∈ B → round 1 separates the clusters and
+    // the update gives c0 = [(0+1+2) div 3, 0] = [1, 0],
+    // c1 = [(1000+1001+999) div 3, 1000] = [1000, 1000]; round 2 is a
+    // fixed point.
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 1f)),
+      (2L, Seq(0.001f, 0f)), (3L, Seq(0.002f, 0f)),
+      (4L, Seq(1.001f, 1f)), (5L, Seq(0.999f, 1f)))
+      .toDF("vec_id", "embedding")
+    val (cent, assign) = Clustering.kMeansShared(vecs, k = 2, rounds = 2)
+    val a = assign.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == Map(0L -> 0L, 2L -> 0L, 3L -> 0L,
+      1L -> 1L, 4L -> 1L, 5L -> 1L), s"$a")
+    val c = cent.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(c == Map((0L, 1L) -> 1L, (0L, 2L) -> 0L,
+      (1L, 1L) -> 1000L, (1L, 2L) -> 1000L), s"$c")
+  }
 }

@@ -267,4 +267,36 @@ class SimilaritySpec extends SparkSpecBase {
       s"got $survivors — 3 (within-cell dup) must drop, 4/5 " +
         "(cross-cell near-dup) must both survive")
   }
+
+  test("semanticDedupKMeans (q246 trained cells in q230's machinery): " +
+      "candidates stay CELL-BOUNDED — pair fan-out = Σ n_c·(n_c−1)/2 " +
+      "over the trained assignment, plan cartesian-free, and a " +
+      "within-cell duplicate still drops") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)), (3L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (4L, Seq(0.6f, 0.59f, 0f, 0f)), (5L, Seq(0.59f, 0.6f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val dedup = Similarity.semanticDedupKMeans(vecs, k = 2, rounds = 2,
+      thresholdE6 = 999000L)
+    assert(!dedup.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"),
+      "within-cell pair join must be an equi-join on the cell key")
+    val survivors = dedup.collect().map(_.getLong(0)).toSet
+    assert(!survivors.contains(3L) && survivors.contains(2L),
+      s"got $survivors — the within-cell exact dup must drop")
+    // cell-bounded candidate count: pair join rows = Σ n_c·(n_c−1)/2
+    val (_, assign) = graft.operators.Clustering.kMeansShared(
+      vecs, k = 2, rounds = 2)
+    val sizes = assign.groupBy("cell").count().collect()
+      .map(_.getLong(1))
+    val expectPairs = sizes.map(n => n * (n - 1) / 2).sum
+    val cv = vecs.join(assign, "vec_id")
+    val gotPairs = cv.as("a").join(cv.as("b"),
+      col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id")).count()
+    assert(gotPairs == expectPairs,
+      s"pair join must be cell-bounded: $gotPairs != $expectPairs")
+  }
 }
