@@ -1055,6 +1055,70 @@ object TextOps {
       .orderBy("w")
   }
 
+  // ---------------------------------------------------------------- q247
+
+  /** Q247: BM25 RETRIEVAL SCORING over the q147 inverted index's
+    * postings — the retrieval readout the index exists for. Scores the
+    * classic BM25 shape (k1 = 1.2, b = 0.75) in EXACT fixed-point
+    * (every fraction cleared by one canonical div chain, the q80/q177
+    * no-log discipline, so both engines run the identical integer
+    * ops):
+    *
+    *  - idf_x     = (D · 10⁶) div df — q177's integer idf surrogate
+    *    (monotone in D/df);
+    *  - ratio_e3  = (dl · 10⁶) div avgdl_e3, avgdl_e3 = (T·1000) div D;
+    *  - norm_e3   = 250 + (750 · ratio_e3) div 1000      [1 − b + b·r]
+    *  - den_e3    = tf·1000 + (1200 · norm_e3) div 1000  [tf + k1·norm]
+    *  - tfp_e6    = (tf · 2200 · 10⁶) div den_e3     [tf·(k1+1) / den]
+    *  - term score = (idf_x · tfp_e6) div 10⁶; doc score = Σ terms.
+    *
+    * Query = the DETERMINISTIC mid-head term set: df-ranks 11–15
+    * under the (df desc, term) total order — head enough to have real
+    * postings, past the stopword crown so scores differentiate.
+    *
+    * Scale: everything downstream of the df/tf aggregates fans out
+    * ONLY over the postings of the 5 query terms (tf ⋈ broadcast
+    * query-term set), never the corpus; dl joins in on doc_id with the
+    * postings as the small side; the corpus-level (T, D) scalars ride
+    * one broadcast 1-row frame; top-20 is a TakeOrdered under the
+    * (score desc, doc_id) total order — distributed top-k, no global
+    * sort; the final rank window orders 20 rows. Query-term selection
+    * ranks the vocabulary — TakeOrdered(15) then a 15-row window, same
+    * discipline. */
+  def q247Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qOrder = Seq(col("df").desc, col("term"))
+    val qterms = dfr.orderBy(qOrder: _*).limit(15)
+      .withColumn("qrank", row_number().over(Window.orderBy(qOrder: _*)))
+      .filter(col("qrank") >= 11)
+      .select(col("term"), col("df"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("t_tokens"),
+        count(lit(1)).as("d_docs"))
+      .withColumn("avgdl_e3", expr("(t_tokens * 1000) div d_docs"))
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_x", expr("(d_docs * 1000000) div df"))
+      .withColumn("ratio_e3", expr("(dl * 1000000) div avgdl_e3"))
+      .withColumn("norm_e3", expr("250 + (750 * ratio_e3) div 1000"))
+      .withColumn("den_e3",
+        expr("tf * 1000 + (1200 * norm_e3) div 1000"))
+      .withColumn("tscore",
+        expr("(idf_x * ((tf * 2200 * 1000000) div den_e3)) div 1000000"))
+    val ds = scored.groupBy("doc_id")
+      .agg(sum(col("tscore")).as("score"), count(lit(1)).as("n_terms"))
+    val topOrder = Seq(col("score").desc, col("doc_id"))
+    ds.orderBy(topOrder: _*).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(topOrder: _*)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy("rank")
+  }
+
   // ---------------------------------------------------------------- q149
 
   /** Q149: BIGRAM-MODEL surprisal scoring — train bigram + unigram
@@ -1410,6 +1474,7 @@ object TextOps {
     "q145_bpe_pairs" -> (q145BpePairs _),
     "q229_bpe_merges" -> (q229BpeMerges _),
     "q248_bpe_batched" -> (q248BpeBatched _),
+    "q247_bm25" -> (q247Bm25 _),
     "q231_bpe_encode" -> (q231BpeEncode _),
     "q238_bpe_curve" -> (q238BpeCurve _),
     "q241_fertility" -> (q241Fertility _),
@@ -1796,6 +1861,50 @@ object TextOps {
     // matches, merge iff even offset.
     "q229_bpe_merges" -> bpeOracle,
     "q248_bpe_batched" -> bpeBatchedOracle,
+    // q247: same tf/df/dl counts, same canonical fixed-point div
+    // chain (idf_x, ratio_e3, norm_e3, den_e3, tfp_e6), same
+    // (df desc, term) query-term ranks 11–15, same (score desc,
+    // doc_id) top-20 + rank.
+    "q247_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |dfr AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |qterms AS (
+        |  SELECT term, df FROM (
+        |    SELECT term, df,
+        |      ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrank
+        |    FROM dfr) t WHERE qrank BETWEEN 11 AND 15),
+        |dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        |  FROM toks GROUP BY doc_id),
+        |tot AS (
+        |  SELECT t_tokens, d_docs, (t_tokens * 1000) // d_docs AS avgdl_e3
+        |  FROM (SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens,
+        |          CAST(COUNT(*) AS BIGINT) AS d_docs FROM dl) t0),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    (((d_docs * 1000000) // df) *
+        |     ((tf.tf * 2200 * 1000000) //
+        |      (tf.tf * 1000 +
+        |       (1200 * (250 + (750 * ((dl.dl * 1000000) // avgdl_e3))
+        |         // 1000)) // 1000))) // 1000000 AS tscore
+        |  FROM tf JOIN qterms USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN tot),
+        |ds AS (
+        |  SELECT doc_id, CAST(SUM(tscore) AS BIGINT) AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms
+        |  FROM scored GROUP BY doc_id)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, score, n_terms
+        |FROM ds ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // q231: the q229 chain + tokens-per-word off the final state,
     // joined to per-source word counts.
     "q231_bpe_encode" -> bpeEncodeOracle,

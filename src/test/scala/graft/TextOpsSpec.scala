@@ -423,6 +423,54 @@ class TextOpsSpec extends SparkSpecBase {
       (3L, "aa", "aa", 1L)))
   }
 
+  test("q247 BM25 ≡ a full driver-side integer replay on a structured " +
+      "corpus (df-rank query selection, fixed-point div chain, " +
+      "(score desc, doc_id) top-k — pinned independent of DuckDB)") {
+    import spark.implicits._
+    // term tj appears in doc i iff i % j == 0 (df(tj) = 30 div j,
+    // distinct dfs → deterministic ranks); extra t1 repeats vary tf/dl
+    val corpus = (1 to 30).map { i =>
+      val words = (1 to 20).filter(j => i % j == 0).map(j => s"t$j") ++
+        Seq.fill(i % 3)("t1")
+      (i.toLong, words.mkString(" "))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("q247").toString
+    corpus.toDF("doc_id", "text")
+      .withColumn("lang", lit("x")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(1L))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q247Bm25(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // driver-side replay with the identical integer ops
+    def fdiv(a: Long, b: Long): Long = a / b // truncating, both engines
+    val toks = corpus.flatMap { case (id, t) =>
+      t.split(" ").map(w => (id, w)) }
+    val tf = toks.groupBy(identity).map { case ((id, w), v) =>
+      (id, w, v.size.toLong) }.toSeq
+    val df = tf.groupBy(_._2).map { case (w, v) => w -> v.size.toLong }
+    val qterms = df.toSeq.sortBy { case (w, d) => (-d, w) }
+      .slice(10, 15).map(_._1).toSet
+    val dl = toks.groupBy(_._1).map { case (id, v) => id -> v.size.toLong }
+    val tT = dl.values.sum; val dD = dl.size.toLong
+    val avgdlE3 = fdiv(tT * 1000, dD)
+    val scores = tf.filter(t => qterms(t._2))
+      .map { case (id, w, f) =>
+        val idfX = fdiv(dD * 1000000L, df(w))
+        val ratioE3 = fdiv(dl(id) * 1000000L, avgdlE3)
+        val normE3 = 250L + fdiv(750L * ratioE3, 1000L)
+        val denE3 = f * 1000L + fdiv(1200L * normE3, 1000L)
+        (id, fdiv(idfX * fdiv(f * 2200L * 1000000L, denE3), 1000000L))
+      }
+      .groupBy(_._1).map { case (id, v) =>
+        (id, v.map(_._2).sum, v.size.toLong) }.toSeq
+    val want = scores.sortBy { case (id, s, _) => (-s, id) }.take(20)
+      .zipWithIndex
+      .map { case ((id, s, n), i) => (i + 1L, id, s, n) }
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty && got.size == want.size && qterms.size == 5)
+  }
+
   test("bpeTrainBatched(k = 1) ≡ bpeTrain bit-for-bit (hand corpus AND " +
       "real documents slice — the batched(1) fidelity contract)") {
     import spark.implicits._
