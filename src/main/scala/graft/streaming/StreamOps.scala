@@ -130,6 +130,50 @@ object StreamOps {
       .drop("__h", "__sh")
   }
 
+  /** STREAMING DEDUP-RATE MONITOR (round 11 — the governance family's
+    * one streaming gap): a continuous per-window readout of
+    * [[crossCorpusDedupStream]]'s decisions — (window_start, incoming,
+    * dropped, drop_bp) per event-time tumbling window, the q235-style
+    * mixture-impact card a streaming ingest dashboard polls.
+    *
+    * Shape: the RAW arrivals and the SURVIVOR stream (the full
+    * [[crossCorpusDedupStream]] pipeline, cross-batch dedup state
+    * included) union with (is_in, is_surv) flags, then ONE windowed
+    * aggregation counts both sides — dropped = incoming − survivors
+    * and drop_bp = (dropped · 10⁴) div incoming fall out exactly.
+    * Dedup-within-watermark followed by a windowed aggregation is a
+    * supported stateful chain (Spark ≥ 3.5 multi-stateful rule); both
+    * union branches carry the same event-time watermark, so the
+    * merged watermark advances normally and append mode emits each
+    * window once, finalized.
+    *
+    * At 100 TB the same two-branch union runs inside the
+    * `foreachBatch` form (batch survivors from
+    * `Dedup.crossCorpusDedup` ∪ batch arrivals → one windowed count
+    * into the metrics sink) — work per window stays ∝ batch volume,
+    * state stays the dedup stream's own watermark-bounded hash set
+    * plus one window's two counters. */
+  def dedupRateStream(incoming: DataFrame, existing: DataFrame,
+      k: Int = 3, threshold: Double = 0.5,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val surv = crossCorpusDedupStream(incoming, existing, k, threshold,
+        watermark)
+      .select(col("ts"), lit(0L).as("is_in"), lit(1L).as("is_surv"))
+    val raw = incoming
+      .withWatermark("ts", watermark)
+      .select(col("ts"), lit(1L).as("is_in"), lit(0L).as("is_surv"))
+    raw.unionByName(surv)
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(sum(col("is_in")).as("incoming"),
+        sum(col("is_surv")).as("survivors"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("incoming"),
+        (col("incoming") - col("survivors")).as("dropped"),
+        expr("((incoming - survivors) * 10000) div incoming")
+          .as("drop_bp"))
+  }
+
   /** STREAMING LAST-TOUCH ATTRIBUTION — q169's credit assignment as
     * keyed carry-forward state: per user, the latest non-purchase
     * event type persists in `flatMapGroupsWithState`; each purchase

@@ -345,6 +345,55 @@ class StreamingSpec extends SparkSpecBase {
       s"stream $streamed != batch $batch")
   }
 
+  test("streaming dedup-rate monitor: per-window (incoming, dropped, " +
+      "drop_bp) ≡ the batch readout over the same arrivals — vs-corpus " +
+      "near-dups AND a cross-batch duplicate all counted as drops") {
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      IDoc(ts(1), 101L, "alpha beta gamma delta epsilon zeta eta"),
+      IDoc(ts(2), 102L, "novel words about spark streaming engines here"))
+    val b2 = Seq(
+      IDoc(ts(3), 103L, "novel words about spark streaming engines here"),
+      IDoc(ts(4), 104L, "completely different content regarding graphs"),
+      IDoc(ts(5), 105L, "one two three four five six seven eight nine"),
+      IDoc(Timestamp.valueOf("2024-01-01 11:00:00"), 999L,
+        "watermark flush marker row payload"))
+    val input = MemoryStream[IDoc](spark)
+    val df = StreamOps.dedupRateStream(input.toDF(), existing,
+      watermark = "10 minutes", windowDur = "10 minutes")
+    val q = df.writeStream.format("memory").queryName("dedupratestream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-deduprate").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedupratestream").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("window_start"),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 1, s"one finalized window expected: ${rows.toSeq}")
+    val (_, incoming, dropped, dropBp) = rows.head
+    // q235-style batch readout over the same arrivals: survivors =
+    // the batch operator on first arrivals (103 is the cross-batch
+    // duplicate of 102's text)
+    val real = (b1 ++ b2).filterNot(_.doc_id == 999L)
+    val firstArrivals = real.filterNot(_.doc_id == 103L)
+      .map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val batchSurvivors = graft.operators.Dedup
+      .crossCorpusDedup(existing, firstArrivals).count()
+    assert(incoming == real.length.toLong)
+    assert(dropped == incoming - batchSurvivors,
+      s"dropped $dropped != ${incoming - batchSurvivors}")
+    assert(dropBp == (dropped * 10000L) / incoming)
+    assert(dropped == 3L, "101 (near-dup), 103 (cross-batch dup), " +
+      "105 (near-dup of corpus doc 2) must all be drops")
+  }
+
   test("streaming peak-rate feed ≡ batch q222 readout (q222 twin): " +
       "append-only per-minute counts fold through the SAME peakRollup, " +
       "with the peak minute's events split across two batches") {
