@@ -7,19 +7,79 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** UTF-8 → Unicode-CODE-POINT polynomial folds, shared by interpreted
+  * eval AND codegen (one static call per row; the decode loop JITs —
+  * the Mix.hashUtf8/Murmur3 pattern). ROUND 11: both fingerprint
+  * folds iterate CODE POINTS, not UTF-8 bytes — identical for ASCII
+  * (every previously gated hash is unchanged) and equal to the DuckDB
+  * replay's `ord(substr(...))` character iteration on ANY input; the
+  * unicode second-fixture (astral emoji, CJK, combining marks) pinned
+  * the divergence the old byte fold had. Every intermediate
+  * ≤ 31·(10⁹+7) + 0x10FFFF ≪ 2⁶³ (ANSI-safe, no wrap). */
+object PolyFold {
+  private final val P = 1000000007L
+
+  /** h = fold(codepoints, 0, (h, cp) => (h·31 + cp) mod P). */
+  def poly(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = b0
+      var len = 1
+      if (b0 >= 0xf0) { cp = b0 & 0x07; len = 4 }
+      else if (b0 >= 0xe0) { cp = b0 & 0x0f; len = 3 }
+      else if (b0 >= 0xc0) { cp = b0 & 0x1f; len = 2 }
+      var k = 1
+      while (k < len && i + k < bytes.length) {
+        cp = (cp << 6) | (bytes(i + k) & 0x3f); k += 1
+      }
+      h = (h * 31L + cp.toLong) % P
+      i += len
+    }
+    h
+  }
+
+  /** Rolling word fold: per-word char fold base 31, flushed into a
+    * base-131 word-order fold at every SPACE code point. */
+  def roll(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var wh = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = b0
+      var len = 1
+      if (b0 >= 0xf0) { cp = b0 & 0x07; len = 4 }
+      else if (b0 >= 0xe0) { cp = b0 & 0x0f; len = 3 }
+      else if (b0 >= 0xc0) { cp = b0 & 0x1f; len = 2 }
+      var k = 1
+      while (k < len && i + k < bytes.length) {
+        cp = (cp << 6) | (bytes(i + k) & 0x3f); k += 1
+      }
+      if (cp == 0x20) { acc = (acc * 131L + wh) % P; wh = 0L }
+      else wh = (wh * 31L + cp.toLong) % P
+      i += len
+    }
+    (acc * 131L + wh) % P
+  }
+}
+
 /** Native ENGINE-SHARED polynomial string hash:
-  *   h = fold(bytes, 0, (h, b) => (h·31 + b) mod (10⁹+7))
+  *   h = fold(code points, 0, (h, cp) => (h·31 + cp) mod (10⁹+7))
   * — the arithmetic any SQL engine can replicate exactly (DuckDB:
-  * `list_reduce` over `ord(substr(...))`), unlike xxhash64. For ASCII
-  * input (the corpus contract) bytes ≡ code points, so both folds see
-  * the same values; every intermediate ≤ 31·(10⁹+7)+255 ≪ 2⁶³
-  * (ANSI-safe, no wrap).
+  * `list_reduce` over `ord(substr(...))`), unlike xxhash64. Since
+  * round 11 the fold iterates UNICODE CODE POINTS (see [[PolyFold]]) —
+  * byte ≡ code point for ASCII, and non-ASCII now matches the ord()
+  * replay too.
   *
-  * One tight codegen'd loop over the UTF8String bytes per row — the
-  * interpreted `aggregate(split(s, ''), …)` HOF form this replaces
-  * allocates a per-character array and evaluates an expression tree
-  * per character (measured: the q95 winnowing scan went from
-  * pathological to scan-speed when moved onto this). */
+  * One tight loop over the UTF8String per row — the interpreted
+  * `aggregate(split(s, ''), …)` HOF form this replaces allocates a
+  * per-character array and evaluates an expression tree per character
+  * (measured: the q95 winnowing scan went from pathological to
+  * scan-speed when moved onto this). */
 case class PolyHashExpr(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_polyhash"
@@ -33,32 +93,13 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"graft_polyhash expects a string arg, got ${child.dataType.sql}")
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
-    var h = 0L
-    var i = 0
-    while (i < bytes.length) {
-      h = (h * 31L + (bytes(i) & 0xff).toLong) % 1000000007L
-      i += 1
-    }
-    h
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    PolyFold.poly(v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, s => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val h = ctx.freshName("h")
-      s"""
-         |int $n = $s.numBytes();
-         |long $h = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $h = ($h * 31L + (long)($s.getByte($i) & 0xff)) % 1000000007L;
-         |}
-         |${ev.value} = $h;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.PolyFold$$.MODULE$$.poly($s);")
 
   override protected def withNewChildInternal(
       newChild: Expression): PolyHashExpr = copy(child = newChild)
@@ -72,7 +113,9 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
   * running word hash flushes at every space byte, so no intermediate
   * word array exists; empty words (consecutive/leading/trailing spaces)
   * flush as hash 0, exactly what the HOF/DuckDB `string_split` forms
-  * compute. ASCII contract as [[PolyHashExpr]] (bytes ≡ code points). */
+  * compute. Code-point iteration as [[PolyHashExpr]] (round 11; the
+  * space separator is code point 0x20, which no multi-byte UTF-8
+  * character contains). */
 case class RollHashExpr(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_rollhash"
@@ -87,39 +130,13 @@ case class RollHashExpr(child: Expression) extends UnaryExpression {
         s"graft_rollhash expects a string arg, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
-    var acc = 0L
-    var wh = 0L
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      if (b == 0x20) { acc = (acc * 131L + wh) % 1000000007L; wh = 0L }
-      else wh = (wh * 31L + b.toLong) % 1000000007L
-      i += 1
-    }
-    (acc * 131L + wh) % 1000000007L
+    PolyFold.roll(v.asInstanceOf[UTF8String])
   }
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, s => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      val wh = ctx.freshName("wh")
-      val b = ctx.freshName("b")
-      s"""
-         |int $n = $s.numBytes();
-         |long $acc = 0L;
-         |long $wh = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  int $b = $s.getByte($i) & 0xff;
-         |  if ($b == 0x20) { $acc = ($acc * 131L + $wh) % 1000000007L; $wh = 0L; }
-         |  else $wh = ($wh * 31L + (long)$b) % 1000000007L;
-         |}
-         |${ev.value} = ($acc * 131L + $wh) % 1000000007L;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.PolyFold$$.MODULE$$.roll($s);")
 
   override protected def withNewChildInternal(
       newChild: Expression): RollHashExpr = copy(child = newChild)

@@ -373,7 +373,7 @@ object Multimodal {
         |  SELECT doc_id + 1000000, text FROM documents
         |  WHERE doc_id % 10 = 0)
         |SELECT md5(text) AS digest, COUNT(*) AS n,
-        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT)
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT)
         |    AS total_bytes,
         |  MIN(media_id) AS keeper
         |FROM media GROUP BY md5(text) HAVING COUNT(*) > 1
@@ -382,13 +382,13 @@ object Multimodal {
       """SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest,
         |  CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS width,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS BIGINT)
         |    AS sample_rate,
         |  CAST(CASE WHEN doc_id % 3 = 2
-        |       THEN octet_length(CAST(text AS BLOB)) // 32
+        |       THEN octet_length(encode(text)) // 32
         |       ELSE 1 END AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
   )

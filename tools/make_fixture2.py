@@ -30,7 +30,13 @@ documented data assumptions the seed-42 fixture never exercises:
     doc exercise the whole-text-shingle fallback), a SAME-WORD RUN doc
     (the BPE leftmost-greedy even-offset rule on real data), and
     BUCKET-BOUNDARY PRICES (o_totalprice exactly on 30000-multiples —
-    the q242 floor-before-cast boundary).
+    the q242 floor-before-cast boundary);
+  * round 11 — UNICODE HAZARDS: astral-plane emoji words (surrogate
+    pairs in UTF-16 engines), a ZWJ emoji sequence as one word, CJK
+    words with a repeat, and combining-mark + embedded-ZWJ words —
+    the codepoint-vs-code-unit divergence class for every
+    char-indexed path (BPE char split, char-class profiles,
+    levenshtein, normalization regexes).
 
 Usage: python3 tools/make_fixture2.py SRC_DIR OUT_DIR
 e.g.:  python3 tools/make_fixture2.py /root/testdata/sf0.001 /tmp/fixture2
@@ -123,6 +129,23 @@ def main(src: str, out: str) -> None:
         docs["text"][7] = "dup dup dup dup dup dup dup"
         docs["text"][11] = docs["text"][10]
         for i in (5, 6, 7, 11):
+            docs["n_chars"][i] = len(docs["text"][i])
+    # round-11 hazards: UNICODE — astral-plane codepoints (surrogate
+    # pairs in UTF-16 engines), a ZWJ emoji sequence as one "word",
+    # CJK words (incl. a repeated one for count paths), and a
+    # combining mark + embedded zero-width joiner. Exercises every
+    # char-indexed path (BPE substr char split, char-class profiles,
+    # levenshtein, normalization regexes) for codepoint-vs-code-unit
+    # divergence between Spark and DuckDB.
+    if len(docs["doc_id"]) >= 16:
+        zwj = "\u200d"
+        docs["text"][12] = ("\U0001F600 data \U0001F469" + zwj +
+                            "\U0001F469" + zwj + "\U0001F467 pipeline "
+                            "\U0001F680\U0001F680 scan")
+        docs["text"][13] = ("\u6570\u636e \u7ba1\u9053 \u8d28\u91cf "
+                            "\u6570\u636e \u68c0\u67e5")
+        docs["text"][14] = ("cafe\u0301 cafe\u0301 te" + zwj + "st join")
+        for i in (12, 13, 14):
             docs["n_chars"][i] = len(docs["text"][i])
     tabs["documents"] = pa.Table.from_pydict(
         docs, schema=tabs["documents"].schema)
