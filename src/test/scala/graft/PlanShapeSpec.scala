@@ -380,4 +380,27 @@ class PlanShapeSpec extends SparkSpecBase {
           p.take(800))
     }
   }
+
+  test("q245 substring dedup pairs via the gram-keyed equi-join — " +
+      "never a cartesian/nested-loop (the hash group-by IS the " +
+      "suffix-sort replacement)") {
+    val p = plan(graft.operators.CorpusPrep
+      .q245SubstringDedup(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      p.take(1200))
+  }
+
+  test("q247 BM25: postings-bounded fan-out (query-term set joins " +
+      "broadcast) and distributed top-k (TakeOrdered, no global " +
+      "sort of the scored set)") {
+    val p = plan(graft.operators.TextOps.q247Bm25(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "query-term set must broadcast into the tf table:\n" + p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort:\n" + p.take(1200))
+    // (the 1-row scalar frame rides a BroadcastNestedLoopJoin — the
+    // established 1-row crossJoin shape; a CartesianProduct would be
+    // the actual failure)
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
