@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{AsofJoin, Behavioral, CorpusPrep, Dedup, Graph, Quality, Similarity, TextOps}
+import graft.operators.{AsofJoin, Behavioral, Clustering, CorpusPrep, Dedup, Graph, Quality, Similarity, TextOps}
 
 /** SQL front door for the operator library — everything a SQL-only user
   * needs to reach the LLM-pipeline operators from `spark.sql` alone.
@@ -444,6 +444,41 @@ object SqlSurface {
   def createBandingSweepView(spark: SparkSession, docsView: String,
       viewName: String, bandConfigs: Seq[Int] = Seq(8, 16, 32)): Unit =
     Dedup.bandingSweep(spark.table(docsView), bandConfigs)
+      .createOrReplaceTempView(viewName)
+
+  /** Any-length maximal duplicated-substring spans of a docs view
+    * (doc_id, text) → view (doc_a, pos_a, doc_b, pos_b, span_len) —
+    * q245 (round 11): suffix-array-grade exact-substring dedup via
+    * L-gram grouping + diagonal islands. */
+  def createSubstringSpansView(spark: SparkSession, docsView: String,
+      viewName: String, minLen: Int = 8): Unit =
+    CorpusPrep.substringDupSpans(spark.table(docsView), minLen)
+      .createOrReplaceTempView(viewName)
+
+  /** Batched BPE training of a docs view (doc_id, text) → view
+    * (merge_round, merge_l, merge_r, weight) — q248 (round 11):
+    * top-k conflict-free merges per round; k = 1 ≡ the sequential
+    * trainer. */
+  def createBatchedBpeMergesView(spark: SparkSession, docsView: String,
+      viewName: String, rounds: Int = 3, k: Int = 2): Unit =
+    TextOps.bpeTrainBatched(spark.table(docsView), rounds, k)
+      .createOrReplaceTempView(viewName)
+
+  /** Engine-replayable integer k-means of an embeddings view
+    * (vec_id, embedding) → view (cell, dim, c_e3) of the trained
+    * centroid table — q246 (round 11). */
+  def createKmeansCentroidsView(spark: SparkSession, embView: String,
+      viewName: String, k: Int = 8, rounds: Int = 3): Unit =
+    Clustering.kMeansShared(spark.table(embView), k, rounds)._1
+      .toDF("cell", "dim", "c_e3")
+      .createOrReplaceTempView(viewName)
+
+  /** BM25 retrieval readout of a docs view (doc_id, text) → view
+    * (rank, doc_id, score, n_terms) — q247 (round 11): fixed-point
+    * BM25 over the mid-head query-term set, postings-bounded. */
+  def createBm25View(spark: SparkSession, docsView: String,
+      viewName: String, topK: Int = 20): Unit =
+    TextOps.bm25TopDocs(spark.table(docsView), topK)
       .createOrReplaceTempView(viewName)
 
   /** Z-order layout from SQL: writes `srcView` to `path` laid out

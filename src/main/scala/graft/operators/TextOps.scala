@@ -1085,8 +1085,13 @@ object TextOps {
     * sort; the final rank window orders 20 rows. Query-term selection
     * ranks the vocabulary — TakeOrdered(15) then a 15-row window, same
     * discipline. */
-  def q247Bm25(spark: SparkSession, dir: String): DataFrame = {
-    val toks = load(spark, dir, "documents")
+  def q247Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25TopDocs(load(spark, dir, "documents"))
+
+  /** [[q247Bm25]]'s body over any (doc_id, text) frame — the SQL-
+    * surface entry point. */
+  def bm25TopDocs(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -1112,7 +1117,7 @@ object TextOps {
     val ds = scored.groupBy("doc_id")
       .agg(sum(col("tscore")).as("score"), count(lit(1)).as("n_terms"))
     val topOrder = Seq(col("score").desc, col("doc_id"))
-    ds.orderBy(topOrder: _*).limit(20)
+    ds.orderBy(topOrder: _*).limit(topK)
       .withColumn("rank",
         row_number().over(Window.orderBy(topOrder: _*)).cast("long"))
       .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))

@@ -568,6 +568,51 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(pSql == pDir && pSql.nonEmpty)
   }
 
+  test("round-11 family view builders (substring spans / batched BPE / " +
+      "k-means centroids / BM25): SQL ≡ Scala operator") {
+    SqlSurface.registerTables(spark, sf)
+
+    SqlSurface.createSubstringSpansView(spark, "documents", "subspans")
+    val sSql = spark.sql(
+        "SELECT doc_a, pos_a, doc_b, pos_b, span_len FROM subspans")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val sDir = graft.operators.CorpusPrep.q245SubstringDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(sSql == sDir && sSql.nonEmpty)
+
+    SqlSurface.createBatchedBpeMergesView(spark, "documents", "bpeb")
+    val bSql = spark.sql(
+        "SELECT merge_round, merge_l, merge_r, weight FROM bpeb")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val bDir = graft.operators.TextOps.q248BpeBatched(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(bSql == bDir && bSql.nonEmpty)
+
+    SqlSurface.createKmeansCentroidsView(spark, "embeddings", "kmc")
+    val kSql = spark.sql("SELECT cell, dim, c_e3 FROM kmc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val kDir = graft.operators.Similarity.q246Kmeans(spark, sf)
+      .select("cell", "dim", "c_e3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(kSql == kDir && kSql.nonEmpty)
+
+    SqlSurface.createBm25View(spark, "documents", "bm25")
+    val mSql = spark.sql(
+        "SELECT rank, doc_id, score, n_terms FROM bm25")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val mDir = graft.operators.TextOps.q247Bm25(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(mSql == mDir && mSql.nonEmpty)
+  }
+
   test("z-order write view builder: SQL box query scans the z-laid-out " +
       "files and matches a direct scan (advice r5)") {
     SqlSurface.registerTables(spark, sf)
