@@ -927,6 +927,104 @@ object TextOps {
       .orderBy("merge_round")
   }
 
+  // ---------------------------------------------------------------- q249
+
+  /** THE PRODUCTION BPE ENCODER — apply a TRAINED merge table to any
+    * corpus (the step q231 sidesteps by reading the trainer's own
+    * state): words collapse to the vocabulary, split to characters,
+    * then each merge applies IN TABLE ORDER with the identical
+    * leftmost-greedy island rule the trainer used. Encoding a word
+    * the trainer saw reproduces its training segmentation exactly
+    * (the encoder ∘ merge-table = trainer-state invariant); an UNSEEN
+    * word segments by the same greedy rule — which is the entire job
+    * of a tokenizer at inference time.
+    *
+    * Each merge is a FIXED (l, r) pair, so the match set is a plain
+    * filter (no join at all — cheaper than the trainer's argmax
+    * round); islands/evens/apply are the q229 machinery verbatim.
+    * Scale: vocabulary-sized state, per-word windows, one
+    * localCheckpoint per applied merge; at a production ~30k-merge
+    * vocabulary the same conflict-free batching as [[bpeTrainBatched]]
+    * applies (disjoint merges in one pass — encode-side batching
+    * needs no candidate ranking at all, just the table). */
+  def bpeEncodeState(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wc = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    var s = wc.filter(length(col("w")) >= 1)
+      .select(col("w"), col("c"),
+        posexplode(expr(
+          "transform(sequence(1, char_length(w)), i -> substr(w, i, 1))"))
+          .as(Seq("p0", "sym")))
+      .select(col("w"), col("c"),
+        (col("p0") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint()
+    val byPos = Window.partitionBy("w").orderBy("pos")
+    merges.foreach { case (l, r) =>
+      val a = s.select(col("w"), col("c"), col("pos"), col("sym"),
+        lead(col("sym"), 1).over(byPos).as("nsym"),
+        row_number().over(byPos).cast("long").as("rn"))
+        .localCheckpoint()
+      val m = a.filter(col("sym") === lit(l) && col("nsym") === lit(r))
+        .select(col("w"), col("rn"))
+      val g = m
+        .select(col("w"), col("rn"),
+          (col("rn") - row_number().over(
+            Window.partitionBy("w").orderBy("rn"))).as("island"))
+        .select(col("w"), col("rn"),
+          (((col("rn") - min(col("rn")).over(
+            Window.partitionBy("w", "island"))) % 2) === 0).as("mg"))
+        .filter(col("mg"))
+        .select(col("w"), col("rn"))
+      s = a.as("aa")
+        .join(g.as("gg"), col("aa.w") === col("gg.w")
+          && col("aa.rn") === col("gg.rn"), "left")
+        .join(g.as("gp"), col("aa.w") === col("gp.w")
+          && col("aa.rn") - 1 === col("gp.rn"), "left")
+        .filter(col("gp.rn").isNull)
+        .select(col("aa.w").as("w"), col("aa.c").as("c"),
+          col("aa.pos").as("pos"),
+          when(col("gg.rn").isNotNull,
+            concat(col("aa.sym"), col("aa.nsym")))
+            .otherwise(col("aa.sym")).as("sym"))
+        .localCheckpoint()
+    }
+    s
+  }
+
+  /** Q249: ENCODE UNSEEN TEXT with the q229-trained merges — the
+    * derived corpus prefixes every word with "qq" (deterministic in
+    * both engines, guaranteed out-of-vocabulary), so every
+    * segmentation the encoder produces is one the TRAINER NEVER SAW;
+    * the readout is q231's per-source card over the derived corpus.
+    * This is the inference-side half of the tokenizer story the
+    * training-state readouts can't cover. */
+  def q249BpeEncodeUnseen(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeState6(spark, dir)._1
+      .orderBy("merge_round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ",
+          expr("transform(split(text, ' '), w -> concat('qq', w))"))
+          .as("text"))
+    val symCounts = bpeEncodeState(docs, merges).groupBy("w")
+      .agg(count(lit(1)).as("n_syms"))
+    docs.select(col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .join(symCounts, Seq("w"), "left")
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(expr("cnt * char_length(w)")).as("n_chars"),
+        sum(expr("cnt * coalesce(n_syms, 0)")).as("n_tokens"))
+      .withColumn("compression_ppm",
+        expr("CASE WHEN n_chars > 0 THEN (n_tokens * 1000000)" +
+          " div n_chars ELSE 0 END"))
+      .orderBy("source")
+  }
+
   /** Q248: BATCHED BPE READOUT — 3 rounds × top-2 candidates of
     * [[bpeTrainBatched]] over the documents corpus: 6 candidate slots,
     * with any conflicting rank-2 pick skipped (and typically re-won in
@@ -1480,6 +1578,7 @@ object TextOps {
     "q229_bpe_merges" -> (q229BpeMerges _),
     "q248_bpe_batched" -> (q248BpeBatched _),
     "q247_bm25" -> (q247Bm25 _),
+    "q249_bpe_encode_unseen" -> (q249BpeEncodeUnseen _),
     "q231_bpe_encode" -> (q231BpeEncode _),
     "q238_bpe_curve" -> (q238BpeCurve _),
     "q241_fertility" -> (q241Fertility _),
@@ -1614,6 +1713,73 @@ object TextOps {
        |  LEFT JOIN g$k gg ON aa.w = gg.w AND aa.rn = gg.rn
        |  LEFT JOIN g$k gp ON aa.w = gp.w AND aa.rn - 1 = gp.rn
        |  WHERE gp.rn IS NULL)""".stripMargin
+
+  /** One ENCODER round — identical application machinery to
+    * [[bpeRoundCte]]'s g/s blocks, but the match joins the TRAINED
+    * merge row b$k (fixed pair) instead of a fresh argmax; e$k chains
+    * the encode-corpus state. */
+  private def bpeEncodeRoundCte(k: Int): String =
+    s"""ea$k AS MATERIALIZED (
+       |  SELECT w, c, pos, sym,
+       |    LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym,
+       |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS rn
+       |  FROM e$k),
+       |eg$k AS MATERIALIZED (
+       |  SELECT w, rn FROM (
+       |    SELECT w, rn,
+       |      (rn - MIN(rn) OVER (PARTITION BY w, island)) % 2 = 0 AS mg
+       |    FROM (
+       |      SELECT aa.w AS w, aa.rn AS rn,
+       |        aa.rn - ROW_NUMBER() OVER (PARTITION BY aa.w
+       |          ORDER BY aa.rn) AS island
+       |      FROM ea$k aa JOIN b$k bb
+       |      ON aa.sym = bb.merge_l AND aa.nsym = bb.merge_r) t1) t2
+       |  WHERE mg),
+       |e${k + 1} AS MATERIALIZED (
+       |  SELECT aa.w AS w, aa.c AS c, aa.pos AS pos,
+       |    CASE WHEN gg.rn IS NOT NULL THEN aa.sym || aa.nsym
+       |         ELSE aa.sym END AS sym
+       |  FROM ea$k aa
+       |  LEFT JOIN eg$k gg ON aa.w = gg.w AND aa.rn = gg.rn
+       |  LEFT JOIN eg$k gp ON aa.w = gp.w AND aa.rn - 1 = gp.rn
+       |  WHERE gp.rn IS NULL)""".stripMargin
+
+  /** q249: the training chain (for b0..b5, the merge table) + the
+    * encode chain over the qq-prefixed derived corpus + the q231
+    * per-source readout over the encoded state. */
+  private val bpeEncodeUnseenOracle: String =
+    bpeCtes(6) +
+      """,
+        |enc_docs AS (
+        |  SELECT source, array_to_string(
+        |    list_transform(string_split(text, ' '), w -> 'qq' || w),
+        |    ' ') AS text
+        |  FROM documents),
+        |ewc AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM enc_docs)
+        |  GROUP BY w),
+        |e0 AS MATERIALIZED (
+        |  SELECT w, c, CAST(i AS BIGINT) AS pos,
+        |    substr(w, CAST(i AS INTEGER), 1) AS sym
+        |  FROM (SELECT w, c, unnest(generate_series(1, length(w))) AS i
+        |        FROM ewc WHERE length(w) >= 1))""".stripMargin +
+      (0 until 6).map(bpeEncodeRoundCte).mkString(",\n", ",\n", "") +
+      """,
+        |ewsum AS (SELECT w, COUNT(*) AS n_syms FROM e6 GROUP BY w),
+        |epsrc AS (
+        |  SELECT source, w, COUNT(*) AS cnt FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM enc_docs) GROUP BY source, w),
+        |eagg AS (
+        |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |    CAST(SUM(cnt * length(w)) AS BIGINT) AS n_chars,
+        |    CAST(SUM(cnt * COALESCE(n_syms, 0)) AS BIGINT) AS n_tokens
+        |  FROM epsrc LEFT JOIN ewsum USING (w) GROUP BY source)
+        |SELECT source, n_words, n_chars, n_tokens,
+        |  CASE WHEN n_chars > 0 THEN (n_tokens * 1000000) // n_chars
+        |       ELSE 0 END AS compression_ppm
+        |FROM eagg ORDER BY source""".stripMargin
 
   /** q248: 3 batched rounds, then global acceptance ordinals (rounds
     * in order, rank within round) — the Scala trainer's numbering. */
@@ -1866,6 +2032,10 @@ object TextOps {
     // matches, merge iff even offset.
     "q229_bpe_merges" -> bpeOracle,
     "q248_bpe_batched" -> bpeBatchedOracle,
+    // q249: training chain for the merge table, encode chain over the
+    // qq-prefixed derived corpus (guaranteed out-of-vocabulary), q231
+    // readout shape.
+    "q249_bpe_encode_unseen" -> bpeEncodeUnseenOracle,
     // q247: same tf/df/dl counts, same canonical fixed-point div
     // chain (idf_x, ratio_e3, norm_e3, den_e3, tfp_e6), same
     // (df desc, term) query-term ranks 11–15, same (score desc,

@@ -515,6 +515,28 @@ class TextOpsSpec extends SparkSpecBase {
     assert(TextOps.bpeTrain(docs, rounds = 1).count() == 1L)
   }
 
+  test("bpeEncodeState: encoder ∘ merge-table = trainer state (seen " +
+      "words reproduce their training segmentation exactly), and an " +
+      "UNSEEN word segments by the same leftmost-greedy rule (hand " +
+      "golden: 'aabaa' under the {aaab,ab,aaaa} merges → 3 tokens)") {
+    import spark.implicits._
+    val hand = Seq((1L, "aaab aaab ab"), (2L, "aaaa"))
+      .toDF("doc_id", "text")
+    val (mergeDf, finalState, _) = TextOps.bpeTrainState(hand, rounds = 5)
+    val merges = mergeDf.orderBy("merge_round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def segCounts(st: org.apache.spark.sql.DataFrame) =
+      st.groupBy("w").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(segCounts(TextOps.bpeEncodeState(hand, merges)) ==
+      segCounts(finalState))
+    // unseen word: a a b a a → (a,a) merges positions 1 and 4 →
+    // [aa, b, aa]; no later merge applies → 3 tokens
+    val unseen = Seq((9L, "aabaa")).toDF("doc_id", "text")
+    val got = segCounts(TextOps.bpeEncodeState(unseen, merges))
+    assert(got == Map("aabaa" -> 3L), s"$got")
+  }
+
   test("q238 curve golden: per-round token totals on the q229 vocab — " +
       "monotone non-increasing, round 0 = weighted character count") {
     import spark.implicits._
