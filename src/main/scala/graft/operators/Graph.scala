@@ -244,6 +244,75 @@ object Graph {
   def q93PageRank(spark: SparkSession, dir: String): DataFrame =
     pageRank(coEdges25(spark, dir)).orderBy("node")
 
+  // ---------------------------------------------------------------- q250
+
+  /** Q250: HITS hubs & authorities (Kleinberg 1999, public) over the
+    * customer→part purchase BIPARTITE graph — hubs = customers whose
+    * baskets concentrate on authoritative parts, authorities = parts
+    * bought by strong hubs: the mutual-reinforcement centrality a
+    * single PageRank score can't express on bipartite structure.
+    *
+    * ENGINE-SHARED integer form (the q93/q140 discipline): scores
+    * live in e6, each half-round is one edge-keyed join + sum, and
+    * normalization is BY MAX with truncating div — (x·10⁶) div max —
+    * instead of the classical L2 norm (an IEEE sqrt both engines
+    * would have to reproduce bit-for-bit); max-normalization
+    * preserves the ranking, keeps every operand BIGINT, and makes a
+    * fixed 3 rounds bit-identical in any engine. Operands are
+    * non-negative so Spark `div` ≡ DuckDB `//`. Overflow bound:
+    * raw·10⁶ ≤ degree·10¹² — safe to per-node degree ~9·10⁶; beyond
+    * that, drop the score scale an order of magnitude.
+    *
+    * Scale: edges are one distinct projection of the order join; each
+    * round is two edge-keyed partial-combining join+aggregates plus a
+    * broadcast 1-row max (the PageRank shuffle shape); per-round
+    * localCheckpoint. Returns (hub scores, authority scores). */
+  def hits(edges: DataFrame, rounds: Int = 3): (DataFrame, DataFrame) = {
+    require(rounds >= 1)
+    val e = edges.select(col("hub"), col("auth")).localCheckpoint()
+    var auth = e.select(col("auth")).distinct()
+      .select(col("auth"), lit(1000000L).as("a")).localCheckpoint()
+    var hub: DataFrame = null
+    for (_ <- 0 until rounds) {
+      val hraw = e.join(auth, "auth").groupBy("hub")
+        .agg(sum(col("a")).as("raw"))
+      val hmax = hraw.agg(max(col("raw")).as("mx"))
+      hub = hraw.crossJoin(broadcast(hmax))
+        .select(col("hub"), expr("(raw * 1000000) div mx").as("h"))
+        .localCheckpoint()
+      val araw = e.join(hub, "hub").groupBy("auth")
+        .agg(sum(col("h")).as("raw"))
+      val amax = araw.agg(max(col("raw")).as("mx"))
+      auth = araw.crossJoin(broadcast(amax))
+        .select(col("auth"), expr("(raw * 1000000) div mx").as("a"))
+        .localCheckpoint()
+    }
+    (hub, auth)
+  }
+
+  def q250Hits(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val o = load(spark, dir, "orders")
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("hub"), col("l_partkey").as("auth"))
+      .distinct()
+    val (hub, auth) = hits(edges, rounds = 3)
+    def top(df: DataFrame, idc: String, sc: String,
+        kind: String): DataFrame = {
+      val ord = Seq(col(sc).desc, col(idc))
+      df.orderBy(ord: _*).limit(20)
+        .withColumn("rank", org.apache.spark.sql.functions.row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .orderBy(ord: _*)).cast("long"))
+        .select(lit(kind).as("kind"), col("rank"),
+          col(idc).cast("long").as("node_id"),
+          col(sc).as("score_e6"))
+    }
+    top(auth, "auth", "a", "authority")
+      .unionAll(top(hub, "hub", "h", "hub"))
+      .orderBy("kind", "rank")
+  }
+
   /** PERSONALIZED PageRank — q93's recursion with the teleport mass
     * restricted to a SEED set: r(v) = 10⁶·[v ∈ seeds], s₀ = r,
     * s_{k+1}(v) = (15·r(v)) div 100 + (85·Σ_{u→v} s_k(u) div d(u)) div
@@ -828,6 +897,7 @@ object Graph {
     "q175_ra_linkpred" -> (q175RaLinkpred _),
     "q91_triangles" -> (q91Triangles _),
     "q93_pagerank" -> (q93PageRank _),
+    "q250_hits" -> (q250Hits _),
     "q94_item_similarity" -> (q94ItemSimilarity _),
     "q99_bfs" -> (q99Bfs _),
     "q104_assoc_rules" -> (q104AssocRules _),
@@ -970,6 +1040,48 @@ object Graph {
     * (DuckDB recursive CTEs cannot aggregate per step); every step is
     * the same integer floor arithmetic as the Spark loop, so scores are
     * bit-identical. */
+  /** One HITS round as DuckDB CTEs — hub half (edge-keyed sum of
+    * authority scores, max-normalized) then authority half; chained
+    * MATERIALIZED (the q93 unroll discipline). */
+  private def hitsRoundCte(k: Int): String =
+    s"""hr$k AS MATERIALIZED (
+       |  SELECT e.hub, CAST(SUM(a.a) AS BIGINT) AS raw
+       |  FROM e JOIN a$k a USING (auth) GROUP BY e.hub),
+       |h${k + 1} AS MATERIALIZED (
+       |  SELECT hub, (raw * 1000000) // mx AS h
+       |  FROM hr$k, (SELECT MAX(raw) AS mx FROM hr$k) m$k),
+       |ar$k AS MATERIALIZED (
+       |  SELECT e.auth, CAST(SUM(h.h) AS BIGINT) AS raw
+       |  FROM e JOIN h${k + 1} h USING (hub) GROUP BY e.auth),
+       |a${k + 1} AS MATERIALIZED (
+       |  SELECT auth, (raw * 1000000) // mx AS a
+       |  FROM ar$k, (SELECT MAX(raw) AS mx FROM ar$k) n$k)"""
+      .stripMargin
+
+  private val hitsOracle: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |a0 AS MATERIALIZED (
+      |  SELECT DISTINCT auth, CAST(1000000 AS BIGINT) AS a FROM e)"""
+      .stripMargin +
+      (0 until 3).map(hitsRoundCte).mkString(",\n", ",\n", "") +
+      """
+        |SELECT kind, rank, node_id, score_e6 FROM (
+        |  SELECT 'authority' AS kind,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY a DESC, auth) AS BIGINT)
+        |      AS rank,
+        |    CAST(auth AS BIGINT) AS node_id, a AS score_e6
+        |  FROM a3) ta WHERE rank <= 20
+        |UNION ALL
+        |SELECT kind, rank, node_id, score_e6 FROM (
+        |  SELECT 'hub' AS kind,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY h DESC, hub) AS BIGINT)
+        |      AS rank,
+        |    CAST(hub AS BIGINT) AS node_id, h AS score_e6
+        |  FROM h3) th WHERE rank <= 20
+        |ORDER BY kind, rank""".stripMargin
+
   private val pageRankOracle: String = {
     val iters = (1 to 5).map { i =>
       s"""p$i AS (
@@ -1112,6 +1224,10 @@ object Graph {
         |ORDER BY lift_e6 DESC, conf_e6 DESC, antecedent, consequent
         |LIMIT 100""".stripMargin,
     "q93_pagerank" -> pageRankOracle,
+    // q250: same distinct bipartite edges, same three max-normalized
+    // integer half-round pairs (non-negative operands: div ≡ //),
+    // same (score desc, id) top-20 per side.
+    "q250_hits" -> hitsOracle,
     "q140_ppr" -> pprOracle,
     // q94: same distinct buyer sets, same integer jaccard, same unique
     // (jaccard desc, pair) total order under the LIMIT.

@@ -59,6 +59,10 @@ object FileConnectorCli {
   }
 
   def main(argv: Array[String]): Unit = {
+    // F10 parity: the reference CLI configures unified logging first,
+    // on stderr, so piped stdout stays machine-readable
+    // (config.py:301-306 rationale).
+    graft.config.Logging.configureLogging(useStderr = true)
     val a = parseArgs(argv)
     val cfgMap = loadConfigMap(a)
     // single-process broker: the offline transport seam (a Kafka-backed

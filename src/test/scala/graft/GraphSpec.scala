@@ -459,4 +459,27 @@ class GraphSpec extends SparkSpecBase {
     // node 9's only neighbour is the center
     assert(r1(9L) == 0L)
   }
+
+  test("q250 HITS hand golden: 3 integer max-normalized rounds on a " +
+      "planted bipartite graph — hub 1 (3 parts incl. both exclusives) " +
+      "dominates hub 2, shared part 10 dominates the exclusives") {
+    import spark.implicits._
+    // edges: hub 1 → {10, 11, 12}, hub 2 → {10}
+    // r1: hraw = (3e6, 1e6) → h = (1e6, 333333);
+    //     araw(10) = 1333333, araw(11) = araw(12) = 1e6
+    //     → a = (1e6, 750000, 750000)
+    // r2: hraw(1) = 2.5e6, hraw(2) = 1e6 → h = (1e6, 400000);
+    //     araw(10) = 1.4e6 → a = (1e6, 714285, 714285)
+    // r3: hraw(1) = 2428570 → h = (1e6, 1e12 div 2428570 = 411764);
+    //     araw(10) = 1411764 → a = (1e6, 1e12 div 1411764 = 708333,
+    //     708333)
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("hub", "auth")
+    val (hub, auth) = Graph.hits(edges, rounds = 3)
+    val h = hub.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a = auth.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h == Map(1L -> 1000000L, 2L -> 411764L), s"$h")
+    assert(a == Map(10L -> 1000000L, 11L -> 708333L, 12L -> 708333L),
+      s"$a")
+  }
 }
