@@ -768,6 +768,74 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  // ---------------------------------------------------------------- q251
+
+  /** Q251: EMBEDDING PRINCIPAL DIRECTION — the top eigenvector of the
+    * centered second-moment (covariance·n) matrix by POWER ITERATION,
+    * every step engine-replayable (the q246/q250 discipline): e3
+    * integer coordinates, truncating-div integer means, exact BIGINT
+    * Gram accumulation, the matrix normalized once to ±10⁶ by its own
+    * max |entry| (eigenvectors unchanged; bounds every later product
+    * for ANY input scale), then 3 fixed matrix–vector rounds with
+    * max-|w| normalization (the q250 no-sqrt trick). The readout an
+    * embedding-decorrelation/whitening audit starts from: a dominant
+    * direction with most of the mass = anisotropic embeddings (the
+    * common-direction pathology sentence encoders exhibit).
+    *
+    * Scale: the Gram stage is the only corpus-sized work, and it is
+    * JOIN-FREE — each row generates its own d² outer-product terms
+    * (two chained posexplodes over the centered array, all pipelined)
+    * which partial-combine IN-STAGE to ≤ d² accumulators per
+    * partition (d = 64 → 4096), so the only shuffle carries d² longs
+    * per partition, never N·d (a vec_id self-join would) and never
+    * N·d². The d-sized mean vector is the one driver collect
+    * (codebook-class state, like k-means centroids). Everything after
+    * is d²-sized; power rounds are d²⋈d joins. Exactness bound:
+    * |coordinate|·10³ ≤ ~3·10⁶ keeps every product in BIGINT. */
+  def principalDirection(embeddings: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    val exd = embeddings.select(col("vec_id"),
+      expr("transform(CAST(embedding AS array<double>)," +
+        " x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))").as("q"))
+      .localCheckpoint()
+    val n = math.max(exd.count(), 1L)
+    val means = exd
+      .select(posexplode(col("q")).as(Seq("d0", "x")))
+      .groupBy("d0").agg(expr(s"sum(x) div $n").as("m"))
+      .orderBy("d0").collect().map(_.getLong(1))
+    val mLit = typedlit(means.toSeq)
+    val cent = exd.select(transform(col("q"),
+      (x, i) => x - element_at(mLit, (i + 1).cast("int"))).as("ca"))
+    val s = cent
+      .select(col("ca"), posexplode(col("ca")).as(Seq("i0", "cxi")))
+      .select(col("i0"), col("cxi"),
+        posexplode(col("ca")).as(Seq("j0", "cxj")))
+      .groupBy((col("i0") + 1).cast("long").as("i"),
+        (col("j0") + 1).cast("long").as("j"))
+      .agg(sum(col("cxi") * col("cxj")).as("s"))
+      .localCheckpoint()
+    val smax = s.agg(greatest(max(abs(col("s"))), lit(1L)).as("mx"))
+    val sn = s.crossJoin(broadcast(smax))
+      .select(col("i"), col("j"),
+        expr("(s * 1000000) div mx").as("s"))
+      .localCheckpoint()
+    var v = sn.select(col("i").as("dim")).distinct()
+      .select(col("dim"), lit(1000000L).as("v")).localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val w = sn.join(v.select(col("dim").as("j"), col("v")), "j")
+        .groupBy(col("i").as("dim"))
+        .agg(sum(col("s") * col("v")).as("w"))
+      val wmax = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("mx"))
+      v = w.crossJoin(broadcast(wmax))
+        .select(col("dim"), expr("(w * 1000000) div mx").as("v"))
+        .localCheckpoint()
+    }
+    v.select(col("dim"), col("v").as("v_e6")).orderBy("dim")
+  }
+
+  def q251PrincipalDir(spark: SparkSession, dir: String): DataFrame =
+    principalDirection(load(spark, dir, "embeddings"))
+
   /** [[semanticDedup]] with the PRODUCTION centroid source swapped in
     * (round-11 closure of the q230 "centroid source is the knob"
     * note): cells come from [[Clustering.kMeansShared]]'s trained
@@ -800,6 +868,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_semantic_dedup" -> (q230SemanticDedup _),
     "q246_kmeans" -> (q246Kmeans _),
+    "q251_principal_dir" -> (q251PrincipalDir _),
     "q205_knn_confusion" -> (q205KnnConfusion _),
     "q154_embed_dispersion" -> (q154EmbedDispersion _),
     "q176_label_centroid_dist" -> (q176LabelCentroidDist _),
@@ -870,7 +939,52 @@ object Similarity {
         |FROM c3 JOIN n3 USING (cell)
         |ORDER BY cell, dim""".stripMargin
 
+  /** One power-iteration round as DuckDB CTEs (w = S·v, then max-|w|
+    * normalize — the q250 no-sqrt discipline). */
+  private def pcaRoundCte(k: Int): String =
+    s"""w$k AS MATERIALIZED (
+       |  SELECT sn.i AS dim, CAST(SUM(sn.s * v.v) AS BIGINT) AS w
+       |  FROM sn JOIN v$k v ON sn.j = v.dim GROUP BY sn.i),
+       |v${k + 1} AS MATERIALIZED (
+       |  SELECT dim, (w * 1000000) // mx AS v
+       |  FROM w$k, (SELECT greatest(MAX(abs(w)), 1) AS mx
+       |             FROM w$k) q$k)""".stripMargin
+
+  private val pcaOracle: String =
+    """WITH ex AS MATERIALIZED (
+      |  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+      |    CAST(floor(CAST(emb[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      |      AS x
+      |  FROM (SELECT vec_id, embedding AS emb,
+      |          unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings) t),
+      |nn AS (SELECT greatest(CAST(COUNT(*) AS BIGINT), 1) AS n
+      |       FROM embeddings),
+      |m AS (
+      |  SELECT dim, CAST(SUM(x) AS BIGINT) // n AS m
+      |  FROM ex, nn GROUP BY dim, n),
+      |c AS MATERIALIZED (
+      |  SELECT e.vec_id, e.dim, e.x - m.m AS cx
+      |  FROM ex e JOIN m USING (dim)),
+      |s0 AS MATERIALIZED (
+      |  SELECT a.dim AS i, b.dim AS j,
+      |    CAST(SUM(a.cx * b.cx) AS BIGINT) AS s
+      |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |sn AS MATERIALIZED (
+      |  SELECT i, j, (s * 1000000) // mx AS s
+      |  FROM s0, (SELECT greatest(MAX(abs(s)), 1) AS mx FROM s0) q),
+      |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS v
+      |       FROM sn)""".stripMargin +
+      (0 until 3).map(pcaRoundCte).mkString(",\n", ",\n", "") +
+      """
+        |SELECT dim, v AS v_e6 FROM v3 ORDER BY dim""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // q251: same e3 quantization, same truncating integer means (the
+    // oracle derives them relationally — identical values to the
+    // collected d-sized vector), same exact Gram sums, same ±1e6
+    // matrix normalization, same 3 max-|w| power rounds.
+    "q251_principal_dir" -> pcaOracle,
     // q246: same e3 quantization (float→double exact, ·1000 + 0.5,
     // floor — identical IEEE, THEN cast), same seed init, same three
     // assign→update rounds, same argmin tie order, same truncating

@@ -268,6 +268,24 @@ class SimilaritySpec extends SparkSpecBase {
         "(cross-cell near-dup) must both survive")
   }
 
+  test("q251 principal direction hand golden: planted anisotropic set " +
+      "— the dominant axis converges to ±1e6, the weaker axis decays " +
+      "geometrically per power round, the empty axis is 0") {
+    import spark.implicits._
+    // e3: (0,±3000,0) ×2 and (±1000,0,0) ×2; means 0; S = diag(2e6,
+    // 1.8e7, 0) → sn = diag(111111, 1e6, 0); v0 = 1e6 each.
+    // v1 = (111111, 1e6, 0); v2 = (12345, 1e6, 0)
+    //   [111111² = 12,345,654,321 → ·1e6 // 1e12];
+    // v3 = (1371, 1e6, 0) [111111·12345 = 1,371,665,295].
+    val vecs = Seq(
+      (0L, Seq(0f, 3f, 0f)), (1L, Seq(0f, -3f, 0f)),
+      (2L, Seq(1f, 0f, 0f)), (3L, Seq(-1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.principalDirection(vecs, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1371L, 2L -> 1000000L, 3L -> 0L), s"$got")
+  }
+
   test("semanticDedupKMeans (q246 trained cells in q230's machinery): " +
       "candidates stay CELL-BOUNDED — pair fan-out = Σ n_c·(n_c−1)/2 " +
       "over the trained assignment, plan cartesian-free, and a " +
