@@ -145,7 +145,11 @@ def main(src: str, out: str) -> None:
         docs["text"][13] = ("\u6570\u636e \u7ba1\u9053 \u8d28\u91cf "
                             "\u6570\u636e \u68c0\u67e5")
         docs["text"][14] = ("cafe\u0301 cafe\u0301 te" + zwj + "st join")
-        for i in (12, 13, 14):
+        # whitespace hazards: consecutive/leading/trailing spaces make
+        # EMPTY WORDS under single-space split in both engines —
+        # zero-symbol BPE words, empty shingles, rollhash zero flushes
+        docs["text"][15] = " lead  double trail "
+        for i in (12, 13, 14, 15):
             docs["n_chars"][i] = len(docs["text"][i])
     tabs["documents"] = pa.Table.from_pydict(
         docs, schema=tabs["documents"].schema)
