@@ -481,6 +481,36 @@ object SqlSurface {
     TextOps.bm25TopDocs(spark.table(docsView), topK)
       .createOrReplaceTempView(viewName)
 
+  /** BPE ENCODER from SQL — apply a merges view (merge_round, merge_l,
+    * merge_r) to a docs view in table order; the resulting final
+    * segmentation state registers as (w, c, pos, sym) — q249's
+    * inference-side primitive. */
+  def createBpeEncodeView(spark: SparkSession, docsView: String,
+      mergesView: String, viewName: String): Unit = {
+    val merges = spark.table(mergesView).orderBy("merge_round")
+      .select("merge_l", "merge_r").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    TextOps.bpeEncodeState(spark.table(docsView), merges)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** HITS hubs & authorities of an edges view (hub, auth) → two views
+    * (hub, h) / (auth, a) in e6 — q250 (round 11). */
+  def createHitsViews(spark: SparkSession, edgesView: String,
+      hubViewName: String, authViewName: String,
+      rounds: Int = 3): Unit = {
+    val (hub, auth) = Graph.hits(spark.table(edgesView), rounds)
+    hub.createOrReplaceTempView(hubViewName)
+    auth.createOrReplaceTempView(authViewName)
+  }
+
+  /** Principal direction of an embeddings view (vec_id, embedding) →
+    * view (dim, v_e6) — q251 (round 11). */
+  def createPrincipalDirView(spark: SparkSession, embView: String,
+      viewName: String, rounds: Int = 3): Unit =
+    Similarity.principalDirection(spark.table(embView), rounds)
+      .createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

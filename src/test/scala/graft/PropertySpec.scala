@@ -99,4 +99,44 @@ class PropertySpec extends AnyFunSuite {
       Parsers.flatJson(Json.render(m)) == m
     })
   }
+
+  test("PolyFold.poly ≡ the Java codePoints fold on arbitrary unicode " +
+      "strings (incl. astral planes — the round-11 codepoint contract)") {
+    val P = 1000000007L
+    val anyCodePoint: Gen[Int] = Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7e), // ASCII
+      2 -> Gen.choose(0xa0, 0x2fff), // BMP multi-byte
+      1 -> Gen.choose(0x4e00, 0x9fff), // CJK
+      1 -> Gen.choose(0x1f300, 0x1faff)) // astral emoji (surrogates)
+    val anyString: Gen[String] =
+      Gen.listOf(anyCodePoint).map(cps =>
+        new String(cps.toArray, 0, cps.length))
+    check(Prop.forAll(anyString) { s =>
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 31L + cp) % P)
+      graft.functions.PolyFold.poly(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) == h
+    })
+  }
+
+  test("PolyFold.roll ≡ the split-then-fold word model on arbitrary " +
+      "unicode strings (empty words flush as hash 0)") {
+    val P = 1000000007L
+    val word: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.choose(0x21, 0x7e),
+      1 -> Gen.choose(0x1f300, 0x1f9ff)))
+      .map(cps => new String(cps.toArray, 0, cps.length))
+    val text: Gen[String] = Gen.listOf(word).map(_.mkString(" "))
+    check(Prop.forAll(text) { s =>
+      def wordHash(w: String): Long = {
+        var h = 0L
+        w.codePoints().forEach(cp => h = (h * 31L + cp) % P)
+        h
+      }
+      val want = s.split(" ", -1).foldLeft(0L)((acc, w) =>
+        (acc * 131L + wordHash(w)) % P)
+      graft.functions.PolyFold.roll(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) == want
+    })
+  }
 }

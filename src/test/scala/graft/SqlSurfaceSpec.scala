@@ -602,6 +602,39 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .toSet
     assert(kSql == kDir && kSql.nonEmpty)
 
+    // encoder: train on documents (via the batched view at k = 1 ≡
+    // sequential), then encode — final per-word token counts must
+    // equal the training state's (the q249 invariant through SQL)
+    SqlSurface.createBatchedBpeMergesView(spark, "documents", "bpem",
+      rounds = 6, k = 1)
+    SqlSurface.createBpeEncodeView(spark, "documents", "bpem", "bpenc")
+    val eSql = spark.sql(
+        "SELECT w, COUNT(*) AS n FROM bpenc GROUP BY w")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val eDir = graft.operators.TextOps.bpeState6(spark, sf)._2
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(eSql == eDir && eSql.nonEmpty)
+
+    spark.sql("""SELECT o.o_custkey AS hub, l.l_partkey AS auth
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2""").createOrReplaceTempView("purchase_edges")
+    SqlSurface.createHitsViews(spark, "purchase_edges", "hubv", "authv")
+    val hSql = spark.sql("SELECT hub, h FROM hubv ORDER BY h DESC, hub LIMIT 5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val hDir = graft.operators.Graph.q250Hits(spark, sf)
+      .filter(col("kind") === "hub").orderBy("rank").limit(5)
+      .select("node_id", "score_e6")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hSql == hDir && hSql.nonEmpty)
+
+    SqlSurface.createPrincipalDirView(spark, "embeddings", "pdir")
+    val pSql2 = spark.sql("SELECT dim, v_e6 FROM pdir")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pDir2 = graft.operators.Similarity.q251PrincipalDir(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pSql2 == pDir2 && pSql2.nonEmpty)
+
     SqlSurface.createBm25View(spark, "documents", "bm25")
     val mSql = spark.sql(
         "SELECT rank, doc_id, score, n_terms FROM bm25")
