@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
@@ -836,6 +837,63 @@ object Similarity {
   def q251PrincipalDir(spark: SparkSession, dir: String): DataFrame =
     principalDirection(load(spark, dir, "embeddings"))
 
+  // ---------------------------------------------------------------- q252
+
+  /** Q252: HYBRID RETRIEVAL — RECIPROCAL RANK FUSION (Cormack et al.
+    * 2009, the standard hybrid-search combiner, published constant
+    * k = 60) of the LEXICAL BM25 ranking (q247's scorer, top 50) and
+    * the SEMANTIC exact-cosine ranking against a fixed query vector
+    * (doc 0's embedding; the q92 identical-IEEE cosine + e6 floor),
+    * joined on the shared doc/vec id space:
+    * rrf(d) = Σ_rankings 10⁶ div (60 + rank_r(d)), absence
+    * contributing 0. THE readout of a modern retrieval stack — the
+    * fusion step where keyword search and vector search meet.
+    *
+    * Determinism: each ranking's rank is a total order (score desc,
+    * id); rrf ties (e.g. a lex-only and a sem-only doc at equal rank)
+    * break by doc_id. Scale: both inputs are top-k frames (TakeOrdered
+    * upstream), so the fusion is a 50-row full-outer join + a 20-row
+    * TakeOrdered — free at any corpus size; the cost lives in the
+    * two (already postings-/broadcast-bounded) rankings. */
+  def q252HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    DotProductExpr.register(spark)
+    val lex = TextOps.bm25TopDocs(load(spark, dir, "documents"),
+        topK = 50)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val vecs = load(spark, dir, "embeddings")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qv"))
+      .withColumn("nq", nativeNorm(col("qv")))
+    val semScored = vecs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", nativeNorm(col("v")))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos_e6", floor(cosinePrenormed(
+          nativeDot(col("v"), col("qv")), col("nv"), col("nq"))
+        * lit(1e6) + lit(0.5)).cast("long"))
+    val semOrd = Seq(col("cos_e6").desc, col("vec_id"))
+    val sem = semScored.orderBy(semOrd: _*).limit(50)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(semOrd: _*)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+      .withColumn("rrf", expr(
+        "CASE WHEN lex_rank > 0 THEN 1000000 div (60 + lex_rank)" +
+          " ELSE 0 END + CASE WHEN sem_rank > 0" +
+          " THEN 1000000 div (60 + sem_rank) ELSE 0 END"))
+    val ord = Seq(col("rrf").desc, col("doc_id"))
+    fused.orderBy(ord: _*).limit(20)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rrf"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy("rank")
+  }
+
   /** [[semanticDedup]] with the PRODUCTION centroid source swapped in
     * (round-11 closure of the q230 "centroid source is the knob"
     * note): cells come from [[Clustering.kMeansShared]]'s trained
@@ -869,6 +927,7 @@ object Similarity {
     "q230_semantic_dedup" -> (q230SemanticDedup _),
     "q246_kmeans" -> (q246Kmeans _),
     "q251_principal_dir" -> (q251PrincipalDir _),
+    "q252_hybrid_rrf" -> (q252HybridRrf _),
     "q205_knn_confusion" -> (q205KnnConfusion _),
     "q154_embed_dispersion" -> (q154EmbedDispersion _),
     "q176_label_centroid_dist" -> (q176LabelCentroidDist _),
@@ -985,6 +1044,48 @@ object Similarity {
     // collected d-sized vector), same exact Gram sums, same ±1e6
     // matrix normalization, same 3 max-|w| power rounds.
     "q251_principal_dir" -> pcaOracle,
+    // q252: the q247 BM25 chain (shared CTE text, top 50), the q34a
+    // cosine discipline against the vec-0 query (top 50), the
+    // published k = 60 reciprocal-rank formula in integer ppm-of-1,
+    // absence = 0, (rrf desc, doc_id) top-20.
+    "q252_hybrid_rrf" -> (TextOps.bm25OracleCtes +
+      """,
+        |vv AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |       FROM embeddings),
+        |qv AS (SELECT e AS qe FROM vv WHERE vec_id = 0),
+        |semscored AS (
+        |  SELECT vv.vec_id,
+        |    CAST(floor((list_dot_product(vv.e, qe) /
+        |      (sqrt(list_dot_product(vv.e, vv.e)) *
+        |       sqrt(list_dot_product(qe, qe)))) * 1e6 + 0.5)
+        |      AS BIGINT) AS cos_e6
+        |  FROM vv CROSS JOIN qv WHERE vv.vec_id <> 0),
+        |sem AS (
+        |  SELECT vec_id AS doc_id, rnk AS sem_rank FROM (
+        |    SELECT vec_id, ROW_NUMBER() OVER (
+        |      ORDER BY cos_e6 DESC, vec_id) AS rnk
+        |    FROM semscored) t WHERE rnk <= 50),
+        |lex AS (
+        |  SELECT doc_id, rnk AS lex_rank FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (
+        |      ORDER BY score DESC, doc_id) AS rnk
+        |    FROM ds) t WHERE rnk <= 50),
+        |fused AS (
+        |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+        |    CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+        |    CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank
+        |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+        |scored2 AS (
+        |  SELECT doc_id, lex_rank, sem_rank,
+        |    (CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank)
+        |          ELSE 0 END +
+        |     CASE WHEN sem_rank > 0 THEN 1000000 // (60 + sem_rank)
+        |          ELSE 0 END) AS rrf
+        |  FROM fused)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, rrf, lex_rank, sem_rank
+        |FROM scored2 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
     // q246: same e3 quantization (float→double exact, ·1000 + 0.5,
     // floor — identical IEEE, THEN cast), same seed init, same three
     // assign→update rounds, same argmin tie order, same truncating

@@ -1781,6 +1781,46 @@ object TextOps {
         |       ELSE 0 END AS compression_ppm
         |FROM eagg ORDER BY source""".stripMargin
 
+  /** The BM25 scoring chain (toks → tf/df → mid-head query terms →
+    * dl/avgdl → fixed-point div-chain scores → per-doc `ds` totals) —
+    * shared by the q247 oracle and q252's hybrid-fusion oracle. */
+  private[operators] val bm25OracleCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |dfr AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY term),
+      |qterms AS (
+      |  SELECT term, df FROM (
+      |    SELECT term, df,
+      |      ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrank
+      |    FROM dfr) t WHERE qrank BETWEEN 11 AND 15),
+      |dl AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |  FROM toks GROUP BY doc_id),
+      |tot AS (
+      |  SELECT t_tokens, d_docs, (t_tokens * 1000) // d_docs AS avgdl_e3
+      |  FROM (SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens,
+      |          CAST(COUNT(*) AS BIGINT) AS d_docs FROM dl) t0),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    (((d_docs * 1000000) // df) *
+      |     ((tf.tf * 2200 * 1000000) //
+      |      (tf.tf * 1000 +
+      |       (1200 * (250 + (750 * ((dl.dl * 1000000) // avgdl_e3))
+      |         // 1000)) // 1000))) // 1000000 AS tscore
+      |  FROM tf JOIN qterms USING (term)
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN tot),
+      |ds AS (
+      |  SELECT doc_id, CAST(SUM(tscore) AS BIGINT) AS score,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
   /** q248: 3 batched rounds, then global acceptance ordinals (rounds
     * in order, rank within round) — the Scala trainer's numbering. */
   private val bpeBatchedOracle: String =
@@ -2040,46 +2080,12 @@ object TextOps {
     // chain (idf_x, ratio_e3, norm_e3, den_e3, tfp_e6), same
     // (df desc, term) query-term ranks 11–15, same (score desc,
     // doc_id) top-20 + rank.
-    "q247_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM toks GROUP BY doc_id, term),
-        |dfr AS (
-        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-        |  FROM tf GROUP BY term),
-        |qterms AS (
-        |  SELECT term, df FROM (
-        |    SELECT term, df,
-        |      ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrank
-        |    FROM dfr) t WHERE qrank BETWEEN 11 AND 15),
-        |dl AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-        |  FROM toks GROUP BY doc_id),
-        |tot AS (
-        |  SELECT t_tokens, d_docs, (t_tokens * 1000) // d_docs AS avgdl_e3
-        |  FROM (SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens,
-        |          CAST(COUNT(*) AS BIGINT) AS d_docs FROM dl) t0),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    (((d_docs * 1000000) // df) *
-        |     ((tf.tf * 2200 * 1000000) //
-        |      (tf.tf * 1000 +
-        |       (1200 * (250 + (750 * ((dl.dl * 1000000) // avgdl_e3))
-        |         // 1000)) // 1000))) // 1000000 AS tscore
-        |  FROM tf JOIN qterms USING (term)
-        |  JOIN dl ON tf.doc_id = dl.doc_id
-        |  CROSS JOIN tot),
-        |ds AS (
-        |  SELECT doc_id, CAST(SUM(tscore) AS BIGINT) AS score,
-        |    CAST(COUNT(*) AS BIGINT) AS n_terms
-        |  FROM scored GROUP BY doc_id)
+    "q247_bm25" -> (bm25OracleCtes +
+      """
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
         |    AS BIGINT) AS rank,
         |  doc_id, score, n_terms
-        |FROM ds ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+        |FROM ds ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
     // q231: the q229 chain + tokens-per-word off the final state,
     // joined to per-source word counts.
     "q231_bpe_encode" -> bpeEncodeOracle,
