@@ -855,10 +855,14 @@ object Similarity {
     * upstream), so the fusion is a 50-row full-outer join + a 20-row
     * TakeOrdered — free at any corpus size; the cost lives in the
     * two (already postings-/broadcast-bounded) rankings. */
-  def q252HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  /** The three rankings q252/q253 share: lexical BM25 top-k, semantic
+    * exact-cosine top-k vs the vec-0 query, and the RRF-fused frame
+    * (doc_id, lex_rank, sem_rank, rrf) — absence coalesced to 0. */
+  private[operators] def hybridRankings(spark: SparkSession,
+      dir: String, k: Int = 50): (DataFrame, DataFrame, DataFrame) = {
     DotProductExpr.register(spark)
     val lex = TextOps.bm25TopDocs(load(spark, dir, "documents"),
-        topK = 50)
+        topK = k)
       .select(col("doc_id"), col("rank").as("lex_rank"))
     val vecs = load(spark, dir, "embeddings")
     val q = vecs.filter(col("vec_id") === 0)
@@ -873,7 +877,7 @@ object Similarity {
           nativeDot(col("v"), col("qv")), col("nv"), col("nq"))
         * lit(1e6) + lit(0.5)).cast("long"))
     val semOrd = Seq(col("cos_e6").desc, col("vec_id"))
-    val sem = semScored.orderBy(semOrd: _*).limit(50)
+    val sem = semScored.orderBy(semOrd: _*).limit(k)
       .withColumn("sem_rank", row_number()
         .over(Window.orderBy(semOrd: _*)).cast("long"))
       .select(col("vec_id").as("doc_id"), col("sem_rank"))
@@ -885,6 +889,11 @@ object Similarity {
         "CASE WHEN lex_rank > 0 THEN 1000000 div (60 + lex_rank)" +
           " ELSE 0 END + CASE WHEN sem_rank > 0" +
           " THEN 1000000 div (60 + sem_rank) ELSE 0 END"))
+    (lex, sem, fused)
+  }
+
+  def q252HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, fused) = hybridRankings(spark, dir)
     val ord = Seq(col("rrf").desc, col("doc_id"))
     fused.orderBy(ord: _*).limit(20)
       .withColumn("rank", row_number()
@@ -892,6 +901,56 @@ object Similarity {
       .select(col("rank"), col("doc_id"), col("rrf"),
         col("lex_rank"), col("sem_rank"))
       .orderBy("rank")
+  }
+
+  // ---------------------------------------------------------------- q253
+
+  /** Q253: RETRIEVAL EVALUATION — MRR, precision@10, and hits@50 for
+    * each of the three q252 rankings (lexical, semantic, fused)
+    * against a deterministic relevance proxy: a doc is RELEVANT iff
+    * its embedding label equals the query vector's label (vec 0; the
+    * query doc itself excluded). The eval harness a retrieval stack
+    * runs continuously — gateable for the same reason q239's ANN
+    * recall audit is: every ranking AND the relevance set are
+    * engine-replayable. Integer metrics (no IEEE): mrr_e6 = 10⁶ div
+    * first-relevant-rank (0 when none), p_at_10_bp = hits-in-top-10 ·
+    * 10⁴ div 10.
+    *
+    * Scale: rankings are top-k frames; relevance joins by id; each
+    * metric row is one aggregate over ≤ k rows — the whole readout is
+    * top-k-sized regardless of corpus size. */
+  def q253RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val (lex, sem, fused) = hybridRankings(spark, dir)
+    val emb = load(spark, dir, "embeddings")
+    val qLabel = emb.filter(col("vec_id") === 0)
+      .select(col("label").cast("long").as("qlabel"))
+    val rel = emb.crossJoin(broadcast(qLabel))
+      .filter(col("label").cast("long") === col("qlabel") &&
+        col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"), lit(1L).as("is_rel"))
+    val fusedOrd = Seq(col("rrf").desc, col("doc_id"))
+    val fusedRank = fused.orderBy(fusedOrd: _*).limit(50)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(fusedOrd: _*)).cast("long"))
+      .select(col("doc_id"), col("rank"))
+    def metrics(ranking: DataFrame, rankCol: String,
+        name: String): DataFrame =
+      ranking.join(broadcast(rel), Seq("doc_id"), "left")
+        .agg(
+          sum(coalesce(col("is_rel"), lit(0L))).as("hits_at_50"),
+          coalesce(min(when(col("is_rel").isNotNull, col(rankCol))),
+            lit(0L)).as("first_rel_rank"),
+          sum(when(col("is_rel").isNotNull && col(rankCol) <= 10, 1L)
+            .otherwise(0L)).as("h10"))
+        .select(lit(name).as("ranking"), col("hits_at_50"),
+          col("first_rel_rank"),
+          expr("CASE WHEN first_rel_rank > 0 THEN 1000000 div " +
+            "first_rel_rank ELSE 0 END").as("mrr_e6"),
+          expr("(h10 * 10000) div 10").as("p_at_10_bp"))
+    metrics(lex, "lex_rank", "lex")
+      .unionAll(metrics(sem, "sem_rank", "sem"))
+      .unionAll(metrics(fusedRank, "rank", "fused"))
+      .orderBy("ranking")
   }
 
   /** [[semanticDedup]] with the PRODUCTION centroid source swapped in
@@ -928,6 +987,7 @@ object Similarity {
     "q246_kmeans" -> (q246Kmeans _),
     "q251_principal_dir" -> (q251PrincipalDir _),
     "q252_hybrid_rrf" -> (q252HybridRrf _),
+    "q253_retrieval_eval" -> (q253RetrievalEval _),
     "q205_knn_confusion" -> (q205KnnConfusion _),
     "q154_embed_dispersion" -> (q154EmbedDispersion _),
     "q176_label_centroid_dist" -> (q176LabelCentroidDist _),
@@ -998,6 +1058,44 @@ object Similarity {
         |FROM c3 JOIN n3 USING (cell)
         |ORDER BY cell, dim""".stripMargin
 
+  /** The shared q252/q253 hybrid-retrieval chain: the q247 BM25 CTEs
+    * (one source of truth, TextOps.bm25OracleCtes) + the q34a-style
+    * cosine ranking vs the vec-0 query + the RRF fusion (`scored2`). */
+  private val hybridOracleCtes: String = TextOps.bm25OracleCtes +
+    """,
+      |vv AS (SELECT vec_id, embedding::DOUBLE[] AS e
+      |       FROM embeddings),
+      |qv AS (SELECT e AS qe FROM vv WHERE vec_id = 0),
+      |semscored AS (
+      |  SELECT vv.vec_id,
+      |    CAST(floor((list_dot_product(vv.e, qe) /
+      |      (sqrt(list_dot_product(vv.e, vv.e)) *
+      |       sqrt(list_dot_product(qe, qe)))) * 1e6 + 0.5)
+      |      AS BIGINT) AS cos_e6
+      |  FROM vv CROSS JOIN qv WHERE vv.vec_id <> 0),
+      |sem AS (
+      |  SELECT vec_id AS doc_id, rnk AS sem_rank FROM (
+      |    SELECT vec_id, ROW_NUMBER() OVER (
+      |      ORDER BY cos_e6 DESC, vec_id) AS rnk
+      |    FROM semscored) t WHERE rnk <= 50),
+      |lex AS (
+      |  SELECT doc_id, rnk AS lex_rank FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (
+      |      ORDER BY score DESC, doc_id) AS rnk
+      |    FROM ds) t WHERE rnk <= 50),
+      |fused AS (
+      |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+      |    CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+      |    CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank
+      |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+      |scored2 AS (
+      |  SELECT doc_id, lex_rank, sem_rank,
+      |    (CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank)
+      |          ELSE 0 END +
+      |     CASE WHEN sem_rank > 0 THEN 1000000 // (60 + sem_rank)
+      |          ELSE 0 END) AS rrf
+      |  FROM fused)""".stripMargin
+
   /** One power-iteration round as DuckDB CTEs (w = S·v, then max-|w|
     * normalize — the q250 no-sqrt discipline). */
   private def pcaRoundCte(k: Int): String =
@@ -1048,44 +1146,62 @@ object Similarity {
     // cosine discipline against the vec-0 query (top 50), the
     // published k = 60 reciprocal-rank formula in integer ppm-of-1,
     // absence = 0, (rrf desc, doc_id) top-20.
-    "q252_hybrid_rrf" -> (TextOps.bm25OracleCtes +
-      """,
-        |vv AS (SELECT vec_id, embedding::DOUBLE[] AS e
-        |       FROM embeddings),
-        |qv AS (SELECT e AS qe FROM vv WHERE vec_id = 0),
-        |semscored AS (
-        |  SELECT vv.vec_id,
-        |    CAST(floor((list_dot_product(vv.e, qe) /
-        |      (sqrt(list_dot_product(vv.e, vv.e)) *
-        |       sqrt(list_dot_product(qe, qe)))) * 1e6 + 0.5)
-        |      AS BIGINT) AS cos_e6
-        |  FROM vv CROSS JOIN qv WHERE vv.vec_id <> 0),
-        |sem AS (
-        |  SELECT vec_id AS doc_id, rnk AS sem_rank FROM (
-        |    SELECT vec_id, ROW_NUMBER() OVER (
-        |      ORDER BY cos_e6 DESC, vec_id) AS rnk
-        |    FROM semscored) t WHERE rnk <= 50),
-        |lex AS (
-        |  SELECT doc_id, rnk AS lex_rank FROM (
-        |    SELECT doc_id, ROW_NUMBER() OVER (
-        |      ORDER BY score DESC, doc_id) AS rnk
-        |    FROM ds) t WHERE rnk <= 50),
-        |fused AS (
-        |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
-        |    CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
-        |    CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank
-        |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
-        |scored2 AS (
-        |  SELECT doc_id, lex_rank, sem_rank,
-        |    (CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank)
-        |          ELSE 0 END +
-        |     CASE WHEN sem_rank > 0 THEN 1000000 // (60 + sem_rank)
-        |          ELSE 0 END) AS rrf
-        |  FROM fused)
+    "q252_hybrid_rrf" -> (hybridOracleCtes +
+      """
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
         |    AS BIGINT) AS rank,
         |  doc_id, rrf, lex_rank, sem_rank
         |FROM scored2 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+    // q253: the q252 chain + the label-match relevance set + one
+    // integer metric row per ranking (MRR in e6, precision@10 in bp,
+    // hits@50).
+    "q253_retrieval_eval" -> (hybridOracleCtes +
+      """,
+        |rel AS (
+        |  SELECT vec_id AS doc_id FROM embeddings
+        |  WHERE CAST(label AS BIGINT) = (
+        |    SELECT CAST(label AS BIGINT) FROM embeddings
+        |    WHERE vec_id = 0) AND vec_id <> 0),
+        |fr AS (
+        |  SELECT doc_id, rnk FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (
+        |      ORDER BY rrf DESC, doc_id) AS rnk
+        |    FROM scored2) t WHERE rnk <= 50),
+        |lexm AS (
+        |  SELECT 'lex' AS ranking,
+        |    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits_at_50,
+        |    CAST(COALESCE(MIN(CASE WHEN r.doc_id IS NOT NULL
+        |      THEN l.lex_rank END), 0) AS BIGINT) AS first_rel_rank,
+        |    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL
+        |      AND l.lex_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10
+        |  FROM lex l LEFT JOIN rel r USING (doc_id)),
+        |semm AS (
+        |  SELECT 'sem' AS ranking,
+        |    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits_at_50,
+        |    CAST(COALESCE(MIN(CASE WHEN r.doc_id IS NOT NULL
+        |      THEN s.sem_rank END), 0) AS BIGINT) AS first_rel_rank,
+        |    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL
+        |      AND s.sem_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10
+        |  FROM sem s LEFT JOIN rel r USING (doc_id)),
+        |fusm AS (
+        |  SELECT 'fused' AS ranking,
+        |    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits_at_50,
+        |    CAST(COALESCE(MIN(CASE WHEN r.doc_id IS NOT NULL
+        |      THEN f.rnk END), 0) AS BIGINT) AS first_rel_rank,
+        |    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL
+        |      AND f.rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10
+        |  FROM fr f LEFT JOIN rel r USING (doc_id)),
+        |allm AS (
+        |  SELECT * FROM lexm UNION ALL SELECT * FROM semm
+        |  UNION ALL SELECT * FROM fusm)
+        |SELECT ranking, hits_at_50, first_rel_rank,
+        |  CASE WHEN first_rel_rank > 0
+        |       THEN 1000000 // first_rel_rank ELSE 0 END AS mrr_e6,
+        |  (h10 * 10000) // 10 AS p_at_10_bp
+        |FROM allm ORDER BY ranking""".stripMargin),
     // q246: same e3 quantization (float→double exact, ·1000 + 0.5,
     // floor — identical IEEE, THEN cast), same seed init, same three
     // assign→update rounds, same argmin tie order, same truncating
