@@ -151,6 +151,54 @@ object Relational {
         approx_count_distinct(col("l_suppkey")).as("apx_supps"),
         countDistinct(col("l_partkey")).as("d_parts"))
 
+  // ---------------------------------------------------------------- q254
+
+  /** Q254: HLL REGISTER TABLE, gated — the round-11 reframing of
+    * q13's "approximate distinct is engine-specific": the SKETCH
+    * BUILD is exact integer arithmetic (and is the artifact you
+    * actually ship — registers merge across shards by per-bucket MAX,
+    * trivially associative); only the cardinality ESTIMATOR (harmonic
+    * mean of IEEE powers, bias constants) is engine-specific, and
+    * q13 keeps covering that side impl-only.
+    *
+    * Construction (Flajolet et al. 2007 semantics, engine-shared
+    * hash): distinct keys hash through the Mix universal family
+    * ((a·(x mod P) + b) mod P — bounded for any id scale), bucket =
+    * h mod 64, rho = index of the lowest set bit of h div 64 (exact
+    * via lowbit = r & −r joined against a broadcast 25-row powers
+    * table — no IEEE log anywhere), r = 0 caps at 25 (all remaining
+    * bits zero). Output: all 64 (bucket, register) rows, absent
+    * buckets as 0.
+    *
+    * Scale: one distinct + one 64-group max — partial-combining all
+    * the way; at 100 TB you build per-shard register tables and MAX
+    * them (the mergeability this query's artifact exists for). */
+  def q254HllRegisters(spark: SparkSession, dir: String): DataFrame = {
+    val a = graft.functions.Mix.modMults(1)(0)
+    val b = graft.functions.Mix.modAdds(1)(0)
+    val h = graft.Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .select(expr(
+        s"(($a * (user_id % 1000000007)) % 1000000007 + $b)" +
+          " % 1000000007").as("h"))
+    val hr = h.select((col("h") % 64).as("bucket"),
+      expr("h div 64").as("r"))
+    val powers = spark.range(25)
+      .select((col("id") + 1).cast("long").as("rho"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))")
+          .as("lowbit"))
+    val rho = hr.join(broadcast(powers),
+        hr("r").bitwiseAND(-hr("r")) === powers("lowbit"), "left")
+      .select(col("bucket"),
+        when(col("r") === 0, lit(25L)).otherwise(col("rho")).as("rho"))
+    val reg = rho.groupBy("bucket").agg(max(col("rho")).as("register"))
+    spark.range(64).select(col("id").as("bucket"))
+      .join(reg, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("register"), lit(0L)).as("register"))
+      .orderBy("bucket")
+  }
+
   /** Q14 ROLLUP (Expand + aggregate); explicit NULLS FIRST ordering. */
   def q14Rollup(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "lineitem")
@@ -1804,6 +1852,7 @@ object Relational {
     "q11_agg" -> (q11Agg _),
     "q12_agg_distinct" -> (q12AggDistinct _),
     "q13_agg_approx" -> (q13AggApprox _),
+    "q254_hll_registers" -> (q254HllRegisters _),
     "q14_rollup" -> (q14Rollup _),
     "q15_cube" -> (q15Cube _),
     "q14b_grouping_sets" -> (q14bGroupingSets _),
@@ -1874,6 +1923,28 @@ object Relational {
   /** DuckDB oracle SQL (canonical forms from SURVEY §2-B; q13 is
     * implementation-only → intentionally absent). */
   val oracle: Map[String, String] = Map(
+    // q254: same Mix universal hash, same mod-64 bucketing, same
+    // lowbit-join rho (no IEEE log), same r = 0 cap, absent buckets 0.
+    "q254_hll_registers" -> {
+      val a = graft.functions.Mix.modMults(1)(0)
+      val b = graft.functions.Mix.modAdds(1)(0)
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |h AS (SELECT (($a * (user_id % 1000000007)) % 1000000007
+         |        + $b) % 1000000007 AS h FROM u),
+         |hr AS (SELECT h % 64 AS bucket, h // 64 AS r FROM h),
+         |pw AS (SELECT CAST(k + 1 AS BIGINT) AS rho,
+         |         CAST(1 AS BIGINT) << k AS lowbit
+         |       FROM (SELECT unnest(generate_series(0, 24)) AS k) t),
+         |rh AS (SELECT bucket,
+         |         CASE WHEN r = 0 THEN 25 ELSE p.rho END AS rho
+         |       FROM hr LEFT JOIN pw p ON (hr.r & (-hr.r)) = p.lowbit),
+         |reg AS (SELECT bucket, CAST(MAX(rho) AS BIGINT) AS register
+         |        FROM rh GROUP BY bucket)
+         |SELECT b.bucket, COALESCE(reg.register, 0) AS register
+         |FROM (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT)
+         |        AS bucket) b
+         |LEFT JOIN reg USING (bucket) ORDER BY bucket""".stripMargin
+    },
     // q227: same exact-e4 revenue collapse, same floored-ppm shares,
     // same Σppm² div 1e6 (all BIGINT after the decimal sum).
     "q227_supplier_hhi" ->

@@ -407,4 +407,29 @@ class RelationalSpec extends SparkSpecBase {
         pts.count { case (d2, p2) => d2 == d && p2 == p }.toLong)
     }
   }
+
+  test("q254 HLL registers ≡ a full driver-side replay (Mix hash, " +
+      "mod-64 buckets, lowest-set-bit rho, r = 0 cap) and the table " +
+      "is merge-shaped: 64 rows, values in [0, 25]") {
+    val got = operators.Relational.q254HllRegisters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 64 && got.map(_._1).toSeq == (0L until 64L))
+    assert(got.forall { case (_, reg) => reg >= 0L && reg <= 25L })
+    val P = 1000000007L
+    val a = graft.functions.Mix.modMults(1)(0)
+    val b = graft.functions.Mix.modAdds(1)(0)
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    val want = Array.fill(64)(0L)
+    users.foreach { u =>
+      val h = ((a * (u % P)) % P + b) % P
+      val bucket = (h % 64).toInt
+      val r = h / 64
+      val rho =
+        if (r == 0) 25L else java.lang.Long.numberOfTrailingZeros(r) + 1L
+      if (rho > want(bucket)) want(bucket) = rho
+    }
+    assert(got.toMap == want.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toMap)
+  }
 }
