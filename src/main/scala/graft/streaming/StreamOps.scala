@@ -239,6 +239,46 @@ object StreamOps {
       .toDF("user_id", "total")
   }
 
+  /** STREAMING HLL REGISTER MAINTENANCE (q254's twin, round 11) —
+    * per-bucket max-rho state updated as keys arrive: each user_id
+    * hashes through the SAME Mix universal family / mod-64 bucket /
+    * lowest-set-bit rho as `Relational.q254HllRegisters`, groups by
+    * bucket, and keyed state keeps the running register (max rho seen).
+    * Each batch emits the bucket's CURRENT register in update mode —
+    * the live distinct-cardinality sketch a monitoring dashboard
+    * polls, and the demonstration of why registers are the shippable
+    * artifact: max is associative and order-insensitive, so the
+    * stream state after ANY arrival order equals the batch build over
+    * the union (pinned batch ≡ stream in StreamingSpec, split across
+    * batches with re-hit buckets). State: 64 longs TOTAL, regardless
+    * of key volume. */
+  def hllRegistersStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val P = 1000000007L
+    val a = graft.functions.Mix.modMults(1)(0)
+    val b = graft.functions.Mix.modAdds(1)(0)
+    events.select(col("user_id")).as[Long]
+      .map { u =>
+        val h = ((a * (u % P)) % P + b) % P
+        val r = h / 64
+        val rho =
+          if (r == 0) 25L
+          else java.lang.Long.numberOfTrailingZeros(r) + 1L
+        (h % 64, rho)
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[(Long, Long)],
+            st: GroupState[Long]) =>
+          var reg = st.getOption.getOrElse(0L)
+          rows.foreach { case (_, rho) => if (rho > reg) reg = rho }
+          st.update(reg)
+          (bucket, reg)
+      }
+      .toDF("bucket", "register")
+  }
+
   /** STREAMING FUNNEL — the continuous twin of `Behavioral.funnelStages`
     * (q73): per-user funnel depth tracked as keyed state. The batch form
     * is a chain of conditional-min aggregates; the streaming form is the

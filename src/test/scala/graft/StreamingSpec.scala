@@ -1033,6 +1033,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming HLL registers ≡ the driver-replayed batch sketch " +
+      "over the union (q254 twin): max-rho state is order- AND " +
+      "duplicate-insensitive across overlapping batches") {
+    val input = MemoryStream[Long](spark)
+    val q = StreamOps.hllRegistersStream(
+        input.toDF().toDF("user_id"))
+      .writeStream.format("memory").queryName("hllstream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-hll").toString)
+      .start()
+    try {
+      input.addData(1L to 300L: _*); q.processAllAvailable()
+      // batch 2 re-hits 200..300 (duplicates) plus new keys
+      input.addData(200L to 500L: _*); q.processAllAvailable()
+    } finally q.stop()
+    // per-bucket register is monotone → latest emitted = max emitted
+    val got = spark.table("hllstream").groupBy("bucket")
+      .agg(max(col("register")).as("register")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val P = 1000000007L
+    val a = graft.functions.Mix.modMults(1)(0)
+    val b = graft.functions.Mix.modAdds(1)(0)
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    (1L to 500L).foreach { u =>
+      val h = ((a * (u % P)) % P + b) % P
+      val r = h / 64
+      val rho =
+        if (r == 0) 25L
+        else java.lang.Long.numberOfTrailingZeros(r) + 1L
+      val bk = h % 64
+      if (rho > want.getOrElse(bk, 0L)) want(bk) = rho
+    }
+    assert(got == want.toMap, s"got $got\nwant $want")
+  }
+
   test("applyCdcStream seqCol resolves multi-op-per-key batches in " +
       "sequence order (U seq 1 + D seq 2 delivered REVERSED in one " +
       "batch → key deleted, both ops counted)") {
