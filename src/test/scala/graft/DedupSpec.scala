@@ -121,6 +121,12 @@ class DedupSpec extends SparkSpecBase {
     val cg = run("CODEGEN_ONLY")
     val interp = run("NO_CODEGEN")
     assert(cg.nonEmpty && cg == interp)
+    // and the projection stays INSIDE WholeStageCodegen (no span break
+    // now that the expr has a real doGenCode — verdict r10 #8)
+    val planLine = frame.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("graft_hyperplane_mod"))
+    assert(planLine.exists(_.contains("*(")), // "*(n)" = inside WSCG
+      s"hyperplane projection must be codegen'd: $planLine")
   }
 
   test("graft_hyperplane_mod skips null elements (no NPE; index weights " +
