@@ -119,7 +119,11 @@ object Logging {
   def log(level: String, message: String,
       at: Instant = Instant.now()): Unit = {
     val (cfg, sink) = state.get()
-    if (levels.getOrElse(level.toUpperCase, 0) >= cfg.threshold) {
+    // Unknown level names fall back to INFO (20), NOT 0: the reference
+    // falls back to the stdlib numeric level and still logs the record
+    // (config.py:286-289) — mapping to 0 would silently drop it below
+    // every threshold (advice r11).
+    if (levels.getOrElse(level.toUpperCase, 20) >= cfg.threshold) {
       val caller = Thread.currentThread().getStackTrace
         .drop(1)
         .find(f => !f.getClassName.startsWith("graft.config.Logging") &&
@@ -145,10 +149,28 @@ object Logging {
     * [[log]] so third-party JUL records obey the same level gate,
     * format, and sink. */
   final class InterceptHandler extends jul.Handler {
+    // Formatter.formatMessage substitutes {0}-style parameters and
+    // resolves resource bundles — JUL's raw getMessage does NOT (the
+    // reference relies on Python's record.getMessage() doing the
+    // substitution, config.py:296; advice r11). A bare instance is
+    // enough: formatMessage is a concrete template method.
+    private val fmt = new jul.Formatter {
+      override def format(r: jul.LogRecord): String = formatMessage(r)
+    }
     override def publish(record: jul.LogRecord): Unit = {
       if (record == null) return
       val lvl = julLevelName(record.getLevel)
-      log(lvl, record.getMessage)
+      val base = fmt.formatMessage(record)
+      // the reference forwards exc_info (config.py:297) — append the
+      // thrown stack trace when present
+      val msg = Option(record.getThrown) match {
+        case Some(t) =>
+          val sw = new java.io.StringWriter()
+          t.printStackTrace(new java.io.PrintWriter(sw))
+          s"$base\n${sw.toString.stripLineEnd}"
+        case None => base
+      }
+      log(lvl, msg)
     }
     override def flush(): Unit = ()
     override def close(): Unit = ()

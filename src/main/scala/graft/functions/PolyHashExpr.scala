@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ≤ 31·(10⁹+7) + 0x10FFFF ≪ 2⁶³ (ANSI-safe, no wrap). */
 object PolyFold {
   private final val P = 1000000007L
+  private final val P2 = 1000000009L
 
   /** h = fold(codepoints, 0, (h, cp) => (h·31 + cp) mod P). */
   def poly(s: UTF8String): Long = {
@@ -36,6 +37,35 @@ object PolyFold {
         cp = (cp << 6) | (bytes(i + k) & 0x3f); k += 1
       }
       h = (h * 31L + cp.toLong) % P
+      i += len
+    }
+    h
+  }
+
+  /** INDEPENDENT second code-point fold — base 37 mod 10⁹+9 (a
+    * different base AND a different prime modulus from [[poly]]).
+    * Exists for DOUBLE HASHING: a shuffle key built from (poly, poly2)
+    * lives in a ~10¹⁸ key space, so hash-keyed joins (q245's gram
+    * pairs) tolerate collisions at 100 TB gram counts where a single
+    * mod-10⁹ fold would collide constantly. Intermediates
+    * ≤ 37·(10⁹+9) + 0x10FFFF ≪ 2⁶³ — ANSI-safe, and DuckDB replays it
+    * with the same `(h·37 + ord) % 1000000009` list_reduce as poly. */
+  def poly2(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = b0
+      var len = 1
+      if (b0 >= 0xf0) { cp = b0 & 0x07; len = 4 }
+      else if (b0 >= 0xe0) { cp = b0 & 0x0f; len = 3 }
+      else if (b0 >= 0xc0) { cp = b0 & 0x1f; len = 2 }
+      var k = 1
+      while (k < len && i + k < bytes.length) {
+        cp = (cp << 6) | (bytes(i + k) & 0x3f); k += 1
+      }
+      h = (h * 37L + cp.toLong) % P2
       i += len
     }
     h
@@ -103,6 +133,36 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): PolyHashExpr = copy(child = newChild)
+}
+
+
+/** The [[PolyFold.poly2]] twin of [[PolyHashExpr]] — base 37 mod
+  * 10⁹+9. Never used alone: it is the second component of the
+  * double-hash shuffle keys (q245), where joint collision probability
+  * is the product of two ~10⁻⁹ terms because base AND modulus differ. */
+case class PolyHash2Expr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_polyhash2"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_polyhash2 expects a string arg, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    PolyFold.poly2(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.PolyFold$$.MODULE$$.poly2($s);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PolyHash2Expr = copy(child = newChild)
 }
 
 

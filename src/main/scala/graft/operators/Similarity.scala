@@ -775,24 +775,31 @@ object Similarity {
     * centered second-moment (covariance·n) matrix by POWER ITERATION,
     * every step engine-replayable (the q246/q250 discipline): e3
     * integer coordinates, truncating-div integer means, exact BIGINT
-    * Gram accumulation, the matrix normalized once to ±10⁶ by its own
-    * max |entry| (eigenvectors unchanged; bounds every later product
-    * for ANY input scale), then 3 fixed matrix–vector rounds with
-    * max-|w| normalization (the q250 no-sqrt trick). The readout an
+    * Gram accumulation, the matrix normalized once to ~±2·10⁶ by
+    * DIVIDING by (max|entry| div 10⁶) — never multiplying a raw entry
+    * first, so the normalization cannot overflow for ANY input scale
+    * (advice r11; eigenvectors unchanged) — then 3 fixed
+    * matrix–vector rounds with the same divide-only max-|w|
+    * normalization (the q250 no-sqrt trick). The readout an
     * embedding-decorrelation/whitening audit starts from: a dominant
     * direction with most of the mass = anisotropic embeddings (the
     * common-direction pathology sentence encoders exhibit).
     *
     * Scale: the Gram stage is the only corpus-sized work, and it is
-    * JOIN-FREE — each row generates its own d² outer-product terms
-    * (two chained posexplodes over the centered array, all pipelined)
-    * which partial-combine IN-STAGE to ≤ d² accumulators per
-    * partition (d = 64 → 4096), so the only shuffle carries d² longs
-    * per partition, never N·d (a vec_id self-join would) and never
-    * N·d². The d-sized mean vector is the one driver collect
+    * JOIN-FREE — ONE typed [[graft.functions.GramAggregator]] fold
+    * (round 12): each partition accumulates the d·(d+1)/2
+    * upper-triangle products of its rows straight into a long-array
+    * buffer (Math.addExact — as loud on overflow as the ANSI sum it
+    * replaced), so the only shuffle carries d² longs per partition,
+    * never N·d (a vec_id self-join would) and never N·d² (the
+    * round-11 double posexplode generated N·d² rows BEFORE its
+    * partial agg — correct shuffle, ~100× avoidable row machinery at
+    * production d). The d-sized mean vector is the one driver collect
     * (codebook-class state, like k-means centroids). Everything after
-    * is d²-sized; power rounds are d²⋈d joins. Exactness bound:
-    * |coordinate|·10³ ≤ ~3·10⁶ keeps every product in BIGINT. */
+    * is d²-sized; power rounds are d²⋈d joins. Exactness bounds:
+    * |coordinate|·10³ ≤ ~3·10⁶ keeps every Gram product in BIGINT;
+    * normalized entries ≤ ~2·10⁶ keep every power-round product
+    * ≤ d·4·10¹² — BIGINT-safe past d = 10⁶. */
   def principalDirection(embeddings: DataFrame,
       rounds: Int = 3): DataFrame = {
     val exd = embeddings.select(col("vec_id"),
@@ -807,18 +814,28 @@ object Similarity {
     val mLit = typedlit(means.toSeq)
     val cent = exd.select(transform(col("q"),
       (x, i) => x - element_at(mLit, (i + 1).cast("int"))).as("ca"))
-    val s = cent
-      .select(col("ca"), posexplode(col("ca")).as(Seq("i0", "cxi")))
-      .select(col("i0"), col("cxi"),
-        posexplode(col("ca")).as(Seq("j0", "cxj")))
-      .groupBy((col("i0") + 1).cast("long").as("i"),
-        (col("j0") + 1).cast("long").as("j"))
-      .agg(sum(col("cxi") * col("cxj")).as("s"))
+    // Round 12: the Gram stage is ONE typed Aggregator fold (d²/2
+    // longs per partition buffer, Math.addExact loudness) instead of
+    // the double posexplode that generated N·d² rows pre-agg; the
+    // shuffle is unchanged (d² longs), the row machinery ~100× less
+    // at production d. The aggregated frame is a single row holding
+    // the full symmetric (i, j, s) struct list — explode is d²-sized.
+    val gram = udaf(new graft.functions.GramAggregator)
+    val s = cent.agg(gram(col("ca")).as("g"))
+      .select(explode(col("g")).as("e"))
+      .select(col("e._1").as("i"), col("e._2").as("j"),
+        col("e._3").as("s"))
       .localCheckpoint()
+    // Normalize by DIVIDING by the scaled max — never multiplying the
+    // raw entry by 1e6 first (advice r11: w·1e6 overflows 2⁶³ on
+    // plausible dense anisotropic inputs; s div (mx div 1e6) needs no
+    // product at all, so it is bounded for ANY input scale, at the
+    // cost of entries reaching ~2·10⁶ instead of exactly 10⁶ — every
+    // later product stays ≤ d·4·10¹², safe past d = 10⁶).
     val smax = s.agg(greatest(max(abs(col("s"))), lit(1L)).as("mx"))
     val sn = s.crossJoin(broadcast(smax))
       .select(col("i"), col("j"),
-        expr("(s * 1000000) div mx").as("s"))
+        expr("s div greatest(mx div 1000000, 1)").as("s"))
       .localCheckpoint()
     var v = sn.select(col("i").as("dim")).distinct()
       .select(col("dim"), lit(1000000L).as("v")).localCheckpoint()
@@ -828,7 +845,8 @@ object Similarity {
         .agg(sum(col("s") * col("v")).as("w"))
       val wmax = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("mx"))
       v = w.crossJoin(broadcast(wmax))
-        .select(col("dim"), expr("(w * 1000000) div mx").as("v"))
+        .select(col("dim"),
+          expr("w div greatest(mx div 1000000, 1)").as("v"))
         .localCheckpoint()
     }
     v.select(col("dim"), col("v").as("v_e6")).orderBy("dim")
@@ -1103,7 +1121,7 @@ object Similarity {
        |  SELECT sn.i AS dim, CAST(SUM(sn.s * v.v) AS BIGINT) AS w
        |  FROM sn JOIN v$k v ON sn.j = v.dim GROUP BY sn.i),
        |v${k + 1} AS MATERIALIZED (
-       |  SELECT dim, (w * 1000000) // mx AS v
+       |  SELECT dim, w // greatest(mx // 1000000, 1) AS v
        |  FROM w$k, (SELECT greatest(MAX(abs(w)), 1) AS mx
        |             FROM w$k) q$k)""".stripMargin
 
@@ -1128,7 +1146,7 @@ object Similarity {
       |    CAST(SUM(a.cx * b.cx) AS BIGINT) AS s
       |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2),
       |sn AS MATERIALIZED (
-      |  SELECT i, j, (s * 1000000) // mx AS s
+      |  SELECT i, j, s // greatest(mx // 1000000, 1) AS s
       |  FROM s0, (SELECT greatest(MAX(abs(s)), 1) AS mx FROM s0) q),
       |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS v
       |       FROM sn)""".stripMargin +
@@ -1139,8 +1157,10 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     // q251: same e3 quantization, same truncating integer means (the
     // oracle derives them relationally — identical values to the
-    // collected d-sized vector), same exact Gram sums, same ±1e6
-    // matrix normalization, same 3 max-|w| power rounds.
+    // collected d-sized vector), same exact Gram sums, same
+    // DIVIDE-ONLY ~±2e6 normalization (x // greatest(mx // 1e6, 1) —
+    // advice r11: no pre-division product anywhere, so no overflow at
+    // any input scale), same 3 max-|w| power rounds.
     "q251_principal_dir" -> pcaOracle,
     // q252: the q247 BM25 chain (shared CTE text, top 50), the q34a
     // cosine discipline against the vec-0 query (top 50), the

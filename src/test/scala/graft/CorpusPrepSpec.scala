@@ -170,6 +170,27 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(got == Seq((1L, 3L, 2L, 2L, 12L)), s"$got")
   }
 
+  test("q245 planted-boilerplate corpus (one 8-gram in 60 docs): " +
+      "capped ≡ uncapped for cap ∈ {4, 10⁶} — the whale tiling " +
+      "emits exactly the C(60,2)·extensions true span pairs") {
+    import spark.implicits._
+    val header = (1 to 10).map(i => s"lic$i").mkString(" ")
+    val docs = (1L to 60L).map(d =>
+      (d, s"u${d}a u${d}b $header u${d}c")).toDF("doc_id", "text")
+    val small = CorpusPrep.substringDupSpans(docs, minLen = 8, cap = 4)
+      .collect().map(_.toSeq).toSet
+    val uncapped = CorpusPrep
+      .substringDupSpans(docs, minLen = 8, cap = 1000000)
+      .collect().map(_.toSeq).toSet
+    assert(small == uncapped)
+    // every cross-doc pair shares exactly the 10-word header span,
+    // which starts at position 3 in every doc
+    assert(small.size == 60 * 59 / 2, s"${small.size}")
+    assert(small.forall { s =>
+      s(1) == 3L && s(3) == 3L && s(4) == 10L
+    }, small.take(3).toString)
+  }
+
   test("q245 substring dedup: same-doc periodicity — overlapping " +
       "occurrences are maximal spans per diagonal ('x x x x x', " +
       "L = 2 → three spans of lengths 4, 3, 2)") {

@@ -91,6 +91,49 @@ class LoggingSpec extends AnyFunSuite {
       Logging.fromEnv(Map.empty), System.out)
   }
 
+  test("JUL intercept bridge substitutes {0}-style parameters and " +
+      "forwards the thrown stack trace (advice r11 — Python " +
+      "record.getMessage() parity)") {
+    val buf = new ByteArrayOutputStream()
+    Logging.configureForTest(
+      Logging.LogConfig("DEBUG", colorize = false,
+        serialize = false, useStderr = false),
+      new PrintStream(buf, true, "UTF-8"))
+    try {
+      val h = new Logging.InterceptHandler
+      val rec = new java.util.logging.LogRecord(
+        java.util.logging.Level.WARNING, "commit {0} failed after {1}ms")
+      rec.setParameters(Array[AnyRef]("tx-7", Integer.valueOf(250)))
+      h.publish(rec)
+      val rec2 = new java.util.logging.LogRecord(
+        java.util.logging.Level.SEVERE, "boom")
+      rec2.setThrown(new IllegalStateException("broken pipe"))
+      h.publish(rec2)
+      val out = buf.toString("UTF-8")
+      assert(out.contains("commit tx-7 failed after 250ms"), out)
+      assert(out.contains("boom") &&
+        out.contains("IllegalStateException") &&
+        out.contains("broken pipe"), out)
+    } finally Logging.configureForTest(
+      Logging.fromEnv(Map.empty), System.out)
+  }
+
+  test("unknown level names fall back to INFO and still log — never " +
+      "silently dropped at severity 0 (advice r11; the reference " +
+      "falls back to the numeric stdlib level)") {
+    val buf = new ByteArrayOutputStream()
+    Logging.configureForTest(
+      Logging.LogConfig("INFO", colorize = false,
+        serialize = false, useStderr = false),
+      new PrintStream(buf, true, "UTF-8"))
+    try {
+      Logging.log("NOTICE", "custom-level record")
+      val out = buf.toString("UTF-8")
+      assert(out.contains("custom-level record"), out)
+    } finally Logging.configureForTest(
+      Logging.fromEnv(Map.empty), System.out)
+  }
+
   test("julLevelName maps the JUL scale onto the reference levels") {
     import java.util.logging.Level._
     assert(Logging.julLevelName(SEVERE) == "ERROR")

@@ -119,6 +119,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PolyFold.poly2 ≡ the Java codePoints fold base 37 mod 10⁹+9 " +
+      "(the q245 double-hash second component — astral planes incl.)") {
+    val P2 = 1000000009L
+    val anyCodePoint: Gen[Int] = Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7e),
+      2 -> Gen.choose(0xa0, 0x2fff),
+      1 -> Gen.choose(0x4e00, 0x9fff),
+      1 -> Gen.choose(0x1f300, 0x1faff))
+    val anyString: Gen[String] =
+      Gen.listOf(anyCodePoint).map(cps =>
+        new String(cps.toArray, 0, cps.length))
+    check(Prop.forAll(anyString) { s =>
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 37L + cp) % P2)
+      graft.functions.PolyFold.poly2(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) == h
+    })
+  }
+
   test("PolyFold.roll ≡ the split-then-fold word model on arbitrary " +
       "unicode strings (empty words flush as hash 0)") {
     val P = 1000000007L

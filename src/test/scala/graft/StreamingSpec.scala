@@ -1094,6 +1094,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("applyCdcStream WITH seqCol throws on DUPLICATE seq values for " +
+      "one key in one batch — equal seqs would resolve by arrival " +
+      "order, nondeterministic across runs (advice r11)") {
+    val input =
+      MemoryStream[(Long, String, Option[String], Option[Double], Long)](spark)
+    val q = StreamOps.applyCdcStream(input.toDF()
+        .toDF("o_orderkey", "op", "new_o_orderstatus",
+          "new_o_totalprice", "chg_seq"), seqCol = Some("chg_seq"))
+      .writeStream.format("memory").queryName("cdcdupseq")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-cdcdupseq").toString)
+      .start()
+    try {
+      input.addData(
+        (7L, "U", Option("X"), Option(1.0), 5L),
+        (7L, "D", Option.empty[String], Option.empty[Double], 5L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => Option(c.getMessage)
+          .exists(_.contains("duplicate seq"))),
+        s"expected the duplicate-seq message, got: ${ex.getMessage}")
+    } finally q.stop()
+  }
+
   test("applyCdcStream WITHOUT seqCol enforces the one-op-per-key-" +
       "per-batch precondition (two ops for one key → query fails)") {
     val input =
