@@ -234,14 +234,49 @@ object CorpusPrep {
     * map-side partial aggregation; the count join is gram-keyed (both
     * sides already hashed on gram) and the per-doc rollup shuffles
     * slim (doc_id, flags) pairs. No driver state, no all-pairs. */
+  /** Engine-shared PACKED DOUBLE-FOLD gram keys (round 12 — the q245
+    * key machinery factored out for the whole span/overlap family):
+    * per word-n-gram position, ONE BIGINT key
+    * k₁·(10⁹+9) + k₂ where k₁/k₂ fold the n per-word char hashes
+    * (graft_polyhash base 31 mod 10⁹+7 / graft_polyhash2 base 37 mod
+    * 10⁹+9) base 131/137 under the matching modulus. Shuffle rows
+    * carry 8 bytes instead of the n-word STRING (~6–10× narrower at
+    * n = 5); joint collision ~10⁻¹⁸ per pair, and the DuckDB oracles
+    * replay both folds so the key space is shared, never private.
+    * Output: (passCols…, pos 1-based BIGINT, gk BIGINT). */
+  private[graft] def gramKeyStream(docs: DataFrame, n: Int,
+      passCols: Seq[String]): DataFrame = {
+    require(n >= 2)
+    graft.functions.SignatureExprs.register(docs.sparkSession)
+    val P1 = 1000000007L
+    val P2 = 1000000009L
+    val pcs = passCols.map(col)
+    val ws = docs.select(pcs :+ split(col("text"), " ").as("w"): _*)
+      .filter(size(col("w")) >= n)
+      .select(pcs ++ Seq(
+        transform(col("w"),
+          wd => call_function("graft_polyhash", wd)).as("h1"),
+        transform(col("w"),
+          wd => call_function("graft_polyhash2", wd)).as("h2")): _*)
+    def gramFold(arr: String, base: Long, p: Long, i: Column): Column =
+      (0 until n).foldLeft(lit(0L): Column) { (acc, j) =>
+        (acc * base + element_at(col(arr), i + j)) % p
+      }
+    ws.select(pcs :+
+      posexplode(transform(
+        sequence(lit(1), size(col("h1")) - (n - 1)),
+        i => gramFold("h1", 131L, P1, i) * P2 +
+          gramFold("h2", 137L, P2, i)))
+        .as(Seq("p0", "gk")): _*)
+      .select(pcs ++ Seq((col("p0") + 1).cast(LongType).as("pos"),
+        col("gk")): _*)
+  }
+
   def dupSpans(docs: DataFrame, k: Int = 5): DataFrame = {
-    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= k)
-    val grams = ws.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
-        i => concat_ws(" ", slice(col("w"), i, lit(k))))).as("gram"))
-    val counts = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
-    grams.join(counts, "gram")
+    val grams = gramKeyStream(docs, k, Seq("doc_id"))
+      .select(col("doc_id"), col("gk"))
+    val counts = grams.groupBy("gk").agg(count(lit(1)).as("cnt"))
+    grams.join(counts, "gk")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_grams"))
@@ -272,16 +307,13 @@ object CorpusPrep {
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     val words = ws.select(col("doc_id"),
       posexplode(col("w")).as(Seq("idx", "word")))
-    val grams = ws.filter(size(col("w")) >= k)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
-          i => struct((i - 1).as("p0"),
-            concat_ws(" ", slice(col("w"), i, lit(k))).as("gram"))))
-          .as("g"))
-      .select(col("doc_id"), col("g.p0").as("p0"), col("g.gram").as("gram"))
-    val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    // gram shuffle keys = the packed double fold (round 12); the
+    // covered-position expansion only needs (doc_id, p0), never text
+    val grams = gramKeyStream(docs, k, Seq("doc_id"))
+      .select(col("doc_id"), (col("pos") - 1).as("p0"), col("gk"))
+    val dupGrams = grams.groupBy("gk").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
-    val covered = grams.join(dupGrams, "gram")
+    val covered = grams.join(dupGrams, "gk")
       .select(col("doc_id"),
         explode(sequence(col("p0"), col("p0") + (k - 1))).as("idx"))
       .distinct()
@@ -374,28 +406,9 @@ object CorpusPrep {
   def substringDupSpans(docs: DataFrame, minLen: Int,
       cap: Int = Graph.DefaultBasketCap): DataFrame = {
     require(minLen >= 2)
-    graft.functions.SignatureExprs.register(docs.sparkSession)
-    val P1 = 1000000007L
-    val P2 = 1000000009L
-    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= minLen)
-      .select(col("doc_id"),
-        transform(col("w"),
-          wd => call_function("graft_polyhash", wd)).as("h1"),
-        transform(col("w"),
-          wd => call_function("graft_polyhash2", wd)).as("h2"))
-    def gramFold(arr: String, base: Long, p: Long, i: Column): Column =
-      (0 until minLen).foldLeft(lit(0L): Column) { (acc, j) =>
-        (acc * base + element_at(col(arr), i + j)) % p
-      }
-    val grams = ws.select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(1), size(col("h1")) - (minLen - 1)), i =>
-          gramFold("h1", 131L, P1, i) * P2 +
-            gramFold("h2", 137L, P2, i)))
-        .as(Seq("p0", "k")))
-      .select(col("k"),
-        (col("doc_id") * 16777216L + col("p0") + 1L).as("it"))
+    val grams = gramKeyStream(docs, minLen, Seq("doc_id"))
+      .select(col("gk").as("k"),
+        (col("doc_id") * 16777216L + col("pos")).as("it"))
     val pairs = Graph.groupedOrderedPairs(grams, cap)
       .select(expr("a div 16777216").as("doc_a"),
         (col("a") % 16777216L).as("pos_a"),
@@ -480,19 +493,15 @@ object CorpusPrep {
 
   // ------------------------------------------------------- q81/q82/q83
 
-  /** Distinct (source, word-n-gram) set — shared shingle basis for the
+  /** Distinct (source, gram-key) set — shared shingle basis for the
     * cross-source overlap matrix (q81) and per-source novelty (q82).
-    * Scale: explode → DISTINCT hash agg; the shuffle carries
-    * (source, gram) pairs (at 100 TB, key by `xxhash64(gram)` — here
-    * the raw gram is the engine-shared key the DuckDB gate needs). */
+    * Scale: explode → DISTINCT hash agg; since round 12 the shuffle
+    * carries (source, BIGINT gram key) pairs via [[gramKeyStream]]
+    * (the engine-shared double fold the oracle replays) — the n-word
+    * STRING never leaves the scan stage. */
   private def rawSourceGrams(docs: DataFrame, n: Int): DataFrame =
-    // split once: see TextOps.topNgrams
-    docs.select(col("source"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("source"), explode(transform(
-        sequence(lit(1), size(col("w")) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j =>
-          element_at(col("w"), i + lit(j))): _*))).as("g"))
+    gramKeyStream(docs, n, Seq("source"))
+      .select(col("source"), col("gk").as("g"))
 
   private def sourceGrams(docs: DataFrame, n: Int): DataFrame =
     rawSourceGrams(docs, n).distinct()
@@ -697,6 +706,29 @@ object CorpusPrep {
     "q87_len_percentiles" -> (q87LenPercentiles _),
   )
 
+  /** DuckDB replay of the [[gramKeyStream]] word-fold arrays — h1/h2
+    * off a split-words column named `w` (rendered ONCE; q70/q77/q81/
+    * q82/q245 all interpolate these two snippets, so the engine-shared
+    * key arithmetic has a single SQL source of truth). */
+  private val sqlWordFolds: String =
+    """list_transform(w, wd -> list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, len(wd) + 1),
+      |          i -> CAST(ord(substr(wd, i, 1)) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 1000000007)) AS h1,
+      |    list_transform(w, wd -> list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, len(wd) + 1),
+      |          i -> CAST(ord(substr(wd, i, 1)) AS BIGINT))),
+      |      (h, c) -> (h * 37 + c) % 1000000009)) AS h2""".stripMargin
+
+  /** The packed n-gram key off h1/h2 at 1-based position `i`. */
+  private def sqlGramKey(n: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), h1[i:i+${n - 1}]),
+       |      (h, c) -> (h * 131 + c) % 1000000007) * 1000000009
+       |    + list_reduce(list_prepend(CAST(0 AS BIGINT), h2[i:i+${n - 1}]),
+       |      (h, c) -> (h * 137 + c) % 1000000009)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // q188: same length-difference class counts (DuckDB needs the 'g'
     // flag — its regexp_replace is first-match by default, Spark's is
@@ -865,28 +897,16 @@ object CorpusPrep {
     // the identical key space (collisions, were any reachable at
     // ~10⁻¹⁸, would be shared). All-BIGINT output.
     "q245_substring_dedup" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |  WHERE len(string_split(text, ' ')) >= 8),
         |wh AS (
         |  SELECT doc_id,
-        |    list_transform(w, wd -> list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(range(1, len(wd) + 1),
-        |          i -> CAST(ord(substr(wd, i, 1)) AS BIGINT))),
-        |      (h, c) -> (h * 31 + c) % 1000000007)) AS h1,
-        |    list_transform(w, wd -> list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(range(1, len(wd) + 1),
-        |          i -> CAST(ord(substr(wd, i, 1)) AS BIGINT))),
-        |      (h, c) -> (h * 37 + c) % 1000000009)) AS h2
+        |    $sqlWordFolds
         |  FROM t),
         |g AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), h1[i:i+7]),
-        |      (h, c) -> (h * 131 + c) % 1000000007) * 1000000009
-        |    + list_reduce(list_prepend(CAST(0 AS BIGINT), h2[i:i+7]),
-        |      (h, c) -> (h * 137 + c) % 1000000009) AS k
+        |    ${sqlGramKey(8)} AS k
         |  FROM (SELECT doc_id, h1, h2,
         |          unnest(generate_series(1, len(h1) - 7)) AS i
         |        FROM wh) t1),
@@ -908,47 +928,57 @@ object CorpusPrep {
         |  FROM i GROUP BY doc_a, doc_b, diag, island)
         |SELECT doc_a, pos_a, doc_b, pos_a - diag AS pos_b, span_len
         |FROM s ORDER BY doc_a, pos_a, doc_b, pos_b""".stripMargin,
-    // q70: identical 5-gram positions (range stop-exclusive ↔ sequence
-    // inclusive), global occurrence counts, per-doc dup coverage in
+    // q70: identical 5-gram positions (generate_series inclusive ↔
+    // sequence inclusive), gram identity = the ROUND-12 packed double
+    // fold (q245's engine-shared key, replayed via the shared
+    // snippets), global occurrence counts, per-doc dup coverage in
     // integer basis points. SUM(CASE) is HUGEINT in DuckDB → CAST.
     "q70_dup_spans" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH w0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |wh AS (
+        |  SELECT doc_id,
+        |    $sqlWordFolds
+        |  FROM w0),
         |g AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
-        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
-        |         ws[i+3] || ' ' || ws[i+4])) AS gram
-        |  FROM w WHERE len(ws) >= 5),
-        |c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+        |  SELECT doc_id, ${sqlGramKey(5)} AS gk
+        |  FROM (SELECT doc_id, h1, h2,
+        |          unnest(generate_series(1, len(h1) - 4)) AS i
+        |        FROM wh) t1),
+        |c AS (SELECT gk, COUNT(*) AS cnt FROM g GROUP BY gk)
         |SELECT g.doc_id, COUNT(*) AS n_grams,
         |  CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS dup_grams,
         |  (CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    * 10000) // COUNT(*) AS dup_bp
-        |FROM g JOIN c USING (gram)
+        |FROM g JOIN c USING (gk)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // q77: same 0-based positions/grams, same ≥2 global-count rule,
     // same k-wide coverage expansion, same in-order reassembly
     // (string_agg ORDER BY ↔ array_sort of (idx, word) structs).
     "q77_span_removal" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |words AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
         |    i -> struct_pack(idx := i - 1, word := ws[i]))) AS s
         |  FROM w),
         |words2 AS (SELECT doc_id, s.idx AS idx, s.word AS word FROM words),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
-        |    i -> struct_pack(p0 := i - 1,
-        |      gram := ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
-        |              ws[i+3] || ' ' || ws[i+4]))) AS g
-        |  FROM w WHERE len(ws) >= 5),
-        |grams2 AS (SELECT doc_id, g.p0 AS p0, g.gram AS gram FROM grams),
-        |c AS (SELECT gram, COUNT(*) AS cnt FROM grams2 GROUP BY gram),
+        |wh AS (
+        |  SELECT doc_id,
+        |    $sqlWordFolds
+        |  FROM (SELECT doc_id, ws AS w FROM w WHERE len(ws) >= 5) t0),
+        |grams2 AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p0,
+        |    ${sqlGramKey(5)} AS gk
+        |  FROM (SELECT doc_id, h1, h2,
+        |          unnest(generate_series(1, len(h1) - 4)) AS i
+        |        FROM wh) t1),
+        |c AS (SELECT gk, COUNT(*) AS cnt FROM grams2 GROUP BY gk),
         |cov AS (
         |  SELECT DISTINCT grams2.doc_id, grams2.p0 + t.o AS idx
-        |  FROM grams2 JOIN c USING (gram), unnest(range(0, 5)) AS t(o)
+        |  FROM grams2 JOIN c USING (gk), unnest(range(0, 5)) AS t(o)
         |  WHERE c.cnt >= 2),
         |kept AS (
         |  SELECT w2.doc_id, w2.idx, w2.word FROM words2 w2
@@ -980,29 +1010,38 @@ object CorpusPrep {
         |  (CAST(COUNT(*) FILTER (WHERE tcnt >= 2) AS BIGINT) * 10000)
         |    // COUNT(*) AS dup_bp
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
-    // q81/q82: DuckDB 1-based list_transform(range(...)) replicates the
-    // Spark sequence/element_at 3-gram enumeration (range(1, n) stops
-    // at n−1; empty when n ≤ 1, so short docs vanish identically).
+    // q81/q82: 3-gram identity = the ROUND-12 packed double fold
+    // (shared snippets — the n-word string never acts as a key on
+    // either engine); generate_series is inclusive like sequence, so
+    // short docs vanish identically under the len ≥ 3 guard.
     "q81_source_overlap" ->
-      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
-        |           FROM documents),
+      s"""WITH w0 AS (SELECT source, string_split(text, ' ') AS w
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |wh AS (SELECT source,
+        |    $sqlWordFolds
+        |  FROM w0),
         |g AS (SELECT DISTINCT source, g FROM (
-        |        SELECT source, unnest(list_transform(
-        |          range(1, len(ws) - 1),
-        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
-        |        FROM w WHERE len(ws) >= 3))
+        |        SELECT source, ${sqlGramKey(3)} AS g
+        |        FROM (SELECT source, h1, h2,
+        |                unnest(generate_series(1, len(h1) - 2)) AS i
+        |              FROM wh) t1))
         |SELECT a.source AS src_a, b.source AS src_b,
         |  COUNT(*) AS n_shared
         |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q82_source_novelty" ->
-      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
-        |           FROM documents),
+      s"""WITH w0 AS (SELECT source, string_split(text, ' ') AS w
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |wh AS (SELECT source,
+        |    $sqlWordFolds
+        |  FROM w0),
         |g AS (SELECT DISTINCT source, g FROM (
-        |        SELECT source, unnest(list_transform(
-        |          range(1, len(ws) - 1),
-        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
-        |        FROM w WHERE len(ws) >= 3)),
+        |        SELECT source, ${sqlGramKey(3)} AS g
+        |        FROM (SELECT source, h1, h2,
+        |                unnest(generate_series(1, len(h1) - 2)) AS i
+        |              FROM wh) t1)),
         |sp AS (SELECT source, g,
         |         COUNT(*) OVER (PARTITION BY g) AS n_src FROM g)
         |SELECT source, COUNT(*) AS n_grams,

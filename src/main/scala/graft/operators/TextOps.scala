@@ -398,18 +398,24 @@ object TextOps {
   private val fuzzyPairsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** Memoized 6-round BPE training state shared by q229 (merge table)
-    * and q231 (encoding readout) — the training loop runs ~30 tiny
-    * jobs (per-round checkpoints), worth computing once per
-    * (session, dir). Both returned frames are already eagerly
-    * checkpointed by the loop. */
+  /** Memoized 6-merge BPE training state shared by q229 (merge
+    * table), q231/q241 (encoding readouts), q238 (budget curve) and
+    * q249 (unseen-text encoder) — worth computing once per
+    * (session, dir). Round 12: the producer is the
+    * SEQUENTIAL-EQUIVALENT batched trainer ([[bpeTrainStateBatched]],
+    * k = 4) — provably the same three components as
+    * `bpeTrainState(rounds = 6)` (equivalence pinned at this memo
+    * boundary in TextOpsSpec), in fewer distributed rounds: the
+    * production-trainer swap the q248 experiment existed to earn.
+    * All returned frames are eagerly checkpointed by the loop. */
   private val bpeStateCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame, Seq[(Long, Long)])]
 
   def bpeState6(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, Seq[(Long, Long)]) =
     bpeStateCache.getOrElseUpdate((spark, dir),
-      bpeTrainState(load(spark, dir, "documents"), rounds = 6))
+      bpeTrainStateBatched(load(spark, dir, "documents"),
+        merges = 6, k = 4))
 
   /** Drop this object's memoized frames (see [[Memos.clearAll]]). */
   private[operators] def clearMemos(): Unit = {
@@ -814,6 +820,160 @@ object TextOps {
     }
     (merges.reduce(_ unionAll _).orderBy("merge_round"), s,
       totals.toSeq)
+  }
+
+  /** SEQUENTIAL-EQUIVALENT batched BPE training state — the round-12
+    * memo producer behind [[bpeState6]]: multiple merges per
+    * distributed round, yet PROVABLY the same (merges, final state,
+    * per-ordinal totals) as [[bpeTrainState]], so the five gated
+    * readouts riding the memo (q229/q231/q238/q241/q249) keep their
+    * sequential-replay oracles exact on ANY corpus — equivalence is
+    * by construction, not fixture luck (q248's `bpeTrainBatched`
+    * keeps the throughput-first skip-conflicts rule WITH the batched
+    * caveat; this trainer trades acceptance count for exactness).
+    *
+    * Per round, rank all pairs (weight desc, l, r), take the top
+    * k + 1, and accept the maximal prefix c₁..c_j such that
+    *  (a) c₂..c_j are pairwise symbol-disjoint and disjoint from c₁
+    *      — stop at the FIRST conflict, never skip past it, and
+    *  (b) every accepted cᵢ (i ≥ 2) has weight STRICTLY above the
+    *      boundary W = weight of the stop candidate (the first
+    *      conflict, or c_{k+1}; no boundary when fewer pairs exist).
+    *
+    * Why that equals k=1 sequential: disjoint merges leave each
+    * other's pair counts AND leftmost-greedy match sites invariant
+    * (a merge can only change adjacencies touching its own symbols),
+    * so the unchanged ranking prefix is exactly what sequential
+    * argmax visits — and every pair a merge MINTS ((x, l·r) etc.)
+    * is bounded by a pair CONTAINING l or r, i.e. a conflicted
+    * candidate, whose weight is ≤ W < accepted weights by (b). Ties
+    * between accepted candidates resolve by the same (l, r) order
+    * both trainers share. TextOpsSpec pins all three returned
+    * components ≡ [[bpeTrainState]] on the fixture corpus plus a
+    * planted tie/conflict corpus.
+    *
+    * Totals per ORDINAL (q238's curve) still exist under batching:
+    * disjointness makes applications order-independent, so the state
+    * total after sequential merge i is total_before − Σ_{≤i}
+    * applied(c), with applied counts read off the batch's own merge
+    * sites (one ≤ j-row aggregate per round). */
+  def bpeTrainStateBatched(docs: DataFrame, merges: Int, k: Int)
+      : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
+    require(merges >= 1 && k >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    var s = wc.filter(length(col("w")) >= 1)
+      .select(col("w"), col("c"),
+        posexplode(expr(
+          "transform(sequence(1, char_length(w)), i -> substr(w, i, 1))"))
+          .as(Seq("p0", "sym")))
+      .select(col("w"), col("c"),
+        (col("p0") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint()
+    val byPos = Window.partitionBy("w").orderBy("pos")
+    val mergeRows =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val totals = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var tot = { // round-0 total (character count), q229 convention
+      val r = s.agg(sum(col("c"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    totals += ((0L, tot))
+    var ordinal = 0L
+    var exhausted = false
+    while (ordinal < merges && !exhausted) {
+      val a = s.select(col("w"), col("c"), col("pos"), col("sym"),
+        lead(col("sym"), 1).over(byPos).as("nsym"),
+        row_number().over(byPos).cast("long").as("rn"))
+        .localCheckpoint()
+      val cand = a.filter(col("nsym").isNotNull)
+        .groupBy(col("sym").as("merge_l"), col("nsym").as("merge_r"))
+        .agg(sum(col("c")).as("weight"))
+        .orderBy(col("weight").desc, col("merge_l"), col("merge_r"))
+        .limit(k + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cand.isEmpty) exhausted = true
+      else {
+        // (a) maximal disjoint prefix, stopping at the first conflict
+        val used = scala.collection.mutable.Set.empty[String]
+        var stop = cand.length // index of the stop candidate, if any
+        var i = 0
+        var halted = false
+        while (i < cand.length && !halted) {
+          val (l, r, _) = cand(i)
+          if (used(l) || used(r)) { stop = i; halted = true }
+          else { used += l; used += r; i += 1 }
+        }
+        val prefixEnd = if (halted) stop else math.min(cand.length, k)
+        // (b) boundary weight: first conflict, else c_{k+1} if present
+        val boundary: Option[Long] =
+          if (halted) Some(cand(stop)._3)
+          else if (cand.length > k) Some(cand(k)._3)
+          else None
+        val accepted = cand.take(prefixEnd).zipWithIndex
+          .takeWhile { case ((_, _, w), idx) =>
+            idx == 0 || boundary.forall(w > _)
+          }
+          .map(_._1)
+          .take((merges - ordinal).toInt)
+        val accDf = accepted.toSeq.map(t => (t._1, t._2))
+          .toDF("merge_l", "merge_r")
+        val m = a.join(broadcast(accDf),
+          col("sym") === col("merge_l") && col("nsym") === col("merge_r"))
+          .select(col("w"), col("rn"))
+        val g = m
+          .select(col("w"), col("rn"),
+            (col("rn") - row_number().over(
+              Window.partitionBy("w").orderBy("rn"))).as("island"))
+          .select(col("w"), col("rn"),
+            (((col("rn") - min(col("rn")).over(
+              Window.partitionBy("w", "island"))) % 2) === 0).as("mg"))
+          .filter(col("mg"))
+          .select(col("w"), col("rn"))
+          .localCheckpoint()
+        // weighted applied-site counts per accepted pair (≤ j rows) —
+        // cross-pair sites are never rank-consecutive (disjointness),
+        // so (sym, nsym) of a merged row identifies its pair
+        val applied = g.as("gg")
+          .join(a.as("aa"), col("aa.w") === col("gg.w")
+            && col("aa.rn") === col("gg.rn"))
+          .groupBy(col("aa.sym").as("l"), col("aa.nsym").as("r"))
+          .agg(sum(col("aa.c")).as("applied"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        accepted.foreach { case (l, r, w) =>
+          mergeRows += ((ordinal, l, r, w))
+          tot -= applied.getOrElse((l, r), 0L)
+          ordinal += 1L
+          totals += ((ordinal, tot))
+        }
+        s = a.as("aa")
+          .join(g.as("gg"), col("aa.w") === col("gg.w")
+            && col("aa.rn") === col("gg.rn"), "left")
+          .join(g.as("gp"), col("aa.w") === col("gp.w")
+            && col("aa.rn") - 1 === col("gp.rn"), "left")
+          .filter(col("gp.rn").isNull)
+          .select(col("aa.w").as("w"), col("aa.c").as("c"),
+            col("aa.pos").as("pos"),
+            when(col("gg.rn").isNotNull,
+              concat(col("aa.sym"), col("aa.nsym")))
+              .otherwise(col("aa.sym")).as("sym"))
+          .localCheckpoint()
+      }
+    }
+    // pair-exhausted corpora: sequential k=1 pads idle rounds with the
+    // unchanged total — mirror it so the totals curve has the same
+    // length on degenerate inputs too
+    while (totals.size <= merges)
+      totals += ((totals.size.toLong, tot))
+    (mergeRows.toSeq
+      .toDF("merge_round", "merge_l", "merge_r", "weight")
+      .orderBy("merge_round").localCheckpoint(),
+      s, totals.toSeq)
   }
 
   def q229BpeMerges(spark: SparkSession, dir: String): DataFrame =
@@ -1222,6 +1382,122 @@ object TextOps {
       .orderBy("rank")
   }
 
+  // ------------------------------------------------------- q255/q256
+
+  /** MULTI-QUERY BM25 (round 12 — the verdict-r11 generalization of
+    * q247's single fixed term set): scores a whole QUERY TABLE
+    * (query_id, term) in one pass, per-query top-k. A retrieval stack
+    * serves batches, not one query — this is the batched-serving
+    * shape: the per-term fixed-point arithmetic is byte-identical to
+    * [[bm25TopDocs]] (one canonical div chain), the query table
+    * broadcasts into the tf frame BEFORE anything else, so the
+    * fan-out is Σ postings over ALL queries' terms grouped by
+    * query_id, never |queries|·|corpus|. Terms with no postings
+    * contribute nothing (inner join on the df frame), matching every
+    * real scorer. Per-query top-k is one rank window PARTITIONED by
+    * query_id — the sort input is the postings-bounded scored set,
+    * never the corpus, and no single task ever sorts more than one
+    * query's candidates. */
+  def bm25TopDocsMulti(docs: DataFrame, queries: DataFrame,
+      topK: Int = 10): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = queries.select(col("query_id"), col("term"))
+      .join(dfr, "term")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("t_tokens"),
+        count(lit(1)).as("d_docs"))
+      .withColumn("avgdl_e3", expr("(t_tokens * 1000) div d_docs"))
+    val scored = tf.join(broadcast(qt), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_x", expr("(d_docs * 1000000) div df"))
+      .withColumn("ratio_e3", expr("(dl * 1000000) div avgdl_e3"))
+      .withColumn("norm_e3", expr("250 + (750 * ratio_e3) div 1000"))
+      .withColumn("den_e3",
+        expr("tf * 1000 + (1200 * norm_e3) div 1000"))
+      .withColumn("tscore",
+        expr("(idf_x * ((tf * 2200 * 1000000) div den_e3)) div 1000000"))
+    val ds = scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("tscore")).as("score"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    ds.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_terms"))
+  }
+
+  /** The deterministic 3-query table q255/q256 run: df-ranks 11–15 /
+    * 16–20 / 21–25 under the (df desc, term) total order → query_ids
+    * 1/2/3 (q247's mid-head selection, widened — past the stopword
+    * crown, postings still real). */
+  private def bm25QueryTable(docs: DataFrame): DataFrame = {
+    val dfr = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val qOrder = Seq(col("df").desc, col("term"))
+    dfr.orderBy(qOrder: _*).limit(25)
+      .withColumn("qrank", row_number().over(Window.orderBy(qOrder: _*)))
+      .filter(col("qrank") >= 11)
+      .select(expr("(qrank - 11) div 5 + 1").cast("long").as("query_id"),
+        col("term"))
+  }
+
+  def q255Bm25Multi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    bm25TopDocsMulti(docs, bm25QueryTable(docs), topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Q256: PER-QUERY RETRIEVAL EVAL (q253's shape over the q255 multi-
+    * query run) — MRR/e6, precision@10/bp, hits@50 and the relevance-
+    * set size per query, against the CONJUNCTIVE-CONTAINMENT proxy: a
+    * doc is relevant to a query iff it contains ALL the query's terms
+    * (the engine-replayable pseudo-relevance every lexical eval can
+    * fall back on — does BM25 put the conjunctive matches first?).
+    *
+    * Scale: the relevance set is postings-bounded (distinct (doc,
+    * term) semi-joined to the broadcast query table, grouped, HAVING
+    * count = query size); metrics are one aggregate over ≤ 50 rows
+    * per query. */
+  def q256RetrievalEvalMulti(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val queries = bm25QueryTable(docs)
+    val top = bm25TopDocsMulti(docs, queries, topK = 50)
+    val qsz = queries.groupBy("query_id").agg(count(lit(1)).as("qn"))
+    val dterm = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val rel = dterm.join(broadcast(queries), "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nt"))
+      .join(broadcast(qsz), "query_id")
+      .filter(col("nt") === col("qn"))
+      .select(col("query_id"), col("doc_id"), lit(1L).as("is_rel"))
+    val nrel = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"))
+    top.join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(coalesce(col("is_rel"), lit(0L))).as("hits_at_50"),
+        coalesce(min(when(col("is_rel").isNotNull, col("rank"))),
+          lit(0L)).as("first_rel_rank"),
+        sum(when(col("is_rel").isNotNull && col("rank") <= 10, 1L)
+          .otherwise(0L)).as("h10"))
+      .join(nrel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits_at_50"), col("first_rel_rank"),
+        expr("CASE WHEN first_rel_rank > 0 THEN 1000000 div " +
+          "first_rel_rank ELSE 0 END").as("mrr_e6"),
+        expr("(h10 * 10000) div 10").as("p_at_10_bp"))
+      .orderBy("query_id")
+  }
+
   // ---------------------------------------------------------------- q149
 
   /** Q149: BIGRAM-MODEL surprisal scoring — train bigram + unigram
@@ -1578,6 +1854,8 @@ object TextOps {
     "q229_bpe_merges" -> (q229BpeMerges _),
     "q248_bpe_batched" -> (q248BpeBatched _),
     "q247_bm25" -> (q247Bm25 _),
+    "q255_bm25_multi" -> (q255Bm25Multi _),
+    "q256_retrieval_eval_multi" -> (q256RetrievalEvalMulti _),
     "q249_bpe_encode_unseen" -> (q249BpeEncodeUnseen _),
     "q231_bpe_encode" -> (q231BpeEncode _),
     "q238_bpe_curve" -> (q238BpeCurve _),
@@ -1820,6 +2098,91 @@ object TextOps {
       |  SELECT doc_id, CAST(SUM(tscore) AS BIGINT) AS score,
       |    CAST(COUNT(*) AS BIGINT) AS n_terms
       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** The shared q255/q256 multi-query chain: q247's fixed-point BM25
+    * arithmetic verbatim, the deterministic 3-query table (df-ranks
+    * 11–25 in groups of 5), per-query rank window. */
+  private val bm25MultiCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |dfr AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY term),
+      |qt AS (
+      |  SELECT CAST((qrank - 11) // 5 + 1 AS BIGINT) AS query_id,
+      |    term, df
+      |  FROM (
+      |    SELECT term, df,
+      |      ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrank
+      |    FROM dfr) t WHERE qrank BETWEEN 11 AND 25),
+      |dl AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |  FROM toks GROUP BY doc_id),
+      |tot AS (
+      |  SELECT t_tokens, d_docs, (t_tokens * 1000) // d_docs AS avgdl_e3
+      |  FROM (SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens,
+      |          CAST(COUNT(*) AS BIGINT) AS d_docs FROM dl) t0),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    (((d_docs * 1000000) // df) *
+      |     ((tf.tf * 2200 * 1000000) //
+      |      (tf.tf * 1000 +
+      |       (1200 * (250 + (750 * ((dl.dl * 1000000) // avgdl_e3))
+      |         // 1000)) // 1000))) // 1000000 AS tscore
+      |  FROM tf JOIN qt USING (term)
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN tot),
+      |ds AS (
+      |  SELECT query_id, doc_id, CAST(SUM(tscore) AS BIGINT) AS score,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms
+      |  FROM scored GROUP BY query_id, doc_id),
+      |rk AS (
+      |  SELECT query_id, doc_id, score, n_terms,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM ds)""".stripMargin
+
+  private val bm25MultiOracle: String = bm25MultiCtes +
+    """
+      |SELECT query_id, rank, doc_id, score, n_terms
+      |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private val retrievalEvalMultiOracle: String = bm25MultiCtes +
+    """,
+      |top50 AS (SELECT * FROM rk WHERE rank <= 50),
+      |qsz AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS qn
+      |        FROM qt GROUP BY query_id),
+      |dterm AS (SELECT DISTINCT doc_id, term FROM toks),
+      |rel AS (
+      |  SELECT c.query_id, c.doc_id FROM (
+      |    SELECT q.query_id, d.doc_id, COUNT(*) AS nt
+      |    FROM dterm d JOIN qt q USING (term)
+      |    GROUP BY q.query_id, d.doc_id) c
+      |  JOIN qsz USING (query_id) WHERE c.nt = qsz.qn),
+      |nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      |         FROM rel GROUP BY query_id),
+      |m AS (
+      |  SELECT t.query_id,
+      |    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS hits_at_50,
+      |    CAST(COALESCE(MIN(CASE WHEN r.doc_id IS NOT NULL
+      |      THEN t.rank END), 0) AS BIGINT) AS first_rel_rank,
+      |    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL AND t.rank <= 10
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS h10
+      |  FROM top50 t LEFT JOIN rel r
+      |    ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+      |  GROUP BY t.query_id)
+      |SELECT m.query_id, COALESCE(n_rel, 0) AS n_rel, hits_at_50,
+      |  first_rel_rank,
+      |  CASE WHEN first_rel_rank > 0 THEN 1000000 // first_rel_rank
+      |       ELSE 0 END AS mrr_e6,
+      |  (h10 * 10000) // 10 AS p_at_10_bp
+      |FROM m LEFT JOIN nrel USING (query_id)
+      |ORDER BY m.query_id""".stripMargin
 
   /** q248: 3 batched rounds, then global acceptance ordinals (rounds
     * in order, rank within round) — the Scala trainer's numbering. */
@@ -2086,6 +2449,12 @@ object TextOps {
         |    AS BIGINT) AS rank,
         |  doc_id, score, n_terms
         |FROM ds ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+    // q255: the q247 arithmetic over the deterministic 3-query table
+    // (df-ranks 11–25 grouped by 5), per-query ROW_NUMBER top-10.
+    "q255_bm25_multi" -> bm25MultiOracle,
+    // q256: the q255 chain + conjunctive-containment relevance
+    // (doc ⊇ query terms) + per-query integer MRR/p@10/hits@50.
+    "q256_retrieval_eval_multi" -> retrievalEvalMultiOracle,
     // q231: the q229 chain + tokens-per-word off the final state,
     // joined to per-source word counts.
     "q231_bpe_encode" -> bpeEncodeOracle,

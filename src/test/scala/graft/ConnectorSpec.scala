@@ -291,4 +291,131 @@ class ConnectorSpec extends AnyFunSuite {
     new FileSource(in.toString, sourceConfig("files2"), broker).run()
     assert(broker.endOffset(TopicPartition("files2", 0)) == 2)
   }
+
+  // ----------------------------------------------------- chaos property
+
+  /** Consumer decorator injecting the chaos the reference exercises via
+    * mock call-order assertions (test_pyconnectsink.py): commit
+    * failures (transient — absorbed by K10 retry — or persistent →
+    * crash) and a mid-run REBALANCE (revoke + reassign ≡ re-subscribe:
+    * the in-memory position falls back to the last committed offset,
+    * the at-least-once replay hazard). */
+  private class ChaosConsumer(inner: TransportConsumer,
+      var commitFailures: Int, rebalanceAtPoll: Option[Int],
+      topics: Seq[String]) extends TransportConsumer {
+    private var polls = 0
+    def subscribe(ts: Seq[String]): Unit = inner.subscribe(ts)
+    def poll(timeoutMs: Long): Poll = {
+      polls += 1
+      if (rebalanceAtPoll.contains(polls)) inner.subscribe(topics)
+      inner.poll(timeoutMs)
+    }
+    def commit(offsets: Map[TopicPartition, Long]): Unit = {
+      if (commitFailures > 0) {
+        commitFailures -= 1; sys.error("commit failed (chaos)")
+      }
+      inner.commit(offsets)
+    }
+    def committed(tp: TopicPartition): Option[Long] = inner.committed(tp)
+    def assignment: Seq[TopicPartition] = inner.assignment
+    def lastMessage(topic: String): Option[Message] =
+      inner.lastMessage(topic)
+    def close(): Unit = inner.close()
+  }
+
+  private class ChaosSink(broker: InMemoryBroker, flushInterval: Int,
+      failFlushAtMsg: Option[Int], commitFailures: Int,
+      rebalanceAtPoll: Option[Int], flushedUnion: mutable.Set[String])
+      extends GraftSink(sinkConfig(), broker) {
+    private val pending = mutable.ArrayBuffer[String]()
+    private var flushCrashArmed = failFlushAtMsg
+    private var seen = 0
+    private var iterations = 0
+    override protected def makeConsumer(): TransportConsumer =
+      new ChaosConsumer(broker.consumer(config.groupId),
+        commitFailures, rebalanceAtPoll, config.topics)
+    protected def onMessageReceived(msg: Message): Option[Status] = {
+      seen += 1; pending += decodeFramed(msg.value).toString; None
+    }
+    override protected def needFlush(): Boolean =
+      seen > 0 && seen % flushInterval == 0
+    protected def onFlush(): Option[Status] = {
+      if (flushCrashArmed.exists(_ <= seen) && pending.nonEmpty) {
+        flushCrashArmed = None; sys.error("flush failed (chaos)")
+      }
+      // a SUCCESSFUL flush persists: only now may these records be
+      // covered by a commit (K9's at-least-once contract)
+      flushedUnion ++= pending; pending.clear(); None
+    }
+    override protected def onNoMessageReceived(): Option[Status] =
+      if (hasPartitionAssignments && allPartitionsAtEof)
+        Some(Status.Stopped)
+      else None
+    override protected def runOnce(): Option[Status] = {
+      iterations += 1
+      if (iterations > 500) sys.error("loop safety limit hit")
+      super.runOnce()
+    }
+  }
+
+  test("CHAOS PROPERTY (round-12, verdict r11): random interleavings " +
+      "of produce / flush-crash / commit-failure / mid-run rebalance " +
+      "across restarts preserve at-least-once — a committed offset is " +
+      "NEVER ahead of the flushed set, and a final clean incarnation " +
+      "drains every produced record") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    case class Phase(produceN: Int, flushInterval: Int,
+      failFlushAt: Option[Int], commitFailures: Int,
+      rebalanceAtPoll: Option[Int])
+    val phase: Gen[Phase] = for {
+      n <- Gen.choose(0, 5)
+      fi <- Gen.choose(1, 3)
+      ff <- Gen.option(Gen.choose(1, 5))
+      // 0 = healthy, 1 = transient (absorbed by K10 retry),
+      // 99 = persistent (this incarnation crashes on commit)
+      cf <- Gen.frequency(4 -> Gen.const(0), 2 -> Gen.const(1),
+        1 -> Gen.const(99))
+      rb <- Gen.option(Gen.choose(1, 8))
+    } yield Phase(n, fi, ff, cf, rb)
+    val scenario: Gen[List[Phase]] = Gen.choose(1, 4)
+      .flatMap(k => Gen.listOfN(k, phase))
+    val prop = Prop.forAll(scenario) { phases =>
+      val broker = new InMemoryBroker()
+      val flushedUnion = mutable.Set[String]()
+      var produced = 0
+      def committedOffset: Long =
+        broker.committed("g", TopicPartition("t", 0)).getOrElse(0L)
+      def produceMore(n: Int, tag: Int): Unit = if (n > 0) {
+        val cfg = SourceConfig.fromMap(Map(
+          "bootstrap_servers" -> "localhost:9092",
+          "schema_registry" -> "http://localhost:8081",
+          "topic" -> "t", "offset_topic" -> s"t-offsets-$tag"))
+        new TestSource((produced until produced + n)
+          .map(i => (s"k$i", s"v$i")), broker, cfg).run()
+        produced += n
+      }
+      var invariant = true
+      phases.zipWithIndex.foreach { case (ph, i) =>
+        produceMore(ph.produceN, i)
+        val sink = new ChaosSink(broker, ph.flushInterval,
+          ph.failFlushAt, ph.commitFailures, ph.rebalanceAtPoll,
+          flushedUnion)
+        try sink.run() catch { case _: RuntimeException => () }
+        // K9 invariant after EVERY incarnation, crashed or not:
+        // committed ⇒ previously flushed
+        invariant &&= (0L until committedOffset)
+          .forall(o => flushedUnion.contains(s"v$o"))
+      }
+      // final clean incarnation drains everything that was produced
+      produceMore(1, 1000) // ensure at least one record exists overall
+      val fin = new ChaosSink(broker, 1, None, 0, None, flushedUnion)
+      fin.run()
+      invariant &&
+        committedOffset == produced.toLong &&
+        (0 until produced).forall(i => flushedUnion.contains(s"v$i"))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

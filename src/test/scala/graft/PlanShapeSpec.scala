@@ -403,4 +403,17 @@ class PlanShapeSpec extends SparkSpecBase {
     // the actual failure)
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("q255 multi-query BM25: the query TABLE still broadcasts into " +
+      "tf, per-query top-k is a rank window PARTITIONED by query_id " +
+      "(sorts postings-bounded candidates, never the corpus), no " +
+      "cartesian") {
+    val p = plan(graft.operators.TextOps.q255Bm25Multi(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "query table must broadcast into the tf table:\n" + p.take(1200))
+    assert(p.contains("Window") &&
+      p.contains("windowspecdefinition(query_id"),
+      "per-query rank window must partition by query_id:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }

@@ -515,6 +515,35 @@ class TextOpsSpec extends SparkSpecBase {
     assert(TextOps.bpeTrain(docs, rounds = 1).count() == 1L)
   }
 
+  test("bpeTrainStateBatched ≡ bpeTrainState on ALL THREE components " +
+      "(merge table, final segmentation state, per-ordinal totals) — " +
+      "the round-12 memo-boundary equivalence: hand tie/conflict " +
+      "corpus AND a real documents slice") {
+    import spark.implicits._
+    def mergeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    def stateRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("w", "c", "pos", "sym").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sorted.toSeq
+    // hand corpus: conflicts (a,a)/(a,b) share 'a', plus a disjoint
+    // (c,d) — exercises the stop-at-first-conflict AND the strict
+    // boundary-weight rule
+    val hand = Seq((1L, "aaab aaab ab cd cd cd")).toDF("doc_id", "text")
+    val seqH = TextOps.bpeTrainState(hand, rounds = 4)
+    val batH = TextOps.bpeTrainStateBatched(hand, merges = 4, k = 3)
+    assert(mergeRows(batH._1) == mergeRows(seqH._1))
+    assert(stateRows(batH._2) == stateRows(seqH._2))
+    assert(batH._3 == seqH._3, s"${batH._3} vs ${seqH._3}")
+    val real = graft.Tables.load(spark, sf, "documents").limit(150)
+    val seqR = TextOps.bpeTrainState(real, rounds = 6)
+    val batR = TextOps.bpeTrainStateBatched(real, merges = 6, k = 4)
+    assert(mergeRows(batR._1) == mergeRows(seqR._1))
+    assert(stateRows(batR._2) == stateRows(seqR._2))
+    assert(batR._3 == seqR._3, s"${batR._3} vs ${seqR._3}")
+  }
+
   test("bpeEncodeState: encoder ∘ merge-table = trainer state (seen " +
       "words reproduce their training segmentation exactly), and an " +
       "UNSEEN word segments by the same leftmost-greedy rule (hand " +
