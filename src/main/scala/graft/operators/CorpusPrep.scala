@@ -84,6 +84,81 @@ object CorpusPrep {
       .orderBy("id")
   }
 
+  // ---------------------------------------------------------------- q259
+
+  /** Q259: PII DETECTION AUDIT — per customer nation, how many rows
+    * trip each detector class ([[EmailRe]]/[[PhoneRe]]/[[SsnRe]]) and
+    * the any-PII rate in bp. q65 REDACTS a blob where every row
+    * carries all three classes; the audit needs VARIANCE, so presence
+    * is data-dependent (custkey mod 3/5/7 gates each class — both
+    * engines derive the identical blob) — the governance readout a
+    * privacy review reads per data region before release.
+    *
+    * Scale: pure codegen'd regexp projections + one small-keyed
+    * rollup; at 100 TB this runs at scan speed like q65. */
+  def q259PiiAudit(spark: SparkSession, dir: String): DataFrame = {
+    val blob = concat(lit("row "), col("c_name"),
+      when(col("c_custkey") % 3 === 0, concat(lit(" user"),
+        col("c_custkey").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("c_custkey") % 5 === 0, concat(lit(" +1-555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("c_custkey") % 7 === 0, lit(" ssn 123-45-6789"))
+        .otherwise(lit("")))
+    load(spark, dir, "customer")
+      .select(col("c_nationkey").cast(LongType).as("nation"),
+        regexp_count(blob, lit(EmailRe)).cast(LongType).as("em"),
+        regexp_count(blob, lit(PhoneRe)).cast(LongType).as("ph"),
+        regexp_count(blob, lit(SsnRe)).cast(LongType).as("ss"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("em")).as("email_hits"),
+        sum(col("ph")).as("phone_hits"),
+        sum(col("ss")).as("ssn_hits"),
+        sum(when(col("em") + col("ph") + col("ss") > 0, 1L)
+          .otherwise(0L)).as("n_any"))
+      .select(col("nation"), col("n_rows"), col("email_hits"),
+        col("phone_hits"), col("ssn_hits"),
+        expr("(n_any * 10000) div n_rows").as("any_pii_bp"))
+      .orderBy("nation")
+  }
+
+  // ---------------------------------------------------------------- q260
+
+  /** Q260: MIXTURE UNDER A TOKEN BUDGET — the data-mixing decision
+    * readout: sources ranked by a quality score (distinct-word ppm of
+    * token volume — the TTR signal, richer text first), then greedily
+    * allocated whole into a 40%-of-corpus token budget; the source
+    * that overflows takes the remainder, later sources take 0. Emits
+    * per source: quality, volume, cumulative position, allocated
+    * tokens and the taken share in bp — the table a mixture
+    * negotiation starts from (q71 hits a TARGET mixture; this SPENDS
+    * a budget quality-first).
+    *
+    * Scale: per-source aggregates are partial-combining; the greedy
+    * scan is a cumsum window over #sources rows (tiny by
+    * construction); budget rides a broadcast 1-row frame. */
+  def q260MixtureBudget(spark: SparkSession, dir: String): DataFrame = {
+    val per = load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("toks"),
+        countDistinct(col("w")).as("dw"))
+      .withColumn("quality_ppm", expr("(dw * 1000000) div toks"))
+    val budget = per.agg(expr("(sum(toks) * 2) div 5").as("budget"))
+    val w = Window.orderBy(col("quality_ppm").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(budget))
+      .withColumn("cum_tokens", sum(col("toks")).over(w))
+      .withColumn("alloc", greatest(lit(0L),
+        least(col("toks"), col("budget") - (col("cum_tokens") - col("toks")))))
+      .select(col("source"), col("quality_ppm"), col("toks"),
+        col("cum_tokens"), col("alloc"),
+        expr("(alloc * 10000) div toks").as("taken_bp"))
+      .orderBy(col("quality_ppm").desc, col("source"))
+  }
+
   // ---------------------------------------------------------------- q66
 
   /** Sequence packing — the GPT-style concat-and-chunk pack: per
@@ -122,6 +197,72 @@ object CorpusPrep {
       .select(col("source"), col("chunk"), col("n_docs"), col("tok_sum"),
         col("first_doc"), col("last_doc"))
       .orderBy("source", "chunk")
+
+  // ---------------------------------------------------------------- q257
+
+  /** Q257: PACKING BOUNDARY AUDIT — what the q66 concat-and-chunk pack
+    * COSTS: per source, how many documents straddle a 512-token chunk
+    * boundary (a straddling doc is split across training sequences —
+    * truncated context on one side, mid-document start on the other),
+    * the split rate in ppm, chunks used, and fill. Concat packing is
+    * always 100%-full except the final chunk (fill_ppm states it);
+    * the split rate is the real quality knob a packer tunes window
+    * size / shard grouping against.
+    *
+    * Scale: rides [[packSequences]]'s one window pass per shard; the
+    * audit is a per-source aggregate over per-doc (start, tokens)
+    * rows — no new shuffle shape. */
+  def q257PackAudit(spark: SparkSession, dir: String): DataFrame =
+    packSequences(load(spark, dir, "documents"), "source", "doc_id",
+      size(split(col("text"), " ")), 512)
+      .withColumn("lastc", expr("(start + tokens - 1) div 512"))
+      .groupBy(col("shard").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tok_sum"),
+        sum(when(col("lastc") =!= col("chunk"), 1L).otherwise(0L))
+          .as("n_split"),
+        (max(col("lastc")) + 1L).as("n_chunks"))
+      .select(col("source"), col("n_docs"), col("tok_sum"),
+        col("n_split"),
+        expr("(n_split * 1000000) div n_docs").as("split_ppm"),
+        col("n_chunks"),
+        expr("(tok_sum * 1000000) div (n_chunks * 512)").as("fill_ppm"))
+      .orderBy("source")
+
+  // ---------------------------------------------------------------- q258
+
+  /** Q258: CONTEXT-LENGTH BUDGET SWEEP — for candidate context sizes
+    * {128, 256, 512, 1024}, what each costs on this corpus when every
+    * document becomes ONE (truncated, padded) sequence: docs over the
+    * limit, tokens lost to truncation, pad tokens wasted under the
+    * limit, and utilization in ppm. THE table a context-size decision
+    * is read from (the complementary readout to q66/q257: those
+    * measure packing, this measures the no-packing baseline that
+    * fine-tuning pipelines actually run).
+    *
+    * Scale: one scan; the 4-config fan-out is a per-row explode of a
+    * 4-element literal; per-config rollups are partial-combining. */
+  def q258ContextSweep(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast(LongType).as("toks"))
+      .select(col("toks"), explode(typedlit(
+        Seq(128L, 256L, 512L, 1024L))).as("ctx"))
+      .groupBy("ctx")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tok_sum"),
+        sum(when(col("toks") > col("ctx"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(greatest(col("toks") - col("ctx"), lit(0L)))
+          .as("tokens_lost"),
+        sum(greatest(col("ctx") - col("toks"), lit(0L)))
+          .as("pad_waste"),
+        sum(least(col("toks"), col("ctx"))).as("kept"))
+      .select(col("ctx"), col("n_docs"), col("n_truncated"),
+        expr("(n_truncated * 1000000) div n_docs").as("truncated_ppm"),
+        col("tokens_lost"), col("pad_waste"),
+        expr("(kept * 1000000) div (n_docs * ctx)")
+          .as("utilization_ppm"))
+      .orderBy("ctx")
 
   // ---------------------------------------------------------------- q67
 
@@ -704,6 +845,10 @@ object CorpusPrep {
     "q82_source_novelty" -> (q82SourceNovelty _),
     "q83_len_hist" -> (q83LengthHistogram _),
     "q87_len_percentiles" -> (q87LenPercentiles _),
+    "q257_pack_audit" -> (q257PackAudit _),
+    "q258_context_sweep" -> (q258ContextSweep _),
+    "q259_pii_audit" -> (q259PiiAudit _),
+    "q260_mixture_budget" -> (q260MixtureBudget _),
   )
 
   /** DuckDB replay of the [[gramKeyStream]] word-fold arrays — h1/h2
@@ -825,6 +970,123 @@ object CorpusPrep {
         |    len(regexp_extract_all(blob, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
         |    AS BIGINT) AS pii_found
         |FROM blobs ORDER BY id""".stripMargin,
+    // q257: the q66 placement replayed, then (first chunk ≠ last
+    // chunk) = a boundary-straddling doc; window SUM is HUGEINT in
+    // DuckDB → CAST.
+    "q257_pack_audit" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |placed AS (
+        |  SELECT source, tokens,
+        |    CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - tokens AS BIGINT) AS start
+        |  FROM toks),
+        |a AS (
+        |  SELECT source, tokens, start // 512 AS chunk,
+        |    (start + tokens - 1) // 512 AS lastc
+        |  FROM placed),
+        |g AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(tokens) AS BIGINT) AS tok_sum,
+        |    CAST(SUM(CASE WHEN lastc <> chunk THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_split,
+        |    MAX(lastc) + 1 AS n_chunks
+        |  FROM a GROUP BY source)
+        |SELECT source, n_docs, tok_sum, n_split,
+        |  (n_split * 1000000) // n_docs AS split_ppm, n_chunks,
+        |  (tok_sum * 1000000) // (n_chunks * 512) AS fill_ppm
+        |FROM g ORDER BY source""".stripMargin,
+    // q258: same 4-config fan-out (unnest of a literal list), same
+    // integer truncation/padding arithmetic.
+    "q258_context_sweep" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |e AS (
+        |  SELECT toks, CAST(ctx AS BIGINT) AS ctx FROM d,
+        |    unnest([128, 256, 512, 1024]) AS t(ctx)),
+        |g AS (
+        |  SELECT ctx, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN toks > ctx THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_truncated,
+        |    CAST(SUM(greatest(toks - ctx, 0)) AS BIGINT) AS tokens_lost,
+        |    CAST(SUM(greatest(ctx - toks, 0)) AS BIGINT) AS pad_waste,
+        |    CAST(SUM(least(toks, ctx)) AS BIGINT) AS kept
+        |  FROM e GROUP BY ctx)
+        |SELECT ctx, n_docs, n_truncated,
+        |  (n_truncated * 1000000) // n_docs AS truncated_ppm,
+        |  tokens_lost, pad_waste,
+        |  (kept * 1000000) // (n_docs * ctx) AS utilization_ppm
+        |FROM g ORDER BY ctx""".stripMargin,
+    // q259: identical data-dependent blob construction (mod gates),
+    // the q65 regex dialect (regexp_extract_all counts = Spark
+    // regexp_count), any-PII rate in bp.
+    "q259_pii_audit" ->
+      """WITH b AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    'row ' || c_name ||
+        |    CASE WHEN c_custkey % 3 = 0 THEN ' user' ||
+        |      CAST(c_custkey AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN c_custkey % 5 = 0 THEN ' +1-555-' ||
+        |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN c_custkey % 7 = 0 THEN ' ssn 123-45-6789'
+        |      ELSE '' END AS blob
+        |  FROM customer),
+        |c AS (
+        |  SELECT nation,
+        |    CAST(len(regexp_extract_all(blob,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |      AS BIGINT) AS em,
+        |    CAST(len(regexp_extract_all(blob,
+        |      '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS ph,
+        |    CAST(len(regexp_extract_all(blob,
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS ss
+        |  FROM b),
+        |g AS (
+        |  SELECT nation, COUNT(*) AS n_rows,
+        |    CAST(SUM(em) AS BIGINT) AS email_hits,
+        |    CAST(SUM(ph) AS BIGINT) AS phone_hits,
+        |    CAST(SUM(ss) AS BIGINT) AS ssn_hits,
+        |    CAST(SUM(CASE WHEN em + ph + ss > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_any
+        |  FROM c GROUP BY nation)
+        |SELECT nation, n_rows, email_hits, phone_hits, ssn_hits,
+        |  (n_any * 10000) // n_rows AS any_pii_bp
+        |FROM g ORDER BY nation""".stripMargin,
+    // q260: same per-source TTR quality, same 40% budget, same greedy
+    // cumsum clamp; window SUM cast (HUGEINT), ties impossible
+    // (source is unique in the order).
+    "q260_mixture_budget" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS toks,
+        |    CAST(COUNT(DISTINCT w) AS BIGINT) AS dw
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) t
+        |  GROUP BY source),
+        |q AS (
+        |  SELECT source, (dw * 1000000) // toks AS quality_ppm, toks
+        |  FROM per),
+        |b AS (
+        |  SELECT (CAST(SUM(toks) AS BIGINT) * 2) // 5 AS budget
+        |  FROM per),
+        |c AS (
+        |  SELECT source, quality_ppm, toks,
+        |    CAST(SUM(toks) OVER (ORDER BY quality_ppm DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT source, quality_ppm, toks, cum_tokens,
+        |  greatest(0, least(toks, budget - (cum_tokens - toks)))
+        |    AS alloc,
+        |  (greatest(0, least(toks, budget - (cum_tokens - toks)))
+        |    * 10000) // toks AS taken_bp
+        |FROM c CROSS JOIN b
+        |ORDER BY quality_ppm DESC, source""".stripMargin,
     // q66: running token sum per source in doc_id order; a doc's chunk
     // is where its first token lands. `//` = Spark's `div`.
     "q66_seq_pack" ->

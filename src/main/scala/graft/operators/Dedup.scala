@@ -1008,6 +1008,41 @@ object Dedup {
   def q33cNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     exactPairs(spark, dir).orderBy("doc_a", "doc_b")
 
+  /** Q263: SIMHASH DISTANCE SPECTRUM — the Hamming-distance histogram
+    * between each original doc's signature and its planted near-dup
+    * twin's (the last-3-words-dropped derivation the q33 family
+    * shares): how SENSITIVE the 64-bit sketch is to a real small
+    * edit, measured as a distribution — the calibration readout that
+    * justifies (or indicts) a maxHamming threshold the way q244's
+    * S-curve justifies a banding config. Engine-shared signatures
+    * (`graft_simhash_mod` over per-occurrence polyhash tokens — the
+    * round-10 flip), so the histogram is oracle-gated, not a spec
+    * number.
+    *
+    * Scale: signatures are a per-row projection; the twin join is
+    * id-keyed 1:1 (never all-pairs); the histogram is a ≤ 65-group
+    * aggregate. */
+  def q263SimhashSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SignatureExprs.register(spark)
+    val sigs = docsWithNearDups(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        call_function("graft_simhash_mod",
+          transform(split(col("text"), " "),
+            t => call_function("graft_polyhash", t))).as("sig"))
+    val orig = sigs.filter(col("doc_id") < NearDupIdOffset)
+      .select(col("doc_id").as("k"), col("sig").as("sa"))
+    val twin = sigs.filter(col("doc_id") >= NearDupIdOffset)
+      .select((col("doc_id") - NearDupIdOffset).as("k"),
+        col("sig").as("sb"))
+    orig.join(twin, "k")
+      .select(aggregate(zip_with(col("sa"), col("sb"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, h) => acc + h).as("hamming"))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
   /** Round 10: graded on the ENGINE-SHARED hyperplane form — the
     * candidate set is a deterministic function of the shared signatures,
     * so the whole LSH pipeline sits under the hard oracle (the
@@ -1434,6 +1469,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33a_minhash_pairs" -> (q33aMinhash _),
     "q33b_simhash_pairs" -> (q33bSimhash _),
+    "q263_simhash_spectrum" -> (q263SimhashSpectrum _),
     "q33c_ngram_jaccard_pairs" -> (q33cNgramJaccard _),
     "q33d_embed_neardup_pairs" -> (q33dEmbedNearDup _),
     "q33e_dedup_survivors" -> (q33eDedupSurvivors _),
@@ -1566,6 +1602,43 @@ object Dedup {
        |lsh_pairs AS (SELECT * FROM lsh_raw WHERE jaccard >= 0.5)"""
       .stripMargin
 
+  /** The shared q33b/q263 SimHash signature chain (corpus with planted
+    * near-dup twins → per-occurrence polyhash token counts →
+    * universal-hash parity votes → 4×16-bit packed bands → ordered
+    * band-list signature) — one SQL source of truth. */
+  private val simhashSigCtes: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(string_split(text, ' ')[1:greatest(
+       |      len(string_split(text, ' ')) - 3, 1)], ' ')
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, h, COUNT(*) AS c FROM (
+       |    SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len(w) + 1),
+       |        i -> CAST(ord(substr(w, i, 1)) AS BIGINT))),
+       |      (hh, ch) -> (hh * 31 + ch) % 1000000007) AS h
+       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |          FROM corpus))
+       |  GROUP BY doc_id, h),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    CAST(SUM(CASE WHEN (($sqlA)[j+1] * h + ($sqlB)[j+1])
+       |          % 1000000007 % 2 = 1
+       |        THEN c ELSE -c END) AS BIGINT) AS v
+       |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jt
+       |  GROUP BY doc_id, j),
+       |bnd AS (
+       |  SELECT doc_id, j // 16 AS band,
+       |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (j % 16))
+       |      ELSE 0 END) AS BIGINT) AS bkey
+       |  FROM votes GROUP BY doc_id, j // 16),
+       |sig AS (
+       |  SELECT doc_id, list(bkey ORDER BY band) AS sg
+       |  FROM bnd GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // q33a (round 10): the engine-shared MinHash replayed relationally —
     // identical polyhash shingle values, identical (a·x+b) mod P
@@ -1586,41 +1659,11 @@ object Dedup {
     // token votes via universal-hash parity, 4×16-bit packed bands,
     // band-collision candidates, bit_count(xor) Hamming verify.
     "q33b_simhash_pairs" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000,
-         |    array_to_string(string_split(text, ' ')[1:greatest(
-         |      len(string_split(text, ' ')) - 3, 1)], ' ')
-         |  FROM documents),
-         |tok AS (
-         |  SELECT doc_id, h, COUNT(*) AS c FROM (
-         |    SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, len(w) + 1),
-         |        i -> CAST(ord(substr(w, i, 1)) AS BIGINT))),
-         |      (hh, ch) -> (hh * 31 + ch) % 1000000007) AS h
-         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |          FROM corpus))
-         |  GROUP BY doc_id, h),
-         |votes AS (
-         |  SELECT doc_id, j,
-         |    CAST(SUM(CASE WHEN (($sqlA)[j+1] * h + ($sqlB)[j+1])
-         |          % 1000000007 % 2 = 1
-         |        THEN c ELSE -c END) AS BIGINT) AS v
-         |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jt
-         |  GROUP BY doc_id, j),
-         |bnd AS (
-         |  SELECT doc_id, j // 16 AS band,
-         |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (j % 16))
-         |      ELSE 0 END) AS BIGINT) AS bkey
-         |  FROM votes GROUP BY doc_id, j // 16),
+      (simhashSigCtes + s""",
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bnd a JOIN bnd b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |sig AS (
-         |  SELECT doc_id, list(bkey ORDER BY band) AS sg
-         |  FROM bnd GROUP BY doc_id),
          |ham AS (
          |  SELECT doc_a, doc_b,
          |    CAST(bit_count(xor(sa.sg[1], sb.sg[1]))
@@ -1631,7 +1674,21 @@ object Dedup {
          |  JOIN sig sa ON doc_a = sa.doc_id
          |  JOIN sig sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, hamming FROM ham
-         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin),
+    // q263: the SAME signature chain, then the planted (original,
+    // twin) pair join and the Hamming histogram.
+    "q263_simhash_spectrum" ->
+      (simhashSigCtes + s""",
+         |pr AS (
+         |  SELECT CAST(bit_count(xor(sa.sg[1], sb.sg[1]))
+         |       + bit_count(xor(sa.sg[2], sb.sg[2]))
+         |       + bit_count(xor(sa.sg[3], sb.sg[3]))
+         |       + bit_count(xor(sa.sg[4], sb.sg[4])) AS BIGINT) AS hamming
+         |  FROM sig sa JOIN sig sb
+         |    ON sb.doc_id = sa.doc_id + 1000000
+         |  WHERE sa.doc_id < 1000000)
+         |SELECT hamming, COUNT(*) AS n_pairs FROM pr
+         |GROUP BY hamming ORDER BY hamming""".stripMargin),
     // q244: one shared relational signature (the q33a sigr chain), then
     // per config (8,16,32 bands) band grouping, collision candidates,
     // and exact-jaccard verification with the same |A|+|B|-|∩|

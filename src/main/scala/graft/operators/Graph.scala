@@ -244,6 +244,50 @@ object Graph {
   def q93PageRank(spark: SparkSession, dir: String): DataFrame =
     pageRank(coEdges25(spark, dir)).orderBy("node")
 
+  // ---------------------------------------------------------------- q262
+
+  /** Q262: KATZ CENTRALITY — the path-counting centrality
+    * (s = Σ_k α^k A^k 𝟙) that completes the centrality family next to
+    * PageRank (q93, degree-normalized), PPR (q140, seeded) and HITS
+    * (q250, bipartite): Katz rewards being reachable by MANY short
+    * paths without dividing by out-degree, so a node pointed at by a
+    * few well-connected neighbors can outrank a high-degree hub —
+    * the "influence" reading PageRank's normalization suppresses.
+    *
+    * ENGINE-SHARED integer form: α = 0.15 as (15·Σ) div 100, scores
+    * seeded at 10⁶, 3 fixed rounds, and between rounds the q251/q250
+    * DIVIDE-ONLY max-normalization (s div greatest(mx div 10⁶, 1) —
+    * no pre-division product, so no overflow at ANY degree/scale;
+    * ranking unchanged). Non-negative operands: Spark div ≡ DuckDB //.
+    *
+    * Scale: per round one src-keyed join + one dst-keyed
+    * partial-combining sum + a broadcast 1-row max — q93's shuffle
+    * shape plus the q250 max frame; per-round localCheckpoint. */
+  def katzCentrality(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    var s = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("s"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val mx = s.agg(greatest(max(col("s")), lit(1L)).as("mx"))
+      val sn = s.crossJoin(broadcast(mx))
+        .select(col("node").as("src"),
+          expr("s div greatest(mx div 1000000, 1)").as("sn"))
+      s = sym.join(sn, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(expr("1000000 + (15 * sum(sn)) div 100").as("s"))
+        .localCheckpoint()
+    }
+    val out = s.select(col("node"), col("s").as("score"))
+    sym.unpersist()
+    out
+  }
+
+  def q262Katz(spark: SparkSession, dir: String): DataFrame =
+    katzCentrality(coEdges25(spark, dir)).orderBy("node")
+
   // ---------------------------------------------------------------- q250
 
   /** Q250: HITS hubs & authorities (Kleinberg 1999, public) over the
@@ -897,6 +941,7 @@ object Graph {
     "q175_ra_linkpred" -> (q175RaLinkpred _),
     "q91_triangles" -> (q91Triangles _),
     "q93_pagerank" -> (q93PageRank _),
+    "q262_katz" -> (q262Katz _),
     "q250_hits" -> (q250Hits _),
     "q94_item_similarity" -> (q94ItemSimilarity _),
     "q99_bfs" -> (q99Bfs _),
@@ -1082,6 +1127,36 @@ object Graph {
         |  FROM h3) th WHERE rank <= 20
         |ORDER BY kind, rank""".stripMargin
 
+  /** q262: the pageRankOracle graph CTEs + 3 Katz rounds, each with
+    * the divide-only max-normalization; rounds reference their
+    * predecessor twice (max + normalize) → MATERIALIZED. */
+  private val katzOracle: String = {
+    val iters = (1 to 3).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT greatest(MAX(s), 1) AS mx FROM k${i - 1}),
+         |n$i AS MATERIALIZED (
+         |  SELECT node, s // greatest(mx // 1000000, 1) AS sn
+         |  FROM k${i - 1}, m$i),
+         |k$i AS MATERIALIZED (
+         |  SELECT sym.dst AS node,
+         |    1000000 + (15 * CAST(SUM(n.sn) AS BIGINT)) // 100 AS s
+         |  FROM sym JOIN n$i n ON n.node = sym.src
+         |  GROUP BY sym.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |e AS (
+       |  SELECT a.s AS u, b.s AS v FROM ps a
+       |  JOIN ps b ON a.p = b.p AND a.s < b.s
+       |  GROUP BY a.s, b.s HAVING COUNT(*) >= 25),
+       |sym AS (SELECT u AS src, v AS dst FROM e
+       |        UNION ALL SELECT v AS src, u AS dst FROM e),
+       |k0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS s
+       |       FROM sym),
+       |$iters
+       |SELECT node, s AS score FROM k3 ORDER BY node""".stripMargin
+  }
+
   private val pageRankOracle: String = {
     val iters = (1 to 5).map { i =>
       s"""p$i AS (
@@ -1224,6 +1299,8 @@ object Graph {
         |ORDER BY lift_e6 DESC, conf_e6 DESC, antecedent, consequent
         |LIMIT 100""".stripMargin,
     "q93_pagerank" -> pageRankOracle,
+    // q262: same graph, 3 Katz rounds with divide-only max-normalization.
+    "q262_katz" -> katzOracle,
     // q250: same distinct bipartite edges, same three max-normalized
     // integer half-round pairs (non-negative operands: div ≡ //),
     // same (score desc, id) top-20 per side.

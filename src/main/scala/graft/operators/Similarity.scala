@@ -769,6 +769,47 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  // ---------------------------------------------------------------- q264
+
+  /** Q264: INT8 QUANTIZATION ERROR AUDIT — per embedding label, the
+    * exact reconstruction error of symmetric per-vector int8
+    * quantization (q = (x·127) div max|x|, dequant = (q·mx) div 127 —
+    * every step truncating integer division over e6-scaled
+    * coordinates, identical in both engines): vectors, dimensions,
+    * total / mean / max absolute error in e6 units. Int8 embeddings
+    * are the 4× scan-compression lever at 100 TB (PQ's cruder, cheaper
+    * cousin — qm-free, no codebook); this table is the error budget a
+    * deployment signs off before flipping the storage format.
+    *
+    * Scale: pure per-row projections + one label-keyed
+    * partial-combining rollup; no joins beyond the broadcast-free
+    * per-vector max (a grouped agg on vec_id). Overflow: |x_e6| ≤
+    * ~10⁷ for unit-ish embeddings → x·127 ≤ 1.3·10⁹ ≪ 2⁶³. */
+  def q264QuantAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ex = load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(expr("transform(CAST(embedding AS array<double>)," +
+          " v -> CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))"))
+          .as(Seq("d0", "x")))
+      .select(col("vec_id"), col("label"), col("x"))
+    val mx = ex.groupBy("vec_id")
+      .agg(greatest(max(abs(col("x"))), lit(1L)).as("mx"))
+    ex.join(mx, "vec_id")
+      .select(col("vec_id"), col("label"),
+        abs(col("x") - expr("(((x * 127) div mx) * mx) div 127"))
+          .as("err"))
+      .groupBy("label")
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        count(lit(1)).as("n_dims"),
+        sum(col("err")).as("sum_abs_err_e6"),
+        max(col("err")).as("max_err_e6"))
+      .select(col("label"), col("n_vecs"), col("n_dims"),
+        col("sum_abs_err_e6"),
+        expr("sum_abs_err_e6 div n_dims").as("mean_err_e6"),
+        col("max_err_e6"))
+      .orderBy("label")
+  }
+
   // ---------------------------------------------------------------- q251
 
   /** Q251: EMBEDDING PRINCIPAL DIRECTION — the top eigenvector of the
@@ -1004,6 +1045,7 @@ object Similarity {
     "q230_semantic_dedup" -> (q230SemanticDedup _),
     "q246_kmeans" -> (q246Kmeans _),
     "q251_principal_dir" -> (q251PrincipalDir _),
+    "q264_quant_audit" -> (q264QuantAudit _),
     "q252_hybrid_rrf" -> (q252HybridRrf _),
     "q253_retrieval_eval" -> (q253RetrievalEval _),
     "q205_knn_confusion" -> (q205KnnConfusion _),
@@ -1162,6 +1204,29 @@ object Similarity {
     // advice r11: no pre-division product anywhere, so no overflow at
     // any input scale), same 3 max-|w| power rounds.
     "q251_principal_dir" -> pcaOracle,
+    // q264: same e6 floors, same per-vector max, same truncating
+    // quantize/dequant chain (// ≡ div for any sign), label rollup.
+    "q264_quant_audit" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(floor(CAST(emb[i] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS x
+        |  FROM (SELECT vec_id, label, embedding AS emb,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) t),
+        |m AS (
+        |  SELECT vec_id, greatest(MAX(abs(x)), 1) AS mx
+        |  FROM e GROUP BY vec_id),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    abs(e.x - (((e.x * 127) // mx) * mx) // 127) AS err
+        |  FROM e JOIN m USING (vec_id))
+        |SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |  COUNT(*) AS n_dims,
+        |  CAST(SUM(err) AS BIGINT) AS sum_abs_err_e6,
+        |  CAST(SUM(err) AS BIGINT) // COUNT(*) AS mean_err_e6,
+        |  CAST(MAX(err) AS BIGINT) AS max_err_e6
+        |FROM d GROUP BY label ORDER BY label""".stripMargin,
     // q252: the q247 BM25 chain (shared CTE text, top 50), the q34a
     // cosine discipline against the vec-0 query (top 50), the
     // published k = 60 reciprocal-rank formula in integer ppm-of-1,

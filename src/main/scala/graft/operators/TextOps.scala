@@ -1498,6 +1498,69 @@ object TextOps {
       .orderBy("query_id")
   }
 
+  // ---------------------------------------------------------------- q261
+
+  /** Q261: INVERTED-INDEX DELTA (index maintenance as CDC — the q129/
+    * q240 discipline applied to the q147 index): between the base
+    * corpus and a deterministically-derived next snapshot (doc_id %
+    * 7 = 0 deleted; % 5 = 0 rewritten with every word zz-prefixed;
+    * rest unchanged), emit per changed doc the postings churn —
+    * terms added, terms removed, and the change class. At 100 TB an
+    * index REBUILD is a full-corpus job; the delta is proportional to
+    * the CHANGE volume, which is the entire point of maintaining an
+    * index incrementally (the streaming twin
+    * `StreamOps.invIndexDeltaStream` runs the same per-doc set
+    * difference against the static base, batch ≡ stream pinned).
+    *
+    * Scale: distinct (doc, term) frames both sides, ONE full-outer
+    * join on the compound key (co-partitionable; bucket both
+    * snapshots on doc_id and the join is Exchange-free — the q129
+    * snapshotDiff shape), per-doc rollup. Unchanged docs produce no
+    * output rows. */
+  def q261PostingsDelta(spark: SparkSession, dir: String): DataFrame =
+    postingsDelta(load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** [[q261PostingsDelta]]'s body over any (doc_id, text) frame —
+    * StreamingSpec pins the streaming twin against it on a shared
+    * literal corpus. */
+  private[graft] def postingsDelta(docs: DataFrame): DataFrame = {
+    val oldP = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val newDocs = derivedSnapshot(docs)
+    val newP = newDocs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    oldP.as("o").join(newP.as("n"),
+        col("o.doc_id") === col("n.doc_id")
+          && col("o.term") === col("n.term"), "full_outer")
+      .select(coalesce(col("o.doc_id"), col("n.doc_id")).as("doc_id"),
+        when(col("o.term").isNull, 1L).otherwise(0L).as("add_"),
+        when(col("n.term").isNull, 1L).otherwise(0L).as("rem_"))
+      .groupBy("doc_id")
+      .agg(sum(col("add_")).as("n_added"),
+        sum(col("rem_")).as("n_removed"))
+      .filter(col("n_added") + col("n_removed") > 0)
+      .select(col("doc_id"), col("n_added"), col("n_removed"),
+        when(col("doc_id") % 7 === 0, "deleted")
+          .when(col("doc_id") % 5 === 0, "rewritten")
+          .otherwise("edited").as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** The deterministic next snapshot q261 diffs against (shared with
+    * the streaming twin's spec): mod-7 docs deleted, mod-5 docs
+    * rewritten with every word zz-prefixed (guaranteed new terms),
+    * the rest verbatim. */
+  private[graft] def derivedSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat_ws(" ", expr(
+            "transform(split(text, ' '), w -> concat('zz', w))")))
+          .otherwise(col("text")).as("text"))
+
   // ---------------------------------------------------------------- q149
 
   /** Q149: BIGRAM-MODEL surprisal scoring — train bigram + unigram
@@ -1856,6 +1919,7 @@ object TextOps {
     "q247_bm25" -> (q247Bm25 _),
     "q255_bm25_multi" -> (q255Bm25Multi _),
     "q256_retrieval_eval_multi" -> (q256RetrievalEvalMulti _),
+    "q261_postings_delta" -> (q261PostingsDelta _),
     "q249_bpe_encode_unseen" -> (q249BpeEncodeUnseen _),
     "q231_bpe_encode" -> (q231BpeEncode _),
     "q238_bpe_curve" -> (q238BpeCurve _),
@@ -2452,6 +2516,39 @@ object TextOps {
     // q255: the q247 arithmetic over the deterministic 3-query table
     // (df-ranks 11–25 grouped by 5), per-query ROW_NUMBER top-10.
     "q255_bm25_multi" -> bm25MultiOracle,
+    // q261: same derived snapshot (mod-7 delete, mod-5 zz-rewrite),
+    // distinct postings both sides, full-outer set difference per doc.
+    "q261_postings_delta" ->
+      """WITH oldp AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents) t),
+        |newd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN array_to_string(
+        |      list_transform(string_split(text, ' '), w -> 'zz' || w),
+        |      ' ') ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |newp AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM newd) t),
+        |j AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.term IS NULL THEN 1 ELSE 0 END AS add_,
+        |    CASE WHEN n.term IS NULL THEN 1 ELSE 0 END AS rem_
+        |  FROM oldp o FULL OUTER JOIN newp n
+        |    ON o.doc_id = n.doc_id AND o.term = n.term),
+        |g AS (
+        |  SELECT doc_id, CAST(SUM(add_) AS BIGINT) AS n_added,
+        |    CAST(SUM(rem_) AS BIGINT) AS n_removed
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_added, n_removed,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'deleted'
+        |       WHEN doc_id % 5 = 0 THEN 'rewritten'
+        |       ELSE 'edited' END AS status
+        |FROM g WHERE n_added + n_removed > 0
+        |ORDER BY doc_id""".stripMargin,
     // q256: the q255 chain + conjunctive-containment relevance
     // (doc ⊇ query terms) + per-query integer MRR/p@10/hits@50.
     "q256_retrieval_eval_multi" -> retrievalEvalMultiOracle,

@@ -795,6 +795,42 @@ object StreamOps {
           .as("gap_us"))
   }
 
+  /** STREAMING INVERTED-INDEX DELTA (q261's twin, round 12) — index
+    * maintenance as a stream: incoming (doc_id, text) UPSERTS diff
+    * against the STATIC base index, emitting per-doc postings churn
+    * (n_added, n_removed) as edits arrive. The base side is
+    * pre-aggregated ONCE to (doc_id, base term set); each incoming
+    * row then needs exactly one stream-static left join and two
+    * array_except's — per-row work ∝ the document, zero stream state,
+    * and the whole path is codegen'd (no typed lambdas). Docs absent
+    * from the base diff as all-added (new docs); DELETES are not in
+    * an upsert stream by definition — the batch q261 covers
+    * tombstones (its 'deleted' class), the stream covers the
+    * edit/arrival flow; batch ≡ stream pinned on the shared derived
+    * snapshot in StreamingSpec.
+    *
+    * 100 TB: the base set frame is the index itself keyed by doc_id —
+    * bucket it on doc_id and the per-batch join is Exchange-free on
+    * the static side (q129's co-bucketed discipline). */
+  def invIndexDeltaStream(incoming: DataFrame, base: DataFrame)
+      : DataFrame = {
+    val baseSets = base
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("term")).as("base_terms"))
+    incoming
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("new_terms"))
+      .join(baseSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(array_except(col("new_terms"),
+          coalesce(col("base_terms"), typedlit(Seq.empty[String]))))
+          .cast("long").as("n_added"),
+        size(array_except(
+          coalesce(col("base_terms"), typedlit(Seq.empty[String])),
+          col("new_terms"))).cast("long").as("n_removed"))
+  }
+
   /** STREAMING CDC APPLY (q240's twin) — materialized-view maintenance:
     * a changelog stream in q129/q240 shape (o_orderkey, op ∈ {I,U,D},
     * new_* values) folds into per-key LATEST state via

@@ -153,6 +153,28 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(out(5L) == (("one two three", 3L, 0L)))
   }
 
+  test("q257 pack-audit hand golden: a doc straddling the 512 boundary " +
+      "counts as split; fill measures the trailing partial chunk") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // lengths 300, 300, 200 in doc order: starts 0/300/600; doc 2
+    // spans [300, 599] — crosses 512 → split; chunks used = 2;
+    // fill = 800e6 div 1024 = 781250
+    val tmp = java.nio.file.Files.createTempDirectory("q257").toString
+    Seq((1L, words(300)), (2L, words(300)), (3L, words(200)))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = CorpusPrep.q257PackAudit(spark, tmp).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getAs[Long]("n_docs"), r.getAs[Long]("tok_sum"),
+      r.getAs[Long]("n_split"), r.getAs[Long]("split_ppm"),
+      r.getAs[Long]("n_chunks"), r.getAs[Long]("fill_ppm")) ==
+      ((3L, 800L, 1L, 333333L, 2L, 781250L)), s"${r.toSeq}")
+  }
+
   test("q245 substring dedup golden: a 12-word shared span is ONE row " +
       "with its true extent (L = 8 reports span_len = 12 — invisible " +
       "to fixed-k gram reports), a 7-word overlap is below threshold") {

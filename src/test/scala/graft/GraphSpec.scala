@@ -482,4 +482,22 @@ class GraphSpec extends SparkSpecBase {
     assert(a == Map(10L -> 1000000L, 11L -> 708333L, 12L -> 708333L),
       s"$a")
   }
+
+  test("q262 Katz hand golden: 10-leaf star, 3 rounds — the round-2 " +
+      "divide-only normalization actually divides (mx div 1e6 = 2), " +
+      "center outranks leaves throughout") {
+    import spark.implicits._
+    // r1: sn = s (mx 1e6): center 1e6 + 15·(10·1e6)/100 = 2.5e6,
+    //     leaf 1e6 + 15·1e6/100 = 1.15e6
+    // r2: mx 2.5e6 → div 2: sn(center) 1.25e6, sn(leaf) 575000;
+    //     center 1e6 + 15·5.75e6/100 = 1862500,
+    //     leaf 1e6 + 15·1.25e6/100 = 1187500
+    // r3: mx 1862500 → div 1: center 1e6 + 15·11875000/100 = 2781250,
+    //     leaf 1e6 + 15·1862500/100 = 1279375
+    val edges = (1L to 10L).map(l => (0L, l)).toDF("u", "v")
+    val got = Graph.katzCentrality(edges, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(0L) == 2781250L, s"$got")
+    assert((1L to 10L).forall(l => got(l) == 1279375L), s"$got")
+  }
 }

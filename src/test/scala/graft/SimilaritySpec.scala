@@ -330,6 +330,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(v.length == d && v.map(_.getLong(1)).exists(_ != 0L))
   }
 
+  test("q264 int8 quantization audit hand golden: exact truncating " +
+      "quantize/dequant errors, negative coordinates included") {
+    import spark.implicits._
+    // label 0, vec (1.0, 0.5): x = (1e6, 5e5), mx = 1e6;
+    //   q = (127, 63); deq = (1e6, 63e6 // 127 = 496062);
+    //   err = (0, 3938) → sum 3938, mean 3938 // 2 = 1969, max 3938
+    // label 1, vec (-0.5, 0.25): x = (-5e5, 25e4), mx = 5e5;
+    //   q = (-127, 63); deq = (-5e5, 31.5e6 // 127 = 248031);
+    //   err = (0, 1969) → sum 1969, mean 984, max 1969
+    val tmp = java.nio.file.Files.createTempDirectory("q264").toString
+    Seq((0L, 0L, Seq(1.0f, 0.5f)), (1L, 1L, Seq(-0.5f, 0.25f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.q264QuantAudit(spark, tmp).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) == ((1L, 2L, 3938L, 1969L, 3938L)), s"$got")
+    assert(got(1L) == ((1L, 2L, 1969L, 984L, 1969L)), s"$got")
+  }
+
   test("semanticDedupKMeans (q246 trained cells in q230's machinery): " +
       "candidates stay CELL-BOUNDED — pair fan-out = Σ n_c·(n_c−1)/2 " +
       "over the trained assignment, plan cartesian-free, and a " +

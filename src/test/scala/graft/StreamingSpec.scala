@@ -1094,6 +1094,70 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("invIndexDeltaStream (q261's twin): per-doc postings churn over " +
+      "streamed edits ≡ the batch q261 rows for the same docs — " +
+      "rewrites, an unchanged re-send (0/0), and a brand-new doc " +
+      "(all-added), split across two batches") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "one two three four"),
+      (3L, "red green blue")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark)
+    val df = StreamOps.invIndexDeltaStream(
+      input.toDF().toDF("doc_id", "text"), base)
+    val q = df.writeStream.format("memory").queryName("idxdelta")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-idxdelta").toString)
+      .start()
+    try {
+      input.addData((1L, "alpha beta gamma delta"), // 1 added
+        (2L, "one two")) // 2 removed
+      q.processAllAvailable()
+      input.addData((3L, "red green blue"), // unchanged re-send
+        (9L, "brand new doc")) // absent from base: all added
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("idxdelta").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set(
+      (1L, 1L, 0L), (2L, 0L, 2L), (3L, 0L, 0L), (9L, 3L, 0L)),
+      s"$streamed")
+  }
+
+  test("invIndexDeltaStream ≡ batch postingsDelta on the shared " +
+      "derived snapshot (edited/rewritten docs — deletes are batch-" +
+      "only tombstones by contract)") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "aa bb cc"),          // % 5 = 0 → rewritten (zz-prefixed)
+      (7L, "dd ee"),             // % 7 = 0 → deleted (batch-only)
+      (8L, "ff gg hh ff"),       // unchanged
+      (10L, "ii jj")).toDF("doc_id", "text") // rewritten
+    val snapshot = graft.operators.TextOps.derivedSnapshot(docs)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.invIndexDeltaStream(
+        input.toDF().toDF("doc_id", "text"), docs)
+      .writeStream.format("memory").queryName("idxdelta2")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-idxdelta2").toString)
+      .start()
+    try {
+      input.addData(snapshot.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("idxdelta2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => t._2 + t._3 > 0).toSet
+    val batch = graft.operators.TextOps.postingsDelta(docs)
+      .filter($"status" =!= "deleted").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("applyCdcStream WITH seqCol throws on DUPLICATE seq values for " +
       "one key in one batch — equal seqs would resolve by arrival " +
       "order, nondeterministic across runs (advice r11)") {

@@ -151,6 +151,19 @@ def main(src: str, out: str) -> None:
         docs["text"][15] = " lead  double trail "
         for i in (12, 13, 14, 15):
             docs["n_chars"][i] = len(docs["text"][i])
+    # round-12 hazards: TIED BPE pair weights + symbol conflicts — the
+    # batched trainer (bpeTrainStateBatched) must stay bit-identical to
+    # sequential under equal-weight candidates sharing symbols (its
+    # stop-at-first-conflict + strict-boundary rule), and the gate
+    # replays the SEQUENTIAL chain, so any divergence fails q229/q231/
+    # q238/q241/q249 here. "abab"×k ties (a,b)/(b,a); "ccd"×k plants a
+    # same-weight disjoint pair; "aab" keeps a conflicted (a,a) live.
+    if len(docs["doc_id"]) >= 20:
+        docs["text"][16] = "abab abab abab ccd ccd ccd aab"
+        docs["text"][17] = "abab ccd abab ccd baba dcc"
+        docs["text"][18] = "aa bb aa bb cc dd cc dd"
+        for i in (16, 17, 18):
+            docs["n_chars"][i] = len(docs["text"][i])
     tabs["documents"] = pa.Table.from_pydict(
         docs, schema=tabs["documents"].schema)
 
