@@ -511,6 +511,39 @@ object SqlSurface {
     Similarity.principalDirection(spark.table(embView), rounds)
       .createOrReplaceTempView(viewName)
 
+  /** Multi-query BM25 over a docs view (doc_id, text) and a query
+    * view (query_id, term) → view (query_id, rank, doc_id, score,
+    * n_terms) — q255 (round 12): the batched-serving shape. */
+  def createBm25MultiView(spark: SparkSession, docsView: String,
+      queryView: String, viewName: String, topK: Int = 10): Unit =
+    TextOps.bm25TopDocsMulti(spark.table(docsView),
+      spark.table(queryView), topK)
+      .createOrReplaceTempView(viewName)
+
+  /** Postings delta between a base docs view and a next-snapshot docs
+    * view is the q261 shape; this builder diffs the base view against
+    * its derived snapshot → view (doc_id, n_added, n_removed, status)
+    * — q261 (round 12). */
+  def createPostingsDeltaView(spark: SparkSession, docsView: String,
+      viewName: String): Unit =
+    TextOps.postingsDelta(spark.table(docsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Katz centrality of an undirected edges view (u, v) → view
+    * (node, score) — q262 (round 12). */
+  def createKatzView(spark: SparkSession, edgesView: String,
+      viewName: String, iters: Int = 3): Unit =
+    operators.Graph.katzCentrality(spark.table(edgesView), iters)
+      .createOrReplaceTempView(viewName)
+
+  /** Int8 quantization error audit of an embeddings view
+    * (vec_id, label, embedding) → per-label error-budget view —
+    * q264 (round 12). */
+  def createQuantAuditView(spark: SparkSession, embView: String,
+      viewName: String): Unit =
+    Similarity.quantAudit(spark.table(embView))
+      .createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

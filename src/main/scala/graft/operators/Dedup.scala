@@ -1008,6 +1008,23 @@ object Dedup {
   def q33cNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     exactPairs(spark, dir).orderBy("doc_a", "doc_b")
 
+  /** Q266: NEAR-DUP TRANSITIVITY CENSUS — the triangle census of the
+    * verified jaccard-pair GRAPH (the q33c memoized set): wedges =
+    * pairs (a,b),(b,c); closure_ppm = how often (a,c) is ALSO a
+    * verified pair. Single-linkage clustering (q33g's components)
+    * SILENTLY assumes near-duplication is transitive enough — a low
+    * closure here means components chain unrelated docs together and
+    * the representative-keeper policy (q232) is discarding
+    * non-duplicates. This measures the assumption the whole
+    * connected-components dedup stack rests on.
+    *
+    * Scale: the pair graph is pairs-sized (never corpus-sized);
+    * [[Graph.triangleCensus]]'s degree-oriented wedge join bounds
+    * per-task work the same way q91's census does. */
+  def q266DedupTransitivity(spark: SparkSession, dir: String): DataFrame =
+    Graph.triangleCensus(exactPairs(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v")))
+
   /** Q263: SIMHASH DISTANCE SPECTRUM — the Hamming-distance histogram
     * between each original doc's signature and its planted near-dup
     * twin's (the last-3-words-dropped derivation the q33 family
@@ -1470,6 +1487,7 @@ object Dedup {
     "q33a_minhash_pairs" -> (q33aMinhash _),
     "q33b_simhash_pairs" -> (q33bSimhash _),
     "q263_simhash_spectrum" -> (q263SimhashSpectrum _),
+    "q266_dedup_transitivity" -> (q266DedupTransitivity _),
     "q33c_ngram_jaccard_pairs" -> (q33cNgramJaccard _),
     "q33d_embed_neardup_pairs" -> (q33dEmbedNearDup _),
     "q33e_dedup_survivors" -> (q33eDedupSurvivors _),
@@ -1689,6 +1707,30 @@ object Dedup {
          |  WHERE sa.doc_id < 1000000)
          |SELECT hamming, COUNT(*) AS n_pairs FROM pr
          |GROUP BY hamming ORDER BY hamming""".stripMargin),
+    // q266: the q33c pair CTEs + q91's census shape over jpairs
+    // (doc_a < doc_b = an oriented dedup'd edge list).
+    "q266_dedup_transitivity" ->
+      ("WITH " + postingsPairCtes + """,
+         |dg AS (
+         |  SELECT x, COUNT(*) AS d FROM (
+         |    SELECT doc_a AS x FROM jpairs
+         |    UNION ALL SELECT doc_b AS x FROM jpairs)
+         |  GROUP BY x),
+         |tri AS (
+         |  SELECT COUNT(*) AS n_triangles FROM jpairs e1
+         |  JOIN jpairs e2 ON e2.doc_a = e1.doc_b
+         |  JOIN jpairs e3 ON e3.doc_a = e1.doc_a
+         |    AND e3.doc_b = e2.doc_b),
+         |w AS (
+         |  SELECT COUNT(*) AS n_nodes,
+         |    CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+         |  FROM dg),
+         |ec AS (SELECT COUNT(*) AS n_edges FROM jpairs)
+         |SELECT w.n_nodes, ec.n_edges, w.n_wedges, tri.n_triangles,
+         |  CAST(CASE WHEN w.n_wedges = 0 THEN 0 ELSE
+         |    (tri.n_triangles * 3 * 1000000) // w.n_wedges END AS BIGINT)
+         |    AS closure_ppm
+         |FROM w, ec, tri""").stripMargin,
     // q244: one shared relational signature (the q33a sigr chain), then
     // per config (8,16,32 bands) band grouping, collision candidates,
     // and exact-jaccard verification with the same |A|+|B|-|∩|

@@ -222,13 +222,23 @@ object Graph {
     * lineage and Catalyst re-analysis grows exponentially). Scores stay
     * ~10⁶-scaled longs (mass is conserved up to floor loss), so hub
     * scores sit far from BIGINT range. */
-  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame =
+    pageRankRounds(edges, iters).last
+      .select(col("node"), col("s").as("score"))
+
+  /** Every intermediate score frame of [[pageRank]] (index 0 = the
+    * uniform seed) — q265's convergence audit reads consecutive
+    * rounds off this; each frame is localCheckpoint'ed so reading
+    * several costs no recomputation. */
+  private[graft] def pageRankRounds(edges: DataFrame,
+      iters: Int): Seq[DataFrame] = {
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .persist()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d")).persist()
     var scores = deg.select(col("src").as("node"),
       lit(1000000L).as("s"))
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](scores)
     for (_ <- 1 to iters) {
       val contrib = sym
         .join(deg, "src")
@@ -237,8 +247,35 @@ object Graph {
       scores = contrib.groupBy("node")
         .agg(expr("150000 + (85 * sum(c)) div 100").as("s"))
         .localCheckpoint()
+      rounds += scores
     }
-    scores.select(col("node"), col("s").as("score"))
+    rounds.toSeq
+  }
+
+  // ---------------------------------------------------------------- q265
+
+  /** Q265: PAGERANK CONVERGENCE AUDIT — per round, the L1 movement of
+    * the score vector (Σ|s_k − s_{k-1}|) and the max per-node move:
+    * the evidence that a FIXED round count suffices (or doesn't) —
+    * every fixed-round engine-shared iteration here (q93/q140/q250/
+    * q262) rests on this being a fast-decaying curve, and this query
+    * measures it instead of asserting it. Round 1's mass is large by
+    * construction (uniform seed); the decay RATE is the readout.
+    *
+    * Scale: consecutive rounds join node-keyed (each side already
+    * checkpointed by the PR loop); each round's audit is one
+    * partial-combining aggregate; output = `iters` rows. */
+  def q265PrConvergence(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = pageRankRounds(coEdges25(spark, dir), iters = 5)
+    rounds.sliding(2).zipWithIndex.map { case (Seq(prev, cur), i) =>
+      cur.as("a").join(prev.as("b"), col("a.node") === col("b.node"))
+        .select(abs(col("a.s") - col("b.s")).as("d"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("d")).as("delta_mass"),
+          max(col("d")).as("max_delta"))
+        .select(lit(i + 1L).as("round"), col("n_nodes"),
+          col("delta_mass"), col("max_delta"))
+    }.reduce(_ unionAll _).orderBy("round")
   }
 
   def q93PageRank(spark: SparkSession, dir: String): DataFrame =
@@ -942,6 +979,7 @@ object Graph {
     "q91_triangles" -> (q91Triangles _),
     "q93_pagerank" -> (q93PageRank _),
     "q262_katz" -> (q262Katz _),
+    "q265_pr_convergence" -> (q265PrConvergence _),
     "q250_hits" -> (q250Hits _),
     "q94_item_similarity" -> (q94ItemSimilarity _),
     "q99_bfs" -> (q99Bfs _),
@@ -1157,6 +1195,40 @@ object Graph {
        |SELECT node, s AS score FROM k3 ORDER BY node""".stripMargin
   }
 
+  /** q265: the q93 rounds re-unrolled MATERIALIZED (each round is now
+    * referenced twice — by its successor and its delta), plus one
+    * delta row per consecutive pair. */
+  private val prConvergenceOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT sym.dst AS node,
+         |    150000 + (85 * CAST(SUM(p.s // g.d) AS BIGINT)) // 100 AS s
+         |  FROM sym JOIN deg g ON g.src = sym.src
+         |  JOIN p${i - 1} p ON p.node = sym.src
+         |  GROUP BY sym.dst)""".stripMargin
+    }.mkString(",\n")
+    val deltas = (1 to 5).map { i =>
+      s"""  SELECT CAST($i AS BIGINT) AS round,
+         |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(abs(a.s - b.s)) AS BIGINT) AS delta_mass,
+         |    CAST(MAX(abs(a.s - b.s)) AS BIGINT) AS max_delta
+         |  FROM p$i a JOIN p${i - 1} b ON a.node = b.node""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |e AS (
+       |  SELECT a.s AS u, b.s AS v FROM ps a
+       |  JOIN ps b ON a.p = b.p AND a.s < b.s
+       |  GROUP BY a.s, b.s HAVING COUNT(*) >= 25),
+       |sym AS (SELECT u AS src, v AS dst FROM e
+       |        UNION ALL SELECT v AS src, u AS dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+       |p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS s FROM deg),
+       |$iters
+       |$deltas
+       |ORDER BY round""".stripMargin
+  }
+
   private val pageRankOracle: String = {
     val iters = (1 to 5).map { i =>
       s"""p$i AS (
@@ -1301,6 +1373,8 @@ object Graph {
     "q93_pagerank" -> pageRankOracle,
     // q262: same graph, 3 Katz rounds with divide-only max-normalization.
     "q262_katz" -> katzOracle,
+    // q265: the q93 rounds MATERIALIZED + per-round L1/max deltas.
+    "q265_pr_convergence" -> prConvergenceOracle,
     // q250: same distinct bipartite edges, same three max-normalized
     // integer half-round pairs (non-negative operands: div ≡ //),
     // same (score desc, id) top-20 per side.

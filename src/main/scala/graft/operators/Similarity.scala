@@ -785,8 +785,13 @@ object Similarity {
     * partial-combining rollup; no joins beyond the broadcast-free
     * per-vector max (a grouped agg on vec_id). Overflow: |x_e6| ≤
     * ~10⁷ for unit-ish embeddings → x·127 ≤ 1.3·10⁹ ≪ 2⁶³. */
-  def q264QuantAudit(spark: SparkSession, dir: String): DataFrame = {
-    val ex = load(spark, dir, "embeddings")
+  def q264QuantAudit(spark: SparkSession, dir: String): DataFrame =
+    quantAudit(load(spark, dir, "embeddings"))
+
+  /** [[q264QuantAudit]]'s body over any (vec_id, label, embedding)
+    * frame — the SQL-surface entry point. */
+  def quantAudit(emb: DataFrame): DataFrame = {
+    val ex = emb
       .select(col("vec_id"), col("label").cast("long").as("label"),
         posexplode(expr("transform(CAST(embedding AS array<double>)," +
           " v -> CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))"))
@@ -807,6 +812,52 @@ object Similarity {
         col("sum_abs_err_e6"),
         expr("sum_abs_err_e6 div n_dims").as("mean_err_e6"),
         col("max_err_e6"))
+      .orderBy("label")
+  }
+
+  // ---------------------------------------------------------------- q267
+
+  /** Q267: EMBEDDING DISTRIBUTION DRIFT — per label, the L1 distance
+    * between the centroids of the vec_id-even and vec_id-odd halves
+    * (e3 integer coordinates, truncating-div means — the q246
+    * discipline): the "did my embedding distribution shift between
+    * two slices" audit (between ingestion batches, model versions, or
+    * time windows — parity is the deterministic stand-in for the
+    * slice key). A healthy homogeneous label drifts ~0; a label whose
+    * halves separate is the retraining/contamination signal. Labels
+    * missing one half are excluded (both engines identically).
+    *
+    * Scale: one (label, half, dim) partial-combining aggregate — the
+    * same d-bounded shuffle as k-means' update step; the centroid
+    * join is (label, dim)-keyed over label·d rows. */
+  def q267EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ex = load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        (col("vec_id") % 2).as("half"),
+        posexplode(expr("transform(CAST(embedding AS array<double>)," +
+          " v -> CAST(floor(v * 1000.0 + 0.5) AS BIGINT))"))
+          .as(Seq("d0", "x")))
+      .select(col("vec_id"), col("label"), col("half"),
+        (col("d0") + 1).cast("long").as("dim"), col("x"))
+    val cent = ex.groupBy("label", "half", "dim")
+      .agg(expr("sum(x) div count(1)").as("c"))
+    val nv = ex.groupBy("label", "half")
+      .agg(countDistinct(col("vec_id")).as("nv"))
+    val drift = cent.as("a").join(cent.as("b"),
+        col("a.label") === col("b.label")
+          && col("a.dim") === col("b.dim")
+          && col("a.half") === 0 && col("b.half") === 1)
+      .select(col("a.label").as("label"),
+        abs(col("a.c") - col("b.c")).as("d"))
+      .groupBy("label")
+      .agg(sum(col("d")).as("l1_e3"), max(col("d")).as("max_dim_e3"))
+    drift
+      .join(nv.filter(col("half") === 0)
+        .select(col("label"), col("nv").as("n_even")), "label")
+      .join(nv.filter(col("half") === 1)
+        .select(col("label"), col("nv").as("n_odd")), "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        col("l1_e3"), col("max_dim_e3"))
       .orderBy("label")
   }
 
@@ -1046,6 +1097,7 @@ object Similarity {
     "q246_kmeans" -> (q246Kmeans _),
     "q251_principal_dir" -> (q251PrincipalDir _),
     "q264_quant_audit" -> (q264QuantAudit _),
+    "q267_embedding_drift" -> (q267EmbeddingDrift _),
     "q252_hybrid_rrf" -> (q252HybridRrf _),
     "q253_retrieval_eval" -> (q253RetrievalEval _),
     "q205_knn_confusion" -> (q205KnnConfusion _),
@@ -1227,6 +1279,38 @@ object Similarity {
         |  CAST(SUM(err) AS BIGINT) // COUNT(*) AS mean_err_e6,
         |  CAST(MAX(err) AS BIGINT) AS max_err_e6
         |FROM d GROUP BY label ORDER BY label""".stripMargin,
+    // q267: same e3 floors, same parity halves, same truncating-div
+    // centroids, L1 over (label, dim)-joined centroid pairs.
+    "q267_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    vec_id % 2 AS half, CAST(i AS BIGINT) AS dim,
+        |    CAST(floor(CAST(emb[i] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS x
+        |  FROM (SELECT vec_id, label, embedding AS emb,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) t),
+        |c AS (
+        |  SELECT label, half, dim,
+        |    CAST(SUM(x) AS BIGINT) // COUNT(*) AS c
+        |  FROM e GROUP BY label, half, dim),
+        |nv AS (
+        |  SELECT label, half, CAST(COUNT(DISTINCT vec_id) AS BIGINT)
+        |    AS nv
+        |  FROM e GROUP BY label, half),
+        |dr AS (
+        |  SELECT a.label, abs(a.c - b.c) AS d
+        |  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+        |    AND a.half = 0 AND b.half = 1),
+        |g AS (
+        |  SELECT label, CAST(SUM(d) AS BIGINT) AS l1_e3,
+        |    CAST(MAX(d) AS BIGINT) AS max_dim_e3
+        |  FROM dr GROUP BY label)
+        |SELECT g.label, ne.nv AS n_even, no.nv AS n_odd,
+        |  l1_e3, max_dim_e3
+        |FROM g JOIN nv ne ON ne.label = g.label AND ne.half = 0
+        |JOIN nv no ON no.label = g.label AND no.half = 1
+        |ORDER BY g.label""".stripMargin,
     // q252: the q247 BM25 chain (shared CTE text, top 50), the q34a
     // cosine discipline against the vec-0 query (top 50), the
     // published k = 60 reciprocal-rank formula in integer ppm-of-1,

@@ -646,6 +646,67 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(mSql == mDir && mSql.nonEmpty)
   }
 
+  test("round-12 view builders ≡ the Scala operators (multi-query " +
+      "BM25, postings delta, Katz, quantization audit)") {
+    SqlSurface.registerTables(spark, sf)
+
+    // multi-query BM25 over an ad-hoc 2-query table
+    spark.sql("""SELECT CAST(1 AS BIGINT) AS query_id, term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id)
+          DESC, term) AS r
+        FROM (SELECT doc_id, explode(split(text, ' ')) AS term
+              FROM documents) GROUP BY term) WHERE r BETWEEN 11 AND 15
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS query_id, term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id)
+          DESC, term) AS r
+        FROM (SELECT doc_id, explode(split(text, ' ')) AS term
+              FROM documents) GROUP BY term) WHERE r BETWEEN 16 AND 20
+      """).createOrReplaceTempView("qtable")
+    SqlSurface.createBm25MultiView(spark, "documents", "qtable", "bm25m")
+    val mmSql = spark.sql(
+        "SELECT query_id, rank, doc_id, score FROM bm25m")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val mmDir = graft.operators.TextOps.q255Bm25Multi(spark, sf)
+      .filter(col("query_id") <= 2)
+      .select("query_id", "rank", "doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(mmSql == mmDir && mmSql.nonEmpty)
+
+    SqlSurface.createPostingsDeltaView(spark, "documents", "pdelta")
+    val dSql = spark.sql(
+        "SELECT doc_id, n_added, n_removed, status FROM pdelta")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val dDir = graft.operators.TextOps.q261PostingsDelta(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(dSql == dDir && dSql.nonEmpty)
+
+    spark.sql("""SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 25""")
+      .createOrReplaceTempView("co_edges")
+    SqlSurface.createKatzView(spark, "co_edges", "katzv")
+    val kSql = spark.sql("SELECT node, score FROM katzv")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kDir = graft.operators.Graph.q262Katz(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kSql == kDir && kSql.nonEmpty)
+
+    SqlSurface.createQuantAuditView(spark, "embeddings", "qaudit")
+    val qSql = spark.sql("SELECT label, n_vecs, n_dims, " +
+        "sum_abs_err_e6, mean_err_e6, max_err_e6 FROM qaudit")
+      .collect().map(_.toSeq).toSet
+    val qDir = graft.operators.Similarity.q264QuantAudit(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(qSql == qDir && qSql.nonEmpty)
+  }
+
   test("z-order write view builder: SQL box query scans the z-laid-out " +
       "files and matches a direct scan (advice r5)") {
     SqlSurface.registerTables(spark, sf)
