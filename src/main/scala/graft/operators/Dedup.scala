@@ -1227,6 +1227,51 @@ object Dedup {
             " WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < 'e6'" +
             " THEN 'val' ELSE 'test' END").as("split")))
 
+  /** Q268: CLUSTER-AWARE SPLIT — the FIX q234's leakage audit
+    * motivates: train/val/test assigned by the md5 prefix of the
+    * near-dup CLUSTER id (q33g component), so every verified pair
+    * lands wholly inside one split BY CONSTRUCTION. Output per split:
+    * clusters, docs, tokens, plus the MEASURED cross-split leak-pair
+    * count — computed through the same machinery q234 uses on the
+    * doc-keyed split (where it is nonzero), and zero here; the gate
+    * proves the construction, not an assertion. This is the split
+    * discipline an LLM data pipeline actually needs: doc-keyed
+    * hashing leaks near-duplicates of training docs into eval.
+    *
+    * Scale: views over the memoized closure — one doc-keyed join for
+    * tokens, one pairs-sized join for the leak census; assignment is
+    * a pure projection of the cluster id. */
+  def q268ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val splitOf = (c: String) =>
+      expr(s"CASE WHEN substring(md5(CAST($c AS STRING)), 1, 2)" +
+        " < 'cd' THEN 'train'" +
+        s" WHEN substring(md5(CAST($c AS STRING)), 1, 2) < 'e6'" +
+        " THEN 'val' ELSE 'test' END")
+    val assigned = dedupComponents(spark, dir)
+      .withColumn("split", splitOf("component"))
+    val toks = docsWithNearDups(load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val leak = exactPairs(spark, dir)
+      .join(assigned.select(col("doc_id").as("doc_a"),
+        col("split").as("sa")), "doc_a")
+      .join(assigned.select(col("doc_id").as("doc_b"),
+        col("split").as("sb")), "doc_b")
+      .groupBy(col("sa").as("split"))
+      .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+        .as("leak_pairs"))
+    assigned.join(toks, "doc_id")
+      .groupBy("split")
+      .agg(countDistinct(col("component")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"))
+      .join(leak, Seq("split"), "left")
+      .select(col("split"), col("n_clusters"), col("n_docs"),
+        col("n_tokens"),
+        coalesce(col("leak_pairs"), lit(0L)).as("leak_pairs"))
+      .orderBy("split")
+  }
+
   /** Q235: DEDUP IMPACT BY SOURCE — what near-dup removal does to the
     * corpus MIXTURE: per source, docs and chars before dedup, docs and
     * chars removed (q33g non-representatives), both as exact ppm. The
@@ -1488,6 +1533,7 @@ object Dedup {
     "q33b_simhash_pairs" -> (q33bSimhash _),
     "q263_simhash_spectrum" -> (q263SimhashSpectrum _),
     "q266_dedup_transitivity" -> (q266DedupTransitivity _),
+    "q268_cluster_split" -> (q268ClusterSplit _),
     "q33c_ngram_jaccard_pairs" -> (q33cNgramJaccard _),
     "q33d_embed_neardup_pairs" -> (q33dEmbedNearDup _),
     "q33e_dedup_survivors" -> (q33eDedupSurvivors _),
@@ -2014,6 +2060,42 @@ object Dedup {
         |    (chars_removed * 1000000) // chars_total
         |  ELSE 0 END AS chars_removed_ppm
         |FROM agg ORDER BY source""".stripMargin),
+    // q268: closure components -> md5-prefix split of the CLUSTER id,
+    // per-split census + the measured (zero) cross-split pair count.
+    "q268_cluster_split" ->
+      (closureCtes + """
+        |, comp AS (
+        |  SELECT node, CAST(MIN(r) AS BIGINT) AS component
+        |  FROM reach GROUP BY node),
+        |asg AS (
+        |  SELECT node, component,
+        |    CASE WHEN substring(md5(CAST(component AS VARCHAR)), 1, 2)
+        |           < 'cd' THEN 'train'
+        |         WHEN substring(md5(CAST(component AS VARCHAR)), 1, 2)
+        |           < 'e6' THEN 'val'
+        |         ELSE 'test' END AS spl
+        |  FROM comp),
+        |tk AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS toks
+        |  FROM corpus),
+        |leak AS (
+        |  SELECT a.spl,
+        |    CAST(SUM(CASE WHEN a.spl <> b.spl THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS leak_pairs
+        |  FROM jpairs
+        |  JOIN asg a ON jpairs.doc_a = a.node
+        |  JOIN asg b ON jpairs.doc_b = b.node
+        |  GROUP BY a.spl),
+        |g AS (
+        |  SELECT spl, CAST(COUNT(DISTINCT component) AS BIGINT)
+        |      AS n_clusters,
+        |    COUNT(*) AS n_docs, CAST(SUM(t.toks) AS BIGINT) AS n_tokens
+        |  FROM asg JOIN tk t ON asg.node = t.doc_id GROUP BY spl)
+        |SELECT g.spl AS split, n_clusters, n_docs, n_tokens,
+        |  COALESCE(leak_pairs, 0) AS leak_pairs
+        |FROM g LEFT JOIN leak ON leak.spl = g.spl
+        |ORDER BY split""".stripMargin),
     // q236: the q33a engine-shared signatures (same polyhash shingles,
     // same (a·x+b) mod P permutations) joined onto the exact postings
     // pair set; per-component agreement replayed relationally.

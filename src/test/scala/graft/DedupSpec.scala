@@ -554,6 +554,25 @@ class DedupSpec extends SparkSpecBase {
       splits(r.getString(0)) && splits(r.getString(1))))
   }
 
+  test("q268 cluster-aware split: leak_pairs is ZERO on every split " +
+      "(by construction), docs/clusters partition the corpus, and the " +
+      "doc-keyed q234 split on the SAME corpus DOES leak — the " +
+      "contrast that motivates the operator") {
+    val rows = Dedup.q268ClusterSplit(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(4) == 0L),
+      rows.map(_.toSeq).mkString(";"))
+    val corpusDocs = Dedup.docsWithNearDups(docs).count()
+    assert(rows.map(_.getLong(2)).sum == corpusDocs)
+    assert(rows.map(_.getLong(1)).sum ==
+      Dedup.q33gDedupComponents(spark, sf)
+        .select("component").distinct().count())
+    // the doc-keyed split leaks on this corpus (off-diagonal q234
+    // cells exist) — the failure mode q268 removes
+    val q234 = Dedup.q234SplitLeakage(spark, sf).collect()
+    assert(q234.exists(r => r.getString(0) != r.getString(1)),
+      "expected doc-keyed split leakage on the near-dup corpus")
+  }
+
   test("q232 cluster reps: each representative is a cluster member " +
       "whose length is the cluster max") {
     val comp = Dedup.q33gDedupComponents(spark, sf)

@@ -404,6 +404,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("q261 postings delta: ONE full-outer SortMergeJoin on the " +
+      "compound (doc_id, term) key — no cartesian, no nested loop " +
+      "(the q129/q240 snapshot-diff shape)") {
+    val p = plan(graft.operators.TextOps.q261PostingsDelta(spark, sf))
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      p.take(1200))
+  }
+
+  test("q266 transitivity census plans cartesian-free (pair graph " +
+      "joins are equi-joins on endpoints)") {
+    val p = plan(graft.operators.Dedup
+      .q266DedupTransitivity(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("q255 multi-query BM25: the query TABLE still broadcasts into " +
       "tf, per-query top-k is a rank window PARTITIONED by query_id " +
       "(sorts postings-bounded candidates, never the corpus), no " +
