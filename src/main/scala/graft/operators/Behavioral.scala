@@ -341,6 +341,45 @@ object Behavioral {
       .withColumn("session_no", sum(col("new_s")).over(wRun))
   }
 
+  /** Q269: SESSION GAP-THRESHOLD SENSITIVITY SWEEP — session counts
+    * and density at inactivity gaps of 10/30/60 minutes: the table a
+    * sessionization config (q141's 30-minute default) is chosen FROM,
+    * the q258 sweep discipline applied to the behavioral family (a
+    * gap in the flat region of this curve is a robust config; one on
+    * a cliff means session metrics are artifacts of the threshold).
+    *
+    * Scale: the lag deltas are computed ONCE (one window pass per
+    * user); the 3-config fan-out explodes the slim delta rows, and
+    * each config's rollup is a partial-combining aggregate. */
+  def q269SessionGapSweep(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val d = graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
+    val users = d.agg(countDistinct(col("user_id")).as("n_users"))
+    d.select(col("prev_us"), col("ts_us"),
+        explode(typedlit(Seq(600000000L, 1800000000L, 3600000000L)))
+          .as("gap_us"))
+      .select(col("gap_us"),
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > col("gap_us"), 1L)
+          .otherwise(0L).as("new_s"))
+      .groupBy("gap_us")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("new_s")).as("n_sessions"))
+      .crossJoin(broadcast(users))
+      .select(col("gap_us"), col("n_users"), col("n_events"),
+        col("n_sessions"),
+        expr("(n_events * 1000) div n_sessions")
+          .as("events_per_session_e3"),
+        expr("(n_sessions * 1000) div n_users")
+          .as("sessions_per_user_e3"))
+      .orderBy("gap_us")
+  }
+
   def q141Sessions(spark: SparkSession, dir: String): DataFrame =
     sessionized(graft.Tables.events(spark, dir))
       .groupBy(col("user_id"), col("session_no"))
@@ -1014,6 +1053,7 @@ object Behavioral {
     "q144_rolling_wau" -> (q144RollingWau _),
     "q158_session_cooc" -> (q158SessionCooc _),
     "q141_sessions" -> (q141Sessions _),
+    "q269_session_gap_sweep" -> (q269SessionGapSweep _),
     "q72_cohort" -> (q72Cohort _),
     "q73_funnel" -> (q73Funnel _),
     "q74_transitions" -> (q74Transitions _),
@@ -1596,6 +1636,32 @@ object Behavioral {
         |  COUNT(*) AS n_events,
         |  CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
         |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q269: same lag deltas (one window pass), same 3-gap literal
+    // fan-out, same integer densities.
+    "q269_session_gap_sweep" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_us
+        |  FROM ev),
+        |u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |      FROM ev),
+        |sw AS (
+        |  SELECT CAST(gap_us AS BIGINT) AS gap_us,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > gap_us
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l, unnest([600000000, 1800000000, 3600000000])
+        |    AS t(gap_us)),
+        |g AS (
+        |  SELECT gap_us, COUNT(*) AS n_events,
+        |    CAST(SUM(new_s) AS BIGINT) AS n_sessions
+        |  FROM sw GROUP BY gap_us)
+        |SELECT gap_us, n_users, n_events, n_sessions,
+        |  (n_events * 1000) // n_sessions AS events_per_session_e3,
+        |  (n_sessions * 1000) // n_users AS sessions_per_user_e3
+        |FROM g CROSS JOIN u ORDER BY gap_us""".stripMargin,
     "q135_daily_churn" ->
       """WITH um AS (
         |  SELECT DISTINCT user_id,

@@ -164,6 +164,18 @@ def main(src: str, out: str) -> None:
         docs["text"][18] = "aa bb aa bb cc dd cc dd"
         for i in (16, 17, 18):
             docs["n_chars"][i] = len(docs["text"][i])
+    # round-12 hazard 2: BOILERPLATE WHALE — one identical 8-word
+    # license header appended to 300 docs, so the q245 substring-dedup
+    # gram has df = 300 (> cap/2 = 256): the whale chunk-tile path and
+    # every df-capped hot-branch (q102/q137 heavy residuals, capped
+    # shingle arrays) run on REAL data inside the gate, not only in
+    # planted specs. ~45k true span pairs; both engines recompute.
+    if len(docs["doc_id"]) >= 320:
+        boiler = ("common license header shared across many docs "
+                  "verbatim")
+        for i in range(20, 320):
+            docs["text"][i] = docs["text"][i] + " " + boiler
+            docs["n_chars"][i] = len(docs["text"][i])
     tabs["documents"] = pa.Table.from_pydict(
         docs, schema=tabs["documents"].schema)
 
