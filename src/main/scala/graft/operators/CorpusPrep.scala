@@ -547,9 +547,15 @@ object CorpusPrep {
   def substringDupSpans(docs: DataFrame, minLen: Int,
       cap: Int = Graph.DefaultBasketCap): DataFrame = {
     require(minLen >= 2)
+    // persisted: the whale router consumes the gram stream 3× (HLL
+    // key census, small-group anti-join, whale semi-join) and the
+    // double char fold is the expensive stage — materialize it once,
+    // release after the span frame is checkpointed (the Dedup
+    // finishAndRelease discipline; 16 bytes/row, never text)
     val grams = gramKeyStream(docs, minLen, Seq("doc_id"))
       .select(col("gk").as("k"),
         (col("doc_id") * 16777216L + col("pos")).as("it"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Graph.groupedOrderedPairs(grams, cap)
       .select(expr("a div 16777216").as("doc_a"),
         (col("a") % 16777216L).as("pos_a"),
@@ -559,11 +565,14 @@ object CorpusPrep {
     val isl = pairs.withColumn("island",
       col("pos_a") - row_number().over(
         Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")))
-    isl.groupBy("doc_a", "doc_b", "diag", "island")
+    val out = isl.groupBy("doc_a", "doc_b", "diag", "island")
       .agg(min(col("pos_a")).as("pos_a"),
         (count(lit(1)) + (minLen - 1)).cast(LongType).as("span_len"))
       .select(col("doc_a"), col("pos_a"), col("doc_b"),
         (col("pos_a") - col("diag")).as("pos_b"), col("span_len"))
+      .localCheckpoint() // eager — then the gram cache can release
+    grams.unpersist(blocking = false)
+    out
   }
 
   def q245SubstringDedup(spark: SparkSession, dir: String): DataFrame =
