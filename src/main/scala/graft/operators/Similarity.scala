@@ -815,6 +815,77 @@ object Similarity {
       .orderBy("label")
   }
 
+  // ---------------------------------------------------------------- q270
+
+  /** Q270: IVF PROBE-COUNT RECALL SWEEP — recall@10 vs the exact
+    * top-10 at nprobe ∈ {1, 2, 4, 8} over the GATED k-means cells
+    * (q246's trainer): the index-tuning table a vector deployment
+    * reads before fixing its nprobe, completing the sweep trilogy
+    * (q244 banding, q258 context, q269 session gap) on the ANN axis.
+    * Every step is engine-replayable — integer d2 cell ranking AND
+    * assignment against the SAME trained centroids (c3; the (d2, cell)
+    * argmin), candidate cosine via the q92 IEEE discipline — so the
+    * recall CURVE itself is oracle-gated, where q34c could only gate
+    * the full-probe point and q239 one LSH config. Recall is provably
+    * monotone in nprobe (candidate sets are nested); the gate shows
+    * the measured curve.
+    *
+    * Scale: the distance table dq is (N·cells) slim rows — the
+    * k-means-assignment shuffle; probe fan-out multiplies only the
+    * 5-query frame; candidates are cell-bounded (never all-pairs);
+    * per-(probes, qid) top-k windows sort candidate-sized groups. */
+  def q270IvfProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    DotProductExpr.register(spark)
+    val vecs = load(spark, dir, "embeddings")
+    val (cent, _) = Clustering.kMeansShared(vecs, k = 8, rounds = 3)
+    val ex = vecs.select(col("vec_id"),
+        posexplode(expr("transform(CAST(embedding AS array<double>)," +
+          " x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))"))
+          .as(Seq("d0", "x")))
+      .select(col("vec_id"), (col("d0") + 1).cast("long").as("dim"),
+        col("x"))
+    val dq = ex.join(cent, "dim")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .localCheckpoint() // consumed by the assignment AND the ranking
+    val wv = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+    val a3 = dq.withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1).select(col("vec_id"), col("cell"))
+    val pc = dq.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(wv))
+      .select(col("vec_id").as("qid"), col("cell"),
+        col("rn"), explode(typedlit(Seq(1L, 2L, 4L, 8L))).as("probes"))
+      .filter(col("rn") <= col("probes"))
+      .select(col("probes"), col("qid"), col("cell"))
+    val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", nativeNorm(col("v")))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nv").as("nq"))
+    val cand = pc.join(a3, "cell").filter(col("vec_id") =!= col("qid"))
+      .select(col("probes"), col("qid"), col("vec_id"))
+    val wpq = Window.partitionBy("probes", "qid")
+      .orderBy(col("ce6").desc, col("vec_id"))
+    val ap = cand.join(v, "vec_id").join(broadcast(q), "qid")
+      .withColumn("ce6", floor(cosinePrenormed(
+          nativeDot(col("v"), col("qv")), col("nv"), col("nq"))
+        * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rnk", row_number().over(wpq))
+      .filter(col("rnk") <= 10)
+      .select(col("probes"), col("qid"), col("vec_id").as("neighbor"),
+        lit(1L).as("f"))
+    q34aKnnBrute(spark, dir)
+      .select(col("qid"), col("neighbor"),
+        explode(typedlit(Seq(1L, 2L, 4L, 8L))).as("probes"))
+      .join(ap, Seq("probes", "qid", "neighbor"), "left")
+      .groupBy("probes", "qid")
+      .agg(count(lit(1)).as("n_brute"), count(col("f")).as("n_found"))
+      .select(col("probes"), col("qid"), col("n_brute"),
+        col("n_found"),
+        expr("(n_found * 1000000) div n_brute").as("recall_ppm"))
+      .orderBy("probes", "qid")
+  }
+
   // ---------------------------------------------------------------- q267
 
   /** Q267: EMBEDDING DISTRIBUTION DRIFT — per label, the L1 distance
@@ -1098,6 +1169,7 @@ object Similarity {
     "q251_principal_dir" -> (q251PrincipalDir _),
     "q264_quant_audit" -> (q264QuantAudit _),
     "q267_embedding_drift" -> (q267EmbeddingDrift _),
+    "q270_ivf_probe_sweep" -> (q270IvfProbeSweep _),
     "q252_hybrid_rrf" -> (q252HybridRrf _),
     "q253_retrieval_eval" -> (q253RetrievalEval _),
     "q205_knn_confusion" -> (q205KnnConfusion _),
@@ -1151,7 +1223,9 @@ object Similarity {
        |  FROM ex e JOIN a$r a USING (vec_id)
        |  GROUP BY a.cell, e.dim)""".stripMargin
 
-  private val kmeansOracle: String =
+  /** The shared q246/q270 trainer chain (ex → c0 → 3 assign/update
+    * rounds → c3) — one SQL source of truth. */
+  private val kmeansCtes: String =
     """WITH ex AS MATERIALIZED (
       |  SELECT vec_id, CAST(i AS BIGINT) AS dim,
       |    CAST(floor(CAST(emb[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
@@ -1162,13 +1236,85 @@ object Similarity {
       |c0 AS MATERIALIZED (
       |  SELECT vec_id AS cell, dim, x AS c FROM ex WHERE vec_id < 8)"""
       .stripMargin +
-      (0 until 3).map(kmeansRoundCte).mkString(",\n", ",\n", "") +
+      (0 until 3).map(kmeansRoundCte).mkString(",\n", ",\n", "")
+
+  private val kmeansOracle: String = kmeansCtes +
       """,
         |n3 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
         |       FROM a2 GROUP BY cell)
         |SELECT c3.cell, c3.dim, c3.c AS c_e3, n3.n_members
         |FROM c3 JOIN n3 USING (cell)
         |ORDER BY cell, dim""".stripMargin
+
+  /** q270: the trainer chain + one assignment/probe-ranking distance
+    * table against c3 (dq serves base assignment AND query cell
+    * ranking), the 4-probe fan-out, exact-cosine candidate top-10 per
+    * (probes, qid), and recall vs the q34a brute top-10. */
+  private val ivfSweepOracle: String = kmeansCtes +
+      """,
+        |dq AS MATERIALIZED (
+        |  SELECT e.vec_id, c.cell,
+        |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+        |  FROM ex e JOIN c3 c ON e.dim = c.dim
+        |  GROUP BY e.vec_id, c.cell),
+        |a3 AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cell) AS rk
+        |    FROM dq) t WHERE rk = 1),
+        |qr AS (
+        |  SELECT vec_id AS qid, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, cell) AS rn
+        |  FROM dq WHERE vec_id < 5),
+        |pc AS (
+        |  SELECT CAST(p AS BIGINT) AS probes, qid, cell
+        |  FROM qr, unnest([1, 2, 4, 8]) AS t(p) WHERE rn <= p),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT pc.probes, pc.qid, a3.vec_id AS neighbor
+        |  FROM pc JOIN a3 USING (cell) WHERE a3.vec_id <> pc.qid),
+        |sc AS (
+        |  SELECT cand.probes, cand.qid, cand.neighbor,
+        |    CAST(floor((list_dot_product(v.e, q.qe) /
+        |      (sqrt(list_dot_product(v.e, v.e)) *
+        |       sqrt(list_dot_product(q.qe, q.qe)))) * 1e6 + 0.5)
+        |      AS BIGINT) AS ce6
+        |  FROM cand JOIN v ON v.vec_id = cand.neighbor
+        |  JOIN q ON q.qid = cand.qid),
+        |ap AS (
+        |  SELECT probes, qid, neighbor FROM (
+        |    SELECT probes, qid, neighbor, ROW_NUMBER() OVER (
+        |      PARTITION BY probes, qid ORDER BY ce6 DESC, neighbor)
+        |      AS rnk
+        |    FROM sc) t WHERE rnk <= 10),
+        |bs AS (
+        |  SELECT q.qid, v.vec_id AS neighbor,
+        |    CAST(floor((list_dot_product(v.e, q.qe) /
+        |      (sqrt(list_dot_product(v.e, v.e)) *
+        |       sqrt(list_dot_product(q.qe, q.qe)))) * 1e6 + 0.5)
+        |      AS BIGINT) AS ce6
+        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.qid),
+        |br AS (
+        |  SELECT qid, neighbor FROM (
+        |    SELECT qid, neighbor, ROW_NUMBER() OVER (
+        |      PARTITION BY qid ORDER BY ce6 DESC, neighbor) AS rnk
+        |    FROM bs) t WHERE rnk <= 10),
+        |bp AS (
+        |  SELECT CAST(p AS BIGINT) AS probes, qid, neighbor
+        |  FROM br, unnest([1, 2, 4, 8]) AS t(p)),
+        |m AS (
+        |  SELECT bp.probes, bp.qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+        |    CAST(SUM(CASE WHEN ap.neighbor IS NOT NULL THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_found
+        |  FROM bp LEFT JOIN ap ON ap.probes = bp.probes
+        |    AND ap.qid = bp.qid AND ap.neighbor = bp.neighbor
+        |  GROUP BY bp.probes, bp.qid)
+        |SELECT probes, qid, n_brute, n_found,
+        |  (n_found * 1000000) // n_brute AS recall_ppm
+        |FROM m ORDER BY probes, qid""".stripMargin
 
   /** The shared q252/q253 hybrid-retrieval chain: the q247 BM25 CTEs
     * (one source of truth, TextOps.bm25OracleCtes) + the q34a-style
@@ -1256,6 +1402,10 @@ object Similarity {
     // advice r11: no pre-division product anywhere, so no overflow at
     // any input scale), same 3 max-|w| power rounds.
     "q251_principal_dir" -> pcaOracle,
+    // q270: the q246 trainer CTEs + c3-keyed distance table (shared
+    // by assignment and query cell ranking), 4-probe fan-out, q92
+    // cosine candidates, recall vs the q34a brute chain.
+    "q270_ivf_probe_sweep" -> ivfSweepOracle,
     // q264: same e6 floors, same per-vector max, same truncating
     // quantize/dequant chain (// ≡ div for any sign), label rollup.
     "q264_quant_audit" ->

@@ -330,6 +330,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(v.length == d && v.map(_.getLong(1)).exists(_ != 0L))
   }
 
+  test("q270 IVF probe sweep: recall is MONOTONE non-decreasing in " +
+      "nprobe per query (nested candidate sets), hits 10⁶ at full " +
+      "probe (8 = all cells), and n_brute is 10 everywhere") {
+    val rows = Similarity.q270IvfProbeSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    assert(rows.nonEmpty && rows.forall(_._3 == 10L))
+    rows.groupBy(_._2).foreach { case (qid, rs) =>
+      val byProbe = rs.sortBy(_._1).map(_._4)
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone for qid $qid: ${byProbe.toSeq}")
+      assert(byProbe.last == 1000000L,
+        s"full probe must be exact for qid $qid: ${byProbe.toSeq}")
+    }
+  }
+
   test("q264 int8 quantization audit hand golden: exact truncating " +
       "quantize/dequant errors, negative coordinates included") {
     import spark.implicits._
