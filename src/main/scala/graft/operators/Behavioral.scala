@@ -355,11 +355,13 @@ object Behavioral {
       : DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val d = graft.Tables.events(spark, dir)
+    val base = graft.Tables.events(spark, dir)
       .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
         col("event_id"))
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
-    val users = d.agg(countDistinct(col("user_id")).as("n_users"))
+    val d = base.withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
+    // user count off the PRE-window projection: the broadcast 1-row
+    // frame must not pay for the per-user window sort it doesn't need
+    val users = base.agg(countDistinct(col("user_id")).as("n_users"))
     d.select(col("prev_us"), col("ts_us"),
         explode(typedlit(Seq(600000000L, 1800000000L, 3600000000L)))
           .as("gap_us"))

@@ -159,6 +159,66 @@ object CorpusPrep {
       .orderBy(col("quality_ppm").desc, col("source"))
   }
 
+  // ---------------------------------------------------------------- q272
+
+  /** Q272: QUALITY-CLASSIFIER SCORING (round 13 — verdict-r12 item
+    * 5): a fastText-style linear classifier over HASHED n-gram
+    * features, all-integer so both engines replay it exactly. Features
+    * = word unigrams + bigrams hashed into 64 buckets via the
+    * engine-shared polyhash word folds (unigram bucket = h1 mod 64;
+    * bigram bucket = (h1ᵢ·131 + h1ᵢ₊₁) mod (10⁹+7) mod 64 — the
+    * [[sqlGramKey]] fold at n = 2, reduced mod the bucket count);
+    * weights = a deterministic BIGINT literal table ([[qsWeights]],
+    * the "trained model" stand-in — swapping in real trained weights
+    * changes one literal). Per doc: token count, feature count, raw
+    * score, mean score (e3) and the keep flag (mean ≥ 0) — the
+    * predicate a production corpus filter runs INSTEAD of hand rules
+    * (tx2/q67's length-and-ratio heuristics); it composes into q63's
+    * filter stage as a drop-in alternative (same (doc_id, keep)
+    * shape).
+    *
+    * Scale: ZERO shuffle — the scorer is a pure per-row projection
+    * (word-fold arrays + two HOF folds); at 100 TB it runs at scan
+    * speed with no aggregation state at all. QualitySpec pins
+    * score ≡ a pure-Scala driver replay on a literal corpus. */
+  private[graft] val qsWeights: Seq[Long] =
+    (0 until 64).map(b => ((b * 1103515245L + 12345L) % 2001L) - 1000L)
+
+  def qualityScore(docs: DataFrame): DataFrame = {
+    graft.functions.SignatureExprs.register(docs.sparkSession)
+    val wlit = typedlit(qsWeights)
+    def bucketW(idx: Column): Column = element_at(wlit, idx.cast("int") + 1)
+    docs
+      .select(col("doc_id"),
+        transform(split(col("text"), " "),
+          wd => call_function("graft_polyhash", wd)).as("h1"))
+      .select(col("doc_id"),
+        size(col("h1")).cast("long").as("n_tokens"),
+        (aggregate(
+          transform(col("h1"), h => bucketW(h % 64L)),
+          lit(0L), (acc, x) => acc + x) +
+          // Spark sequence(1, 0) counts DOWN — the size ≥ 2 guard is
+          // load-bearing (q145's rule); DuckDB range(1, 1) is empty,
+          // so the guard changes nothing there.
+          when(size(col("h1")) >= 2, aggregate(
+            transform(sequence(lit(1), size(col("h1")) - 1),
+              i => bucketW((element_at(col("h1"), i) * 131L +
+                element_at(col("h1"), i + 1)) % 1000000007L % 64L)),
+            lit(0L), (acc, x) => acc + x)).otherwise(lit(0L)))
+          .as("score"))
+      .withColumn("n_feats",
+        col("n_tokens") + greatest(col("n_tokens") - 1L, lit(0L)))
+      .withColumn("mean_e3",
+        expr("(score * 1000) div greatest(n_feats, 1)"))
+      .withColumn("keep",
+        when(col("mean_e3") >= 0, 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_tokens"), col("n_feats"),
+        col("score"), col("mean_e3"), col("keep"))
+  }
+
+  def q272QualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(load(spark, dir, "documents")).orderBy("doc_id")
+
   // ---------------------------------------------------------------- q66
 
   /** Sequence packing — the GPT-style concat-and-chunk pack: per
@@ -385,6 +445,33 @@ object CorpusPrep {
     * n = 5); joint collision ~10⁻¹⁸ per pair, and the DuckDB oracles
     * replay both folds so the key space is shared, never private.
     * Output: (passCols…, pos 1-based BIGINT, gk BIGINT). */
+  /** WHOLE-TEXT packed double fold — the round-13 closure of the last
+    * two text-keyed gated shuffles (q78's dup window, q63's exact-dedup
+    * stage): one BIGINT key
+    * `graft_polyhash(text)·(10⁹+9) + graft_polyhash2(text)`
+    * (~10⁻¹⁸ joint collision; max value (10⁹+6)·(10⁹+9)+(10⁹+8) ≈
+    * 1.0·10¹⁸ < 2⁶³, ANSI-safe). Shuffles carry 8 bytes instead of
+    * the document BODY, and the DuckDB oracles replay both folds via
+    * [[sqlTextFold]] — the 100 TB hash-first form IS the gated form
+    * (the xxhash64 comment-trade is gone). Callers must
+    * SignatureExprs.register the session first. */
+  private[graft] def textFoldKey(c: Column): Column =
+    call_function("graft_polyhash", c) * 1000000009L +
+      call_function("graft_polyhash2", c)
+
+  /** DuckDB replay of [[textFoldKey]] over a text expression `t` —
+    * the whole-string char-codepoint twin of [[sqlWordFolds]] +
+    * [[sqlGramKey]] (same bases/moduli, rendered ONCE). */
+  private[graft] def sqlTextFold(t: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len($t) + 1),
+       |        i -> CAST(ord(substr($t, i, 1)) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % 1000000007) * 1000000009
+       |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len($t) + 1),
+       |        i -> CAST(ord(substr($t, i, 1)) AS BIGINT))),
+       |      (h, c) -> (h * 37 + c) % 1000000009))""".stripMargin
+
   private[graft] def gramKeyStream(docs: DataFrame, n: Int,
       passCols: Seq[String]): DataFrame = {
     require(n >= 2)
@@ -554,7 +641,15 @@ object CorpusPrep {
     // finishAndRelease discipline; 16 bytes/row, never text)
     val grams = gramKeyStream(docs, minLen, Seq("doc_id"))
       .select(col("gk").as("k"),
-        (col("doc_id") * 16777216L + col("pos")).as("it"))
+        // LOUD pos bound: the (doc_id, pos) pack reserves 24 bits for
+        // pos; doc_id overflow past 2³⁹ is already ANSI-loud, but a
+        // ≥2²⁴-gram document would silently bleed into the doc_id
+        // field and corrupt pair identity/orientation — raise instead
+        // (the documented q95 16M-gram bound, enforced not assumed).
+        (col("doc_id") * 16777216L + expr(
+          "if(pos < 16777216, pos, raise_error(" +
+            "'substringDupSpans: document with >= 2^24 grams " +
+            "overflows the (doc_id, pos) pack'))")).as("it"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Graph.groupedOrderedPairs(grams, cap)
       .select(expr("a div 16777216").as("doc_a"),
@@ -617,16 +712,18 @@ object CorpusPrep {
   /** Corpus report — the per-source "dataset card" numbers every corpus
     * release ships: document count, token volume, mean length, language
     * mix, and exact-duplicate rate, in ONE pass. Exact-dup detection is
-    * a count window over the text (at 100 TB key the window by
-    * `xxhash64(text)` so the shuffle carries 8-byte keys instead of
-    * document bodies — text itself is used here only because the DuckDB
-    * gate needs an engine-shared key); everything else is conditional
+    * a count window keyed by the WHOLE-TEXT packed double fold
+    * ([[textFoldKey]], round 13): the shuffle carries one 8-byte key
+    * instead of the document body, and the DuckDB gate replays both
+    * folds — the 100 TB hash-first form is now the gated form (~10⁻¹⁸
+    * joint collision per pair). Everything else is conditional
     * aggregation over the same scan. Basis points are exact integer
     * arithmetic (D6); the mean is an exact integer sum divided once in
     * IEEE double (D2 discipline). */
   def corpusReport(docs: DataFrame): DataFrame = {
+    graft.functions.SignatureExprs.register(docs.sparkSession)
     val d = docs.withColumn("tcnt",
-      count(lit(1)).over(Window.partitionBy(col("text"))))
+      count(lit(1)).over(Window.partitionBy(textFoldKey(col("text")))))
       .withColumn("toks", size(split(col("text"), " ")))
     d.groupBy("source")
       .agg(
@@ -858,6 +955,7 @@ object CorpusPrep {
     "q258_context_sweep" -> (q258ContextSweep _),
     "q259_pii_audit" -> (q259PiiAudit _),
     "q260_mixture_budget" -> (q260MixtureBudget _),
+    "q272_quality_score" -> (q272QualityScore _),
   )
 
   /** DuckDB replay of the [[gramKeyStream]] word-fold arrays — h1/h2
@@ -883,7 +981,42 @@ object CorpusPrep {
        |    + list_reduce(list_prepend(CAST(0 AS BIGINT), h2[i:i+${n - 1}]),
        |      (h, c) -> (h * 137 + c) % 1000000009)""".stripMargin
 
+  /** [[qsWeights]] as a DuckDB BIGINT[] literal — the one rendering
+    * of the model table (the Mix.sqlModMults discipline). */
+  private def sqlQsWeights: String =
+    qsWeights.mkString("[", ", ", "]::BIGINT[]")
+
   val oracle: Map[String, String] = Map(
+    // q272: same word folds (sqlWordFolds — one renderer), same
+    // mod-64 buckets, same literal weight table, same left-fold sums
+    // (all-integer, order-free), same div/keep finale.
+    "q272_quality_score" ->
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents),
+        |h AS (SELECT doc_id,
+        |    $sqlWordFolds
+        |  FROM w0),
+        |wt AS (SELECT $sqlQsWeights AS wts),
+        |s AS (
+        |  SELECT doc_id, CAST(len(h1) AS BIGINT) AS n_tokens,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(h1, x -> wts[(x % 64) + 1])),
+        |        (a, b) -> a + b)
+        |      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, len(h1)),
+        |          i -> wts[(((h1[i] * 131 + h1[i+1]) % 1000000007)
+        |            % 64) + 1])),
+        |        (a, b) -> a + b) AS BIGINT) AS score
+        |  FROM h CROSS JOIN wt),
+        |f AS (
+        |  SELECT doc_id, n_tokens,
+        |    n_tokens + greatest(n_tokens - 1, 0) AS n_feats, score
+        |  FROM s)
+        |SELECT doc_id, n_tokens, n_feats, score,
+        |  (score * 1000) // greatest(n_feats, 1) AS mean_e3,
+        |  CAST(CASE WHEN (score * 1000) // greatest(n_feats, 1) >= 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     // q188: same length-difference class counts (DuckDB needs the 'g'
     // flag — its regexp_replace is first-match by default, Spark's is
     // global), same bp divisions.
@@ -1266,12 +1399,14 @@ object CorpusPrep {
         |FROM w LEFT JOIN agg USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
     // q78: COUNT FILTER ↔ count_if; SUM(int) is HUGEINT in DuckDB →
-    // CAST; the mean divides an exact integer sum once in double.
+    // CAST; the mean divides an exact integer sum once in double. The
+    // dup window partitions by the WHOLE-TEXT double fold (round 13) —
+    // the oracle replays the engine's 8-byte key, not text equality.
     "q78_corpus_report" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT source, lang, n_chars,
         |    len(string_split(text, ' ')) AS toks,
-        |    COUNT(*) OVER (PARTITION BY text) AS tcnt
+        |    COUNT(*) OVER (PARTITION BY ${sqlTextFold("text")}) AS tcnt
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(toks) AS BIGINT) AS tok_sum,

@@ -1500,9 +1500,16 @@ object Dedup {
     val corpus = docsWithNearDups(load(spark, dir, "documents"))
     val filtered = corpus
       .filter(size(split(col("text"), " ")) >= 40)
+    // exact dedup keyed by the WHOLE-TEXT packed double fold (round
+    // 13): the shuffle key is 8 bytes, the text travels only as the
+    // min-struct aggregate VALUE (map-side combine leaves one struct
+    // per distinct key per task), and the oracle replays both folds —
+    // the hash-first scale form under the gate.
+    graft.functions.SignatureExprs.register(spark)
     val exactKept = filtered
-      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id", "text")
+      .groupBy(CorpusPrep.textFoldKey(col("text")).as("tk"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.text").as("text"))
     // Reuse the memoized FULL-corpus pair set (uncapped, like the
     // oracle) restricted to surviving ids: jaccard(a,b) depends only on
     // the two docs' shingle sets, and uncapped candidate generation
@@ -2204,11 +2211,13 @@ object Dedup {
         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin,
     // q63: the four-stage pipeline, one CTE per stage — quality filter,
-    // exact dedup (MIN id per text), near-dedup removal over the exact
+    // exact dedup (MIN id per whole-text double FOLD since round 13 —
+    // the oracle replays the engine's 8-byte key; arg_min mirrors the
+    // Spark min-struct carry), near-dedup removal over the exact
     // pair set of the SURVIVING corpus, decontamination vs the
     // benchmark slice.
     "q63_pipeline" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000,
@@ -2219,7 +2228,9 @@ object Dedup {
         |  SELECT doc_id, text FROM corpus
         |  WHERE len(string_split(text, ' ')) >= 40),
         |exact_kept AS (
-        |  SELECT MIN(doc_id) AS doc_id, text FROM filtered GROUP BY text),
+        |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+        |  FROM filtered
+        |  GROUP BY ${CorpusPrep.sqlTextFold("text")}),
         |sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(

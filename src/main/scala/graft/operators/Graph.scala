@@ -67,8 +67,10 @@ object Graph {
     *  - **tile path (whale groups)**: a bot/whale group with 10⁷
     *    distinct items is never materialized as a row AT ALL (round 10
     *    — the round-9 residual closed): the distinct (k, it) rows get
-    *    their position i from a rank window (one disk-spilling sort
-    *    per whale key, constant row width) and chunk id c = i div cap;
+    *    their position i from [[whalePositions]] (a per-key rank
+    *    window for normal whales; a COLOSSAL key ≥ 2¹⁶ items takes
+    *    the range-split path — round 13, so no single task ever sorts
+    *    a whole colossal whale) and chunk id c = i div cap;
     *    pairs are enumerated per chunk TILE (ci ≤ cj) by an equi-join
     *    on (k, ci, cj) — ≤ cap² pairs per task, C(sz, 2) total, and no
     *    aggregation buffer is ever basket-sized. Rank order = item
@@ -118,15 +120,59 @@ object Graph {
     * basket-sized (round 10; previously this posexploded a
     * sort_array(collect_set) whale array). Exact for any group size
     * (a "small" group routed here is simply one tile). */
-  private[graft] def whalePairTiles(rows: DataFrame, cap: Int,
-      nPart: Int): DataFrame = {
+  /** Per-key 0-based position (rank by `it`) and group size for the
+    * distinct (k, it) rows — SIZE-SWITCHED (round 13, verdict-r12
+    * observation 1): below `splitThreshold` a plain per-key rank
+    * window (one sort task per key, constant 16-byte rows — fine for
+    * every real whale seen so far); a COLOSSAL key (≥ threshold
+    * distinct items) instead takes the `globalOrderedScan` range-split
+    * discipline, per key: range-repartition by (k, it), local rank
+    * within (partition, k), plus a broadcast per-(partition, key)
+    * offset table — no single task ever sorts a whole colossal whale.
+    * Both paths emit identical (k, it, i, sz); GraphSpec pins
+    * split ≡ window and that a planted 10⁵-item key takes the split
+    * plan. */
+  private[graft] def whalePositions(rows: DataFrame, nPart: Int,
+      splitThreshold: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byItem = Window.partitionBy("k").orderBy("it")
-    val whole = Window.partitionBy("k")
-    val witems = rows.select("k", "it").distinct()
-      .select(col("k"), col("it"),
+    val d = rows.select("k", "it").distinct().localCheckpoint()
+    val mx = d.groupBy(col("k")).agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz")).as("m")).collect()(0)
+    val maxSz = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    if (maxSz <= splitThreshold) {
+      val byItem = Window.partitionBy("k").orderBy("it")
+      val whole = Window.partitionBy("k")
+      d.select(col("k"), col("it"),
         (row_number().over(byItem).cast("long") - 1L).as("i"),
         count(lit(1)).over(whole).as("sz"))
+    } else {
+      val ranged = d.repartitionByRange(nPart, col("k"), col("it"))
+        .withColumn("__pid", spark_partition_id().cast("long"))
+        .localCheckpoint()
+      val wLoc = Window.partitionBy(col("__pid"), col("k"))
+        .orderBy(col("it"))
+      val local = ranged.withColumn("__lrn",
+        row_number().over(wLoc).cast("long"))
+      val perPart = ranged.groupBy(col("__pid"), col("k"))
+        .agg(count(lit(1)).as("__pc"))
+      val wOff = Window.partitionBy(col("k")).orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perPart
+        .withColumn("__off",
+          coalesce(sum(col("__pc")).over(wOff), lit(0L)))
+        .select(col("__pid"), col("k"), col("__off"))
+      val cnts = perPart.groupBy(col("k"))
+        .agg(sum(col("__pc")).as("sz"))
+      local.join(broadcast(offs), Seq("__pid", "k"))
+        .join(broadcast(cnts), Seq("k"))
+        .select(col("k"), col("it"),
+          (col("__off") + col("__lrn") - 1L).as("i"), col("sz"))
+    }
+  }
+
+  private[graft] def whalePairTiles(rows: DataFrame, cap: Int,
+      nPart: Int): DataFrame = {
+    val witems = whalePositions(rows, nPart)
       .select(col("k"), col("it"), col("i"),
         expr(s"i div $cap").as("c"),
         expr(s"(sz - 1) div $cap").as("maxc"))
@@ -237,7 +283,7 @@ object Graph {
       .persist()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d")).persist()
     var scores = deg.select(col("src").as("node"),
-      lit(1000000L).as("s"))
+      lit(1000000L).as("s")).localCheckpoint()
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](scores)
     for (_ <- 1 to iters) {
       val contrib = sym
@@ -249,6 +295,13 @@ object Graph {
         .localCheckpoint()
       rounds += scores
     }
+    // Every returned frame is checkpointed (lineage cut), so the loop
+    // inputs can release their cache blocks here — a returned-lazy
+    // persist would otherwise leak for the session lifetime (the same
+    // class round 7 closed in Dedup; katzCentrality below already
+    // unpersists its sym).
+    sym.unpersist()
+    deg.unpersist()
     rounds.toSeq
   }
 

@@ -227,6 +227,96 @@ object Multimodal {
       out.map(v => v / math.max(1, payload.length / FeatureDim) + kindSalt)
     }
 
+    /** 9×7 integer luminance grid (63 cells, row-major, 9 wide) over a
+      * decoded image: cell = truncating MEAN of the exact integer
+      * luminance 299r + 587g + 114b over its pixel block; block bounds
+      * are the floor(g·W/9) / floor(g·H/7) splits (deterministic;
+      * degenerate dimensions clamp each block to ≥ 1 pixel). The
+      * perceptual-hash grid (round 13). */
+    def gridLum63(img: BmpImage): Array[Long] = {
+      val cells = new Array[Long](63)
+      var gy = 0
+      while (gy < 7) {
+        val y0 = gy * img.height / 7
+        val y1 = math.max(y0 + 1, (gy + 1) * img.height / 7)
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * img.width / 9
+          val x1 = math.max(x0 + 1, (gx + 1) * img.width / 9)
+          var s = 0L; var n = 0L
+          var y = y0
+          while (y < y1 && y < img.height) {
+            var x = x0
+            while (x < x1 && x < img.width) {
+              val o = (y * img.width + x) * 3
+              s += 299L * (img.rgb(o) & 0xff) +
+                587L * (img.rgb(o + 1) & 0xff) +
+                114L * (img.rgb(o + 2) & 0xff)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          cells(gy * 9 + gx) = if (n == 0) 0L else s / n
+          gx += 1
+        }
+        gy += 1
+      }
+      cells
+    }
+
+    /** Fallback grid for payloads in no decodable container: the
+      * payload read as UTF-8 (replacement chars keep it total), its
+      * CODE POINTS split into 63 contiguous floor-boundary chunks,
+      * cell = chunk sum — exactly the DuckDB `ord(substr(...))` chunk
+      * replay, so the fallback signature is oracle-replayable (the
+      * qm4 "payload bytes are the text" pin). */
+    def fallbackCells63(payload: Array[Byte]): Array[Long] = {
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      val cells = new Array[Long](63)
+      var j = 0
+      while (j < 63) {
+        var acc = 0L
+        var i = j * n / 63
+        val hi = (j + 1) * n / 63
+        while (i < hi) { acc += cps(i); i += 1 }
+        cells(j) = acc
+        j += 1
+      }
+      cells
+    }
+
+    /** 56-bit dHash over a 63-cell 9-wide grid: bit (r·8 + c) is set
+      * iff cell[r·9 + c + 1] > cell[r·9 + c] (the horizontal-gradient
+      * hash of Krawetz's dHash, published; 56 bits keeps every
+      * arithmetic step far inside BIGINT so both engines can band it
+      * with plain div/mod). Non-negative by construction. */
+    def dHash56(cells: Array[Long]): Long = {
+      var h = 0L
+      var r = 0
+      while (r < 7) {
+        var c = 0
+        while (c < 8) {
+          if (cells(r * 9 + c + 1) > cells(r * 9 + c))
+            h |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+
+    /** (decoded?, 56-bit perceptual hash): real images ride the
+      * luminance grid (re-encoded copies — same pixels in BMP vs PNG —
+      * hash identically, MultimodalSpec pin); everything else takes
+      * the code-point fallback grid. */
+    def perceptualHash(payload: Array[Byte]): (Boolean, Long) =
+      decodeBmp(payload).map(i => (true, dHash56(gridLum63(i))))
+        .orElse(decodeImageIo(payload)
+          .map(i => (true, dHash56(gridLum63(i)))))
+        .getOrElse((false, dHash56(fallbackCells63(payload))))
+
     /** STUB resize: real impl re-encodes pixels; fake keeps bytes,
       * rewrites metadata (the Spark plumbing under test). */
     def resize(row: MediaRow, w: Int, h: Int): MediaRow =
@@ -350,12 +440,66 @@ object Multimodal {
       .orderBy("digest")
   }
 
+  /** qm6 — PERCEPTUAL SIGNATURE TABLE (round 13, verdict-r12 item 4):
+    * 56-bit dHash per media row. Decoded images ride the integer
+    * luminance grid; undecodable payloads take the code-point
+    * chunk-sum fallback — which IS the DuckDB replay, so on the
+    * synthetic fixture (UTF-8 text payloads, the qm4 pin) the whole
+    * table is ORACLE-GATED while the real image path is golden-pinned
+    * in MultimodalSpec (BMP ≡ re-encoded PNG copy → identical hash).
+    * Scale: pure per-row projection — scan speed, no shuffle. */
+  def qm6MediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticMediaTable(spark, dir).map { r =>
+      val (ok, h) = MediaCodec.perceptualHash(r.payload)
+      (r.media_id, r.kind, if (ok) 1L else 0L, h)
+    }.toDF("media_id", "kind", "decoded", "phash").orderBy("media_id")
+  }
+
+  /** qm7 — PERCEPTUAL NEAR-DUP PAIRS: the q33b banding discipline on
+    * the Hamming axis — the 56-bit signature splits into 4×14-bit
+    * bands, candidates bucket-join per band (two copies within
+    * Hamming 6 disagree in ≤ 6 bits, which by pigeonhole leaves ≥ 1
+    * of 4 bands identical — recall 1 at the threshold), and verify is
+    * exact bit_count(xor) ≤ 6. Planted re-ingested copies (qm5's
+    * plant) guarantee hamming-0 pairs in the output. 100 TB: the
+    * shuffle carries (band, 14-bit value, id) — never payloads; hot
+    * identical-signature buckets are exact-dup clusters and take the
+    * qm5 digest pass first by design. */
+  def qm7MediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = syntheticMediaTable(spark, dir).map { r =>
+      (r.media_id, MediaCodec.perceptualHash(r.payload)._2)
+    }.toDF("media_id", "phash")
+    val media = base.unionAll(base.filter(col("media_id") % 10 === 0)
+      .select((col("media_id") + 1000000L).as("media_id"),
+        col("phash")))
+    val bands = media.select(col("media_id"), col("phash"),
+        explode(typedlit(Seq(0, 1, 2, 3))).as("b"))
+      .withColumn("bv", expr("(phash div element_at(" +
+        "array(1L, 16384L, 268435456L, 4398046511104L), b + 1))" +
+        " % 16384"))
+      .select("media_id", "phash", "b", "bv")
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+      .filter(col("hamming") <= 6)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm1_media_features" -> (qm1Features _),
     "qm2_media_metadata" -> (qm2MetadataStats _),
     "qm3_media_frames" -> (qm3FrameSample _),
     "qm4_media_digest" -> (qm4MediaDigest _),
     "qm5_media_dups" -> (qm5MediaDups _),
+    "qm6_media_phash" -> (qm6MediaPhash _),
+    "qm7_media_neardup" -> (qm7MediaNearDup _),
   )
 
   /** qm4 oracle: payload bytes ARE the document's UTF-8 text, so DuckDB
@@ -363,7 +507,74 @@ object Multimodal {
     * (DuckDB md5(VARCHAR) hashes UTF-8), octet_length over text::BLOB,
     * and the metadata formulas inlined. qm1/qm3 stay impl-only (stub
     * codec outputs have no SQL equivalent). */
+  /** The fallback-phash CTE chain (cps → cells → ph), shared by the
+    * qm6 and qm7 oracles: code-point chunk sums into 63 cells, the
+    * 56-bit horizontal-gradient fold — every payload in the synthetic
+    * fixture is undecodable text bytes, so this replays [[MediaCodec
+    * .perceptualHash]] exactly (the decoded branch is golden-pinned
+    * in MultimodalSpec, the qm1 discipline). */
+  private val phashCtes: String =
+    """WITH cps AS (
+      |  SELECT doc_id AS media_id,
+      |    list_transform(range(1, len(text) + 1),
+      |      i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS cp,
+      |    CAST(len(text) AS BIGINT) AS n
+      |  FROM documents),
+      |cells AS (
+      |  SELECT media_id,
+      |    list_transform(range(0, 63), j ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        cp[((j * n) // 63) + 1 : ((j + 1) * n) // 63]),
+      |        (a, b) -> a + b)) AS cells
+      |  FROM cps),
+      |ph AS (
+      |  SELECT media_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, 7), r ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(0, 8), c ->
+      |            CASE WHEN cells[r * 9 + c + 2] > cells[r * 9 + c + 1]
+      |              THEN CAST(1 AS BIGINT) << CAST(r * 8 + c AS INTEGER)
+      |              ELSE CAST(0 AS BIGINT) END)),
+      |          (a, b) -> a + b))),
+      |      (a, b) -> a + b) AS phash
+      |  FROM cells)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // qm6: the fallback phash chain + qm4's kind formula; decoded = 0
+    // everywhere because the fixture payloads are text bytes.
+    "qm6_media_phash" -> (phashCtes +
+      """
+        |SELECT media_id,
+        |  CASE CAST(media_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(0 AS BIGINT) AS decoded, phash
+        |FROM ph ORDER BY media_id""".stripMargin),
+    // qm7: same signatures + the qm5 plant, 4×14-bit band buckets,
+    // exact Hamming verify (bit_count(xor) — two's-complement-free
+    // because the 56-bit hash is non-negative on both engines).
+    "qm7_media_neardup" -> (phashCtes +
+      """,
+        |m2 AS (
+        |  SELECT media_id, phash FROM ph
+        |  UNION ALL
+        |  SELECT media_id + 1000000, phash FROM ph
+        |  WHERE media_id % 10 = 0),
+        |bnd AS (
+        |  SELECT media_id, phash, CAST(b AS BIGINT) AS b,
+        |    (phash // ([1, 16384, 268435456, 4398046511104]::BIGINT[])
+        |      [b + 1]) % 16384 AS bv
+        |  FROM m2, unnest([0, 1, 2, 3]) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+        |    x.phash AS pa, y.phash AS pb
+        |  FROM bnd x JOIN bnd y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.media_id < y.media_id)
+        |SELECT a, b,
+        |  CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(pa, pb)) <= 6
+        |ORDER BY a, b""".stripMargin),
     // qm5: payload bytes are the document's UTF-8 text (qm4 pin), so
     // DuckDB reproduces digest groups from `documents` directly.
     "qm5_media_dups" ->

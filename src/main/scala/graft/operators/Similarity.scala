@@ -1163,7 +1163,133 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q271
+
+  /** Q271: MULTI-QUERY HYBRID RETRIEVAL (round 13 — verdict-r12 item
+    * 3: q255 generalized the lexical leg to a query TABLE; this
+    * generalizes the DENSE leg and the fusion). A (query_id, qvec)
+    * table (vec 0/1/2 → query_id 1/2/3, aligned with q255's 3-query
+    * lexical table) goes through IVF candidate generation — q270's
+    * probe machinery at nprobe = 4 over the GATED k-means cells — and
+    * each query's dense top-50 fuses with its q255 lexical top-50 via
+    * the same k = 60 integer reciprocal-rank formula as q252.
+    *
+    * Scale: the dq distance table is the k-means-assignment shuffle
+    * (N·cells slim rows, computed once, checkpointed, consumed by
+    * assignment AND query cell ranking); candidates are CELL-BOUNDED
+    * per query (never |queries|·|corpus|); the lexical side is
+    * postings-bounded (q255); fusion is a top-k-sized full-outer join
+    * per query and the final rank window sorts ≤ 2k rows per query —
+    * the batched-serving shape of a production hybrid stack. */
+  private[operators] def hybridMultiRankings(spark: SparkSession,
+      dir: String, k: Int = 50): DataFrame = {
+    DotProductExpr.register(spark)
+    val docs = load(spark, dir, "documents")
+    val lex = TextOps.bm25TopDocsMulti(docs,
+        TextOps.bm25QueryTable(docs), topK = k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vecs = load(spark, dir, "embeddings")
+    val (cent, _) = Clustering.kMeansShared(vecs, k = 8, rounds = 3)
+    val ex = vecs.select(col("vec_id"),
+        posexplode(expr("transform(CAST(embedding AS array<double>)," +
+          " x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))"))
+          .as(Seq("d0", "x")))
+      .select(col("vec_id"), (col("d0") + 1).cast("long").as("dim"),
+        col("x"))
+    val dq = ex.join(cent, "dim")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .localCheckpoint() // consumed by the assignment AND the ranking
+    val wv = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+    val a3 = dq.withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1).select(col("vec_id"), col("cell"))
+    val pc = dq.filter(col("vec_id") < 3)
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= 4)
+      .select((col("vec_id") + 1L).as("query_id"), col("cell"))
+    val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", nativeNorm(col("v")))
+    val q = v.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1L).as("query_id"), col("v").as("qv"),
+        col("nv").as("nq"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("ce6").desc, col("vec_id"))
+    val sem = pc.join(a3, "cell")
+      .filter(col("vec_id") =!= col("query_id") - 1L)
+      .select(col("query_id"), col("vec_id"))
+      .join(v, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("ce6", floor(cosinePrenormed(
+          nativeDot(col("v"), col("qv")), col("nv"), col("nq"))
+        * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("sem_rank", row_number().over(wq).cast("long"))
+      .filter(col("sem_rank") <= k)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("sem_rank"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+      .withColumn("rrf", expr(
+        "CASE WHEN lex_rank > 0 THEN 1000000 div (60 + lex_rank)" +
+          " ELSE 0 END + CASE WHEN sem_rank > 0" +
+          " THEN 1000000 div (60 + sem_rank) ELSE 0 END"))
+  }
+
+  def q271HybridMulti(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    hybridMultiRankings(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Q271b: per-query retrieval eval of the fused ranking (q256's
+    * metric shape over q271) against the label-relevance proxy
+    * (q253's): a doc is relevant to query q iff its embedding label
+    * equals vec (q−1)'s label, the query vec itself excluded. Scale:
+    * rankings are top-k frames, the relevance join is broadcast, each
+    * metric row aggregates ≤ 50 rows per query. */
+  def q271bHybridEvalMulti(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    val top = hybridMultiRankings(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 50)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = load(spark, dir, "embeddings")
+    val qlab = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1L).as("query_id"),
+        col("label").cast("long").as("qlabel"))
+    val rel = emb.select(col("vec_id").as("doc_id"),
+        col("label").cast("long").as("label"))
+      .join(broadcast(qlab), col("label") === col("qlabel"))
+      .filter(col("doc_id") =!= col("query_id") - 1L)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("is_rel"))
+    val nrel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    top.join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("is_rel"), lit(0L))).as("hits_at_50"),
+        coalesce(min(when(col("is_rel").isNotNull, col("rank"))),
+          lit(0L)).as("first_rel_rank"),
+        sum(when(col("is_rel").isNotNull && col("rank") <= 10, 1L)
+          .otherwise(0L)).as("h10"))
+      .join(broadcast(nrel), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits_at_50"), col("first_rel_rank"),
+        expr("CASE WHEN first_rel_rank > 0 THEN 1000000 div " +
+          "first_rel_rank ELSE 0 END").as("mrr_e6"),
+        expr("(h10 * 10000) div 10").as("p_at_10_bp"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_hybrid_multi" -> (q271HybridMulti _),
+    "q271b_hybrid_eval_multi" -> (q271bHybridEvalMulti _),
     "q230_semantic_dedup" -> (q230SemanticDedup _),
     "q246_kmeans" -> (q246Kmeans _),
     "q251_principal_dir" -> (q251PrincipalDir _),
@@ -1316,6 +1442,78 @@ object Similarity {
         |  (n_found * 1000000) // n_brute AS recall_ppm
         |FROM m ORDER BY probes, qid""".stripMargin
 
+  /** The shared q271/q271b multi-query hybrid chain: the q255 BM25
+    * multi CTEs (TextOps.bm25MultiCtes — one source of truth) + the
+    * q246/q270 k-means trainer CTEs + the c3-keyed distance table
+    * (assignment AND per-query 4-probe cell ranking) + q92 cosine
+    * candidates + per-query k = 60 reciprocal-rank fusion. CTE
+    * namespaces are disjoint by construction (bm25: toks/tf/dfr/qt/
+    * dl/tot/scored/ds/rk; kmeans: ex/c0/d0…c3; dense/fusion: the
+    * h-suffixed names below). */
+  private val hybridMultiCtes: String =
+    TextOps.bm25MultiCtes + ",\n" +
+      kmeansCtes.stripPrefix("WITH ") +
+      """,
+        |dqh AS MATERIALIZED (
+        |  SELECT e.vec_id, c.cell,
+        |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+        |  FROM ex e JOIN c3 c ON e.dim = c.dim
+        |  GROUP BY e.vec_id, c.cell),
+        |a3h AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cell) AS rk
+        |    FROM dqh) t WHERE rk = 1),
+        |pch AS (
+        |  SELECT CAST(vec_id + 1 AS BIGINT) AS query_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cell) AS rn
+        |    FROM dqh WHERE vec_id < 3) t WHERE rn <= 4),
+        |vvh AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |        FROM embeddings),
+        |qqh AS (SELECT CAST(vec_id + 1 AS BIGINT) AS query_id, e AS qe
+        |        FROM vvh WHERE vec_id < 3),
+        |semsch AS (
+        |  SELECT pch.query_id, a3h.vec_id AS doc_id,
+        |    CAST(floor((list_dot_product(vvh.e, qqh.qe) /
+        |      (sqrt(list_dot_product(vvh.e, vvh.e)) *
+        |       sqrt(list_dot_product(qqh.qe, qqh.qe)))) * 1e6 + 0.5)
+        |      AS BIGINT) AS ce6
+        |  FROM pch JOIN a3h USING (cell)
+        |  JOIN vvh ON vvh.vec_id = a3h.vec_id
+        |  JOIN qqh ON qqh.query_id = pch.query_id
+        |  WHERE a3h.vec_id <> pch.query_id - 1),
+        |sem50h AS (
+        |  SELECT query_id, doc_id, sem_rank FROM (
+        |    SELECT query_id, doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY ce6 DESC, doc_id) AS BIGINT) AS sem_rank
+        |    FROM semsch) t WHERE sem_rank <= 50),
+        |lex50h AS (
+        |  SELECT query_id, doc_id, rank AS lex_rank
+        |  FROM rk WHERE rank <= 50),
+        |fusedh AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+        |    CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank
+        |  FROM lex50h FULL OUTER JOIN sem50h
+        |    USING (query_id, doc_id)),
+        |frh AS (
+        |  SELECT query_id, doc_id, lex_rank, sem_rank,
+        |    CAST(CASE WHEN lex_rank > 0
+        |        THEN 1000000 // (60 + lex_rank) ELSE 0 END
+        |      + CASE WHEN sem_rank > 0
+        |        THEN 1000000 // (60 + sem_rank) ELSE 0 END
+        |      AS BIGINT) AS rrf
+        |  FROM fusedh),
+        |frkh AS (
+        |  SELECT query_id, doc_id, lex_rank, sem_rank, rrf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |  FROM frh)""".stripMargin
+
   /** The shared q252/q253 hybrid-retrieval chain: the q247 BM25 CTEs
     * (one source of truth, TextOps.bm25OracleCtes) + the q34a-style
     * cosine ranking vs the vec-0 query + the RRF fusion (`scored2`). */
@@ -1406,6 +1604,51 @@ object Similarity {
     // by assignment and query cell ranking), 4-probe fan-out, q92
     // cosine candidates, recall vs the q34a brute chain.
     "q270_ivf_probe_sweep" -> ivfSweepOracle,
+    // q271: the q255 lexical CTEs + the q246/q270 dense chain +
+    // per-query k=60 RRF — the whole multi-query hybrid stack under
+    // one oracle.
+    "q271_hybrid_multi" -> (hybridMultiCtes +
+      """
+        |SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank
+        |FROM frkh WHERE rank <= 20
+        |ORDER BY query_id, rank""".stripMargin),
+    // q271b: q256's metric shape over the fused per-query top-50 vs
+    // the q253 label-relevance proxy (query vec excluded).
+    "q271b_hybrid_eval_multi" -> (hybridMultiCtes +
+      """,
+        |qlabh AS (
+        |  SELECT CAST(vec_id + 1 AS BIGINT) AS query_id,
+        |    CAST(label AS BIGINT) AS qlabel
+        |  FROM embeddings WHERE vec_id < 3),
+        |relvh AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id
+        |  FROM embeddings e JOIN qlabh q
+        |    ON CAST(e.label AS BIGINT) = q.qlabel
+        |  WHERE e.vec_id <> q.query_id - 1),
+        |nrelh AS (
+        |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        |  FROM relvh GROUP BY query_id),
+        |mh AS (
+        |  SELECT t.query_id,
+        |    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits_at_50,
+        |    CAST(COALESCE(MIN(CASE WHEN r.doc_id IS NOT NULL
+        |      THEN t.rank END), 0) AS BIGINT) AS first_rel_rank,
+        |    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL AND t.rank <= 10
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS h10
+        |  FROM (SELECT query_id, doc_id, rank FROM frkh
+        |        WHERE rank <= 50) t
+        |  LEFT JOIN relvh r
+        |    ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+        |  GROUP BY t.query_id)
+        |SELECT mh.query_id, COALESCE(n_rel, 0) AS n_rel, hits_at_50,
+        |  first_rel_rank,
+        |  CAST(CASE WHEN first_rel_rank > 0
+        |    THEN 1000000 // first_rel_rank ELSE 0 END AS BIGINT)
+        |    AS mrr_e6,
+        |  (h10 * 10000) // 10 AS p_at_10_bp
+        |FROM mh LEFT JOIN nrelh USING (query_id)
+        |ORDER BY mh.query_id""".stripMargin),
     // q264: same e6 floors, same per-vector max, same truncating
     // quantize/dequant chain (// ≡ div for any sign), label rollup.
     "q264_quant_audit" ->

@@ -1434,7 +1434,7 @@ object TextOps {
     * 16–20 / 21–25 under the (df desc, term) total order → query_ids
     * 1/2/3 (q247's mid-head selection, widened — past the stopword
     * crown, postings still real). */
-  private def bm25QueryTable(docs: DataFrame): DataFrame = {
+  private[operators] def bm25QueryTable(docs: DataFrame): DataFrame = {
     val dfr = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .distinct()
@@ -2166,7 +2166,7 @@ object TextOps {
   /** The shared q255/q256 multi-query chain: q247's fixed-point BM25
     * arithmetic verbatim, the deterministic 3-query table (df-ranks
     * 11–25 in groups of 5), per-query rank window. */
-  private val bm25MultiCtes: String =
+  private[operators] val bm25MultiCtes: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |  FROM documents),

@@ -321,4 +321,43 @@ class CorpusPrepSpec extends SparkSpecBase {
       else if (excess < 0) assert(liftPpm < 1000000L)
     }
   }
+
+  test("q272 quality score ≡ pure-Scala driver replay on a literal " +
+      "corpus incl. unicode and degenerate docs (round-13)") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "x"),
+      (3L, ""),
+      (4L, "😀word 雪人 mixed 😀word"),
+      (5L, "the quick brown fox jumps over the lazy dog"))
+    val got = CorpusPrep.qualityScore(texts.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val wts = CorpusPrep.qsWeights
+    val want = texts.map { case (id, t) =>
+      val h1 = t.split(" ", -1)
+        .map(x => graft.functions.PolyFold.poly(UTF8String.fromString(x)))
+      val uni = h1.map(h => wts((h % 64).toInt)).sum
+      val bi =
+        if (h1.length >= 2)
+          h1.sliding(2)
+            .map(p => wts((((p(0) * 131L + p(1)) % 1000000007L) % 64L)
+              .toInt)).sum
+        else 0L
+      val nTok = h1.length.toLong
+      val nFeats = nTok + math.max(nTok - 1, 0L)
+      val score = uni + bi
+      // Spark div TRUNCATES toward zero (≡ DuckDB // ≡ Java /) —
+      // scores go negative, so plain Java division is the replay
+      val mean = (score * 1000) / math.max(nFeats, 1L)
+      (id, nTok, nFeats, score, mean, if (mean >= 0) 1L else 0L)
+    }
+    assert(got.toSeq == want)
+    // weight table sanity: both signs present (a one-sided table
+    // would make the keep flag vacuous)
+    assert(wts.exists(_ > 0) && wts.exists(_ < 0))
+  }
 }

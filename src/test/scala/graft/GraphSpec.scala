@@ -126,6 +126,36 @@ class GraphSpec extends SparkSpecBase {
       s"last tile must hold C(n mod cap, 2) pairs, got $tLast")
   }
 
+  test("whalePositions: range-split path ≡ single-window path on a " +
+      "forced threshold, and a colossal (10^5-item) key takes the " +
+      "split plan under the default threshold (round-13 — no single " +
+      "task ever sorts a whole colossal whale)") {
+    import spark.implicits._
+    val rows = (1 to 40)
+      .map(i => (if (i % 2 == 0) 1L else 2L, (i * 7 % 100).toLong))
+      .toDF("k", "it")
+    val win = Graph.whalePositions(rows, nPart = 4,
+        splitThreshold = 1000000L)
+      .orderBy("k", "i").collect().map(_.toSeq)
+    val split = Graph.whalePositions(rows, nPart = 4,
+        splitThreshold = 1L)
+      .orderBy("k", "i").collect().map(_.toSeq)
+    assert(split.toSeq == win.toSeq,
+      "split path must emit byte-identical (k, it, i, sz)")
+    // colossal key: the default threshold (65536) routes 10^5 distinct
+    // items onto the range-split plan (broadcast offset join present),
+    // and positions are still the exact 0-based rank
+    val whale = spark.range(100000)
+      .select(lit(9L).as("k"), col("id").as("it"))
+    val pos = Graph.whalePositions(whale, nPart = 8)
+    assert(pos.queryExecution.optimizedPlan.toString.contains("__off"),
+      "colossal key must take the range-split plan")
+    val stats = pos.agg(min(col("i")), max(col("i")), count(lit(1)),
+      max(col("sz"))).collect()(0)
+    assert(stats.getLong(0) == 0L && stats.getLong(1) == 99999L &&
+      stats.getLong(2) == 100000L && stats.getLong(3) == 100000L)
+  }
+
   test("q204 local clustering golden: K4 minus one edge, every cc " +
       "checkable on paper") {
     // edges (1,2),(1,3),(1,4),(2,3),(2,4): triangles {1,2,3},{1,2,4}.

@@ -213,4 +213,65 @@ class MultimodalSpec extends SparkSpecBase {
     assert(groups.length == originals)
     assert(groups.forall(r => r.getLong(1) == 2L && r.getLong(3) % 10 == 0))
   }
+
+  test("qm6 dHash golden: a 9×7 left-to-right luminance ramp (one " +
+      "pixel per grid cell) sets all 56 gradient bits; a flat field " +
+      "sets none (round 13)") {
+    val ramp = Seq.fill(7)((0 until 9).map(x =>
+      (x * 30, x * 30, x * 30)))
+    val img = MediaCodec.decodeImageIo(encodeImage("png", ramp)).get
+    val cells = MediaCodec.gridLum63(img)
+    // one pixel per cell: cell = 1000·v exactly (299+587+114 = 1000)
+    assert(cells.toSeq == (0 until 7).flatMap(_ =>
+      (0 until 9).map(x => x * 30L * 1000L)))
+    assert(MediaCodec.dHash56(cells) == (1L << 56) - 1)
+    val flat = Seq.fill(7)(Seq.fill(9)((120, 120, 120)))
+    assert(MediaCodec.dHash56(MediaCodec.gridLum63(
+      MediaCodec.decodeImageIo(encodeImage("png", flat)).get)) == 0L)
+  }
+
+  test("qm6 re-encoded copy: the same pixels as BMP and as PNG hash " +
+      "identically (Hamming 0 — the near-dup the banding stage must " +
+      "find), and both take the DECODED path") {
+    val px = Seq.tabulate(14)(y => Seq.tabulate(18)(x =>
+      ((x * 13 + y * 7) % 256, (x * 5) % 256, (y * 11) % 256)))
+    val bmp = encodeImage("bmp", px)
+    val png = encodeImage("png", px)
+    val (okB, hB) = MediaCodec.perceptualHash(bmp)
+    val (okP, hP) = MediaCodec.perceptualHash(png)
+    assert(okB && okP, "both containers must decode")
+    assert(hB == hP, s"re-encoded copy must hash identically: $hB $hP")
+    assert(hB >= 0L && hB < (1L << 56))
+    // and a genuinely different image lands far away
+    val other = Seq.fill(14)(Seq.tabulate(18)(x =>
+      (255 - x * 14, 0, 0)))
+    val (_, hO) = MediaCodec.perceptualHash(encodeImage("png", other))
+    assert(java.lang.Long.bitCount(hB ^ hO) > 6)
+  }
+
+  test("qm6 fallback phash ≡ hand chunk-sum replay on literal texts " +
+      "(incl. unicode + empty), and qm7 finds every planted " +
+      "re-ingested copy at Hamming 0") {
+    def replay(t: String): Long = {
+      val cps = t.codePoints().toArray
+      val n = cps.length
+      val cells = (0 until 63).map { j =>
+        (j * n / 63 until (j + 1) * n / 63).map(cps(_).toLong).sum
+      }.toArray
+      MediaCodec.dHash56(cells)
+    }
+    for (t <- Seq("hello world this is a test of the fallback path",
+        "", "x", "😀 unicode 雪", "a b c")) {
+      val (ok, h) = MediaCodec.perceptualHash(t.getBytes("UTF-8"))
+      assert(!ok && h == replay(t), s"text '$t'")
+    }
+    val pairs = Multimodal.qm7MediaNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = graft.Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    planted.foreach { id =>
+      assert(pairs.contains((id, id + 1000000L, 0L)),
+        s"planted copy pair for $id missing") }
+  }
 }

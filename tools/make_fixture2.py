@@ -38,6 +38,12 @@ documented data assumptions the seed-42 fixture never exercises:
     char-indexed path (BPE char split, char-class profiles,
     levenshtein, normalization regexes).
 
+  * round 13 — PERCEPTUAL-HASH COLLISION: a long doc pair differing
+    only by an adjacent-letter swap inside one 63-chunk — different
+    byte digests (qm5 must not pair) but identical code-point chunk
+    sums (qm6 phash collides, qm7 banding must emit the pair at
+    Hamming 0).
+
 Usage: python3 tools/make_fixture2.py SRC_DIR OUT_DIR
 e.g.:  python3 tools/make_fixture2.py /root/testdata/sf0.001 /tmp/fixture2
 """
@@ -175,6 +181,30 @@ def main(src: str, out: str) -> None:
                   "verbatim")
         for i in range(20, 320):
             docs["text"][i] = docs["text"][i] + " " + boiler
+            docs["n_chars"][i] = len(docs["text"][i])
+    # round-13 hazard: PERCEPTUAL-HASH COLLISION BY ANAGRAM — two docs
+    # whose texts differ (different byte digests: qm5 must NOT pair
+    # them) but whose code-point CHUNK SUMS are identical (a word's
+    # letters scrambled in place preserves every chunk sum), so the
+    # qm6 fallback dHash collides and qm7's banding+verify MUST emit
+    # the pair at Hamming 0. Exercises the banding stage on a true
+    # non-byte-identical collision inside the gate. The texts also
+    # keep equal lengths (n_chars paths unchanged).
+    if len(docs["doc_id"]) >= 340:
+        base = " ".join((
+            "the integral scanner walks every parquet row group twice "
+            "before the planner commits to a layout and the shuffle "
+            "service keeps one spill file per reducer while the driver "
+            "tracks block liveness across executor generations so that "
+            "a lost node replays only its own map outputs instead of "
+            "the whole stage and the scheduler keeps locality hints "
+            "alive until the last fetch completes cleanly").split() * 2)
+        # swap of two adjacent letters INSIDE one 63-chunk (text is
+        # ~767 cps, chunks ~12 wide) keeps every chunk sum equal
+        docs["text"][330] = base
+        docs["text"][331] = base[1] + base[0] + base[2:]
+        assert docs["text"][330] != docs["text"][331]
+        for i in (330, 331):
             docs["n_chars"][i] = len(docs["text"][i])
     tabs["documents"] = pa.Table.from_pydict(
         docs, schema=tabs["documents"].schema)
