@@ -986,37 +986,48 @@ object CorpusPrep {
   private def sqlQsWeights: String =
     qsWeights.mkString("[", ", ", "]::BIGINT[]")
 
+  /** The q272 scorer as composable CTEs over a named (doc_id, text)
+    * relation — `qm` ends with (doc_id, n_tokens, n_feats, score,
+    * mean_e3). q272's own oracle and q273's keeper oracle interpolate
+    * this ONE rendering (prefixed q* to stay clash-free inside larger
+    * chains). */
+  private[operators] def sqlQualityScoreCtes(src: String): String =
+    s"""qw0 AS (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM $src),
+       |qh AS (SELECT doc_id,
+       |    $sqlWordFolds
+       |  FROM qw0),
+       |qwt AS (SELECT $sqlQsWeights AS wts),
+       |qsc AS (
+       |  SELECT doc_id, CAST(len(h1) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(h1, x -> wts[(x % 64) + 1])),
+       |        (a, b) -> a + b)
+       |      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, len(h1)),
+       |          i -> wts[(((h1[i] * 131 + h1[i+1]) % 1000000007)
+       |            % 64) + 1])),
+       |        (a, b) -> a + b) AS BIGINT) AS score
+       |  FROM qh CROSS JOIN qwt),
+       |qm AS (
+       |  SELECT doc_id, n_tokens,
+       |    n_tokens + greatest(n_tokens - 1, 0) AS n_feats, score,
+       |    (score * 1000) //
+       |      greatest(n_tokens + greatest(n_tokens - 1, 0), 1)
+       |      AS mean_e3
+       |  FROM qsc)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // q272: same word folds (sqlWordFolds — one renderer), same
     // mod-64 buckets, same literal weight table, same left-fold sums
     // (all-integer, order-free), same div/keep finale.
     "q272_quality_score" ->
-      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w
-        |            FROM documents),
-        |h AS (SELECT doc_id,
-        |    $sqlWordFolds
-        |  FROM w0),
-        |wt AS (SELECT $sqlQsWeights AS wts),
-        |s AS (
-        |  SELECT doc_id, CAST(len(h1) AS BIGINT) AS n_tokens,
-        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(h1, x -> wts[(x % 64) + 1])),
-        |        (a, b) -> a + b)
-        |      + list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(range(1, len(h1)),
-        |          i -> wts[(((h1[i] * 131 + h1[i+1]) % 1000000007)
-        |            % 64) + 1])),
-        |        (a, b) -> a + b) AS BIGINT) AS score
-        |  FROM h CROSS JOIN wt),
-        |f AS (
-        |  SELECT doc_id, n_tokens,
-        |    n_tokens + greatest(n_tokens - 1, 0) AS n_feats, score
-        |  FROM s)
-        |SELECT doc_id, n_tokens, n_feats, score,
-        |  (score * 1000) // greatest(n_feats, 1) AS mean_e3,
-        |  CAST(CASE WHEN (score * 1000) // greatest(n_feats, 1) >= 0
+      (s"WITH ${sqlQualityScoreCtes("documents")}" +
+        """
+        |SELECT doc_id, n_tokens, n_feats, score, mean_e3,
+        |  CAST(CASE WHEN mean_e3 >= 0
         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM f ORDER BY doc_id""".stripMargin,
+        |FROM qm ORDER BY doc_id""".stripMargin),
     // q188: same length-difference class counts (DuckDB needs the 'g'
     // flag — its regexp_replace is first-match by default, Spark's is
     // global), same bp divisions.

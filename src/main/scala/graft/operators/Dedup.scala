@@ -1025,6 +1025,102 @@ object Dedup {
     Graph.triangleCensus(exactPairs(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v")))
 
+  // ---------------------------------------------------------------- q273
+
+  /** Q273: QUALITY-AWARE KEEPER SELECTION (round 13 — the q272 scorer
+    * composed into the dedup stack): per near-dup cluster (q33g
+    * component, size ≥ 2), the keeper a QUALITY-aware policy picks
+    * (argmax mean quality, doc_id tiebreak) next to the min-id keeper
+    * every dedup entry here uses — with both keepers' scores, so the
+    * table quantifies what min-id leaves on the floor. Production
+    * pipelines keep the best cluster member, not the first-seen one;
+    * this is the policy-comparison readout that decision reads.
+    *
+    * Scale: components and scores are both per-doc frames (memoized
+    * closure + zero-shuffle scorer); the rollup is one cluster-keyed
+    * partial-combining aggregate — pairs never rematerialize. */
+  def q273QualityKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupComponents(spark, dir)
+    val q = CorpusPrep.qualityScore(
+        docsWithNearDups(load(spark, dir, "documents")))
+      .select(col("doc_id"), col("mean_e3"))
+    labels.join(q, "doc_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col("mean_e3")).as("nq"), col("doc_id").as("id")))
+          .as("kq"),
+        min(col("doc_id")).as("keeper_min"),
+        min(struct(col("doc_id").as("id"), col("mean_e3").as("q")))
+          .as("km"))
+      .filter(col("n_docs") >= 2)
+      .select(col("component"), col("n_docs"),
+        col("kq.id").as("keeper_q"),
+        (-col("kq.nq")).as("keeper_q_mean_e3"),
+        col("keeper_min"),
+        col("km.q").as("keeper_min_mean_e3"))
+      .withColumn("differs",
+        when(col("keeper_q") =!= col("keeper_min"), 1L).otherwise(0L))
+      .orderBy("component")
+  }
+
+  // ---------------------------------------------------------------- q274
+
+  /** Q274: MINHASH SIGNATURE-SIZE SWEEP — jaccard-estimation error of
+    * the engine-shared minhash sketch at 16 / 32 / 64 permutations,
+    * measured over the verified exact pair set (q33c): per perm
+    * count, pairs evaluated, mean and max |estimate − exact| in ppm.
+    * The sketch-sizing table (q244 swept the BANDING config over one
+    * signature; this sweeps the SIGNATURE budget itself — half the
+    * perms halve the signature I/O, this is what it costs in
+    * estimation error).
+    *
+    * Determinism: est_ppm = (prefix matches · 10⁶) div k (integers);
+    * exact_ppm from the HASHED shingle sets ((∩ · 10⁶) div ∪ — the
+    * signature's own ground truth); err aggregates are BIGINT.
+    * Scale: signatures are per-row projections; the pair frame is
+    * pairs-sized (memoized); the 3-config fan-out multiplies pairs,
+    * not the corpus. */
+  def q274MinhashPermSweep(spark: SparkSession, dir: String)
+      : DataFrame = {
+    graft.functions.SignatureExprs.register(spark)
+    val withSig = docsWithNearDups(load(spark, dir, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        array_distinct(transform(shinglesOf(col("w"), 3),
+          s => call_function("graft_polyhash", s))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        call_function("graft_minhash_mod", col("sh"), lit(64))
+          .as("sig"))
+      .localCheckpoint() // the pair join reads it from both sides
+    val pairs = exactPairs(spark, dir).select("doc_a", "doc_b")
+    pairs
+      .join(withSig.select(col("doc_id").as("doc_a"),
+        col("sh").as("sha"), col("sig").as("siga")), "doc_a")
+      .join(withSig.select(col("doc_id").as("doc_b"),
+        col("sh").as("shb"), col("sig").as("sigb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("siga"), col("sigb"),
+        expr("(CAST(size(array_intersect(sha, shb)) AS BIGINT)" +
+          " * 1000000) div (size(sha) + size(shb)" +
+          " - size(array_intersect(sha, shb)))").as("exact_ppm"))
+      .select(col("exact_ppm"), col("siga"), col("sigb"),
+        explode(typedlit(Seq(16L, 32L, 64L))).as("k"))
+      .withColumn("matches", expr(
+        "aggregate(zip_with(slice(siga, 1, CAST(k AS INT))," +
+          " slice(sigb, 1, CAST(k AS INT))," +
+          " (x, y) -> CAST(CASE WHEN x = y THEN 1 ELSE 0 END" +
+          " AS BIGINT)), 0L, (a, x) -> a + x)"))
+      .withColumn("err_ppm",
+        abs(expr("(matches * 1000000) div k") - col("exact_ppm")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("err_ppm")).as("sum_err_ppm"),
+        max(col("err_ppm")).as("max_err_ppm"))
+      .select(col("k"), col("n_pairs"),
+        expr("sum_err_ppm div n_pairs").as("mean_err_ppm"),
+        col("max_err_ppm"))
+      .orderBy("k")
+  }
+
   /** Q263: SIMHASH DISTANCE SPECTRUM — the Hamming-distance histogram
     * between each original doc's signature and its planted near-dup
     * twin's (the last-3-words-dropped derivation the q33 family
@@ -1540,6 +1636,8 @@ object Dedup {
     "q33b_simhash_pairs" -> (q33bSimhash _),
     "q263_simhash_spectrum" -> (q263SimhashSpectrum _),
     "q266_dedup_transitivity" -> (q266DedupTransitivity _),
+    "q273_quality_keeper" -> (q273QualityKeeper _),
+    "q274_minhash_perm_sweep" -> (q274MinhashPermSweep _),
     "q268_cluster_split" -> (q268ClusterSplit _),
     "q33c_ngram_jaccard_pairs" -> (q33cNgramJaccard _),
     "q33d_embed_neardup_pairs" -> (q33dEmbedNearDup _),
@@ -2160,6 +2258,91 @@ object Dedup {
         |SELECT threshold_ppm, n_pairs, n_docs
         |FROM np JOIN nd USING (threshold_ppm)
         |ORDER BY threshold_ppm""".stripMargin),
+    // q273: the q33g closure + the q272 scorer CTEs over the SAME
+    // derived corpus; argmax keeper via the (mean_e3 desc, doc_id)
+    // rank window mirroring the Spark min-struct.
+    "q273_quality_keeper" ->
+      (closureCtes + ",\n" +
+        CorpusPrep.sqlQualityScoreCtes("corpus") + """,
+        |comp AS (
+        |  SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+        |  FROM reach GROUP BY node),
+        |jq AS (
+        |  SELECT c.component, c.doc_id, qm.mean_e3
+        |  FROM comp c JOIN qm USING (doc_id)),
+        |krk AS (
+        |  SELECT component, doc_id, mean_e3,
+        |    ROW_NUMBER() OVER (PARTITION BY component
+        |      ORDER BY mean_e3 DESC, doc_id) AS r1,
+        |    ROW_NUMBER() OVER (PARTITION BY component
+        |      ORDER BY doc_id) AS r2
+        |  FROM jq),
+        |kagg AS (
+        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM jq GROUP BY component),
+        |kq AS (SELECT component, doc_id AS keeper_q,
+        |         mean_e3 AS keeper_q_mean_e3 FROM krk WHERE r1 = 1),
+        |km AS (SELECT component, doc_id AS keeper_min,
+        |         mean_e3 AS keeper_min_mean_e3 FROM krk WHERE r2 = 1)
+        |SELECT a.component, a.n_docs, kq.keeper_q,
+        |  kq.keeper_q_mean_e3, km.keeper_min, km.keeper_min_mean_e3,
+        |  CAST(CASE WHEN keeper_q <> keeper_min THEN 1 ELSE 0 END
+        |    AS BIGINT) AS differs
+        |FROM kagg a JOIN kq USING (component) JOIN km USING (component)
+        |WHERE a.n_docs >= 2
+        |ORDER BY a.component""".stripMargin),
+    // q274: the q33a signature CTE arithmetic (sigr) + the q33c exact
+    // pair set + prefix-match estimates at k ∈ {16, 32, 64}; exact
+    // jaccard from the HASHED shingle sets ((∩·1e6) // ∪ — integers).
+    "q274_minhash_perm_sweep" ->
+      ("WITH " + postingsPairCtes + s""",
+        |shh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(s,
+        |      g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, len(g) + 1),
+        |          j -> CAST(ord(substr(g, j, 1)) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1000000007))) AS hs
+        |  FROM sh),
+        |exh AS (SELECT doc_id, unnest(hs) AS x FROM shh),
+        |sigr AS MATERIALIZED (
+        |  SELECT doc_id, k,
+        |    MIN((($sqlA)[k+1] * x + ($sqlB)[k+1]) % 1000000007) AS s
+        |  FROM exh CROSS JOIN (SELECT unnest(range(0, 64)) AS k) kt
+        |  GROUP BY doc_id, k),
+        |ep AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    (CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT)
+        |      * 1000000) //
+        |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+        |      AS exact_ppm
+        |  FROM jpairs p
+        |  JOIN shh ha ON p.doc_a = ha.doc_id
+        |  JOIN shh hb ON p.doc_b = hb.doc_id),
+        |mm AS (
+        |  SELECT p.doc_a, p.doc_b, CAST(t.k AS BIGINT) AS k,
+        |    CAST(SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS matches
+        |  FROM jpairs p
+        |  JOIN sigr sa ON sa.doc_id = p.doc_a
+        |  JOIN sigr sb ON sb.doc_id = p.doc_b AND sb.k = sa.k
+        |  CROSS JOIN (SELECT unnest([16, 32, 64]) AS k) t
+        |  WHERE sa.k < t.k
+        |  GROUP BY 1, 2, 3),
+        |me AS (
+        |  SELECT mm.k,
+        |    abs((mm.matches * 1000000) // mm.k - ep.exact_ppm)
+        |      AS err_ppm
+        |  FROM mm JOIN ep
+        |    ON mm.doc_a = ep.doc_a AND mm.doc_b = ep.doc_b),
+        |mf AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(err_ppm) AS BIGINT) AS sum_err,
+        |    CAST(MAX(err_ppm) AS BIGINT) AS max_err_ppm
+        |  FROM me GROUP BY k)
+        |SELECT k, n_pairs, sum_err // n_pairs AS mean_err_ppm,
+        |  max_err_ppm
+        |FROM mf ORDER BY k""".stripMargin),
     // q33g: transitive closure of the exact pair graph via recursive CTE
     // — min reachable id per node ≡ the min-label-propagation fixpoint.
     "q33g_dedup_components" ->

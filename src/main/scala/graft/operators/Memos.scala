@@ -22,6 +22,7 @@ object Memos {
     Dedup.clearMemos()
     Graph.clearMemos()
     TextOps.clearMemos()
+    Similarity.clearMemos()
   }
 
   /** Every memoized build, NAMED, in dependency order (lpa25 layers on
@@ -50,5 +51,9 @@ object Memos {
     "memo:bpe_state" ->
       ((s, d) => { TextOps.bpeState6(s, d); () }),
     "memo:dedup_components" ->
-      ((s, d) => { Dedup.q33gDedupComponents(s, d); () }))
+      ((s, d) => { Dedup.q33gDedupComponents(s, d); () }),
+    "memo:kmeans_cells" ->
+      ((s, d) => { Similarity.kmeansShared83(s, d); () }),
+    "memo:hybrid_fused" ->
+      ((s, d) => { Similarity.hybridMultiRankings(s, d); () }))
 }

@@ -758,9 +758,34 @@ object Similarity {
     * centroid table in long format (cell, dim, c_e3) with each cell's
     * final member count. The artifact a clustering trainer ships,
     * gated the way q229 gates the BPE merge table. */
+  /** Memoized (centroids, assignment) of the SHARED k-means trainer at
+    * the graded config (k = 8, rounds = 3) — round 13: FIVE entries
+    * ride this chain (q246, q270, q271, q271b via the fused memo) and
+    * each re-ran the 3-round trainer per Verify/Bench pass.
+    * `kMeansShared`'s outputs are already eager localCheckpoints, so
+    * caching the pair is free (the Dedup memo discipline). */
+  private val kmeansCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[operators] def kmeansShared83(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    kmeansCache.getOrElseUpdate((spark, dir),
+      Clustering.kMeansShared(load(spark, dir, "embeddings"),
+        k = 8, rounds = 3))
+
+  /** Memoized q271/q271b fused ranking frame — both entries read the
+    * same top-k-sized fusion (the blocks are ≤ 2k rows per query). */
+  private val hybridFusedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Drop this object's memoized frames (see [[Memos.clearAll]]). */
+  private[operators] def clearMemos(): Unit = {
+    kmeansCache.clear()
+    hybridFusedCache.clear()
+  }
+
   def q246Kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val (cent, assign) = Clustering.kMeansShared(
-      load(spark, dir, "embeddings"), k = 8, rounds = 3)
+    val (cent, assign) = kmeansShared83(spark, dir)
     val counts = assign.groupBy("cell")
       .agg(count(lit(1)).as("n_members"))
     cent.join(counts, "cell")
@@ -837,7 +862,7 @@ object Similarity {
   def q270IvfProbeSweep(spark: SparkSession, dir: String): DataFrame = {
     DotProductExpr.register(spark)
     val vecs = load(spark, dir, "embeddings")
-    val (cent, _) = Clustering.kMeansShared(vecs, k = 8, rounds = 3)
+    val (cent, _) = kmeansShared83(spark, dir)
     val ex = vecs.select(col("vec_id"),
         posexplode(expr("transform(CAST(embedding AS array<double>)," +
           " x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))"))
@@ -1182,14 +1207,19 @@ object Similarity {
     * per query and the final rank window sorts ≤ 2k rows per query —
     * the batched-serving shape of a production hybrid stack. */
   private[operators] def hybridMultiRankings(spark: SparkSession,
-      dir: String, k: Int = 50): DataFrame = {
+      dir: String, k: Int = 50): DataFrame =
+    hybridFusedCache.getOrElseUpdate((spark, dir),
+      hybridMultiRankingsBuild(spark, dir, k).localCheckpoint(true))
+
+  private def hybridMultiRankingsBuild(spark: SparkSession,
+      dir: String, k: Int): DataFrame = {
     DotProductExpr.register(spark)
     val docs = load(spark, dir, "documents")
     val lex = TextOps.bm25TopDocsMulti(docs,
         TextOps.bm25QueryTable(docs), topK = k)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     val vecs = load(spark, dir, "embeddings")
-    val (cent, _) = Clustering.kMeansShared(vecs, k = 8, rounds = 3)
+    val (cent, _) = kmeansShared83(spark, dir)
     val ex = vecs.select(col("vec_id"),
         posexplode(expr("transform(CAST(embedding AS array<double>)," +
           " x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))"))

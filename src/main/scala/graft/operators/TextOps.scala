@@ -1410,6 +1410,16 @@ object TextOps {
     val tot = dl.agg(sum(col("dl")).as("t_tokens"),
         count(lit(1)).as("d_docs"))
       .withColumn("avgdl_e3", expr("(t_tokens * 1000) div d_docs"))
+    bm25RankMulti(tf, qt, dl, tot, topK)
+  }
+
+  /** The ONE canonical BM25 scoring + per-query ranking stage over
+    * prebuilt frames (round 13 — factored so q275's two-stage PRF run
+    * reuses the identical div chain instead of copying it): tf =
+    * (doc_id, term, tf), qt = (query_id, term, df), dl = (doc_id,
+    * dl), tot = the broadcast 1-row corpus scalars. */
+  private[operators] def bm25RankMulti(tf: DataFrame, qt: DataFrame,
+      dl: DataFrame, tot: DataFrame, topK: Int): DataFrame = {
     val scored = tf.join(broadcast(qt), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
@@ -1496,6 +1506,59 @@ object TextOps {
           "first_rel_rank ELSE 0 END").as("mrr_e6"),
         expr("(h10 * 10000) div 10").as("p_at_10_bp"))
       .orderBy("query_id")
+  }
+
+  // ---------------------------------------------------------------- q275
+
+  /** Q275: PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (RM3-lite,
+    * round 13) — the relevance LOOP a retrieval stack closes on top
+    * of its scorer: run q247's 5-term query, read its top-10 docs,
+    * pick the 3 strongest feedback terms (Σ tf inside the top docs
+    * under the (Σtf desc, term) total order, excluding the df-rank
+    * ≤ 25 crown — the stopword band every query table here avoids),
+    * expand the query and re-rank with the SAME canonical scorer
+    * ([[bm25RankMulti]] runs both stages — one div chain, zero
+    * copies). Output = the expanded top-20.
+    *
+    * Scale: tf is built ONCE (checkpointed — the inverted-index
+    * build; 3 consumers: stage-1 scoring, feedback mining, stage-2),
+    * both scoring stages are postings-bounded (5- then 8-term query
+    * tables broadcast into tf), feedback mining is a 10-doc semi-join
+    * + a crown anti-join, and every rank window sorts one query's
+    * candidates. */
+  def q275PrfExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("t_tokens"),
+        count(lit(1)).as("d_docs"))
+      .withColumn("avgdl_e3", expr("(t_tokens * 1000) div d_docs"))
+    val qOrder = Seq(col("df").desc, col("term"))
+    val crown25 = dfr.orderBy(qOrder: _*).limit(25)
+      .withColumn("qrank",
+        row_number().over(Window.orderBy(qOrder: _*)))
+      .localCheckpoint() // 25 rows; the query and the exclusion share it
+    val qt1 = crown25.filter(col("qrank") >= 11)
+      .select(lit(1L).as("query_id"), col("term"), col("df"))
+    val top10 = bm25RankMulti(tf, qt1, dl, tot, topK = 10)
+      .select(col("doc_id"))
+    val fb = tf.join(top10, "doc_id")
+      .join(crown25.select("term"), Seq("term"), "left_anti")
+      .groupBy("term").agg(sum(col("tf")).as("sumtf"))
+    val fbOrder = Seq(col("sumtf").desc, col("term"))
+    val exp3 = fb.orderBy(fbOrder: _*).limit(3)
+      .select(lit(1L).as("query_id"), col("term"))
+    val qt2 = qt1.select("query_id", "term").unionAll(exp3)
+      .join(dfr, "term")
+      .select(col("query_id"), col("term"), col("df"))
+    bm25RankMulti(tf, qt2, dl, tot, topK = 20)
+      .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy("rank")
   }
 
   // ---------------------------------------------------------------- q261
@@ -1918,6 +1981,7 @@ object TextOps {
     "q248_bpe_batched" -> (q248BpeBatched _),
     "q247_bm25" -> (q247Bm25 _),
     "q255_bm25_multi" -> (q255Bm25Multi _),
+    "q275_prf_expansion" -> (q275PrfExpansion _),
     "q256_retrieval_eval_multi" -> (q256RetrievalEvalMulti _),
     "q261_postings_delta" -> (q261PostingsDelta _),
     "q249_bpe_encode_unseen" -> (q249BpeEncodeUnseen _),
@@ -2166,7 +2230,10 @@ object TextOps {
   /** The shared q255/q256 multi-query chain: q247's fixed-point BM25
     * arithmetic verbatim, the deterministic 3-query table (df-ranks
     * 11–25 in groups of 5), per-query rank window. */
-  private[operators] val bm25MultiCtes: String =
+  /** The query-independent BM25 base frames (round-13 split: q275's
+    * two-stage PRF chain reuses these + [[bm25ScoreChain]] — one SQL
+    * source of truth for the whole multi-query scorer family). */
+  private[operators] val bm25BaseCtes: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |  FROM documents),
@@ -2176,39 +2243,82 @@ object TextOps {
       |dfr AS (
       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
       |  FROM tf GROUP BY term),
-      |qt AS (
-      |  SELECT CAST((qrank - 11) // 5 + 1 AS BIGINT) AS query_id,
-      |    term, df
-      |  FROM (
-      |    SELECT term, df,
-      |      ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrank
-      |    FROM dfr) t WHERE qrank BETWEEN 11 AND 25),
       |dl AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
       |  FROM toks GROUP BY doc_id),
       |tot AS (
       |  SELECT t_tokens, d_docs, (t_tokens * 1000) // d_docs AS avgdl_e3
       |  FROM (SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens,
-      |          CAST(COUNT(*) AS BIGINT) AS d_docs FROM dl) t0),
-      |scored AS (
-      |  SELECT qt.query_id, tf.doc_id,
-      |    (((d_docs * 1000000) // df) *
-      |     ((tf.tf * 2200 * 1000000) //
-      |      (tf.tf * 1000 +
-      |       (1200 * (250 + (750 * ((dl.dl * 1000000) // avgdl_e3))
-      |         // 1000)) // 1000))) // 1000000 AS tscore
-      |  FROM tf JOIN qt USING (term)
-      |  JOIN dl ON tf.doc_id = dl.doc_id
-      |  CROSS JOIN tot),
-      |ds AS (
-      |  SELECT query_id, doc_id, CAST(SUM(tscore) AS BIGINT) AS score,
-      |    CAST(COUNT(*) AS BIGINT) AS n_terms
-      |  FROM scored GROUP BY query_id, doc_id),
-      |rk AS (
-      |  SELECT query_id, doc_id, score, n_terms,
-      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-      |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-      |  FROM ds)""".stripMargin
+      |          CAST(COUNT(*) AS BIGINT) AS d_docs FROM dl) t0)"""
+      .stripMargin
+
+  /** The canonical scoring + per-query ranking stage over a query
+    * table `qtName` = (query_id, term, df) — the SQL twin of
+    * [[bm25RankMulti]], rendered once and suffixed so one oracle can
+    * run it twice (q275's two stages). */
+  private[operators] def bm25ScoreChain(sfx: String,
+      qtName: String): String =
+    s"""scored$sfx AS (
+       |  SELECT $qtName.query_id, tf.doc_id,
+       |    (((d_docs * 1000000) // df) *
+       |     ((tf.tf * 2200 * 1000000) //
+       |      (tf.tf * 1000 +
+       |       (1200 * (250 + (750 * ((dl.dl * 1000000) // avgdl_e3))
+       |         // 1000)) // 1000))) // 1000000 AS tscore
+       |  FROM tf JOIN $qtName USING (term)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN tot),
+       |ds$sfx AS (
+       |  SELECT query_id, doc_id, CAST(SUM(tscore) AS BIGINT) AS score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms
+       |  FROM scored$sfx GROUP BY query_id, doc_id),
+       |rk$sfx AS (
+       |  SELECT query_id, doc_id, score, n_terms,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM ds$sfx)""".stripMargin
+
+  private[operators] val bm25MultiCtes: String =
+    bm25BaseCtes + """,
+      |qt AS (
+      |  SELECT CAST((qrank - 11) // 5 + 1 AS BIGINT) AS query_id,
+      |    term, df
+      |  FROM (
+      |    SELECT term, df,
+      |      ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrank
+      |    FROM dfr) t WHERE qrank BETWEEN 11 AND 25)""".stripMargin +
+      ",\n" + bm25ScoreChain("", "qt")
+
+  /** q275: the base frames + crown/qt1, the SAME score chain twice
+    * (stage-1 top-10, feedback mining outside the crown, expanded qt2,
+    * stage-2 top-20). */
+  private val prfOracle: String = bm25BaseCtes + """,
+    |crown AS (
+    |  SELECT term, df, qrank FROM (
+    |    SELECT term, df,
+    |      ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrank
+    |    FROM dfr) t WHERE qrank <= 25),
+    |qt1 AS (
+    |  SELECT CAST(1 AS BIGINT) AS query_id, term, df
+    |  FROM crown WHERE qrank >= 11)""".stripMargin +
+    ",\n" + bm25ScoreChain("1", "qt1") + """,
+    |top10 AS (SELECT doc_id FROM rk1 WHERE rank <= 10),
+    |fb AS (
+    |  SELECT tf.term, CAST(SUM(tf.tf) AS BIGINT) AS sumtf
+    |  FROM tf JOIN top10 USING (doc_id)
+    |  WHERE tf.term NOT IN (SELECT term FROM crown)
+    |  GROUP BY tf.term),
+    |exp3 AS (
+    |  SELECT term FROM (
+    |    SELECT term, ROW_NUMBER() OVER (ORDER BY sumtf DESC, term) AS r
+    |    FROM fb) t WHERE r <= 3),
+    |qt2 AS (
+    |  SELECT CAST(1 AS BIGINT) AS query_id, u.term, dfr.df
+    |  FROM (SELECT term FROM qt1 UNION ALL SELECT term FROM exp3) u
+    |  JOIN dfr USING (term))""".stripMargin +
+    ",\n" + bm25ScoreChain("2", "qt2") + """
+    |SELECT rank, doc_id, score, n_terms FROM rk2
+    |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
   private val bm25MultiOracle: String = bm25MultiCtes +
     """
@@ -2516,6 +2626,9 @@ object TextOps {
     // q255: the q247 arithmetic over the deterministic 3-query table
     // (df-ranks 11–25 grouped by 5), per-query ROW_NUMBER top-10.
     "q255_bm25_multi" -> bm25MultiOracle,
+    // q275: base frames + the one score chain twice + crown-excluded
+    // feedback mining — the whole PRF loop under one oracle.
+    "q275_prf_expansion" -> prfOracle,
     // q261: same derived snapshot (mod-7 delete, mod-5 zz-rewrite),
     // distinct postings both sides, full-outer set difference per doc.
     "q261_postings_delta" ->
