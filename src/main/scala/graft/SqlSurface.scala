@@ -544,6 +544,44 @@ object SqlSurface {
     Similarity.quantAudit(spark.table(embView))
       .createOrReplaceTempView(viewName)
 
+  /** Quality-classifier scores for a (doc_id, text) view — q272's
+    * hashed-n-gram integer linear scorer (round 13): per doc token/
+    * feature counts, raw + mean score, keep flag. */
+  def createQualityScoreView(spark: SparkSession, docsView: String,
+      viewName: String): Unit =
+    operators.CorpusPrep.qualityScore(spark.table(docsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Pseudo-relevance-feedback expanded BM25 top-20 for a
+    * (doc_id, text) view — q275's two-stage RM3-lite loop
+    * (round 13). */
+  def createPrfExpansionView(spark: SparkSession, docsView: String,
+      viewName: String): Unit =
+    operators.TextOps.prfExpansion(spark.table(docsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Perceptual near-dup pairs for a (media_id, phash) signature view
+    * — qm7's 4×14-bit Hamming banding + exact bit_count verify
+    * (round 13), expressed directly in SQL over the signature table
+    * so any signature source (dHash, simhash) can ride it. */
+  def createPhashNearDupView(spark: SparkSession, sigView: String,
+      viewName: String, maxHamming: Int = 6): Unit =
+    spark.sql(
+      s"""WITH bands AS (
+         |  SELECT media_id, phash, b,
+         |    (phash div element_at(array(1L, 16384L, 268435456L,
+         |      4398046511104L), b + 1)) % 16384 AS bv
+         |  FROM $sigView
+         |  LATERAL VIEW explode(array(0, 1, 2, 3)) t AS b),
+         |cand AS (
+         |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+         |    x.phash AS pa, y.phash AS pb
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bv = y.bv AND x.media_id < y.media_id)
+         |SELECT a, b, CAST(bit_count(pa ^ pb) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(pa ^ pb) <= $maxHamming"""
+        .stripMargin).createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

@@ -382,6 +382,40 @@ object Behavioral {
       .orderBy("gap_us")
   }
 
+  // ---------------------------------------------------------------- q276
+
+  /** Q276: SESSION WINDOWS VIA THE BUILT-IN `session_window` (round
+    * 13) — the native Spark sessionization operator next to q141's
+    * hand gaps-and-islands form, GATED so its boundary semantics are
+    * pinned cross-engine: MEASURED (StreamingSpec boundary test),
+    * Spark merges ABUTTING windows too — an event at exactly
+    * `prev + gap` stays in the SAME session, i.e. the break rule is
+    * `delta > gap`, identical to q141's explicit rule (the off-by-one
+    * every sessionization migration worries about — here it measures
+    * out equal, and the oracle replays the `>` boundary). Output per
+    * (user, session): start µs, end µs (= last event + gap — the
+    * window end Spark reports), event count.
+    *
+    * Scale: one user-keyed shuffle + Spark's native session-merge
+    * aggregation (map-side partial merge; no window sort); the
+    * streaming twin [[graft.streaming.StreamOps.sessionWindowStream]]
+    * runs this SAME body under a watermark — the canonical streaming
+    * sessionization shape. */
+  def sessionWindowAgg(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(sw.start)").as("session_start_us"),
+        expr("unix_micros(sw.end)").as("session_end_us"),
+        col("n_events"))
+
+  def q276SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts")))
+      .orderBy("user_id", "session_start_us")
+
   def q141Sessions(spark: SparkSession, dir: String): DataFrame =
     sessionized(graft.Tables.events(spark, dir))
       .groupBy(col("user_id"), col("session_no"))
@@ -1055,6 +1089,7 @@ object Behavioral {
     "q144_rolling_wau" -> (q144RollingWau _),
     "q158_session_cooc" -> (q158SessionCooc _),
     "q141_sessions" -> (q141Sessions _),
+    "q276_session_window" -> (q276SessionWindow _),
     "q269_session_gap_sweep" -> (q269SessionGapSweep _),
     "q72_cohort" -> (q72Cohort _),
     "q73_funnel" -> (q73Funnel _),
@@ -1614,6 +1649,37 @@ object Behavioral {
     // q141: same lag → gap-flag → running-sum session derivation under
     // the (µs, event_id) order; session_no cast to BIGINT (DuckDB
     // widens window SUMs — D6).
+    // q276: the built-in session_window replayed as islands with the
+    // >-boundary break (MEASURED: Spark merges abutting windows — an
+    // exact-gap delta stays in session, same rule as q141);
+    // end = last event + gap, exactly the window end Spark reports.
+    "q276_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_us,
+        |    event_id
+        |  FROM ev),
+        |s AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |n AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM s)
+        |SELECT user_id,
+        |  CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+        |  CAST(MAX(ts_us) + 1800000000 AS BIGINT) AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM n GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "q141_sessions" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),

@@ -219,6 +219,26 @@ object CorpusPrep {
   def q272QualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityScore(load(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Q279: QUALITY-SCORE DISTRIBUTION BY SOURCE (round 13) — exact
+    * p10/p50/p90 of the q272 mean score per source (q87's percentile
+    * machinery over the classifier's output): the calibration table a
+    * keep-threshold is chosen FROM — a source whose p50 sits below
+    * the global cut is about to be silently dropped wholesale, and
+    * this is where that shows before the filter runs.
+    *
+    * Scale: the scorer is zero-shuffle; the percentile selection is
+    * the q42/q87 rank-split discipline (no whole-group in-heap
+    * buffers). */
+  def q279QualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val scored = qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("mean_e3"))
+    Percentiles.discByRank(scored, Seq("source"), "mean_e3",
+        Seq(0.1 -> "p10", 0.5 -> "p50", 0.9 -> "p90"), Some("n_docs"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- q66
 
   /** Sequence packing — the GPT-style concat-and-chunk pack: per
@@ -956,6 +976,7 @@ object CorpusPrep {
     "q259_pii_audit" -> (q259PiiAudit _),
     "q260_mixture_budget" -> (q260MixtureBudget _),
     "q272_quality_score" -> (q272QualityScore _),
+    "q279_quality_deciles" -> (q279QualityDeciles _),
   )
 
   /** DuckDB replay of the [[gramKeyStream]] word-fold arrays — h1/h2
@@ -1028,6 +1049,19 @@ object CorpusPrep {
         |  CAST(CASE WHEN mean_e3 >= 0
         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM qm ORDER BY doc_id""".stripMargin),
+    // q279: the shared q272 score CTEs + the q87 quantile_disc pairing
+    // (rank selection ≡ DuckDB's discrete-quantile boundary, the
+    // round-4 pin).
+    "q279_quality_deciles" ->
+      (s"WITH ${sqlQualityScoreCtes("documents")}" + """,
+        |jsrc AS (
+        |  SELECT d.source, qm.mean_e3
+        |  FROM qm JOIN documents d USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(quantile_disc(mean_e3, 0.1) AS BIGINT) AS p10,
+        |  CAST(quantile_disc(mean_e3, 0.5) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(mean_e3, 0.9) AS BIGINT) AS p90
+        |FROM jsrc GROUP BY source ORDER BY source""".stripMargin),
     // q188: same length-difference class counts (DuckDB needs the 'g'
     // flag — its regexp_replace is first-match by default, Spark's is
     // global), same bp divisions.

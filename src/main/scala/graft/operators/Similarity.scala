@@ -1317,8 +1317,36 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  // ---------------------------------------------------------------- q278
+
+  /** Q278: IVF CELL-BALANCE AUDIT (round 13) — the index-health
+    * readout next to q270's recall sweep: over the GATED k-means
+    * assignment, the cell-population distribution (cells, vectors,
+    * min/max cell, hottest cell's share in ppm, and the q181-style
+    * integer CV² = (k·Σn² − S²)·10⁶ div S²). An unbalanced index is
+    * the OTHER way IVF fails — probes hit a whale cell and latency
+    * collapses to brute force; this table is what triggers re-training
+    * or cell splitting. All-integer, rides the memoized trainer.
+    *
+    * Scale: one cell-keyed count over the assignment + a k-row
+    * rollup; at 10⁹ vectors the assignment count is the k-means
+    * update shuffle the trainer already pays. */
+  def q278CellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assign) = kmeansShared83(spark, dir)
+    assign.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
+        min(col("n")).as("min_cell_n"), max(col("n")).as("max_cell_n"),
+        sum(col("n") * col("n")).as("ssq"))
+      .select(col("n_cells"), col("n_vecs"), col("min_cell_n"),
+        col("max_cell_n"),
+        expr("(max_cell_n * 1000000) div n_vecs").as("max_share_ppm"),
+        expr("((n_cells * ssq - n_vecs * n_vecs) * 1000000)" +
+          " div (n_vecs * n_vecs)").as("cv2_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q271_hybrid_multi" -> (q271HybridMulti _),
+    "q278_cell_balance" -> (q278CellBalance _),
     "q271b_hybrid_eval_multi" -> (q271bHybridEvalMulti _),
     "q230_semantic_dedup" -> (q230SemanticDedup _),
     "q246_kmeans" -> (q246Kmeans _),
@@ -1634,6 +1662,27 @@ object Similarity {
     // by assignment and query cell ranking), 4-probe fan-out, q92
     // cosine candidates, recall vs the q34a brute chain.
     "q270_ivf_probe_sweep" -> ivfSweepOracle,
+    // q278: the q246 trainer chain's final assignment (a2 — the
+    // round-3 argmin, the same CTE q246's member counts read) +
+    // integer balance stats; overflow: n_vecs² ≤ (2·10³)² at fixture,
+    // ≤ 9·10¹⁸ bound holds to n_vecs ≈ 3·10⁹ (DECIMAL-internal past
+    // that, documented).
+    "q278_cell_balance" -> (kmeansCtes + """,
+      |cn AS (
+      |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM a2 GROUP BY cell),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |    CAST(SUM(n) AS BIGINT) AS n_vecs,
+      |    CAST(MIN(n) AS BIGINT) AS min_cell_n,
+      |    CAST(MAX(n) AS BIGINT) AS max_cell_n,
+      |    CAST(SUM(n * n) AS BIGINT) AS ssq
+      |  FROM cn)
+      |SELECT n_cells, n_vecs, min_cell_n, max_cell_n,
+      |  (max_cell_n * 1000000) // n_vecs AS max_share_ppm,
+      |  ((n_cells * ssq - n_vecs * n_vecs) * 1000000)
+      |    // (n_vecs * n_vecs) AS cv2_e6
+      |FROM st""".stripMargin),
     // q271: the q255 lexical CTEs + the q246/q270 dense chain +
     // per-query k=60 RRF — the whole multi-query hybrid stack under
     // one oracle.

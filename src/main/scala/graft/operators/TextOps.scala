@@ -1526,8 +1526,12 @@ object TextOps {
     * tables broadcast into tf), feedback mining is a 10-doc semi-join
     * + a crown anti-join, and every rank window sorts one query's
     * candidates. */
-  def q275PrfExpansion(spark: SparkSession, dir: String): DataFrame = {
-    val docs = load(spark, dir, "documents")
+  def q275PrfExpansion(spark: SparkSession, dir: String): DataFrame =
+    prfExpansion(load(spark, dir, "documents"))
+
+  /** [[q275PrfExpansion]]'s body over any (doc_id, text) frame — the
+    * SQL-surface entry point. */
+  def prfExpansion(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -1559,6 +1563,42 @@ object TextOps {
     bm25RankMulti(tf, qt2, dl, tot, topK = 20)
       .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
       .orderBy("rank")
+  }
+
+  // ---------------------------------------------------------------- q277
+
+  /** Q277: RANKING CHURN UNDER INDEX MAINTENANCE (round 13) — the
+    * blast radius of a CDC batch on the SERVING side: q255's 3-query
+    * BM25 top-10 computed on the base corpus AND on q261's derived
+    * next snapshot (mod-7 deleted, mod-5 zz-rewritten), then per
+    * query: how many top-10 docs survived, exited, entered, and the
+    * summed |rank move| of the survivors. q261 measures postings
+    * churn (index-side); this measures RANKING churn (what users see
+    * after the index maintenance lands) — the number an incremental-
+    * index deployment signs off before switching snapshots.
+    *
+    * Scale: both rankings are the postings-bounded q255 plan; the
+    * churn join is top-k-sized per query (never corpus-sized). */
+  def q277RankChurn(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val q = bm25QueryTable(docs)
+    val r0 = bm25TopDocsMulti(docs, q, topK = 10)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_old"))
+    val r1 = bm25TopDocsMulti(derivedSnapshot(docs), q, topK = 10)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_new"))
+    r0.join(r1, Seq("query_id", "doc_id"), "full_outer")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("rank_old").isNotNull && col("rank_new").isNotNull,
+          1L).otherwise(0L)).as("n_common"),
+        sum(when(col("rank_new").isNull, 1L).otherwise(0L))
+          .as("n_exited"),
+        sum(when(col("rank_old").isNull, 1L).otherwise(0L))
+          .as("n_entered"),
+        sum(when(col("rank_old").isNotNull && col("rank_new").isNotNull,
+          abs(col("rank_old") - col("rank_new"))).otherwise(0L))
+          .as("rank_delta_sum"))
+      .orderBy("query_id")
   }
 
   // ---------------------------------------------------------------- q261
@@ -1982,6 +2022,7 @@ object TextOps {
     "q247_bm25" -> (q247Bm25 _),
     "q255_bm25_multi" -> (q255Bm25Multi _),
     "q275_prf_expansion" -> (q275PrfExpansion _),
+    "q277_rank_churn" -> (q277RankChurn _),
     "q256_retrieval_eval_multi" -> (q256RetrievalEvalMulti _),
     "q261_postings_delta" -> (q261PostingsDelta _),
     "q249_bpe_encode_unseen" -> (q249BpeEncodeUnseen _),
@@ -2233,41 +2274,52 @@ object TextOps {
   /** The query-independent BM25 base frames (round-13 split: q275's
     * two-stage PRF chain reuses these + [[bm25ScoreChain]] — one SQL
     * source of truth for the whole multi-query scorer family). */
-  private[operators] val bm25BaseCtes: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |  FROM documents),
-      |tf AS (
-      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-      |  FROM toks GROUP BY doc_id, term),
-      |dfr AS (
-      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-      |  FROM tf GROUP BY term),
-      |dl AS (
-      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-      |  FROM toks GROUP BY doc_id),
-      |tot AS (
-      |  SELECT t_tokens, d_docs, (t_tokens * 1000) // d_docs AS avgdl_e3
-      |  FROM (SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens,
-      |          CAST(COUNT(*) AS BIGINT) AS d_docs FROM dl) t0)"""
+  /** The base frames over any corpus relation `src`, CTE names
+    * suffixed `b` — q277 renders this twice (base + derived next
+    * snapshot) in one oracle. */
+  private[operators] def bm25BaseBody(src: String, b: String): String =
+    s"""toks$b AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM $src),
+       |tf$b AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks$b GROUP BY doc_id, term),
+       |dfr$b AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM tf$b GROUP BY term),
+       |dl$b AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       |  FROM toks$b GROUP BY doc_id),
+       |tot$b AS (
+       |  SELECT t_tokens, d_docs, (t_tokens * 1000) // d_docs AS avgdl_e3
+       |  FROM (SELECT CAST(SUM(dl) AS BIGINT) AS t_tokens,
+       |          CAST(COUNT(*) AS BIGINT) AS d_docs FROM dl$b) t0)"""
       .stripMargin
+
+  private[operators] val bm25BaseCtes: String =
+    "WITH " + bm25BaseBody("documents", "")
 
   /** The canonical scoring + per-query ranking stage over a query
     * table `qtName` = (query_id, term, df) — the SQL twin of
     * [[bm25RankMulti]], rendered once and suffixed so one oracle can
     * run it twice (q275's two stages). */
   private[operators] def bm25ScoreChain(sfx: String,
-      qtName: String): String =
+      qtName: String): String = bm25ScoreChainOn(sfx, qtName, "")
+
+  /** Same chain against suffixed base frames (tf`b`/dl`b`/tot`b`) —
+    * q277 scores the base AND the derived next corpus in one oracle. */
+  private[operators] def bm25ScoreChainOn(sfx: String,
+      qtName: String, b: String): String =
     s"""scored$sfx AS (
-       |  SELECT $qtName.query_id, tf.doc_id,
+       |  SELECT $qtName.query_id, tf$b.doc_id,
        |    (((d_docs * 1000000) // df) *
-       |     ((tf.tf * 2200 * 1000000) //
-       |      (tf.tf * 1000 +
-       |       (1200 * (250 + (750 * ((dl.dl * 1000000) // avgdl_e3))
+       |     ((tf$b.tf * 2200 * 1000000) //
+       |      (tf$b.tf * 1000 +
+       |       (1200 * (250 + (750 * ((dl$b.dl * 1000000) // avgdl_e3))
        |         // 1000)) // 1000))) // 1000000 AS tscore
-       |  FROM tf JOIN $qtName USING (term)
-       |  JOIN dl ON tf.doc_id = dl.doc_id
-       |  CROSS JOIN tot),
+       |  FROM tf$b JOIN $qtName USING (term)
+       |  JOIN dl$b ON tf$b.doc_id = dl$b.doc_id
+       |  CROSS JOIN tot$b),
        |ds$sfx AS (
        |  SELECT query_id, doc_id, CAST(SUM(tscore) AS BIGINT) AS score,
        |    CAST(COUNT(*) AS BIGINT) AS n_terms
@@ -2319,6 +2371,51 @@ object TextOps {
     ",\n" + bm25ScoreChain("2", "qt2") + """
     |SELECT rank, doc_id, score, n_terms FROM rk2
     |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /** q277: both corpora's base frames + the q255 query table (built on
+    * the BASE corpus, like the Spark side) scored twice — stage-2 df
+    * comes from the NEXT corpus's dfr2 (bm25TopDocsMulti joins the
+    * query table to ITS corpus's df frame) — then the per-query
+    * top-10 churn rollup. */
+  private val rankChurnOracle: String =
+    "WITH nextc AS (\n" +
+      """  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN array_to_string(
+        |      list_transform(string_split(text, ' '), w -> 'zz' || w),
+        |      ' ') ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0),""".stripMargin + "\n" +
+      bm25BaseBody("documents", "") + ",\n" +
+      bm25BaseBody("nextc", "2") + """,
+        |qt AS (
+        |  SELECT CAST((qrank - 11) // 5 + 1 AS BIGINT) AS query_id,
+        |    term, df
+        |  FROM (
+        |    SELECT term, df,
+        |      ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrank
+        |    FROM dfr) t WHERE qrank BETWEEN 11 AND 25),
+        |qtn AS (
+        |  SELECT q.query_id, q.term, dfr2.df
+        |  FROM (SELECT query_id, term FROM qt) q
+        |  JOIN dfr2 USING (term))""".stripMargin + ",\n" +
+      bm25ScoreChainOn("", "qt", "") + ",\n" +
+      bm25ScoreChainOn("2", "qtn", "2") + """,
+        |r0 AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10),
+        |r1 AS (SELECT query_id, doc_id, rank FROM rk2 WHERE rank <= 10),
+        |jn AS (
+        |  SELECT query_id,
+        |    CASE WHEN r0.rank IS NOT NULL AND r1.rank IS NOT NULL
+        |      THEN 1 ELSE 0 END AS common,
+        |    CASE WHEN r1.rank IS NULL THEN 1 ELSE 0 END AS exited,
+        |    CASE WHEN r0.rank IS NULL THEN 1 ELSE 0 END AS entered,
+        |    CASE WHEN r0.rank IS NOT NULL AND r1.rank IS NOT NULL
+        |      THEN abs(r0.rank - r1.rank) ELSE 0 END AS rd
+        |  FROM r0 FULL OUTER JOIN r1 USING (query_id, doc_id))
+        |SELECT query_id,
+        |  CAST(SUM(common) AS BIGINT) AS n_common,
+        |  CAST(SUM(exited) AS BIGINT) AS n_exited,
+        |  CAST(SUM(entered) AS BIGINT) AS n_entered,
+        |  CAST(SUM(rd) AS BIGINT) AS rank_delta_sum
+        |FROM jn GROUP BY query_id ORDER BY query_id""".stripMargin
 
   private val bm25MultiOracle: String = bm25MultiCtes +
     """
@@ -2629,6 +2726,7 @@ object TextOps {
     // q275: base frames + the one score chain twice + crown-excluded
     // feedback mining — the whole PRF loop under one oracle.
     "q275_prf_expansion" -> prfOracle,
+    "q277_rank_churn" -> rankChurnOracle,
     // q261: same derived snapshot (mod-7 delete, mod-5 zz-rewrite),
     // distinct postings both sides, full-outer set difference per doc.
     "q261_postings_delta" ->

@@ -519,6 +519,22 @@ object StreamOps {
     * emit (the trailing window keeps counting for 6 days after
     * activity stops) — the StreamingSpec pin compares on the batch
     * side's observed-day anchors. */
+  /** STREAMING SESSIONIZATION — q276's twin (round 13): Spark's
+    * native `session_window` state merge under a watermark, running
+    * the SAME [[graft.operators.Behavioral.sessionWindowAgg]] body
+    * the batch entry gates (the intervalJoinStream one-body
+    * discipline). A session closes — and emits, in append mode — once
+    * the watermark passes its end; state per open session is one
+    * (start, end, count) triple, watermark-bounded. The canonical
+    * streaming-sessionization shape every behavioral pipeline needs
+    * first. StreamingSpec pins batch ≡ stream across batches incl. a
+    * cross-batch session merge and the exact-gap boundary split. */
+  def sessionWindowStream(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    graft.operators.Behavioral.sessionWindowAgg(
+      events.withWatermark("ts", watermark), gap)
+
   def rollingWauStream(events: DataFrame,
       watermark: String = "7 days"): DataFrame =
     events

@@ -707,6 +707,44 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(qSql == qDir && qSql.nonEmpty)
   }
 
+  test("round-13 view builders ≡ the Scala operators (quality score, " +
+      "PRF expansion, phash near-dup banding)") {
+    SqlSurface.registerTables(spark, sf)
+
+    SqlSurface.createQualityScoreView(spark, "documents", "qscore")
+    val sSql = spark.sql("SELECT * FROM qscore")
+      .collect().map(_.toSeq).toSet
+    val sDir = graft.operators.CorpusPrep
+      .q272QualityScore(spark, sf).collect().map(_.toSeq).toSet
+    assert(sSql == sDir && sSql.nonEmpty)
+
+    SqlSurface.createPrfExpansionView(spark, "documents", "prf")
+    val pSql = spark.sql("SELECT * FROM prf ORDER BY rank")
+      .collect().map(_.toSeq).toSeq
+    val pDir = graft.operators.TextOps.q275PrfExpansion(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(pSql == pDir && pSql.nonEmpty)
+
+    // phash banding: the SQL view over the qm6 signature table emits
+    // the same pairs as the qm7 operator minus the planted copies
+    // (the operator unions its own re-ingested plant; feed the view
+    // the same planted table to compare exactly)
+    val sig = graft.operators.Multimodal.qm6MediaPhash(spark, sf)
+      .select("media_id", "phash")
+    sig.unionAll(sig
+        .filter(org.apache.spark.sql.functions.col("media_id") % 10 === 0)
+        .select((org.apache.spark.sql.functions.col("media_id")
+          + 1000000L).as("media_id"),
+          org.apache.spark.sql.functions.col("phash")))
+      .createOrReplaceTempView("phash_sig")
+    SqlSurface.createPhashNearDupView(spark, "phash_sig", "phash_nd")
+    val hSql = spark.sql("SELECT * FROM phash_nd")
+      .collect().map(_.toSeq).toSet
+    val hDir = graft.operators.Multimodal.qm7MediaNearDup(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(hSql == hDir && hSql.nonEmpty)
+  }
+
   test("z-order write view builder: SQL box query scans the z-laid-out " +
       "files and matches a direct scan (advice r5)") {
     SqlSurface.registerTables(spark, sf)

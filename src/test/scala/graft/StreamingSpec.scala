@@ -1213,4 +1213,47 @@ class StreamingSpec extends SparkSpecBase {
         s"expected the precondition message, got: ${ex.getMessage}")
     } finally q.stop()
   }
+
+  test("streaming session_window ≡ batch sessionWindowAgg (q276 twin): " +
+      "cross-batch session merge and the exact-gap boundary split " +
+      "(round 13)") {
+    // user 1: 10:00, 10:20 in batch 1, 10:40 in batch 2 — the open
+    // session must MERGE across batches into one (start 10:00, end
+    // 11:10, 3 events). user 2: 10:00 and exactly 10:30 (delta == gap)
+    // — MEASURED: Spark merges abutting windows, so ONE session (the
+    // >-boundary the q276 oracle replays, same rule as q141).
+    // Next-day sentinel closes everything past the 2 h watermark.
+    val b1 = Seq((1L, ts(0)), (1L, ts(20)), (2L, ts(0)), (2L, ts(30)))
+    val b2 = Seq((1L, ts(40)),
+      (9L, Timestamp.valueOf("2024-01-02 10:00:00")))
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val q = StreamOps.sessionWindowStream(
+        input.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("swstream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-sw").toString)
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("swstream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val batch = graft.operators.Behavioral.sessionWindowAgg(
+          (b1 ++ b2).toDF("user_id", "ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val closed = batch.filter(_._1 != 9L)
+      assert(closed == streamed.filter(_._1 != 9L),
+        s"streamed $streamed vs batch-closed $closed")
+      // the merge and the boundary, explicitly
+      assert(closed.count(_._1 == 1L) == 1 &&
+        closed.exists(t => t._1 == 1L && t._4 == 3L),
+        "user 1's cross-batch events must merge into one session")
+      assert(closed.count(_._1 == 2L) == 1 &&
+        closed.exists(t => t._1 == 2L && t._4 == 2L),
+        "delta == gap must MERGE (abutting windows coalesce — measured)")
+    } finally q.stop()
+  }
 }
