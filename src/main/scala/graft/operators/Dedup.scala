@@ -688,13 +688,22 @@ object Dedup {
     * final step is one anti-join on doc_id. Shingles travel as 64-bit
     * xxhash64 values, never text (collision odds ~n²/2⁶⁴). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
-      minOverlap: Int = 5): DataFrame = {
+      minOverlap: Int = 5): DataFrame =
+    docs.join(contaminatedIds(docs, benchmark, k, minOverlap),
+      Seq("doc_id"), "left_anti")
+
+  /** The contaminated-doc id set [[decontaminate]] subtracts —
+    * factored (round 13) so q281's cluster-level policy can read the
+    * same predicate. */
+  private[operators] def contaminatedIds(docs: DataFrame,
+      benchmark: DataFrame, k: Int = 3, minOverlap: Int = 5)
+      : DataFrame = {
     val benchSh = benchmark
       .select(split(col("text"), " ").as("w"))
       .select(explode(transform(shinglesOf(col("w"), k),
         s => xxhash64(s))).as("sh"))
       .distinct()
-    val contaminated = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         explode(transform(shinglesOf(col("w"), k),
@@ -705,7 +714,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
-    docs.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id")
   }
 
   /** Bloom-filter decontamination — the 100 TB escape hatch for when the
@@ -1061,6 +1070,77 @@ object Dedup {
       .withColumn("differs",
         when(col("keeper_q") =!= col("keeper_min"), 1L).otherwise(0L))
       .orderBy("component")
+  }
+
+  // ---------------------------------------------------------------- q280
+
+  /** Q280: PIPELINE V2 — q63's four-stage prep chain with the LEARNED
+    * quality filter (q272's classifier keep flag) swapped in for the
+    * hand ≥ 40-words rule (round 13 — the composition the scorer was
+    * built for): classifier filter → whole-text-fold exact dedup →
+    * exact near-dedup over the memoized pair set → decontamination.
+    * Gated end to end like q63 — stage order and the swapped predicate
+    * both sit under one oracle, so "replace the heuristic with the
+    * model" is a verified refactor, not a hope.
+    *
+    * Scale: identical plan class to q63 (zero-shuffle scorer instead
+    * of the word-count projection; everything else unchanged). */
+  def q280PipelineV2(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithNearDups(load(spark, dir, "documents"))
+    graft.functions.SignatureExprs.register(spark)
+    val keepIds = CorpusPrep.qualityScore(corpus)
+      .filter(col("keep") === 1L).select("doc_id")
+    val filtered = corpus.join(keepIds, Seq("doc_id"), "left_semi")
+    val exactKept = filtered
+      .groupBy(CorpusPrep.textFoldKey(col("text")).as("tk"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.text").as("text"))
+    val keptA = exactKept.select(col("doc_id").as("doc_a"))
+    val keptB = exactKept.select(col("doc_id").as("doc_b"))
+    val pairs = exactPairs(spark, dir)
+      .join(keptA, Seq("doc_a"), "left_semi")
+      .join(keptB, Seq("doc_b"), "left_semi")
+    val nearKept = dropPairLosers(exactKept, pairs)
+    val bench = load(spark, dir, "documents")
+      .filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+    decontaminate(nearKept, bench)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q281
+
+  /** Q281: CLUSTER-LEVEL DECONTAMINATION AUDIT (round 13 — the q268
+    * leak argument applied to decontamination): a contaminated doc's
+    * NEAR-DUPLICATES carry the same benchmark content with a few
+    * words changed, so doc-level removal (q62) leaks them into
+    * training. Policy comparison over the q33g clusters: contaminated
+    * docs, clusters they touch, docs a cluster-level drop removes,
+    * and the extra docs cluster-level catches that doc-level misses —
+    * the leak q62 would ship, measured.
+    *
+    * Scale: contamination is the q62 broadcast-probe plan; the
+    * cluster join is label-keyed over the memoized closure; output is
+    * one row. */
+  def q281ClusterDecontam(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = docsWithNearDups(load(spark, dir, "documents"))
+    val bench = load(spark, dir, "documents")
+      .filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+    val contam = contaminatedIds(docs, bench).localCheckpoint()
+    val labels = dedupComponents(spark, dir)
+    val contamClusters = labels.join(contam, "doc_id")
+      .select("component").distinct()
+    val clusterDropped = labels
+      .join(contamClusters, Seq("component"), "left_semi")
+    contam.agg(count(lit(1)).as("n_contam_docs"))
+      .crossJoin(broadcast(contamClusters
+        .agg(count(lit(1)).as("n_contam_clusters"))))
+      .crossJoin(broadcast(clusterDropped
+        .agg(count(lit(1)).as("n_dropped_cluster"))))
+      .select(col("n_contam_docs"), col("n_contam_clusters"),
+        col("n_dropped_cluster"),
+        (col("n_dropped_cluster") - col("n_contam_docs"))
+          .as("n_leaked_by_doc_level"))
   }
 
   // ---------------------------------------------------------------- q274
@@ -1638,6 +1718,8 @@ object Dedup {
     "q266_dedup_transitivity" -> (q266DedupTransitivity _),
     "q273_quality_keeper" -> (q273QualityKeeper _),
     "q274_minhash_perm_sweep" -> (q274MinhashPermSweep _),
+    "q280_pipeline_v2" -> (q280PipelineV2 _),
+    "q281_cluster_decontam" -> (q281ClusterDecontam _),
     "q268_cluster_split" -> (q268ClusterSplit _),
     "q33c_ngram_jaccard_pairs" -> (q33cNgramJaccard _),
     "q33d_embed_neardup_pairs" -> (q33dEmbedNearDup _),
@@ -1701,6 +1783,46 @@ object Dedup {
       |jpairs AS MATERIALIZED (
       |  SELECT doc_a, doc_b, jaccard FROM jraw WHERE jaccard >= 0.5)"""
       .stripMargin
+
+  /** Stages 2–4 of the q63/q280 pipeline oracles (near-dedup removal
+    * over the surviving corpus + decontamination vs the benchmark
+    * slice) — rendered ONCE; both pipelines append it after their own
+    * stage-1 `filtered` + `exact_kept` CTEs. */
+  private val pipelineTailSql: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+      |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+      |  FROM exact_kept),
+      |losers AS (
+      |  SELECT DISTINCT b.doc_id AS doc_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+      |      AS DOUBLE) >= 0.5),
+      |near_kept AS (
+      |  SELECT doc_id, text FROM exact_kept
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+      |bsh AS (
+      |  SELECT DISTINCT unnest(s) AS g FROM (
+      |    SELECT list_distinct(list_transform(
+      |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+      |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+      |    FROM documents WHERE doc_id % 17 = 0)),
+      |nsh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+      |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+      |  FROM near_kept),
+      |nex AS (SELECT doc_id, unnest(s) AS g FROM nsh),
+      |contaminated AS (
+      |  SELECT doc_id FROM nex JOIN bsh USING (g)
+      |  GROUP BY doc_id HAVING COUNT(*) >= 5)
+      |SELECT doc_id FROM near_kept
+      |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY doc_id""".stripMargin
 
   /** Shared CTE prefix of the q33g / q208 / q217 oracles: the postings
     * pair set → recursive-CTE transitive closure (`reach`). */
@@ -2258,6 +2380,65 @@ object Dedup {
         |SELECT threshold_ppm, n_pairs, n_docs
         |FROM np JOIN nd USING (threshold_ppm)
         |ORDER BY threshold_ppm""".stripMargin),
+    // q280: q63's pipeline with stage 1 = the q272 classifier keep
+    // flag (shared score CTEs over the derived corpus); stages 2–4 =
+    // the SAME pipelineTailSql text q63 appends.
+    "q280_pipeline_v2" ->
+      (s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split(text, ' ')[1:greatest(
+        |      len(string_split(text, ' ')) - 3, 1)], ' ')
+        |  FROM documents),
+        |${CorpusPrep.sqlQualityScoreCtes("corpus")},
+        |filtered AS (
+        |  SELECT c.doc_id, c.text FROM corpus c
+        |  JOIN qm USING (doc_id) WHERE qm.mean_e3 >= 0),
+        |exact_kept AS (
+        |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+        |  FROM filtered
+        |  GROUP BY ${CorpusPrep.sqlTextFold("text")}),
+        |""".stripMargin + pipelineTailSql),
+    // q281: the q33g closure + q62's contamination predicate (string
+    // shingles — the q62 oracle basis) + the cluster-level rollup.
+    "q281_cluster_decontam" ->
+      (closureCtes + """,
+        |bsh2 AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM (
+        |    SELECT list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |    FROM documents WHERE doc_id % 17 = 0)),
+        |csh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM corpus),
+        |cex AS (SELECT doc_id, unnest(s) AS g FROM csh),
+        |contam AS (
+        |  SELECT doc_id FROM cex JOIN bsh2 USING (g)
+        |  GROUP BY doc_id HAVING COUNT(*) >= 5),
+        |comp AS (
+        |  SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+        |  FROM reach GROUP BY node),
+        |cclust AS (
+        |  SELECT DISTINCT component
+        |  FROM comp JOIN contam USING (doc_id)),
+        |cdrop AS (
+        |  SELECT doc_id FROM comp
+        |  WHERE component IN (SELECT component FROM cclust))
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM contam)
+        |    AS n_contam_docs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cclust)
+        |    AS n_contam_clusters,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cdrop)
+        |    AS n_dropped_cluster,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cdrop)
+        |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM contam)
+        |    AS n_leaked_by_doc_level""".stripMargin),
     // q273: the q33g closure + the q272 scorer CTEs over the SAME
     // derived corpus; argmax keeper via the (mean_e3 desc, doc_id)
     // rank window mirroring the Spark min-struct.
@@ -2398,9 +2579,10 @@ object Dedup {
     // the oracle replays the engine's 8-byte key; arg_min mirrors the
     // Spark min-struct carry), near-dedup removal over the exact
     // pair set of the SURVIVING corpus, decontamination vs the
-    // benchmark slice.
+    // benchmark slice. Stages 2–4 are [[pipelineTailSql]], shared with
+    // q280 (the learned-filter variant).
     "q63_pipeline" ->
-      s"""WITH corpus AS (
+      (s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000,
@@ -2414,39 +2596,6 @@ object Dedup {
         |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
         |  FROM filtered
         |  GROUP BY ${CorpusPrep.sqlTextFold("text")}),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
-        |  FROM exact_kept),
-        |losers AS (
-        |  SELECT DISTINCT b.doc_id AS doc_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-        |      AS DOUBLE) >= 0.5),
-        |near_kept AS (
-        |  SELECT doc_id, text FROM exact_kept
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-        |bsh AS (
-        |  SELECT DISTINCT unnest(s) AS g FROM (
-        |    SELECT list_distinct(list_transform(
-        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
-        |    FROM documents WHERE doc_id % 17 = 0)),
-        |nsh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
-        |  FROM near_kept),
-        |nex AS (SELECT doc_id, unnest(s) AS g FROM nsh),
-        |contaminated AS (
-        |  SELECT doc_id FROM nex JOIN bsh USING (g)
-        |  GROUP BY doc_id HAVING COUNT(*) >= 5)
-        |SELECT doc_id FROM near_kept
-        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-        |ORDER BY doc_id""".stripMargin,
+        |""".stripMargin + pipelineTailSql),
   )
 }

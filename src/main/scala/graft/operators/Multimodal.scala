@@ -492,8 +492,52 @@ object Multimodal {
       .orderBy("a", "b")
   }
 
+  /** qm8 — BYTE-vs-PERCEPTUAL DEDUP CENSUS (round 13): over the same
+    * planted table, how the two dedup passes relate — byte-equal
+    * pairs (qm5's digest), perceptual pairs (qm7's banding), their
+    * intersection, and each side's exclusives. The structural
+    * invariant is MEASURED by the gate: byte-equal payloads hash
+    * identically, so `n_byte_only = 0` always (byte dedup ⊆
+    * perceptual dedup), while `n_phash_only` counts the re-encoded/
+    * near-copies only the perceptual pass can see (fixture2's anagram
+    * plant lands there). The "which dedup pass catches what" readout
+    * a multimodal ingest publishes.
+    *
+    * Scale: both pair sets are banding/digest-bounded; the census is
+    * one full-outer join of pair frames + a 1-row rollup. */
+  def qm8MediaDedupCensus(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val base = syntheticMediaTable(spark, dir).map { r =>
+      (r.media_id, MediaCodec.perceptualHash(r.payload)._2,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(r.payload).map("%02x".format(_)).mkString)
+    }.toDF("media_id", "phash", "digest")
+    val planted = base.unionAll(base.filter(col("media_id") % 10 === 0)
+      .select((col("media_id") + 1000000L).as("media_id"),
+        col("phash"), col("digest")))
+    val bytePairs = planted.as("x").join(planted.as("y"),
+        col("x.digest") === col("y.digest") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        lit(1L).as("byte_eq"))
+    val phashPairs = qm7MediaNearDup(spark, dir)
+      .select(col("a"), col("b"), lit(1L).as("ph_eq"))
+    bytePairs.join(phashPairs, Seq("a", "b"), "full_outer")
+      .agg(
+        sum(coalesce(col("byte_eq"), lit(0L))).as("n_byte_pairs"),
+        sum(coalesce(col("ph_eq"), lit(0L))).as("n_phash_pairs"),
+        sum(when(col("byte_eq").isNotNull && col("ph_eq").isNotNull,
+          1L).otherwise(0L)).as("n_both"),
+        sum(when(col("byte_eq").isNull, 1L).otherwise(0L))
+          .as("n_phash_only"),
+        sum(when(col("ph_eq").isNull, 1L).otherwise(0L))
+          .as("n_byte_only"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm1_media_features" -> (qm1Features _),
+    "qm8_media_dedup_census" -> (qm8MediaDedupCensus _),
     "qm2_media_metadata" -> (qm2MetadataStats _),
     "qm3_media_frames" -> (qm3FrameSample _),
     "qm4_media_digest" -> (qm4MediaDigest _),
@@ -575,6 +619,47 @@ object Multimodal {
         |FROM cand
         |WHERE bit_count(xor(pa, pb)) <= 6
         |ORDER BY a, b""".stripMargin),
+    // qm8: the phash chain + md5-digest pairs over the same plant;
+    // the full-outer census measures byte ⊆ perceptual (n_byte_only
+    // = 0 structurally) and counts the perceptual exclusives.
+    "qm8_media_dedup_census" -> (phashCtes + """,
+      |m8 AS (
+      |  SELECT media_id, phash, md5(text) AS digest
+      |  FROM ph JOIN documents ON ph.media_id = documents.doc_id
+      |  UNION ALL
+      |  SELECT media_id + 1000000, phash, md5(text)
+      |  FROM ph JOIN documents ON ph.media_id = documents.doc_id
+      |  WHERE media_id % 10 = 0),
+      |bp8 AS (
+      |  SELECT x.media_id AS a, y.media_id AS b, 1 AS byte_eq
+      |  FROM m8 x JOIN m8 y
+      |    ON x.digest = y.digest AND x.media_id < y.media_id),
+      |bnd8 AS (
+      |  SELECT media_id, phash, CAST(b AS BIGINT) AS b,
+      |    (phash // ([1, 16384, 268435456, 4398046511104]::BIGINT[])
+      |      [b + 1]) % 16384 AS bv
+      |  FROM m8, unnest([0, 1, 2, 3]) AS t(b)),
+      |pp8 AS (
+      |  SELECT a, b, 1 AS ph_eq FROM (
+      |    SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+      |      x.phash AS pa, y.phash AS pb
+      |    FROM bnd8 x JOIN bnd8 y
+      |      ON x.b = y.b AND x.bv = y.bv AND x.media_id < y.media_id)
+      |  WHERE bit_count(xor(pa, pb)) <= 6),
+      |cj AS (
+      |  SELECT COALESCE(bp8.byte_eq, 0) AS byte_eq,
+      |    COALESCE(pp8.ph_eq, 0) AS ph_eq
+      |  FROM bp8 FULL OUTER JOIN pp8 USING (a, b))
+      |SELECT
+      |  CAST(SUM(byte_eq) AS BIGINT) AS n_byte_pairs,
+      |  CAST(SUM(ph_eq) AS BIGINT) AS n_phash_pairs,
+      |  CAST(SUM(CASE WHEN byte_eq = 1 AND ph_eq = 1 THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_both,
+      |  CAST(SUM(CASE WHEN byte_eq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_phash_only,
+      |  CAST(SUM(CASE WHEN ph_eq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_byte_only
+      |FROM cj""".stripMargin),
     // qm5: payload bytes are the document's UTF-8 text (qm4 pin), so
     // DuckDB reproduces digest groups from `documents` directly.
     "qm5_media_dups" ->

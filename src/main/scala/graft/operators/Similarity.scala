@@ -1211,7 +1211,7 @@ object Similarity {
     hybridFusedCache.getOrElseUpdate((spark, dir),
       hybridMultiRankingsBuild(spark, dir, k).localCheckpoint(true))
 
-  private def hybridMultiRankingsBuild(spark: SparkSession,
+  private[graft] def hybridMultiRankingsBuild(spark: SparkSession,
       dir: String, k: Int): DataFrame = {
     DotProductExpr.register(spark)
     val docs = load(spark, dir, "documents")

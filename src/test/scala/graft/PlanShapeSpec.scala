@@ -432,4 +432,22 @@ class PlanShapeSpec extends SparkSpecBase {
       "per-query rank window must partition by query_id:\n" + p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("q271 multi-query hybrid: the BUILD plan keeps dense " +
+      "candidates cell-bounded (equi-joins only, no cartesian — never " +
+      "a corpus×queries product) and every rank window partitions by " +
+      "query_id (round 13)") {
+    val p = plan(graft.operators.Similarity
+      .hybridMultiRankingsBuild(spark, sf, 50))
+    assert(!p.contains("CartesianProduct"),
+      "dense candidate generation must stay an equi-join on cell:\n" +
+        p.take(1500))
+    assert(p.contains("windowspecdefinition(query_id"),
+      "per-query windows must partition by query_id:\n" + p.take(1500))
+    // and the final readout over the memoized fused frame sorts only
+    // per query (window), never a corpus-sized global set
+    val r = plan(graft.operators.Similarity.q271HybridMulti(spark, sf))
+    assert(!r.contains("CartesianProduct"), r.take(800))
+    assert(r.contains("windowspecdefinition(query_id"), r.take(800))
+  }
 }
