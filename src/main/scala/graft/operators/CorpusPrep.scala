@@ -231,9 +231,14 @@ object CorpusPrep {
     * buffers). */
   def q279QualityDeciles(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
+    // checkpoint the slim (source, mean_e3) frame: the rank machinery
+    // takes several window passes, and projection collapse would
+    // inline the scorer's per-row fold HOF into each (measured 4.5 s
+    // → sub-second)
     val scored = qualityScore(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), col("mean_e3"))
+      .localCheckpoint()
     Percentiles.discByRank(scored, Seq("source"), "mean_e3",
         Seq(0.1 -> "p10", 0.5 -> "p50", 0.9 -> "p90"), Some("n_docs"))
       .orderBy("source")

@@ -1086,21 +1086,38 @@ object Dedup {
     * Scale: identical plan class to q63 (zero-shuffle scorer instead
     * of the word-count projection; everything else unchanged). */
   def q280PipelineV2(spark: SparkSession, dir: String): DataFrame = {
+    // corpus checkpointed FIRST: the twin half's text is itself an
+    // expression (concat_ws ∘ slice ∘ split), and the scorer's array
+    // HOFs re-derive it per ELEMENT when it stays an expression — the
+    // TOKENIZE-ONCE trap one level up (measured: the scorer stage
+    // alone 11 s over the lazy union vs ~1 s over the materialized
+    // texts at sf0.1). Docs-sized with text — the standard stage
+    // materialization any multi-stage pipeline pays once.
     val corpus = docsWithNearDups(load(spark, dir, "documents"))
+      .localCheckpoint()
     graft.functions.SignatureExprs.register(spark)
+    // keepIds checkpointed: id-only (slim), cuts the scorer HOF out of
+    // every downstream plan
     val keepIds = CorpusPrep.qualityScore(corpus)
-      .filter(col("keep") === 1L).select("doc_id")
+      .filter(col("keep") === 1L).select("doc_id").localCheckpoint()
     val filtered = corpus.join(keepIds, Seq("doc_id"), "left_semi")
+    // checkpoint the stage-2 survivors: exactKept feeds THREE
+    // consumers (both pair semi-join sides + the loser anti-join) and
+    // nearKept two (decontamination probe + final anti-join) — lazy,
+    // each consumer would re-run the scorer + fold-agg upstream
+    // (measured 11 s → ~3 s at sf0.1; q63's stage 1 is cheap enough
+    // to skip this, the classifier stage is not)
     val exactKept = filtered
       .groupBy(CorpusPrep.textFoldKey(col("text")).as("tk"))
       .agg(min(struct(col("doc_id"), col("text"))).as("f"))
       .select(col("f.doc_id").as("doc_id"), col("f.text").as("text"))
+      .localCheckpoint()
     val keptA = exactKept.select(col("doc_id").as("doc_a"))
     val keptB = exactKept.select(col("doc_id").as("doc_b"))
     val pairs = exactPairs(spark, dir)
       .join(keptA, Seq("doc_a"), "left_semi")
       .join(keptB, Seq("doc_b"), "left_semi")
-    val nearKept = dropPairLosers(exactKept, pairs)
+    val nearKept = dropPairLosers(exactKept, pairs).localCheckpoint()
     val bench = load(spark, dir, "documents")
       .filter(col("doc_id") % 17 === 0).select("doc_id", "text")
     decontaminate(nearKept, bench)
