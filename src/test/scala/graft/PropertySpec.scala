@@ -25,8 +25,11 @@ class PropertySpec extends AnyFunSuite {
 
   private val primitive: Gen[Any] = Gen.oneOf(
     Arbitrary.arbitrary[Long].map(x => x: Any),
+    // TOTAL map, not retryUntil: a retry-bounded generator can "give
+    // up" under a loaded JVM (scalacheck's retry budget) — the one
+    // plausible source of the round-13 single-run flake
     Arbitrary.arbitrary[Double]
-      .retryUntil(d => !d.isNaN && !d.isInfinite).map(x => x: Any),
+      .map(d => (if (d.isNaN || d.isInfinite) 0.0 else d): Any),
     Gen.alphaNumStr.map(x => x: Any),
     Arbitrary.arbitrary[Boolean].map(x => x: Any))
 
