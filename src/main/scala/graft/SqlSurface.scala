@@ -473,6 +473,18 @@ object SqlSurface {
       .toDF("cell", "dim", "c_e3")
       .createOrReplaceTempView(viewName)
 
+  /** Engine-replayable integer PRODUCT-QUANTIZATION codebooks of an
+    * embeddings view (vec_id, embedding) → view (s, cell, dim, c_e3)
+    * of the per-subspace trained codebook table — q282 (round 13):
+    * the kMeansShared discipline with the subspace id in every
+    * grouping key. */
+  def createPqCodebooksView(spark: SparkSession, embView: String,
+      viewName: String, subDim: Int = 16, kSub: Int = 8,
+      rounds: Int = 2): Unit =
+    Clustering.pqShared(spark.table(embView), subDim, kSub, rounds)._2
+      .toDF("s", "cell", "dim", "c_e3")
+      .createOrReplaceTempView(viewName)
+
   /** BM25 retrieval readout of a docs view (doc_id, text) → view
     * (rank, doc_id, score, n_terms) — q247 (round 11): fixed-point
     * BM25 over the mid-head query-term set, postings-bounded. */

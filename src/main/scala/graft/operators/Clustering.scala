@@ -173,6 +173,73 @@ object Clustering {
     (cent, assign)
   }
 
+  /** ENGINE-SHARED INTEGER PRODUCT QUANTIZATION (q282/q283) — the
+    * [[kMeansShared]] discipline applied to PQ (Jégou/Douze/Schmid,
+    * TPAMI'11): the vector space splits into contiguous `subDim`-wide
+    * subspaces (s = (dim−1) div subDim) and ONE relational Lloyd's
+    * chain trains every subspace's `kSub`-cell codebook simultaneously
+    * — the subspace id simply joins the grouping keys, so the whole
+    * trainer is the q246 chain with one extra column:
+    *
+    *  - coordinates integer-quantize to e3 (the q154/q246 discipline);
+    *  - init = the kSub seed vectors vec_id < kSub, each contributing
+    *    its subvector to every subspace's codebook (the q230 seed
+    *    rule, per subspace);
+    *  - assignment = per (vec_id, subspace) argmin of the integer
+    *    squared distance under the (d2, cell) total tie order;
+    *  - update = per-(subspace, cell, dim) truncating-div mean, so
+    *    codebooks stay integers round over round; a cell that captures
+    *    no vectors in a subspace disappears (deterministic, same as
+    *    kMeansShared).
+    *
+    * Returns (ex, cent, dist): the e3 coordinate stream
+    * (vec_id, dim, s, x), the final codebooks (s, cell, dim, c), and
+    * the ENCODE-side distance table (vec_id, s, cell, d2) against the
+    * final codebooks — argmin over dist per (vec_id, s) IS the PQ code
+    * assignment, and the same table restricted to query vectors is the
+    * ADC lookup table (q283). All three are localCheckpoint'ed.
+    *
+    * Scale: each round is one broadcast(m·kSub·subDim codebook rows)
+    * join + two partial-combining aggregates — the k-means-assignment
+    * shuffle shape; dist is N·m·kSub slim rows. The PRODUCTION path at
+    * 100 TB stays [[Similarity.pqTrain]]/[[Similarity.pqEncode]]
+    * (zero-shuffle codegen'd argmin-dot per subspace); this shared
+    * twin is what CI gates, exactly as kMeansShared gates the float
+    * trainer's discipline. */
+  def pqShared(embeddings: DataFrame, subDim: Int, kSub: Int,
+      rounds: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(subDim >= 1 && kSub >= 1 && rounds >= 1)
+    val ex = embeddings.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("d0", "xd")))
+      .select(col("vec_id"), (col("d0") + 1).cast("long").as("dim"),
+        expr(s"CAST(d0 AS BIGINT) div ${subDim}L").as("s"),
+        floor(col("xd") * lit(1000.0) + lit(0.5)).cast("long").as("x"))
+      .localCheckpoint()
+    var cent = ex.filter(col("vec_id") < kSub)
+      .select(col("s"), col("vec_id").as("cell"), col("dim"),
+        col("x").as("c"))
+      .localCheckpoint()
+    def distTo(c: DataFrame): DataFrame =
+      ex.join(broadcast(c.select(col("cell"), col("dim"), col("c"))),
+          "dim")
+        .groupBy(col("vec_id"), col("s"), col("cell"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c")))
+          .as("d2"))
+    for (_ <- 0 until rounds) {
+      val assign = distTo(cent).groupBy("vec_id", "s")
+        .agg(min(struct(col("d2").as("d2"), col("cell").as("cell")))
+          .as("m"))
+        .select(col("vec_id"), col("s"), col("m.cell").as("cell"))
+        .localCheckpoint()
+      cent = ex.join(assign, Seq("vec_id", "s"))
+        .groupBy("s", "cell", "dim")
+        .agg(expr("sum(x) div count(1)").as("c"))
+        .localCheckpoint()
+    }
+    (ex, cent, distTo(cent).localCheckpoint())
+  }
+
   /** Within-cluster sum of squared distance — Lloyd's monotone objective
     * (ClusteringSpec asserts non-increase across iterations). */
   def wcss(vectors: DataFrame, vecCol: String, cids: Array[Long],

@@ -54,6 +54,8 @@ object Memos {
       ((s, d) => { Dedup.q33gDedupComponents(s, d); () }),
     "memo:kmeans_cells" ->
       ((s, d) => { Similarity.kmeansShared83(s, d); () }),
+    "memo:pq_state" ->
+      ((s, d) => { Similarity.pqShared168(s, d); () }),
     "memo:hybrid_fused" ->
       ((s, d) => { Similarity.hybridMultiRankings(s, d); () }))
 }

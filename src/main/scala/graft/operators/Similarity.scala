@@ -782,6 +782,7 @@ object Similarity {
   private[operators] def clearMemos(): Unit = {
     kmeansCache.clear()
     hybridFusedCache.clear()
+    pqCache.clear()
   }
 
   def q246Kmeans(spark: SparkSession, dir: String): DataFrame = {
@@ -909,6 +910,117 @@ object Similarity {
         col("n_found"),
         expr("(n_found * 1000000) div n_brute").as("recall_ppm"))
       .orderBy("probes", "qid")
+  }
+
+  // ---------------------------------------------------------- q282/q283
+
+  /** Memoized engine-shared PQ state at the graded config (subspaces
+    * of 16 dims → m = 4 over the 64-dim fixture, kSub = 8, 2 rounds):
+    * (ex, cent, dist) from [[Clustering.pqShared]]. q282 (codebook +
+    * distortion readout) and q283 (ADC recall audit) both ride the one
+    * trainer run — the kmeansShared83 memo discipline. */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
+  private[operators] def pqShared168(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate((spark, dir),
+      Clustering.pqShared(load(spark, dir, "embeddings"),
+        subDim = 16, kSub = 8, rounds = 2))
+
+  /** PQ codes = per-(vector, subspace) argmin over the encode-side
+    * distance table under the (d2, cell) total tie order; carries the
+    * winning d2 (the per-subspace quantization distortion). */
+  private def pqCodes(dist: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "s")
+      .orderBy(col("d2"), col("cell"))
+    dist.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("s"), col("cell"), col("d2"))
+  }
+
+  /** Q282: the PQ TRAINER + ENCODER under the hard oracle — the q246
+    * treatment applied to product quantization. [[Clustering.pqShared]]
+    * (e3 integer coordinates, per-subspace seed init, 2 assign→update
+    * rounds, truncating-div codebooks, (d2, cell) argmin) over the
+    * embeddings table; output = per (subspace, cell): the final member
+    * count and total integer quantization distortion Σd2 — the
+    * codebook-quality artifact a PQ deployment signs off (empty cells,
+    * skewed cells, and distortion budget all read off this table).
+    * Closes the round-12 gap where PQ was only recall-SPEC'd
+    * (SimilaritySpec) while k-means/IVF were gated (q246/q270).
+    *
+    * Scale: the encode pass is N·m·kSub slim rows (the k-means-
+    * assignment shuffle); the readout is a (subspace, cell) rollup.
+    * Production encodes with the zero-shuffle codegen'd
+    * [[pqEncode]]; this chain is what CI gates. */
+  def q282PqTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, dist) = pqShared168(spark, dir)
+    pqCodes(dist)
+      .groupBy("s", "cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("d2")).as("distortion"))
+      .orderBy("s", "cell")
+  }
+
+  /** Q283: PQ RE-RANK SHORTLIST SWEEP — recall@10 of the exact
+    * integer-d2 top-10 inside the ADC shortlist at sizes
+    * {10, 50, 100, 200}, per query (vec_id < 5): the tuning table for
+    * PQ's `refine` knob (production PQ scans CODES — m small ints per
+    * vector — ranks by ADC, then exactly re-ranks only the shortlist;
+    * this measures how big that shortlist must be, completing the
+    * sweep family on the PQ axis as q270 did for IVF nprobe).
+    * ADC(q, v) = Σ_s d2(q_s, codebook[s][code_s(v)]) — every term a
+    * row of the SAME encode-side distance table the trainer gate
+    * reads (restricted to query vec_ids), so the whole curve is one
+    * relational chain over gated state. Recall is provably monotone
+    * in shortlist size (prefixes of one ADC ranking are nested —
+    * SimilaritySpec pins it); the gate shows the measured curve.
+    *
+    * Scale: the ADC join fans out exactly m rows per (query, vector) —
+    * codes join the broadcast |Q|·m·kSub query lookup table; the
+    * shortlist fan-out multiplies only rows already inside the largest
+    * shortlist; the brute side is the audit-scale baseline (q34a's
+    * role). Per-query windows sort candidate-sized groups. */
+  def q283PqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (ex, _, dist) = pqShared168(spark, dir)
+    val codes = pqCodes(dist).drop("d2")
+    val qd = dist.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("s"), col("cell"),
+        col("d2"))
+    val adc = codes.join(broadcast(qd), Seq("s", "cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d2")).as("adc_d2"))
+    val wq = Window.partitionBy("qid")
+    val ap = adc
+      .withColumn("rnk", row_number().over(
+        wq.orderBy(col("adc_d2"), col("vec_id"))))
+      .filter(col("rnk") <= 200)
+      .select(col("qid"), col("vec_id"), col("rnk"),
+        explode(typedlit(Seq(10L, 50L, 100L, 200L))).as("shortlist"))
+      .filter(col("rnk") <= col("shortlist"))
+      .select(col("shortlist"), col("qid"), col("vec_id"),
+        lit(1L).as("f"))
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    val br = ex.join(broadcast(exq), "dim")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("d2"))
+      .withColumn("rnk", row_number().over(
+        wq.orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"),
+        explode(typedlit(Seq(10L, 50L, 100L, 200L))).as("shortlist"))
+    br.join(ap, Seq("shortlist", "qid", "vec_id"), "left")
+      .groupBy("shortlist", "qid")
+      .agg(count(lit(1)).as("n_brute"), count(col("f")).as("n_found"))
+      .select(col("shortlist"), col("qid"), col("n_brute"),
+        col("n_found"),
+        expr("(n_found * 1000000) div n_brute").as("recall_ppm"))
+      .orderBy("shortlist", "qid")
   }
 
   // ---------------------------------------------------------------- q267
@@ -1345,6 +1457,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_pq_train" -> (q282PqTrain _),
+    "q283_pq_adc_recall" -> (q283PqAdcRecall _),
     "q271_hybrid_multi" -> (q271HybridMulti _),
     "q278_cell_balance" -> (q278CellBalance _),
     "q271b_hybrid_eval_multi" -> (q271bHybridEvalMulti _),
@@ -1429,6 +1543,58 @@ object Similarity {
         |SELECT c3.cell, c3.dim, c3.c AS c_e3, n3.n_members
         |FROM c3 JOIN n3 USING (cell)
         |ORDER BY cell, dim""".stripMargin
+
+  /** One shared-PQ round as DuckDB CTEs — the kmeansRoundCte shape
+    * with the subspace id joined into every grouping key (pd =
+    * per-subspace integer distances, pa = per-(vec, subspace) argmin
+    * under (d2, cell), pc{r+1} = truncating-div codebook update). */
+  private def pqRoundCte(r: Int): String =
+    s"""pd$r AS MATERIALIZED (
+       |  SELECT e.vec_id, e.s, c.cell,
+       |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+       |  FROM pex e JOIN pc$r c ON e.dim = c.dim
+       |  GROUP BY e.vec_id, e.s, c.cell),
+       |pa$r AS MATERIALIZED (
+       |  SELECT vec_id, s, cell FROM (
+       |    SELECT vec_id, s, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |        ORDER BY d2, cell) AS rk
+       |    FROM pd$r) t WHERE rk = 1),
+       |pc${r + 1} AS MATERIALIZED (
+       |  SELECT a.s, a.cell, e.dim,
+       |    CAST(SUM(e.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM pex e JOIN pa$r a ON e.vec_id = a.vec_id AND e.s = a.s
+       |  GROUP BY a.s, a.cell, e.dim)""".stripMargin
+
+  /** The shared q282/q283 PQ chain (pex → pc0 seeds → 2 assign/update
+    * rounds → pc2 → pdf encode-side distances → pcodes argmin) — one
+    * SQL source of truth, replaying [[Clustering.pqShared]] at the
+    * graded config (subDim 16, kSub 8, rounds 2). */
+  private val pqCtes: String =
+    """WITH pex AS MATERIALIZED (
+      |  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+      |    (CAST(i AS BIGINT) - 1) // 16 AS s,
+      |    CAST(floor(CAST(emb[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      |      AS x
+      |  FROM (SELECT vec_id, embedding AS emb,
+      |          unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings) t),
+      |pc0 AS MATERIALIZED (
+      |  SELECT s, vec_id AS cell, dim, x AS c FROM pex
+      |  WHERE vec_id < 8)""".stripMargin +
+      (0 until 2).map(pqRoundCte).mkString(",\n", ",\n", "") +
+      """,
+        |pdf AS MATERIALIZED (
+        |  SELECT e.vec_id, e.s, c.cell,
+        |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+        |  FROM pex e JOIN pc2 c ON e.dim = c.dim
+        |  GROUP BY e.vec_id, e.s, c.cell),
+        |pcodes AS MATERIALIZED (
+        |  SELECT vec_id, s, cell, d2 FROM (
+        |    SELECT vec_id, s, cell, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, cell) AS rk
+        |    FROM pdf) t WHERE rk = 1)""".stripMargin
 
   /** q270: the trainer chain + one assignment/probe-ranking distance
     * table against c3 (dq serves base assignment AND query cell
@@ -1662,6 +1828,55 @@ object Similarity {
     // by assignment and query cell ranking), 4-probe fan-out, q92
     // cosine candidates, recall vs the q34a brute chain.
     "q270_ivf_probe_sweep" -> ivfSweepOracle,
+    // q282: the PQ chain's codes (per-(vec, subspace) argmin vs the
+    // final codebooks) rolled up per (subspace, cell) — member count
+    // + total integer distortion.
+    "q282_pq_train" -> (pqCtes + """
+      |SELECT s, cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(SUM(d2) AS BIGINT) AS distortion
+      |FROM pcodes GROUP BY s, cell ORDER BY s, cell""".stripMargin),
+    // q283: ADC ranking from the SAME encode-side distance table
+    // (query rows = the per-cell lookup table, codes rows = the
+    // compressed scan), shortlist fan-out at {10,50,100,200} under
+    // (adc_d2, vec_id), vs the exact integer-d2 brute top-10 —
+    // recall ppm per (shortlist, query).
+    "q283_pq_adc_recall" -> (pqCtes + """,
+      |qdp AS (SELECT vec_id AS qid, s, cell, d2 FROM pdf
+      |        WHERE vec_id < 5),
+      |adcp AS (
+      |  SELECT q.qid, k.vec_id, CAST(SUM(q.d2) AS BIGINT) AS adc_d2
+      |  FROM pcodes k JOIN qdp q ON k.s = q.s AND k.cell = q.cell
+      |  WHERE k.vec_id <> q.qid
+      |  GROUP BY q.qid, k.vec_id),
+      |app AS (
+      |  SELECT CAST(sl AS BIGINT) AS shortlist, qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY adc_d2, vec_id) AS rnk
+      |    FROM adcp) t, unnest([10, 50, 100, 200]) AS u(sl)
+      |  WHERE rnk <= sl),
+      |bdp AS (
+      |  SELECT q.vec_id AS qid, e.vec_id,
+      |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
+      |  FROM pex e JOIN (SELECT vec_id, dim, x FROM pex
+      |                   WHERE vec_id < 5) q ON e.dim = q.dim
+      |  WHERE e.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, e.vec_id),
+      |brp AS (
+      |  SELECT CAST(sl AS BIGINT) AS shortlist, qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY d2, vec_id) AS rnk
+      |    FROM bdp) t, unnest([10, 50, 100, 200]) AS u(sl)
+      |  WHERE rnk <= 10),
+      |mp AS (
+      |  SELECT b.shortlist, b.qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+      |    CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_found
+      |  FROM brp b LEFT JOIN app a ON a.shortlist = b.shortlist
+      |    AND a.qid = b.qid AND a.vec_id = b.vec_id
+      |  GROUP BY b.shortlist, b.qid)
+      |SELECT shortlist, qid, n_brute, n_found,
+      |  (n_found * 1000000) // n_brute AS recall_ppm
+      |FROM mp ORDER BY shortlist, qid""".stripMargin),
     // q278: the q246 trainer chain's final assignment (a2 — the
     // round-3 argmin, the same CTE q246's member counts read) +
     // integer balance stats; overflow: n_vecs² ≤ (2·10³)² at fixture,

@@ -71,4 +71,72 @@ class ClusteringSpec extends SparkSpecBase {
     assert(c == Map((0L, 1L) -> 1L, (0L, 2L) -> 0L,
       (1L, 1L) -> 1000L, (1L, 2L) -> 1000L), s"$c")
   }
+
+  test("pqShared with one full-width subspace reproduces kMeansShared's " +
+      "codebook exactly (the m = 1 identity)") {
+    val (_, pqCent, _) = Clustering.pqShared(emb, subDim = 64,
+      kSub = 8, rounds = 2)
+    // one subspace → s ≡ 0 everywhere; the rest IS the k-means chain
+    assert(pqCent.filter(col("s") =!= 0L).count() == 0)
+    val km = Clustering.kMeansShared(emb, k = 8, rounds = 2)._1
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val pq = pqCent.collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(pq == km && pq.nonEmpty)
+  }
+
+  test("pqShared hand golden: per-dim subspaces train independent " +
+      "integer codebooks; codes are the (d2, cell) argmin and " +
+      "distortion sums are exact") {
+    import spark.implicits._
+    // e3: v0=[0,0] v1=[1000,1000] v2=[1,0] v3=[2,0] v4=[1001,1000]
+    // v5=[999,1000]; subDim=1 → subspace 0 = dim 1, subspace 1 = dim 2;
+    // kSub=2 seeds v0/v1. Both subspaces converge in one round:
+    // s0 codebook {cell0: (0+1+2) div 3 = 1, cell1: 3000 div 3 = 1000},
+    // s1 codebook {cell0: 0, cell1: 1000}; final distortions
+    // s0/cell0 = 1+0+1 = 2, s0/cell1 = 0+1+1 = 2, s1 = 0.
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 1f)),
+      (2L, Seq(0.001f, 0f)), (3L, Seq(0.002f, 0f)),
+      (4L, Seq(1.001f, 1f)), (5L, Seq(0.999f, 1f)))
+      .toDF("vec_id", "embedding")
+    val (_, cent, dist) = Clustering.pqShared(vecs, subDim = 1,
+      kSub = 2, rounds = 2)
+    val c = cent.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    assert(c == Map(
+      (0L, 0L, 1L) -> 1L, (0L, 1L, 1L) -> 1000L,
+      (1L, 0L, 2L) -> 0L, (1L, 1L, 2L) -> 1000L), s"$c")
+    // codes = per-(vec, subspace) argmin over dist; every vector gets
+    // exactly one code per subspace, and the distortion rollup is exact
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "s").orderBy(col("d2"), col("cell"))
+    val codes = dist
+      .withColumn("rk", org.apache.spark.sql.functions.row_number()
+        .over(w))
+      .filter(col("rk") === 1)
+    assert(codes.count() == 12) // 6 vectors × 2 subspaces
+    val distort = codes.groupBy("s", "cell")
+      .agg(sum(col("d2")).as("d")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(distort == Map((0L, 0L) -> 2L, (0L, 1L) -> 2L,
+      (1L, 0L) -> 0L, (1L, 1L) -> 0L), s"$distort")
+  }
+
+  test("q283 shortlist recall curve is monotone non-decreasing per " +
+      "query (nested ADC prefixes) with a fixed 10-row brute baseline") {
+    val rows = Similarity.queries("q283_pq_adc_recall")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(rows.nonEmpty && rows.forall(_._3 == 10L))
+    rows.groupBy(_._2).foreach { case (qid, qr) =>
+      val byShort = qr.sortBy(_._1).map(_._4)
+      byShort.sliding(2).foreach { case Array(a, b) =>
+        assert(a <= b, s"recall not monotone for qid=$qid: $byShort")
+      case _ => ()
+      }
+    }
+  }
 }

@@ -602,6 +602,20 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .toSet
     assert(kSql == kDir && kSql.nonEmpty)
 
+    // PQ codebooks view ≡ the gated q282 chain's final codebooks
+    // (member/distortion readout keys (s, cell) resolve against it)
+    SqlSurface.createPqCodebooksView(spark, "embeddings", "pqc")
+    val pSql = spark.sql("SELECT s, cell, dim, c_e3 FROM pqc")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val pKeys = graft.operators.Similarity
+      .queries("q282_pq_train")(spark, sf)
+      .select("s", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pSql.nonEmpty &&
+      pKeys.subsetOf(pSql.map(t => (t._1, t._2))))
+
     // encoder: train on documents (via the batched view at k = 1 ≡
     // sequential), then encode — final per-word token counts must
     // equal the training state's (the q249 invariant through SQL)
