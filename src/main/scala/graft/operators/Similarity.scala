@@ -1023,6 +1023,133 @@ object Similarity {
       .orderBy("shortlist", "qid")
   }
 
+  // ---------------------------------------------------------------- q285
+
+  /** The IVF-ADC serving stack, parameterized (q285 + the
+    * full-probe-exact spec pin): probe the `probes` nearest k-means
+    * cells per query (q270's machinery over the gated trainer), ADC-
+    * rank the cell-bounded candidates with the gated PQ codes (q283's
+    * lookup-table join), keep the top `shortlist`, then exact-re-rank
+    * the shortlist with full-dim integer d2 and emit the top `k` —
+    * the complete billion-scale ANN serving pipeline (IVFADC, Jégou
+    * TPAMI'11) as ONE relational chain over already-gated state.
+    *
+    * Scale: candidates are cell-bounded (never all-pairs); ADC fans
+    * out m rows per (query, candidate) against the broadcast
+    * |Q|·m·kSub lookup; the exact stage touches shortlist·dim rows per
+    * query only. With probes = all cells and an unbounded shortlist
+    * this degenerates to exact brute-force — ClusteringSpec pins that
+    * identity, q34c-style. */
+  def ivfAdcTopK(spark: SparkSession, dir: String, probes: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    val (cent, _) = kmeansShared83(spark, dir)
+    val (ex, _, pdist) = pqShared168(spark, dir)
+    val dq = ex.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .localCheckpoint() // consumed by assignment AND query probing
+    val wv = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+    val a3 = dq.withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1).select(col("vec_id"), col("cell"))
+    val qp = dq.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= probes)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val cand = qp.join(a3, "cell").filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val codes = pqCodes(pdist).drop("d2")
+      .withColumnRenamed("cell", "pcell")
+    val qd = pdist.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("s"),
+        col("cell").as("pcell"), col("d2"))
+    val wq = Window.partitionBy("qid")
+    val shl = cand.join(codes, "vec_id")
+      .join(broadcast(qd), Seq("qid", "s", "pcell"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("rk", row_number().over(
+        wq.orderBy(col("adc_d2"), col("vec_id"))))
+      .filter(col("rk") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    shl.join(ex, "vec_id").join(broadcast(exq), Seq("qid", "dim"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("d2"))
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("d2"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Q285: the IVF-ADC pipeline at the graded serving config —
+    * nprobe 4 (q270's knee), ADC shortlist 50 (q283's 0.70 recall
+    * point), exact top-10: the result table a vector deployment
+    * actually returns, gated end to end. */
+  def q285IvfAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfAdcTopK(spark, dir, probes = 4, shortlist = 50, k = 10)
+
+  // ---------------------------------------------------------------- q284
+
+  /** Q284: DIMENSION-TRUNCATION RECALL SWEEP — recall@10 of the
+    * full-dim exact integer-d2 top-10 when ranking uses only the first
+    * {8, 16, 32, 64} coordinates, per query (vec_id < 5): the
+    * matryoshka-style "how many dimensions does retrieval actually
+    * need" tuning table (prefix truncation is the cheapest embedding
+    * compression — no codebook at all), completing the efficiency-knob
+    * sweep family on the dims axis (q270 nprobe, q283 refine). Every
+    * distance is the same e3 integer chain as q283's brute side, so
+    * the whole curve gates; the dims = 64 row ranks by the identical
+    * full chain and is structurally recall 1.0 (the anchor —
+    * SimilaritySpec-class pin in ClusteringSpec).
+    *
+    * Scale: per-pair distances aggregate into 4 PREFIX-TIER blocks
+    * (≤8, ≤16, ≤32, ≤64) first — 4 slim rows per (query, vector), not
+    * 64 — then each prefix sums the blocks it covers; fan-out is
+    * queries·N·4 throughout. At corpus scale the truncated ranking is
+    * the point: a dims-32 scan reads half the bytes of the full scan
+    * (the production path pairs it with IVF/PQ; this table prices the
+    * recall cost before flipping). */
+  def q284DimTruncRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (ex, _, _) = pqShared168(spark, dir)
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    val tier = when(col("dim") <= 8, 8L)
+      .when(col("dim") <= 16, 16L)
+      .when(col("dim") <= 32, 32L)
+      .otherwise(64L)
+    val blk = ex.join(broadcast(exq), "dim")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"), tier.as("tier"))
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("sb"))
+    val wdq = Window.partitionBy("dims", "qid")
+      .orderBy(col("d2"), col("vec_id"))
+    val ranked = blk
+      .select(col("qid"), col("vec_id"), col("tier"), col("sb"),
+        explode(typedlit(Seq(8L, 16L, 32L, 64L))).as("dims"))
+      .filter(col("tier") <= col("dims"))
+      .groupBy("dims", "qid", "vec_id")
+      .agg(sum(col("sb")).as("d2"))
+      .withColumn("rnk", row_number().over(wdq))
+      .filter(col("rnk") <= 10)
+      .localCheckpoint() // consumed as approx AND (dims=64) baseline
+    val ap = ranked
+      .select(col("dims"), col("qid"), col("vec_id"), lit(1L).as("f"))
+    val br = ranked.filter(col("dims") === 64L)
+      .select(col("qid"), col("vec_id"),
+        explode(typedlit(Seq(8L, 16L, 32L, 64L))).as("dims"))
+    br.join(ap, Seq("dims", "qid", "vec_id"), "left")
+      .groupBy("dims", "qid")
+      .agg(count(lit(1)).as("n_brute"), count(col("f")).as("n_found"))
+      .select(col("dims"), col("qid"), col("n_brute"), col("n_found"),
+        expr("(n_found * 1000000) div n_brute").as("recall_ppm"))
+      .orderBy("dims", "qid")
+  }
+
   // ---------------------------------------------------------------- q267
 
   /** Q267: EMBEDDING DISTRIBUTION DRIFT — per label, the L1 distance
@@ -1459,6 +1586,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q282_pq_train" -> (q282PqTrain _),
     "q283_pq_adc_recall" -> (q283PqAdcRecall _),
+    "q284_dim_trunc_recall" -> (q284DimTruncRecall _),
+    "q285_ivfadc_topk" -> (q285IvfAdcTopK _),
     "q271_hybrid_multi" -> (q271HybridMulti _),
     "q278_cell_balance" -> (q278CellBalance _),
     "q271b_hybrid_eval_multi" -> (q271bHybridEvalMulti _),
@@ -1570,7 +1699,9 @@ object Similarity {
     * rounds → pc2 → pdf encode-side distances → pcodes argmin) — one
     * SQL source of truth, replaying [[Clustering.pqShared]] at the
     * graded config (subDim 16, kSub 8, rounds 2). */
-  private val pqCtes: String =
+  /** The subspace-tagged e3 coordinate stream CTE — shared by the PQ
+    * chain (q282/q283) and the dim-truncation sweep (q284). */
+  private val pexCte: String =
     """WITH pex AS MATERIALIZED (
       |  SELECT vec_id, CAST(i AS BIGINT) AS dim,
       |    (CAST(i AS BIGINT) - 1) // 16 AS s,
@@ -1578,7 +1709,10 @@ object Similarity {
       |      AS x
       |  FROM (SELECT vec_id, embedding AS emb,
       |          unnest(generate_series(1, len(embedding))) AS i
-      |        FROM embeddings) t),
+      |        FROM embeddings) t)""".stripMargin
+
+  private val pqCtes: String = pexCte +
+    """,
       |pc0 AS MATERIALIZED (
       |  SELECT s, vec_id AS cell, dim, x AS c FROM pex
       |  WHERE vec_id < 8)""".stripMargin +
@@ -1877,6 +2011,94 @@ object Similarity {
       |SELECT shortlist, qid, n_brute, n_found,
       |  (n_found * 1000000) // n_brute AS recall_ppm
       |FROM mp ORDER BY shortlist, qid""".stripMargin),
+    // q284: per-pair distances collapse into 4 prefix-tier blocks,
+    // each prefix sums the tiers it covers, top-10 per (dims, qid)
+    // under (d2, vec_id); baseline = the dims=64 ranking itself.
+    "q284_dim_trunc_recall" -> (pexCte + """,
+      |tb AS MATERIALIZED (
+      |  SELECT q.vec_id AS qid, e.vec_id,
+      |    CASE WHEN e.dim <= 8 THEN 8 WHEN e.dim <= 16 THEN 16
+      |         WHEN e.dim <= 32 THEN 32 ELSE 64 END AS tier,
+      |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS sb
+      |  FROM pex e JOIN (SELECT vec_id, dim, x FROM pex
+      |                   WHERE vec_id < 5) q ON e.dim = q.dim
+      |  WHERE e.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, e.vec_id, tier),
+      |rkt AS MATERIALIZED (
+      |  SELECT dims, qid, vec_id FROM (
+      |    SELECT dims, qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY dims, qid ORDER BY d2, vec_id) AS rnk
+      |    FROM (
+      |      SELECT CAST(u.dm AS BIGINT) AS dims, qid, vec_id,
+      |        CAST(SUM(sb) AS BIGINT) AS d2
+      |      FROM tb, unnest([8, 16, 32, 64]) AS u(dm)
+      |      WHERE tier <= u.dm
+      |      GROUP BY u.dm, qid, vec_id) g) t WHERE rnk <= 10),
+      |brt AS (
+      |  SELECT CAST(dm AS BIGINT) AS dims, qid, vec_id
+      |  FROM (SELECT qid, vec_id FROM rkt WHERE dims = 64) b,
+      |    unnest([8, 16, 32, 64]) AS u(dm)),
+      |mt AS (
+      |  SELECT b.dims, b.qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+      |    CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_found
+      |  FROM brt b LEFT JOIN rkt a ON a.dims = b.dims
+      |    AND a.qid = b.qid AND a.vec_id = b.vec_id
+      |  GROUP BY b.dims, b.qid)
+      |SELECT dims, qid, n_brute, n_found,
+      |  (n_found * 1000000) // n_brute AS recall_ppm
+      |FROM mt ORDER BY dims, qid""".stripMargin),
+    // q285: the k-means trainer chain (cells) + the PQ chain (codes +
+    // lookup) composed — probe 4 cells, ADC-rank candidates, exact
+    // re-rank the top-50 shortlist, emit the top-10 result table.
+    // CTE namespaces are disjoint by construction (kmeans: ex/c0/d·a·c
+    // rounds; pq: pex/pc0/pd·pa·pc/pdf/pcodes; serving: the v-suffixed
+    // names below).
+    "q285_ivfadc_topk" -> (kmeansCtes + ",\n" +
+      pqCtes.stripPrefix("WITH ") + """,
+      |dqv AS MATERIALIZED (
+      |  SELECT e.vec_id, c.cell,
+      |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+      |  FROM ex e JOIN c3 c ON e.dim = c.dim
+      |  GROUP BY e.vec_id, c.cell),
+      |a3v AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      |    FROM dqv) t WHERE rk = 1),
+      |qpv AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT vec_id AS qid, cell, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dqv WHERE vec_id < 5) t WHERE rn <= 4),
+      |cndv AS (
+      |  SELECT qpv.qid, a3v.vec_id FROM qpv JOIN a3v USING (cell)
+      |  WHERE a3v.vec_id <> qpv.qid),
+      |qdlv AS (SELECT vec_id AS qid, s, cell, d2 FROM pdf
+      |         WHERE vec_id < 5),
+      |adcv AS (
+      |  SELECT c.qid, c.vec_id, CAST(SUM(q.d2) AS BIGINT) AS adc_d2
+      |  FROM cndv c JOIN pcodes k ON k.vec_id = c.vec_id
+      |  JOIN qdlv q ON q.qid = c.qid AND q.s = k.s
+      |    AND q.cell = k.cell
+      |  GROUP BY c.qid, c.vec_id),
+      |shv AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY adc_d2, vec_id) AS rk
+      |    FROM adcv) t WHERE rk <= 50),
+      |rrv AS (
+      |  SELECT s.qid, s.vec_id,
+      |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
+      |  FROM shv s JOIN pex e ON e.vec_id = s.vec_id
+      |  JOIN pex q ON q.vec_id = s.qid AND q.dim = e.dim
+      |  GROUP BY s.qid, s.vec_id)
+      |SELECT qid, rank, neighbor, d2 FROM (
+      |  SELECT qid, vec_id AS neighbor, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id)
+      |      AS rank
+      |  FROM rrv) t WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin),
     // q278: the q246 trainer chain's final assignment (a2 — the
     // round-3 argmin, the same CTE q246's member counts read) +
     // integer balance stats; overflow: n_vecs² ≤ (2·10³)² at fixture,

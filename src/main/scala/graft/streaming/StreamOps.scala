@@ -715,6 +715,22 @@ object StreamOps {
     graft.operators.Stats.flagOutliers(stream,
       graft.operators.Stats.valueStats(history), k)
 
+  /** STREAMING PQ ENCODE — vector-ingest compression: each arriving
+    * (vec_id, embedding) row encodes against a TRAINED driver-held
+    * codebook via [[graft.operators.Similarity.pqEncode]]'s
+    * zero-shuffle codegen'd argmin projection — no keyed state, no
+    * watermark, no shuffle; encode latency is micro-batch latency.
+    * The codebook is codebook-class state a PQ deployment already
+    * versions (trained offline by pqTrain, audited by q282); its
+    * refresh is a restart or a foreachBatch re-broadcast — the
+    * valueOutliersStream contract. Batch ≡ stream holds by
+    * construction (the projection IS the batch operator's; pinned in
+    * StreamingSpec). 100 TB: the sink writes m small codes + one
+    * reconstructed norm per vector — the 64×-compressed ingest row. */
+  def pqEncodeStream(vectors: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    graft.operators.Similarity.pqEncode(vectors, books)
+
   /** STREAMING CORPUS PREP — the q63 chain as a continuous pipeline
     * (documents arrive as a stream; the benchmark/eval corpus is a
     * static table):

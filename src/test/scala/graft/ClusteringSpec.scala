@@ -139,4 +139,47 @@ class ClusteringSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("ivfAdcTopK with all cells probed and an unbounded shortlist " +
+      "degenerates to the exact integer-d2 brute top-10 (the q34c-style " +
+      "full-probe identity for the composed IVF-ADC pipeline)") {
+    val served = Similarity.ivfAdcTopK(spark, sf, probes = 8,
+      shortlist = Int.MaxValue, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // independent brute: e3 integer d2 straight off the raw embeddings
+    val ex = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.posexplode(
+        expr("transform(CAST(embedding AS array<double>)," +
+          " x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))"))
+        .as(Seq("d0", "x")))
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("d0"), col("x").as("xq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("d2"), col("vec_id"))
+    val brute = ex.join(exq, "d0")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("d2"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number()
+        .over(w))
+      .filter(col("rank") <= 10)
+      .collect() // columns: (qid, vec_id, d2, rank)
+      .map(r => (r.getLong(0), r.getInt(3).toLong, r.getLong(1),
+        r.getLong(2)))
+      .toSet
+    assert(served == brute && served.size == 50, s"${served.size}")
+  }
+
+  test("q284 dims=64 anchor row is structural recall 1.0 (the " +
+      "truncated ranking at full width IS the baseline ranking)") {
+    val rows = Similarity.queries("q284_dim_trunc_recall")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(rows.nonEmpty && rows.forall(_._2 == 10L))
+    val full = rows.filter(_._1 == 64L)
+    assert(full.length == 5 && full.forall(_._3 == 1000000L),
+      s"${full.toSeq}")
+  }
 }

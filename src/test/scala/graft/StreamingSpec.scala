@@ -26,6 +26,9 @@ case class SRep(ts: Timestamp, text: String, lang: String, source: String)
 case class EvI(ts: Timestamp, event_type: String, value: Double,
     user_id: Long, event_id: Long)
 
+/** Streaming vector row — PQ-encode twin test. */
+case class SVec(vec_id: Long, embedding: Seq[Float])
+
 /** Streaming semantics (SURVEY §2-B Q35): batch≡stream equivalence for
   * tumbling windows, late-data drop past the watermark, session windows,
   * streaming dedup, and the foreachBatch at-least-once file sink (the
@@ -298,6 +301,30 @@ class StreamingSpec extends SparkSpecBase {
       (w0, "s1", 2L, 5L, 1L),   // "a b c"(en) + "d e"(fr)
       (w0, "s2", 1L, 4L, 1L),
       (w1, "s1", 1L, 2L, 1L)))
+  }
+
+  test("streaming PQ encode ≡ batch pqEncode against the same trained " +
+      "codebook (stateless vector-ingest compression twin)") {
+    val static = Seq(
+      SVec(0L, Seq(0f, 0f, 1f, 1f)), SVec(1L, Seq(4f, 4f, 5f, 5f)),
+      SVec(2L, Seq(0.1f, 0f, 1f, 1.1f)), SVec(3L, Seq(4f, 4.1f, 5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val books = graft.operators.Similarity.pqTrain(static, m = 2,
+      kSub = 2, iters = 1)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("codes").cast("array<long>"),
+        col("vn2a"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+      .toSet
+    val batch = key(graft.operators.Similarity.pqEncode(static, books))
+    val input = MemoryStream[SVec](spark)
+    input.addData(
+      SVec(0L, Seq(0f, 0f, 1f, 1f)), SVec(1L, Seq(4f, 4f, 5f, 5f)),
+      SVec(2L, Seq(0.1f, 0f, 1f, 1.1f)), SVec(3L, Seq(4f, 4.1f, 5f, 5f)))
+    val streamed = key(runAvailableNow(
+      StreamOps.pqEncodeStream(input.toDF(), books), "pqencode"))
+    assert(streamed == batch && batch.size == 4)
   }
 
   test("streaming incremental cross-corpus dedup ≡ batch crossCorpusDedup " +
