@@ -438,6 +438,53 @@ object Relational {
         col("O").cast("double").as("qty_o"))
       .orderBy("l_returnflag")
 
+  /** Q286 ROLLUP: revenue by (nation, order year) with per-nation
+    * subtotals and a grand total in ONE aggregate — Spark's
+    * `rollup()` + `grouping_id()` vs DuckDB's `GROUP BY ROLLUP` +
+    * `GROUPING()` (same bitmask convention: LAST grouping column =
+    * LSB, measured). Subtotal rows carry NULL keys internally; the
+    * final projection COALESCEs them to sentinels so the gated output
+    * has no NULL-ordering divergence (DuckDB sorts NULLS LAST,
+    * Spark NULLS FIRST — sidestepped entirely, D1).
+    *
+    * Scale: rollup expands each row once per grouping level (Expand
+    * ×3) feeding ONE partial-combining hash aggregate — same shuffle
+    * count as a plain groupBy; at 100 TB prune to the grouping sets a
+    * dashboard actually reads. */
+  def q286Rollup(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .join(load(spark, dir, "customer"),
+        col("c_custkey") === col("o_custkey"))
+      .join(load(spark, dir, "nation"),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_totalprice"))
+      .rollup(col("n_name"), col("yr"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).cast("double").as("revenue"))
+      .select(coalesce(col("n_name"), lit("(all)")).as("nation"),
+        coalesce(col("yr"), lit(-1L)).as("yr"),
+        col("gid"), col("n_orders"), col("revenue"))
+      .orderBy("gid", "nation", "yr")
+
+  /** Q287 CUBE: all four grouping sets of (returnflag, linestatus) in
+    * ONE aggregate — the OLAP-cube sibling of q286 (Expand ×4, one
+    * shuffle). */
+  def q287Cube(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("double").as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+        col("gid"), col("n_rows"), col("qty"))
+      .orderBy("gid", "rflag", "lstatus")
+
   /** Q39 correlated scalar subquery — through the spark.sql front door:
     * Catalyst decorrelates it into a left outer aggregate join
     * (RewriteCorrelatedScalarSubquery), so the plan is a hash join, not
@@ -1866,6 +1913,8 @@ object Relational {
     "q14_rollup" -> (q14Rollup _),
     "q15_cube" -> (q15Cube _),
     "q14b_grouping_sets" -> (q14bGroupingSets _),
+    "q286_rollup" -> (q286Rollup _),
+    "q287_cube" -> (q287Cube _),
     "q15b_pivot" -> (q15bPivot _),
     "q16_win_rank" -> (q16WinRank _),
     "q16b_win_rank_fns" -> (q16bWinRankFns _),
@@ -2591,6 +2640,29 @@ object Relational {
         |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // q286/q287: DuckDB GROUPING(a, b) uses the same bitmask convention
+    // as Spark grouping_id (last column = LSB, measured); subtotal-row
+    // NULL keys COALESCE to sentinels so no NULL ordering is compared.
+    "q286_rollup" ->
+      """SELECT COALESCE(n.n_name, '(all)') AS nation,
+        |  COALESCE(CAST(year(o.o_orderdate) AS BIGINT), -1) AS yr,
+        |  CAST(GROUPING(n.n_name, year(o.o_orderdate)) AS BIGINT)
+        |    AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(o.o_totalprice) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY ROLLUP(n.n_name, year(o.o_orderdate))
+        |ORDER BY gid, nation, yr""".stripMargin,
+    "q287_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS rflag,
+        |  COALESCE(l_linestatus, '(all)') AS lstatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rflag, lstatus""".stripMargin,
     "q02_project" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_suppkey LIMIT 100""".stripMargin,
