@@ -1034,6 +1034,29 @@ object Dedup {
     Graph.triangleCensus(exactPairs(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v")))
 
+  // ---------------------------------------------------------------- q288
+
+  /** Q288: 4-TRUSS BACKBONE of the verified near-dup pair graph —
+    * [[Graph.kTrussPeel]] (3 fixed rounds, k = 4: every surviving
+    * edge closes ≥ 2 triangles among survivors) over the memoized
+    * q33c jaccard-verified pairs. q266 MEASURES the transitivity
+    * single-linkage dedup rests on; the truss is the subgraph where
+    * that assumption provably holds edge-by-edge — pairs inside the
+    * truss are mutually-reinforced duplicate cliques (safe to collapse
+    * aggressively), pairs outside are chain links where single-linkage
+    * is doing the trusting. Cores keep hub-heavy stars; the truss
+    * keeps only triangle-reinforced ties.
+    *
+    * Scale: the wedge join is the q91 census shape over the
+    * pairs-sized memoized graph (never corpus-sized); each of the 3
+    * rounds is one wedge join + one left-anti-style peel. */
+  def q288KTrussPeel(spark: SparkSession, dir: String): DataFrame =
+    Graph.kTrussPeel(exactPairs(spark, dir)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")),
+      k = 4L, rounds = 3)
+      .select(col("u").as("doc_a"), col("v").as("doc_b"))
+      .orderBy("doc_a", "doc_b")
+
   // ---------------------------------------------------------------- q273
 
   /** Q273: QUALITY-AWARE KEEPER SELECTION (round 13 — the q272 scorer
@@ -1733,6 +1756,7 @@ object Dedup {
     "q33b_simhash_pairs" -> (q33bSimhash _),
     "q263_simhash_spectrum" -> (q263SimhashSpectrum _),
     "q266_dedup_transitivity" -> (q266DedupTransitivity _),
+    "q288_ktruss_peel" -> (q288KTrussPeel _),
     "q273_quality_keeper" -> (q273QualityKeeper _),
     "q274_minhash_perm_sweep" -> (q274MinhashPermSweep _),
     "q280_pipeline_v2" -> (q280PipelineV2 _),
@@ -2021,6 +2045,15 @@ object Dedup {
          |    (tri.n_triangles * 3 * 1000000) // w.n_wedges END AS BIGINT)
          |    AS closure_ppm
          |FROM w, ec, tri""").stripMargin,
+    // q288: the q33c pair CTEs as e0 + the shared 3-round truss peel
+    // (Graph.trussRoundCtes — wedge-join support, sup >= k-2 = 2).
+    "q288_ktruss_peel" ->
+      ("WITH " + postingsPairCtes + """,
+         |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM jpairs),
+         |""".stripMargin +
+        Graph.trussRoundCtes(rounds = 3, minSup = 2L) + """
+         |SELECT u AS doc_a, v AS doc_b FROM e3
+         |ORDER BY doc_a, doc_b""".stripMargin),
     // q244: one shared relational signature (the q33a sigr chain), then
     // per config (8,16,32 bands) band grouping, collision candidates,
     // and exact-jaccard verification with the same |A|+|B|-|∩|

@@ -916,6 +916,60 @@ object Graph {
     cur
   }
 
+  /** One k-truss support pass: per surviving edge (u, v), the count of
+    * common neighbors w (triangles through the edge) via the wedge
+    * join over the symmetric closure — then peel edges with support
+    * < k−2. Scale: the wedge join fans out Σ over edges of
+    * |N(u)∩N(v)| candidates bounded by Σ deg(u) per edge endpoint —
+    * the q91 triangle-census shuffle shape; at whale degrees apply the
+    * q91 degree-orientation before the join (documented, not needed on
+    * the minCo-pruned audit graph). */
+  private def trussPeelRound(cur: DataFrame, k: Long): DataFrame = {
+    val sym = cur.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(cur.select(col("v").as("x"), col("u").as("y")))
+    val sup = cur
+      .join(sym.select(col("x").as("u"), col("y").as("w")), "u")
+      .join(sym.select(col("x").as("v"), col("y").as("w")),
+        Seq("v", "w"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+    cur.join(sup, Seq("u", "v"), "left")
+      .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+      .select(col("u"), col("v"))
+  }
+
+  /** K-TRUSS (to convergence): the maximal subgraph where every edge
+    * closes ≥ k−2 triangles — the edge-cohesion sibling of [[kCore]]
+    * (Cohen 2008, public): trusses are to edges what cores are to
+    * nodes, and a k-truss is always inside the (k−1)-core but strictly
+    * tighter (a star survives any core radius but no truss). Same
+    * convergence discipline as kCore: synchronous peel rounds,
+    * refuses a non-fixpoint result. */
+  def kTruss(edges: DataFrame, k: Long, maxIter: Int = 30): DataFrame = {
+    var cur = edges.select(col("u"), col("v")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = trussPeelRound(cur, k).localCheckpoint()
+      if (next.count() == cur.count()) converged = true
+      cur = next
+      i += 1
+    }
+    require(converged,
+      s"k-truss peeling did not converge in $maxIter rounds — raise " +
+        "maxIter; refusing to return a non-fixpoint subgraph")
+    cur
+  }
+
+  /** Fixed-round truss peel — the oracle-gateable sibling of
+    * [[kTruss]] (the q131 discipline: both engines run EXACTLY
+    * `rounds` rounds, deterministic whether or not converged). */
+  def kTrussPeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    var cur = edges.select(col("u"), col("v")).localCheckpoint()
+    for (_ <- 1 to rounds)
+      cur = trussPeelRound(cur, k).localCheckpoint()
+    cur
+  }
+
   /** Q131: 4 peel rounds at k=3 over the minCo=4 co-purchase graph
     * (the q94 basket machinery, tighter threshold so the graph is
     * sparse enough to actually peel — the memoized minCo=2 `co` frame
@@ -1171,6 +1225,31 @@ object Graph {
        |$rounds
        |SELECT u, v FROM e4 ORDER BY u, v""".stripMargin
   }
+
+  /** Truss-peel rounds as chained MATERIALIZED DuckDB CTEs (the q131
+    * unroll discipline), consuming a pre-defined edge CTE e0 (u, v)
+    * and producing e`rounds` — per round: the symmetric closure, the
+    * wedge-join support count per surviving edge, and the
+    * support < k-2 peel (LEFT JOIN + COALESCE keeps triangle-free
+    * edges peelable). Pure integer set algebra; shared with the
+    * dedup-side q288 oracle. */
+  private[operators] def trussRoundCtes(rounds: Int,
+      minSup: Long): String =
+    (1 to rounds).map { i =>
+      s"""ts$i AS MATERIALIZED (
+         |  SELECT u AS x, v AS y FROM e${i - 1}
+         |  UNION ALL SELECT v AS x, u AS y FROM e${i - 1}),
+         |tt$i AS MATERIALIZED (
+         |  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS sup
+         |  FROM e${i - 1} e
+         |  JOIN ts$i s1 ON s1.x = e.u
+         |  JOIN ts$i s2 ON s2.x = e.v AND s2.y = s1.y
+         |  GROUP BY e.u, e.v),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${i - 1} e
+         |  LEFT JOIN tt$i t ON t.u = e.u AND t.v = e.v
+         |  WHERE COALESCE(t.sup, 0) >= $minSup)""".stripMargin
+    }.mkString(",\n")
 
   /** The q93 oracle unrolls the FIXED five iterations as chained CTEs
     * (DuckDB recursive CTEs cannot aggregate per step); every step is

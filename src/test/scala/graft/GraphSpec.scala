@@ -530,4 +530,23 @@ class GraphSpec extends SparkSpecBase {
     assert(got(0L) == 2781250L, s"$got")
     assert((1L to 10L).forall(l => got(l) == 1279375L), s"$got")
   }
+
+  test("kTruss hand golden: K4 survives the 4-truss while an attached " +
+      "pendant triangle is peeled (edge cohesion, not node degree); " +
+      "fixed-round sibling agrees once converged") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    val k4 = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val t4 = Graph.kTruss(edges, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t4 == k4, s"$t4")
+    // k = 3 keeps every edge that closes at least one triangle — all 9
+    assert(Graph.kTruss(edges, k = 3).count() == 9)
+    // q131-discipline sibling: fixed rounds reach the same fixpoint
+    val fixed = Graph.kTrussPeel(edges, k = 4, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixed == k4)
+  }
 }

@@ -450,4 +450,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!r.contains("CartesianProduct"), r.take(800))
     assert(r.contains("windowspecdefinition(query_id"), r.take(800))
   }
+
+  test("q285 IVF-ADC serving pipeline: candidates stay cell-bounded " +
+      "equi-joins (no cartesian), the ADC/exact lookup sides broadcast, " +
+      "and every ranking window partitions per query (round 13)") {
+    val p = plan(graft.operators.Similarity.q285IvfAdcTopK(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "IVF candidate generation must stay an equi-join on cell:\n" +
+        p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "the codebook/lookup sides must broadcast:\n" + p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("windowspecdefinition(qid"),
+      "per-query windows must partition by qid:\n" + p.take(1500))
+  }
 }
