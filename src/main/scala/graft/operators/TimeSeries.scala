@@ -558,7 +558,105 @@ object TimeSeries {
       .orderBy("c_mktsegment")
   }
 
+  // ---------------------------------------------------------------- q289
+
+  /** Q289: THEIL–SEN ROBUST TREND of daily revenue, per order year —
+    * the median of all pairwise slopes (Sen 1968, public): immune to
+    * ~29% outlier days where the OLS slope (q146's Holt trend seed,
+    * q172's regression family) is dragged by a single flash-sale or
+    * outage day. Every step is exact integer arithmetic:
+    * revenue in cents (floor(x·100 + 0.5) — the q242 discipline;
+    * o_totalprice is DOUBLE in the fixture, and a raw double→BIGINT
+    * cast ROUNDS in DuckDB but truncates in Spark), slope_e6 =
+    * ((r_b − r_a)·10⁶) div (day_b − day_a) (truncating div, identical
+    * both engines for any sign), and the MEDIAN is the
+    * ((n+1) div 2)-th element under the TOTAL order (slope_e6, da, db)
+    * — rank selection, not an interpolating percentile, so the picked
+    * value is a real pair's slope (D1-deterministic). The intercept is
+    * the same disc-median of (r·10⁶ − slope_e6·day) over the year's
+    * days. Years with a single active day produce no pairs and drop
+    * (both engines identically).
+    *
+    * Scale: median-of-pairs is O(days²) per partition BY CONSTRUCTION
+    * (~66k pair rows per year here) — the audit form. At 100 TB run
+    * per bounded window (year/month partitions keep pair counts
+    * quadratic in a CONSTANT), or sample pairs; the per-partition
+    * window sort is the q42 rank-selection discipline. Overflow:
+    * |r|·10⁶ ≤ 10¹⁵ for 10⁹-cent days — safe for any realistic SF. */
+  def q289TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "orders")
+      .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dnum"))
+      .agg(sum(expr(
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("r"))
+    val wY = Window.partitionBy("yr")
+    val slope = d.as("a").join(d.as("b"),
+        col("a.yr") === col("b.yr") && col("a.dnum") < col("b.dnum"))
+      .select(col("a.yr").as("yr"), col("a.dnum").as("da"),
+        col("b.dnum").as("db"), col("a.r").as("ra"),
+        col("b.r").as("rb"))
+      .withColumn("slope_e6",
+        expr("((rb - ra) * 1000000) div (db - da)"))
+      .withColumn("rn", row_number().over(
+        wY.orderBy(col("slope_e6"), col("da"), col("db"))))
+      .withColumn("np", count(lit(1)).over(wY))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("yr"), col("np").as("n_pairs"), col("slope_e6"))
+    d.join(slope, "yr")
+      .withColumn("iv", expr("r * 1000000 - slope_e6 * dnum"))
+      .withColumn("rn", row_number().over(
+        wY.orderBy(col("iv"), col("dnum"))))
+      .withColumn("nd", count(lit(1)).over(wY))
+      .filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("yr"), col("nd").as("n_days"), col("n_pairs"),
+        col("slope_e6"), col("iv").as("intercept_e6"))
+      .orderBy("yr")
+  }
+
+  // ---------------------------------------------------------------- q290
+
+  /** Q290: MANN–KENDALL TREND TEST per order year — the significance
+    * companion of q289's Theil–Sen slope (Mann 1945 / Kendall 1975,
+    * public; the pair is the standard robust-trend toolkit):
+    * S = Σ sign(r_j − r_i) over day pairs i < j, and the tie-corrected
+    * variance scaled ×18 to stay integer:
+    * var18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5). Both outputs are
+    * exact BIGINT — the z-score (S±1)/√(var18/18) is one driver-side
+    * IEEE step a consumer applies, kept OUT of the gate (the q13
+    * estimator discipline). |S| near n(n−1)/2 = monotone revenue
+    * growth; S near 0 = no trend.
+    *
+    * Scale: same O(days²)-per-partition pair frame as q289 (bounded
+    * windows at 100 TB); the tie census is a days-sized rollup. */
+  def q290MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "orders")
+      .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dnum"))
+      .agg(sum(expr(
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("r"))
+      .localCheckpoint() // pairs AND tie census read it
+    val s = d.as("a").join(d.as("b"),
+        col("a.yr") === col("b.yr") && col("a.dnum") < col("b.dnum"))
+      .select(col("a.yr").as("yr"),
+        signum(col("b.r") - col("a.r")).cast("long").as("sg"))
+      .groupBy("yr")
+      .agg(sum(col("sg")).as("s_stat"), count(lit(1)).as("n_pairs"))
+    val ties = d.groupBy("yr", "r").agg(count(lit(1)).as("t"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_distinct"), sum(col("t")).as("n_days"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tiecorr"))
+    s.join(ties, "yr")
+      .select(col("yr"), col("n_days"), col("n_pairs"), col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tiecorr")
+          .as("var18"))
+      .orderBy("yr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_mann_kendall" -> (q290MannKendall _),
+    "q289_theil_sen" -> (q289TheilSen _),
     "q224_repeat_latency" -> (q224RepeatLatency _),
     "q222_peak_rate" -> (q222PeakRate _),
     "q203_seasonal_residuals" -> (q203SeasonalResiduals _),
@@ -576,6 +674,67 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q290: S = pairwise sign sum; var18 = the tie-corrected variance
+    // numerator (×18 keeps it integer); z stays driver-side (q13 rule).
+    "q290_mann_kendall" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dnum,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.yr, CAST(SUM(CASE WHEN b.r > a.r THEN 1
+        |      WHEN b.r < a.r THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM d a JOIN d b ON a.yr = b.yr AND a.dnum < b.dnum
+        |  GROUP BY a.yr),
+        |tg AS (SELECT yr, r, CAST(COUNT(*) AS BIGINT) AS t
+        |       FROM d GROUP BY yr, r),
+        |ties AS (
+        |  SELECT yr, CAST(SUM(t) AS BIGINT) AS n_days,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tiecorr
+        |  FROM tg GROUP BY yr)
+        |SELECT s.yr, ties.n_days, s.n_pairs, s.s_stat,
+        |  ties.n_days * (ties.n_days - 1) * (2 * ties.n_days + 5)
+        |    - ties.tiecorr AS var18
+        |FROM s JOIN ties ON ties.yr = s.yr
+        |ORDER BY s.yr""".stripMargin,
+    // q289: integer cents, truncating-div slopes, disc-median rank
+    // selection under the (slope_e6, da, db) / (iv, dnum) total orders.
+    "q289_theil_sen" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dnum,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |p AS MATERIALIZED (
+        |  SELECT a.yr, a.dnum AS da, b.dnum AS db,
+        |    ((b.r - a.r) * 1000000) // (b.dnum - a.dnum) AS slope_e6
+        |  FROM d a JOIN d b ON a.yr = b.yr AND a.dnum < b.dnum),
+        |sl AS (
+        |  SELECT yr, np AS n_pairs, slope_e6 FROM (
+        |    SELECT yr, slope_e6,
+        |      ROW_NUMBER() OVER (PARTITION BY yr
+        |        ORDER BY slope_e6, da, db) AS rn,
+        |      CAST(COUNT(*) OVER (PARTITION BY yr) AS BIGINT) AS np
+        |    FROM p) t WHERE rn = (np + 1) // 2),
+        |ic AS (
+        |  SELECT yr, nd AS n_days, n_pairs, slope_e6,
+        |    iv AS intercept_e6 FROM (
+        |    SELECT d.yr, sl.n_pairs, sl.slope_e6,
+        |      d.r * 1000000 - sl.slope_e6 * d.dnum AS iv,
+        |      ROW_NUMBER() OVER (PARTITION BY d.yr
+        |        ORDER BY d.r * 1000000 - sl.slope_e6 * d.dnum, d.dnum)
+        |        AS rn,
+        |      CAST(COUNT(*) OVER (PARTITION BY d.yr) AS BIGINT) AS nd
+        |    FROM d JOIN sl ON sl.yr = d.yr) t
+        |  WHERE rn = (nd + 1) // 2)
+        |SELECT yr, n_days, n_pairs, slope_e6, intercept_e6
+        |FROM ic ORDER BY yr""".stripMargin,
     // q224: same (orderdate, orderkey) per-customer order, same
     // day-number differencing, quantile_disc = discByRank boundary
     // definition (the q42/q101 pin).

@@ -195,4 +195,46 @@ class TimeSeriesSpec extends SparkSpecBase {
       assert(rs.map(_.getLong(3)).sum == 0L)
     }
   }
+
+  test("q289 Theil-Sen: driver replay of the median-of-slopes and " +
+      "median-intercept rules from first principles (one year)") {
+    val out = TimeSeries.queries("q289_theil_sen")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val days = graft.Tables.load(spark, sf, "orders")
+      .filter(expr("year(o_orderdate) = 1995"))
+      .groupBy(datediff(col("o_orderdate"),
+        lit("1970-01-01").cast("date")).cast("long").as("dnum"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      i <- days.indices; j <- (i + 1) until days.length
+      (da, ra) = days(i); (db, rb) = days(j)
+    } yield (((rb - ra) * 1000000L) / (db - da), da, db)).sorted
+    val medSlope = slopes(((slopes.length + 1) / 2) - 1)._1
+    val ivs = days.map { case (dn, r) =>
+      (r * 1000000L - medSlope * dn, dn) }.sorted
+    val medIv = ivs(((ivs.length + 1) / 2) - 1)._1
+    assert(out(1995L) ==
+      ((days.length.toLong, slopes.length.toLong, medSlope, medIv)),
+      s"${out(1995L)} vs ($medSlope, $medIv)")
+
+    // q290 companion: replay S and the ×18 tie-corrected variance on
+    // the same year from first principles
+    val mk = TimeSeries.queries("q290_mann_kendall")(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val sStat = (for {
+      i <- days.indices; j <- (i + 1) until days.length
+    } yield java.lang.Long.signum(days(j)._2 - days(i)._2).toLong).sum
+    val n = days.length.toLong
+    val tie = days.groupBy(_._2).values.map(_.length.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - tie
+    assert(mk(1995L) == ((n, slopes.length.toLong, sStat, var18)),
+      s"${mk(1995L)} vs ($sStat, $var18)")
+  }
 }
