@@ -1092,6 +1092,54 @@ object Similarity {
   def q285IvfAdcTopK(spark: SparkSession, dir: String): DataFrame =
     ivfAdcTopK(spark, dir, probes = 4, shortlist = 50, k = 10)
 
+  // ---------------------------------------------------------------- q291
+
+  /** Q291: VECTOR-INDEX DELTA under CDC — the q261 postings-delta
+    * discipline applied to the PQ index: a deterministic derived
+    * update batch (vec_id % 17 == 3; every e3 coordinate shifts +250,
+    * a pure integer perturbation so both engines derive the identical
+    * twin) re-encodes against the FIXED trained codebooks, and the
+    * output censuses per subspace how many codes actually moved —
+    * index MAINTENANCE is "re-encode the changed rows, keep the
+    * codebook", never a corpus re-encode or a retrain, and this table
+    * is the blast-radius readout of one update batch (stable codes =
+    * no posting moves in the IVF-ADC index; moved codes = cell
+    * relocations to apply).
+    *
+    * Scale: the delta distance pass is |changed|·m·kSub slim rows —
+    * proportional to the BATCH, not the corpus (the whole point); the
+    * old-code join is (vec_id, s)-keyed against the memoized encode
+    * table. Codebook drift monitoring (when to RETRAIN) is q282's
+    * distortion census run over time. */
+  def q291VectorIndexDelta(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (ex, cent, dist) = pqShared168(spark, dir)
+    val oldCodes = pqCodes(dist)
+      .select(col("vec_id"), col("s"), col("cell").as("old_cell"))
+    val ex2 = ex.filter(col("vec_id") % 17 === 3)
+      .withColumn("x", col("x") + lit(250L))
+    val d2 = ex2.join(
+        broadcast(cent.select(col("cell"), col("dim"), col("c"))),
+        "dim")
+      .groupBy(col("vec_id"), col("s"), col("cell"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c")))
+        .as("d2"))
+    val w = Window.partitionBy("vec_id", "s")
+      .orderBy(col("d2"), col("cell"))
+    val newCodes = d2.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("s"), col("cell").as("new_cell"))
+    newCodes.join(oldCodes, Seq("vec_id", "s"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_changed_vecs"),
+        sum(when(col("new_cell") =!= col("old_cell"), 1L)
+          .otherwise(0L)).as("n_moved"))
+      .select(col("s"), col("n_changed_vecs"), col("n_moved"),
+        expr("((n_changed_vecs - n_moved) * 1000000)" +
+          " div n_changed_vecs").as("stay_ppm"))
+      .orderBy("s")
+  }
+
   // ---------------------------------------------------------------- q284
 
   /** Q284: DIMENSION-TRUNCATION RECALL SWEEP — recall@10 of the
@@ -1588,6 +1636,7 @@ object Similarity {
     "q283_pq_adc_recall" -> (q283PqAdcRecall _),
     "q284_dim_trunc_recall" -> (q284DimTruncRecall _),
     "q285_ivfadc_topk" -> (q285IvfAdcTopK _),
+    "q291_vector_index_delta" -> (q291VectorIndexDelta _),
     "q271_hybrid_multi" -> (q271HybridMulti _),
     "q278_cell_balance" -> (q278CellBalance _),
     "q271b_hybrid_eval_multi" -> (q271bHybridEvalMulti _),
@@ -2048,6 +2097,34 @@ object Similarity {
       |SELECT dims, qid, n_brute, n_found,
       |  (n_found * 1000000) // n_brute AS recall_ppm
       |FROM mt ORDER BY dims, qid""".stripMargin),
+    // q291: the PQ chain + a pure-integer derived update batch
+    // (vec_id % 17 == 3, every coordinate +250) re-encoded against
+    // the FIXED pc2 codebooks; per-subspace moved-code census.
+    "q291_vector_index_delta" -> (pqCtes + """,
+      |px2 AS (
+      |  SELECT vec_id, dim, s, x + 250 AS x FROM pex
+      |  WHERE vec_id % 17 = 3),
+      |pd2n AS MATERIALIZED (
+      |  SELECT e.vec_id, e.s, c.cell,
+      |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+      |  FROM px2 e JOIN pc2 c ON e.dim = c.dim
+      |  GROUP BY e.vec_id, e.s, c.cell),
+      |pnc AS (
+      |  SELECT vec_id, s, cell AS new_cell FROM (
+      |    SELECT vec_id, s, cell, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id, s ORDER BY d2, cell) AS rk
+      |    FROM pd2n) t WHERE rk = 1),
+      |pmv AS (
+      |  SELECT n.s, CAST(COUNT(*) AS BIGINT) AS n_changed_vecs,
+      |    CAST(SUM(CASE WHEN n.new_cell <> o.cell THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_moved
+      |  FROM pnc n JOIN pcodes o
+      |    ON o.vec_id = n.vec_id AND o.s = n.s
+      |  GROUP BY n.s)
+      |SELECT s, n_changed_vecs, n_moved,
+      |  ((n_changed_vecs - n_moved) * 1000000) // n_changed_vecs
+      |    AS stay_ppm
+      |FROM pmv ORDER BY s""".stripMargin),
     // q285: the k-means trainer chain (cells) + the PQ chain (codes +
     // lookup) composed — probe 4 cells, ADC-rank candidates, exact
     // re-rank the top-50 shortlist, emit the top-10 result table.
