@@ -654,7 +654,49 @@ object TimeSeries {
       .orderBy("yr")
   }
 
+  // ---------------------------------------------------------------- q292
+
+  /** Q292: SPEARMAN RANK CORRELATION between every PAIR of event-type
+    * daily-count series (Spearman 1904) — the robust (monotone-
+    * invariant) sibling of q201's Pearson matrix: outlier days move
+    * ranks by at most one step where they drag Pearson arbitrarily.
+    * Integer throughout: ranks are ROW_NUMBER under the total order
+    * (count, day) — the deterministic untied-rank convention, stated,
+    * not the average-tied-rank variant (which needs fractional ranks;
+    * both are standard, ours is engine-exact) — and the output is the
+    * exact pair (sum_d2_6x = 6·Σd², denom = n(n²−1)); the one IEEE
+    * step ρ = 1 − sum_d2_6x/denom stays driver-side (the q13
+    * estimator rule, as q290 leaves z to the consumer).
+    *
+    * Scale: ranks are one per-type window over days-sized frames; the
+    * pair join fans |types|²/2 · days slim rows. */
+  def q292Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_date(to_date(ts))").as("dnum"))
+      .agg(count(lit(1)).as("c"))
+    val r = d.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("c"), col("dnum"))).cast("long"))
+      .select(col("event_type"), col("dnum"), col("rk"))
+    r.as("a").join(r.as("b"),
+        col("a.dnum") === col("b.dnum")
+          && col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        ((col("a.rk") - col("b.rk")) * (col("a.rk") - col("b.rk")))
+          .as("d2"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("d2")) * lit(6L)).as("sum_d2_6x"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        col("sum_d2_6x"),
+        expr("n_days * (n_days * n_days - 1)").as("denom"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_spearman" -> (q292Spearman _),
     "q290_mann_kendall" -> (q290MannKendall _),
     "q289_theil_sen" -> (q289TheilSen _),
     "q224_repeat_latency" -> (q224RepeatLatency _),
@@ -674,6 +716,32 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q292: untied ROW_NUMBER ranks under (count, day), exact 6·Σd²
+    // and n(n²−1); ρ stays driver-side (the q13/q290 rule).
+    "q292_spearman" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS dnum,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, dnum,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY c, dnum) AS BIGINT) AS rk
+        |  FROM d),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    (a.rk - b.rk) * (a.rk - b.rk) AS d2
+        |  FROM r a JOIN r b
+        |    ON a.dnum = b.dnum AND a.event_type < b.event_type),
+        |s AS (
+        |  SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(d2) * 6 AS BIGINT) AS sum_d2_6x
+        |  FROM p GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_days, sum_d2_6x,
+        |  n_days * (n_days * n_days - 1) AS denom
+        |FROM s ORDER BY type_a, type_b""".stripMargin,
     // q290: S = pairwise sign sum; var18 = the tie-corrected variance
     // numerator (×18 keeps it integer); z stays driver-side (q13 rule).
     "q290_mann_kendall" ->

@@ -237,4 +237,34 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(mk(1995L) == ((n, slopes.length.toLong, sStat, var18)),
       s"${mk(1995L)} vs ($sStat, $var18)")
   }
+
+  test("q292 Spearman: driver replay of the untied-rank 6·Σd² for one " +
+      "type pair, and denom = n(n²−1) for all pairs") {
+    val rows = TimeSeries.queries("q292_spearman")(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (n, _, denom) =>
+      assert(denom == n * (n * n - 1))
+    }
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("unix_date(to_date(ts))").as("dnum"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .collect() // dnum is INT (unix_date), count is LONG
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    def ranks(t: String): Map[Long, Long] =
+      daily.filter(_._1 == t).sortBy(x => (x._3, x._2)).zipWithIndex
+        .map { case ((_, d, _), i) => d -> (i + 1L) }.toMap
+    val (ra, rb) = (ranks("click"), ranks("purchase"))
+    val common = ra.keySet & rb.keySet
+    val d26 = 6L * common.toSeq
+      .map(d => (ra(d) - rb(d)) * (ra(d) - rb(d))).sum
+    val got = rows(("click", "purchase"))
+    assert(got == ((common.size.toLong, d26,
+      common.size.toLong * (common.size.toLong * common.size - 1))),
+      s"$got vs ($d26)")
+  }
 }
