@@ -463,7 +463,7 @@ object Relational {
       .rollup(col("n_name"), col("yr"))
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice")).cast("double").as("revenue"))
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
       .select(coalesce(col("n_name"), lit("(all)")).as("nation"),
         coalesce(col("yr"), lit(-1L)).as("yr"),
         col("gid"), col("n_orders"), col("revenue"))
@@ -2649,7 +2649,8 @@ object Relational {
         |  CAST(GROUPING(n.n_name, year(o.o_orderdate)) AS BIGINT)
         |    AS gid,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(o.o_totalprice) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
         |GROUP BY ROLLUP(n.n_name, year(o.o_orderdate))

@@ -668,24 +668,37 @@ object TimeSeries {
     * step ρ = 1 − sum_d2_6x/denom stays driver-side (the q13
     * estimator rule, as q290 leaves z to the consumer).
     *
-    * Scale: ranks are one per-type window over days-sized frames; the
-    * pair join fans |types|²/2 · days slim rows. */
+    * RANK SCOPE (advice r13): ranks are computed WITHIN each pair's
+    * joined common-day sample — join the two daily series on day
+    * first, THEN rank each side inside the (type_a, type_b) partition.
+    * Ranking each type over its own full active-day set and joining
+    * after is only a permutation of 1..n when both types share every
+    * day (true on this dense fixture, false in general — ρ could
+    * leave [−1, 1]). The within-sample form keeps the driver-side
+    * formula valid for ANY day coverage.
+    *
+    * Scale: the pair join fans |types|²/2 · days slim rows; both rank
+    * windows share one (type_a, type_b) partitioning — one shuffle,
+    * two in-partition sorts. */
   def q292Spearman(spark: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.events(spark, dir)
       .groupBy(col("event_type"),
         expr("unix_date(to_date(ts))").as("dnum"))
       .agg(count(lit(1)).as("c"))
-    val r = d.withColumn("rk", row_number().over(
-        Window.partitionBy("event_type")
-          .orderBy(col("c"), col("dnum"))).cast("long"))
-      .select(col("event_type"), col("dnum"), col("rk"))
-    r.as("a").join(r.as("b"),
+    val pw = Window.partitionBy("type_a", "type_b")
+    d.as("a").join(d.as("b"),
         col("a.dnum") === col("b.dnum")
           && col("a.event_type") < col("b.event_type"))
       .select(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"),
-        ((col("a.rk") - col("b.rk")) * (col("a.rk") - col("b.rk")))
-          .as("d2"))
+        col("a.dnum").as("dnum"),
+        col("a.c").as("ca"), col("b.c").as("cb"))
+      .withColumn("rka",
+        row_number().over(pw.orderBy(col("ca"), col("dnum"))).cast("long"))
+      .withColumn("rkb",
+        row_number().over(pw.orderBy(col("cb"), col("dnum"))).cast("long"))
+      .select(col("type_a"), col("type_b"),
+        ((col("rka") - col("rkb")) * (col("rka") - col("rkb"))).as("d2"))
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_days"),
         (sum(col("d2")) * lit(6L)).as("sum_d2_6x"))
@@ -716,8 +729,10 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
-    // q292: untied ROW_NUMBER ranks under (count, day), exact 6·Σd²
-    // and n(n²−1); ρ stays driver-side (the q13/q290 rule).
+    // q292: untied ROW_NUMBER ranks under (count, day) WITHIN each
+    // pair's joined common-day sample (advice r13 — valid Spearman for
+    // any day coverage), exact 6·Σd² and n(n²−1); ρ stays driver-side
+    // (the q13/q290 rule).
     "q292_spearman" ->
       """WITH d AS (
         |  SELECT event_type,
@@ -725,19 +740,21 @@ object TimeSeries {
         |      AS dnum,
         |    CAST(COUNT(*) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT event_type, dnum,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-        |      ORDER BY c, dnum) AS BIGINT) AS rk
-        |  FROM d),
-        |p AS (
+        |j AS (
         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |    (a.rk - b.rk) * (a.rk - b.rk) AS d2
-        |  FROM r a JOIN r b
+        |    a.dnum AS dnum, a.c AS ca, b.c AS cb
+        |  FROM d a JOIN d b
         |    ON a.dnum = b.dnum AND a.event_type < b.event_type),
+        |p AS (
+        |  SELECT type_a, type_b,
+        |    (CAST(ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+        |        ORDER BY ca, dnum) AS BIGINT)
+        |     - CAST(ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+        |        ORDER BY cb, dnum) AS BIGINT)) AS dd
+        |  FROM j),
         |s AS (
         |  SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days,
-        |    CAST(SUM(d2) * 6 AS BIGINT) AS sum_d2_6x
+        |    CAST(SUM(dd * dd) * 6 AS BIGINT) AS sum_d2_6x
         |  FROM p GROUP BY 1, 2)
         |SELECT type_a, type_b, n_days, sum_d2_6x,
         |  n_days * (n_days * n_days - 1) AS denom

@@ -116,4 +116,49 @@ class ContractSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("no oracle SUMs a raw DOUBLE fixture column (D2 guard — " +
+      "round-13 verdict: q286 summed o_totalprice raw, an IEEE-order-" +
+      "dependent value that only coincidentally hash-matched)") {
+    // The fixture's fractional DOUBLE columns (FIXTURES.md). Summing one
+    // raw is summation-order-dependent; the argument must decimalize
+    // (CAST ... AS DECIMAL) or integerize (CAST ... AS BIGINT, e.g.
+    // floor(x*100+0.5) cents) BEFORE the SUM. `l_quantity`/`ps_supplycost`
+    // are integer-valued doubles on this fixture (FixtureGuardSpec), so
+    // they are exempt by omission.
+    val hazardous =
+      "\\b(o_totalprice|l_extendedprice|l_discount|l_tax|c_acctbal|s_acctbal)\\b".r
+    def sumArgs(sql: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = sql.indexOf("SUM(")
+      while (i >= 0) {
+        var depth = 0
+        var j = i + 3
+        val start = j + 1
+        var done = false
+        while (j < sql.length && !done) {
+          sql.charAt(j) match {
+            case '(' => depth += 1
+            case ')' =>
+              depth -= 1
+              if (depth == 0) { out += sql.substring(start, j); done = true }
+            case _ =>
+          }
+          j += 1
+        }
+        i = sql.indexOf("SUM(", i + 4)
+      }
+      out.toSeq
+    }
+    val bad = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      sumArgs(sql).collect {
+        case arg if hazardous.findFirstIn(arg).isDefined &&
+            !arg.contains("DECIMAL") && !arg.contains("BIGINT") =>
+          s"$name: SUM($arg)"
+      }
+    }
+    assert(bad.isEmpty,
+      s"raw-DOUBLE sums in oracle SQL (order-dependent, latent gate " +
+        s"flake):\n${bad.mkString("\n")}")
+  }
 }

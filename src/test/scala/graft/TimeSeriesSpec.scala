@@ -255,11 +255,15 @@ class TimeSeriesSpec extends SparkSpecBase {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
       .collect() // dnum is INT (unix_date), count is LONG
       .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    // ranks WITHIN the pair's common-day sample (advice r13): join on
+    // day first, then rank each side inside the joined frame.
+    val common = daily.filter(_._1 == "click").map(_._2).toSet &
+      daily.filter(_._1 == "purchase").map(_._2).toSet
     def ranks(t: String): Map[Long, Long] =
-      daily.filter(_._1 == t).sortBy(x => (x._3, x._2)).zipWithIndex
+      daily.filter(x => x._1 == t && common(x._2))
+        .sortBy(x => (x._3, x._2)).zipWithIndex
         .map { case ((_, d, _), i) => d -> (i + 1L) }.toMap
     val (ra, rb) = (ranks("click"), ranks("purchase"))
-    val common = ra.keySet & rb.keySet
     val d26 = 6L * common.toSeq
       .map(d => (ra(d) - rb(d)) * (ra(d) - rb(d))).sum
     val got = rows(("click", "purchase"))
