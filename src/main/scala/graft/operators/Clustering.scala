@@ -208,7 +208,7 @@ object Clustering {
     * trainer's discipline. */
   def pqShared(embeddings: DataFrame, subDim: Int, kSub: Int,
       rounds: Int): (DataFrame, DataFrame, DataFrame) = {
-    require(subDim >= 1 && kSub >= 1 && rounds >= 1)
+    require(subDim >= 1)
     val ex = embeddings.select(col("vec_id"),
       posexplode(col("embedding").cast("array<double>"))
         .as(Seq("d0", "xd")))
@@ -216,6 +216,18 @@ object Clustering {
         expr(s"CAST(d0 AS BIGINT) div ${subDim}L").as("s"),
         floor(col("xd") * lit(1000.0) + lit(0.5)).cast("long").as("x"))
       .localCheckpoint()
+    pqSharedEx(ex, kSub, rounds)
+  }
+
+  /** [[pqShared]] over a pre-built integer coordinate stream
+    * (vec_id, dim, s, x) — the residual-PQ entry point (q293 trains
+    * codebooks on x − centroid(cell(x)) residuals; Jégou TPAMI'11 §III):
+    * the SAME seed rule (vec_id < kSub), rounds, truncating-div means
+    * and (d2, cell) argmin, just over whatever integer stream the
+    * caller derived. Returns (ex, cent, dist) as pqShared does. */
+  def pqSharedEx(ex: DataFrame, kSub: Int, rounds: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(kSub >= 1 && rounds >= 1)
     var cent = ex.filter(col("vec_id") < kSub)
       .select(col("s"), col("vec_id").as("cell"), col("dim"),
         col("x").as("c"))

@@ -56,6 +56,8 @@ object Memos {
       ((s, d) => { Similarity.kmeansShared83(s, d); () }),
     "memo:pq_state" ->
       ((s, d) => { Similarity.pqShared168(s, d); () }),
+    "memo:pq_res_state" ->
+      ((s, d) => { Similarity.pqResShared(s, d); () }),
     "memo:hybrid_fused" ->
       ((s, d) => { Similarity.hybridMultiRankings(s, d); () }))
 }

@@ -783,6 +783,7 @@ object Similarity {
     kmeansCache.clear()
     hybridFusedCache.clear()
     pqCache.clear()
+    pqResCache.clear()
   }
 
   def q246Kmeans(spark: SparkSession, dir: String): DataFrame = {
@@ -1138,6 +1139,149 @@ object Similarity {
         expr("((n_changed_vecs - n_moved) * 1000000)" +
           " div n_changed_vecs").as("stay_ppm"))
       .orderBy("s")
+  }
+
+  // ---------------------------------------------------------------- q293
+
+  /** Memoized RESIDUAL-PQ state (q293/q293b) — the actual Jégou
+    * TPAMI'11 IVFADC scheme: PQ-encode the residual x − centroid(cell)
+    * rather than the raw vector. All-integer: the e3 coordinates minus
+    * the integer k-means centroid (truncating-div, so c is BIGINT)
+    * stay BIGINT, and [[Clustering.pqSharedEx]] runs the identical
+    * trainer chain over the residual stream (same seed rule vec_id <
+    * kSub, same rounds/argmin/tie order). Assignment here is against
+    * the FINAL centroids c3 (the q285 serving convention — dq argmin),
+    * not the trainer's last-round assignment.
+    *
+    * Returns (rex, rcent, rdist, a3): the residual coordinate stream,
+    * the residual codebooks, the encode-side residual distance table,
+    * and the (vec_id, cell) IVF assignment the residuals were taken
+    * against. */
+  private val pqResCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame, DataFrame)]
+
+  private[graft] def pqResShared(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    pqResCache.getOrElseUpdate((spark, dir), {
+      val (cent, _) = kmeansShared83(spark, dir)
+      val (ex, _, _) = pqShared168(spark, dir)
+      val dq = ex.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c")))
+          .as("d2"))
+      val wv = Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("cell"))
+      val a3 = dq.withColumn("rk", row_number().over(wv))
+        .filter(col("rk") === 1).select(col("vec_id"), col("cell"))
+        .localCheckpoint()
+      val rex = ex.join(a3, "vec_id")
+        .join(broadcast(cent.withColumnRenamed("c", "cc")),
+          Seq("cell", "dim"))
+        .select(col("vec_id"), col("dim"), col("s"),
+          (col("x") - col("cc")).as("x"))
+        .localCheckpoint()
+      val (rexC, rcent, rdist) = Clustering.pqSharedEx(rex, 8, 2)
+      (rexC, rcent, rdist, a3)
+    })
+
+  /** Q293: RESIDUAL-PQ TRAINER under the hard oracle — the q282 census
+    * (per (subspace, cell): member count + total integer distortion)
+    * over codebooks trained on IVF residuals instead of raw vectors.
+    * Residuals concentrate energy (the cell centroid absorbs the
+    * coarse structure), so the total distortion here is measurably
+    * below q282's at the same m/kSub — ClusteringSpec pins that
+    * inequality on the fixture, and q293b measures the recall payoff.
+    *
+    * Scale: one extra broadcast(k·dim centroids) join over the q282
+    * chain to form residuals; everything downstream is the same
+    * N·m·kSub slim-row shuffle. */
+  def q293PqResidualTrain(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (_, _, rdist, _) = pqResShared(spark, dir)
+    pqCodes(rdist)
+      .groupBy("s", "cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("d2")).as("distortion"))
+      .orderBy("s", "cell")
+  }
+
+  /** Q293b: RAW-PQ vs RESIDUAL-PQ ADC recall at shortlist 50 —
+    * recall@10 of the exact integer-d2 top-10 inside each variant's
+    * ADC-top-50, per query (vec_id < 5). The residual ADC is the real
+    * IVFADC estimator: d(q,v)² ≈ ||q − c(cell(v)) − rcode(v)||², so
+    * the query-side lookup is per (IVF cell, subspace, residual cell)
+    * — |Q|·k·m·kSub slim rows, broadcast — and candidate v joins it
+    * through its OWN cell (a3) and residual codes. The raw side is
+    * q283's chain at the 50-point. Same brute baseline, same tie
+    * order; the output table is the measured answer to "does residual
+    * encoding buy recall at equal bytes" (Jégou TPAMI'11's Fig. 2
+    * claim, on this fixture).
+    *
+    * Scale: both ADC joins fan m rows per (query, vector) against
+    * broadcast lookups; shortlist/exact stages are shortlist-sized.
+    * The brute side is the audit-scale baseline (q34a's role). */
+  def q293bPqResidualRecall(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (ex, _, dist) = pqShared168(spark, dir)
+    val (_, rcent, rdist, a3) = pqResShared(spark, dir)
+    val (cent, _) = kmeansShared83(spark, dir)
+    // raw ADC (q283's chain)
+    val codes = pqCodes(dist).drop("d2")
+    val qd = dist.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("s"), col("cell"),
+        col("d2"))
+    val adcRaw = codes.join(broadcast(qd), Seq("s", "cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d2")).as("adc_d2"))
+    // residual ADC: query lookup per (ivf_cell, subspace, rcell)
+    val qlk = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("s"),
+        col("x").as("xq"))
+      .join(broadcast(cent.select(col("cell").as("ivf_cell"),
+        col("dim"), col("c").as("cc"))), "dim")
+      .join(broadcast(rcent.select(col("cell").as("rcell"),
+        col("dim"), col("c").as("rc"))), "dim")
+      .groupBy(col("qid"), col("ivf_cell"), col("s"), col("rcell"))
+      .agg(sum((col("xq") - col("cc") - col("rc"))
+        * (col("xq") - col("cc") - col("rc"))).as("d2"))
+    val rcodes = pqCodes(rdist).drop("d2")
+      .withColumnRenamed("cell", "rcell")
+    val adcRes = rcodes
+      .join(a3.withColumnRenamed("cell", "ivf_cell"), "vec_id")
+      .join(broadcast(qlk), Seq("ivf_cell", "s", "rcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d2")).as("adc_d2"))
+    // brute exact top-10 (the q283 baseline)
+    val wq = Window.partitionBy("qid")
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    val br = ex.join(broadcast(exq), "dim")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("d2"))
+      .withColumn("rnk", row_number().over(
+        wq.orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"))
+    def recallOf(adc: DataFrame, variant: String): DataFrame = {
+      val sh = adc.withColumn("rk", row_number().over(
+          wq.orderBy(col("adc_d2"), col("vec_id"))))
+        .filter(col("rk") <= 50)
+        .select(col("qid"), col("vec_id"), lit(1L).as("f"))
+      br.join(sh, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_brute"), count(col("f")).as("n_found"))
+        .select(lit(variant).as("variant"), col("qid"),
+          col("n_brute"), col("n_found"),
+          expr("(n_found * 1000000) div n_brute").as("recall_ppm"))
+    }
+    recallOf(adcRaw, "raw")
+      .unionByName(recallOf(adcRes, "residual"))
+      .orderBy("variant", "qid")
   }
 
   // ---------------------------------------------------------------- q284
@@ -1637,6 +1781,8 @@ object Similarity {
     "q284_dim_trunc_recall" -> (q284DimTruncRecall _),
     "q285_ivfadc_topk" -> (q285IvfAdcTopK _),
     "q291_vector_index_delta" -> (q291VectorIndexDelta _),
+    "q293_pq_residual_train" -> (q293PqResidualTrain _),
+    "q293b_pq_residual_recall" -> (q293bPqResidualRecall _),
     "q271_hybrid_multi" -> (q271HybridMulti _),
     "q278_cell_balance" -> (q278CellBalance _),
     "q271b_hybrid_eval_multi" -> (q271bHybridEvalMulti _),
@@ -1726,22 +1872,28 @@ object Similarity {
     * with the subspace id joined into every grouping key (pd =
     * per-subspace integer distances, pa = per-(vec, subspace) argmin
     * under (d2, cell), pc{r+1} = truncating-div codebook update). */
-  private def pqRoundCte(r: Int): String =
-    s"""pd$r AS MATERIALIZED (
+  private def pqRoundCte(r: Int): String = pqRoundCteOn(r, "pex", "p")
+
+  /** One shared-PQ round over any (vec_id, dim, s, x) CTE `src` with
+    * CTE-name prefix `p` (pd/pa/pc for the raw chain over pex, rpd/
+    * rpa/rpc for the residual chain over rex — q293). */
+  private def pqRoundCteOn(r: Int, src: String, p: String): String =
+    s"""${p}d$r AS MATERIALIZED (
        |  SELECT e.vec_id, e.s, c.cell,
        |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
-       |  FROM pex e JOIN pc$r c ON e.dim = c.dim
+       |  FROM $src e JOIN ${p}c$r c ON e.dim = c.dim
        |  GROUP BY e.vec_id, e.s, c.cell),
-       |pa$r AS MATERIALIZED (
+       |${p}a$r AS MATERIALIZED (
        |  SELECT vec_id, s, cell FROM (
        |    SELECT vec_id, s, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
        |        ORDER BY d2, cell) AS rk
-       |    FROM pd$r) t WHERE rk = 1),
-       |pc${r + 1} AS MATERIALIZED (
+       |    FROM ${p}d$r) t WHERE rk = 1),
+       |${p}c${r + 1} AS MATERIALIZED (
        |  SELECT a.s, a.cell, e.dim,
        |    CAST(SUM(e.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
-       |  FROM pex e JOIN pa$r a ON e.vec_id = a.vec_id AND e.s = a.s
+       |  FROM $src e JOIN ${p}a$r a ON e.vec_id = a.vec_id
+       |    AND e.s = a.s
        |  GROUP BY a.s, a.cell, e.dim)""".stripMargin
 
   /** The shared q282/q283 PQ chain (pex → pc0 seeds → 2 assign/update
@@ -1778,6 +1930,44 @@ object Similarity {
         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
         |        ORDER BY d2, cell) AS rk
         |    FROM pdf) t WHERE rk = 1)""".stripMargin
+
+  /** The q293 residual chain, appended after kmeansCtes + pex:
+    * c3-assignment (dqr/a3r — the q285 serving convention), residual
+    * stream rex = pex − centroid, seeds rpc0 (vec_id < 8), 2 trainer
+    * rounds (rpd/rpa/rpc over rex), final distances rdf, codes
+    * rcodes. Names disjoint from both parent chains. */
+  private val pqResidCtes: String =
+    """dqr AS MATERIALIZED (
+      |  SELECT e.vec_id, c.cell,
+      |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+      |  FROM ex e JOIN c3 c ON e.dim = c.dim
+      |  GROUP BY e.vec_id, c.cell),
+      |a3r AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cell) AS rk
+      |    FROM dqr) t WHERE rk = 1),
+      |rex AS MATERIALIZED (
+      |  SELECT p.vec_id, p.dim, p.s, p.x - c.c AS x
+      |  FROM pex p JOIN a3r a ON a.vec_id = p.vec_id
+      |  JOIN c3 c ON c.cell = a.cell AND c.dim = p.dim),
+      |rpc0 AS MATERIALIZED (
+      |  SELECT s, vec_id AS cell, dim, x AS c FROM rex
+      |  WHERE vec_id < 8)""".stripMargin +
+      (0 until 2).map(pqRoundCteOn(_, "rex", "rp"))
+        .mkString(",\n", ",\n", "") +
+      """,
+        |rdf AS MATERIALIZED (
+        |  SELECT e.vec_id, e.s, c.cell,
+        |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+        |  FROM rex e JOIN rpc2 c ON e.dim = c.dim
+        |  GROUP BY e.vec_id, e.s, c.cell),
+        |rcodes AS MATERIALIZED (
+        |  SELECT vec_id, s, cell, d2 FROM (
+        |    SELECT vec_id, s, cell, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, cell) AS rk
+        |    FROM rdf) t WHERE rk = 1)""".stripMargin
 
   /** q270: the trainer chain + one assignment/probe-ranking distance
     * table against c3 (dq serves base assignment AND query cell
@@ -2176,6 +2366,79 @@ object Similarity {
       |      AS rank
       |  FROM rrv) t WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin),
+    // q293: the k-means chain + pex + the residual chain (assignment
+    // against c3, rex = pex − centroid, 2 trainer rounds, rcodes) —
+    // the q282 census shape over residual codebooks.
+    "q293_pq_residual_train" -> (kmeansCtes + ",\n" +
+      pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + """
+      |SELECT s, cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(SUM(d2) AS BIGINT) AS distortion
+      |FROM rcodes GROUP BY s, cell ORDER BY s, cell""".stripMargin),
+    // q293b: raw ADC (q283's qdp/adcp at the 50-point) vs residual
+    // ADC (query lookup per (ivf_cell, s, rcell); candidates join
+    // through their own a3r cell + rcodes) against the same exact
+    // integer-d2 brute top-10 — recall ppm per (variant, query).
+    "q293b_pq_residual_recall" -> (kmeansCtes + ",\n" +
+      pqCtes.stripPrefix("WITH ") + ",\n" + pqResidCtes + """,
+      |qdp AS (SELECT vec_id AS qid, s, cell, d2 FROM pdf
+      |        WHERE vec_id < 5),
+      |adcp AS (
+      |  SELECT q.qid, k.vec_id, CAST(SUM(q.d2) AS BIGINT) AS adc_d2
+      |  FROM pcodes k JOIN qdp q ON k.s = q.s AND k.cell = q.cell
+      |  WHERE k.vec_id <> q.qid
+      |  GROUP BY q.qid, k.vec_id),
+      |qlkr AS (
+      |  SELECT q.vec_id AS qid, c.cell AS ivf_cell, q.s,
+      |    rc.cell AS rcell,
+      |    CAST(SUM((q.x - c.c - rc.c) * (q.x - c.c - rc.c))
+      |      AS BIGINT) AS d2
+      |  FROM pex q JOIN c3 c ON c.dim = q.dim
+      |  JOIN rpc2 rc ON rc.dim = q.dim
+      |  WHERE q.vec_id < 5
+      |  GROUP BY q.vec_id, c.cell, q.s, rc.cell),
+      |radc AS (
+      |  SELECT l.qid, k.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+      |  FROM rcodes k JOIN a3r a ON a.vec_id = k.vec_id
+      |  JOIN qlkr l ON l.ivf_cell = a.cell AND l.s = k.s
+      |    AND l.rcell = k.cell
+      |  WHERE k.vec_id <> l.qid
+      |  GROUP BY l.qid, k.vec_id),
+      |bdp AS (
+      |  SELECT q.vec_id AS qid, e.vec_id,
+      |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
+      |  FROM pex e JOIN (SELECT vec_id, dim, x FROM pex
+      |                   WHERE vec_id < 5) q ON e.dim = q.dim
+      |  WHERE e.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, e.vec_id),
+      |brt AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY d2, vec_id) AS rnk
+      |    FROM bdp) t WHERE rnk <= 10),
+      |shl AS (
+      |  SELECT 'raw' AS variant, qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY adc_d2, vec_id) AS rk
+      |    FROM adcp) t WHERE rk <= 50
+      |  UNION ALL
+      |  SELECT 'residual' AS variant, qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY adc_d2, vec_id) AS rk
+      |    FROM radc) t WHERE rk <= 50),
+      |brv AS (
+      |  SELECT v.variant, b.qid, b.vec_id
+      |  FROM (VALUES ('raw'), ('residual')) v(variant)
+      |  CROSS JOIN brt b),
+      |mv AS (
+      |  SELECT b.variant, b.qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+      |    CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_found
+      |  FROM brv b LEFT JOIN shl s ON s.variant = b.variant
+      |    AND s.qid = b.qid AND s.vec_id = b.vec_id
+      |  GROUP BY b.variant, b.qid)
+      |SELECT variant, qid, n_brute, n_found,
+      |  (n_found * 1000000) // n_brute AS recall_ppm
+      |FROM mv ORDER BY variant, qid""".stripMargin),
     // q278: the q246 trainer chain's final assignment (a2 — the
     // round-3 argmin, the same CTE q246's member counts read) +
     // integer balance stats; overflow: n_vecs² ≤ (2·10³)² at fixture,

@@ -172,6 +172,53 @@ class ClusteringSpec extends SparkSpecBase {
     assert(served == brute && served.size == 50, s"${served.size}")
   }
 
+  test("q293 residual stream golden: rex(vec 0, dim 1) = e3 coord " +
+      "minus its assigned cell's c3 centroid, replayed from first " +
+      "principles off the memoized k-means state") {
+    // centroids off the GATED q246 output (cell, dim, c_e3, n_members)
+    val c3 = Similarity.queries("q246_kmeans")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val cells = c3.keys.map(_._1).toSet.toSeq.sorted
+    val e0 = emb.filter(col("vec_id") === 0L)
+      .select(expr("transform(CAST(embedding AS array<double>)," +
+        " x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))"))
+      .collect().head.getSeq[Long](0)
+    // hand assignment: argmin Σ(x−c)² under (d2, cell)
+    val best = cells.map { cl =>
+      (e0.indices.map(i => {
+        val d = e0(i) - c3((cl, i + 1L)); d * d
+      }).sum, cl)
+    }.min
+    val expected = e0.head - c3((best._2, 1L))
+    val got = Similarity.pqResShared(spark, sf)._1
+      .filter(col("vec_id") === 0L && col("dim") === 1L)
+      .collect().map(_.getAs[Long]("x"))
+    assert(got.length == 1 && got.head == expected,
+      s"rex(0,1)=${got.toSeq} expected $expected (cell ${best._2})")
+  }
+
+  test("q293 residual codebooks beat q282's raw codebooks on total " +
+      "distortion (residuals concentrate energy — the Jégou claim, " +
+      "measured on the fixture)") {
+    def total(key: String): Long =
+      Similarity.queries(key)(spark, sf)
+        .agg(sum(col("distortion"))).collect().head.getLong(0)
+    val raw = total("q282_pq_train")
+    val res = total("q293_pq_residual_train")
+    assert(res < raw, s"residual distortion $res !< raw $raw")
+  }
+
+  test("q293b emits both variants over the same 10-row brute baseline") {
+    val rows = Similarity.queries("q293b_pq_residual_recall")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSet == Set("raw", "residual"))
+    assert(rows.count(_._1 == "raw") == 5
+      && rows.count(_._1 == "residual") == 5)
+    assert(rows.forall(_._3 == 10L))
+  }
+
   test("q284 dims=64 anchor row is structural recall 1.0 (the " +
       "truncated ranking at full width IS the baseline ranking)") {
     val rows = Similarity.queries("q284_dim_trunc_recall")(spark, sf)
