@@ -244,6 +244,55 @@ object CorpusPrep {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q294
+
+  /** The q294 keep threshold in e6 surprisal units — measured p90 of
+    * the fixture's per-doc mean (a doc whose bigrams are on average
+    * 32× less probable than its unigram mass predicts is flagged as
+    * disfluent). ONE source for both engines (interpolated into the
+    * oracle SQL, lit() on the Spark side). */
+  private[graft] val surpKeepE6: Long = 32000000L
+
+  /** Q294: PERPLEXITY-SURROGATE QUALITY SCORER — the production
+    * workhorse q272's hashed-feature classifier doesn't cover: an
+    * n-gram LM score (KenLM-style). q149's corpus-trained bigram
+    * surprisal (integer inverse conditional probability
+    * ⌊n(w₁)·10⁶ div n(w₁w₂)⌋, monotone in −log p(w₂|w₁) — log-free,
+    * engine-exact) lifted to a TOTAL per-doc score table: every doc
+    * gets (n_bigrams, surp_mean, keep), docs with < 2 words score 0
+    * (trivially fluent — kept), and keep = surp_mean < [[surpKeepE6]]
+    * is the fluency filter pipeline v3 composes with the classifier.
+    *
+    * Scale: bigram counts are a partial-combining (wa, wb) agg; the
+    * score join is bigram-keyed (shuffle carries two words + counts,
+    * never documents); the final left join restores no-bigram docs. */
+  def surprisalScore(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bigr = ws.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1)," +
+          " i -> struct(element_at(w, i) AS wa," +
+          " element_at(w, i + 1) AS wb))")).as("p"))
+      .select(col("doc_id"), col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val uni = ws.select(explode(col("w")).as("wa"))
+      .groupBy("wa").agg(count(lit(1)).as("na"))
+    val bc = bigr.groupBy("wa", "wb").agg(count(lit(1)).as("nab"))
+    val sc = bigr.join(bc, Seq("wa", "wb")).join(uni, "wa")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(na * 1000000) div nab")).as("surp_sum"))
+    docs.select("doc_id").join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("surp_sum div n_bigrams"), lit(0L))
+          .as("surp_mean"))
+      .withColumn("keep",
+        when(col("surp_mean") < surpKeepE6, 1L).otherwise(0L))
+  }
+
+  def q294SurprisalScore(spark: SparkSession, dir: String): DataFrame =
+    surprisalScore(load(spark, dir, "documents")).orderBy("doc_id")
+
   // ---------------------------------------------------------------- q66
 
   /** Sequence packing — the GPT-style concat-and-chunk pack: per
@@ -981,6 +1030,7 @@ object CorpusPrep {
     "q259_pii_audit" -> (q259PiiAudit _),
     "q260_mixture_budget" -> (q260MixtureBudget _),
     "q272_quality_score" -> (q272QualityScore _),
+    "q294_surprisal_score" -> (q294SurprisalScore _),
     "q279_quality_deciles" -> (q279QualityDeciles _),
   )
 
@@ -1043,7 +1093,47 @@ object CorpusPrep {
        |      AS mean_e3
        |  FROM qsc)""".stripMargin
 
+  /** The q294 surprisal scorer as composable CTEs over a named
+    * (doc_id, text) relation — `sm` ends with (doc_id, n_bigrams,
+    * surp_mean) for EVERY doc of the source (left join; no-bigram docs
+    * score 0). q294's own oracle and the pipeline-v3 oracle
+    * interpolate this ONE rendering (s*-prefixed, clash-free next to
+    * the q272 q*-CTEs and pipelineTailSql). */
+  private[operators] def sqlSurprisalCtes(src: String): String =
+    s"""sw0 AS (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM $src),
+       |sbg AS (
+       |  SELECT doc_id, w[CAST(i AS INTEGER)] AS wa,
+       |    w[CAST(i AS INTEGER) + 1] AS wb
+       |  FROM (SELECT doc_id, w,
+       |          unnest(generate_series(1, len(w) - 1)) AS i
+       |        FROM sw0 WHERE len(w) >= 2)),
+       |sun AS (SELECT wa, CAST(COUNT(*) AS BIGINT) AS na FROM (
+       |          SELECT unnest(w) AS wa FROM sw0) GROUP BY wa),
+       |sbc AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS nab
+       |        FROM sbg GROUP BY wa, wb),
+       |ssc AS (
+       |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM((u.na * 1000000) // c.nab) AS BIGINT) AS surp_sum
+       |  FROM sbg b JOIN sbc c USING (wa, wb) JOIN sun u USING (wa)
+       |  GROUP BY b.doc_id),
+       |sm AS (
+       |  SELECT d.doc_id,
+       |    CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |    CAST(COALESCE(s.surp_sum // s.n_bigrams, 0) AS BIGINT)
+       |      AS surp_mean
+       |  FROM $src d LEFT JOIN ssc s USING (doc_id))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // q294: the shared surprisal CTEs over documents + the literal
+    // threshold keep flag (surpKeepE6 — one rendering).
+    "q294_surprisal_score" ->
+      (s"WITH ${sqlSurprisalCtes("documents")}" +
+        s"""
+        |SELECT doc_id, n_bigrams, surp_mean,
+        |  CAST(CASE WHEN surp_mean < $surpKeepE6
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sm ORDER BY doc_id""".stripMargin),
     // q272: same word folds (sqlWordFolds — one renderer), same
     // mod-64 buckets, same literal weight table, same left-fold sums
     // (all-integer, order-free), same div/keep finale.

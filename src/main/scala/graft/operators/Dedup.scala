@@ -1123,6 +1123,16 @@ object Dedup {
     // every downstream plan
     val keepIds = CorpusPrep.qualityScore(corpus)
       .filter(col("keep") === 1L).select("doc_id").localCheckpoint()
+    learnedPipelineTail(spark, dir, corpus, keepIds)
+  }
+
+  /** Stages 2–4 of the learned-filter pipelines (q280/q294): exact
+    * dedup keyed by the whole-text fold over `corpus` restricted to
+    * `keepIds`, near-dedup over the memoized pair set, then
+    * decontamination — ONE Scala rendering, as [[pipelineTailSql]] is
+    * the one SQL rendering both oracles append. */
+  private def learnedPipelineTail(spark: SparkSession, dir: String,
+      corpus: DataFrame, keepIds: DataFrame): DataFrame = {
     val filtered = corpus.join(keepIds, Seq("doc_id"), "left_semi")
     // checkpoint the stage-2 survivors: exactKept feeds THREE
     // consumers (both pair semi-join sides + the loser anti-join) and
@@ -1145,6 +1155,34 @@ object Dedup {
       .filter(col("doc_id") % 17 === 0).select("doc_id", "text")
     decontaminate(nearKept, bench)
       .select("doc_id").orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q294
+
+  /** Q294 PIPELINE V3 — q280 with the stage-1 predicate upgraded to
+    * classifier ∧ fluency: keep a doc only if the q272 hashed-feature
+    * classifier keeps it AND its q294 bigram mean surprisal sits under
+    * [[CorpusPrep.surpKeepE6]] (the KenLM-style LM filter production
+    * preps run next to the classifier — C4/Gopher-era recipes apply
+    * both). Stages 2–4 are [[learnedPipelineTail]] / the shared
+    * [[pipelineTailSql]], so v1/v2/v3 differ ONLY in the filter —
+    * the swap is a verified refactor under one oracle, and DedupSpec
+    * measures the three keep-sets' disagreement on the fixture.
+    *
+    * Scale: the surprisal leg adds two token-keyed partial-combining
+    * aggs + a bigram-keyed score join (shuffles carry words + counts,
+    * never documents); everything else is q280's plan. */
+  def q294PipelineV3(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithNearDups(load(spark, dir, "documents"))
+      .localCheckpoint()
+    graft.functions.SignatureExprs.register(spark)
+    val clsIds = CorpusPrep.qualityScore(corpus)
+      .filter(col("keep") === 1L).select("doc_id")
+    val surpIds = CorpusPrep.surprisalScore(corpus)
+      .filter(col("keep") === 1L).select("doc_id")
+    val keepIds = clsIds.join(surpIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    learnedPipelineTail(spark, dir, corpus, keepIds)
   }
 
   // ---------------------------------------------------------------- q281
@@ -1760,6 +1798,7 @@ object Dedup {
     "q273_quality_keeper" -> (q273QualityKeeper _),
     "q274_minhash_perm_sweep" -> (q274MinhashPermSweep _),
     "q280_pipeline_v2" -> (q280PipelineV2 _),
+    "q294_pipeline_v3" -> (q294PipelineV3 _),
     "q281_cluster_decontam" -> (q281ClusterDecontam _),
     "q268_cluster_split" -> (q268ClusterSplit _),
     "q33c_ngram_jaccard_pairs" -> (q33cNgramJaccard _),
@@ -2445,6 +2484,29 @@ object Dedup {
         |filtered AS (
         |  SELECT c.doc_id, c.text FROM corpus c
         |  JOIN qm USING (doc_id) WHERE qm.mean_e3 >= 0),
+        |exact_kept AS (
+        |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+        |  FROM filtered
+        |  GROUP BY ${CorpusPrep.sqlTextFold("text")}),
+        |""".stripMargin + pipelineTailSql),
+    // q294: q280's oracle with stage 1 = classifier keep ∧ surprisal
+    // keep (the shared q272 q*-CTEs AND the shared q294 s*-CTEs over
+    // the same derived corpus); stages 2–4 = the SAME pipelineTailSql.
+    "q294_pipeline_v3" ->
+      (s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split(text, ' ')[1:greatest(
+        |      len(string_split(text, ' ')) - 3, 1)], ' ')
+        |  FROM documents),
+        |${CorpusPrep.sqlQualityScoreCtes("corpus")},
+        |${CorpusPrep.sqlSurprisalCtes("corpus")},
+        |filtered AS (
+        |  SELECT c.doc_id, c.text FROM corpus c
+        |  JOIN qm USING (doc_id) JOIN sm USING (doc_id)
+        |  WHERE qm.mean_e3 >= 0
+        |    AND sm.surp_mean < ${CorpusPrep.surpKeepE6}),
         |exact_kept AS (
         |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
         |  FROM filtered

@@ -573,6 +573,37 @@ class DedupSpec extends SparkSpecBase {
       "expected doc-keyed split leakage on the near-dup corpus")
   }
 
+  test("q294 pipeline v1/v2/v3 stage-1 keep-sets measurably disagree " +
+      "on the fixture (v3 = classifier AND surprisal, so v3 is a " +
+      "strict subset of v2; the word-count rule differs from both)") {
+    import graft.operators.CorpusPrep
+    val corpus = Dedup.docsWithNearDups(docs).localCheckpoint()
+    val v1 = corpus.filter(size(split(col("text"), " ")) >= 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val v2 = CorpusPrep.qualityScore(corpus)
+      .filter(col("keep") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val surp = CorpusPrep.surprisalScore(corpus)
+      .filter(col("keep") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val v3 = v2 & surp
+    assert(v1.nonEmpty && v2.nonEmpty && v3.nonEmpty)
+    // v3 ⊆ v2 by construction, and the surprisal leg must actually
+    // drop something the classifier kept (the filter is not vacuous)
+    assert(v3.subsetOf(v2) && v3.size < v2.size,
+      s"surprisal drops nothing: |v2|=${v2.size} |v3|=${v3.size}")
+    // the hand rule and the learned filters genuinely disagree
+    assert((v1 diff v2).nonEmpty && (v2 diff v1).nonEmpty,
+      s"v1/v2 coincide: |v1|=${v1.size} |v2|=${v2.size}")
+    // and the pipeline outputs differ end to end as a result
+    val o2 = Dedup.q280PipelineV2(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val o3 = Dedup.q294PipelineV3(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(o3 != o2 && o3.nonEmpty,
+      s"pipeline outputs coincide: |o2|=${o2.size} |o3|=${o3.size}")
+  }
+
   test("q232 cluster reps: each representative is a cluster member " +
       "whose length is the cluster max") {
     val comp = Dedup.q33gDedupComponents(spark, sf)
