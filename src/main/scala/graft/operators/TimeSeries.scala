@@ -614,6 +614,63 @@ object TimeSeries {
       .orderBy("yr")
   }
 
+  // ---------------------------------------------------------------- q295
+
+  /** Q295: DETERMINISTIC PAIR-SAMPLED THEIL–SEN — the scale form of
+    * q289, gated (round-14 verdict item 4): pairs are kept iff the
+    * md5 nibble of the (da, db) key lands in the first 4 of 16 buckets
+    * (the q46/q103 hash-sample discipline — membership is a pure
+    * function of the pair, stable across runs/engines/partitionings),
+    * rate 1/4; the median-of-slopes machinery is identical. The output
+    * carries BOTH estimates and their delta, so the fixture MEASURES
+    * the sampling error q289's prose could only assert is small
+    * (median-of-pairs is robust to uniform pair thinning).
+    *
+    * Scale: the sample predicate is a codegen'd projection applied
+    * BEFORE the rank shuffle — pair generation stays O(days²) compute
+    * per partition, but the shuffled/sorted volume (the expensive
+    * stage at the rank-selection step) drops by the rate; at 100 TB
+    * combine with the bounded-window partitioning (q289's note) and
+    * tighten the rate as windows widen. */
+  def q295TheilSenSampled(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = load(spark, dir, "orders")
+      .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("dnum"))
+      .agg(sum(expr(
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("r"))
+      .localCheckpoint() // both pair builds read this frame
+    val wY = Window.partitionBy("yr")
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.yr") === col("b.yr") && col("a.dnum") < col("b.dnum"))
+      .select(col("a.yr").as("yr"), col("a.dnum").as("da"),
+        col("b.dnum").as("db"), col("a.r").as("ra"),
+        col("b.r").as("rb"))
+      .withColumn("slope_e6",
+        expr("((rb - ra) * 1000000) div (db - da)"))
+    def discSlope(p: DataFrame, nName: String, sName: String)
+        : DataFrame =
+      p.withColumn("rn", row_number().over(
+          wY.orderBy(col("slope_e6"), col("da"), col("db"))))
+        .withColumn("np", count(lit(1)).over(wY))
+        .filter(col("rn") === expr("(np + 1) div 2"))
+        .select(col("yr"), col("np").as(nName),
+          col("slope_e6").as(sName))
+    val full = discSlope(pairs, "n_pairs_full", "slope_full_e6")
+    val samp = discSlope(
+      pairs.filter(Sampling.md5Bucket(
+          concat_ws("_", col("da"), col("db")))
+        .isin("0", "1", "2", "3")),
+      "n_pairs_sampled", "slope_sampled_e6")
+    full.join(samp, "yr")
+      .select(col("yr"), col("n_pairs_full"), col("n_pairs_sampled"),
+        col("slope_full_e6"), col("slope_sampled_e6"),
+        (col("slope_sampled_e6") - col("slope_full_e6"))
+          .as("delta_e6"))
+      .orderBy("yr")
+  }
+
   // ---------------------------------------------------------------- q290
 
   /** Q290: MANN–KENDALL TREND TEST per order year — the significance
@@ -712,6 +769,7 @@ object TimeSeries {
     "q292_spearman" -> (q292Spearman _),
     "q290_mann_kendall" -> (q290MannKendall _),
     "q289_theil_sen" -> (q289TheilSen _),
+    "q295_theil_sen_sampled" -> (q295TheilSenSampled _),
     "q224_repeat_latency" -> (q224RepeatLatency _),
     "q222_peak_rate" -> (q222PeakRate _),
     "q203_seasonal_residuals" -> (q203SeasonalResiduals _),
@@ -759,6 +817,43 @@ object TimeSeries {
         |SELECT type_a, type_b, n_days, sum_d2_6x,
         |  n_days * (n_days * n_days - 1) AS denom
         |FROM s ORDER BY type_a, type_b""".stripMargin,
+    // q295: same cents/day/slope chain as q289, one shared pair CTE;
+    // the sampled leg filters on the md5 nibble of 'da_db' (the
+    // q46 hash-sample rendering) before the same rank selection.
+    "q295_theil_sen_sampled" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dnum,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |p AS MATERIALIZED (
+        |  SELECT a.yr, a.dnum AS da, b.dnum AS db,
+        |    ((b.r - a.r) * 1000000) // (b.dnum - a.dnum) AS slope_e6
+        |  FROM d a JOIN d b ON a.yr = b.yr AND a.dnum < b.dnum),
+        |f AS (
+        |  SELECT yr, np AS n_pairs_full, slope_e6 AS slope_full_e6
+        |  FROM (
+        |    SELECT yr, slope_e6, ROW_NUMBER() OVER (
+        |        PARTITION BY yr ORDER BY slope_e6, da, db) AS rn,
+        |      COUNT(*) OVER (PARTITION BY yr) AS np
+        |    FROM p) t WHERE rn = (np + 1) // 2),
+        |sp AS (
+        |  SELECT yr, np AS n_pairs_sampled,
+        |    slope_e6 AS slope_sampled_e6
+        |  FROM (
+        |    SELECT yr, slope_e6, ROW_NUMBER() OVER (
+        |        PARTITION BY yr ORDER BY slope_e6, da, db) AS rn,
+        |      COUNT(*) OVER (PARTITION BY yr) AS np
+        |    FROM p
+        |    WHERE substring(md5(CAST(da AS VARCHAR) || '_' ||
+        |      CAST(db AS VARCHAR)), 32, 1) IN ('0', '1', '2', '3'))
+        |    t WHERE rn = (np + 1) // 2)
+        |SELECT f.yr, n_pairs_full, n_pairs_sampled, slope_full_e6,
+        |  slope_sampled_e6,
+        |  slope_sampled_e6 - slope_full_e6 AS delta_e6
+        |FROM f JOIN sp USING (yr) ORDER BY yr""".stripMargin,
     // q290: S = pairwise sign sum; var18 = the tie-corrected variance
     // numerator (×18 keeps it integer); z stays driver-side (q13 rule).
     "q290_mann_kendall" ->
