@@ -1093,6 +1093,116 @@ object Similarity {
   def q285IvfAdcTopK(spark: SparkSession, dir: String): DataFrame =
     ivfAdcTopK(spark, dir, probes = 4, shortlist = 50, k = 10)
 
+  // ------------------------------------------------------- ADC serving
+
+  /** One corpus entry of the driver-held IVF-ADC serving replica:
+    * assigned coarse cell, one PQ code per subspace (index = s), and
+    * the full-precision e3 vector for the exact re-rank stage (the
+    * refine side-car a production deployment keeps next to the
+    * compressed index, DiskANN-style). */
+  final case class IvfAdcEntry(vecId: Long, cell: Long,
+      codes: Array[Long], vec: Array[Long]) extends Serializable
+
+  /** Driver-held serving replica of the GATED IVF-ADC index state
+    * (q285's inputs collected): integer e3 centroids, per-subspace
+    * integer PQ codebooks, and the coded corpus. A real ANN serving
+    * node holds exactly this in RAM (codes are the 64×-compressed
+    * form; at 10⁹ vectors the codes fit ~4 GB — shard by cell and
+    * route queries when a single replica no longer does, or fall back
+    * to foreachBatch over the relational q285 chain). */
+  final case class IvfAdcIndex(subDim: Int,
+      cents: Map[Long, Array[Long]],
+      books: Map[Long, Map[Long, Array[Long]]],
+      entries: Array[IvfAdcEntry]) extends Serializable
+
+  /** Collect the serving replica off the memoized gated trainer state
+    * — bounded by index size (centroids + codebooks + N·(dims + m)
+    * longs), the codebook-class driver state rule
+    * ([[pqEncode]]'s discipline, scaled to the coded corpus). */
+  def ivfAdcIndexBuild(spark: SparkSession, dir: String): IvfAdcIndex = {
+    val (kcent, _) = kmeansShared83(spark, dir)
+    val (ex, pcent, pdist) = pqShared168(spark, dir)
+    val subDim = 16
+    val cents = kcent.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_._2).map(_._3) }
+    val books = pcent.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.groupBy(_._2).map { case (cell, rs) =>
+          cell -> rs.sortBy(_._3).map(_._4) } }
+    // assignment against the FINAL centroids (the q285 serving rule)
+    val wv = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+    val a3 = ex.join(broadcast(kcent), "dim")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val codes = pqCodes(pdist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (v, rows) => v -> rows.sortBy(_._2).map(_._3) }
+    val vecs = ex.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("x")))
+      .groupBy(_._1)
+      .map { case (v, rows) => v -> rows.sortBy(_._2).map(_._3) }
+    val entries = vecs.keys.toArray.sorted.map { v =>
+      IvfAdcEntry(v, a3(v), codes(v), vecs(v)) }
+    IvfAdcIndex(subDim, cents, books, entries)
+  }
+
+  /** IVF-ADC SERVING against the driver-held replica — q285's exact
+    * semantics (probe the `probes` nearest cells under (d2, cell),
+    * ADC-rank candidates under (adc_d2, vec_id), keep `shortlist`,
+    * exact-re-rank to the top `k` under (d2, vec_id)) as ONE stateless
+    * per-row projection: every stage is in-memory index arithmetic, so
+    * the SAME body serves a batch frame and a query STREAM (zero
+    * state stores, zero shuffles — serve latency is micro-batch
+    * latency). StreamingSpec pins serve ≡ the gated q285 chain row for
+    * row, and batch ≡ stream across overlapping batches with a
+    * planted tie. */
+  def ivfAdcServe(queries: DataFrame, ix: IvfAdcIndex, probes: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (qid, emb) =>
+        val q = emb.map(x => math.floor(x * 1000.0 + 0.5).toLong).toArray
+        def d2(a: Array[Long], b: Array[Long], off: Int): Long = {
+          var d = 0L; var i = 0
+          while (i < b.length) {
+            val t = a(off + i) - b(i); d += t * t; i += 1 }
+          d
+        }
+        val probed = ix.cents.toArray
+          .map { case (cell, c) => (d2(q, c, 0), cell) }
+          .sorted.take(probes).map(_._2).toSet
+        val lut: Map[Long, Map[Long, Long]] = ix.books.map {
+          case (s, cb) => s -> cb.map { case (cell, sub) =>
+            cell -> d2(q, sub, s.toInt * ix.subDim) } }
+        val cands = ix.entries.iterator
+          .filter(e => probed.contains(e.cell) && e.vecId != qid)
+          .map { e =>
+            var adc = 0L; var s = 0
+            while (s < e.codes.length) {
+              adc += lut(s.toLong)(e.codes(s)); s += 1 }
+            (adc, e.vecId, e.vec)
+          }.toArray.sortBy(t => (t._1, t._2)).take(shortlist)
+        cands.map { case (_, vid, v) => (d2(q, v, 0), vid) }
+          .sorted.take(k).zipWithIndex
+          .map { case ((dd, vid), i) => (qid, (i + 1).toLong, vid, dd) }
+          .toSeq
+      }
+      .toDF("qid", "rank", "neighbor", "d2")
+  }
+
   // ---------------------------------------------------------------- q291
 
   /** Q291: VECTOR-INDEX DELTA under CDC — the q261 postings-delta

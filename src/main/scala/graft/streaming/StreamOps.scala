@@ -731,6 +731,24 @@ object StreamOps {
       books: Array[Array[Array[Double]]]): DataFrame =
     graft.operators.Similarity.pqEncode(vectors, books)
 
+  /** STREAMING IVF-ADC SERVING (q285's twin — round-14 verdict item
+    * 5): an incoming micro-batch of query vectors scores against the
+    * driver-held serving replica of the GATED index
+    * ([[graft.operators.Similarity.ivfAdcIndexBuild]] off the memoized
+    * trainer state) — probe/ADC/re-rank are one stateless per-row
+    * projection, so there is NO state store, no watermark, no shuffle:
+    * serve latency is micro-batch latency, the deployment shape of a
+    * vector-search endpoint. Index refresh is a restart or a
+    * foreachBatch re-broadcast (the pqEncodeStream codebook contract);
+    * at 10⁹+ vectors shard the replica by cell or fall back to
+    * foreachBatch over the relational q285 chain. Batch ≡ stream AND
+    * serve ≡ q285 pinned in StreamingSpec. */
+  def ivfAdcServeStream(queries: DataFrame,
+      ix: graft.operators.Similarity.IvfAdcIndex, probes: Int = 4,
+      shortlist: Int = 50, k: Int = 10): DataFrame =
+    graft.operators.Similarity.ivfAdcServe(queries, ix, probes,
+      shortlist, k)
+
   /** STREAMING CORPUS PREP — the q63 chain as a continuous pipeline
     * (documents arrive as a stream; the benchmark/eval corpus is a
     * static table):

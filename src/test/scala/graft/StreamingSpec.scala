@@ -327,6 +327,66 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && batch.size == 4)
   }
 
+  test("streaming IVF-ADC serve ≡ the gated q285 chain row for row " +
+      "(q285 twin: stateless serving replica, no state store), and an " +
+      "OVERLAPPING second batch re-serves its query identically") {
+    import graft.operators.Similarity
+    val ix = Similarity.ivfAdcIndexBuild(spark, sf)
+    val gated = Similarity.queries("q285_ivfadc_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val qvecs = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect()
+      .map(r => SVec(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[SVec](spark)
+    val df = StreamOps.ivfAdcServeStream(input.toDF(), ix)
+    val q = df.writeStream.format("memory").queryName("ivfserve")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-ivfserve").toString)
+      .start()
+    try {
+      input.addData(qvecs.take(3): _*); q.processAllAvailable()
+      // batch 2 OVERLAPS batch 1 on qid 2 — a stateless server answers
+      // the repeat identically (no dedup state to interfere)
+      input.addData(qvecs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ivfserve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == gated,
+      s"serve rows ${rows.toSet.size} != gated ${gated.size}")
+    // qid 2 was served twice, identically (60 = 50 distinct + 10 repeat)
+    assert(rows.length == 60 && rows.count(_._1 == 2L) == 20)
+  }
+
+  test("ivfAdcServe tie rule: equal-distance candidates break by " +
+      "vec_id at every stage (the (d2, vec_id) total order)") {
+    import graft.operators.Similarity
+    // one cell, one subspace of 2 dims, identical codebook entries →
+    // two candidates equidistant from the query at BOTH the ADC and
+    // the exact stage; vec_id must break the tie
+    val sub = Map(0L -> Array(0L, 0L))
+    val ix = Similarity.IvfAdcIndex(2,
+      Map(0L -> Array(0L, 0L)),
+      Map(0L -> sub),
+      Array(
+        Similarity.IvfAdcEntry(7L, 0L, Array(0L), Array(1000L, 0L)),
+        Similarity.IvfAdcEntry(3L, 0L, Array(0L), Array(0L, 1000L)),
+        Similarity.IvfAdcEntry(9L, 0L, Array(0L), Array(3000L, 3000L))))
+    val queries = Seq((100L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfAdcServe(queries, ix, probes = 1,
+      shortlist = 2, k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 3 and 7 tie at d2 = 1e6; 3 < 7 wins rank 1; 9 is cut by the
+    // shortlist (ADC ties also broke by vec_id keeping {3, 7})
+    assert(out.toSeq == Seq((1L, 3L, 1000000L), (2L, 7L, 1000000L)),
+      s"${out.toSeq}")
+  }
+
   test("streaming incremental cross-corpus dedup ≡ batch crossCorpusDedup " +
       "(q137 twin): vs-corpus near-dups drop statelessly, a CROSS-BATCH " +
       "stream duplicate collapses within the watermark") {
