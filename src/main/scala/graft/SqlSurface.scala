@@ -573,18 +573,26 @@ object SqlSurface {
       .createOrReplaceTempView(viewName)
 
   /** Perceptual near-dup pairs for a (media_id, phash) signature view
-    * — qm7's 4×14-bit Hamming banding + exact bit_count verify
-    * (round 13), expressed directly in SQL over the signature table
-    * so any signature source (dHash, simhash) can ride it. */
+    * — qm7's Hamming banding + exact bit_count verify (round 13),
+    * expressed directly in SQL over the signature table so any
+    * signature source (dHash, simhash) can ride it. Round 14:
+    * parameterized by band count (must divide 56; 2/4/7/8/14 all do)
+    * — B bands of 56/B bits guarantee recall 1 within Hamming B−1
+    * (pigeonhole), the trade qm9 measures. */
   def createPhashNearDupView(spark: SparkSession, sigView: String,
-      viewName: String, maxHamming: Int = 6): Unit =
+      viewName: String, maxHamming: Int = 6, nBands: Int = 4): Unit = {
+    require(nBands >= 1 && 56 % nBands == 0, s"bands must divide 56")
+    val w = 56 / nBands
+    val divisors = (0 until nBands).map(b => s"${1L << (b * w)}L")
+      .mkString("array(", ", ", ")")
+    val bandIdx = (0 until nBands).mkString("array(", ", ", ")")
     spark.sql(
       s"""WITH bands AS (
          |  SELECT media_id, phash, b,
-         |    (phash div element_at(array(1L, 16384L, 268435456L,
-         |      4398046511104L), b + 1)) % 16384 AS bv
+         |    (phash div element_at($divisors, b + 1)) % ${1L << w}
+         |      AS bv
          |  FROM $sigView
-         |  LATERAL VIEW explode(array(0, 1, 2, 3)) t AS b),
+         |  LATERAL VIEW explode($bandIdx) t AS b),
          |cand AS (
          |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
          |    x.phash AS pa, y.phash AS pb
@@ -593,6 +601,7 @@ object SqlSurface {
          |SELECT a, b, CAST(bit_count(pa ^ pb) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(pa ^ pb) <= $maxHamming"""
         .stripMargin).createOrReplaceTempView(viewName)
+  }
 
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and

@@ -535,7 +535,63 @@ object Multimodal {
           .as("n_byte_only"))
   }
 
+  /** qm9 — PHASH BANDING SWEEP (round-14 verdict item 7): the q244
+    * S-curve measurement on the HAMMING axis — candidate count and
+    * precision of the banding join at 2 / 4 / 7 bands over the SAME
+    * signature set (56 bits → 28/14/8-bit bands). The pigeonhole
+    * recall-1 threshold MOVES with band count (B bands guarantee a
+    * shared band for pairs within Hamming B−1: 1 / 3 / 6), so the 4-
+    * band default is the unique config whose guarantee covers qm7's
+    * verify threshold 6 without the 8-bit bands' candidate blow-up —
+    * this table is that design decision, measured. Verify stays the
+    * qm7 exact bit_count ≤ 6 everywhere.
+    *
+    * Scale: one signature frame fans 13 slim band rows per id (2+4+7
+    * configs); candidates are per-config bucket joins — never
+    * all-pairs; the rollup is config-sized. */
+  def qm9PhashBandingSweep(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val base = syntheticMediaTable(spark, dir).map { r =>
+      (r.media_id, MediaCodec.perceptualHash(r.payload)._2)
+    }.toDF("media_id", "phash")
+    val media = base.unionAll(base.filter(col("media_id") % 10 === 0)
+      .select((col("media_id") + 1000000L).as("media_id"),
+        col("phash")))
+    val cfg = Seq(2, 4, 7).flatMap { nb =>
+      val w = 56 / nb
+      (0 until nb).map(b => (nb.toLong, b.toLong, 1L << (b * w),
+        1L << w))
+    }
+    val bands = media.select(col("media_id"), col("phash"),
+        explode(typedlit(cfg)).as("c"))
+      .select(col("media_id"), col("phash"),
+        col("c._1").as("nb"), col("c._2").as("b"),
+        expr("(phash div c._3) % c._4").as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.nb") === col("y.nb") && col("x.b") === col("y.b") &&
+          col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.nb").as("nb"), col("x.media_id").as("a"),
+        col("y.media_id").as("b2"), col("x.phash").as("pa"),
+        col("y.phash").as("pb"))
+      .distinct()
+      .withColumn("ok",
+        when(expr("bit_count(pa ^ pb) <= 6"), 1L).otherwise(0L))
+      .groupBy("nb")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("ok")).as("n_verified"))
+      .select(col("nb").as("n_bands"),
+        expr("56 div nb").as("band_bits"),
+        col("n_candidates"), col("n_verified"),
+        expr("(n_verified * 1000000) div n_candidates")
+          .as("precision_ppm"),
+        (col("nb") - 1L).as("pigeonhole_hamming"))
+      .orderBy("n_bands")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qm9_phash_banding_sweep" -> (qm9PhashBandingSweep _),
     "qm1_media_features" -> (qm1Features _),
     "qm8_media_dedup_census" -> (qm8MediaDedupCensus _),
     "qm2_media_metadata" -> (qm2MetadataStats _),
@@ -660,6 +716,42 @@ object Multimodal {
       |  CAST(SUM(CASE WHEN ph_eq = 0 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_byte_only
       |FROM cj""".stripMargin),
+    // qm9: the phash chain + the qm7 plant; 13 literal (nb, b) config
+    // rows (2+4+7 bands), per-config shift/mod band values, bucket
+    // joins, exact bit_count ≤ 6 verify, per-config precision rollup.
+    "qm9_phash_banding_sweep" -> (phashCtes + s""",
+      |m9 AS (
+      |  SELECT media_id, phash FROM ph
+      |  UNION ALL
+      |  SELECT media_id + 1000000, phash FROM ph
+      |  WHERE media_id % 10 = 0),
+      |cfg9 AS (
+      |  SELECT CAST(nb AS BIGINT) AS nb, CAST(b AS BIGINT) AS b
+      |  FROM (VALUES ${Seq(2, 4, 7).flatMap(nb =>
+          (0 until nb).map(b => s"($nb, $b)")).mkString(", ")})
+      |    c(nb, b)),
+      |bnd9 AS (
+      |  SELECT media_id, phash, nb, b,
+      |    (phash // (CAST(1 AS BIGINT) <<
+      |        CAST(b * (56 // nb) AS INTEGER)))
+      |      % (CAST(1 AS BIGINT) << CAST(56 // nb AS INTEGER)) AS bv
+      |  FROM m9 CROSS JOIN cfg9),
+      |cand9 AS (
+      |  SELECT DISTINCT x.nb AS nb, x.media_id AS a, y.media_id AS b,
+      |    x.phash AS pa, y.phash AS pb
+      |  FROM bnd9 x JOIN bnd9 y
+      |    ON x.nb = y.nb AND x.b = y.b AND x.bv = y.bv
+      |    AND x.media_id < y.media_id),
+      |agg9 AS (
+      |  SELECT nb, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |    CAST(SUM(CASE WHEN bit_count(xor(pa, pb)) <= 6 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_verified
+      |  FROM cand9 GROUP BY nb)
+      |SELECT nb AS n_bands, 56 // nb AS band_bits, n_candidates,
+      |  n_verified, (n_verified * 1000000) // n_candidates
+      |    AS precision_ppm,
+      |  nb - 1 AS pigeonhole_hamming
+      |FROM agg9 ORDER BY n_bands""".stripMargin),
     // qm5: payload bytes are the document's UTF-8 text (qm4 pin), so
     // DuckDB reproduces digest groups from `documents` directly.
     "qm5_media_dups" ->

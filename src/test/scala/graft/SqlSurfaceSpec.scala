@@ -757,6 +757,21 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val hDir = graft.operators.Multimodal.qm7MediaNearDup(spark, sf)
       .collect().map(_.toSeq).toSet
     assert(hSql == hDir && hSql.nonEmpty)
+
+    // band-count parameterization (round 14): the builder at B ∈
+    // {2, 4, 7} finds exactly qm9's per-config verified pair count
+    // over the same planted signature table
+    val sweep = graft.operators.Multimodal
+      .qm9PhashBandingSweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    Seq(2, 4, 7).foreach { nb =>
+      SqlSurface.createPhashNearDupView(spark, "phash_sig",
+        s"phash_nd_$nb", nBands = nb)
+      val n = spark.sql(s"SELECT COUNT(*) FROM phash_nd_$nb")
+        .collect().head.getLong(0)
+      assert(n == sweep(nb.toLong),
+        s"builder at $nb bands found $n, qm9 says ${sweep(nb.toLong)}")
+    }
   }
 
   test("z-order write view builder: SQL box query scans the z-laid-out " +
