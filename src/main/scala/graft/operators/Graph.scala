@@ -916,23 +916,55 @@ object Graph {
     cur
   }
 
-  /** One k-truss support pass: per surviving edge (u, v), the count of
-    * common neighbors w (triangles through the edge) via the wedge
-    * join over the symmetric closure — then peel edges with support
-    * < k−2. Scale: the wedge join fans out Σ over edges of
-    * |N(u)∩N(v)| candidates bounded by Σ deg(u) per edge endpoint —
-    * the q91 triangle-census shuffle shape; at whale degrees apply the
-    * q91 degree-orientation before the join (documented, not needed on
-    * the minCo-pruned audit graph). */
+  /** One k-truss support pass: per surviving edge, the count of
+    * triangles through it — then peel edges with support < k−2.
+    *
+    * DEGREE-ORIENTED (round-14 verdict item 8, the lesson from the
+    * co-purchase graph blowing up at sf0.01): each edge directs toward
+    * its (degree, id)-larger endpoint, every triangle is enumerated
+    * exactly ONCE at its smallest-degree apex (wedge pairs of
+    * out-edges + a closing oriented edge — the q91 census shape), and
+    * each triangle credits all three of its edges. Support counts are
+    * orientation-invariant, so the peel is unchanged (GraphSpec pins
+    * a planted hub-star + triangle graph against the naive unoriented
+    * count); the fan-out drops from Σ deg(u) per EDGE (a whale hub
+    * squares) to Σ C(outdeg, 2) per APEX with outdeg ≤ O(√m). */
   private def trussPeelRound(cur: DataFrame, k: Long): DataFrame = {
-    val sym = cur.select(col("u").as("x"), col("v").as("y"))
-      .unionAll(cur.select(col("v").as("x"), col("u").as("y")))
-    val sup = cur
-      .join(sym.select(col("x").as("u"), col("y").as("w")), "u")
-      .join(sym.select(col("x").as("v"), col("y").as("w")),
-        Seq("v", "w"))
-      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-    cur.join(sup, Seq("u", "v"), "left")
+    val deg = cur.select(col("u").as("n"))
+      .unionAll(cur.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val dirE = cur
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"),
+        when(fwd, struct(col("dv").as("dk"), col("v").as("nk")))
+          .otherwise(struct(col("du").as("dk"), col("u").as("nk")))
+          .as("kb"))
+    val tri = dirE.as("e1")
+      .join(dirE.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.kb") < col("e2.kb"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+        col("e2.b").as("tc"))
+      // the {tb, tc} edge is oriented tb→tc (kb ordering transfers)
+      .join(dirE.select(col("a").as("tb"), col("b").as("tc")),
+        Seq("tb", "tc"), "left_semi")
+    val sup = tri.select(explode(array(
+        struct(least(col("ta"), col("tb")).as("lu"),
+          greatest(col("ta"), col("tb")).as("lv")),
+        struct(least(col("ta"), col("tc")).as("lu"),
+          greatest(col("ta"), col("tc")).as("lv")),
+        struct(least(col("tb"), col("tc")).as("lu"),
+          greatest(col("tb"), col("tc")).as("lv")))).as("e"))
+      .select(col("e.lu").as("lu"), col("e.lv").as("lv"))
+      .groupBy("lu", "lv").agg(count(lit(1)).as("sup"))
+    cur
+      .withColumn("lu", least(col("u"), col("v")))
+      .withColumn("lv", greatest(col("u"), col("v")))
+      .join(sup, Seq("lu", "lv"), "left")
       .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
       .select(col("u"), col("v"))
   }

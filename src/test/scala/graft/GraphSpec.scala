@@ -549,4 +549,39 @@ class GraphSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fixed == k4)
   }
+
+  test("trussPeelRound degree orientation: a planted hub star + " +
+      "triangle peels identically to the naive unoriented support " +
+      "count (round-14 verdict item 8 — support is orientation-" +
+      "invariant, the fan-out is not)") {
+    import spark.implicits._
+    // hub 100 connected to 1..10 (whale star: deg 10), plus the
+    // triangle (1,2),(1,3),(2,3) — so (100,1),(100,2),(100,3) each
+    // close 2 triangles through the hub while (100,4..10) close none
+    val edges = ((1L to 10L).map(i => (100L, i)) ++
+      Seq((1L, 2L), (1L, 3L), (2L, 3L))).toDF("u", "v")
+    // naive unoriented reference: support = |N(u) ∩ N(v)| per edge
+    val sym = edges.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(edges.select(col("v").as("x"), col("u").as("y")))
+    val naive = edges
+      .join(sym.select(col("x").as("u"), col("y").as("w")), "u")
+      .join(sym.select(col("x").as("v"), col("y").as("w")),
+        Seq("v", "w"))
+      .groupBy("u", "v")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("sup"))
+    val naiveKeep = edges.join(naive, Seq("u", "v"), "left")
+      .filter(org.apache.spark.sql.functions.coalesce(col("sup"),
+        org.apache.spark.sql.functions.lit(0L)) >= 2L)
+      .select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oriented = Graph.kTrussPeel(edges, k = 4L, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oriented == naiveKeep, s"$oriented vs $naiveKeep")
+    assert(oriented == Set((100L, 1L), (100L, 2L), (100L, 3L),
+      (1L, 2L), (1L, 3L), (2L, 3L)), s"$oriented")
+    // and to convergence: the K4-like 4-truss on {100,1,2,3} is stable
+    assert(Graph.kTruss(edges, k = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == oriented)
+  }
 }
