@@ -1394,6 +1394,78 @@ object Similarity {
       .orderBy("variant", "qid")
   }
 
+  // ---------------------------------------------------------------- q296
+
+  /** The residual IVF-ADC serving stack, parameterized (q296 + the
+    * full-probe-exact spec pin): q285's pipeline with the ADC stage
+    * swapped to RESIDUAL codes — the complete Jégou TPAMI'11 IVFADC:
+    * probe the `probes` nearest cells, rank candidates by
+    * ‖q − c(cell(v)) − rcode(v)‖² (the q293b estimator: per-(probed
+    * cell, subspace, residual cell) broadcast query lookup), keep the
+    * top `shortlist`, exact-re-rank to the top `k`. With probes = all
+    * cells and an unbounded shortlist this degenerates to exact brute
+    * force (every candidate survives to the exact stage) —
+    * ClusteringSpec pins that identity as it does for q285. */
+  def ivfAdcResidualTopK(spark: SparkSession, dir: String, probes: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    val (cent, _) = kmeansShared83(spark, dir)
+    val (ex, _, _) = pqShared168(spark, dir)
+    val (_, rcent, rdist, a3) = pqResShared(spark, dir)
+    val wq = Window.partitionBy("qid")
+    // query-side probe ranking (5 queries × k cells — slim)
+    val qp = ex.filter(col("vec_id") < 5)
+      .join(broadcast(cent), "dim")
+      .groupBy(col("vec_id").as("qid"), col("cell"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        wq.orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") <= probes)
+      .select(col("qid"), col("cell"))
+    val cand = qp.join(a3, "cell").filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell").as("ivf_cell"))
+    val qlk = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("s"),
+        col("x").as("xq"))
+      .join(broadcast(cent.select(col("cell").as("ivf_cell"),
+        col("dim"), col("c").as("cc"))), "dim")
+      .join(broadcast(rcent.select(col("cell").as("rcell"),
+        col("dim"), col("c").as("rc"))), "dim")
+      .groupBy(col("qid"), col("ivf_cell"), col("s"), col("rcell"))
+      .agg(sum((col("xq") - col("cc") - col("rc"))
+        * (col("xq") - col("cc") - col("rc"))).as("d2"))
+    val rcodes = pqCodes(rdist).drop("d2")
+      .withColumnRenamed("cell", "rcell")
+    val shl = cand.join(rcodes, "vec_id")
+      .join(broadcast(qlk), Seq("qid", "ivf_cell", "s", "rcell"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("rk", row_number().over(
+        wq.orderBy(col("adc_d2"), col("vec_id"))))
+      .filter(col("rk") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    shl.join(ex, "vec_id").join(broadcast(exq), Seq("qid", "dim"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("d2"))
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("d2"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Q296: the residual IVF-ADC pipeline at the graded serving config
+    * (probe 4, shortlist 50, exact top-10 — q285's config with
+    * residual codes): the production Jégou stack, gated end to end
+    * over already-gated state (cells q246, residual codebooks q293,
+    * estimator q293b). */
+  def q296IvfAdcResidualTopK(spark: SparkSession, dir: String)
+      : DataFrame =
+    ivfAdcResidualTopK(spark, dir, probes = 4, shortlist = 50, k = 10)
+
   // ---------------------------------------------------------------- q284
 
   /** Q284: DIMENSION-TRUNCATION RECALL SWEEP — recall@10 of the
@@ -1893,6 +1965,7 @@ object Similarity {
     "q291_vector_index_delta" -> (q291VectorIndexDelta _),
     "q293_pq_residual_train" -> (q293PqResidualTrain _),
     "q293b_pq_residual_recall" -> (q293bPqResidualRecall _),
+    "q296_ivfadc_residual_topk" -> (q296IvfAdcResidualTopK _),
     "q271_hybrid_multi" -> (q271HybridMulti _),
     "q278_cell_balance" -> (q278CellBalance _),
     "q271b_hybrid_eval_multi" -> (q271bHybridEvalMulti _),
@@ -2549,6 +2622,54 @@ object Similarity {
       |SELECT variant, qid, n_brute, n_found,
       |  (n_found * 1000000) // n_brute AS recall_ppm
       |FROM mv ORDER BY variant, qid""".stripMargin),
+    // q296: the k-means chain + pex + the residual chain, then the
+    // q285 serving CTEs with the ADC stage on residual codes — probe
+    // via dqr (4 cells under (d2, cell)), candidates via a3r, query
+    // lookup per (probed cell, subspace, residual cell), shortlist 50
+    // under (adc_d2, vec_id), exact top-10 under (d2, vec_id).
+    "q296_ivfadc_residual_topk" -> (kmeansCtes + ",\n" +
+      pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + """,
+      |qpr AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT vec_id AS qid, cell, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dqr WHERE vec_id < 5) t WHERE rn <= 4),
+      |cndr AS (
+      |  SELECT qpr.qid, a3r.vec_id, a3r.cell AS ivf_cell
+      |  FROM qpr JOIN a3r USING (cell)
+      |  WHERE a3r.vec_id <> qpr.qid),
+      |qlkq AS (
+      |  SELECT q.vec_id AS qid, c.cell AS ivf_cell, q.s,
+      |    rc.cell AS rcell,
+      |    CAST(SUM((q.x - c.c - rc.c) * (q.x - c.c - rc.c))
+      |      AS BIGINT) AS d2
+      |  FROM pex q JOIN c3 c ON c.dim = q.dim
+      |  JOIN rpc2 rc ON rc.dim = q.dim
+      |  WHERE q.vec_id < 5
+      |  GROUP BY q.vec_id, c.cell, q.s, rc.cell),
+      |radr AS (
+      |  SELECT c.qid, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+      |  FROM cndr c JOIN rcodes k ON k.vec_id = c.vec_id
+      |  JOIN qlkq l ON l.qid = c.qid AND l.ivf_cell = c.ivf_cell
+      |    AND l.s = k.s AND l.rcell = k.cell
+      |  GROUP BY c.qid, c.vec_id),
+      |shr AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY adc_d2, vec_id) AS rk
+      |    FROM radr) t WHERE rk <= 50),
+      |rrr AS (
+      |  SELECT s.qid, s.vec_id,
+      |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
+      |  FROM shr s JOIN pex e ON e.vec_id = s.vec_id
+      |  JOIN pex q ON q.vec_id = s.qid AND q.dim = e.dim
+      |  GROUP BY s.qid, s.vec_id)
+      |SELECT qid, rank, neighbor, d2 FROM (
+      |  SELECT qid, vec_id AS neighbor, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id)
+      |      AS rank
+      |  FROM rrr) t WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin),
     // q278: the q246 trainer chain's final assignment (a2 — the
     // round-3 argmin, the same CTE q246's member counts read) +
     // integer balance stats; overflow: n_vecs² ≤ (2·10³)² at fixture,

@@ -219,6 +219,19 @@ class ClusteringSpec extends SparkSpecBase {
     assert(rows.forall(_._3 == 10L))
   }
 
+  test("ivfAdcResidualTopK with all cells probed and an unbounded " +
+      "shortlist degenerates to ivfAdcTopK's same identity (both " +
+      "pipelines meet at exact brute force)") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val res = key(Similarity.ivfAdcResidualTopK(spark, sf, probes = 8,
+      shortlist = Int.MaxValue, k = 10))
+    val raw = key(Similarity.ivfAdcTopK(spark, sf, probes = 8,
+      shortlist = Int.MaxValue, k = 10))
+    assert(res == raw && res.size == 50, s"${res.size}")
+  }
+
   test("q284 dims=64 anchor row is structural recall 1.0 (the " +
       "truncated ranking at full width IS the baseline ranking)") {
     val rows = Similarity.queries("q284_dim_trunc_recall")(spark, sf)
