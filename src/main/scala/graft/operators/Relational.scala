@@ -178,6 +178,78 @@ object Relational {
         when(col("r") === 0, lit(25L)).otherwise(col("rho")).as("rho"))
   }
 
+  // ---------------------------------------------------------------- q297
+
+  /** The ONE (user_id, cnt) → (user_id, cnt, j, k) CMS fan-out q297,
+    * q297b and the streaming twin all run: 4 independent Mix
+    * universal hashes ((a_j·(x mod P) + b_j) mod P, the q254 family
+    * at widths 0..3), column = h mod 64. Input: any frame with BIGINT
+    * `user_id` and `cnt` columns. */
+  private[graft] def cmsRowCol(ids: DataFrame): DataFrame = {
+    val as = graft.functions.Mix.modMults(4)
+    val bs = graft.functions.Mix.modAdds(4)
+    val rows = (0 until 4).map { j =>
+      struct(lit(j.toLong).as("j"),
+        expr(s"(((${as(j)} * (user_id % 1000000007)) % 1000000007" +
+          s" + ${bs(j)}) % 1000000007) % 64").as("k"))
+    }
+    ids.select(col("user_id"), col("cnt"),
+        explode(array(rows: _*)).as("rc"))
+      .select(col("user_id"), col("cnt"),
+        col("rc.j").as("j"), col("rc.k").as("k"))
+  }
+
+  /** Q297: COUNT-MIN SKETCH REGISTER TABLE, gated — the q254
+    * discipline applied to the frequency sketch (Cormode &
+    * Muthukrishnan 2005): the BUILD is exact integer arithmetic (d=4
+    * Mix hash rows × w=64 columns, counter = Σ counts landing in the
+    * cell) and registers MERGE across shards by per-cell SUM
+    * (associative — the artifact you actually ship); only a
+    * confidence-interval ANALYSIS would be float, and the point
+    * estimate itself (min over d cells) is integer too — q297b gates
+    * it against exact counts. Output: all 256 (j, k, counter) rows,
+    * absent cells 0.
+    *
+    * Scale: one key-count agg + one 256-group partial-combining sum;
+    * at 100 TB build per-shard registers and SUM them. */
+  def q297CmsRegisters(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val reg = cmsRowCol(counts).groupBy("j", "k")
+      .agg(sum(col("cnt")).as("counter"))
+    spark.range(4).select(col("id").as("j"))
+      .crossJoin(spark.range(64).select(col("id").as("k")))
+      .join(reg, Seq("j", "k"), "left")
+      .select(col("j"), col("k"),
+        coalesce(col("counter"), lit(0L)).as("counter"))
+      .orderBy("j", "k")
+  }
+
+  /** Q297b: CMS POINT-ESTIMATE AUDIT — for the 10 heaviest users
+    * (deterministic under (cnt desc, user_id)), the exact count, the
+    * sketch estimate min_j counter[j][h_j(x)], and the overcount
+    * (structurally ≥ 0: CMS never underestimates — the gate proves
+    * the one-sided error bound ON THIS BUILD, the readout a sketch
+    * deployment signs off). All integer, fully gated — the estimator
+    * side of a sketch is engine-shared here, unlike HLL's harmonic
+    * mean (q13). */
+  def q297bCmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // registers AND the top-10 probe read it
+    val reg = cmsRowCol(counts).groupBy("j", "k")
+      .agg(sum(col("cnt")).as("counter"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("user_id")).limit(10)
+    cmsRowCol(top)
+      .join(broadcast(reg), Seq("j", "k"))
+      .groupBy("user_id", "cnt")
+      .agg(min(col("counter")).as("cms_est"))
+      .select(col("user_id"), col("cnt").as("exact_cnt"),
+        col("cms_est"), (col("cms_est") - col("cnt")).as("overcount"))
+      .orderBy("user_id")
+  }
+
   /** Q254: HLL REGISTER TABLE, gated — the round-11 reframing of
     * q13's "approximate distinct is engine-specific": the SKETCH
     * BUILD is exact integer arithmetic (and is the artifact you
@@ -1910,6 +1982,8 @@ object Relational {
     "q12_agg_distinct" -> (q12AggDistinct _),
     "q13_agg_approx" -> (q13AggApprox _),
     "q254_hll_registers" -> (q254HllRegisters _),
+    "q297_cms_registers" -> (q297CmsRegisters _),
+    "q297b_cms_estimate" -> (q297bCmsEstimate _),
     "q14_rollup" -> (q14Rollup _),
     "q15_cube" -> (q15Cube _),
     "q14b_grouping_sets" -> (q14bGroupingSets _),
@@ -2003,6 +2077,58 @@ object Relational {
          |FROM (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT)
          |        AS bucket) b
          |LEFT JOIN reg USING (bucket) ORDER BY bucket""".stripMargin
+    },
+    // q297/q297b: same 4-wide Mix hash family (sqlModMults/sqlModAdds
+    // — the ONE constant renderer), same mod-64 columns, same Σ-count
+    // cells; the estimate is an integer MIN over the 4 probed cells.
+    "q297_cms_registers" -> {
+      val ms = graft.functions.Mix.sqlModMults(4)
+      val as = graft.functions.Mix.sqlModAdds(4)
+      s"""WITH uc AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY user_id),
+         |hj AS (
+         |  SELECT u.user_id, u.cnt, CAST(t.j AS BIGINT) AS j,
+         |    (((($ms::BIGINT[])[t.j + 1] * (u.user_id % 1000000007))
+         |      % 1000000007 + ($as::BIGINT[])[t.j + 1])
+         |      % 1000000007) % 64 AS k
+         |  FROM uc u, unnest([0, 1, 2, 3]) AS t(j)),
+         |reg AS (SELECT j, k, CAST(SUM(cnt) AS BIGINT) AS counter
+         |        FROM hj GROUP BY j, k),
+         |grid AS (
+         |  SELECT CAST(a.j AS BIGINT) AS j, CAST(b.k AS BIGINT) AS k
+         |  FROM (SELECT unnest(generate_series(0, 3)) AS j) a,
+         |       (SELECT unnest(generate_series(0, 63)) AS k) b)
+         |SELECT j, k, CAST(COALESCE(r.counter, 0) AS BIGINT)
+         |  AS counter
+         |FROM grid g LEFT JOIN reg r USING (j, k)
+         |ORDER BY j, k""".stripMargin
+    },
+    "q297b_cms_estimate" -> {
+      val ms = graft.functions.Mix.sqlModMults(4)
+      val as = graft.functions.Mix.sqlModAdds(4)
+      s"""WITH uc AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY user_id),
+         |hj AS (
+         |  SELECT u.user_id, u.cnt, CAST(t.j AS BIGINT) AS j,
+         |    (((($ms::BIGINT[])[t.j + 1] * (u.user_id % 1000000007))
+         |      % 1000000007 + ($as::BIGINT[])[t.j + 1])
+         |      % 1000000007) % 64 AS k
+         |  FROM uc u, unnest([0, 1, 2, 3]) AS t(j)),
+         |reg AS (SELECT j, k, CAST(SUM(cnt) AS BIGINT) AS counter
+         |        FROM hj GROUP BY j, k),
+         |top10 AS (SELECT user_id, cnt FROM uc
+         |          ORDER BY cnt DESC, user_id LIMIT 10),
+         |est AS (
+         |  SELECT h.user_id, h.cnt,
+         |    CAST(MIN(r.counter) AS BIGINT) AS cms_est
+         |  FROM hj h JOIN top10 tt ON tt.user_id = h.user_id
+         |  JOIN reg r ON r.j = h.j AND r.k = h.k
+         |  GROUP BY h.user_id, h.cnt)
+         |SELECT user_id, cnt AS exact_cnt, cms_est,
+         |  cms_est - cnt AS overcount
+         |FROM est ORDER BY user_id""".stripMargin
     },
     // q227: same exact-e4 revenue collapse, same floored-ppm shares,
     // same Σppm² div 1e6 (all BIGINT after the decimal sum).

@@ -277,6 +277,35 @@ object StreamOps {
       .toDF("bucket", "register")
   }
 
+  /** STREAMING CMS REGISTERS (q297's twin, the hllRegistersStream
+    * discipline for the frequency sketch): each arriving event fans
+    * into its 4 (row, column) cells through the batch twin's OWN
+    * codegen'd hash expressions (`Relational.cmsRowCol` at cnt = 1),
+    * then per-cell keyed state SUMS — addition is associative and
+    * order-insensitive, so the stream state after ANY arrival order
+    * equals the batch build over the union (pinned in StreamingSpec
+    * across batches with re-hit cells). State: ≤ 256 longs TOTAL,
+    * regardless of key volume — the live frequency sketch a
+    * monitoring dashboard polls. */
+  def cmsRegistersStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    graft.operators.Relational
+      .cmsRowCol(events.select(col("user_id"), lit(1L).as("cnt")))
+      .select(col("j"), col("k"), col("cnt"))
+      .as[(Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (cell: (Long, Long), rows: Iterator[(Long, Long, Long)],
+            st: GroupState[Long]) =>
+          var c = st.getOption.getOrElse(0L)
+          rows.foreach { r => c += r._3 }
+          st.update(c)
+          (cell._1, cell._2, c)
+      }
+      .toDF("j", "k", "counter")
+  }
+
   /** STREAMING FUNNEL — the continuous twin of `Behavioral.funnelStages`
     * (q73): per-user funnel depth tracked as keyed state. The batch form
     * is a chain of conditional-min aggregates; the streaming form is the

@@ -1156,6 +1156,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want.toMap, s"got $got\nwant $want")
   }
 
+  test("streaming CMS registers ≡ the driver-replayed batch sketch " +
+      "over the union (q297 twin): per-cell sums are order-" +
+      "insensitive, duplicates COUNT (frequency, not cardinality)") {
+    val input = MemoryStream[Long](spark)
+    val q = StreamOps.cmsRegistersStream(
+        input.toDF().toDF("user_id"))
+      .writeStream.format("memory").queryName("cmsstream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-cms").toString)
+      .start()
+    try {
+      input.addData(1L to 300L: _*); q.processAllAvailable()
+      // batch 2 re-hits 200..300 (their counts must reach 2)
+      input.addData(200L to 500L: _*); q.processAllAvailable()
+    } finally q.stop()
+    // counters are monotone → latest emitted = max emitted per cell
+    val got = spark.table("cmsstream").groupBy("j", "k")
+      .agg(max(col("counter")).as("counter")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val P = 1000000007L
+    val ms = graft.functions.Mix.modMults(4)
+    val as = graft.functions.Mix.modAdds(4)
+    val want = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val arrivals = (1L to 300L) ++ (200L to 500L)
+    arrivals.foreach { u =>
+      (0 until 4).foreach { j =>
+        val k = ((ms(j) * (u % P)) % P + as(j)) % P % 64
+        want((j.toLong, k)) = want.getOrElse((j.toLong, k), 0L) + 1L
+      }
+    }
+    assert(got == want.toMap, s"got ${got.size} want ${want.size}")
+  }
+
   test("applyCdcStream seqCol resolves multi-op-per-key batches in " +
       "sequence order (U seq 1 + D seq 2 delivered REVERSED in one " +
       "batch → key deleted, both ops counted)") {
