@@ -1394,6 +1394,67 @@ object Similarity {
       .orderBy("variant", "qid")
   }
 
+  // ---------------------------------------------------------------- q298
+
+  /** Q298: SCALAR-QUANTIZATION RECALL SWEEP — recall@10 of the full-
+    * precision exact top-10 when BOTH sides rank on symmetric
+    * per-vector int-b quantized coordinates (q264's quantizer:
+    * q = (x·M) div max|x|, dequant = (q·mx) div M, M = 2^(b−1)−1) at
+    * b ∈ {2, 4, 8} bits: the third axis of the compression-knob sweep
+    * family (q284 dims, q283 PQ refine, this one scalar bits) and the
+    * recall companion of q264's reconstruction-error audit — int8 is
+    * the 4× scan-compression lever, this table prices its recall cost
+    * before a deployment flips the storage format. Every distance is
+    * integer (truncating div identical both engines for any sign),
+    * the tie order is (d2, vec_id), so the whole curve gates.
+    *
+    * Scale: queries·N·dims·3 slim rows; the dequantized corpus scan
+    * at 100 TB reads b/24 of the e3 bytes — the point. */
+  def q298ScalarQuantRecall(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (ex, _, _) = pqShared168(spark, dir)
+    val mx = ex.groupBy("vec_id")
+      .agg(greatest(max(abs(col("x"))), lit(1L)).as("mx"))
+    val dq = ex.join(mx, "vec_id")
+      .select(col("vec_id"), col("dim"),
+        explode(typedlit(Seq((2L, 1L), (4L, 7L), (8L, 127L))))
+          .as("bm"),
+        col("x"), col("mx"))
+      .select(col("vec_id"), col("dim"), col("bm._1").as("bits"),
+        expr("(((x * bm._2) div mx) * mx) div bm._2").as("dx"))
+    val dqq = dq.filter(col("vec_id") < 5)
+      .select(col("bits"), col("dim"), col("vec_id").as("qid"),
+        col("dx").as("dxq"))
+    val wbq = Window.partitionBy("bits", "qid")
+    val ranked = dq.join(broadcast(dqq), Seq("bits", "dim"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("bits", "qid", "vec_id")
+      .agg(sum((col("dx") - col("dxq")) * (col("dx") - col("dxq")))
+        .as("d2"))
+      .withColumn("rnk", row_number().over(
+        wbq.orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("bits"), col("qid"), col("vec_id"), lit(1L).as("f"))
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    val br = ex.join(broadcast(exq), "dim")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"),
+        explode(typedlit(Seq(2L, 4L, 8L))).as("bits"))
+    br.join(ranked, Seq("bits", "qid", "vec_id"), "left")
+      .groupBy("bits", "qid")
+      .agg(count(lit(1)).as("n_brute"), count(col("f")).as("n_found"))
+      .select(col("bits"), col("qid"), col("n_brute"), col("n_found"),
+        expr("(n_found * 1000000) div n_brute").as("recall_ppm"))
+      .orderBy("bits", "qid")
+  }
+
   // ---------------------------------------------------------------- q296
 
   /** The residual IVF-ADC serving stack, parameterized (q296 + the
@@ -1966,6 +2027,7 @@ object Similarity {
     "q293_pq_residual_train" -> (q293PqResidualTrain _),
     "q293b_pq_residual_recall" -> (q293bPqResidualRecall _),
     "q296_ivfadc_residual_topk" -> (q296IvfAdcResidualTopK _),
+    "q298_scalar_quant_recall" -> (q298ScalarQuantRecall _),
     "q271_hybrid_multi" -> (q271HybridMulti _),
     "q278_cell_balance" -> (q278CellBalance _),
     "q271b_hybrid_eval_multi" -> (q271bHybridEvalMulti _),
@@ -2670,6 +2732,53 @@ object Similarity {
       |      AS rank
       |  FROM rrr) t WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin),
+    // q298: pex + per-vector max|x| + the q264 quantizer at (bits, M)
+    // ∈ {(2,1),(4,7),(8,127)} on BOTH sides, (d2, vec_id) top-10 per
+    // (bits, qid), recall vs the exact full-precision top-10.
+    "q298_scalar_quant_recall" -> (pexCte + """,
+      |mxq AS (SELECT vec_id,
+      |          greatest(CAST(MAX(abs(x)) AS BIGINT), 1) AS mx
+      |        FROM pex GROUP BY vec_id),
+      |dqz AS (
+      |  SELECT p.vec_id, p.dim, CAST(c.b AS BIGINT) AS bits,
+      |    (((p.x * c.m) // t.mx) * t.mx) // c.m AS dx
+      |  FROM pex p JOIN mxq t USING (vec_id)
+      |  CROSS JOIN (VALUES (2, 1), (4, 7), (8, 127)) c(b, m)),
+      |ddz AS (
+      |  SELECT d.bits, q.vec_id AS qid, d.vec_id,
+      |    CAST(SUM((d.dx - q.dx) * (d.dx - q.dx)) AS BIGINT) AS d2
+      |  FROM dqz d JOIN (SELECT * FROM dqz WHERE vec_id < 5) q
+      |    ON q.bits = d.bits AND q.dim = d.dim
+      |  WHERE d.vec_id <> q.vec_id
+      |  GROUP BY d.bits, q.vec_id, d.vec_id),
+      |rkz AS (
+      |  SELECT bits, qid, vec_id FROM (
+      |    SELECT bits, qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY bits, qid ORDER BY d2, vec_id) AS rnk
+      |    FROM ddz) t WHERE rnk <= 10),
+      |bdz AS (
+      |  SELECT q.vec_id AS qid, e.vec_id,
+      |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
+      |  FROM pex e JOIN (SELECT vec_id, dim, x FROM pex
+      |                   WHERE vec_id < 5) q ON e.dim = q.dim
+      |  WHERE e.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, e.vec_id),
+      |brz AS (
+      |  SELECT CAST(bb AS BIGINT) AS bits, qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY d2, vec_id) AS rnk
+      |    FROM bdz) t, unnest([2, 4, 8]) AS u(bb)
+      |  WHERE rnk <= 10),
+      |mz AS (
+      |  SELECT b.bits, b.qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+      |    CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_found
+      |  FROM brz b LEFT JOIN rkz a ON a.bits = b.bits
+      |    AND a.qid = b.qid AND a.vec_id = b.vec_id
+      |  GROUP BY b.bits, b.qid)
+      |SELECT bits, qid, n_brute, n_found,
+      |  (n_found * 1000000) // n_brute AS recall_ppm
+      |FROM mz ORDER BY bits, qid""".stripMargin),
     // q278: the q246 trainer chain's final assignment (a2 — the
     // round-3 argmin, the same CTE q246's member counts read) +
     // integer balance stats; overflow: n_vecs² ≤ (2·10³)² at fixture,
