@@ -1394,6 +1394,78 @@ object Similarity {
       .orderBy("variant", "qid")
   }
 
+  // ---------------------------------------------------------------- q299
+
+  /** Q299: MMR DIVERSIFIED RE-RANK (Carbonell & Goldstein 1998,
+    * public) — maximal marginal relevance over the dense top-20 for
+    * query vector 0 (q252's semantic leg, same ce6 cosine): greedily
+    * select 5 docs, each round's pick = argmax of
+    * score = 7·rel_ce6 − 3·max_{s∈selected} sim_ce6 (λ = 0.7 scaled
+    * ×10 — integer once the two ce6 scores exist; the first pick has
+    * no selected set, max_sim = 0) under the (score desc, doc_id)
+    * total order. The anti-redundancy stage a RAG/search stack runs
+    * AFTER retrieval: a dense top-k is typically near-duplicate-heavy
+    * (this corpus's planted twins make that literal), and MMR trades
+    * relevance for coverage with one knob. Greedy selection is
+    * inherently sequential — 5 unrolled rounds, each a candidate-set-
+    * sized argmax; the oracle unrolls the same rounds as MATERIALIZED
+    * CTEs (the q131/q229 discipline).
+    *
+    * Scale: candidates and the 20×19 sim matrix are top-k-sized;
+    * every round is a ≤20-row join + argmax. The expensive part
+    * (retrieval) already happened upstream — MMR cost is independent
+    * of corpus size, which is why it deploys everywhere. */
+  def q299MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    DotProductExpr.register(spark)
+    val vecs = load(spark, dir, "embeddings")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qv"))
+      .withColumn("nq", nativeNorm(col("qv")))
+    val scored = vecs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", nativeNorm(col("v")))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("rel", floor(cosinePrenormed(
+          nativeDot(col("v"), col("qv")), col("nv"), col("nq"))
+        * lit(1e6) + lit(0.5)).cast("long"))
+    val cand = scored.orderBy(col("rel").desc, col("vec_id")).limit(20)
+      .select(col("vec_id").as("doc_id"), col("rel"), col("v"),
+        col("nv"))
+      .localCheckpoint() // 20 rows; read by sims + every round
+    val sims = cand.as("x").join(cand.as("y"),
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        floor(cosinePrenormed(nativeDot(col("x.v"), col("y.v")),
+            col("x.nv"), col("y.nv")) * lit(1e6) + lit(0.5))
+          .cast("long").as("ce6"))
+      .localCheckpoint()
+    val slim = cand.select(col("doc_id"), col("rel"))
+    var sel = slim
+      .withColumn("max_sim", lit(0L))
+      .withColumn("score", lit(7L) * col("rel"))
+      .orderBy(col("score").desc, col("doc_id")).limit(1)
+      .withColumn("rank", lit(1L))
+      .localCheckpoint()
+    for (t <- 2 to 5) {
+      val pick = slim
+        .join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(sims
+          .join(sel.select(col("doc_id").as("b")), Seq("b"))
+          .select(col("a").as("doc_id"), col("ce6")), Seq("doc_id"))
+        .groupBy("doc_id", "rel")
+        .agg(max(col("ce6")).as("max_sim"))
+        .withColumn("score",
+          lit(7L) * col("rel") - lit(3L) * col("max_sim"))
+        .orderBy(col("score").desc, col("doc_id")).limit(1)
+        .withColumn("rank", lit(t.toLong))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("rank"), col("doc_id"), col("rel").as("rel_ce6"),
+        col("max_sim").as("max_sim_ce6"), col("score"))
+      .orderBy("rank")
+  }
+
   // ---------------------------------------------------------------- q298
 
   /** Q298: SCALAR-QUANTIZATION RECALL SWEEP — recall@10 of the full-
@@ -2028,6 +2100,7 @@ object Similarity {
     "q293b_pq_residual_recall" -> (q293bPqResidualRecall _),
     "q296_ivfadc_residual_topk" -> (q296IvfAdcResidualTopK _),
     "q298_scalar_quant_recall" -> (q298ScalarQuantRecall _),
+    "q299_mmr_rerank" -> (q299MmrRerank _),
     "q271_hybrid_multi" -> (q271HybridMulti _),
     "q278_cell_balance" -> (q278CellBalance _),
     "q271b_hybrid_eval_multi" -> (q271bHybridEvalMulti _),
@@ -2213,6 +2286,29 @@ object Similarity {
         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
         |        ORDER BY d2, cell) AS rk
         |    FROM rdf) t WHERE rk = 1)""".stripMargin
+
+  /** One MMR greedy round as DuckDB CTEs (q299): max-sim of each
+    * unselected candidate to the selected set, score, argmax under
+    * (score desc, doc_id); each level references its predecessor
+    * 3× — MATERIALIZED (the q131 inlining lesson). */
+  private def mmrRoundCte(t: Int): String =
+    s"""sel$t AS MATERIALIZED (
+       |  SELECT * FROM sel${t - 1}
+       |  UNION ALL
+       |  SELECT doc_id, rel, max_sim, score,
+       |    CAST($t AS BIGINT) AS rank FROM (
+       |    SELECT c.doc_id, c.rel, m.max_sim,
+       |      7 * c.rel - 3 * m.max_sim AS score,
+       |      ROW_NUMBER() OVER (
+       |        ORDER BY 7 * c.rel - 3 * m.max_sim DESC, c.doc_id)
+       |        AS rn
+       |    FROM cnd c JOIN (
+       |      SELECT p.a AS doc_id, CAST(MAX(p.ce6) AS BIGINT)
+       |        AS max_sim
+       |      FROM sp p JOIN sel${t - 1} s ON p.b = s.doc_id
+       |      WHERE p.a NOT IN (SELECT doc_id FROM sel${t - 1})
+       |      GROUP BY p.a) m ON m.doc_id = c.doc_id) t
+       |  WHERE rn = 1)""".stripMargin
 
   /** q270: the trainer chain + one assignment/probe-ranking distance
     * table against c3 (dq serves base assignment AND query cell
@@ -2732,6 +2828,43 @@ object Similarity {
       |      AS rank
       |  FROM rrr) t WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin),
+    // q299: dense top-20 candidates (the q252 sem-leg cosine text),
+    // the 20×19 pair-sim matrix, then 5 unrolled MATERIALIZED greedy
+    // rounds — pick = argmax 7·rel − 3·max_sim under (score, doc_id).
+    "q299_mmr_rerank" -> ("""WITH vv2 AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |qv2 AS (SELECT e AS qe FROM vv2 WHERE vec_id = 0),
+      |rsc AS (
+      |  SELECT vv2.vec_id AS doc_id,
+      |    CAST(floor((list_dot_product(vv2.e, qe) /
+      |      (sqrt(list_dot_product(vv2.e, vv2.e)) *
+      |       sqrt(list_dot_product(qe, qe)))) * 1e6 + 0.5)
+      |      AS BIGINT) AS rel
+      |  FROM vv2 CROSS JOIN qv2 WHERE vv2.vec_id <> 0),
+      |cnd AS MATERIALIZED (
+      |  SELECT doc_id, rel FROM (
+      |    SELECT doc_id, rel, ROW_NUMBER() OVER (
+      |      ORDER BY rel DESC, doc_id) AS rn
+      |    FROM rsc) t WHERE rn <= 20),
+      |sp AS MATERIALIZED (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |    CAST(floor((list_dot_product(xe.e, ye.e) /
+      |      (sqrt(list_dot_product(xe.e, xe.e)) *
+      |       sqrt(list_dot_product(ye.e, ye.e)))) * 1e6 + 0.5)
+      |      AS BIGINT) AS ce6
+      |  FROM cnd x JOIN cnd y ON x.doc_id <> y.doc_id
+      |  JOIN vv2 xe ON xe.vec_id = x.doc_id
+      |  JOIN vv2 ye ON ye.vec_id = y.doc_id),
+      |sel1 AS MATERIALIZED (
+      |  SELECT doc_id, rel, CAST(0 AS BIGINT) AS max_sim,
+      |    7 * rel AS score, CAST(1 AS BIGINT) AS rank
+      |  FROM (SELECT doc_id, rel, ROW_NUMBER() OVER (
+      |      ORDER BY 7 * rel DESC, doc_id) AS rn
+      |    FROM cnd) t WHERE rn = 1)""".stripMargin +
+      (2 to 5).map(mmrRoundCte).mkString(",\n", ",\n", "") + """
+      |SELECT rank, doc_id, rel AS rel_ce6, max_sim AS max_sim_ce6,
+      |  score
+      |FROM sel5 ORDER BY rank""".stripMargin),
     // q298: pex + per-vector max|x| + the q264 quantizer at (bits, M)
     // ∈ {(2,1),(4,7),(8,127)} on BOTH sides, (d2, vec_id) top-10 per
     // (bits, qid), recall vs the exact full-precision top-10.

@@ -397,4 +397,62 @@ class SimilaritySpec extends SparkSpecBase {
     assert(gotPairs == expectPairs,
       s"pair join must be cell-bounded: $gotPairs != $expectPairs")
   }
+
+  test("q299 MMR: rank-1 pick is the pure relevance argmax, ranks " +
+      "are 1..5 distinct docs, and the selected set is MEASURABLY " +
+      "more diverse (lower mean pair-sim) than top-5-by-relevance") {
+    val rows = Similarity.queries("q299_mmr_rerank")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1L to 5L))
+    assert(rows.map(_._2).distinct.length == 5)
+    // rank 1 = max rel (ties by doc_id): no other candidate may have
+    // a larger rel than the first pick's
+    val r1 = rows.head
+    assert(rows.tail.forall(r => r._3 < r1._3 ||
+      (r._3 == r1._3 && r._2 > r1._2)), s"${rows.toSeq}")
+    assert(r1._4 == 0L && r1._5 == 7L * r1._3)
+    // diversity: mean pair-sim of the MMR set vs the pure-relevance
+    // top-5 (the first 5 candidates by (rel desc, doc_id))
+    import graft.functions.VectorOps.{asDouble, cosinePrenormed}
+    graft.functions.DotProductExpr.register(spark)
+    val vecs = load(spark, sf, "embeddings")
+    val q0 = vecs.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qv"))
+      .withColumn("nq", sqrt(call_function("graft_dot",
+        col("qv"), col("qv"))))
+    val byRel = vecs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", sqrt(call_function("graft_dot",
+        col("v"), col("v"))))
+      .crossJoin(broadcast(q0)).filter(col("vec_id") =!= 0)
+      .withColumn("rel", floor(cosinePrenormed(
+          call_function("graft_dot", col("v"), col("qv")),
+          col("nv"), col("nq")) * lit(1e6) + lit(0.5)).cast("long"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(5)
+      .select("vec_id", "v", "nv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2)))
+    val mmrIds = rows.map(_._2).toSet
+    val mmrVecs = vecs
+      .filter(col("vec_id").isin(mmrIds.toSeq: _*))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", sqrt(call_function("graft_dot",
+        col("v"), col("v"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2)))
+    def meanPairSim(vs: Array[(Long, Array[Double], Double)]): Double = {
+      val ps = for {
+        a <- vs; b <- vs if a._1 < b._1
+      } yield a._2.zip(b._2).map { case (x, y) => x * y }.sum /
+        (a._3 * b._3)
+      ps.sum / ps.length
+    }
+    val mmrSim = meanPairSim(mmrVecs)
+    val relSim = meanPairSim(byRel)
+    assert(mmrSim < relSim,
+      s"MMR set not more diverse: $mmrSim !< $relSim")
+  }
 }
