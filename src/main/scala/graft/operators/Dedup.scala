@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
@@ -1185,6 +1186,42 @@ object Dedup {
     learnedPipelineTail(spark, dir, corpus, keepIds)
   }
 
+  // ---------------------------------------------------------------- q301
+
+  /** Q301: SERP NEAR-DUP COLLAPSE — search-result deduplication at
+    * serving time: the BM25 top-50 over the derived corpus (q247's
+    * scorer — the planted twins make result-list redundancy literal)
+    * collapses by the memoized q33g near-dup component, keeping each
+    * cluster's best-ranked hit; output = the deduplicated result list
+    * with dense new ranks plus, per kept hit, how many results it
+    * absorbed (`n_collapsed`). The other half of the serving-side
+    * dedup story: q63/q280 dedup the TRAINING corpus offline, this
+    * dedups the RESULT LIST online — the same cluster labels, a
+    * top-k-sized join instead of a corpus pass.
+    *
+    * Scale: results are top-k-sized; the label join is doc_id-keyed
+    * against the memoized component table (broadcast-eligible at any
+    * k); both windows sort ≤ k rows. */
+  def q301SerpDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithNearDups(load(spark, dir, "documents"))
+    val results = TextOps.bm25TopDocs(corpus, topK = 50)
+      .select(col("rank").as("orig_rank"), col("doc_id"),
+        col("score"))
+    val g = results
+      .join(dedupComponents(spark, dir), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("component"), col("doc_id")))
+    val wg = Window.partitionBy("grp")
+    g.withColumn("pos",
+        row_number().over(wg.orderBy(col("orig_rank"))))
+      .withColumn("n_collapsed", count(lit(1)).over(wg))
+      .filter(col("pos") === 1)
+      .withColumn("new_rank", row_number()
+        .over(Window.orderBy(col("orig_rank"))).cast("long"))
+      .select(col("new_rank"), col("doc_id"), col("orig_rank"),
+        col("score"), col("grp").as("component"), col("n_collapsed"))
+      .orderBy("new_rank")
+  }
+
   // ---------------------------------------------------------------- q281
 
   /** Q281: CLUSTER-LEVEL DECONTAMINATION AUDIT (round 13 — the q268
@@ -1820,6 +1857,7 @@ object Dedup {
     "q63_pipeline" -> (q63Pipeline _),
     "q102_containment_pairs" -> (q102ContainmentPairs _),
     "q137_incremental_dedup" -> (q137IncrementalDedup _),
+    "q301_serp_dedup" -> (q301SerpDedup _),
   )
 
   /** DuckDB oracle machinery for the EXACT jaccard family — round 10:
@@ -2512,6 +2550,41 @@ object Dedup {
         |  FROM filtered
         |  GROUP BY ${CorpusPrep.sqlTextFold("text")}),
         |""".stripMargin + pipelineTailSql),
+    // q301: the q33g closure chain + the ONE bm25 base/score renderers
+    // (bm25BaseBody over the SAME corpus CTE, bm25ScoreChainOn with a
+    // 1-query table) + the component collapse windows.
+    "q301_serp_dedup" -> (closureCtes + ",\n" +
+      TextOps.bm25BaseBody("corpus", "s") + """,
+      |qts AS (
+      |  SELECT CAST(0 AS BIGINT) AS query_id, term, df FROM (
+      |    SELECT term, df,
+      |      ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrank
+      |    FROM dfrs) t WHERE qrank BETWEEN 11 AND 15),
+      |""".stripMargin +
+      TextOps.bm25ScoreChainOn("x", "qts", "s") + """,
+      |res AS (
+      |  SELECT doc_id, score, rank AS orig_rank
+      |  FROM rkx WHERE rank <= 50),
+      |compq AS (
+      |  SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+      |  FROM reach GROUP BY node),
+      |gj AS (
+      |  SELECT r.orig_rank, r.doc_id, r.score,
+      |    COALESCE(c.component, r.doc_id) AS component
+      |  FROM res r LEFT JOIN compq c USING (doc_id)),
+      |keptq AS (
+      |  SELECT orig_rank, doc_id, score, component, n_collapsed
+      |  FROM (
+      |    SELECT orig_rank, doc_id, score, component,
+      |      ROW_NUMBER() OVER (PARTITION BY component
+      |        ORDER BY orig_rank) AS pos,
+      |      COUNT(*) OVER (PARTITION BY component) AS n_collapsed
+      |    FROM gj) t WHERE pos = 1)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY orig_rank) AS BIGINT)
+      |    AS new_rank,
+      |  doc_id, CAST(orig_rank AS BIGINT) AS orig_rank, score,
+      |  component, CAST(n_collapsed AS BIGINT) AS n_collapsed
+      |FROM keptq ORDER BY new_rank""".stripMargin),
     // q281: the q33g closure + q62's contamination predicate (string
     // shingles — the q62 oracle basis) + the cluster-level rollup.
     "q281_cluster_decontam" ->

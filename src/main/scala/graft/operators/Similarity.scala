@@ -1394,6 +1394,43 @@ object Similarity {
       .orderBy("variant", "qid")
   }
 
+  // ---------------------------------------------------------------- q300
+
+  /** Q300: CLUSTER TOPIC LABELS — the q177 TF-IDF recipe lifted from
+    * documents to the GATED k-means cells (q246's trainer assignment,
+    * doc_id = vec_id — the q252 mapping): per cell, the top-3 terms
+    * under score = tf · ((n_cells·10⁶) div cf), where tf counts the
+    * term inside the cell's docs and cf counts the cells containing
+    * it. The "what is this cluster about" table every semantic-dedup /
+    * mixture report ships next to the cell census (q278) — a cell
+    * whose label terms are boilerplate is a dedup target, one whose
+    * labels are a coherent topic is a mixture bucket. All integer,
+    * fully gated over already-gated state.
+    *
+    * Scale: tf is a (cell, term) partial-combining agg (shuffle
+    * carries terms + counts, never docs); cf/n_cells are vocab-sized
+    * rollups; top-3 windows sort per-cell vocab slices. */
+  def q300ClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assign) = kmeansShared83(spark, dir)
+    val docs = load(spark, dir, "documents")
+    val cd = assign.join(docs,
+      assign("vec_id") === docs("doc_id"))
+    val ctf = cd.select(col("cell"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+    val ccf = ctf.groupBy("term").agg(count(lit(1)).as("cf"))
+    val ncl = ctf.agg(countDistinct(col("cell")).as("n_cells"))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("score").desc, col("term"))
+    ctf.join(ccf, "term")
+      .crossJoin(broadcast(ncl))
+      .withColumn("score", expr("tf * ((n_cells * 1000000) div cf)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("cell"), col("rank"), col("term"), col("score"))
+      .orderBy("cell", "rank")
+  }
+
   // ---------------------------------------------------------------- q299
 
   /** Q299: MMR DIVERSIFIED RE-RANK (Carbonell & Goldstein 1998,
@@ -2101,6 +2138,7 @@ object Similarity {
     "q296_ivfadc_residual_topk" -> (q296IvfAdcResidualTopK _),
     "q298_scalar_quant_recall" -> (q298ScalarQuantRecall _),
     "q299_mmr_rerank" -> (q299MmrRerank _),
+    "q300_cluster_labels" -> (q300ClusterLabels _),
     "q271_hybrid_multi" -> (q271HybridMulti _),
     "q278_cell_balance" -> (q278CellBalance _),
     "q271b_hybrid_eval_multi" -> (q271bHybridEvalMulti _),
@@ -2828,6 +2866,31 @@ object Similarity {
       |      AS rank
       |  FROM rrr) t WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin),
+    // q300: the q246 trainer chain's final assignment (a2) joined to
+    // documents on doc_id = vec_id, then the q177 TF-IDF recipe at
+    // the (cell, term) grain; top-3 per cell under (score, term).
+    "q300_cluster_labels" -> (kmeansCtes + """,
+      |cdj AS (
+      |  SELECT a.cell, d.doc_id, d.text
+      |  FROM a2 a JOIN documents d ON d.doc_id = a.vec_id),
+      |ctf AS (
+      |  SELECT cell, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT cell, unnest(string_split(text, ' ')) AS term
+      |        FROM cdj) t
+      |  GROUP BY cell, term),
+      |ccf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+      |        FROM ctf GROUP BY term),
+      |ncl AS (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells
+      |        FROM ctf),
+      |scl AS (
+      |  SELECT cell, term,
+      |    CAST(tf * ((n_cells * 1000000) // cf) AS BIGINT) AS score
+      |  FROM ctf JOIN ccf USING (term) CROSS JOIN ncl)
+      |SELECT cell, CAST(rn AS BIGINT) AS rank, term, score FROM (
+      |  SELECT cell, term, score, ROW_NUMBER() OVER (
+      |    PARTITION BY cell ORDER BY score DESC, term) AS rn
+      |  FROM scl) t WHERE rn <= 3
+      |ORDER BY cell, rank""".stripMargin),
     // q299: dense top-20 candidates (the q252 sem-leg cosine text),
     // the 20×19 pair-sim matrix, then 5 unrolled MATERIALIZED greedy
     // rounds — pick = argmax 7·rel − 3·max_sim under (score, doc_id).
