@@ -564,6 +564,14 @@ object SqlSurface {
     operators.CorpusPrep.qualityScore(spark.table(docsView))
       .createOrReplaceTempView(viewName)
 
+  /** Per-doc bigram mean-surprisal score + keep flag for a
+    * (doc_id, text) view — q294's perplexity-surrogate scorer
+    * (round 14), the LM-filter sibling of [[createQualityScoreView]]. */
+  def createSurprisalScoreView(spark: SparkSession, docsView: String,
+      viewName: String): Unit =
+    operators.CorpusPrep.surprisalScore(spark.table(docsView))
+      .createOrReplaceTempView(viewName)
+
   /** Pseudo-relevance-feedback expanded BM25 top-20 for a
     * (doc_id, text) view — q275's two-stage RM3-lite loop
     * (round 13). */

@@ -732,6 +732,13 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .q272QualityScore(spark, sf).collect().map(_.toSeq).toSet
     assert(sSql == sDir && sSql.nonEmpty)
 
+    SqlSurface.createSurprisalScoreView(spark, "documents", "surp")
+    val uSql = spark.sql("SELECT * FROM surp")
+      .collect().map(_.toSeq).toSet
+    val uDir = graft.operators.CorpusPrep
+      .q294SurprisalScore(spark, sf).collect().map(_.toSeq).toSet
+    assert(uSql == uDir && uSql.nonEmpty)
+
     SqlSurface.createPrfExpansionView(spark, "documents", "prf")
     val pSql = spark.sql("SELECT * FROM prf ORDER BY rank")
       .collect().map(_.toSeq).toSeq
