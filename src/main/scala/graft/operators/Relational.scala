@@ -183,15 +183,19 @@ object Relational {
   /** The ONE (user_id, cnt) → (user_id, cnt, j, k) CMS fan-out q297,
     * q297b and the streaming twin all run: 4 independent Mix
     * universal hashes ((a_j·(x mod P) + b_j) mod P, the q254 family
-    * at widths 0..3), column = h mod 64. Input: any frame with BIGINT
-    * `user_id` and `cnt` columns. */
+    * at widths 0..3), column = pmod(h, 64) — Spark % and DuckDB %
+    * both keep the dividend's sign, so a negative key would hash to a
+    * negative k that the 0..63 grid left-join silently drops (advice
+    * r14); the +64 re-fold keeps every key's register mass on the
+    * grid and is a no-op for the fixture's non-negative ids. Input:
+    * any frame with BIGINT `user_id` and `cnt` columns. */
   private[graft] def cmsRowCol(ids: DataFrame): DataFrame = {
     val as = graft.functions.Mix.modMults(4)
     val bs = graft.functions.Mix.modAdds(4)
     val rows = (0 until 4).map { j =>
       struct(lit(j.toLong).as("j"),
-        expr(s"(((${as(j)} * (user_id % 1000000007)) % 1000000007" +
-          s" + ${bs(j)}) % 1000000007) % 64").as("k"))
+        expr(s"((((${as(j)} * (user_id % 1000000007)) % 1000000007" +
+          s" + ${bs(j)}) % 1000000007) % 64 + 64) % 64").as("k"))
     }
     ids.select(col("user_id"), col("cnt"),
         explode(array(rows: _*)).as("rc"))
@@ -2089,9 +2093,9 @@ object Relational {
          |  FROM events GROUP BY user_id),
          |hj AS (
          |  SELECT u.user_id, u.cnt, CAST(t.j AS BIGINT) AS j,
-         |    (((($ms::BIGINT[])[t.j + 1] * (u.user_id % 1000000007))
+         |    ((((($ms::BIGINT[])[t.j + 1] * (u.user_id % 1000000007))
          |      % 1000000007 + ($as::BIGINT[])[t.j + 1])
-         |      % 1000000007) % 64 AS k
+         |      % 1000000007) % 64 + 64) % 64 AS k
          |  FROM uc u, unnest([0, 1, 2, 3]) AS t(j)),
          |reg AS (SELECT j, k, CAST(SUM(cnt) AS BIGINT) AS counter
          |        FROM hj GROUP BY j, k),
@@ -2112,9 +2116,9 @@ object Relational {
          |  FROM events GROUP BY user_id),
          |hj AS (
          |  SELECT u.user_id, u.cnt, CAST(t.j AS BIGINT) AS j,
-         |    (((($ms::BIGINT[])[t.j + 1] * (u.user_id % 1000000007))
+         |    ((((($ms::BIGINT[])[t.j + 1] * (u.user_id % 1000000007))
          |      % 1000000007 + ($as::BIGINT[])[t.j + 1])
-         |      % 1000000007) % 64 AS k
+         |      % 1000000007) % 64 + 64) % 64 AS k
          |  FROM uc u, unnest([0, 1, 2, 3]) AS t(j)),
          |reg AS (SELECT j, k, CAST(SUM(cnt) AS BIGINT) AS counter
          |        FROM hj GROUP BY j, k),

@@ -126,35 +126,70 @@ class ContractSpec extends AnyFunSuite {
     // floor(x*100+0.5) cents) BEFORE the SUM. `l_quantity`/`ps_supplycost`
     // are integer-valued doubles on this fixture (FixtureGuardSpec), so
     // they are exempt by omission.
+    // Advice r14 hardening: scan case-INsensitively (a lowercase
+    // sum(...) used to evade the lint) and require the DECIMAL/BIGINT
+    // cast to syntactically ENCLOSE the hazardous column reference —
+    // mere co-occurrence (SUM(o_totalprice * CAST(x AS BIGINT))) no
+    // longer passes.
     val hazardous =
-      "\\b(o_totalprice|l_extendedprice|l_discount|l_tax|c_acctbal|s_acctbal)\\b".r
-    def sumArgs(sql: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = sql.indexOf("SUM(")
-      while (i >= 0) {
-        var depth = 0
-        var j = i + 3
-        val start = j + 1
-        var done = false
-        while (j < sql.length && !done) {
+      "(?i)\\b(o_totalprice|l_extendedprice|l_discount|l_tax|c_acctbal|s_acctbal)\\b".r
+    // Balanced-paren spans of `fn(` occurrences (case-insensitive,
+    // word-boundary-anchored); returns (argStart, argEnd) exclusive.
+    def fnArgSpans(sql: String, fn: String): Seq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      val pat = ("(?i)\\b" + fn + "\\(").r
+      for (m <- pat.findAllMatchIn(sql)) {
+        var depth = 1
+        var j = m.end
+        val start = m.end
+        while (j < sql.length && depth > 0) {
           sql.charAt(j) match {
             case '(' => depth += 1
-            case ')' =>
-              depth -= 1
-              if (depth == 0) { out += sql.substring(start, j); done = true }
+            case ')' => depth -= 1
             case _ =>
           }
           j += 1
         }
-        i = sql.indexOf("SUM(", i + 4)
+        if (depth == 0) out += ((start, j - 1))
       }
       out.toSeq
     }
+    // True iff position `pos` (absolute in sql) sits inside some
+    // CAST(... AS DECIMAL/BIGINT ...) span.
+    def insideSafeCast(sql: String, pos: Int): Boolean =
+      fnArgSpans(sql, "CAST").exists { case (s, e) =>
+        if (pos < s || pos >= e) false
+        else {
+          // target type = text after the LAST depth-0 " AS " in the span
+          val body = sql.substring(s, e)
+          var depth = 0
+          var lastAs = -1
+          val up = body.toUpperCase
+          var i = 0
+          while (i < body.length) {
+            body.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+                if (depth == 0 && up.startsWith(" AS ", i)) lastAs = i
+            }
+            i += 1
+          }
+          lastAs >= 0 && {
+            val tpe = up.substring(lastAs + 4).trim
+            (tpe.startsWith("DECIMAL") || tpe.startsWith("BIGINT")) &&
+              // the column must sit in the casted EXPR, not the type
+              pos - s < lastAs
+          }
+        }
+      }
     val bad = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
-      sumArgs(sql).collect {
-        case arg if hazardous.findFirstIn(arg).isDefined &&
-            !arg.contains("DECIMAL") && !arg.contains("BIGINT") =>
-          s"$name: SUM($arg)"
+      fnArgSpans(sql, "SUM").flatMap { case (s, e) =>
+        hazardous.findAllMatchIn(sql.substring(s, e)).collect {
+          case m if !insideSafeCast(sql, s + m.start) =>
+            s"$name: SUM(${sql.substring(s, e)}) [${m.group(1)} not " +
+              "enclosed by a DECIMAL/BIGINT cast]"
+        }
       }
     }
     assert(bad.isEmpty,

@@ -464,4 +464,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("windowspecdefinition(qid"),
       "per-query windows must partition by qid:\n" + p.take(1500))
   }
+
+  test("q300 cluster labels checkpoint the shared (cell, term) tf " +
+      "aggregate — the corpus tokenize+explode runs ONCE, not once " +
+      "per consumer (ccf / n_cells / final join; round-14 verdict " +
+      "item 4, the q245 multi-consumer rule)") {
+    val p = plan(graft.operators.Similarity.q300ClusterLabels(spark, sf))
+    val scans = p.sliding("documents.parquet".length)
+      .count(_ == "documents.parquet")
+    assert(scans == 0,
+      s"documents.parquet appears $scans times in the FINAL plan — " +
+        "ctf must be checkpointed so every consumer reads the " +
+        "materialized aggregate, not the corpus:\n" + p.take(1500))
+  }
 }
