@@ -23,6 +23,7 @@ object Memos {
     Graph.clearMemos()
     TextOps.clearMemos()
     Similarity.clearMemos()
+    Percentiles.clearMemos()
   }
 
   /** Every memoized build, NAMED, in dependency order (lpa25 layers on
@@ -59,5 +60,7 @@ object Memos {
     "memo:pq_res_state" ->
       ((s, d) => { Similarity.pqResShared(s, d); () }),
     "memo:hybrid_fused" ->
-      ((s, d) => { Similarity.hybridMultiRankings(s, d); () }))
+      ((s, d) => { Similarity.hybridMultiRankings(s, d); () }),
+    "memo:qsketch_state" ->
+      ((s, d) => { Percentiles.qsketchState(s, d); () }))
 }

@@ -368,4 +368,136 @@ object Percentiles {
         ($rnCol - (($nCol div $k) + 1) * ($nCol % $k) - 1)
           div ($nCol div $k) + 1
     END""")
+
+  // ------------------------------------------- q302 quantile sketch
+
+  /** Number of unrolled compaction rounds in the shared cascade — a
+    * round is an IDENTITY once a (budget, shard) population fits its
+    * budget, so 14 covers any shard up to 16·2¹⁴ ≈ 262k items at the
+    * smallest budget (sf0.1 shards carry ~19k; 10× headroom). The
+    * oracle unrolls exactly this many MATERIALIZED CTE rounds. */
+  private[operators] val sketchRounds = 14
+
+  /** Shard count of the deterministic pre-merge partitioning. */
+  private[operators] val sketchShards = 32
+
+  /** The sweep's compactor budgets (q302b's measured knob). */
+  private[operators] val sketchBudgets = Seq(16L, 64L, 256L)
+
+  /** ONE deterministic compaction round of the MERGEABLE QUANTILE
+    * SKETCH (Manku–Rajagopalan–Lindsay '98 collapse with DETERMINISTIC
+    * even-offset selection — the pre-randomization scheme, which is
+    * exactly what makes it gateable; KLL randomizes only this offset):
+    * within each (budget kb, shard), if the population exceeds kb,
+    * rank items under the TOTAL order (v, ok, ln), keep the even
+    * ranks, and double their weight; at or under budget the round is
+    * an identity. Applied to completion the shard compactor holds
+    * ≤ kb items of uniform weight 2^c whose rank error vs the shard's
+    * data is ≤ Σ 2^level /2 — the classic deterministic bound.
+    *
+    * Input/output columns: kb, shard, v, ok, ln, w (all BIGINT). */
+  private def sketchRound(cur: DataFrame): DataFrame = {
+    val wp = Window.partitionBy("kb", "shard").orderBy("v", "ok", "ln")
+    val wn = Window.partitionBy("kb", "shard")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cur.withColumn("rn", row_number().over(wp).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("n") <= col("kb") || col("rn") % 2 === 0)
+      .withColumn("w",
+        when(col("n") > col("kb"), col("w") * 2).otherwise(col("w")))
+      .drop("rn", "n")
+  }
+
+  /** The full cascade: [[sketchRounds]] conditional rounds, each
+    * localCheckpointed (the iterative-loop rule — 14 window rounds of
+    * lineage would otherwise stack into one colossal Catalyst plan).
+    * Exposed for the planted-data hand goldens in the spec. */
+  private[graft] def sketchCascade(base: DataFrame): DataFrame = {
+    var cur = base.localCheckpoint()
+    var r = 0
+    while (r < sketchRounds) {
+      cur = sketchRound(cur).localCheckpoint()
+      r += 1
+    }
+    cur
+  }
+
+  private val qsketchCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Drop this object's memoized frames (see [[Memos.clearAll]]). */
+  private[operators] def clearMemos(): Unit = qsketchCache.clear()
+
+  /** Memoized SHARED quantile-sketch state (q302 + q302b both read
+    * it): lineitem extendedprice CENTS (floor(x·100+0.5) — the
+    * round-10 double→BIGINT rule), deterministically sharded 32 ways
+    * by the Mix universal hash of the row key (10·l_orderkey +
+    * l_linenumber — the shard is a FUNCTION OF THE DATA, not of
+    * physical partitioning, which is what lets DuckDB replay the
+    * distributed build exactly), then the even-offset cascade run at
+    * all three budgets. The merged sketch IS the union of the 32
+    * shard compactors — a union is the associative merge, and at
+    * 100 TB "shard" is simply the executor partition: per-partition
+    * compactors as partial aggregates, one tiny union at the end,
+    * never a global sort of the data. */
+  private[operators] def qsketchState(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    qsketchCache.getOrElseUpdate((spark, dir), {
+      val a = graft.functions.Mix.modMults(1)(0)
+      val b = graft.functions.Mix.modAdds(1)(0)
+      val base = graft.Tables.load(spark, dir, "lineitem")
+        .select(
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("v"),
+          col("l_orderkey").cast("long").as("ok"),
+          col("l_linenumber").cast("long").as("ln"))
+        .withColumn("shard", expr(
+          s"(((($a * ((ok * 10 + ln) % 1000000007)) % 1000000007" +
+            s" + $b) % 1000000007) % $sketchShards + $sketchShards)" +
+            s" % $sketchShards"))
+      import spark.implicits._
+      val budgets = sketchBudgets.toDF("kb")
+      sketchCascade(base
+        .crossJoin(broadcast(budgets))
+        .select(col("kb"), col("shard"), col("v"), col("ok"),
+          col("ln"), lit(1L).as("w")))
+    })
+
+  /** The shared cascade as DuckDB CTE text (base/sh/s0/s1..s14) — the
+    * ONE renderer both q302 and q302b oracles compose (the pqCtes
+    * discipline). Rounds are MATERIALIZED: q302b references the final
+    * round twice and plain CTEs would re-expand the chain. */
+  private[operators] def sqlSketchCtes(): String = {
+    val a = graft.functions.Mix.modMults(1)(0)
+    val b = graft.functions.Mix.modAdds(1)(0)
+    val budgetList = sketchBudgets.mkString("[", ", ", "]")
+    val rounds = (1 to sketchRounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT kb, shard, v, ok, ln,
+         |    CASE WHEN n > kb THEN w * 2 ELSE w END AS w
+         |  FROM (SELECT kb, shard, v, ok, ln, w,
+         |          ROW_NUMBER() OVER (PARTITION BY kb, shard
+         |            ORDER BY v, ok, ln) AS rn,
+         |          COUNT(*) OVER (PARTITION BY kb, shard) AS n
+         |        FROM s${r - 1})
+         |  WHERE n <= kb OR rn % 2 = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""base AS (
+       |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+       |           AS v,
+       |         CAST(l_orderkey AS BIGINT) AS ok,
+       |         CAST(l_linenumber AS BIGINT) AS ln
+       |  FROM lineitem),
+       |sh AS (
+       |  SELECT v, ok, ln,
+       |    (((($a * ((ok * 10 + ln) % 1000000007)) % 1000000007
+       |      + $b) % 1000000007) % $sketchShards + $sketchShards)
+       |      % $sketchShards AS shard
+       |  FROM base),
+       |s0 AS (
+       |  SELECT t.kb, s.shard, s.v, s.ok, s.ln, CAST(1 AS BIGINT) AS w
+       |  FROM sh s,
+       |    (SELECT CAST(unnest($budgetList) AS BIGINT) AS kb) t),
+       |$rounds""".stripMargin
+  }
 }

@@ -306,6 +306,73 @@ object StreamOps {
       .toDF("j", "k", "counter")
   }
 
+  /** One sequential insert into the level-structured quantile
+    * compactor — the ONLINE form of q302's even-offset MRL collapse:
+    * append to level 0; any level past capacity sorts ascending,
+    * promotes its even-RANK half (1-based ranks 2, 4, … — the same
+    * deterministic rule as the batch cascade) to the next level, and
+    * empties. Shared by the stream twin and the StreamingSpec driver
+    * replay's independent fold would re-implement it — kept package-
+    * visible so the spec can ALSO pin single-step hand goldens. */
+  private[graft] def qsketchInsert(levels: Vector[Vector[Long]],
+      v: Long, cap: Int): Vector[Vector[Long]] = {
+    var ls = if (levels.isEmpty) Vector(Vector.empty[Long]) else levels
+    ls = ls.updated(0, ls(0) :+ v)
+    var l = 0
+    while (l < ls.length) {
+      if (ls(l).length > cap) {
+        val sorted = ls(l).sorted
+        val promoted = sorted.indices.collect {
+          case i if i % 2 == 1 => sorted(i) }.toVector
+        if (ls.length == l + 1) ls = ls :+ Vector.empty[Long]
+        ls = ls.updated(l, Vector.empty[Long])
+          .updated(l + 1, ls(l + 1) ++ promoted)
+      }
+      l += 1
+    }
+    ls
+  }
+
+  /** STREAMING QUANTILE-SKETCH REGISTERS (q302's twin, the
+    * hllRegistersStream discipline for the rank sketch): per-shard
+    * keyed state = the compactor LEVELS — ≤ cap items each, ≤
+    * log₂(n/cap)+2 levels, so state is O(cap·log n) longs regardless
+    * of row volume (never the raw values). Each arriving value runs
+    * one [[qsketchInsert]]; intra-batch arrival order is
+    * canonicalized by sorting the batch's values ascending before
+    * insertion, so the state is a pure function of the BATCH
+    * SEQUENCE, not of task scheduling — StreamingSpec pins the state
+    * after two batches ≡ an independent driver-side fold of the same
+    * rule. Output per batch: the shard's full register dump
+    * (shard, level, pos, value); weight = 2^level implied.
+    *
+    * Input: any streaming frame with BIGINT `shard` and `v` columns
+    * (at 100 TB the shard IS the partition key — per-shard state
+    * merges by the batch-side union exactly like q302). */
+  def quantileSketchStream(rows: DataFrame, cap: Int = 64): DataFrame = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    rows.select(col("shard").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (shard: Long, it: Iterator[(Long, Long)],
+            st: GroupState[Seq[Seq[Long]]]) =>
+          var levels = st.getOption
+            .map(_.map(_.toVector).toVector)
+            .getOrElse(Vector.empty[Vector[Long]])
+          it.map(_._2).toVector.sorted.foreach { v =>
+            levels = qsketchInsert(levels, v, cap) }
+          st.update(levels.map(_.toSeq))
+          levels.iterator.zipWithIndex.flatMap { case (items, lvl) =>
+            items.sorted.iterator.zipWithIndex.map { case (v, i) =>
+              (shard, lvl.toLong, (i + 1).toLong, v) }
+          }
+      }
+      .toDF("shard", "level", "pos", "value")
+  }
+
   /** STREAMING FUNNEL — the continuous twin of `Behavioral.funnelStages`
     * (q73): per-user funnel depth tracked as keyed state. The batch form
     * is a chain of conditional-min aggregates; the streaming form is the

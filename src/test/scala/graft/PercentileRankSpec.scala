@@ -257,4 +257,52 @@ class PercentileRankSpec extends SparkSpecBase {
     val b = split.orderBy("id").collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  // -------------------------------------- q302 quantile sketch pins
+
+  test("sketchCascade hand golden: 20 values at budget 4 compact to " +
+      "{8, 16} at weight 8 (three even-offset halvings, then " +
+      "identity rounds — the deterministic MRL collapse computed by " +
+      "hand)") {
+    import spark.implicits._
+    val base = (1L to 20L).map(v => (4L, 0L, v, v, 0L, 1L))
+      .toDF("kb", "shard", "v", "ok", "ln", "w")
+    val out = Percentiles.sketchCascade(base)
+      .select("v", "w").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    // r1: 20 > 4 → even ranks {2,4,…,20} w2; r2: 10 > 4 → {4,8,12,
+    // 16,20} w4; r3: 5 > 4 → ranks {2,4} = {8,16} w8; r4..: identity
+    assert(out == Seq((8L, 8L), (16L, 8L)), out.toString)
+  }
+
+  test("q302b estimator is EXACT whenever no shard compacted (budget " +
+      "256 at sf0.001: every shard fits, weights all 1) — rank error " +
+      "0 ppm at every quantile; and error weakly shrinks with budget " +
+      "in total (the measured sweep's direction)") {
+    val rows = Relational.q302bQuantileSketchQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    val byKb = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(rows.filter(_._1 == 256L).forall(_._3 == 0L),
+      s"uncompacted sketch must answer exactly: ${rows.toSeq}")
+    assert(byKb(16L) >= byKb(64L) && byKb(64L) >= byKb(256L),
+      s"total rank error should not grow with budget: $byKb")
+  }
+
+  test("q302 registers respect the budget: every (kb, shard) " +
+      "compactor holds ≤ kb items, and a compacted one holds ≥ kb/2 " +
+      "(halving lands in [kb/2, kb] — the size bound the 100 TB " +
+      "union-merge story rests on)") {
+    val reg = Relational.q302QuantileSketchRegisters(spark, sf)
+      .groupBy("kb", "shard")
+      .agg(count(lit(1)).as("n"), max(col("weight")).as("wmax"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(reg.nonEmpty)
+    reg.foreach { case (kb, shard, n, wmax) =>
+      assert(n <= kb, s"shard $shard at budget $kb holds $n > $kb")
+      if (wmax > 1L) // compaction happened at least once
+        assert(n >= kb / 2,
+          s"compacted shard $shard at budget $kb holds only $n")
+    }
+  }
 }

@@ -1190,6 +1190,76 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want.toMap, s"got ${got.size} want ${want.size}")
   }
 
+  test("streaming quantile-sketch state ≡ an independent driver-side " +
+      "fold of the even-offset insert rule across two batches (q302 " +
+      "twin): state is the bounded compactor levels, never the raw " +
+      "values, and intra-batch order is canonicalized ascending") {
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = StreamOps.quantileSketchStream(
+        input.toDF().toDF("shard", "v"), cap = 4)
+      .writeStream.format("memory").queryName("qsketchstream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-qsk").toString)
+      .start()
+    try {
+      // batch 1: shard 0 gets 1..12 (delivered DESCENDING — the
+      // canonicalization must sort them), shard 1 gets 3 values
+      input.addData(((12L to 1L by -1L).map(v => (0L, v)) ++
+        Seq((1L, 5L), (1L, 9L), (1L, 2L))): _*)
+      q.processAllAvailable()
+      // batch 2: shard 0 gets 13..20, shard 1 untouched
+      input.addData((13L to 20L).map(v => (0L, v)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest dump per shard = rows of the LAST batch that touched it
+    val emitted = spark.table("qsketchstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replay: plain-Scala fold of the same published rule
+    def fold(batches: Seq[Seq[Long]], cap: Int): Vector[Vector[Long]] = {
+      var ls = Vector.empty[Vector[Long]]
+      batches.foreach { b =>
+        b.sorted.foreach { v =>
+          ls = if (ls.isEmpty) Vector(Vector.empty[Long]) else ls
+          ls = ls.updated(0, ls(0) :+ v)
+          var l = 0
+          while (l < ls.length) {
+            if (ls(l).length > cap) {
+              val s = ls(l).sorted
+              val up = s.indices.collect {
+                case i if i % 2 == 1 => s(i) }.toVector
+              if (ls.length == l + 1) ls = ls :+ Vector.empty[Long]
+              ls = ls.updated(l, Vector.empty[Long])
+                .updated(l + 1, ls(l + 1) ++ up)
+            }
+            l += 1
+          }
+        }
+      }
+      ls
+    }
+    def dump(shard: Long, ls: Vector[Vector[Long]]) =
+      ls.zipWithIndex.flatMap { case (items, lvl) =>
+        items.sorted.zipWithIndex.map { case (v, i) =>
+          (shard, lvl.toLong, (i + 1).toLong, v) } }.toSet
+    val want0b1 = dump(0L, fold(Seq((12L to 1L by -1L).toSeq), 4))
+    val want0b2 = dump(0L, fold(
+      Seq((12L to 1L by -1L), (13L to 20L)).map(_.toSeq), 4))
+    val want1 = dump(1L, fold(Seq(Seq(5L, 9L, 2L)), 4))
+    // the memory sink in update mode accumulates BOTH of shard 0's
+    // per-batch dumps — the emitted set must be exactly their union
+    assert(emitted.filter(_._1 == 0L).toSet == (want0b1 ++ want0b2),
+      s"shard0: got ${emitted.filter(_._1 == 0L).toSeq.sorted}\n" +
+        s"want ${(want0b1 ++ want0b2).toSeq.sorted}")
+    assert(emitted.filter(_._1 == 1L).toSet == want1,
+      s"shard1: ${emitted.filter(_._1 == 1L).toSeq.sorted}")
+    // bounded-state claim: no level of any dump exceeds capacity
+    // (pos is the within-level rank of one dump — the sink holds
+    // multiple dumps per (shard, level), so bound the rank, not the
+    // accumulated row count)
+    assert(emitted.forall(_._3 <= 4L), "a level dump exceeded capacity")
+  }
+
   test("applyCdcStream seqCol resolves multi-op-per-key batches in " +
       "sequence order (U seq 1 + D seq 2 delivered REVERSED in one " +
       "batch → key deleted, both ops counted)") {
