@@ -59,6 +59,8 @@ object Memos {
       ((s, d) => { Similarity.pqShared168(s, d); () }),
     "memo:pq_res_state" ->
       ((s, d) => { Similarity.pqResShared(s, d); () }),
+    "memo:pq_ref_state" ->
+      ((s, d) => { Similarity.pqRefShared(s, d); () }),
     "memo:hybrid_fused" ->
       ((s, d) => { Similarity.hybridMultiRankings(s, d); () }),
     "memo:qsketch_state" ->

@@ -784,6 +784,7 @@ object Similarity {
     hybridFusedCache.clear()
     pqCache.clear()
     pqResCache.clear()
+    pqRefCache.clear()
   }
 
   def q246Kmeans(spark: SparkSession, dir: String): DataFrame = {
@@ -1221,6 +1222,141 @@ object Similarity {
       .toDF("qid", "rank", "neighbor", "d2")
   }
 
+  // ------------------------------------------ IVFADC+R serving replica
+
+  /** One corpus entry of the CODES-ONLY serving replica (IVFADC+R):
+    * coarse cell + m residual codes + m′ refine codes — NO raw
+    * vector, which is q303's whole point (m + m′ small integers per
+    * vector instead of 8·dims raw bytes). */
+  final case class IvfAdcRefineEntry(vecId: Long, cell: Long,
+      rcodes: Array[Long], fcodes: Array[Long]) extends Serializable
+
+  /** Driver-held IVFADC+R replica: integer coarse centroids, residual
+    * and refine codebooks (per (subspace, cell): the subDim-wide
+    * subvector), and the coded corpus. Replica arithmetic at 10⁹
+    * vectors, m = m′ = 4, kSub ≤ 256: 8 code bytes/vec ≈ 8 GB —
+    * vs ~512 GB when the exact re-rank keeps raw 64-dim vectors
+    * (ivfAdcIndexBuild's refine side-car). SCALE.md carries the
+    * bytes/vec table. */
+  final case class IvfAdcRefineIndex(subDim: Int,
+      cents: Map[Long, Array[Long]],
+      rbooks: Map[Long, Map[Long, Array[Long]]],
+      fbooks: Map[Long, Map[Long, Array[Long]]],
+      entries: Array[IvfAdcRefineEntry]) extends Serializable {
+    /** Cell-keyed posting lists (the advice-r14 discipline). */
+    @transient lazy val byCell: Map[Long, Array[IvfAdcRefineEntry]] =
+      entries.groupBy(_.cell)
+  }
+
+  /** Collect the codes-only replica off the memoized gated trainer
+    * state — bounded by index size (centroids + 2 codebooks +
+    * N·(m + m′) longs; the raw coordinate stream never leaves the
+    * cluster). */
+  def ivfAdcRefineIndexBuild(spark: SparkSession, dir: String)
+      : IvfAdcRefineIndex = {
+    val (kcent, _) = kmeansShared83(spark, dir)
+    val (_, rcent, rdist, a3f) = pqResShared(spark, dir)
+    val (_, fcent, fdist) = pqRefShared(spark, dir)
+    val cents = kcent.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (cell, rows) => cell -> rows.sortBy(_._2).map(_._3) }
+    def books(cent: DataFrame): Map[Long, Map[Long, Array[Long]]] =
+      cent.select(col("s"), col("cell"), col("dim"), col("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .groupBy(_._1)
+        .map { case (s, rows) =>
+          s -> rows.groupBy(_._2).map { case (cell, rs) =>
+            cell -> rs.sortBy(_._3).map(_._4) } }
+    def codesMap(dist: DataFrame): Map[Long, Array[Long]] =
+      pqCodes(dist).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (v, rows) => v -> rows.sortBy(_._2).map(_._3) }
+    val a3 = a3f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rc = codesMap(rdist)
+    val fc = codesMap(fdist)
+    val entries = rc.keys.toArray.sorted.map { v =>
+      IvfAdcRefineEntry(v, a3(v), rc(v), fc(v)) }
+    IvfAdcRefineIndex(16, cents, books(rcent), books(fcent), entries)
+  }
+
+  /** IVFADC+R SERVING against the codes-only replica — q303's exact
+    * semantics (probe `probes` cells under (d2, cell), residual-ADC
+    * rank under (adc_d2, vec_id), keep `shortlist`, DECODE cc+rc+fc
+    * and re-rank on the reconstruction distance under (d2r, vec_id))
+    * as ONE stateless per-row projection: the same body serves a
+    * batch frame and a query stream (zero state stores). No raw
+    * vector is ever touched — the refine stage reads only codebook
+    * lookups, so this is the serve body a replica actually sized by
+    * codes can run. StreamingSpec pins serve ≡ the gated q303 chain
+    * row for row. */
+  def ivfAdcRefineServe(queries: DataFrame, ix: IvfAdcRefineIndex,
+      probes: Int, shortlist: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (qid, emb) =>
+        val q = emb.map(x => math.floor(x * 1000.0 + 0.5).toLong)
+          .toArray
+        def d2(a: Array[Long], b: Array[Long], off: Int): Long = {
+          var d = 0L; var i = 0
+          while (i < b.length) {
+            val t = a(off + i) - b(i); d += t * t; i += 1 }
+          d
+        }
+        val probed = ix.cents.toArray
+          .map { case (cell, c) => (d2(q, c, 0), cell) }
+          .sorted.take(probes).map(_._2)
+        // residual-ADC lookup per (probed cell, subspace, rcell):
+        // Σ (q_d − cc_d − rc_d)² over the subspace — probe-bounded
+        val lut: Map[(Long, Long, Long), Long] =
+          probed.iterator.flatMap { cell =>
+            val cc = ix.cents(cell)
+            ix.rbooks.iterator.flatMap { case (s, cb) =>
+              val off = s.toInt * ix.subDim
+              cb.iterator.map { case (rcell, sub) =>
+                var d = 0L; var i = 0
+                while (i < sub.length) {
+                  val t = q(off + i) - cc(off + i) - sub(i)
+                  d += t * t; i += 1 }
+                ((cell, s, rcell), d)
+              } } }.toMap
+        val cands = probed.iterator
+          .flatMap(c => ix.byCell
+            .getOrElse(c, Array.empty[IvfAdcRefineEntry]).iterator)
+          .filter(_.vecId != qid)
+          .map { e =>
+            var adc = 0L; var s = 0
+            while (s < e.rcodes.length) {
+              adc += lut((e.cell, s.toLong, e.rcodes(s))); s += 1 }
+            (adc, e.vecId, e)
+          }.toArray.sortBy(t => (t._1, t._2)).take(shortlist)
+        cands.map { case (_, vid, e) =>
+          val cc = ix.cents(e.cell)
+          var d = 0L; var s = 0
+          while (s < e.rcodes.length) {
+            val rc = ix.rbooks(s.toLong)(e.rcodes(s))
+            val fc = ix.fbooks(s.toLong)(e.fcodes(s))
+            val off = s * ix.subDim
+            var i = 0
+            while (i < ix.subDim) {
+              val t = q(off + i) - cc(off + i) - rc(i) - fc(i)
+              d += t * t; i += 1 }
+            s += 1 }
+          (d, vid)
+        }.sorted.take(k).zipWithIndex
+          .map { case ((dd, vid), i) => (qid, (i + 1).toLong, vid, dd) }
+          .toSeq
+      }
+      .toDF("qid", "rank", "neighbor", "d2r")
+  }
+
   // ---------------------------------------------------------------- q291
 
   /** Q291: VECTOR-INDEX DELTA under CDC — the q261 postings-delta
@@ -1598,8 +1734,14 @@ object Similarity {
     * cells and an unbounded shortlist this degenerates to exact brute
     * force (every candidate survives to the exact stage) —
     * ClusteringSpec pins that identity as it does for q285. */
-  def ivfAdcResidualTopK(spark: SparkSession, dir: String, probes: Int,
-      shortlist: Int, k: Int): DataFrame = {
+  /** The shared probe → residual-ADC shortlist stage (q296, q303,
+    * q303b all rank the SAME shortlist): probe the `probes` nearest
+    * cells under (d2, cell), ADC-rank their populations on residual
+    * codes under (adc_d2, vec_id), keep `shortlist`. Returns
+    * (qid, vec_id, rk) — rk is the ADC rank, i.e. the "no re-rank"
+    * serving answer q303b's `adc` variant reads directly. */
+  private def residualShortlist(spark: SparkSession, dir: String,
+      probes: Int, shortlist: Int): DataFrame = {
     val (cent, _) = kmeansShared83(spark, dir)
     val (ex, _, _) = pqShared168(spark, dir)
     val (_, rcent, rdist, a3) = pqResShared(spark, dir)
@@ -1627,14 +1769,22 @@ object Similarity {
         * (col("xq") - col("cc") - col("rc"))).as("d2"))
     val rcodes = pqCodes(rdist).drop("d2")
       .withColumnRenamed("cell", "rcell")
-    val shl = cand.join(rcodes, "vec_id")
+    cand.join(rcodes, "vec_id")
       .join(broadcast(qlk), Seq("qid", "ivf_cell", "s", "rcell"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("d2")).as("adc_d2"))
       .withColumn("rk", row_number().over(
         wq.orderBy(col("adc_d2"), col("vec_id"))))
       .filter(col("rk") <= shortlist)
-      .select(col("qid"), col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("rk"))
+  }
+
+  def ivfAdcResidualTopK(spark: SparkSession, dir: String, probes: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    val (ex, _, _) = pqShared168(spark, dir)
+    val wq = Window.partitionBy("qid")
+    val shl = residualShortlist(spark, dir, probes, shortlist)
+      .drop("rk")
     val exq = ex.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
     shl.join(ex, "vec_id").join(broadcast(exq), Seq("qid", "dim"))
@@ -1657,6 +1807,159 @@ object Similarity {
   def q296IvfAdcResidualTopK(spark: SparkSession, dir: String)
       : DataFrame =
     ivfAdcResidualTopK(spark, dir, probes = 4, shortlist = 50, k = 10)
+
+  // ---------------------------------------------------------------- q303
+
+  private val pqRefCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
+  /** Memoized REFINE-PQ state (q303) — IVFADC+R (Jégou/Tavenard/
+    * Douze/Amsaleg, "Searching in one billion vectors: re-rank with
+    * source coding", ICASSP 2011): a SECOND codebook trained on the
+    * re-rank residual x − centroid(cell) − rdecode(rcode), i.e. on
+    * what the residual-PQ index still gets wrong.
+    * [[Clustering.pqSharedEx]] runs the identical integer trainer
+    * over that stream — the q293 discipline one level deeper. The
+    * point: with refine codes the serving replica drops the raw
+    * vectors entirely (re-rank DECODES c + rc + fc instead), so the
+    * replica holds m + m′ code bytes per vector instead of 512 raw
+    * bytes — the honest 10⁹-vector arithmetic in SCALE.md. */
+  private[graft] def pqRefShared(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    pqRefCache.getOrElseUpdate((spark, dir), {
+      val (rex, rcent, rdist, _) = pqResShared(spark, dir)
+      val rcodes = pqCodes(rdist).drop("d2")
+        .withColumnRenamed("cell", "rcell")
+      val fex = rex.join(rcodes, Seq("vec_id", "s"))
+        .join(broadcast(rcent.select(col("s"),
+          col("cell").as("rcell"), col("dim"), col("c").as("rc"))),
+          Seq("s", "rcell", "dim"))
+        .select(col("vec_id"), col("dim"), col("s"),
+          (col("x") - col("rc")).as("x"))
+        .localCheckpoint()
+      Clustering.pqSharedEx(fex, 8, 2)
+    })
+
+  /** The refine re-rank stage shared by q303 and q303b's `refine`
+    * variant: candidates DECODE to cc + rc + fc per dimension (the
+    * paper's "re-rank with source coding" — no raw vectors touched)
+    * and rank on the integer reconstruction distance to the query
+    * under (d2r, vec_id). Shortlist-sized joins throughout: the
+    * decode frame is |shortlist|·dims rows. */
+  private def refineRerank(spark: SparkSession, dir: String,
+      shl: DataFrame): DataFrame = {
+    val (cent, _) = kmeansShared83(spark, dir)
+    val (ex, _, _) = pqShared168(spark, dir)
+    val (_, rcent, rdist, a3) = pqResShared(spark, dir)
+    val (_, fcent, fdist) = pqRefShared(spark, dir)
+    val rcodes = pqCodes(rdist).drop("d2")
+      .withColumnRenamed("cell", "rcell")
+    val fcodes = pqCodes(fdist).drop("d2")
+      .withColumnRenamed("cell", "fcell")
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    shl.select(col("qid"), col("vec_id"))
+      .join(a3.withColumnRenamed("cell", "ivf_cell"), "vec_id")
+      .join(rcodes, "vec_id")
+      .join(fcodes, Seq("vec_id", "s"))
+      .join(broadcast(rcent.select(col("s"), col("cell").as("rcell"),
+        col("dim"), col("c").as("rc"))), Seq("s", "rcell"))
+      .join(broadcast(fcent.select(col("s"), col("cell").as("fcell"),
+        col("dim"), col("c").as("fc"))), Seq("s", "fcell", "dim"))
+      .join(broadcast(cent.select(col("cell").as("ivf_cell"),
+        col("dim"), col("c").as("cc"))), Seq("ivf_cell", "dim"))
+      .join(broadcast(exq), Seq("qid", "dim"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("xq") - col("cc") - col("rc") - col("fc"))
+        * (col("xq") - col("cc") - col("rc") - col("fc"))).as("d2r"))
+  }
+
+  /** IVFADC+R serving pipeline, parameterized: probe → residual-ADC
+    * shortlist → REFINE-CODE re-rank → top k. With probes = all
+    * cells and an unbounded shortlist the output ≡ ranking EVERY
+    * vector by its refined reconstruction distance (the pipeline adds
+    * no error beyond the source coding itself) — pinned in
+    * ClusteringSpec, the q285/q296 identity adapted to the decoded
+    * re-rank. */
+  def ivfAdcRefineTopK(spark: SparkSession, dir: String, probes: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    val wq = Window.partitionBy("qid")
+    val shl = residualShortlist(spark, dir, probes, shortlist)
+    refineRerank(spark, dir, shl)
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("d2r"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), col("d2r"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Q303: the COMPLETE IVFADC+R pipeline at the graded serving
+    * config (probe 4, shortlist 50, refine re-rank to top-10) —
+    * q296's chain with the exact re-rank replaced by the refine-code
+    * decode, i.e. the variant whose serving replica holds ONLY codes
+    * (SCALE.md's replica-arithmetic fix, round-14 verdict item 2). */
+  def q303IvfAdcRefineTopK(spark: SparkSession, dir: String)
+      : DataFrame =
+    ivfAdcRefineTopK(spark, dir, probes = 4, shortlist = 50, k = 10)
+
+  /** Q303b: RE-RANK VARIANT RECALL CENSUS at the graded config — over
+    * the SAME probe-4/shortlist-50 candidates, recall@10 vs the brute
+    * exact top-10 for the three serving finales a deployment chooses
+    * between: `adc` (no re-rank: ship the ADC order — zero extra
+    * bytes), `refine` (decode c+rc+fc — m′ extra code bytes/vec),
+    * `exact` (raw-vector re-rank — 8·dims bytes/vec, q296's finale).
+    * The measured column prices the replica-size ladder (the q293b
+    * discipline): what the refine codes buy over raw ADC and what
+    * dropping the raw vectors costs vs exact. */
+  def q303bIvfAdcRefineRecall(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (ex, _, _) = pqShared168(spark, dir)
+    val wq = Window.partitionBy("qid")
+    val shl = residualShortlist(spark, dir, probes = 4, shortlist = 50)
+      .localCheckpoint() // three variants rank the same shortlist
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    // brute exact top-10 baseline (the q293b/q283 ground truth)
+    val br = ex.join(broadcast(exq), "dim")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("d2"))
+      .withColumn("rnk", row_number().over(
+        wq.orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint() // one baseline, three variant joins
+    val vAdc = shl.filter(col("rk") <= 10)
+      .select(lit("adc").as("variant"), col("qid"), col("vec_id"))
+    val vRef = refineRerank(spark, dir, shl)
+      .withColumn("rk", row_number().over(
+        wq.orderBy(col("d2r"), col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(lit("refine").as("variant"), col("qid"), col("vec_id"))
+    val vExa = shl.select(col("qid"), col("vec_id"))
+      .join(ex, "vec_id").join(broadcast(exq), Seq("qid", "dim"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("d2"))
+      .withColumn("rk", row_number().over(
+        wq.orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(lit("exact").as("variant"), col("qid"), col("vec_id"))
+    import spark.implicits._
+    val picks = vAdc.unionByName(vRef).unionByName(vExa)
+      .withColumn("f", lit(1L))
+    br.crossJoin(broadcast(
+        Seq("adc", "refine", "exact").toDF("variant")))
+      .join(picks, Seq("variant", "qid", "vec_id"), "left")
+      .groupBy("variant", "qid")
+      .agg(count(lit(1)).as("n_brute"), count(col("f")).as("n_found"))
+      .select(col("variant"), col("qid"), col("n_brute"),
+        col("n_found"),
+        expr("(n_found * 1000000) div n_brute").as("recall_ppm"))
+      .orderBy("variant", "qid")
+  }
 
   // ---------------------------------------------------------------- q284
 
@@ -2158,6 +2461,8 @@ object Similarity {
     "q293_pq_residual_train" -> (q293PqResidualTrain _),
     "q293b_pq_residual_recall" -> (q293bPqResidualRecall _),
     "q296_ivfadc_residual_topk" -> (q296IvfAdcResidualTopK _),
+    "q303_ivfadc_refine_topk" -> (q303IvfAdcRefineTopK _),
+    "q303b_ivfadc_refine_recall" -> (q303bIvfAdcRefineRecall _),
     "q298_scalar_quant_recall" -> (q298ScalarQuantRecall _),
     "q299_mmr_rerank" -> (q299MmrRerank _),
     "q300_cluster_labels" -> (q300ClusterLabels _),
@@ -2346,6 +2651,93 @@ object Similarity {
         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
         |        ORDER BY d2, cell) AS rk
         |    FROM rdf) t WHERE rk = 1)""".stripMargin
+
+  /** The q296/q303/q303b SHARED serving CTEs (probe 4 under
+    * (d2, cell) via dqr, candidates via a3r, residual query lookup
+    * per (probed cell, subspace, residual cell), residual ADC,
+    * shortlist 50 under (adc_d2, vec_id) — shr KEEPS the ADC rank rk
+    * so q303b's no-re-rank variant can read it). One renderer, three
+    * consumers. */
+  private val residServeCtes: String =
+    """qpr AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT vec_id AS qid, cell, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dqr WHERE vec_id < 5) t WHERE rn <= 4),
+      |cndr AS (
+      |  SELECT qpr.qid, a3r.vec_id, a3r.cell AS ivf_cell
+      |  FROM qpr JOIN a3r USING (cell)
+      |  WHERE a3r.vec_id <> qpr.qid),
+      |qlkq AS (
+      |  SELECT q.vec_id AS qid, c.cell AS ivf_cell, q.s,
+      |    rc.cell AS rcell,
+      |    CAST(SUM((q.x - c.c - rc.c) * (q.x - c.c - rc.c))
+      |      AS BIGINT) AS d2
+      |  FROM pex q JOIN c3 c ON c.dim = q.dim
+      |  JOIN rpc2 rc ON rc.dim = q.dim
+      |  WHERE q.vec_id < 5
+      |  GROUP BY q.vec_id, c.cell, q.s, rc.cell),
+      |radr AS (
+      |  SELECT c.qid, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+      |  FROM cndr c JOIN rcodes k ON k.vec_id = c.vec_id
+      |  JOIN qlkq l ON l.qid = c.qid AND l.ivf_cell = c.ivf_cell
+      |    AND l.s = k.s AND l.rcell = k.cell
+      |  GROUP BY c.qid, c.vec_id),
+      |shr AS MATERIALIZED (
+      |  SELECT qid, vec_id, rk FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY adc_d2, vec_id) AS rk
+      |    FROM radr) t WHERE rk <= 50)""".stripMargin
+
+  /** The q303 refine chain, appended after the residual chain (the
+    * q293 naming discipline one level deeper): fex = rex −
+    * rdecode(rcodes), seeds fpc0 (vec_id < 8), 2 trainer rounds
+    * (fpd/fpa/fpc over fex via the ONE pqRoundCteOn renderer), final
+    * distances fdf, codes fcodes. */
+  private val pqRefineCtes: String =
+    """fex AS MATERIALIZED (
+      |  SELECT r.vec_id, r.dim, r.s, r.x - c.c AS x
+      |  FROM rex r JOIN rcodes k ON k.vec_id = r.vec_id
+      |    AND k.s = r.s
+      |  JOIN rpc2 c ON c.s = k.s AND c.cell = k.cell
+      |    AND c.dim = r.dim),
+      |fpc0 AS MATERIALIZED (
+      |  SELECT s, vec_id AS cell, dim, x AS c FROM fex
+      |  WHERE vec_id < 8)""".stripMargin +
+      (0 until 2).map(pqRoundCteOn(_, "fex", "fp"))
+        .mkString(",\n", ",\n", "") +
+      """,
+        |fdf AS MATERIALIZED (
+        |  SELECT e.vec_id, e.s, c.cell,
+        |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+        |  FROM fex e JOIN fpc2 c ON e.dim = c.dim
+        |  GROUP BY e.vec_id, e.s, c.cell),
+        |fcodes AS MATERIALIZED (
+        |  SELECT vec_id, s, cell, d2 FROM (
+        |    SELECT vec_id, s, cell, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, cell) AS rk
+        |    FROM fdf) t WHERE rk = 1)""".stripMargin
+
+  /** The refine-decode re-rank CTE (q303 finale, q303b's `refine`
+    * variant): every shortlist candidate decodes to cc + rc + fc per
+    * dimension and scores the integer reconstruction distance to the
+    * query. */
+  private val recfCte: String =
+    """recf AS MATERIALIZED (
+      |  SELECT s.qid, s.vec_id,
+      |    CAST(SUM((q.x - cc.c - rc.c - fc.c)
+      |      * (q.x - cc.c - rc.c - fc.c)) AS BIGINT) AS d2r
+      |  FROM shr s
+      |  JOIN a3r a ON a.vec_id = s.vec_id
+      |  JOIN rcodes k ON k.vec_id = s.vec_id
+      |  JOIN fcodes f ON f.vec_id = s.vec_id AND f.s = k.s
+      |  JOIN rpc2 rc ON rc.s = k.s AND rc.cell = k.cell
+      |  JOIN fpc2 fc ON fc.s = f.s AND fc.cell = f.cell
+      |    AND fc.dim = rc.dim
+      |  JOIN c3 cc ON cc.cell = a.cell AND cc.dim = rc.dim
+      |  JOIN pex q ON q.vec_id = s.qid AND q.dim = rc.dim
+      |  GROUP BY s.qid, s.vec_id)""".stripMargin
 
   /** One MMR greedy round as DuckDB CTEs (q299): max-sim of each
     * unselected candidate to the selected set, score, argmax under
@@ -2846,36 +3238,8 @@ object Similarity {
     // lookup per (probed cell, subspace, residual cell), shortlist 50
     // under (adc_d2, vec_id), exact top-10 under (d2, vec_id).
     "q296_ivfadc_residual_topk" -> (kmeansCtes + ",\n" +
-      pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + """,
-      |qpr AS (
-      |  SELECT qid, cell FROM (
-      |    SELECT vec_id AS qid, cell, ROW_NUMBER() OVER (
-      |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
-      |    FROM dqr WHERE vec_id < 5) t WHERE rn <= 4),
-      |cndr AS (
-      |  SELECT qpr.qid, a3r.vec_id, a3r.cell AS ivf_cell
-      |  FROM qpr JOIN a3r USING (cell)
-      |  WHERE a3r.vec_id <> qpr.qid),
-      |qlkq AS (
-      |  SELECT q.vec_id AS qid, c.cell AS ivf_cell, q.s,
-      |    rc.cell AS rcell,
-      |    CAST(SUM((q.x - c.c - rc.c) * (q.x - c.c - rc.c))
-      |      AS BIGINT) AS d2
-      |  FROM pex q JOIN c3 c ON c.dim = q.dim
-      |  JOIN rpc2 rc ON rc.dim = q.dim
-      |  WHERE q.vec_id < 5
-      |  GROUP BY q.vec_id, c.cell, q.s, rc.cell),
-      |radr AS (
-      |  SELECT c.qid, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
-      |  FROM cndr c JOIN rcodes k ON k.vec_id = c.vec_id
-      |  JOIN qlkq l ON l.qid = c.qid AND l.ivf_cell = c.ivf_cell
-      |    AND l.s = k.s AND l.rcell = k.cell
-      |  GROUP BY c.qid, c.vec_id),
-      |shr AS (
-      |  SELECT qid, vec_id FROM (
-      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
-      |      PARTITION BY qid ORDER BY adc_d2, vec_id) AS rk
-      |    FROM radr) t WHERE rk <= 50),
+      pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + ",\n" +
+      residServeCtes + """,
       |rrr AS (
       |  SELECT s.qid, s.vec_id,
       |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
@@ -2888,6 +3252,69 @@ object Similarity {
       |      AS rank
       |  FROM rrr) t WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin),
+    // q303: the same stack + the refine chain; the finale DECODES
+    // cc + rc + fc per dimension and ranks the shortlist on the
+    // reconstruction distance (the ONE recfCte renderer, shared with
+    // q303b's refine variant).
+    "q303_ivfadc_refine_topk" -> (kmeansCtes + ",\n" +
+      pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + ",\n" +
+      pqRefineCtes + ",\n" + residServeCtes + ",\n" + recfCte + """
+      |SELECT qid, rank, neighbor, d2r FROM (
+      |  SELECT qid, vec_id AS neighbor, d2r,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2r, vec_id)
+      |      AS rank
+      |  FROM recf) t WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin),
+    // q303b: same stack; three finales over the ONE shortlist (adc =
+    // the shr ranks themselves, refine = recf, exact = rrr), each
+    // cut to 10, recall vs the brute exact top-10.
+    "q303b_ivfadc_refine_recall" -> (kmeansCtes + ",\n" +
+      pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + ",\n" +
+      pqRefineCtes + ",\n" + residServeCtes + ",\n" + recfCte + """,
+      |rrr AS (
+      |  SELECT s.qid, s.vec_id,
+      |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
+      |  FROM shr s JOIN pex e ON e.vec_id = s.vec_id
+      |  JOIN pex q ON q.vec_id = s.qid AND q.dim = e.dim
+      |  GROUP BY s.qid, s.vec_id),
+      |bdp AS (
+      |  SELECT q.vec_id AS qid, e.vec_id,
+      |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
+      |  FROM pex e JOIN (SELECT vec_id, dim, x FROM pex
+      |                   WHERE vec_id < 5) q ON e.dim = q.dim
+      |  WHERE e.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, e.vec_id),
+      |brt AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY d2, vec_id) AS rnk
+      |    FROM bdp) t WHERE rnk <= 10),
+      |pk AS (
+      |  SELECT 'adc' AS variant, qid, vec_id FROM shr WHERE rk <= 10
+      |  UNION ALL
+      |  SELECT 'refine' AS variant, qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY d2r, vec_id) AS rk
+      |    FROM recf) t WHERE rk <= 10
+      |  UNION ALL
+      |  SELECT 'exact' AS variant, qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY d2, vec_id) AS rk
+      |    FROM rrr) t WHERE rk <= 10),
+      |brv AS (
+      |  SELECT v.variant, b.qid, b.vec_id
+      |  FROM (VALUES ('adc'), ('refine'), ('exact')) v(variant)
+      |  CROSS JOIN brt b),
+      |mv AS (
+      |  SELECT b.variant, b.qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+      |    CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_found
+      |  FROM brv b LEFT JOIN pk p ON p.variant = b.variant
+      |    AND p.qid = b.qid AND p.vec_id = b.vec_id
+      |  GROUP BY b.variant, b.qid)
+      |SELECT variant, qid, n_brute, n_found,
+      |  (n_found * 1000000) // n_brute AS recall_ppm
+      |FROM mv ORDER BY variant, qid""".stripMargin),
     // q300: the q246 trainer chain's final assignment (a2) joined to
     // documents on doc_id = vec_id, then the q177 TF-IDF recipe at
     // the (cell, term) grain; top-3 per cell under (score, term).

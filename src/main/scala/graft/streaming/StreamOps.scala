@@ -845,6 +845,18 @@ object StreamOps {
     graft.operators.Similarity.ivfAdcServe(queries, ix, probes,
       shortlist, k)
 
+  /** STREAMING IVFADC+R SERVE (q303's twin): the codes-only replica
+    * serve body over a query stream — same stateless contract as
+    * [[ivfAdcServeStream]], but the replica holds NO raw vectors
+    * (refine re-rank decodes cc + rc + fc), so the deployable
+    * replica is sized by codes alone. StreamingSpec pins serve ≡ the
+    * gated q303 chain row for row. */
+  def ivfAdcRefineServeStream(queries: DataFrame,
+      ix: graft.operators.Similarity.IvfAdcRefineIndex,
+      probes: Int = 4, shortlist: Int = 50, k: Int = 10): DataFrame =
+    graft.operators.Similarity.ivfAdcRefineServe(queries, ix, probes,
+      shortlist, k)
+
   /** STREAMING CORPUS PREP — the q63 chain as a continuous pipeline
     * (documents arrive as a stream; the benchmark/eval corpus is a
     * static table):

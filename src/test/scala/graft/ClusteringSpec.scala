@@ -232,6 +232,81 @@ class ClusteringSpec extends SparkSpecBase {
     assert(res == raw && res.size == 50, s"${res.size}")
   }
 
+  test("ivfAdcRefineTopK with all cells probed and an unbounded " +
+      "shortlist ≡ ranking EVERY vector by the refine-decoded " +
+      "reconstruction distance — INDEPENDENT spec-side decode off the " +
+      "state frames (the probe/shortlist stages add no error beyond " +
+      "the source coding itself, q303's identity)") {
+    import org.apache.spark.sql.expressions.Window
+    val served = Similarity.ivfAdcRefineTopK(spark, sf, probes = 8,
+        shortlist = Int.MaxValue, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // independent decode: argmin codes re-derived from the dist
+    // frames by the documented (d2, cell) rule, centroids from the
+    // GATED q246 output, query coords straight off the parquet
+    val (_, rcent, rdist, a3) = Similarity.pqResShared(spark, sf)
+    val (_, fcent, fdist) = Similarity.pqRefShared(spark, sf)
+    val cent = Similarity.queries("q246_kmeans")(spark, sf)
+      .select(col("cell").as("kc"), col("dim"), col("c_e3").as("cc"))
+    def codesOf(dist: org.apache.spark.sql.DataFrame, name: String) = {
+      val w = Window.partitionBy("vec_id", "s")
+        .orderBy(col("d2"), col("cell"))
+      dist.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("s"), col("cell").as(name))
+    }
+    val recon = a3.withColumnRenamed("cell", "kc")
+      .join(codesOf(rdist, "rcell"), "vec_id")
+      .join(codesOf(fdist, "fcell"), Seq("vec_id", "s"))
+      .join(rcent.select(col("s"), col("cell").as("rcell"),
+        col("dim"), col("c").as("rc")), Seq("s", "rcell"))
+      .join(fcent.select(col("s"), col("cell").as("fcell"),
+        col("dim"), col("c").as("fc")), Seq("s", "fcell", "dim"))
+      .join(cent, Seq("kc", "dim"))
+      .select(col("vec_id"), col("dim"),
+        (col("cc") + col("rc") + col("fc")).as("rec"))
+    val q = load(spark, sf, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("d0", "xd")))
+      .select(col("qid"), (col("d0") + 1).cast("long").as("dim"),
+        floor(col("xd") * lit(1000.0) + lit(0.5)).cast("long")
+          .as("xq"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("d2r"), col("vec_id"))
+    val brute = recon.join(q, "dim")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("xq") - col("rec")) * (col("xq") - col("rec")))
+        .as("d2r"))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1),
+        r.getLong(2))).toSet
+    assert(served == brute && served.size == 50, s"${served.size}")
+  }
+
+  test("q303b emits all three re-rank variants over the same 10-row " +
+      "brute baseline, and the measured replica-size ladder holds on " +
+      "this fixture: mean recall adc ≤ refine ≤ exact (what the " +
+      "refine codes buy, what dropping raw vectors costs)") {
+    val rows = Similarity.queries("q303b_ivfadc_refine_recall")(
+        spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSet == Set("adc", "refine", "exact"))
+    assert(Seq("adc", "refine", "exact")
+      .forall(v => rows.count(_._1 == v) == 5))
+    assert(rows.forall(_._3 == 10L))
+    def mean(v: String) =
+      rows.filter(_._1 == v).map(_._4).sum / 5
+    assert(mean("adc") <= mean("refine")
+      && mean("refine") <= mean("exact"),
+      s"ladder: adc ${mean("adc")} refine ${mean("refine")} " +
+        s"exact ${mean("exact")}")
+  }
+
   test("q284 dims=64 anchor row is structural recall 1.0 (the " +
       "truncated ranking at full width IS the baseline ranking)") {
     val rows = Similarity.queries("q284_dim_trunc_recall")(spark, sf)

@@ -362,6 +362,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.length == 60 && rows.count(_._1 == 2L) == 20)
   }
 
+  test("streaming IVFADC+R serve ≡ the gated q303 chain row for row " +
+      "(q303 twin: CODES-ONLY replica — no raw vectors anywhere in " +
+      "the serve path — stateless, overlapping batch re-serves " +
+      "identically)") {
+    import graft.operators.Similarity
+    val ix = Similarity.ivfAdcRefineIndexBuild(spark, sf)
+    val gated = Similarity.queries("q303_ivfadc_refine_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val qvecs = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect()
+      .map(r => SVec(r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[SVec](spark)
+    val df = StreamOps.ivfAdcRefineServeStream(input.toDF(), ix)
+    val q = df.writeStream.format("memory").queryName("ivfrefserve")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-ivfrefserve").toString)
+      .start()
+    try {
+      input.addData(qvecs.take(3): _*); q.processAllAvailable()
+      input.addData(qvecs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ivfrefserve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == gated,
+      s"serve rows ${rows.toSet.size} != gated ${gated.size}")
+    assert(rows.length == 60 && rows.count(_._1 == 2L) == 20)
+  }
+
   test("ivfAdcServe tie rule: equal-distance candidates break by " +
       "vec_id at every stage (the (d2, vec_id) total order)") {
     import graft.operators.Similarity
