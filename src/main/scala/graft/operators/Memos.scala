@@ -64,5 +64,7 @@ object Memos {
     "memo:hybrid_fused" ->
       ((s, d) => { Similarity.hybridMultiRankings(s, d); () }),
     "memo:qsketch_state" ->
-      ((s, d) => { Percentiles.qsketchState(s, d); () }))
+      ((s, d) => { Percentiles.qsketchState(s, d); () }),
+    "memo:unigram_state" ->
+      ((s, d) => { TextOps.uniState(s, d); () }))
 }

@@ -421,6 +421,7 @@ object TextOps {
   private[operators] def clearMemos(): Unit = {
     fuzzyPairsCache.clear()
     bpeStateCache.clear()
+    uniCache.clear()
   }
 
   def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
@@ -1283,6 +1284,143 @@ object TextOps {
       .orderBy("merge_round")
   }
 
+  // ---------------------------------------------------------------- q304
+
+  private val uniCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** UNIGRAM-LM TOKENIZER core (q304) — the SentencePiece-family
+    * segmenter beside BPE (Kudo 2018, public): segment each word into
+    * vocabulary pieces by Viterbi dynamic programming. The gateable
+    * integer surrogate (the q229/q246 discipline):
+    *
+    *  - vocabulary = every single code point of the corpus (coverage,
+    *    so every word is segmentable) ∪ the top-500 multi-code-point
+    *    substrings (length ≤ 6) by corpus occurrence weight, ranked
+    *    under the (freq desc, piece) total order;
+    *  - piece score = its corpus frequency; the Viterbi objective is
+    *    LEXICOGRAPHIC (fewest pieces, then highest total frequency) —
+    *    an integer max-plus DP whose optimum value is unique, so the
+    *    readout gates without a segmentation tie rule;
+    *  - the DP runs as FIXED-ROUND Bellman–Ford relaxation: state(j) =
+    *    best (n, Σfreq) of any prefix segmentation ending at position
+    *    j; 16 rounds cover any word of the declared ≤ 16-code-point
+    *    scope (a path has at most len edges). Each round is the
+    *    carry ∪ relax union ranked per (word, j) under
+    *    (n asc, fs desc) — replayed in DuckDB as 16 MATERIALIZED
+    *    round CTEs (the q131/q229 discipline).
+    *
+    * Input: any docs frame with a `text` column. Output: one row per
+    * eligible distinct word — (w, c, len, n, fs). Scale: everything
+    * after the word count is VOCAB-sized (distinct words × ≤ 96
+    * substring positions); the rank window is vocab-sized, documented
+    * like q59's. */
+  private[graft] def uniStateOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val uwd = wc.withColumn("len", length(col("w")).cast("long"))
+      .filter(col("len").between(1, 16))
+      .localCheckpoint() // feeds ugen, the DP seed, and the finale
+    val ugen = uwd
+      .select(col("w"), col("c"), col("len"),
+        posexplode(expr("sequence(1, CAST(len AS INT))"))
+          .as(Seq("p0", "i")))
+      .select(col("w"), col("c"), col("len"),
+        col("i").cast("long").as("i"),
+        explode(expr("sequence(1, 6)")).as("l0"))
+      .select(col("w"), col("c"), col("len"), col("i"),
+        col("l0").cast("long").as("l"))
+      .filter(col("i") + col("l") - 1 <= col("len"))
+      .withColumn("piece",
+        expr("substring(w, CAST(i AS INT), CAST(l AS INT))"))
+      .localCheckpoint() // feeds the freq rollup AND the edge join
+    val ufrq = ugen.groupBy("piece").agg(sum(col("c")).as("freq"))
+      .localCheckpoint() // singles + ranked multi both read it
+    val wr = Window.orderBy(col("freq").desc, col("piece"))
+    val uvoc = ufrq.filter(length(col("piece")) === 1)
+      .unionByName(ufrq.filter(length(col("piece")) >= 2)
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= 500).drop("rk"))
+    val uedge = ugen.join(uvoc, "piece")
+      .select(col("w"), (col("i") - 1).as("i0"),
+        (col("i") - 1 + col("l")).as("nj"), col("freq"))
+      .localCheckpoint()
+    var st = uwd.select(col("w"), lit(0L).as("j"), lit(0L).as("n"),
+      lit(0L).as("fs"))
+    val wjs = Window.partitionBy("w", "j")
+      .orderBy(col("n"), col("fs").desc)
+    for (_ <- 0 until 16) {
+      val relaxed = st.alias("s")
+        .join(uedge.alias("e"),
+          col("s.w") === col("e.w") && col("s.j") === col("e.i0"))
+        .select(col("s.w").as("w"), col("e.nj").as("j"),
+          (col("s.n") + 1).as("n"),
+          (col("s.fs") + col("e.freq")).as("fs"))
+      st = st.unionByName(relaxed)
+        .withColumn("rk", row_number().over(wjs))
+        .filter(col("rk") === 1).drop("rk")
+        .localCheckpoint() // the iterative-loop rule
+    }
+    st.join(uwd.select(col("w"), col("c"), col("len")), "w")
+      .filter(col("j") === col("len"))
+      .select(col("w"), col("c"), col("len"), col("n"), col("fs"))
+      .localCheckpoint()
+  }
+
+  /** Memoized unigram segmentation state over the corpus (q304 +
+    * q304b share one DP run — `memo:unigram_state`). */
+  private[graft] def uniState(spark: SparkSession, dir: String)
+      : DataFrame =
+    uniCache.getOrElseUpdate((spark, dir),
+      uniStateOf(load(spark, dir, "documents")))
+
+  /** Q304: UNIGRAM-LM ENCODE CENSUS — per word length: distinct
+    * words, corpus occurrences, corpus pieces, and fertility (pieces
+    * per token, e3). The "what does segmentation cost by word shape"
+    * readout; with q231/q241 (BPE by source / by lang) this completes
+    * the two production tokenizer families, both gated. */
+  def q304UnigramEncode(spark: SparkSession, dir: String): DataFrame =
+    uniState(spark, dir)
+      .groupBy("len")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("c")).as("n_tokens_corpus"),
+        sum(col("c") * col("n")).as("n_pieces_corpus"))
+      .select(col("len"), col("n_words"), col("n_tokens_corpus"),
+        col("n_pieces_corpus"),
+        expr("(n_pieces_corpus * 1000) div n_tokens_corpus")
+          .as("fertility_e3"))
+      .orderBy("len")
+
+  /** Q304b: TOKENIZER COMPARISON — BPE (the q229-trained 6-merge
+    * state) vs unigram-LM over the SAME eligible word population
+    * (1 ≤ len ≤ 16), corpus-weighted: total words, total pieces,
+    * tokens-per-word (e3). The "which tokenizer for this corpus"
+    * table a vocab decision reads — both columns are gated state, so
+    * the comparison itself gates. */
+  def q304bTokenizerCompare(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ufin = uniState(spark, dir)
+    val (_, finalSyms, _) = bpeState6(spark, dir)
+    val symCounts = finalSyms.groupBy("w")
+      .agg(count(lit(1)).as("n_syms"))
+    val bpe = ufin.join(symCounts, "w")
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_syms")).as("n_pieces"))
+      .select(lit("bpe").as("tokenizer"), col("n_words"),
+        col("n_pieces"))
+    val uni = ufin
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n")).as("n_pieces"))
+      .select(lit("unigram").as("tokenizer"), col("n_words"),
+        col("n_pieces"))
+    bpe.unionByName(uni)
+      .select(col("tokenizer"), col("n_words"), col("n_pieces"),
+        expr("(n_pieces * 1000) div n_words").as("tokens_per_word_e3"))
+      .orderBy("tokenizer")
+  }
+
   // ---------------------------------------------------------------- q147
 
   /** Q147: INVERTED INDEX construction — per token: document
@@ -2029,6 +2167,8 @@ object TextOps {
     "q231_bpe_encode" -> (q231BpeEncode _),
     "q238_bpe_curve" -> (q238BpeCurve _),
     "q241_fertility" -> (q241Fertility _),
+    "q304_unigram_encode" -> (q304UnigramEncode _),
+    "q304b_tokenizer_compare" -> (q304bTokenizerCompare _),
     "q147_inverted_index" -> (q147InvertedIndex _),
     "q149_bigram_surprisal" -> (q149BigramSurprisal _),
     "q31a_text_lang" -> (q31Lang _),
@@ -2493,7 +2633,101 @@ object TextOps {
       |       ELSE 0 END AS compression_ppm
       |FROM agg ORDER BY source""".stripMargin
 
+  /** One unigram Bellman–Ford round as DuckDB CTEs (q304): carry ∪
+    * relax, ranked per (word, position) under (n asc, fs desc); each
+    * round references its predecessor twice — MATERIALIZED (the q131
+    * inlining lesson). */
+  private def uniRoundCte(r: Int): String =
+    s"""ust$r AS MATERIALIZED (
+       |  SELECT w, j, n, fs FROM (
+       |    SELECT w, j, n, fs, ROW_NUMBER() OVER (
+       |      PARTITION BY w, j ORDER BY n, fs DESC) AS rk
+       |    FROM (
+       |      SELECT w, j, n, fs FROM ust${r - 1}
+       |      UNION ALL
+       |      SELECT e.w, e.nj AS j, s.n + 1 AS n, s.fs + e.freq AS fs
+       |      FROM ust${r - 1} s JOIN uedge e ON e.w = s.w
+       |        AND e.i0 = s.j) u) t
+       |  WHERE rk = 1)""".stripMargin
+
+  /** The shared unigram chain (word filter → substring generation →
+    * freq rollup → vocab (singles ∪ top-500 under (freq desc,
+    * piece)) → edges → 16 DP rounds → ufin) over a `wc` (w, c)
+    * word-count CTE the composer supplies — q304 prepends its own,
+    * q304b reuses the BPE head's. ONE renderer. */
+  private val uniCtes: String =
+    """uwd AS MATERIALIZED (
+      |  SELECT w, c, CAST(length(w) AS BIGINT) AS len FROM wc
+      |  WHERE length(w) BETWEEN 1 AND 16),
+      |ugen AS MATERIALIZED (
+      |  SELECT w, c, len, CAST(i AS BIGINT) AS i,
+      |    CAST(l AS BIGINT) AS l,
+      |    substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+      |  FROM (SELECT w, c, len,
+      |          unnest(generate_series(1, CAST(len AS INTEGER))) AS i
+      |        FROM uwd) t,
+      |       (SELECT unnest(generate_series(1, 6)) AS l) ls
+      |  WHERE i + l - 1 <= len),
+      |ufrq AS MATERIALIZED (
+      |  SELECT piece, CAST(SUM(c) AS BIGINT) AS freq
+      |  FROM ugen GROUP BY piece),
+      |uvoc AS MATERIALIZED (
+      |  SELECT piece, freq FROM ufrq WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, freq FROM (
+      |    SELECT piece, freq, ROW_NUMBER() OVER (
+      |      ORDER BY freq DESC, piece) AS rk
+      |    FROM ufrq WHERE length(piece) >= 2) t
+      |  WHERE rk <= 500),
+      |uedge AS MATERIALIZED (
+      |  SELECT g.w, g.i - 1 AS i0, g.i - 1 + g.l AS nj, v.freq
+      |  FROM ugen g JOIN uvoc v USING (piece)),
+      |ust0 AS MATERIALIZED (
+      |  SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS n,
+      |    CAST(0 AS BIGINT) AS fs
+      |  FROM uwd)""".stripMargin +
+      (1 to 16).map(uniRoundCte).mkString(",\n", ",\n", "") +
+      """,
+        |ufin AS MATERIALIZED (
+        |  SELECT s.w, d.c, d.len, s.n, s.fs
+        |  FROM ust16 s JOIN uwd d ON d.w = s.w AND d.len = s.j)"""
+        .stripMargin
+
   val oracle: Map[String, String] = Map(
+    // q304/q304b: the ONE uniCtes chain; q304 prepends its own word
+    // count, q304b composes after the full BPE chain (s6) so both
+    // tokenizers read the same corpus words.
+    "q304_unigram_encode" ->
+      ("""WITH wc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY w),
+        |""".stripMargin + uniCtes + """
+        |SELECT len, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens_corpus,
+        |  CAST(SUM(c * n) AS BIGINT) AS n_pieces_corpus,
+        |  (CAST(SUM(c * n) AS BIGINT) * 1000)
+        |    // CAST(SUM(c) AS BIGINT) AS fertility_e3
+        |FROM ufin GROUP BY len ORDER BY len""".stripMargin),
+    "q304b_tokenizer_compare" ->
+      (bpeCtes(6) + """,
+        |wsum AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_syms
+        |         FROM s6 GROUP BY w),
+        |""".stripMargin + uniCtes + """,
+        |cmp AS (
+        |  SELECT 'bpe' AS tokenizer,
+        |    CAST(SUM(u.c) AS BIGINT) AS n_words,
+        |    CAST(SUM(u.c * ws.n_syms) AS BIGINT) AS n_pieces
+        |  FROM ufin u JOIN wsum ws ON ws.w = u.w
+        |  UNION ALL
+        |  SELECT 'unigram' AS tokenizer,
+        |    CAST(SUM(c) AS BIGINT) AS n_words,
+        |    CAST(SUM(c * n) AS BIGINT) AS n_pieces
+        |  FROM ufin)
+        |SELECT tokenizer, n_words, n_pieces,
+        |  (n_pieces * 1000) // n_words AS tokens_per_word_e3
+        |FROM cmp ORDER BY tokenizer""".stripMargin),
     // q226: same (count desc, token asc) rank, same running sum,
     // same power-of-two budget filter, floor-ppm (all BIGINT).
     "q226_head_coverage" ->

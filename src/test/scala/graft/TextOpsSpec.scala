@@ -585,4 +585,61 @@ class TextOpsSpec extends SparkSpecBase {
       case _ => ()
     }
   }
+
+  // ------------------------------------- q304 unigram-LM tokenizer
+
+  test("uniStateOf ≡ an INDEPENDENT brute-force Viterbi replay on a " +
+      "planted corpus: vocab re-derived by plain-Scala counting, " +
+      "every segmentation enumerated, lexicographic (fewest pieces, " +
+      "max Σfreq) optimum compared word by word") {
+    import spark.implicits._
+    val texts = Seq(
+      "ababab cd ababab", "abab cd xyz", "ababab q",
+      "cdcd abab xyz", "z ababab")
+    val docs = texts.toDF("text")
+    val got = TextOps.uniStateOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // independent replay ---------------------------------------
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+    val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val eligible = wc.keys.filter(w => w.length >= 1 && w.length <= 16)
+    // piece frequencies: every substring of length 1..6, weighted
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wc; i <- 0 until w.length;
+        l <- 1 to math.min(6, w.length - i))
+      freq(w.substring(i, i + l)) =
+        freq.getOrElse(w.substring(i, i + l), 0L) + c
+    val singles = freq.filter(_._1.length == 1)
+    val multi = freq.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(500)
+    val vocab = (singles ++ multi).toMap
+    def best(w: String): (Long, Long) = {
+      // enumerate all segmentations (planted words are short)
+      def go(i: Int): Seq[(Long, Long)] =
+        if (i == w.length) Seq((0L, 0L))
+        else (1 to math.min(6, w.length - i)).flatMap { l =>
+          val p = w.substring(i, i + l)
+          vocab.get(p).toSeq.flatMap { f =>
+            go(i + l).map { case (n, fs) => (n + 1, fs + f) } }
+        }
+      go(0).minBy { case (n, fs) => (n, -fs) }
+    }
+    val want = eligible.map(w => w -> best(w)).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // and the structural bounds: 1 ≤ n ≤ len (single-char coverage
+    // guarantees reachability), n ≥ ceil(len/6)
+    got.foreach { case (w, (n, _)) =>
+      assert(n >= 1 && n <= w.length && n >= (w.length + 5) / 6, w) }
+  }
+
+  test("q304b compares both tokenizers over the SAME corpus-weighted " +
+      "word population (n_words equal across rows) and emits both " +
+      "rows") {
+    val rows = TextOps.q304bTokenizerCompare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq.sorted == Seq("bpe", "unigram"))
+    assert(rows.map(_._2).distinct.length == 1,
+      s"populations differ: ${rows.toSeq}")
+    rows.foreach { case (t, nw, np) => assert(np >= nw, t) }
+  }
 }
