@@ -584,4 +584,33 @@ class GraphSpec extends SparkSpecBase {
     assert(Graph.kTruss(edges, k = 4L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == oriented)
   }
+
+  test("q305 Louvain golden: two K4 cliques joined by one bridge " +
+      "split into exactly the two cliques (the partition LPA's " +
+      "min-label tie votes leak across — modularity gain does not " +
+      "pay for absorbing a bridge endpoint)") {
+    import spark.implicits._
+    def k4(off: Long) = for {
+      a <- 0L to 3L; b <- (a + 1) to 3L
+    } yield (off + a, off + b)
+    val edges = (k4(1) ++ k4(5) :+ (4L, 5L)).toDF("u", "v")
+    val got = Graph.louvainRounds(edges, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val comms = got.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(comms == Set(Set(1L, 2L, 3L, 4L), Set(5L, 6L, 7L, 8L)),
+      s"partition: $got")
+  }
+
+  test("q305 vs q143 on the fixture co-supply graph: the modularity " +
+      "objective (Σ q_num over communities, fixed 4m² denominator) " +
+      "does not regress under the optimizer — Louvain ≥ LPA, " +
+      "measured on the same memoized edges q155 evaluates") {
+    val edges = Graph.coEdges25(spark, sf)
+    def objective(labels: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularityByCommunity(edges, labels)
+        .agg(sum(col("q_num"))).collect().head.getLong(0)
+    val louvain = objective(Graph.louvainRounds(edges, rounds = 3))
+    val lpa = objective(Graph.lpa25(spark, sf))
+    assert(louvain >= lpa, s"louvain $louvain < lpa $lpa")
+  }
 }
