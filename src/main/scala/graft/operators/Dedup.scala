@@ -1207,8 +1207,22 @@ object Dedup {
     val results = TextOps.bm25TopDocs(corpus, topK = 50)
       .select(col("rank").as("orig_rank"), col("doc_id"),
         col("score"))
+    serpDedupCollapse(results, dedupComponents(spark, dir))
+      .orderBy("new_rank")
+  }
+
+  /** The q301 collapse stage over ANY result list (orig_rank,
+    * doc_id, score) against a (doc_id, component) label frame —
+    * factored to ONE body so the gated batch query and the serving
+    * stream ([[graft.streaming.StreamOps.serpDedupStream]]) cannot
+    * drift. Unlabeled docs are their own singleton group; each
+    * group's best-ranked hit survives carrying `n_collapsed`; dense
+    * new ranks re-number by original rank. Windows sort ≤ top-k
+    * rows — result-list-sized, corpus-independent. */
+  def serpDedupCollapse(results: DataFrame, components: DataFrame)
+      : DataFrame = {
     val g = results
-      .join(dedupComponents(spark, dir), Seq("doc_id"), "left")
+      .join(components, Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("component"), col("doc_id")))
     val wg = Window.partitionBy("grp")
     g.withColumn("pos",
@@ -1219,7 +1233,6 @@ object Dedup {
         .over(Window.orderBy(col("orig_rank"))).cast("long"))
       .select(col("new_rank"), col("doc_id"), col("orig_rank"),
         col("score"), col("grp").as("component"), col("n_collapsed"))
-      .orderBy("new_rank")
   }
 
   // ---------------------------------------------------------------- q281

@@ -857,6 +857,32 @@ object StreamOps {
     graft.operators.Similarity.ivfAdcRefineServe(queries, ix, probes,
       shortlist, k)
 
+  /** STREAMING SERP DEDUP (q301's twin) — serving-time result-list
+    * collapse as a foreachBatch deployment: each micro-batch is one
+    * result list (orig_rank, doc_id, score) and the batch op is the
+    * ONE collapse body q301 gates
+    * ([[graft.operators.Dedup.serpDedupCollapse]]), joined against
+    * the STATIC memoized component table. Zero stream state (the
+    * invIndexDeltaStream discipline) — the collapse windows are
+    * result-LIST-local, which is exactly why the deployment form is
+    * foreachBatch over the batch op rather than a continuous
+    * stateful query (the q137 "100 TB = foreachBatch over the capped
+    * batch op" pattern). `sink` receives each batch's collapsed
+    * list; StreamingSpec pins batch ≡ stream incl. a batch where two
+    * results share a component. */
+  def serpDedupStream(results: DataFrame, components: DataFrame)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    results.writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          sink(graft.operators.Dedup
+            .serpDedupCollapse(batch.toDF(), components))
+      }
+      .start()
+
   /** STREAMING CORPUS PREP — the q63 chain as a continuous pipeline
     * (documents arrive as a stream; the benchmark/eval corpus is a
     * static table):

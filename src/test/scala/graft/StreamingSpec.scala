@@ -395,6 +395,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.length == 60 && rows.count(_._1 == 2L) == 20)
   }
 
+  test("streaming SERP dedup ≡ hand-computed per-list collapse " +
+      "(q301 twin: foreachBatch over the ONE gated collapse body, " +
+      "zero stream state) — incl. a batch where two results share a " +
+      "component and a later batch re-ranking the same docs") {
+    import spark.implicits._
+    val components = Seq((10L, 1L), (11L, 1L), (20L, 2L))
+      .toDF("doc_id", "component")
+    val input = MemoryStream[(Long, Long, Long)](spark)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    val q = StreamOps.serpDedupStream(
+        input.toDF().toDF("orig_rank", "doc_id", "score"),
+        components) { out =>
+      got.synchronized {
+        got ++= out.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      }
+    }
+    try {
+      // list 1: docs 10 and 11 share component 1 → 11 collapses
+      input.addData((1L, 10L, 90L), (2L, 11L, 80L), (3L, 20L, 70L),
+        (4L, 30L, 60L))
+      q.processAllAvailable()
+      val b1 = got.synchronized(got.toSet)
+      assert(b1 == Set(
+        (1L, 10L, 1L, 90L, 1L, 2L),   // component 1 kept best, n=2
+        (2L, 20L, 3L, 70L, 2L, 1L),
+        (3L, 30L, 4L, 60L, 30L, 1L)), // unlabeled = singleton group
+        s"batch1: $b1")
+      got.synchronized(got.clear())
+      // list 2: same component pair arrives REVERSED — stateless
+      // serving collapses within the new list only
+      input.addData((1L, 11L, 95L), (2L, 10L, 85L))
+      q.processAllAvailable()
+      val b2 = got.synchronized(got.toSet)
+      assert(b2 == Set((1L, 11L, 1L, 95L, 1L, 2L)), s"batch2: $b2")
+    } finally q.stop()
+  }
+
   test("ivfAdcServe tie rule: equal-distance candidates break by " +
       "vec_id at every stage (the (d2, vec_id) total order)") {
     import graft.operators.Similarity
