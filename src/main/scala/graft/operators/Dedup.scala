@@ -696,9 +696,12 @@ object Dedup {
   /** The contaminated-doc id set [[decontaminate]] subtracts —
     * factored (round 13) so q281's cluster-level policy can read the
     * same predicate. */
-  private[operators] def contaminatedIds(docs: DataFrame,
-      benchmark: DataFrame, k: Int = 3, minOverlap: Int = 5)
-      : DataFrame = {
+  /** Per-doc distinct-shingle overlap with the benchmark at shingle
+    * width k — the threshold-free core [[contaminatedIds]] cuts at τ
+    * and q306's (k, τ) sweep reads at several τ per k without
+    * recomputing the shingle join. */
+  private[operators] def overlapCounts(docs: DataFrame,
+      benchmark: DataFrame, k: Int): DataFrame = {
     val benchSh = benchmark
       .select(split(col("text"), " ").as("w"))
       .select(explode(transform(shinglesOf(col("w"), k),
@@ -714,9 +717,14 @@ object Dedup {
       .join(broadcast(benchSh), Seq("sh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("overlap"))
+  }
+
+  private[operators] def contaminatedIds(docs: DataFrame,
+      benchmark: DataFrame, k: Int = 3, minOverlap: Int = 5)
+      : DataFrame =
+    overlapCounts(docs, benchmark, k)
       .filter(col("overlap") >= minOverlap)
       .select("doc_id")
-  }
 
   /** Bloom-filter decontamination — the 100 TB escape hatch for when the
     * benchmark's distinct shingle set outgrows an exact broadcast (a
@@ -1778,6 +1786,51 @@ object Dedup {
         .select("doc_id", "text"))
       .select("doc_id").orderBy("doc_id")
 
+  /** Q306: DECONTAMINATION (k, τ) OPERATING-POINT SWEEP — q62 fixes
+    * k = 3 shingles and τ = 5 overlap; the production question is
+    * which (k, τ) to run, and this table measures the trade at three
+    * configs over ONE pair of shared shingle frames (the q244/qm9
+    * sweep discipline): the q62 default (3, 5), the stricter
+    * threshold (3, 2), and the longer shingle (4, 5). Per config:
+    * docs flagged, docs surviving, and a leak proxy = docs the MOST
+    * SENSITIVE config (3, 2) flags that this config ships — for
+    * (3, 5) that is structurally |flagged(3,2)| − |flagged(3,5)|
+    * (same shingles, lower bar ⇒ superset, DedupSpec pin); for
+    * (4, 5) it measures what longer shingles miss. All integer,
+    * fully gated.
+    *
+    * Scale: each k is one q62-shaped broadcast-probe plan (shingle
+    * hashes vs the benchmark set, slim per-doc counts); τ variants
+    * are filters over the SAME checkpointed count frame — the sweep
+    * costs one extra k, not three extra corpus passes. */
+  def q306DecontamSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents").select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val o3 = overlapCounts(docs, bench, 3)
+      .localCheckpoint() // two τ cuts + the strict reference read it
+    val o4 = overlapCounts(docs, bench, 4)
+    val strict = o3.filter(col("overlap") >= 2).select("doc_id")
+      .localCheckpoint() // the leak reference for every config
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    def cfgRow(k: Int, tau: Int, ov: DataFrame): DataFrame = {
+      val fl = ov.filter(col("overlap") >= tau).select("doc_id")
+      fl.agg(count(lit(1)).as("n_flagged"))
+        .crossJoin(broadcast(
+          strict.join(fl, Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("n_leak_vs_strict"))))
+        .select(lit(k.toLong).as("k"), lit(tau.toLong).as("tau"),
+          col("n_flagged"), col("n_leak_vs_strict"))
+    }
+    cfgRow(3, 5, o3)
+      .unionByName(cfgRow(3, 2, o3))
+      .unionByName(cfgRow(4, 5, o4))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("tau"), col("n_flagged"),
+        (col("n_docs") - col("n_flagged")).as("n_survivors"),
+        col("n_leak_vs_strict"))
+      .orderBy("k", "tau")
+  }
+
   /** Q63: the END-TO-END pretraining data-prep pipeline as ONE query —
     * the composition every LLM corpus actually runs, each stage the
     * exact (oracle-expressible) variant of an operator above:
@@ -1867,6 +1920,7 @@ object Dedup {
     "q243_df_spectrum" -> (q243DfSpectrum _),
     "q244_banding_sweep" -> (q244BandingSweep _),
     "q62_decontaminate" -> (q62Decontaminate _),
+    "q306_decontam_sweep" -> (q306DecontamSweep _),
     "q63_pipeline" -> (q63Pipeline _),
     "q102_containment_pairs" -> (q102ContainmentPairs _),
     "q137_incremental_dedup" -> (q137IncrementalDedup _),
@@ -2772,6 +2826,63 @@ object Dedup {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin,
+    // q306: the q62 shingle/benchmark/overlap shape at two widths
+    // (MATERIALIZED — each feeds two τ cuts / the strict reference),
+    // three config rows, leak = strict set minus the config's flags.
+    "q306_decontam_sweep" ->
+      """WITH sh3 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents),
+        |sh4 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+4], ' '))) AS s
+        |  FROM documents),
+        |b3 AS (SELECT DISTINCT unnest(s) AS g FROM sh3
+        |       WHERE doc_id % 17 = 0),
+        |b4 AS (SELECT DISTINCT unnest(s) AS g FROM sh4
+        |       WHERE doc_id % 17 = 0),
+        |e3 AS (SELECT doc_id, unnest(s) AS g FROM sh3),
+        |e4 AS (SELECT doc_id, unnest(s) AS g FROM sh4),
+        |ov3 AS MATERIALIZED (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+        |  FROM e3 JOIN b3 USING (g) GROUP BY doc_id),
+        |ov4 AS MATERIALIZED (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+        |  FROM e4 JOIN b4 USING (g) GROUP BY doc_id),
+        |strict AS MATERIALIZED (
+        |  SELECT doc_id FROM ov3 WHERE overlap >= 2),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+        |       FROM documents),
+        |cfg AS (
+        |  SELECT CAST(3 AS BIGINT) AS k, CAST(5 AS BIGINT) AS tau,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ov3
+        |     WHERE overlap >= 5) AS n_flagged,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM strict
+        |     WHERE doc_id NOT IN
+        |       (SELECT doc_id FROM ov3 WHERE overlap >= 5))
+        |      AS n_leak_vs_strict
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ov3
+        |     WHERE overlap >= 2),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM strict
+        |     WHERE doc_id NOT IN
+        |       (SELECT doc_id FROM ov3 WHERE overlap >= 2))
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), CAST(5 AS BIGINT),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ov4
+        |     WHERE overlap >= 5),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM strict
+        |     WHERE doc_id NOT IN
+        |       (SELECT doc_id FROM ov4 WHERE overlap >= 5)))
+        |SELECT k, tau, n_flagged, nd.n_docs - n_flagged AS n_survivors,
+        |  n_leak_vs_strict
+        |FROM cfg, nd ORDER BY k, tau""".stripMargin,
     // q63: the four-stage pipeline, one CTE per stage — quality filter,
     // exact dedup (MIN id per whole-text double FOLD since round 13 —
     // the oracle replays the engine's 8-byte key; arg_min mirrors the

@@ -619,4 +619,20 @@ class DedupSpec extends SparkSpecBase {
         s"rep_len mismatch for component ${r.getLong(0)}")
     }
   }
+
+  test("q306 sweep structure: same-shingle configs nest (flagged at " +
+      "τ=5 ⊆ flagged at τ=2, so leak(3,5) = n(3,2) − n(3,5) and " +
+      "leak(3,2) = 0), and flagged + survivors = corpus for every " +
+      "config") {
+    val rows = Dedup.q306DecontamSweep(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    rows.values.foreach { case (fl, sv, _) =>
+      assert(fl + sv == nDocs) }
+    assert(rows((3L, 2L))._3 == 0L, "the strict config leaks nothing")
+    assert(rows((3L, 5L))._3 ==
+      rows((3L, 2L))._1 - rows((3L, 5L))._1,
+      "nested thresholds: leak is exactly the flag-count gap")
+  }
 }
