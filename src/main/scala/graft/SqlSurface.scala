@@ -611,6 +611,49 @@ object SqlSurface {
         .stripMargin).createOrReplaceTempView(viewName)
   }
 
+  /** Quantile-sketch register cascade from SQL (q302, round 15): for
+    * a (v, ok, ln) BIGINT values view, the deterministic MRL cascade
+    * at the graded shard/budget config — the final compactor state
+    * (kb, shard, v, ok, ln, w) as a view. ONE body with the gated
+    * q302 state ([[operators.Percentiles.sketchFromValues]]). */
+  def createQuantileSketchView(spark: SparkSession, valuesView: String,
+      viewName: String): Unit =
+    operators.Percentiles.sketchFromValues(spark.table(valuesView))
+      .createOrReplaceTempView(viewName)
+
+  /** Louvain one-level communities from SQL (q305, round 15) for a
+    * (u, v) edges view — 3 synchronous integer-gain rounds. */
+  def createLouvainView(spark: SparkSession, edgesView: String,
+      viewName: String, rounds: Int = 3): Unit =
+    operators.Graph.louvainRounds(spark.table(edgesView), rounds)
+      .createOrReplaceTempView(viewName)
+
+  /** Unigram-LM segmentation state from SQL (q304, round 15) for a
+    * (text) docs view — per eligible word: (w, c, len, n, fs). */
+  def createUnigramEncodeView(spark: SparkSession, docsView: String,
+      viewName: String): Unit =
+    operators.TextOps.uniStateOf(spark.table(docsView))
+      .createOrReplaceTempView(viewName)
+
+  /** SERP near-dup collapse from SQL (q301/round-15 serving twin):
+    * a (orig_rank, doc_id, score) result-list view collapsed by a
+    * (doc_id, component) label view. */
+  def createSerpDedupView(spark: SparkSession, resultsView: String,
+      componentsView: String, viewName: String): Unit =
+    operators.Dedup.serpDedupCollapse(spark.table(resultsView),
+        spark.table(componentsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Decontamination overlap counts from SQL (q62/q306, round 15):
+    * per doc of `docsView`, the distinct k-shingle overlap with
+    * `benchView` — cut at any τ downstream (the q306 sweep reads one
+    * view at several thresholds). */
+  def createDecontamOverlapView(spark: SparkSession, docsView: String,
+      benchView: String, k: Int, viewName: String): Unit =
+    operators.Dedup.overlapCounts(spark.table(docsView),
+        spark.table(benchView), k)
+      .createOrReplaceTempView(viewName)
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

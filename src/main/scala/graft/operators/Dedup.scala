@@ -700,7 +700,7 @@ object Dedup {
     * width k — the threshold-free core [[contaminatedIds]] cuts at τ
     * and q306's (k, τ) sweep reads at several τ per k without
     * recomputing the shingle join. */
-  private[operators] def overlapCounts(docs: DataFrame,
+  private[graft] def overlapCounts(docs: DataFrame,
       benchmark: DataFrame, k: Int): DataFrame = {
     val benchSh = benchmark
       .select(split(col("text"), " ").as("w"))

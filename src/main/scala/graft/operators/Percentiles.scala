@@ -440,28 +440,38 @@ object Percentiles {
     * 100 TB "shard" is simply the executor partition: per-partition
     * compactors as partial aggregates, one tiny union at the end,
     * never a global sort of the data. */
+  /** The graded-config cascade over ANY (v, ok, ln) BIGINT values
+    * frame — shard by the Mix hash of the row key, fan to the three
+    * budgets, run the cascade. ONE body for the memoized lineitem
+    * state and the SqlSurface builder. */
+  private[graft] def sketchFromValues(values: DataFrame): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val a = graft.functions.Mix.modMults(1)(0)
+    val b = graft.functions.Mix.modAdds(1)(0)
+    val base = values
+      .select(col("v").cast("long").as("v"),
+        col("ok").cast("long").as("ok"),
+        col("ln").cast("long").as("ln"))
+      .withColumn("shard", expr(
+        s"(((($a * ((ok * 10 + ln) % 1000000007)) % 1000000007" +
+          s" + $b) % 1000000007) % $sketchShards + $sketchShards)" +
+          s" % $sketchShards"))
+    sketchCascade(base
+      .crossJoin(broadcast(sketchBudgets.toDF("kb")))
+      .select(col("kb"), col("shard"), col("v"), col("ok"),
+        col("ln"), lit(1L).as("w")))
+  }
+
   private[operators] def qsketchState(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    qsketchCache.getOrElseUpdate((spark, dir), {
-      val a = graft.functions.Mix.modMults(1)(0)
-      val b = graft.functions.Mix.modAdds(1)(0)
-      val base = graft.Tables.load(spark, dir, "lineitem")
+    qsketchCache.getOrElseUpdate((spark, dir),
+      sketchFromValues(graft.Tables.load(spark, dir, "lineitem")
         .select(
           expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
             .as("v"),
           col("l_orderkey").cast("long").as("ok"),
-          col("l_linenumber").cast("long").as("ln"))
-        .withColumn("shard", expr(
-          s"(((($a * ((ok * 10 + ln) % 1000000007)) % 1000000007" +
-            s" + $b) % 1000000007) % $sketchShards + $sketchShards)" +
-            s" % $sketchShards"))
-      import spark.implicits._
-      val budgets = sketchBudgets.toDF("kb")
-      sketchCascade(base
-        .crossJoin(broadcast(budgets))
-        .select(col("kb"), col("shard"), col("v"), col("ok"),
-          col("ln"), lit(1L).as("w")))
-    })
+          col("l_linenumber").cast("long").as("ln"))))
 
   /** The shared cascade as DuckDB CTE text (base/sh/s0/s1..s14) — the
     * ONE renderer both q302 and q302b oracles compose (the pqCtes

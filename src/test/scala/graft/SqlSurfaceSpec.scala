@@ -801,4 +801,76 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(spark.sql("SELECT COUNT(*) FROM part_z").collect().head
       .getLong(0) == spark.table("part_xy").count())
   }
+
+  test("round-15 view builders ≡ the Scala operators / gated state " +
+      "(quantile sketch, Louvain, unigram encode, SERP collapse, " +
+      "decontam overlap)") {
+    SqlSurface.registerTables(spark, sf)
+
+    // quantile sketch over the q302 value prep ≡ the gated registers
+    spark.sql("""SELECT
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        CAST(l_orderkey AS BIGINT) AS ok,
+        CAST(l_linenumber AS BIGINT) AS ln
+      FROM lineitem""").createOrReplaceTempView("li_cents")
+    SqlSurface.createQuantileSketchView(spark, "li_cents", "qsk")
+    val skSql = spark.sql("SELECT kb, shard, v, w FROM qsk")
+      .collect().map(_.toSeq).groupBy(identity).view
+      .mapValues(_.length).toMap
+    val skDir = graft.operators.Relational
+      .q302QuantileSketchRegisters(spark, sf)
+      .select("kb", "shard", "value", "weight")
+      .collect().map(_.toSeq).groupBy(identity).view
+      .mapValues(_.length).toMap
+    assert(skSql == skDir && skSql.nonEmpty)
+
+    // Louvain over the co-supply edges ≡ the gated q305 labels
+    spark.sql("""SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 25""")
+      .createOrReplaceTempView("co_edges15")
+    SqlSurface.createLouvainView(spark, "co_edges15", "louv")
+    val lvSql = spark.sql("SELECT node, community FROM louv")
+      .collect().map(_.toSeq).toSet
+    val lvDir = graft.operators.Graph.q305Louvain(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(lvSql == lvDir && lvSql.nonEmpty)
+
+    // unigram state over documents ≡ the memoized gated state
+    SqlSurface.createUnigramEncodeView(spark, "documents", "unig")
+    val ugSql = spark.sql("SELECT * FROM unig")
+      .collect().map(_.toSeq).toSet
+    val ugDir = graft.operators.TextOps.uniState(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(ugSql == ugDir && ugSql.nonEmpty)
+
+    // SERP collapse over planted views ≡ hand expectation
+    import spark.implicits._
+    Seq((1L, 10L, 90L), (2L, 11L, 80L), (3L, 20L, 70L))
+      .toDF("orig_rank", "doc_id", "score")
+      .createOrReplaceTempView("serp_in")
+    Seq((10L, 1L), (11L, 1L)).toDF("doc_id", "component")
+      .createOrReplaceTempView("serp_comp")
+    SqlSurface.createSerpDedupView(spark, "serp_in", "serp_comp",
+      "serp_out")
+    assert(spark.sql(
+        "SELECT new_rank, doc_id, n_collapsed FROM serp_out")
+      .collect().map(_.toSeq).toSet ==
+      Set(Seq(1L, 10L, 2L), Seq(2L, 20L, 1L)))
+
+    // decontam overlap view cut at τ=5, anti-joined ≡ q62 survivors
+    spark.sql("SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0")
+      .createOrReplaceTempView("bench15")
+    SqlSurface.createDecontamOverlapView(spark, "documents",
+      "bench15", k = 3, viewName = "dov")
+    val survSql = spark.sql("""SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM dov WHERE overlap >= 5)""")
+      .collect().map(_.getLong(0)).toSet
+    val survDir = graft.operators.Dedup.q62Decontaminate(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(survSql == survDir && survSql.nonEmpty)
+  }
 }
