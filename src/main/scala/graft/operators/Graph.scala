@@ -637,7 +637,10 @@ object Graph {
     * two slim rollups (community degree mass, candidate dedup), one
     * node-keyed argmax — all partial-combining shuffles on node ids;
     * per-round localCheckpoint (iterative-loop rule). */
-  def louvainRounds(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  /** Shared Louvain prep: symmetric edge list, degrees, edge count,
+    * singleton seed labels — all checkpointed once per run. */
+  private def louvainPrep(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint()
@@ -645,36 +648,76 @@ object Graph {
       .agg(count(lit(1)).as("d"))
       .localCheckpoint() // read every round (links, tot, argmax)
     val mrow = edges.agg(count(lit(1)).as("m"))
-    var comm = deg.select(col("node"), col("node").as("community"))
+    val comm0 = deg.select(col("node"), col("node").as("community"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val links = sym
-        .join(comm.select(col("node").as("dst"),
-          col("community").as("cand")), "dst")
-        .groupBy(col("src").as("node"), col("cand"))
-        .agg(count(lit(1)).as("l"))
-      val tot = deg.join(comm, "node")
-        .groupBy(col("community").as("cand"))
-        .agg(sum(col("d")).as("tot"))
-      val cands = links
-        .unionByName(comm.select(col("node"),
-          col("community").as("cand"), lit(0L).as("l")))
-        .groupBy("node", "cand").agg(max(col("l")).as("l"))
-      comm = cands
-        .join(tot, "cand")
-        .join(deg, "node")
-        .join(comm.select(col("node"), col("community").as("own")),
-          "node")
-        .crossJoin(broadcast(mrow))
-        .withColumn("score", expr("2 * m * l - d * (tot - " +
-          "CASE WHEN cand = own THEN d ELSE 0 END)"))
-        .groupBy("node")
-        .agg(min(struct((-col("score")).as("ns"), col("cand")))
-          .as("mm"))
-        .select(col("node"), col("mm.cand").as("community"))
-        .localCheckpoint()
-    }
+    (sym, deg, mrow, comm0)
+  }
+
+  /** One synchronous Louvain round — ONE body for [[louvainRounds]]
+    * (q305) and the q308 convergence audit. */
+  private def louvainRound(sym: DataFrame, deg: DataFrame,
+      mrow: DataFrame, comm: DataFrame): DataFrame = {
+    val links = sym
+      .join(comm.select(col("node").as("dst"),
+        col("community").as("cand")), "dst")
+      .groupBy(col("src").as("node"), col("cand"))
+      .agg(count(lit(1)).as("l"))
+    val tot = deg.join(comm, "node")
+      .groupBy(col("community").as("cand"))
+      .agg(sum(col("d")).as("tot"))
+    val cands = links
+      .unionByName(comm.select(col("node"),
+        col("community").as("cand"), lit(0L).as("l")))
+      .groupBy("node", "cand").agg(max(col("l")).as("l"))
+    cands
+      .join(tot, "cand")
+      .join(deg, "node")
+      .join(comm.select(col("node"), col("community").as("own")),
+        "node")
+      .crossJoin(broadcast(mrow))
+      .withColumn("score", expr("2 * m * l - d * (tot - " +
+        "CASE WHEN cand = own THEN d ELSE 0 END)"))
+      .groupBy("node")
+      .agg(min(struct((-col("score")).as("ns"), col("cand")))
+        .as("mm"))
+      .select(col("node"), col("mm.cand").as("community"))
+      .localCheckpoint() // the iterative-loop rule
+  }
+
+  def louvainRounds(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val (sym, deg, mrow, comm0) = louvainPrep(edges)
+    var comm = comm0
+    for (_ <- 1 to rounds)
+      comm = louvainRound(sym, deg, mrow, comm)
     comm
+  }
+
+  /** Q308: LOUVAIN CONVERGENCE AUDIT (the q265 PR-convergence
+    * discipline applied to the community optimizer): per synchronous
+    * round — nodes, nodes that MOVED community, and distinct
+    * communities after the round. The "is 3 rounds enough" readout
+    * the fixed-round choice rests on: a plateau in n_moved /
+    * n_communities means extra rounds buy churn, not structure.
+    * Counts are exact integers over the same round frames q305
+    * gates, so the audit gates too. */
+  def q308LouvainConvergence(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (sym, deg, mrow, comm0) = louvainPrep(coEdges25(spark, dir))
+    var comm = comm0
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    for (r <- 1 to 3) {
+      val next = louvainRound(sym, deg, mrow, comm)
+      val moved = next.alias("a")
+        .join(comm.alias("b"), col("a.node") === col("b.node"))
+        .filter(col("a.community") =!= col("b.community")).count()
+      rows += ((r.toLong, next.count(), moved,
+        next.select("community").distinct().count()))
+      comm = next
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("round", "n_nodes", "n_moved", "n_communities")
+      .orderBy("round")
   }
 
   /** Q305: 3 Louvain rounds over the co-supply graph — the community
@@ -1203,6 +1246,7 @@ object Graph {
     "q143_lpa_communities" -> (q143Lpa _),
     "q155_modularity" -> (q155Modularity _),
     "q305_louvain_rounds" -> (q305Louvain _),
+    "q308_louvain_convergence" -> (q308LouvainConvergence _),
     "q167_assortativity" -> (q167Assortativity _),
   )
 
@@ -1249,7 +1293,7 @@ object Graph {
     * integer argmax per round, each MATERIALIZED (multi-ref levels,
     * the q131 lesson); same (score desc, community asc) order as the
     * Spark min-struct. */
-  private val louvainOracle: String = {
+  private val louvainCtes: String = {
     val rounds = (1 to 3).map { i =>
       s"""lk$i AS MATERIALIZED (
          |  SELECT sym.src AS node, p.community AS cand,
@@ -1286,8 +1330,28 @@ object Graph {
        |       FROM sym GROUP BY src),
        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
        |lv0 AS (SELECT node, node AS community FROM dg),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val louvainOracle: String =
+    s"""$louvainCtes
        |SELECT node, community FROM lv3 ORDER BY node""".stripMargin
+
+  /** The q308 oracle: per-round moved/community counts off the SAME
+    * unrolled Louvain chain. */
+  private val louvainConvOracle: String = {
+    val rows = (1 to 3).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lv$i) AS n_nodes,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lv$i a
+         |   JOIN lv${i - 1} b ON b.node = a.node
+         |   AND b.community <> a.community) AS n_moved,
+         |  (SELECT CAST(COUNT(DISTINCT community) AS BIGINT)
+         |   FROM lv$i) AS n_communities""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$louvainCtes
+       |$rows
+       |ORDER BY round""".stripMargin
   }
 
   private val lpaOracle: String =
@@ -1577,6 +1641,7 @@ object Graph {
   val oracle: Map[String, String] = Map(
     "q143_lpa_communities" -> lpaOracle,
     "q305_louvain_rounds" -> louvainOracle,
+    "q308_louvain_convergence" -> louvainConvOracle,
     "q155_modularity" -> modularityOracle,
     // q175: same wedge enumeration over the co-purchase edge CTE
     // (lineitem ⋈ orders baskets, co ≥ 3 — co-supply is a clique

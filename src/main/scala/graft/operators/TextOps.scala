@@ -1315,8 +1315,17 @@ object TextOps {
     * after the word count is VOCAB-sized (distinct words × ≤ 96
     * substring positions); the rank window is vocab-sized, documented
     * like q59's. */
+  /** The q307 sweep's vocabulary budgets — 500 is q304's graded
+    * config (its gated outputs read the kb = 500 slice); budgets are
+    * NESTED PREFIXES of one (freq desc, piece) rank, so per-word
+    * piece counts are monotone non-increasing in kb (spec pin). */
+  private[graft] val uniBudgets: Seq[Long] = Seq(50L, 200L, 500L)
+
   private[graft] def uniStateOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budgets = uniBudgets.toDF("kb")
     val wc = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
@@ -1340,23 +1349,27 @@ object TextOps {
       .localCheckpoint() // singles + ranked multi both read it
     val wr = Window.orderBy(col("freq").desc, col("piece"))
     val uvoc = ufrq.filter(length(col("piece")) === 1)
+      .crossJoin(broadcast(budgets))
       .unionByName(ufrq.filter(length(col("piece")) >= 2)
         .withColumn("rk", row_number().over(wr))
-        .filter(col("rk") <= 500).drop("rk"))
+        .crossJoin(broadcast(budgets))
+        .filter(col("rk") <= col("kb")).drop("rk"))
     val uedge = ugen.join(uvoc, "piece")
-      .select(col("w"), (col("i") - 1).as("i0"),
+      .select(col("kb"), col("w"), (col("i") - 1).as("i0"),
         (col("i") - 1 + col("l")).as("nj"), col("freq"))
       .localCheckpoint()
-    var st = uwd.select(col("w"), lit(0L).as("j"), lit(0L).as("n"),
-      lit(0L).as("fs"))
-    val wjs = Window.partitionBy("w", "j")
+    var st = uwd.crossJoin(broadcast(budgets))
+      .select(col("kb"), col("w"), lit(0L).as("j"), lit(0L).as("n"),
+        lit(0L).as("fs"))
+    val wjs = Window.partitionBy("kb", "w", "j")
       .orderBy(col("n"), col("fs").desc)
     for (_ <- 0 until 16) {
       val relaxed = st.alias("s")
         .join(uedge.alias("e"),
-          col("s.w") === col("e.w") && col("s.j") === col("e.i0"))
-        .select(col("s.w").as("w"), col("e.nj").as("j"),
-          (col("s.n") + 1).as("n"),
+          col("s.kb") === col("e.kb") && col("s.w") === col("e.w")
+            && col("s.j") === col("e.i0"))
+        .select(col("s.kb").as("kb"), col("s.w").as("w"),
+          col("e.nj").as("j"), (col("s.n") + 1).as("n"),
           (col("s.fs") + col("e.freq")).as("fs"))
       st = st.unionByName(relaxed)
         .withColumn("rk", row_number().over(wjs))
@@ -1365,7 +1378,8 @@ object TextOps {
     }
     st.join(uwd.select(col("w"), col("c"), col("len")), "w")
       .filter(col("j") === col("len"))
-      .select(col("w"), col("c"), col("len"), col("n"), col("fs"))
+      .select(col("kb"), col("w"), col("c"), col("len"), col("n"),
+        col("fs"))
       .localCheckpoint()
   }
 
@@ -1382,7 +1396,7 @@ object TextOps {
     * readout; with q231/q241 (BPE by source / by lang) this completes
     * the two production tokenizer families, both gated. */
   def q304UnigramEncode(spark: SparkSession, dir: String): DataFrame =
-    uniState(spark, dir)
+    uniState(spark, dir).filter(col("kb") === 500L)
       .groupBy("len")
       .agg(count(lit(1)).as("n_words"),
         sum(col("c")).as("n_tokens_corpus"),
@@ -1401,7 +1415,7 @@ object TextOps {
     * the comparison itself gates. */
   def q304bTokenizerCompare(spark: SparkSession, dir: String)
       : DataFrame = {
-    val ufin = uniState(spark, dir)
+    val ufin = uniState(spark, dir).filter(col("kb") === 500L)
     val (_, finalSyms, _) = bpeState6(spark, dir)
     val symCounts = finalSyms.groupBy("w")
       .agg(count(lit(1)).as("n_syms"))
@@ -1420,6 +1434,26 @@ object TextOps {
         expr("(n_pieces * 1000) div n_words").as("tokens_per_word_e3"))
       .orderBy("tokenizer")
   }
+
+  /** Q307: UNIGRAM VOCAB-BUDGET CURVE — corpus fertility (pieces per
+    * token, e3) at vocabulary budgets {50, 200, 500} (the q238 BPE
+    * curve's sibling for the unigram family): budgets are nested
+    * prefixes of ONE (freq desc, piece) rank, so the per-word optimum
+    * piece count is monotone non-increasing in budget — the curve's
+    * direction is structural (spec pin), its MAGNITUDE is the
+    * measured fact a vocab-size decision reads. The kb = 500 row IS
+    * q304's aggregate (the anchor). */
+  def q307UnigramVocabCurve(spark: SparkSession, dir: String)
+      : DataFrame =
+    uniState(spark, dir)
+      .groupBy("kb")
+      .agg(sum(col("c")).as("n_tokens_corpus"),
+        sum(col("c") * col("n")).as("n_pieces_corpus"))
+      .select(col("kb"), col("n_tokens_corpus"),
+        col("n_pieces_corpus"),
+        expr("(n_pieces_corpus * 1000) div n_tokens_corpus")
+          .as("fertility_e3"))
+      .orderBy("kb")
 
   // ---------------------------------------------------------------- q147
 
@@ -2169,6 +2203,7 @@ object TextOps {
     "q241_fertility" -> (q241Fertility _),
     "q304_unigram_encode" -> (q304UnigramEncode _),
     "q304b_tokenizer_compare" -> (q304bTokenizerCompare _),
+    "q307_unigram_vocab_curve" -> (q307UnigramVocabCurve _),
     "q147_inverted_index" -> (q147InvertedIndex _),
     "q149_bigram_surprisal" -> (q149BigramSurprisal _),
     "q31a_text_lang" -> (q31Lang _),
@@ -2639,15 +2674,16 @@ object TextOps {
     * inlining lesson). */
   private def uniRoundCte(r: Int): String =
     s"""ust$r AS MATERIALIZED (
-       |  SELECT w, j, n, fs FROM (
-       |    SELECT w, j, n, fs, ROW_NUMBER() OVER (
-       |      PARTITION BY w, j ORDER BY n, fs DESC) AS rk
+       |  SELECT kb, w, j, n, fs FROM (
+       |    SELECT kb, w, j, n, fs, ROW_NUMBER() OVER (
+       |      PARTITION BY kb, w, j ORDER BY n, fs DESC) AS rk
        |    FROM (
-       |      SELECT w, j, n, fs FROM ust${r - 1}
+       |      SELECT kb, w, j, n, fs FROM ust${r - 1}
        |      UNION ALL
-       |      SELECT e.w, e.nj AS j, s.n + 1 AS n, s.fs + e.freq AS fs
-       |      FROM ust${r - 1} s JOIN uedge e ON e.w = s.w
-       |        AND e.i0 = s.j) u) t
+       |      SELECT e.kb, e.w, e.nj AS j, s.n + 1 AS n,
+       |        s.fs + e.freq AS fs
+       |      FROM ust${r - 1} s JOIN uedge e ON e.kb = s.kb
+       |        AND e.w = s.w AND e.i0 = s.j) u) t
        |  WHERE rk = 1)""".stripMargin
 
   /** The shared unigram chain (word filter → substring generation →
@@ -2671,25 +2707,27 @@ object TextOps {
       |ufrq AS MATERIALIZED (
       |  SELECT piece, CAST(SUM(c) AS BIGINT) AS freq
       |  FROM ugen GROUP BY piece),
+      |ubud AS (SELECT CAST(unnest([50, 200, 500]) AS BIGINT) AS kb),
       |uvoc AS MATERIALIZED (
-      |  SELECT piece, freq FROM ufrq WHERE length(piece) = 1
+      |  SELECT b.kb, piece, freq FROM ufrq, ubud b
+      |  WHERE length(piece) = 1
       |  UNION ALL
-      |  SELECT piece, freq FROM (
+      |  SELECT b.kb, piece, freq FROM (
       |    SELECT piece, freq, ROW_NUMBER() OVER (
       |      ORDER BY freq DESC, piece) AS rk
       |    FROM ufrq WHERE length(piece) >= 2) t
-      |  WHERE rk <= 500),
+      |  JOIN ubud b ON t.rk <= b.kb),
       |uedge AS MATERIALIZED (
-      |  SELECT g.w, g.i - 1 AS i0, g.i - 1 + g.l AS nj, v.freq
+      |  SELECT v.kb, g.w, g.i - 1 AS i0, g.i - 1 + g.l AS nj, v.freq
       |  FROM ugen g JOIN uvoc v USING (piece)),
       |ust0 AS MATERIALIZED (
-      |  SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS n,
-      |    CAST(0 AS BIGINT) AS fs
-      |  FROM uwd)""".stripMargin +
+      |  SELECT b.kb, w, CAST(0 AS BIGINT) AS j,
+      |    CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS fs
+      |  FROM uwd, ubud b)""".stripMargin +
       (1 to 16).map(uniRoundCte).mkString(",\n", ",\n", "") +
       """,
         |ufin AS MATERIALIZED (
-        |  SELECT s.w, d.c, d.len, s.n, s.fs
+        |  SELECT s.kb, s.w, d.c, d.len, s.n, s.fs
         |  FROM ust16 s JOIN uwd d ON d.w = s.w AND d.len = s.j)"""
         .stripMargin
 
@@ -2709,7 +2747,8 @@ object TextOps {
         |  CAST(SUM(c * n) AS BIGINT) AS n_pieces_corpus,
         |  (CAST(SUM(c * n) AS BIGINT) * 1000)
         |    // CAST(SUM(c) AS BIGINT) AS fertility_e3
-        |FROM ufin GROUP BY len ORDER BY len""".stripMargin),
+        |FROM ufin WHERE kb = 500 GROUP BY len
+        |ORDER BY len""".stripMargin),
     "q304b_tokenizer_compare" ->
       (bpeCtes(6) + """,
         |wsum AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_syms
@@ -2719,15 +2758,27 @@ object TextOps {
         |  SELECT 'bpe' AS tokenizer,
         |    CAST(SUM(u.c) AS BIGINT) AS n_words,
         |    CAST(SUM(u.c * ws.n_syms) AS BIGINT) AS n_pieces
-        |  FROM ufin u JOIN wsum ws ON ws.w = u.w
+        |  FROM ufin u JOIN wsum ws ON ws.w = u.w WHERE u.kb = 500
         |  UNION ALL
         |  SELECT 'unigram' AS tokenizer,
         |    CAST(SUM(c) AS BIGINT) AS n_words,
         |    CAST(SUM(c * n) AS BIGINT) AS n_pieces
-        |  FROM ufin)
+        |  FROM ufin WHERE kb = 500)
         |SELECT tokenizer, n_words, n_pieces,
         |  (n_pieces * 1000) // n_words AS tokens_per_word_e3
         |FROM cmp ORDER BY tokenizer""".stripMargin),
+    "q307_unigram_vocab_curve" ->
+      ("""WITH wc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY w),
+        |""".stripMargin + uniCtes + """
+        |SELECT kb, CAST(SUM(c) AS BIGINT) AS n_tokens_corpus,
+        |  CAST(SUM(c * n) AS BIGINT) AS n_pieces_corpus,
+        |  (CAST(SUM(c * n) AS BIGINT) * 1000)
+        |    // CAST(SUM(c) AS BIGINT) AS fertility_e3
+        |FROM ufin GROUP BY kb ORDER BY kb""".stripMargin),
     // q226: same (count desc, token asc) rank, same running sum,
     // same power-of-two budget filter, floor-ppm (all BIGINT).
     "q226_head_coverage" ->

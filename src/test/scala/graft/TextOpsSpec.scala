@@ -598,7 +598,8 @@ class TextOpsSpec extends SparkSpecBase {
       "cdcd abab xyz", "z ababab")
     val docs = texts.toDF("text")
     val got = TextOps.uniStateOf(docs).collect()
-      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
     // independent replay ---------------------------------------
     val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
     val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -610,10 +611,9 @@ class TextOpsSpec extends SparkSpecBase {
       freq(w.substring(i, i + l)) =
         freq.getOrElse(w.substring(i, i + l), 0L) + c
     val singles = freq.filter(_._1.length == 1)
-    val multi = freq.filter(_._1.length >= 2).toSeq
-      .sortBy { case (p, f) => (-f, p) }.take(500)
-    val vocab = (singles ++ multi).toMap
-    def best(w: String): (Long, Long) = {
+    val rankedMulti = freq.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, f) => (-f, p) }
+    def best(w: String, vocab: Map[String, Long]): (Long, Long) = {
       // enumerate all segmentations (planted words are short)
       def go(i: Int): Seq[(Long, Long)] =
         if (i == w.length) Seq((0L, 0L))
@@ -624,12 +624,38 @@ class TextOpsSpec extends SparkSpecBase {
         }
       go(0).minBy { case (n, fs) => (n, -fs) }
     }
-    val want = eligible.map(w => w -> best(w)).toMap
+    val want = (for {
+      kb <- TextOps.uniBudgets
+      vocab = (singles ++ rankedMulti.take(kb.toInt)).toMap
+      w <- eligible
+    } yield (kb, w) -> best(w, vocab)).toMap
     assert(got == want, s"got $got\nwant $want")
-    // and the structural bounds: 1 ≤ n ≤ len (single-char coverage
-    // guarantees reachability), n ≥ ceil(len/6)
-    got.foreach { case (w, (n, _)) =>
+    // structural bounds: 1 ≤ n ≤ len (single-char coverage
+    // guarantees reachability), n ≥ ceil(len/6); and the q307
+    // direction: budgets nest, so n is non-increasing in kb per word
+    got.foreach { case ((_, w), (n, _)) =>
       assert(n >= 1 && n <= w.length && n >= (w.length + 5) / 6, w) }
+    for (w <- eligible; Seq(k1, k2) <- TextOps.uniBudgets.sliding(2))
+      assert(got((k2, w))._1 <= got((k1, w))._1, s"$w: $k1 -> $k2")
+  }
+
+  test("q307 vocab-budget curve: fertility non-increasing in budget " +
+      "(nested vocab prefixes) and the kb=500 anchor ≡ q304's " +
+      "corpus totals") {
+    val rows = TextOps.q307UnigramVocabCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == TextOps.uniBudgets)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 <= a._3 && b._4 <= a._4, s"$a -> $b")
+      case _ => ()
+    }
+    val q304tot = TextOps.q304UnigramEncode(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+      .reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+    val anchor = rows.last
+    assert((anchor._2, anchor._3) == q304tot)
   }
 
   test("q304b compares both tokenizers over the SAME corpus-weighted " +
