@@ -1222,6 +1222,57 @@ object Similarity {
       .toDF("qid", "rank", "neighbor", "d2")
   }
 
+  /** Q309: REFINE-RE-RANK SHORTLIST SWEEP — recall@10 vs the brute
+    * exact top-10 when the refine-decode re-rank (q303's finale) runs
+    * over ADC shortlists {10, 50, 100, 200}, all cut from ONE ranked
+    * probe-4 candidate set (nested prefixes — the q283 sweep
+    * discipline applied to the codes-only serving form). The knob a
+    * replica deployment actually tunes: a longer shortlist buys
+    * recall at decode cost m′·dims per extra candidate, and unlike
+    * q283's EXACT re-rank the curve here is NOT structurally
+    * monotone (a refine score can prefer a wrong candidate from the
+    * widened set) — which is exactly why it has to be measured. */
+  def q309RefineShortlistSweep(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val (ex, _, _) = pqShared168(spark, dir)
+    val wq = Window.partitionBy("shortlist", "qid")
+    val shl = residualShortlist(spark, dir, probes = 4,
+        shortlist = 200)
+      .localCheckpoint() // one ADC ranking, four prefix cuts
+    val scored = refineRerank(spark, dir, shl)
+      .join(shl, Seq("qid", "vec_id")) // rk back (functional key)
+      .localCheckpoint() // four prefix cuts read it
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    val br = ex.join(broadcast(exq), "dim")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("d2"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val cuts = Seq(10L, 50L, 100L, 200L)
+    val picks = scored
+      .crossJoin(broadcast(cuts.toDF("shortlist")))
+      .filter(col("rk") <= col("shortlist"))
+      .withColumn("r2", row_number().over(
+        wq.orderBy(col("d2r"), col("vec_id"))))
+      .filter(col("r2") <= 10)
+      .select(col("shortlist"), col("qid"), col("vec_id"),
+        lit(1L).as("f"))
+    br.crossJoin(broadcast(cuts.toDF("shortlist")))
+      .join(picks, Seq("shortlist", "qid", "vec_id"), "left")
+      .groupBy("shortlist", "qid")
+      .agg(count(lit(1)).as("n_brute"), count(col("f")).as("n_found"))
+      .select(col("shortlist"), col("qid"), col("n_brute"),
+        col("n_found"),
+        expr("(n_found * 1000000) div n_brute").as("recall_ppm"))
+      .orderBy("shortlist", "qid")
+  }
+
   // ------------------------------------------ IVFADC+R serving replica
 
   /** One corpus entry of the CODES-ONLY serving replica (IVFADC+R):
@@ -2463,6 +2514,7 @@ object Similarity {
     "q296_ivfadc_residual_topk" -> (q296IvfAdcResidualTopK _),
     "q303_ivfadc_refine_topk" -> (q303IvfAdcRefineTopK _),
     "q303b_ivfadc_refine_recall" -> (q303bIvfAdcRefineRecall _),
+    "q309_refine_shortlist_sweep" -> (q309RefineShortlistSweep _),
     "q298_scalar_quant_recall" -> (q298ScalarQuantRecall _),
     "q299_mmr_rerank" -> (q299MmrRerank _),
     "q300_cluster_labels" -> (q300ClusterLabels _),
@@ -2658,8 +2710,8 @@ object Similarity {
     * shortlist 50 under (adc_d2, vec_id) — shr KEEPS the ADC rank rk
     * so q303b's no-re-rank variant can read it). One renderer, three
     * consumers. */
-  private val residServeCtes: String =
-    """qpr AS (
+  private def residServeCtes(shortlist: Int = 50): String =
+    s"""qpr AS (
       |  SELECT qid, cell FROM (
       |    SELECT vec_id AS qid, cell, ROW_NUMBER() OVER (
       |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
@@ -2687,7 +2739,7 @@ object Similarity {
       |  SELECT qid, vec_id, rk FROM (
       |    SELECT qid, vec_id, ROW_NUMBER() OVER (
       |      PARTITION BY qid ORDER BY adc_d2, vec_id) AS rk
-      |    FROM radr) t WHERE rk <= 50)""".stripMargin
+      |    FROM radr) t WHERE rk <= $shortlist)""".stripMargin
 
   /** The q303 refine chain, appended after the residual chain (the
     * q293 naming discipline one level deeper): fex = rex −
@@ -2725,7 +2777,7 @@ object Similarity {
     * query. */
   private val recfCte: String =
     """recf AS MATERIALIZED (
-      |  SELECT s.qid, s.vec_id,
+      |  SELECT s.qid, s.vec_id, s.rk,
       |    CAST(SUM((q.x - cc.c - rc.c - fc.c)
       |      * (q.x - cc.c - rc.c - fc.c)) AS BIGINT) AS d2r
       |  FROM shr s
@@ -2737,7 +2789,7 @@ object Similarity {
       |    AND fc.dim = rc.dim
       |  JOIN c3 cc ON cc.cell = a.cell AND cc.dim = rc.dim
       |  JOIN pex q ON q.vec_id = s.qid AND q.dim = rc.dim
-      |  GROUP BY s.qid, s.vec_id)""".stripMargin
+      |  GROUP BY s.qid, s.vec_id, s.rk)""".stripMargin
 
   /** One MMR greedy round as DuckDB CTEs (q299): max-sim of each
     * unselected candidate to the selected set, score, argmax under
@@ -3239,7 +3291,7 @@ object Similarity {
     // under (adc_d2, vec_id), exact top-10 under (d2, vec_id).
     "q296_ivfadc_residual_topk" -> (kmeansCtes + ",\n" +
       pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + ",\n" +
-      residServeCtes + """,
+      residServeCtes() + """,
       |rrr AS (
       |  SELECT s.qid, s.vec_id,
       |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
@@ -3258,19 +3310,64 @@ object Similarity {
     // q303b's refine variant).
     "q303_ivfadc_refine_topk" -> (kmeansCtes + ",\n" +
       pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + ",\n" +
-      pqRefineCtes + ",\n" + residServeCtes + ",\n" + recfCte + """
+      pqRefineCtes + ",\n" + residServeCtes() + ",\n" + recfCte + """
       |SELECT qid, rank, neighbor, d2r FROM (
       |  SELECT qid, vec_id AS neighbor, d2r,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2r, vec_id)
       |      AS rank
       |  FROM recf) t WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin),
+    // q309: the stack at shortlist 200; per-cut refine rankings off
+    // ONE recf (rk ≤ cut filters), recall vs the brute top-10.
+    "q309_refine_shortlist_sweep" -> (kmeansCtes + ",\n" +
+      pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + ",\n" +
+      pqRefineCtes + ",\n" + residServeCtes(200) + ",\n" +
+      recfCte + ",\n" + {
+        val pk = Seq(10, 50, 100, 200).map { cut =>
+          s"""  SELECT CAST($cut AS BIGINT) AS shortlist, qid, vec_id
+             |  FROM (
+             |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY qid ORDER BY d2r, vec_id) AS r2
+             |    FROM recf WHERE rk <= $cut) t WHERE r2 <= 10"""
+            .stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""bdp AS (
+           |  SELECT q.vec_id AS qid, e.vec_id,
+           |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
+           |  FROM pex e JOIN (SELECT vec_id, dim, x FROM pex
+           |                   WHERE vec_id < 5) q ON e.dim = q.dim
+           |  WHERE e.vec_id <> q.vec_id
+           |  GROUP BY q.vec_id, e.vec_id),
+           |brt AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+           |      PARTITION BY qid ORDER BY d2, vec_id) AS rnk
+           |    FROM bdp) t WHERE rnk <= 10),
+           |pk AS (
+           |$pk),
+           |brv AS (
+           |  SELECT v.shortlist, b.qid, b.vec_id
+           |  FROM (SELECT CAST(unnest([10, 50, 100, 200]) AS BIGINT)
+           |        AS shortlist) v
+           |  CROSS JOIN brt b),
+           |mv AS (
+           |  SELECT b.shortlist, b.qid,
+           |    CAST(COUNT(*) AS BIGINT) AS n_brute,
+           |    CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1
+           |      ELSE 0 END) AS BIGINT) AS n_found
+           |  FROM brv b LEFT JOIN pk p ON p.shortlist = b.shortlist
+           |    AND p.qid = b.qid AND p.vec_id = b.vec_id
+           |  GROUP BY b.shortlist, b.qid)
+           |SELECT shortlist, qid, n_brute, n_found,
+           |  (n_found * 1000000) // n_brute AS recall_ppm
+           |FROM mv ORDER BY shortlist, qid""".stripMargin
+      }),
     // q303b: same stack; three finales over the ONE shortlist (adc =
     // the shr ranks themselves, refine = recf, exact = rrr), each
     // cut to 10, recall vs the brute exact top-10.
     "q303b_ivfadc_refine_recall" -> (kmeansCtes + ",\n" +
       pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + ",\n" +
-      pqRefineCtes + ",\n" + residServeCtes + ",\n" + recfCte + """,
+      pqRefineCtes + ",\n" + residServeCtes() + ",\n" + recfCte + """,
       |rrr AS (
       |  SELECT s.qid, s.vec_id,
       |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2

@@ -307,6 +307,23 @@ class ClusteringSpec extends SparkSpecBase {
         s"exact ${mean("exact")}")
   }
 
+  test("q309 shortlist=50 rows ≡ q303b's refine variant (identical " +
+      "config, two chains — the sweep's anchor), and every row " +
+      "scores 10 brute baselines") {
+    val sweep = Similarity.queries("q309_refine_shortlist_sweep")(
+        spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    assert(sweep.length == 20 && sweep.forall(_._3 == 10L))
+    val at50 = sweep.filter(_._1 == 50L)
+      .map(r => r._2 -> r._4).toMap
+    val refine = Similarity.queries("q303b_ivfadc_refine_recall")(
+        spark, sf).collect()
+      .filter(_.getString(0) == "refine")
+      .map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(at50 == refine, s"sweep@50 $at50 != q303b refine $refine")
+  }
+
   test("q284 dims=64 anchor row is structural recall 1.0 (the " +
       "truncated ranking at full width IS the baseline ranking)") {
     val rows = Similarity.queries("q284_dim_trunc_recall")(spark, sf)
