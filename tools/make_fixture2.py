@@ -206,6 +206,21 @@ def main(src: str, out: str) -> None:
         assert docs["text"][330] != docs["text"][331]
         for i in (330, 331):
             docs["n_chars"][i] = len(docs["text"][i])
+    # round-15 hazards: UNIGRAM LENGTH-CAP BOUNDARY — q304's scope is
+    # words of 1..16 CODE POINTS, and the DP unrolls exactly 16
+    # rounds, so plant (a) an astral-led 16-code-point word (emoji +
+    # 15 ASCII: included ONLY under code-point length — a UTF-16
+    # code-unit counter would see 17 and silently exclude it), (b) a
+    # plain 16-cp word (a potential 16-single-piece path needs every
+    # DP round), (c) a 17-cp word (excluded, the cap's other side).
+    # Plus tied multi-piece frequencies ("zq"/"wj") exercising the
+    # (freq desc, piece asc) vocab rank ties on real data.
+    if len(docs["doc_id"]) >= 340:
+        docs["text"][332] = ("\U0001F600abcdefghijklmno "
+                             "zzqqwwxxyyvvkkjj seventeencharword")
+        docs["text"][333] = "zq zq wj wj zq wj"
+        for i in (332, 333):
+            docs["n_chars"][i] = len(docs["text"][i])
     tabs["documents"] = pa.Table.from_pydict(
         docs, schema=tabs["documents"].schema)
 
