@@ -465,6 +465,33 @@ class PlanShapeSpec extends SparkSpecBase {
       "per-query windows must partition by qid:\n" + p.take(1500))
   }
 
+  test("q302 reads ONLY the memoized cascade state (zero parquet " +
+      "scans — the registers are a window over checkpointed " +
+      "compactors) and q302b adds exactly ONE lineitem scan (the " +
+      "exact-rank audit histogram)") {
+    val p302 = plan(Relational.q302QuantileSketchRegisters(spark, sf))
+    assert(p302.sliding("lineitem.parquet".length)
+      .count(_ == "lineitem.parquet") == 0,
+      "registers must read the memoized state:\n" + p302.take(1200))
+    val p302b = plan(Relational.q302bQuantileSketchQuery(spark, sf))
+    assert(p302b.sliding("lineitem.parquet".length)
+      .count(_ == "lineitem.parquet") <= 1,
+      "the audit needs one histogram scan, not re-derivation:\n" +
+        p302b.take(1200))
+    assert(!p302b.contains("CartesianProduct"), p302b.take(800))
+  }
+
+  test("q309 shortlist sweep: no cartesian products (the 4-row cut " +
+      "frame broadcasts) and every ranking window partitions per " +
+      "(shortlist, qid) — never a global sort") {
+    val p = plan(graft.operators.Similarity
+      .q309RefineShortlistSweep(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("windowspecdefinition(shortlist"),
+      "per-cut windows must partition by (shortlist, qid):\n" +
+        p.take(1200))
+  }
+
   test("q300 cluster labels checkpoint the shared (cell, term) tf " +
       "aggregate — the corpus tokenize+explode runs ONCE, not once " +
       "per consumer (ccf / n_cells / final join; round-14 verdict " +
