@@ -27,22 +27,39 @@ object Bench {
     spark.range(1000).repartition(4).groupBy((org.apache.spark.sql
       .functions.col("id") % 10).as("k")).count()
       .write.format("noop").mode("overwrite").save()
+    // Ambient-load honesty (round-14 verdict item 5): three judge
+    // rounds adjudicated artifact-vs-probe drift by hand because the
+    // artifact carried no load context. Record the 1-min /proc/loadavg
+    // per entry (per-entry `loads` map + run-level min/max), so the
+    // BENCH-NOISE rule is machine-checkable: an entry that drifted
+    // under load > ~4 is ambient smear until a low-load probe says
+    // otherwise. Advice r15: sampled per ATTEMPT; the kept load is the
+    // kept attempt's.
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     // A graded artifact must not be able to lie (round-5 lesson: 17
     // analysis-time crashes were recorded as 0.05-0.14s "times" inside an
     // otherwise-green BENCH_r05). runOnce now returns Left(error) on any
     // throw; failures are excluded from `value`/`queries` and surfaced in
     // a separate "failed" object plus per-query err lines.
+    // Returns (seconds, loadavg sampled at THIS attempt's start) —
+    // advice r15: the recorded load must describe the attempt whose
+    // time is kept, not whichever attempt ran first.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache
-        .spark.sql.DataFrame): Either[String, Double] = {
+        .spark.sql.DataFrame): Either[String, (Double, Double)] = {
       // Hygiene between queries: drop cached relations/broadcasts and
       // GC — 150 plans in one JVM otherwise bleed memory pressure into
       // whichever query runs next (observed up to 25× slowdowns)
       spark.catalog.clearCache()
       System.gc()
+      val l = loadAvg()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        Right(((System.nanoTime() - t0) / 1e9, l))
       } catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           .linesIterator.take(1).mkString.take(300)
@@ -103,25 +120,17 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "420").toDouble
     val tSuite0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - tSuite0) / 1e9
-    // Ambient-load honesty (round-14 verdict item 5): three judge
-    // rounds adjudicated artifact-vs-probe drift by hand because the
-    // artifact carried no load context. Record the 1-min /proc/loadavg
-    // at each entry's START (per-entry `loads` map + run-level
-    // min/max), so the BENCH-NOISE rule is machine-checkable: an entry
-    // that drifted under load > ~4 is ambient smear until a low-load
-    // probe says otherwise.
-    def loadAvg(): Double =
-      try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     val loads = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // Names re-measured by the load-aware re-run pass (round-15
+    // verdict item 6) — recorded in the artifact as "rerun".
+    val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     def writeLatest(results: Seq[(String, Double)],
-        failed: Seq[(String, String)], done: Boolean): String = {
+        failed: Seq[(String, String)], done: Boolean,
+        slim: Boolean = false): String = {
       val qs = results.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
@@ -135,19 +144,27 @@ object Bench {
       val fails = if (failed.isEmpty) ""
         else failed.sortBy(_._1).map { case (k, e) => s"${jq(k)}:${jq(e)}" }
           .mkString(""","failed":{""", ",", "}")
-      val loadStr = if (loads.isEmpty) "" else {
+      // slim (round-15 verdict item 9 — BENCH_r15.json was truncated
+      // mid-loads-map by the driver's bounded tail capture): the FINAL
+      // stdout line drops the per-entry loads map (keeping the scalar
+      // min/max) so one complete {"metric":…} line always fits the
+      // capture; the full map lives in BENCH_LATEST.json.
+      val vs = loads.map(_._2).filter(_ >= 0)
+      val mm = if (vs.isEmpty) "" else
+        s""","load_min":${vs.min},"load_max":${vs.max}"""
+      val loadStr = if (loads.isEmpty) "" else if (slim) mm else {
         val ls = loads.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
-        val vs = loads.map(_._2).filter(_ >= 0)
-        val mm = if (vs.isEmpty) "" else
-          s""","load_min":${vs.min},"load_max":${vs.max}"""
         s""","loads":$ls$mm"""
       }
-      val json = s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir"$loadStr$fails$partial}"""
+      val rr = if (reruns.isEmpty) "" else
+        reruns.toSeq.sorted.map(jq).mkString(""","rerun":[""", ",", "]")
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir"$loadStr$rr$fails$partial}"""
       // Subset runs (SPARK_GRAFT_ONLY) are local iteration aids — never
-      // let them clobber the committed full-suite artifact.
-      if (only.isEmpty)
+      // let them clobber the committed full-suite artifact; the slim
+      // rendering is print-only.
+      if (only.isEmpty && !slim)
         java.nio.file.Files.write(
           java.nio.file.Paths.get("BENCH_LATEST.json"),
           (json + "\n").getBytes("UTF-8"))
@@ -196,21 +213,22 @@ object Bench {
       // number is supposed to mean. Because the suite runs slowest-first,
       // the global half-budget cliff now only ever starves the CHEAP
       // tail, where a single measurement is already trustworthy.
-      val l = loadAvg()
-      loads += (name -> l)
       runOnce(name, fn) match {
         case Left(err) =>
           failed += (name -> err)
           println(s"""{"query":${jq(name)},"err":${jq(err)}}""")
-        case Right(first) =>
+        case Right((first, firstLoad)) =>
           var best = first
+          var bestLoad = firstLoad
           var extra = 0
           while (best > 2.5 && extra < 2 && elapsed() < budgetSec / 2) {
-            runOnce(name, fn).foreach(t => best = math.min(best, t))
+            runOnce(name, fn).foreach { case (t, l) =>
+              if (t < best) { best = t; bestLoad = l } }
             extra += 1
           }
           results += (name -> best)
-          println(s"""{"query":"$name","sec":$best,"load":$l}""")
+          loads += (name -> bestLoad)
+          println(s"""{"query":"$name","sec":$best,"load":$bestLoad}""")
       }
       // ALSO print the cumulative metric line every query: the driver
       // parses the stdout TAIL for a {"metric":…} line, and a
@@ -219,7 +237,42 @@ object Bench {
       println(writeLatest(results.toSeq, failed.toSeq, done = false))
       System.out.flush()
     }
+    // LOAD-AWARE RE-RUN PASS (round-15 verdict item 6): the loads
+    // column diagnosed the r15 common-set smear but couldn't prevent
+    // it. Entries whose kept attempt ran under load > max(2·median,
+    // 4.0) get one more attempt now (the suite tail is usually
+    // quieter); the min wins and the entry is flagged in "rerun".
+    // Memo builds are excluded — their state is already built, so a
+    // re-run would time a no-op.
+    if (only.isEmpty) {
+      val ls = loads.map(_._2).filter(_ >= 0).sorted
+      if (ls.nonEmpty) {
+        val median = ls(ls.size / 2)
+        val thr = math.max(2 * median, 4.0)
+        val loadOf = loads.toMap
+        picked.foreach { case (name, fn) =>
+          if (loadOf.getOrElse(name, -1.0) > thr &&
+              results.exists(_._1 == name) &&
+              elapsed() < budgetSec * 0.9) {
+            runOnce(name, fn) match {
+              case Right((t, l)) =>
+                reruns += name
+                val i = results.indexWhere(_._1 == name)
+                if (t < results(i)._2) {
+                  results(i) = name -> t
+                  val j = loads.indexWhere(_._1 == name)
+                  loads(j) = name -> l
+                  println(s"""{"query":"$name","sec":$t,"load":$l,"rerun":true}""")
+                }
+              case Left(_) => () // keep the original measurement
+            }
+          }
+        }
+      }
+    }
     val json = writeLatest(results.toSeq, failed.toSeq, done = true)
+    val slimJson = writeLatest(results.toSeq, failed.toSeq, done = true,
+      slim = true)
     // Apply the best-complete guard AFTER the final write: if this run
     // is complete but slower than a complete prior over the same-or-
     // wider query set, put the prior back — the incremental writes
@@ -245,8 +298,11 @@ object Bench {
     // interleave with stdout under tail-capture, and the driver parses
     // the LAST parseable {"metric":…} line (round-5 BENCH_r05 had
     // parsed:null). Printing it again post-shutdown makes the final
-    // stdout line deterministically the artifact.
-    println(json)
+    // stdout line deterministically the artifact — in SLIM form
+    // (no per-entry loads map) so the bounded tail capture holds one
+    // COMPLETE line (round-15 item 9: BENCH_r15.json truncated
+    // mid-map); BENCH_LATEST.json keeps the full rendering.
+    println(slimJson)
     System.out.flush()
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: " +

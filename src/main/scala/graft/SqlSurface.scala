@@ -654,6 +654,33 @@ object SqlSurface {
         spark.table(benchView), k)
       .createOrReplaceTempView(viewName)
 
+  /** WordPiece greedy segmentation from SQL (q312, round 16) for a
+    * (text) docs view — per eligible word: (w, c, len, n); the same
+    * shared vocab head the unigram view reads. */
+  def createWordpieceEncodeView(spark: SparkSession, docsView: String,
+      viewName: String): Unit =
+    operators.TextOps.wordPieceOf(
+        operators.TextOps.uniEdgesOf(spark.table(docsView)))
+      .createOrReplaceTempView(viewName)
+
+  /** DSIR importance weights + deterministic keep flags from SQL
+    * (q313, round 16) for a (doc_id, text) docs view against a
+    * (doc_id) target-ids view. */
+  def createImportanceWeightsView(spark: SparkSession,
+      docsView: String, targetIdsView: String, viewName: String): Unit =
+    operators.CorpusPrep.importanceWeights(spark.table(docsView),
+        spark.table(targetIdsView))
+      .createOrReplaceTempView(viewName)
+
+  /** Two-level Louvain from SQL (q311, round 16) for a (u, v) edges
+    * view — per node: (community = level-1, c2 = level-2). */
+  def createLouvainTwoLevelView(spark: SparkSession, edgesView: String,
+      viewName: String): Unit = {
+    val (_, _, _, map2) =
+      operators.Graph.louvainTwoLevelOf(spark.table(edgesView))
+    map2.createOrReplaceTempView(viewName)
+  }
+
   /** Z-order layout from SQL: writes `srcView` to `path` laid out
     * along the (xCol, yCol) Z-curve (one range shuffle at ingest), and
     * registers the written files as `viewName` so subsequent SQL box

@@ -293,6 +293,93 @@ object CorpusPrep {
   def q294SurprisalScore(spark: SparkSession, dir: String): DataFrame =
     surprisalScore(load(spark, dir, "documents")).orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q313
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTS + deterministic resampling (round
+    * 15 verdict item 4; Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling", public) — the data-SELECTION
+    * operator the quality-filter family was missing: score each doc by
+    * how much more its hashed n-gram features look like a TARGET
+    * domain than like the corpus at large, then keep docs with
+    * probability proportional to that weight.
+    *
+    * The gateable integer surrogate:
+    *  - features = the q272 classifier's hashed uni+bigram buckets
+    *    (engine-shared polyhash word folds; bigram fold ·131 mod
+    *    10⁹+7; 64 buckets) — DSIR's hashed-n-gram feature map with the
+    *    repo's one hash family;
+    *  - per bucket, the importance ratio p_tgt/p_all as the q80-style
+    *    cross-multiplied chain with each step BOUNDED: ratio_e6 =
+    *    (c_tgt·10⁶) div c_all ≤ 10⁶ (target ⊆ corpus, so c_tgt ≤
+    *    c_all), then lift_e6 = (ratio_e6·n_all) div n_tgt — overflow-
+    *    free to n_all ≈ 9·10¹² features (≈ 50 TB of text; past that,
+    *    divide n_all/n_tgt first — documented, not needed here);
+    *  - per doc, w_e6 = mean lift over its feature OCCURRENCES (the
+    *    surprisal-mean discipline; length-unbiased);
+    *  - keep = DETERMINISTIC importance resampling under the q103
+    *    rule: bucket₂₀(doc_id)·max_w < w_e6·2²⁰ — keep probability
+    *    ∝ weight, a pure function of the row key (reproducible across
+    *    runs/engines/partitionings, like every sampler here).
+    *
+    * Scale: bucket counts are 64-row partial-combining aggs; the lift
+    * table broadcasts (64 rows); the per-doc mean is one doc-keyed
+    * agg over the feature stream; max_w is a 1-row broadcast. Nothing
+    * holds a document's text past the fold projection. */
+  def importanceWeights(docs: DataFrame, targetIds: DataFrame)
+      : DataFrame = {
+    graft.functions.SignatureExprs.register(docs.sparkSession)
+    val feats = docs
+      .select(col("doc_id"),
+        transform(split(col("text"), " "),
+          wd => call_function("graft_polyhash", wd)).as("h1"))
+      .select(col("doc_id"), explode(concat(
+        transform(col("h1"), h => h % 64L),
+        // sequence(1, 0) counts DOWN — the size ≥ 2 guard is
+        // load-bearing (q145's rule); DuckDB range(1, 1) is empty.
+        when(size(col("h1")) >= 2,
+          transform(sequence(lit(1), size(col("h1")) - 1),
+            i => (element_at(col("h1"), i) * 131L +
+              element_at(col("h1"), i + 1)) % 1000000007L % 64L))
+          .otherwise(typedlit(Seq.empty[Long])))).as("b"))
+      .localCheckpoint() // c_all + c_tgt + the per-doc score join
+    val ca = feats.groupBy("b").agg(count(lit(1)).as("c_all"))
+    val ct = feats
+      .join(targetIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("b").agg(count(lit(1)).as("c_tgt"))
+    val tot = ca.agg(sum(col("c_all")).as("n_all"))
+      .crossJoin(ct.agg(sum(col("c_tgt")).as("n_tgt")))
+    val lift = ca.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr("(((coalesce(c_tgt, 0) * 1000000) div c_all) * n_all)" +
+          " div n_tgt").as("lift_e6"))
+    val dw = feats.join(broadcast(lift), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lift_e6")).as("lsum"))
+    val scored = docs.select("doc_id").join(dw, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(expr("lsum div n_feats"), lit(0L)).as("w_e6"))
+    val mx = scored.agg(max(col("w_e6")).as("mxw"))
+    scored.crossJoin(broadcast(mx))
+      .withColumn("kept",
+        when(Sampling.md5Bucket20(col("doc_id")) * col("mxw") <
+          col("w_e6") * lit(1048576L), 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_feats"), col("w_e6"), col("kept"))
+  }
+
+  /** Q313: the importance table over the base corpus with target =
+    * the English slice (the "I want more of THIS distribution"
+    * domain; lang is the fixture's domain axis). Output per doc:
+    * feature count, weight (e6), and the deterministic kept flag. */
+  def q313ImportanceSample(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = load(spark, dir, "documents")
+    importanceWeights(docs.select("doc_id", "text"),
+      docs.filter(col("lang") === "en").select("doc_id"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q66
 
   /** Sequence packing — the GPT-style concat-and-chunk pack: per
@@ -1031,6 +1118,7 @@ object CorpusPrep {
     "q260_mixture_budget" -> (q260MixtureBudget _),
     "q272_quality_score" -> (q272QualityScore _),
     "q294_surprisal_score" -> (q294SurprisalScore _),
+    "q313_importance_sample" -> (q313ImportanceSample _),
     "q279_quality_deciles" -> (q279QualityDeciles _),
   )
 
@@ -1124,7 +1212,77 @@ object CorpusPrep {
        |      AS surp_mean
        |  FROM $src d LEFT JOIN ssc s USING (doc_id))""".stripMargin
 
+  /** The q313 DSIR importance scorer as composable CTEs over a named
+    * (doc_id, text) relation and a target-id subquery — `ik` ends with
+    * (doc_id, n_feats, w_e6, kept) for EVERY doc of the source.
+    * q313's own oracle and the pipeline-v4 oracle interpolate this ONE
+    * rendering (i*-prefixed, clash-free next to the q272 q*-CTEs, the
+    * q294 s*-CTEs and pipelineTailSql). The feature fold is the
+    * [[sqlWordFolds]] h1 chain; buckets, ratio/lift div chain and the
+    * five-nibble md5 keep rule replay the Spark ops 1:1. */
+  private[operators] def sqlImportanceCtes(src: String,
+      targetIds: String): String =
+    s"""iw0 AS (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM $src),
+       |ih AS (SELECT doc_id,
+       |    $sqlWordFolds
+       |  FROM iw0),
+       |ib AS (
+       |  SELECT doc_id, unnest(list_concat(
+       |    list_transform(h1, x -> x % 64),
+       |    list_transform(range(1, len(h1)),
+       |      i -> ((h1[i] * 131 + h1[i+1]) % 1000000007) % 64))) AS b
+       |  FROM ih),
+       |itg AS ($targetIds),
+       |ica AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_all
+       |        FROM ib GROUP BY b),
+       |ict AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_tgt
+       |        FROM ib JOIN itg USING (doc_id) GROUP BY b),
+       |itot AS (
+       |  SELECT (SELECT CAST(SUM(c_all) AS BIGINT) FROM ica) AS n_all,
+       |         (SELECT CAST(SUM(c_tgt) AS BIGINT) FROM ict) AS n_tgt),
+       |ilf AS (
+       |  SELECT a.b,
+       |    (((COALESCE(t.c_tgt, 0) * 1000000) // a.c_all) * n_all)
+       |      // n_tgt AS lift_e6
+       |  FROM ica a LEFT JOIN ict t USING (b) CROSS JOIN itot),
+       |idw AS (
+       |  SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |    CAST(SUM(l.lift_e6) AS BIGINT) AS lsum
+       |  FROM ib x JOIN ilf l USING (b) GROUP BY x.doc_id),
+       |imw AS (
+       |  SELECT d.doc_id,
+       |    CAST(COALESCE(w.n_feats, 0) AS BIGINT) AS n_feats,
+       |    CAST(COALESCE(w.lsum // w.n_feats, 0) AS BIGINT) AS w_e6
+       |  FROM $src d LEFT JOIN idw w USING (doc_id)),
+       |imx AS (SELECT CAST(MAX(w_e6) AS BIGINT) AS mxw FROM imw),
+       |ik AS (
+       |  SELECT doc_id, n_feats, w_e6,
+       |    CAST(CASE WHEN (
+       |        (strpos('0123456789abcdef',
+       |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 65536
+       |      + (strpos('0123456789abcdef',
+       |           substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 4096
+       |      + (strpos('0123456789abcdef',
+       |           substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 256
+       |      + (strpos('0123456789abcdef',
+       |           substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef',
+       |           substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1)
+       |      ) * mxw < w_e6 * 1048576 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS kept
+       |  FROM imw CROSS JOIN imx)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // q313: the shared importance CTEs over documents with the
+    // English-slice target — same folds, same bounded div chain,
+    // same five-nibble md5 resampling rule.
+    "q313_importance_sample" ->
+      (s"WITH ${sqlImportanceCtes("documents",
+        "SELECT doc_id FROM documents WHERE lang = 'en'")}" +
+        """
+        |SELECT doc_id, n_feats, w_e6, kept
+        |FROM ik ORDER BY doc_id""".stripMargin),
     // q294: the shared surprisal CTEs over documents + the literal
     // threshold keep flag (surpKeepE6 — one rendering).
     "q294_surprisal_score" ->

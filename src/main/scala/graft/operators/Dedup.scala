@@ -1194,6 +1194,40 @@ object Dedup {
     learnedPipelineTail(spark, dir, corpus, keepIds)
   }
 
+  // ---------------------------------------------------------------- q313b
+
+  /** Q313b PIPELINE V4 — q280 with stage 1 = classifier ∧ DSIR
+    * importance-kept (the q294 swap discipline: only the filter
+    * changes, stages 2–4 are [[learnedPipelineTail]] / the ONE
+    * [[pipelineTailSql]] rendering all four pipelines append). The
+    * data-SELECTION pipeline: v2 keeps what the classifier likes, v3
+    * adds fluency, v4 instead RESAMPLES toward the target domain (the
+    * English slice, attributed to derived twins through their base
+    * doc) — a doc survives stage 1 iff the classifier keeps it AND
+    * the q313 deterministic importance resampler drew it. DedupSpec
+    * measures the v2/v3/v4 keep-set disagreement on the fixture.
+    *
+    * Scale: the importance leg adds two 64-row bucket aggs + one
+    * broadcast lift join over the corpus feature stream; everything
+    * else is q280's plan. */
+  def q313bPipelineV4(spark: SparkSession, dir: String): DataFrame = {
+    val base = load(spark, dir, "documents")
+    val corpus = docsWithNearDups(base).localCheckpoint()
+    graft.functions.SignatureExprs.register(spark)
+    val clsIds = CorpusPrep.qualityScore(corpus)
+      .filter(col("keep") === 1L).select("doc_id")
+    val tgt = corpus.select("doc_id")
+      .join(base.filter(col("lang") === "en")
+          .select(col("doc_id").as("bid")),
+        col("doc_id") % lit(NearDupIdOffset) === col("bid"),
+        "left_semi")
+    val impIds = CorpusPrep.importanceWeights(corpus, tgt)
+      .filter(col("kept") === 1L).select("doc_id")
+    val keepIds = clsIds.join(impIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    learnedPipelineTail(spark, dir, corpus, keepIds)
+  }
+
   // ---------------------------------------------------------------- q301
 
   /** Q301: SERP NEAR-DUP COLLAPSE — search-result deduplication at
@@ -1831,6 +1865,61 @@ object Dedup {
       .orderBy("k", "tau")
   }
 
+  // ---------------------------------------------------------------- q314
+
+  /** Q314: SOFT DEDUP — per-document DOWN-WEIGHTING beside the hard
+    * drop (round-15 verdict item 5): production corpora increasingly
+    * keep near-duplicates with weight 1/cluster_size instead of
+    * dropping losers (the SemDeDup/D4-era recipe — repetition is
+    * capped, coverage is kept), so the training sampler sees each
+    * CLUSTER once in expectation while every surface form stays
+    * available. Weights are exact integer millionths
+    * (10⁶ div cluster_size — the q80/q175 integer-reciprocal
+    * discipline) over the MEMOIZED q33g component labels; unlabeled
+    * docs are weight-1.0 singletons.
+    *
+    * The output is the per-source MIXTURE SHIFT table: hard dedup
+    * (q63/q232's keep-min-id rule) and soft weighting imply different
+    * effective mixtures over the same corpus, and this is the table a
+    * mixture review reads before switching schemes — n_docs,
+    * hard-kept reps, total soft weight, and both normalized shares in
+    * basis points (floor division, Σ ≤ 10⁴). Derived-twin docs
+    * attribute to their base doc's source (doc_id mod the twin
+    * offset).
+    *
+    * Scale: reads `memo:dedup_components` — the whole query is
+    * pairs-/label-sized joins (component sizes, one doc_id-keyed
+    * source join, per-source rollup, a 1-row broadcast of the two
+    * normalizers); zero new corpus-sized text work. */
+  def q314SoftDedupWeights(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val corpus = docsWithNearDups(docs).select("doc_id")
+    val lab = corpus
+      .join(dedupComponents(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("grp"))
+    val sz = lab.groupBy("grp")
+      .agg(count(lit(1)).as("csz"), min(col("doc_id")).as("rep"))
+    val per = lab.join(sz, "grp")
+      .withColumn("src_doc", col("doc_id") % lit(NearDupIdOffset))
+      .join(docs.select(col("doc_id").as("src_doc"), col("source")),
+        "src_doc")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("rep"), 1L).otherwise(0L))
+          .as("n_hard_kept"),
+        sum(expr("1000000 div csz")).as("soft_w_e6"))
+    val tot = per.agg(sum(col("n_hard_kept")).as("th"),
+      sum(col("soft_w_e6")).as("ts"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_hard_kept"),
+        col("soft_w_e6"),
+        expr("(n_hard_kept * 10000) div th").as("hard_share_bp"),
+        expr("(soft_w_e6 * 10000) div ts").as("soft_share_bp"))
+      .orderBy("source")
+  }
+
   /** Q63: the END-TO-END pretraining data-prep pipeline as ONE query —
     * the composition every LLM corpus actually runs, each stage the
     * exact (oracle-expressible) variant of an operator above:
@@ -1902,6 +1991,7 @@ object Dedup {
     "q274_minhash_perm_sweep" -> (q274MinhashPermSweep _),
     "q280_pipeline_v2" -> (q280PipelineV2 _),
     "q294_pipeline_v3" -> (q294PipelineV3 _),
+    "q313b_pipeline_v4" -> (q313bPipelineV4 _),
     "q281_cluster_decontam" -> (q281ClusterDecontam _),
     "q268_cluster_split" -> (q268ClusterSplit _),
     "q33c_ngram_jaccard_pairs" -> (q33cNgramJaccard _),
@@ -1921,6 +2011,7 @@ object Dedup {
     "q244_banding_sweep" -> (q244BandingSweep _),
     "q62_decontaminate" -> (q62Decontaminate _),
     "q306_decontam_sweep" -> (q306DecontamSweep _),
+    "q314_soft_dedup_weights" -> (q314SoftDedupWeights _),
     "q63_pipeline" -> (q63Pipeline _),
     "q102_containment_pairs" -> (q102ContainmentPairs _),
     "q137_incremental_dedup" -> (q137IncrementalDedup _),
@@ -2617,6 +2708,31 @@ object Dedup {
         |  FROM filtered
         |  GROUP BY ${CorpusPrep.sqlTextFold("text")}),
         |""".stripMargin + pipelineTailSql),
+    // q313b: q280's oracle with stage 1 = classifier keep ∧ DSIR
+    // importance-kept (the shared q272 q*-CTEs AND the shared q313
+    // i*-CTEs over the same derived corpus, target = base-English
+    // docs and their twins); stages 2–4 = the SAME pipelineTailSql.
+    "q313b_pipeline_v4" ->
+      (s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(string_split(text, ' ')[1:greatest(
+        |      len(string_split(text, ' ')) - 3, 1)], ' ')
+        |  FROM documents),
+        |${CorpusPrep.sqlQualityScoreCtes("corpus")},
+        |${CorpusPrep.sqlImportanceCtes("corpus",
+          "SELECT c.doc_id FROM corpus c JOIN documents d" +
+            " ON d.doc_id = c.doc_id % 1000000 WHERE d.lang = 'en'")},
+        |filtered AS (
+        |  SELECT c.doc_id, c.text FROM corpus c
+        |  JOIN qm USING (doc_id) JOIN ik USING (doc_id)
+        |  WHERE qm.mean_e3 >= 0 AND ik.kept = 1),
+        |exact_kept AS (
+        |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+        |  FROM filtered
+        |  GROUP BY ${CorpusPrep.sqlTextFold("text")}),
+        |""".stripMargin + pipelineTailSql),
     // q301: the q33g closure chain + the ONE bm25 base/score renderers
     // (bm25BaseBody over the SAME corpus CTE, bm25ScoreChainOn with a
     // 1-query table) + the component collapse windows.
@@ -2652,6 +2768,40 @@ object Dedup {
       |  doc_id, CAST(orig_rank AS BIGINT) AS orig_rank, score,
       |  component, CAST(n_collapsed AS BIGINT) AS n_collapsed
       |FROM keptq ORDER BY new_rank""".stripMargin),
+    // q314: the q33g closure → component labels (min reach id, docs
+    // outside any component are their own singleton) → cluster sizes
+    // + min-id reps → per-source rollup with exact integer 1e6-div
+    // weights and floor-bp shares; twins attribute to the base doc's
+    // source via doc_id % 1000000.
+    "q314_soft_dedup_weights" -> (closureCtes + """,
+      |compq AS (
+      |  SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+      |  FROM reach GROUP BY node),
+      |labq AS (
+      |  SELECT c.doc_id, COALESCE(q.component, c.doc_id) AS grp
+      |  FROM corpus c LEFT JOIN compq q USING (doc_id)),
+      |szq AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS csz,
+      |    CAST(MIN(doc_id) AS BIGINT) AS rep
+      |  FROM labq GROUP BY grp),
+      |jsq AS (
+      |  SELECT l.doc_id, s.csz, s.rep, d.source
+      |  FROM labq l JOIN szq s USING (grp)
+      |  JOIN documents d ON d.doc_id = l.doc_id % 1000000),
+      |perq AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN doc_id = rep THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_hard_kept,
+      |    CAST(SUM(1000000 // csz) AS BIGINT) AS soft_w_e6
+      |  FROM jsq GROUP BY source),
+      |totq AS (
+      |  SELECT CAST(SUM(n_hard_kept) AS BIGINT) AS th,
+      |    CAST(SUM(soft_w_e6) AS BIGINT) AS ts
+      |  FROM perq)
+      |SELECT source, n_docs, n_hard_kept, soft_w_e6,
+      |  (n_hard_kept * 10000) // th AS hard_share_bp,
+      |  (soft_w_e6 * 10000) // ts AS soft_share_bp
+      |FROM perq, totq ORDER BY source""".stripMargin),
     // q281: the q33g closure + q62's contamination predicate (string
     // shingles — the q62 oracle basis) + the cluster-level rollup.
     "q281_cluster_decontam" ->

@@ -66,5 +66,9 @@ object Memos {
     "memo:qsketch_state" ->
       ((s, d) => { Percentiles.qsketchState(s, d); () }),
     "memo:unigram_state" ->
-      ((s, d) => { TextOps.uniState(s, d); () }))
+      ((s, d) => { TextOps.uniState(s, d); () }),
+    "memo:wordpiece_state" ->
+      ((s, d) => { TextOps.wpState(s, d); () }),
+    "memo:louvain2_state" ->
+      ((s, d) => { Graph.louvain2State(s, d); () }))
 }

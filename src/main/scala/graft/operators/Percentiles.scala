@@ -393,7 +393,19 @@ object Percentiles {
     * ranks, and double their weight; at or under budget the round is
     * an identity. Applied to completion the shard compactor holds
     * ≤ kb items of uniform weight 2^c whose rank error vs the shard's
-    * data is ≤ Σ 2^level /2 — the classic deterministic bound.
+    * data is ≤ Σ 2^level /2 per compaction — the MRL-style
+    * deterministic bound for EVEN populations. ODD-POPULATION NOTE
+    * (advice r15): an odd-sized compaction drops its unpaired
+    * top-rank item entirely (n = 2t+1 keeps t items of doubled
+    * weight — retained weight 2t < n), so total retained weight can
+    * drift below the true count by up to 1 per odd compaction; the
+    * q302b estimator normalizes by RETAINED weight, so the readout
+    * stays self-consistent (and gated), at the cost of the stated
+    * bound holding against the retained-weight CDF rather than the
+    * raw count — the measured rank-error curve in q302b is the
+    * honest number. (Carrying the odd item to the next level would
+    * preserve weight but break the uniform-weight-per-level
+    * invariant this relational form leans on.)
     *
     * Input/output columns: kb, shard, v, ok, ln, w (all BIGINT). */
   private def sketchRound(cur: DataFrame): DataFrame = {
@@ -411,7 +423,20 @@ object Percentiles {
   /** The full cascade: [[sketchRounds]] conditional rounds, each
     * localCheckpointed (the iterative-loop rule — 14 window rounds of
     * lineage would otherwise stack into one colossal Catalyst plan).
-    * Exposed for the planted-data hand goldens in the spec. */
+    * Exposed for the planted-data hand goldens in the spec.
+    *
+    * POPULATION-CEILING GUARD (advice r15): 14 rounds only bound the
+    * compactor at ≤ kb items for (budget, shard) populations up to
+    * kb·2¹⁴ (≈ 262k at kb = 16). Past that the rounds run out with the
+    * shard still over budget — the GATE would keep matching (both
+    * engines run the same 14 rounds) while the size bound behind the
+    * union-merge story and the PercentileRankSpec ≤ kb pin silently
+    * broke. So the post-cascade frame RAISES if any (kb, shard)
+    * population still exceeds its budget (the substringDupSpans
+    * pos ≥ 2²⁴ precedent): the check is a count window over the
+    * ≤ kb·shards·budgets post-cascade rows (~25k at the graded
+    * config), and on gated data it is a value no-op — w is returned
+    * unchanged — so the oracle needs no twin. */
   private[graft] def sketchCascade(base: DataFrame): DataFrame = {
     var cur = base.localCheckpoint()
     var r = 0
@@ -419,7 +444,19 @@ object Percentiles {
       cur = sketchRound(cur).localCheckpoint()
       r += 1
     }
-    cur
+    val wn = Window.partitionBy("kb", "shard")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cur.withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("w", when(col("__n") > col("kb"),
+          raise_error(concat(
+            lit(s"graft: quantile-sketch shard still over budget " +
+              s"after $sketchRounds rounds (population exceeds " +
+              "kb*2^rounds — raise sketchRounds); kb="),
+            col("kb").cast("string"), lit(" shard="),
+            col("shard").cast("string"), lit(" n="),
+            col("__n").cast("string"))).cast("long"))
+        .otherwise(col("w")))
+      .drop("__n")
   }
 
   private val qsketchCache = scala.collection.concurrent.TrieMap

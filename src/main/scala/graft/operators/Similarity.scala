@@ -1925,6 +1925,101 @@ object Similarity {
         * (col("xq") - col("cc") - col("rc") - col("fc"))).as("d2r"))
   }
 
+  /** [[refineRerank]] generalized over the refine-codebook BUDGET
+    * (q310): the refine stream re-subspaces at `subDimF` (m′ =
+    * dims/subDimF refine subspaces), codes/codebooks come from the
+    * caller's sweep-trained chain, and the decode attaches the refine
+    * code per DIMENSION through fs = (dim−1) div subDimF — the
+    * residual decode (m = 4 subspaces) and the refine decode (m′)
+    * live in different subspace id spaces, joined only on dim. At
+    * subDimF = 16 this is exactly [[refineRerank]]'s chain. */
+  private def refineRerankM(spark: SparkSession, dir: String,
+      shl: DataFrame, subDimF: Int, fcent: DataFrame,
+      fdist: DataFrame): DataFrame = {
+    val (cent, _) = kmeansShared83(spark, dir)
+    val (ex, _, _) = pqShared168(spark, dir)
+    val (_, rcent, rdist, a3) = pqResShared(spark, dir)
+    val rcodes = pqCodes(rdist).drop("d2")
+      .withColumnRenamed("cell", "rcell")
+    val fcodes = pqCodes(fdist).drop("d2")
+      .select(col("vec_id"), col("s").as("fs"),
+        col("cell").as("fcell"))
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    shl.select(col("qid"), col("vec_id"))
+      .join(a3.withColumnRenamed("cell", "ivf_cell"), "vec_id")
+      .join(rcodes, "vec_id")
+      .join(broadcast(rcent.select(col("s"), col("cell").as("rcell"),
+        col("dim"), col("c").as("rc"))), Seq("s", "rcell"))
+      .withColumn("fs", expr(s"(dim - 1) div ${subDimF}L"))
+      .join(fcodes, Seq("vec_id", "fs"))
+      .join(broadcast(fcent.select(col("s").as("fs"),
+        col("cell").as("fcell"), col("dim"), col("c").as("fc"))),
+        Seq("fs", "fcell", "dim"))
+      .join(broadcast(cent.select(col("cell").as("ivf_cell"),
+        col("dim"), col("c").as("cc"))), Seq("ivf_cell", "dim"))
+      .join(broadcast(exq), Seq("qid", "dim"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("xq") - col("cc") - col("rc") - col("fc"))
+        * (col("xq") - col("cc") - col("rc") - col("fc"))).as("d2r"))
+  }
+
+  /** Q310: REFINE-CODEBOOK BUDGET SWEEP (round-15 verdict item 1 —
+    * the knob q309 proved IS the recall ceiling): recall@10 vs brute
+    * of the refine-DECODE finale over the SAME probe-4/shortlist-50
+    * candidates, with the refine codebook trained at m′ ∈ {4, 8, 16}
+    * subspaces (subDim 16/8/4, kSub 8, the one [[Clustering
+    * .pqSharedEx]] trainer over the one fex refine stream). Output
+    * carries bytes_per_vec = m (4 residual codes) + m′ refine codes —
+    * the table SCALE.md's serving-replica ladder becomes a measured
+    * recall/bytes FRONTIER from. The m′ = 4 rows re-derive q303's
+    * graded codebooks from scratch and must equal q303b's refine rows
+    * (ClusteringSpec pin — the sweep's anchor).
+    *
+    * Scale: each config is one more pqSharedEx run over the SAME
+    * checkpointed fex (broadcast-join + slim-agg rounds) plus a
+    * shortlist-sized decode; the shortlist, brute baseline, and
+    * residual decode are computed ONCE across the sweep. */
+  def q310RefineBudgetSweep(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (fex, _, _) = pqRefShared(spark, dir)
+    val (ex, _, _) = pqShared168(spark, dir)
+    val wq = Window.partitionBy("qid")
+    val shl = residualShortlist(spark, dir, probes = 4, shortlist = 50)
+      .localCheckpoint() // three budget variants rank the same list
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    val br = ex.join(broadcast(exq), "dim")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("d2"))
+      .withColumn("rnk", row_number().over(
+        wq.orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint() // one baseline, three variant joins
+    val rows = Seq(4, 8, 16).map { m =>
+      val subDim = 64 / m
+      val fexM = fex.select(col("vec_id"), col("dim"),
+        expr(s"(dim - 1) div ${subDim}L").as("s"), col("x"))
+      val (_, fcentM, fdistM) = Clustering.pqSharedEx(fexM, 8, 2)
+      val rr = refineRerankM(spark, dir, shl, subDim, fcentM, fdistM)
+        .withColumn("rk", row_number().over(
+          wq.orderBy(col("d2r"), col("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"), lit(1L).as("f"))
+      br.join(rr, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_brute"), count(col("f")).as("n_found"))
+        .select(lit(m.toLong).as("m_ref"),
+          lit((4 + m).toLong).as("bytes_per_vec"), col("qid"),
+          col("n_brute"), col("n_found"),
+          expr("(n_found * 1000000) div n_brute").as("recall_ppm"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("m_ref", "qid")
+  }
+
   /** IVFADC+R serving pipeline, parameterized: probe → residual-ADC
     * shortlist → REFINE-CODE re-rank → top k. With probes = all
     * cells and an unbounded shortlist the output ≡ ranking EVERY
@@ -2514,6 +2609,7 @@ object Similarity {
     "q296_ivfadc_residual_topk" -> (q296IvfAdcResidualTopK _),
     "q303_ivfadc_refine_topk" -> (q303IvfAdcRefineTopK _),
     "q303b_ivfadc_refine_recall" -> (q303bIvfAdcRefineRecall _),
+    "q310_refine_budget_sweep" -> (q310RefineBudgetSweep _),
     "q309_refine_shortlist_sweep" -> (q309RefineShortlistSweep _),
     "q298_scalar_quant_recall" -> (q298ScalarQuantRecall _),
     "q299_mmr_rerank" -> (q299MmrRerank _),
@@ -2746,13 +2842,18 @@ object Similarity {
     * rdecode(rcodes), seeds fpc0 (vec_id < 8), 2 trainer rounds
     * (fpd/fpa/fpc over fex via the ONE pqRoundCteOn renderer), final
     * distances fdf, codes fcodes. */
-  private val pqRefineCtes: String =
+  /** The refine residual stream CTE alone (x = rex − rdecode) — the
+    * q310 budget sweep composes it without the fp trainer chain. */
+  private val fexCte: String =
     """fex AS MATERIALIZED (
       |  SELECT r.vec_id, r.dim, r.s, r.x - c.c AS x
       |  FROM rex r JOIN rcodes k ON k.vec_id = r.vec_id
       |    AND k.s = r.s
       |  JOIN rpc2 c ON c.s = k.s AND c.cell = k.cell
-      |    AND c.dim = r.dim),
+      |    AND c.dim = r.dim)""".stripMargin
+
+  private val pqRefineCtes: String = fexCte +
+    """,
       |fpc0 AS MATERIALIZED (
       |  SELECT s, vec_id AS cell, dim, x AS c FROM fex
       |  WHERE vec_id < 8)""".stripMargin +
@@ -2770,6 +2871,56 @@ object Similarity {
         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
         |        ORDER BY d2, cell) AS rk
         |    FROM fdf) t WHERE rk = 1)""".stripMargin
+
+  /** One refine-budget sweep chain (q310): re-subspace fex at
+    * m′ = `m` (subDim 64/m), seed, 2 trainer rounds via the ONE
+    * [[pqRoundCteOn]] renderer, final codes, then the refine-decode
+    * re-rank over the shared shortlist with the refine code attached
+    * per DIMENSION (fs = (dim−1) // subDim — the two subspace id
+    * spaces meet only on dim), and the per-config top-10. */
+  private def refBudgetCtes(m: Int): String = {
+    val sub = 64 / m
+    val p = s"g$m"
+    s"""${p}ex AS MATERIALIZED (
+       |  SELECT vec_id, dim, (dim - 1) // $sub AS s, x FROM fex),
+       |${p}c0 AS MATERIALIZED (
+       |  SELECT s, vec_id AS cell, dim, x AS c FROM ${p}ex
+       |  WHERE vec_id < 8)""".stripMargin +
+      (0 until 2).map(pqRoundCteOn(_, s"${p}ex", p))
+        .mkString(",\n", ",\n", "") +
+      s""",
+         |${p}df AS MATERIALIZED (
+         |  SELECT e.vec_id, e.s, c.cell,
+         |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+         |  FROM ${p}ex e JOIN ${p}c2 c ON e.dim = c.dim
+         |  GROUP BY e.vec_id, e.s, c.cell),
+         |${p}cd AS MATERIALIZED (
+         |  SELECT vec_id, s, cell FROM (
+         |    SELECT vec_id, s, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+         |        ORDER BY d2, cell) AS rk
+         |    FROM ${p}df) t WHERE rk = 1),
+         |${p}rc AS MATERIALIZED (
+         |  SELECT s.qid, s.vec_id,
+         |    CAST(SUM((q.x - cc.c - rc.c - fc.c)
+         |      * (q.x - cc.c - rc.c - fc.c)) AS BIGINT) AS d2r
+         |  FROM shr s
+         |  JOIN a3r a ON a.vec_id = s.vec_id
+         |  JOIN rcodes k ON k.vec_id = s.vec_id
+         |  JOIN rpc2 rc ON rc.s = k.s AND rc.cell = k.cell
+         |  JOIN ${p}cd f ON f.vec_id = s.vec_id
+         |    AND f.s = (rc.dim - 1) // $sub
+         |  JOIN ${p}c2 fc ON fc.s = f.s AND fc.cell = f.cell
+         |    AND fc.dim = rc.dim
+         |  JOIN c3 cc ON cc.cell = a.cell AND cc.dim = rc.dim
+         |  JOIN pex q ON q.vec_id = s.qid AND q.dim = rc.dim
+         |  GROUP BY s.qid, s.vec_id),
+         |${p}tk AS (
+         |  SELECT CAST($m AS BIGINT) AS m_ref, qid, vec_id FROM (
+         |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY d2r, vec_id) AS rk
+         |    FROM ${p}rc) t WHERE rk <= 10)""".stripMargin
+  }
 
   /** The refine-decode re-rank CTE (q303 finale, q303b's `refine`
     * variant): every shortlist candidate decodes to cc + rc + fc per
@@ -3362,6 +3513,43 @@ object Similarity {
            |  (n_found * 1000000) // n_brute AS recall_ppm
            |FROM mv ORDER BY shortlist, qid""".stripMargin
       }),
+    // q310: the residual stack + fex alone (no fp chain — the sweep
+    // trains its own codebooks at each m'), three g4/g8/g16 budget
+    // chains over ONE shr/brute, recall per (m_ref, qid).
+    "q310_refine_budget_sweep" -> (kmeansCtes + ",\n" +
+      pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + ",\n" +
+      residServeCtes() + ",\n" + fexCte + ",\n" +
+      Seq(4, 8, 16).map(refBudgetCtes).mkString(",\n") + """,
+      |bdp AS (
+      |  SELECT q.vec_id AS qid, e.vec_id,
+      |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
+      |  FROM pex e JOIN (SELECT vec_id, dim, x FROM pex
+      |                   WHERE vec_id < 5) q ON e.dim = q.dim
+      |  WHERE e.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, e.vec_id),
+      |brt AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY d2, vec_id) AS rnk
+      |    FROM bdp) t WHERE rnk <= 10),
+      |pk AS (
+      |  SELECT * FROM g4tk
+      |  UNION ALL SELECT * FROM g8tk
+      |  UNION ALL SELECT * FROM g16tk),
+      |brv AS (
+      |  SELECT v.m_ref, b.qid, b.vec_id
+      |  FROM (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS m_ref) v
+      |  CROSS JOIN brt b),
+      |mv AS (
+      |  SELECT b.m_ref, b.qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+      |    CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_found
+      |  FROM brv b LEFT JOIN pk p ON p.m_ref = b.m_ref
+      |    AND p.qid = b.qid AND p.vec_id = b.vec_id
+      |  GROUP BY b.m_ref, b.qid)
+      |SELECT m_ref, m_ref + 4 AS bytes_per_vec, qid, n_brute,
+      |  n_found, (n_found * 1000000) // n_brute AS recall_ppm
+      |FROM mv ORDER BY m_ref, qid""".stripMargin),
     // q303b: same stack; three finales over the ONE shortlist (adc =
     // the shr ranks themselves, refine = recf, exact = rrr), each
     // cut to 10, recall vs the brute exact top-10.

@@ -422,6 +422,8 @@ object TextOps {
     fuzzyPairsCache.clear()
     bpeStateCache.clear()
     uniCache.clear()
+    uniEdgeCache.clear()
+    wpCache.clear()
   }
 
   def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
@@ -1321,7 +1323,17 @@ object TextOps {
     * piece counts are monotone non-increasing in kb (spec pin). */
   private[graft] val uniBudgets: Seq[Long] = Seq(50L, 200L, 500L)
 
-  private[graft] def uniStateOf(docs: DataFrame): DataFrame = {
+  /** The shared unigram-vocab HEAD (q304 family + q312 WordPiece —
+    * round 16): eligible word counts (1 ≤ code-point len ≤ 16),
+    * substring generation (len ≤ 6), corpus piece frequencies, the
+    * kb-budgeted vocabulary (singles ∪ top-kb under (freq desc,
+    * piece)), and the per-position piece edges (kb, w, i0, nj, freq).
+    * ONE body: the Viterbi DP and the greedy WordPiece encoder read
+    * the SAME edge frame, so the two tokenizers can never disagree
+    * about the vocabulary. Returns (uwd = (w, c, len), uvoc =
+    * (piece, freq, kb) — the serving replica's source — and uedge). */
+  private[graft] def uniEdgesOf(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1354,10 +1366,37 @@ object TextOps {
         .withColumn("rk", row_number().over(wr))
         .crossJoin(broadcast(budgets))
         .filter(col("rk") <= col("kb")).drop("rk"))
+      .localCheckpoint() // the edge join AND the serving replica
     val uedge = ugen.join(uvoc, "piece")
       .select(col("kb"), col("w"), (col("i") - 1).as("i0"),
         (col("i") - 1 + col("l")).as("nj"), col("freq"))
       .localCheckpoint()
+    (uwd, uvoc, uedge)
+  }
+
+  /** Memoized (uwd, uvoc, uedge) head over the corpus — built once,
+    * read by BOTH tokenizer memos (`memo:unigram_state` and
+    * `memo:wordpiece_state`; whichever builds first pays the head,
+    * the pq_res/pq_ref dependency precedent) and the serving-replica
+    * builder. */
+  private val uniEdgeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
+  private[graft] def uniEdges(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    uniEdgeCache.getOrElseUpdate((spark, dir),
+      uniEdgesOf(load(spark, dir, "documents")))
+
+  private[graft] def uniStateOf(docs: DataFrame): DataFrame =
+    uniDpOf(uniEdgesOf(docs))
+
+  private def uniDpOf(ed: (DataFrame, DataFrame, DataFrame))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (uwd, _, uedge) = ed
+    val spark = uwd.sparkSession
+    import spark.implicits._
+    val budgets = uniBudgets.toDF("kb")
     var st = uwd.crossJoin(broadcast(budgets))
       .select(col("kb"), col("w"), lit(0L).as("j"), lit(0L).as("n"),
         lit(0L).as("fs"))
@@ -1388,7 +1427,128 @@ object TextOps {
   private[graft] def uniState(spark: SparkSession, dir: String)
       : DataFrame =
     uniCache.getOrElseUpdate((spark, dir),
-      uniStateOf(load(spark, dir, "documents")))
+      uniDpOf(uniEdges(spark, dir)))
+
+  // ---------------------------------------------------------------- q312
+
+  /** WORDPIECE GREEDY ENCODER (round 16 — verdict item 3, completing
+    * the production tokenizer triad beside BPE and unigram-LM):
+    * longest-match-first segmentation over the FIXED kb = 500 unigram
+    * vocabulary (Devlin et al. 2018; Song et al. 2021 "Fast WordPiece
+    * Tokenization" — greedy leftmost-longest is WordPiece's inference
+    * rule; the ##-continuation marking is a surface convention this
+    * integer surrogate drops, the match semantics are the algorithm).
+    *
+    * The greedy path is UNIQUE (at each position the longest matching
+    * vocab piece is one specific substring; single code points give
+    * coverage), so the encoder is a deterministic fixed-round
+    * advance: step(w, i0) = max over vocab edges at i0 of the end
+    * position, iterated 16 rounds (a word has ≤ 16 code points, each
+    * step consumes ≥ 1) — replayed in DuckDB as 16 MATERIALIZED
+    * carry ∪ advance round CTEs over the SAME uedge frame the
+    * Viterbi DP reads. Greedy produces a VALID segmentation, so its
+    * piece count is ≥ the unigram optimum per word (TextOpsSpec pins
+    * that inequality corpus-wide and a hand golden where greedy is
+    * strictly worse).
+    *
+    * Output per eligible word: (w, c, len, n). Scale: vocab-sized
+    * after the shared head — step is a (w, i0)-keyed argmax over the
+    * edge frame; each round a slim join, checkpointed (the
+    * iterative-loop rule). */
+  private[graft] def wordPieceOf(ed: (DataFrame, DataFrame, DataFrame))
+      : DataFrame = {
+    val (uwd, _, uedge) = ed
+    val step = uedge.filter(col("kb") === 500L)
+      .groupBy(col("w").as("sw"), col("i0"))
+      .agg(max(col("nj")).as("nj"))
+      .localCheckpoint() // read by every greedy round
+    var st = uwd
+      .select(col("w"), col("len"), lit(0L).as("j"), lit(0L).as("n"))
+      .localCheckpoint()
+    for (_ <- 0 until 16) {
+      val done = st.filter(col("j") === col("len"))
+      val adv = st.filter(col("j") < col("len"))
+        .join(step,
+          col("w") === col("sw") && col("j") === col("i0"))
+        .select(col("w"), col("len"), col("nj").as("j"),
+          (col("n") + 1).as("n"))
+      st = done.unionByName(adv).localCheckpoint()
+    }
+    st.filter(col("j") === col("len"))
+      .join(uwd.select(col("w"), col("c")), "w")
+      .select(col("w"), col("c"), col("len"), col("n"))
+      .localCheckpoint()
+  }
+
+  private val wpCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized WordPiece segmentation state (`memo:wordpiece_state`) —
+    * q312 + q304b's third row share one greedy run over the memoized
+    * edge head. */
+  private[graft] def wpState(spark: SparkSession, dir: String)
+      : DataFrame =
+    wpCache.getOrElseUpdate((spark, dir),
+      wordPieceOf(uniEdges(spark, dir)))
+
+  /** Driver-held unigram SERVING REPLICA: the kb = 500 vocabulary
+    * (piece → corpus frequency) collected off the memoized head —
+    * vocab-sized driver state (the codebook-class rule: ≤ kb + |code
+    * points| entries, independent of corpus size). Encoding an unseen
+    * stream against a FIXED vocab is stateless, so the stream twin is
+    * one flatMap over this replica (the pqEncodeStream discipline). */
+  def unigramVocabBuild(spark: SparkSession, dir: String)
+      : Map[String, Long] = {
+    val (_, uvoc, _) = uniEdges(spark, dir)
+    uvoc.filter(col("kb") === 500L)
+      .select(col("piece"), col("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** The q304 Viterbi objective as a driver-side fold over CODE
+    * POINTS (the round-11 unicode contract: `length`/`substring`
+    * count code points in both engines, so the replica must too):
+    * lexicographic (fewest pieces, max Σfreq) over vocab pieces of
+    * ≤ 6 code points. Returns (n, fs) or None when the word is out
+    * of the 1..16 scope or unsegmentable (a code point outside the
+    * trained vocab — production adds a byte-fallback tier; the twin
+    * serves the trained distribution). ONE body for the stream twin
+    * and the StreamingSpec replay. */
+  private[graft] def unigramSegment(w: String,
+      vocab: Map[String, Long]): Option[(Long, Long)] = {
+    val cps = w.codePoints.toArray
+    val n = cps.length
+    if (n < 1 || n > 16) return None
+    val best = Array.fill[Option[(Long, Long)]](n + 1)(None)
+    best(0) = Some((0L, 0L))
+    for (j <- 0 until n; if best(j).isDefined;
+        l <- 1 to math.min(6, n - j)) {
+      val piece = new String(cps, j, l)
+      vocab.get(piece).foreach { f =>
+        val (bn, bf) = best(j).get
+        val cand = (bn + 1, bf + f)
+        if (best(j + l).forall(cur => cand._1 < cur._1 ||
+            (cand._1 == cur._1 && cand._2 > cur._2)))
+          best(j + l) = Some(cand)
+      }
+    }
+    best(n)
+  }
+
+  /** Q312: WORDPIECE ENCODE CENSUS — q304's per-length readout for
+    * the greedy encoder: distinct words, corpus occurrences, corpus
+    * pieces, fertility (e3) by word length. */
+  def q312WordpieceEncode(spark: SparkSession, dir: String): DataFrame =
+    wpState(spark, dir)
+      .groupBy("len")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("c")).as("n_tokens_corpus"),
+        sum(col("c") * col("n")).as("n_pieces_corpus"))
+      .select(col("len"), col("n_words"), col("n_tokens_corpus"),
+        col("n_pieces_corpus"),
+        expr("(n_pieces_corpus * 1000) div n_tokens_corpus")
+          .as("fertility_e3"))
+      .orderBy("len")
 
   /** Q304: UNIGRAM-LM ENCODE CENSUS — per word length: distinct
     * words, corpus occurrences, corpus pieces, and fertility (pieces
@@ -1408,11 +1568,14 @@ object TextOps {
       .orderBy("len")
 
   /** Q304b: TOKENIZER COMPARISON — BPE (the q229-trained 6-merge
-    * state) vs unigram-LM over the SAME eligible word population
-    * (1 ≤ len ≤ 16), corpus-weighted: total words, total pieces,
-    * tokens-per-word (e3). The "which tokenizer for this corpus"
-    * table a vocab decision reads — both columns are gated state, so
-    * the comparison itself gates. */
+    * state) vs unigram-LM vs WordPiece (round 16: the triad complete)
+    * over the SAME eligible word population (1 ≤ len ≤ 16),
+    * corpus-weighted: total words, total pieces, tokens-per-word
+    * (e3). The "which tokenizer for this corpus" table a vocab
+    * decision reads — all three columns are gated state, so the
+    * comparison itself gates (and wordpiece ≥ unigram pieces is
+    * structural: greedy is a valid segmentation, Viterbi is the
+    * minimum). */
   def q304bTokenizerCompare(spark: SparkSession, dir: String)
       : DataFrame = {
     val ufin = uniState(spark, dir).filter(col("kb") === 500L)
@@ -1429,7 +1592,12 @@ object TextOps {
         sum(col("c") * col("n")).as("n_pieces"))
       .select(lit("unigram").as("tokenizer"), col("n_words"),
         col("n_pieces"))
-    bpe.unionByName(uni)
+    val wp = wpState(spark, dir)
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n")).as("n_pieces"))
+      .select(lit("wordpiece").as("tokenizer"), col("n_words"),
+        col("n_pieces"))
+    bpe.unionByName(uni).unionByName(wp)
       .select(col("tokenizer"), col("n_words"), col("n_pieces"),
         expr("(n_pieces * 1000) div n_words").as("tokens_per_word_e3"))
       .orderBy("tokenizer")
@@ -1612,11 +1780,83 @@ object TextOps {
         col("score"), col("n_terms"))
   }
 
-  /** The deterministic 3-query table q255/q256 run: df-ranks 11–15 /
-    * 16–20 / 21–25 under the (df desc, term) total order → query_ids
-    * 1/2/3 (q247's mid-head selection, widened — past the stopword
-    * crown, postings still real). */
-  private[operators] def bm25QueryTable(docs: DataFrame): DataFrame = {
+  /** Driver-held BM25 SERVING REPLICA (round-15 verdict item 8 — the
+    * lexical sibling of `Similarity.ivfAdcIndexBuild`): per term its
+    * df + posting list (doc_id, tf), per doc its length, and the two
+    * corpus scalars. Collected off the SAME aggregates the gated
+    * q247/q255 chains build, so serve ≡ the gated ranking is a
+    * structural identity, not a re-implementation. Replica size =
+    * the postings volume (Σ tf entries ≈ distinct (doc, term) pairs)
+    * — the honest single-node ceiling is priced in SCALE.md; past it
+    * the replica shards BY TERM (each query term probes one shard,
+    * the IVF posting-list discipline applied to text). */
+  final case class Bm25Index(df: Map[String, Long],
+      postings: Map[String, Array[(Long, Long)]],
+      dl: Map[Long, Long], tTokens: Long, dDocs: Long)
+      extends Serializable
+
+  def bm25IndexBuild(docs: DataFrame): Bm25Index = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val postings = tf.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rows) =>
+        t -> rows.map(r => (r._2, r._3)).sortBy(_._1) }
+    val dlRows = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    Bm25Index(df, postings, dlRows.toMap,
+      dlRows.map(_._2).sum, dlRows.length.toLong)
+  }
+
+  /** Stateless BM25 serving over the replica — q255's EXACT integer
+    * div chain as one flatMap (works on batch AND streaming frames,
+    * the ivfAdcServe contract): input rows (query_id, terms array),
+    * output the per-query top-k under (score desc, doc_id).
+    * StreamingSpec pins serve ≡ the gated q255 row for row. Terms
+    * with no postings contribute nothing (the inner-join semantics);
+    * per-query work is Σ postings of ITS terms — probe-bounded. */
+  def bm25Serve(queries: DataFrame, ix: Bm25Index, topK: Int = 10)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val avgdlE3 = (ix.tTokens * 1000L) / math.max(ix.dDocs, 1L)
+    queries
+      .select(col("query_id").cast("long"),
+        col("terms").cast("array<string>"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (qid, terms) =>
+        val acc = scala.collection.mutable.LongMap.empty[(Long, Long)]
+        terms.distinct.foreach { t =>
+          ix.postings.get(t).foreach { pl =>
+            val dfT = ix.df(t)
+            val idfX = (ix.dDocs * 1000000L) / dfT
+            pl.foreach { case (docId, tfV) =>
+              val dlV = ix.dl(docId)
+              val ratioE3 = (dlV * 1000000L) / avgdlE3
+              val normE3 = 250L + (750L * ratioE3) / 1000L
+              val denE3 = tfV * 1000L + (1200L * normE3) / 1000L
+              val tscore =
+                (idfX * ((tfV * 2200L * 1000000L) / denE3)) / 1000000L
+              val (s0, n0) = acc.getOrElse(docId, (0L, 0L))
+              acc(docId) = (s0 + tscore, n0 + 1L)
+            }
+          }
+        }
+        acc.toSeq
+          .map { case (docId, (s, nt)) => (s, docId, nt) }
+          .sortBy { case (s, docId, _) => (-s, docId) }
+          .take(topK).zipWithIndex
+          .map { case ((s, docId, nt), i) =>
+            (qid, (i + 1).toLong, docId, s, nt) }
+      }
+      .toDF("query_id", "rank", "doc_id", "score", "n_terms")
+  }
+  private[graft] def bm25QueryTable(docs: DataFrame): DataFrame = {
     val dfr = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .distinct()
@@ -2202,6 +2442,7 @@ object TextOps {
     "q238_bpe_curve" -> (q238BpeCurve _),
     "q241_fertility" -> (q241Fertility _),
     "q304_unigram_encode" -> (q304UnigramEncode _),
+    "q312_wordpiece_encode" -> (q312WordpieceEncode _),
     "q304b_tokenizer_compare" -> (q304bTokenizerCompare _),
     "q307_unigram_vocab_curve" -> (q307UnigramVocabCurve _),
     "q147_inverted_index" -> (q147InvertedIndex _),
@@ -2686,12 +2927,13 @@ object TextOps {
        |        AND e.w = s.w AND e.i0 = s.j) u) t
        |  WHERE rk = 1)""".stripMargin
 
-  /** The shared unigram chain (word filter → substring generation →
-    * freq rollup → vocab (singles ∪ top-500 under (freq desc,
-    * piece)) → edges → 16 DP rounds → ufin) over a `wc` (w, c)
-    * word-count CTE the composer supplies — q304 prepends its own,
-    * q304b reuses the BPE head's. ONE renderer. */
-  private val uniCtes: String =
+  /** The shared unigram HEAD chain (word filter → substring
+    * generation → freq rollup → vocab (singles ∪ top-kb under (freq
+    * desc, piece)) → edges) over a `wc` (w, c) word-count CTE the
+    * composer supplies — ONE renderer; the Viterbi DP (q304 family)
+    * and the WordPiece greedy rounds (q312) both compose after it,
+    * mirroring the Scala [[uniEdgesOf]] split. */
+  private val uniHeadCtes: String =
     """uwd AS MATERIALIZED (
       |  SELECT w, c, CAST(length(w) AS BIGINT) AS len FROM wc
       |  WHERE length(w) BETWEEN 1 AND 16),
@@ -2719,7 +2961,12 @@ object TextOps {
       |  JOIN ubud b ON t.rk <= b.kb),
       |uedge AS MATERIALIZED (
       |  SELECT v.kb, g.w, g.i - 1 AS i0, g.i - 1 + g.l AS nj, v.freq
-      |  FROM ugen g JOIN uvoc v USING (piece)),
+      |  FROM ugen g JOIN uvoc v USING (piece))""".stripMargin
+
+  /** The Viterbi DP chain (seeds → 16 rounds → ufin), composed after
+    * [[uniHeadCtes]]. */
+  private val uniCtes: String = uniHeadCtes +
+    """,
       |ust0 AS MATERIALIZED (
       |  SELECT b.kb, w, CAST(0 AS BIGINT) AS j,
       |    CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS fs
@@ -2729,6 +2976,36 @@ object TextOps {
         |ufin AS MATERIALIZED (
         |  SELECT s.kb, s.w, d.c, d.len, s.n, s.fs
         |  FROM ust16 s JOIN uwd d ON d.w = s.w AND d.len = s.j)"""
+        .stripMargin
+
+  /** One WordPiece greedy round as DuckDB CTEs (q312): finished words
+    * carry (j = len), unfinished words ADVANCE along the unique
+    * longest-match step — each round references its predecessor twice
+    * (carry + advance), MATERIALIZED (the q131 inlining lesson). */
+  private def wpRoundCte(r: Int): String =
+    s"""wst$r AS MATERIALIZED (
+       |  SELECT w, len, j, n FROM wst${r - 1} WHERE j = len
+       |  UNION ALL
+       |  SELECT s.w, s.len, e.nj AS j, s.n + 1 AS n
+       |  FROM wst${r - 1} s JOIN wstep e ON e.w = s.w AND e.i0 = s.j
+       |  WHERE s.j < s.len)""".stripMargin
+
+  /** The WordPiece chain (longest-match step table off the SAME uedge
+    * frame at kb = 500 → seeds → 16 greedy rounds → wfin), composed
+    * after [[uniHeadCtes]] — ONE renderer for q312 and q304b's third
+    * row. */
+  private val wpCtes: String =
+    """wstep AS MATERIALIZED (
+      |  SELECT w, i0, CAST(MAX(nj) AS BIGINT) AS nj
+      |  FROM uedge WHERE kb = 500 GROUP BY w, i0),
+      |wst0 AS MATERIALIZED (
+      |  SELECT w, len, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS n
+      |  FROM uwd)""".stripMargin +
+      (1 to 16).map(wpRoundCte).mkString(",\n", ",\n", "") +
+      """,
+        |wfin AS MATERIALIZED (
+        |  SELECT s.w, d.c, d.len, s.n
+        |  FROM wst16 s JOIN uwd d ON d.w = s.w AND s.j = d.len)"""
         .stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -2753,7 +3030,7 @@ object TextOps {
       (bpeCtes(6) + """,
         |wsum AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_syms
         |         FROM s6 GROUP BY w),
-        |""".stripMargin + uniCtes + """,
+        |""".stripMargin + uniCtes + ",\n" + wpCtes + """,
         |cmp AS (
         |  SELECT 'bpe' AS tokenizer,
         |    CAST(SUM(u.c) AS BIGINT) AS n_words,
@@ -2763,10 +3040,31 @@ object TextOps {
         |  SELECT 'unigram' AS tokenizer,
         |    CAST(SUM(c) AS BIGINT) AS n_words,
         |    CAST(SUM(c * n) AS BIGINT) AS n_pieces
-        |  FROM ufin WHERE kb = 500)
+        |  FROM ufin WHERE kb = 500
+        |  UNION ALL
+        |  SELECT 'wordpiece' AS tokenizer,
+        |    CAST(SUM(c) AS BIGINT) AS n_words,
+        |    CAST(SUM(c * n) AS BIGINT) AS n_pieces
+        |  FROM wfin)
         |SELECT tokenizer, n_words, n_pieces,
         |  (n_pieces * 1000) // n_words AS tokens_per_word_e3
         |FROM cmp ORDER BY tokenizer""".stripMargin),
+    // q312: the SAME uniHeadCtes + the WordPiece greedy rounds, then
+    // q304's per-length census shape off wfin.
+    "q312_wordpiece_encode" ->
+      ("""WITH wc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY w),
+        |""".stripMargin + uniHeadCtes + ",\n" + wpCtes + """
+        |SELECT len, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens_corpus,
+        |  CAST(SUM(c * n) AS BIGINT) AS n_pieces_corpus,
+        |  (CAST(SUM(c * n) AS BIGINT) * 1000)
+        |    // CAST(SUM(c) AS BIGINT) AS fertility_e3
+        |FROM wfin GROUP BY len
+        |ORDER BY len""".stripMargin),
     "q307_unigram_vocab_curve" ->
       ("""WITH wc AS (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (

@@ -313,7 +313,17 @@ object StreamOps {
     * deterministic rule as the batch cascade) to the next level, and
     * empties. Shared by the stream twin and the StreamingSpec driver
     * replay's independent fold would re-implement it — kept package-
-    * visible so the spec can ALSO pin single-step hand goldens. */
+    * visible so the spec can ALSO pin single-step hand goldens.
+    *
+    * ODD-POPULATION NOTE (advice r15, same rule as the batch
+    * `Percentiles.sketchRound`): an odd-sized compaction's unpaired
+    * odd-rank item is DROPPED (2t+1 items promote t), so retained
+    * weight can drift below the item count by 1 per odd compaction.
+    * Estimators over this state normalize by retained weight (the
+    * q302b rule), which keeps the readout self-consistent; the
+    * classic even-population MRL bound then holds against the
+    * retained-weight CDF, and the measured q302b error curve is the
+    * binding number. */
   private[graft] def qsketchInsert(levels: Vector[Vector[Long]],
       v: Long, cap: Int): Vector[Vector[Long]] = {
     var ls = if (levels.isEmpty) Vector(Vector.empty[Long]) else levels
@@ -844,6 +854,42 @@ object StreamOps {
       shortlist: Int = 50, k: Int = 10): DataFrame =
     graft.operators.Similarity.ivfAdcServe(queries, ix, probes,
       shortlist, k)
+
+  /** STREAMING UNIGRAM ENCODER (q304's serving twin — round-15
+    * verdict item 7): an incoming micro-batch of words segments
+    * against the driver-held kb = 500 vocab replica
+    * ([[graft.operators.TextOps.unigramVocabBuild]] off the memoized
+    * gated head) — the Viterbi DP per word is a pure function of
+    * (word, vocab), so there is NO state store, no watermark, no
+    * shuffle (the pqEncodeStream discipline: encode against FIXED
+    * trained state is stateless; vocab refresh = restart or
+    * foreachBatch re-broadcast). Out-of-scope / unsegmentable words
+    * emit nothing (production adds a byte-fallback tier).
+    * StreamingSpec pins stream ≡ the gated q304 state (kb = 500)
+    * row for row on overlapping batches. */
+  def unigramEncodeStream(words: DataFrame,
+      vocab: Map[String, Long]): DataFrame = {
+    import words.sparkSession.implicits._
+    words.select(col("w").cast("string"))
+      .as[String]
+      .flatMap { w =>
+        graft.operators.TextOps.unigramSegment(w, vocab)
+          .map { case (n, fs) => (w, n, fs) }
+      }
+      .toDF("w", "n", "fs")
+  }
+
+  /** STREAMING BM25 SERVING (q255's twin — round-15 verdict item 8,
+    * the lexical sibling of [[ivfAdcServeStream]]): query batches
+    * (query_id, terms) score against the driver-held postings
+    * replica ([[graft.operators.TextOps.bm25IndexBuild]] off the
+    * gated aggregate chain) — one stateless flatMap, the exact q255
+    * integer div chain, per-query work ∝ its terms' postings.
+    * StreamingSpec pins serve ≡ the gated q255 row for row. */
+  def bm25ServeStream(queries: DataFrame,
+      ix: graft.operators.TextOps.Bm25Index, topK: Int = 10)
+      : DataFrame =
+    graft.operators.TextOps.bm25Serve(queries, ix, topK)
 
   /** STREAMING IVFADC+R SERVE (q303's twin): the codes-only replica
     * serve body over a query stream — same stateless contract as

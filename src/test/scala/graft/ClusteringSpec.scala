@@ -324,6 +324,32 @@ class ClusteringSpec extends SparkSpecBase {
     assert(at50 == refine, s"sweep@50 $at50 != q303b refine $refine")
   }
 
+  test("q310 m'=4 rows ≡ q303b's refine variant (the sweep's anchor: " +
+      "the m'=4 config re-derives q303's graded refine codebooks from " +
+      "scratch through the generalized per-dimension decode), " +
+      "bytes_per_vec = 4 + m', and the MEAN recall is non-decreasing " +
+      "in the refine budget on this fixture — the frontier q309 " +
+      "proved the shortlist knob could not buy") {
+    val rows = Similarity.queries("q310_refine_budget_sweep")(
+        spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    assert(rows.length == 15 && rows.forall(_._4 == 10L))
+    rows.foreach { r => assert(r._2 == r._1 + 4L, r) }
+    val at4 = rows.filter(_._1 == 4L).map(r => r._3 -> r._5).toMap
+    val refine = Similarity.queries("q303b_ivfadc_refine_recall")(
+        spark, sf).collect()
+      .filter(_.getString(0) == "refine")
+      .map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(at4 == refine, s"sweep@m'=4 $at4 != q303b refine $refine")
+    def mean(m: Long): Long = {
+      val v = rows.filter(_._1 == m).map(_._5)
+      v.sum / v.length
+    }
+    assert(mean(4L) <= mean(8L) && mean(8L) <= mean(16L),
+      s"frontier: ${mean(4L)} / ${mean(8L)} / ${mean(16L)}")
+  }
+
   test("q284 dims=64 anchor row is structural recall 1.0 (the " +
       "truncated ranking at full width IS the baseline ranking)") {
     val rows = Similarity.queries("q284_dim_trunc_recall")(spark, sf)

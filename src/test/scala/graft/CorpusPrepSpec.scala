@@ -360,4 +360,66 @@ class CorpusPrepSpec extends SparkSpecBase {
     // would make the keep flag vacuous)
     assert(wts.exists(_ > 0) && wts.exists(_ < 0))
   }
+
+  // --------------------------------------- q313 importance sampling
+
+  test("q313 target = corpus identity: when every doc is the target, " +
+      "every bucket ratio is exactly 10^6, every doc weighs exactly " +
+      "10^6, and the resampler keeps EVERYTHING (bucket20 < 2^20 " +
+      "always) — the structural anchor of the weight scale") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "gamma alpha"), (4L, "epsilon"))
+      .toDF("doc_id", "text")
+    val got = operators.CorpusPrep
+      .importanceWeights(docs, docs.select("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.length == 4)
+    got.foreach { case (id, w, kept) =>
+      assert(w == 1000000L && kept == 1L, s"doc $id: w=$w kept=$kept")
+    }
+  }
+
+  test("q313 domain separation golden: docs sharing the target's " +
+      "vocabulary outweigh vocabulary-disjoint docs (which score " +
+      "only residual 64-bucket hash-collision mass — measured " +
+      "strictly below every in-domain doc), and the kept flag ≡ an " +
+      "independent driver-side md5 replay of the resampling rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "data pipeline quality data"),
+      (2L, "pipeline data checks"),
+      (3L, "data pipeline audit"),
+      (4L, "quality data pipeline"),
+      (5L, "zzq wwk vvj"),
+      (6L, "rrt sst uuv")).toDF("doc_id", "text")
+    val tgt = docs.filter(col("doc_id") <= 2L).select("doc_id")
+    val got = operators.CorpusPrep.importanceWeights(docs, tgt)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val overlap = Seq(1L, 2L, 3L, 4L).map(got(_)._1)
+    val disjoint = Seq(5L, 6L).map(got(_)._1)
+    // with only 64 feature buckets, disjoint vocab still COLLIDES
+    // into some target buckets (that is the DSIR design trade — a
+    // bucketed estimator, not exact set overlap); the selection
+    // DIRECTION is the contract: every in-domain doc outweighs
+    // every out-of-domain doc
+    assert(overlap.min > disjoint.max,
+      s"target-domain docs not preferred: $overlap vs $disjoint")
+    // kept ≡ the q103 rule replayed driver-side: first five md5 hex
+    // nibbles of the id string, bucket·max_w < w·2^20
+    val mxw = got.values.map(_._1).max
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket20(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      hex.take(5).zipWithIndex.map { case (c, i) =>
+        java.lang.Long.parseLong(c.toString, 16) << (4 * (4 - i))
+      }.sum
+    }
+    got.foreach { case (id, (w, kept)) =>
+      val want = if (bucket20(id) * mxw < w * 1048576L) 1L else 0L
+      assert(kept == want, s"doc $id: kept=$kept want=$want w=$w")
+    }
+  }
 }

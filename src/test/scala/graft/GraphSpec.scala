@@ -613,4 +613,48 @@ class GraphSpec extends SparkSpecBase {
     val lpa = objective(Graph.lpa25(spark, sf))
     assert(louvain >= lpa, s"louvain $louvain < lpa $lpa")
   }
+
+  test("q311 cliques-of-cliques golden: two blocks of three bridged " +
+      "4-cliques inside a 100-edge background ring — ONE ascent level " +
+      "provably keeps the cliques separate (stay-score 6m−24 beats the " +
+      "cross-bridge 2m−40 for every m), the CONTRACTED level merges " +
+      "each block (2m·l > k·tot once m is large), and blocks never " +
+      "mix (round-15 verdict item 2)") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val block1 = clique(1L to 4L) ++ clique(5L to 8L) ++
+      clique(9L to 12L) ++ Seq((4L, 5L), (8L, 9L), (12L, 1L))
+    val block2 = clique(21L to 24L) ++ clique(25L to 28L) ++
+      clique(29L to 32L) ++ Seq((24L, 25L), (28L, 29L), (32L, 21L))
+    val ring = (101L until 200L).map(i => (i, i + 1)) :+ (200L, 101L)
+    val edges = (block1 ++ block2 ++ ring).toDF("u", "v")
+    val (c1, _, _, map2) = Graph.louvainTwoLevelOf(edges)
+    val l1 = c1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cliques = Seq(1L to 4L, 5L to 8L, 9L to 12L, 21L to 24L,
+      25L to 28L, 29L to 32L)
+    // level 1: each clique uniform, all six distinct
+    cliques.foreach { c =>
+      assert(c.map(l1).toSet.size == 1, s"clique $c split at level 1")
+    }
+    assert(cliques.map(c => l1(c.head)).toSet.size == 6,
+      "level 1 merged cliques it provably cannot")
+    val l2 = map2.select("node", "c2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // level 2: each block ONE community, the two blocks distinct
+    val b1 = (1L to 12L).map(l2).toSet
+    val b2 = (21L to 32L).map(l2).toSet
+    assert(b1.size == 1, s"block 1 not merged at level 2: $b1")
+    assert(b2.size == 1, s"block 2 not merged at level 2: $b2")
+    assert(b1 != b2, "disconnected blocks merged")
+    // and the q155 objective does not regress level 1 -> level 2
+    def objective(labels: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularityByCommunity(edges, labels)
+        .agg(sum(col("q_num"))).collect().head.getLong(0)
+    val q1 = objective(c1)
+    val q2 = objective(map2.select(col("node"),
+      col("c2").as("community")))
+    assert(q2 >= q1, s"contraction regressed modularity: $q2 < $q1")
+  }
 }

@@ -28,7 +28,7 @@ class MemoSpec extends SparkSpecBase {
       "(round-8 verdict item 4)") {
     val names = Memos.builders.map(_._1)
     assert(names.distinct == names, "duplicate builder names")
-    assert(names.size == 15, s"builder census drifted: $names")
+    assert(names.size == 17, s"builder census drifted: $names")
     assert(names.forall(_.startsWith("memo:")))
     val f1 = graft.operators.TextOps.fuzzyPairs(spark, sf)
     Memos.clearAll()

@@ -504,4 +504,27 @@ class PlanShapeSpec extends SparkSpecBase {
         "ctf must be checkpointed so every consumer reads the " +
         "materialized aggregate, not the corpus:\n" + p.take(1500))
   }
+
+  test("q314 soft-dedup weights plan over the memoized component " +
+      "labels — no shingle explode (Generate) and no cartesian: the " +
+      "whole query is label-sized joins + one broadcast normalizer " +
+      "(round-16; the q233-family memo-reuse pin)") {
+    val p = plan(graft.operators.Dedup.q314SoftDedupWeights(spark, sf))
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD")
+        || p.contains("Scan rdd"),
+      "must read the checkpointed component table:\n" + p.take(800))
+    assert(!p.contains("Generate"),
+      "must not recompute shingle postings:\n" + p.take(800))
+    // the 1-row normalizer crossJoin(broadcast) plans as a
+    // BroadcastNestedLoopJoin — the house 1-row-broadcast shape;
+    // only an unbroadcast CartesianProduct would be a defect
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q310 refine-budget sweep: cartesian-free (every decode join " +
+      "is keyed or broadcast; the sweep fans only the shortlist)") {
+    val p = plan(graft.operators.Similarity
+      .q310RefineBudgetSweep(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }

@@ -873,4 +873,48 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(survSql == survDir && survSql.nonEmpty)
   }
+
+  test("round-16 view builders ≡ the Scala operators / gated state " +
+      "(wordpiece encode, importance weights, two-level Louvain)") {
+    SqlSurface.registerTables(spark, sf)
+
+    // wordpiece state over documents ≡ the memoized gated state
+    SqlSurface.createWordpieceEncodeView(spark, "documents", "wpenc")
+    val wpSql = spark.sql("SELECT * FROM wpenc")
+      .collect().map(_.toSeq).toSet
+    val wpDir = graft.operators.TextOps.wpState(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(wpSql == wpDir && wpSql.nonEmpty)
+
+    // importance weights against the English target ≡ the gated q313
+    spark.sql("SELECT doc_id FROM documents WHERE lang = 'en'")
+      .createOrReplaceTempView("tgt_en")
+    spark.sql("SELECT doc_id, text FROM documents")
+      .createOrReplaceTempView("docs_it")
+    SqlSurface.createImportanceWeightsView(spark, "docs_it",
+      "tgt_en", "impw")
+    val iwSql = spark.sql("SELECT * FROM impw")
+      .collect().map(_.toSeq).toSet
+    val iwDir = graft.operators.CorpusPrep
+      .q313ImportanceSample(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(iwSql == iwDir && iwSql.nonEmpty)
+
+    // two-level Louvain over the co-supply edges ≡ the gated q311
+    spark.sql("""SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 25""")
+      .createOrReplaceTempView("co_edges16")
+    SqlSurface.createLouvainTwoLevelView(spark, "co_edges16", "louv2")
+    val l2Sql = spark
+      .sql("SELECT node, community, c2 FROM louv2")
+      .collect().map(_.toSeq).toSet
+    val l2Dir = graft.operators.Graph
+      .q311LouvainTwoLevel(spark, sf)
+      .select(col("node"), col("community_l1"), col("community_l2"))
+      .collect().map(_.toSeq).toSet
+    assert(l2Sql == l2Dir && l2Sql.nonEmpty)
+  }
 }

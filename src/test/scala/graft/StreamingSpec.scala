@@ -1519,4 +1519,81 @@ class StreamingSpec extends SparkSpecBase {
         "delta == gap must MERGE (abutting windows coalesce — measured)")
     } finally q.stop()
   }
+
+  test("streaming unigram encode ≡ the gated q304 state (kb=500) row " +
+      "for row over EVERY fixture word, served statelessly against " +
+      "the driver-held vocab replica; an overlapping second batch " +
+      "re-encodes identically (q304 serving twin, round-15 item 7)") {
+    import graft.operators.TextOps
+    val vocab = TextOps.unigramVocabBuild(spark, sf)
+    val gated = TextOps.uniState(spark, sf)
+      .filter(col("kb") === 500L)
+      .select("w", "n", "fs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val words = gated.map(_._1).toSeq.sorted
+    val input = MemoryStream[SDoc](spark) // reuse (ts, text) carrier
+    val df = StreamOps.unigramEncodeStream(
+      input.toDF().select(col("text").as("w")), vocab)
+    val q = df.writeStream.format("memory").queryName("uniserve")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-uniserve").toString)
+      .start()
+    try {
+      val batch1 = words.take(words.length / 2 + 1)
+      input.addData(batch1.map(w => SDoc(ts(1), w)): _*)
+      q.processAllAvailable()
+      // overlap: the last word of batch 1 re-arrives in batch 2
+      input.addData(words.drop(words.length / 2)
+        .map(w => SDoc(ts(2), w)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("uniserve").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == gated,
+      s"stream ${rows.toSet.size} rows != gated ${gated.size}")
+    // the overlapped word was served twice, identically
+    val dupW = words(words.length / 2)
+    assert(rows.count(_._1 == dupW) == 2)
+    // out-of-scope input emits nothing (17 code points)
+    assert(TextOps.unigramSegment("a" * 17, vocab).isEmpty)
+  }
+
+  test("streaming BM25 serve ≡ the gated q255 multi-query ranking row " +
+      "for row against the driver-held postings replica (stateless; " +
+      "overlapping batch re-serves identically — round-15 item 8)") {
+    import graft.operators.TextOps
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val ix = TextOps.bm25IndexBuild(docs)
+    val gated = TextOps.queries("q255_bm25_multi")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val qpairs: Seq[(Long, String)] = TextOps.bm25QueryTable(docs)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1)))
+    val qtab: Seq[(Long, Seq[String])] = qpairs.groupBy(_._1).toSeq
+      .map { case (qid, ts2) => (qid, ts2.map(_._2)) }
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, Seq[String])](spark)
+    val df = StreamOps.bm25ServeStream(
+      input.toDF().toDF("query_id", "terms"), ix)
+    val q = df.writeStream.format("memory").queryName("bm25serve")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-bm25serve").toString)
+      .start()
+    try {
+      input.addData(qtab.take(2): _*); q.processAllAvailable()
+      // overlap on the second query — stateless repeat
+      input.addData(qtab.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("bm25serve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSet == gated,
+      s"serve ${rows.toSet.size} != gated ${gated.size}")
+    assert(rows.count(_._1 == qtab(1)._1) == 20,
+      "overlapped query must serve twice, identically")
+  }
 }

@@ -658,14 +658,67 @@ class TextOpsSpec extends SparkSpecBase {
     assert((anchor._2, anchor._3) == q304tot)
   }
 
-  test("q304b compares both tokenizers over the SAME corpus-weighted " +
-      "word population (n_words equal across rows) and emits both " +
-      "rows") {
+  test("q304b compares all three tokenizers over the SAME corpus-" +
+      "weighted word population (n_words equal across rows) and the " +
+      "structural order holds: wordpiece pieces ≥ unigram pieces " +
+      "(greedy is a valid segmentation, Viterbi is the minimum)") {
     val rows = TextOps.q304bTokenizerCompare(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(rows.map(_._1).toSeq.sorted == Seq("bpe", "unigram"))
+    assert(rows.map(_._1).toSeq.sorted ==
+      Seq("bpe", "unigram", "wordpiece"))
     assert(rows.map(_._2).distinct.length == 1,
       s"populations differ: ${rows.toSeq}")
     rows.foreach { case (t, nw, np) => assert(np >= nw, t) }
+    val byTok = rows.map(r => r._1 -> r._3).toMap
+    assert(byTok("wordpiece") >= byTok("unigram"),
+      s"greedy beat the optimum: $byTok")
+  }
+
+  // ------------------------------------- q312 WordPiece encoder
+
+  test("q312 greedy mechanics golden: with every substring in vocab, " +
+      "leftmost-longest walks 6-then-remainder (abcdefgh -> 2 pieces) " +
+      "and short words stay whole") {
+    import spark.implicits._
+    val docs = Seq("abcdefgh xy xy", "abcdefgh q").toDF("text")
+    val got = TextOps.wordPieceOf(TextOps.uniEdgesOf(docs)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got == Map("abcdefgh" -> (2L, 2L), "xy" -> (2L, 1L),
+      "q" -> (1L, 1L)), s"got $got")
+  }
+
+  test("q312 greedy STRICTLY worse golden: 497 high-freq fillers pin " +
+      "the kb=500 vocab boundary between 'abb' (in, rank 500) and " +
+      "'bb' (out, rank 501), so greedy on 'aabb' takes aa|b|b = 3 " +
+      "pieces while Viterbi finds a|abb = 2 — the inequality the " +
+      "corpus-wide pin rests on, witnessed strictly") {
+    import spark.implicits._
+    val letters = "cdefghijklmnopqrstuvwxy"
+    val fillers = (for (x <- letters; y <- letters)
+      yield s"$x$y").take(497)
+    assert(fillers.length == 497 && fillers.distinct.length == 497)
+    val words = fillers.flatMap(w => Seq.fill(50)(w)) ++
+      Seq.fill(3)("aa") ++ Seq.fill(2)("abb") ++ Seq("aabb")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val head = TextOps.uniEdgesOf(docs)
+    val wp = TextOps.wordPieceOf(head).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val uni = TextOps.uniStateOf(docs)
+      .filter(col("kb") === 500L).collect()
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(wp("aabb") == 3L, s"greedy: ${wp("aabb")}")
+    assert(uni("aabb") == 2L, s"viterbi: ${uni("aabb")}")
+    assert(wp("abb") == 1L && wp("aa") == 1L)
+  }
+
+  test("q312 corpus-wide inequality: wordpiece pieces ≥ unigram " +
+      "pieces for EVERY fixture word at kb=500 (greedy never beats " +
+      "the lexicographic optimum)") {
+    val uni = TextOps.uniState(spark, sf).filter(col("kb") === 500L)
+      .select(col("w"), col("n").as("un"))
+    val wp = TextOps.wpState(spark, sf)
+      .select(col("w"), col("n").as("wn"))
+    val bad = wp.join(uni, "w").filter(col("wn") < col("un")).count()
+    assert(bad == 0L, s"$bad words where greedy beat the optimum")
   }
 }

@@ -42,7 +42,13 @@ documented data assumptions the seed-42 fixture never exercises:
     only by an adjacent-letter swap inside one 63-chunk — different
     byte digests (qm5 must not pair) but identical code-point chunk
     sums (qm6 phash collides, qm7 banding must emit the pair at
-    Hamming 0).
+    Hamming 0);
+
+  * round 16 — TWO-SCALE COMMUNITY: two disconnected blocks of three
+    bridged supplier 4-cliques planted into the co-supply stream
+    (fresh supplier/part/order keys), sized so the q311 two-level
+    Louvain gate performs REAL contracted-level merges on perturbed
+    data (level 1 provably cannot merge the cliques; level 2 must).
 
 Usage: python3 tools/make_fixture2.py SRC_DIR OUT_DIR
 e.g.:  python3 tools/make_fixture2.py /root/testdata/sf0.001 /tmp/fixture2
@@ -94,7 +100,65 @@ def main(src: str, out: str) -> None:
     li = tabs["lineitem"]
     hot_part = li["l_partkey"][0].as_py()
     dup = li.filter(pa.compute.equal(li["l_partkey"], hot_part))
-    tabs["lineitem"] = pa.concat_tables([li, dup])
+    li = pa.concat_tables([li, dup])
+    # round-16 hazard: TWO-SCALE COMMUNITY in the co-supply graph
+    # (q311's substrate). Two disconnected blocks of fresh suppliers,
+    # each = three 4-cliques (each clique's 4 suppliers share 30
+    # common parts -> all 6 pairs pass the >=25 threshold) bridged in
+    # a triangle by SINGLE supplier pairs sharing 25 parts, plus 25
+    # isolated co-supplying filler PAIRS that raise the graph's total
+    # edge count. One synchronous Louvain level provably keeps the
+    # cliques separate (stay-score 6m-24 > cross-bridge 2m-40 for any
+    # m); the contracted level merges a block's cliques iff
+    # 2m > k*tot = 14*14 = 196 -- the fillers push m to
+    # 45 + 42 + 25 = 112 (2m = 224 > 196, merge gain +28; merged-
+    # block modularity gain 12m - 1176 = +168), so the q311 gate
+    # exercises REAL, modularity-POSITIVE level-2 merges on perturbed
+    # data while level 1 provably cannot make them. Fresh supplier/
+    # part/order keys keep every original query recomputable
+    # identically on both engines.
+    tmpl = {k: v[0] for k, v in li.slice(0, 1).to_pydict().items()}
+    max_sk = pa.compute.max(li["l_suppkey"]).as_py()
+    max_pk = pa.compute.max(li["l_partkey"]).as_py()
+    max_ok2 = pa.compute.max(li["l_orderkey"]).as_py()
+    sk0, pk0, ok0 = max_sk + 1, max_pk + 1, max_ok2 + 1
+    rows = {k: [] for k in li.column_names}
+
+    def add_row(part, supp):
+        nonlocal ok0
+        for k in li.column_names:
+            rows[k].append(tmpl[k])
+        rows["l_partkey"][-1] = part
+        rows["l_suppkey"][-1] = supp
+        rows["l_orderkey"][-1] = ok0
+        rows["l_linenumber"][-1] = 1
+        ok0 += 1
+
+    for blk in range(2):
+        supp = [sk0 + blk * 12 + i for i in range(12)]
+        cl = [supp[0:4], supp[4:8], supp[8:12]]
+        for c in cl:
+            for _ in range(30):
+                for s in c:
+                    add_row(pk0, s)
+                pk0 += 1
+        # one bridge per clique pair (triangle), distinct endpoints
+        bridges = [(cl[0][0], cl[1][0]), (cl[1][1], cl[2][1]),
+                   (cl[2][0], cl[0][1])]
+        for (a, b) in bridges:
+            for _ in range(25):
+                add_row(pk0, a)
+                add_row(pk0, b)
+                pk0 += 1
+    # 25 isolated filler pairs (suppliers sk0+24 ... sk0+73)
+    for p in range(25):
+        a, b = sk0 + 24 + 2 * p, sk0 + 25 + 2 * p
+        for _ in range(25):
+            add_row(pk0, a)
+            add_row(pk0, b)
+            pk0 += 1
+    planted = pa.Table.from_pydict(rows, schema=li.schema)
+    tabs["lineitem"] = pa.concat_tables([li, planted])
 
     # events: hot user 20x + ~1% NULL value
     ev = tabs["events"]
