@@ -2020,6 +2020,61 @@ object Similarity {
     rows.reduce(_.unionByName(_)).orderBy("m_ref", "qid")
   }
 
+  /** Q316: REFINE-CODEBOOK DEPTH SWEEP — the OTHER refine axis
+    * (round-15 verdict item 1 named both): recall@10 vs brute of the
+    * refine-decode finale with the codebook trained at kSub ∈
+    * {4, 8, 16} cells per subspace (m′ fixed at 4 — q310 sweeps the
+    * subspace count at fixed depth, this sweeps depth at fixed
+    * count; log₂kSub = the refine code BITS, so the x-axis is
+    * fractional code bytes: 2/3/4 bits per subspace). Same shared
+    * shortlist/brute/decode skeleton as q310; the kSub = 8 rows
+    * re-derive q303's graded codebooks and equal q303b's refine rows
+    * (ClusteringSpec anchor, same as q310's m′ = 4 anchor — the two
+    * sweeps cross at the graded config). NOTE the seed rule makes
+    * depth honest: seeds are vec_id < kSub, so deeper codebooks are
+    * NOT nested prefixes — the curve must be measured, not assumed
+    * monotone (q284's honesty class).
+    *
+    * Scale: identical to q310 — one pqSharedEx run per config over
+    * the checkpointed fex; shortlist-sized decodes. */
+  def q316RefineKsubSweep(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (fex, _, _) = pqRefShared(spark, dir)
+    val (ex, _, _) = pqShared168(spark, dir)
+    val wq = Window.partitionBy("qid")
+    val shl = residualShortlist(spark, dir, probes = 4, shortlist = 50)
+      .localCheckpoint()
+    val exq = ex.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("xq"))
+    val br = ex.join(broadcast(exq), "dim")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("x") - col("xq")) * (col("x") - col("xq")))
+        .as("d2"))
+      .withColumn("rnk", row_number().over(
+        wq.orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint()
+    val rows = Seq(4, 8, 16).map { kSub =>
+      val (_, fcentK, fdistK) = Clustering.pqSharedEx(fex, kSub, 2)
+      val rr = refineRerankM(spark, dir, shl, 16, fcentK, fdistK)
+        .withColumn("rk", row_number().over(
+          wq.orderBy(col("d2r"), col("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"), lit(1L).as("f"))
+      br.join(rr, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_brute"), count(col("f")).as("n_found"))
+        .select(lit(kSub.toLong).as("k_sub"),
+          lit((java.lang.Long.numberOfTrailingZeros(kSub.toLong))
+            .toLong).as("code_bits"),
+          col("qid"), col("n_brute"), col("n_found"),
+          expr("(n_found * 1000000) div n_brute").as("recall_ppm"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("k_sub", "qid")
+  }
+
   /** IVFADC+R serving pipeline, parameterized: probe → residual-ADC
     * shortlist → REFINE-CODE re-rank → top k. With probes = all
     * cells and an unbounded shortlist the output ≡ ranking EVERY
@@ -2610,6 +2665,7 @@ object Similarity {
     "q303_ivfadc_refine_topk" -> (q303IvfAdcRefineTopK _),
     "q303b_ivfadc_refine_recall" -> (q303bIvfAdcRefineRecall _),
     "q310_refine_budget_sweep" -> (q310RefineBudgetSweep _),
+    "q316_refine_ksub_sweep" -> (q316RefineKsubSweep _),
     "q309_refine_shortlist_sweep" -> (q309RefineShortlistSweep _),
     "q298_scalar_quant_recall" -> (q298ScalarQuantRecall _),
     "q299_mmr_rerank" -> (q299MmrRerank _),
@@ -2878,14 +2934,21 @@ object Similarity {
     * re-rank over the shared shortlist with the refine code attached
     * per DIMENSION (fs = (dim−1) // subDim — the two subspace id
     * spaces meet only on dim), and the per-config top-10. */
-  private def refBudgetCtes(m: Int): String = {
-    val sub = 64 / m
-    val p = s"g$m"
+  private def refBudgetCtes(m: Int): String =
+    refChainCtes(s"g$m", 64 / m, 8, "m_ref", m)
+
+  /** One generalized refine sweep chain (q310 sweeps the subspace
+    * count `64/sub` at kSub = 8; q316 sweeps kSub at sub = 16):
+    * re-subspace fex, seed `kSub` cells, 2 trainer rounds, codes,
+    * decode re-rank over the shared shortlist, per-config top-10
+    * keyed by `keyCol` = `keyVal`. */
+  private def refChainCtes(p: String, sub: Int, kSub: Int,
+      keyCol: String, keyVal: Int): String = {
     s"""${p}ex AS MATERIALIZED (
        |  SELECT vec_id, dim, (dim - 1) // $sub AS s, x FROM fex),
        |${p}c0 AS MATERIALIZED (
        |  SELECT s, vec_id AS cell, dim, x AS c FROM ${p}ex
-       |  WHERE vec_id < 8)""".stripMargin +
+       |  WHERE vec_id < $kSub)""".stripMargin +
       (0 until 2).map(pqRoundCteOn(_, s"${p}ex", p))
         .mkString(",\n", ",\n", "") +
       s""",
@@ -2916,7 +2979,8 @@ object Similarity {
          |  JOIN pex q ON q.vec_id = s.qid AND q.dim = rc.dim
          |  GROUP BY s.qid, s.vec_id),
          |${p}tk AS (
-         |  SELECT CAST($m AS BIGINT) AS m_ref, qid, vec_id FROM (
+         |  SELECT CAST($keyVal AS BIGINT) AS $keyCol, qid, vec_id
+         |  FROM (
          |    SELECT qid, vec_id, ROW_NUMBER() OVER (
          |      PARTITION BY qid ORDER BY d2r, vec_id) AS rk
          |    FROM ${p}rc) t WHERE rk <= 10)""".stripMargin
@@ -3550,6 +3614,47 @@ object Similarity {
       |SELECT m_ref, m_ref + 4 AS bytes_per_vec, qid, n_brute,
       |  n_found, (n_found * 1000000) // n_brute AS recall_ppm
       |FROM mv ORDER BY m_ref, qid""".stripMargin),
+    // q316: the same skeleton with kSub swept at sub = 16 (h4/h8/h16
+    // chains via the ONE refChainCtes renderer), keyed by k_sub.
+    "q316_refine_ksub_sweep" -> (kmeansCtes + ",\n" +
+      pexCte.stripPrefix("WITH ") + ",\n" + pqResidCtes + ",\n" +
+      residServeCtes() + ",\n" + fexCte + ",\n" +
+      Seq(4, 8, 16).map(k =>
+        refChainCtes(s"h$k", 16, k, "k_sub", k)).mkString(",\n") + """,
+      |bdp AS (
+      |  SELECT q.vec_id AS qid, e.vec_id,
+      |    CAST(SUM((e.x - q.x) * (e.x - q.x)) AS BIGINT) AS d2
+      |  FROM pex e JOIN (SELECT vec_id, dim, x FROM pex
+      |                   WHERE vec_id < 5) q ON e.dim = q.dim
+      |  WHERE e.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, e.vec_id),
+      |brt AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY d2, vec_id) AS rnk
+      |    FROM bdp) t WHERE rnk <= 10),
+      |pk AS (
+      |  SELECT * FROM h4tk
+      |  UNION ALL SELECT * FROM h8tk
+      |  UNION ALL SELECT * FROM h16tk),
+      |brv AS (
+      |  SELECT v.k_sub, b.qid, b.vec_id
+      |  FROM (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS k_sub) v
+      |  CROSS JOIN brt b),
+      |mv AS (
+      |  SELECT b.k_sub, b.qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+      |    CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_found
+      |  FROM brv b LEFT JOIN pk p ON p.k_sub = b.k_sub
+      |    AND p.qid = b.qid AND p.vec_id = b.vec_id
+      |  GROUP BY b.k_sub, b.qid)
+      |SELECT k_sub,
+      |  CASE k_sub WHEN 4 THEN CAST(2 AS BIGINT)
+      |    WHEN 8 THEN CAST(3 AS BIGINT)
+      |    ELSE CAST(4 AS BIGINT) END AS code_bits,
+      |  qid, n_brute, n_found,
+      |  (n_found * 1000000) // n_brute AS recall_ppm
+      |FROM mv ORDER BY k_sub, qid""".stripMargin),
     // q303b: same stack; three finales over the ONE shortlist (adc =
     // the shr ranks themselves, refine = recf, exact = rrr), each
     // cut to 10, recall vs the brute exact top-10.

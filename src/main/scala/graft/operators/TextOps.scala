@@ -1458,25 +1458,32 @@ object TextOps {
   private[graft] def wordPieceOf(ed: (DataFrame, DataFrame, DataFrame))
       : DataFrame = {
     val (uwd, _, uedge) = ed
-    val step = uedge.filter(col("kb") === 500L)
-      .groupBy(col("w").as("sw"), col("i0"))
+    val spark = uwd.sparkSession
+    import spark.implicits._
+    val budgets = uniBudgets.toDF("kb")
+    // kb-parameterized since round 16's q315 curve: the greedy walk
+    // runs at every budget in ONE chain (the q307/uniDpOf discipline);
+    // q312/q304b read the kb = 500 slice.
+    val step = uedge
+      .groupBy(col("kb").as("skb"), col("w").as("sw"), col("i0"))
       .agg(max(col("nj")).as("nj"))
       .localCheckpoint() // read by every greedy round
-    var st = uwd
-      .select(col("w"), col("len"), lit(0L).as("j"), lit(0L).as("n"))
+    var st = uwd.crossJoin(broadcast(budgets))
+      .select(col("kb"), col("w"), col("len"), lit(0L).as("j"),
+        lit(0L).as("n"))
       .localCheckpoint()
     for (_ <- 0 until 16) {
       val done = st.filter(col("j") === col("len"))
       val adv = st.filter(col("j") < col("len"))
-        .join(step,
-          col("w") === col("sw") && col("j") === col("i0"))
-        .select(col("w"), col("len"), col("nj").as("j"),
+        .join(step, col("kb") === col("skb")
+          && col("w") === col("sw") && col("j") === col("i0"))
+        .select(col("kb"), col("w"), col("len"), col("nj").as("j"),
           (col("n") + 1).as("n"))
       st = done.unionByName(adv).localCheckpoint()
     }
     st.filter(col("j") === col("len"))
       .join(uwd.select(col("w"), col("c")), "w")
-      .select(col("w"), col("c"), col("len"), col("n"))
+      .select(col("kb"), col("w"), col("c"), col("len"), col("n"))
       .localCheckpoint()
   }
 
@@ -1490,6 +1497,29 @@ object TextOps {
       : DataFrame =
     wpCache.getOrElseUpdate((spark, dir),
       wordPieceOf(uniEdges(spark, dir)))
+
+  /** Q315: WORDPIECE VOCAB-BUDGET CURVE — corpus fertility (pieces
+    * per token, e3) for the GREEDY encoder at budgets {50, 200, 500}
+    * (q307's sibling on the WordPiece axis), off the same memoized
+    * multi-budget greedy state. The honesty point this table exists
+    * for: unlike Viterbi (structurally monotone — a bigger vocab can
+    * only improve the optimum, q307's pin), greedy longest-match has
+    * NO monotonicity guarantee (a newly admitted long piece can lead
+    * the walk into a worse tail — the known WordPiece pathology Song
+    * et al. 2021 engineer around), so this curve must be MEASURED per
+    * corpus; TextOpsSpec pins the per-budget wordpiece ≥ unigram
+    * inequality instead, which IS structural. */
+  def q315WordpieceVocabCurve(spark: SparkSession, dir: String)
+      : DataFrame =
+    wpState(spark, dir)
+      .groupBy("kb")
+      .agg(sum(col("c")).as("n_tokens_corpus"),
+        sum(col("c") * col("n")).as("n_pieces_corpus"))
+      .select(col("kb"), col("n_tokens_corpus"),
+        col("n_pieces_corpus"),
+        expr("(n_pieces_corpus * 1000) div n_tokens_corpus")
+          .as("fertility_e3"))
+      .orderBy("kb")
 
   /** Driver-held unigram SERVING REPLICA: the kb = 500 vocabulary
     * (piece → corpus frequency) collected off the memoized head —
@@ -1536,10 +1566,10 @@ object TextOps {
   }
 
   /** Q312: WORDPIECE ENCODE CENSUS — q304's per-length readout for
-    * the greedy encoder: distinct words, corpus occurrences, corpus
-    * pieces, fertility (e3) by word length. */
+    * the greedy encoder at the graded kb = 500 vocab: distinct words,
+    * corpus occurrences, corpus pieces, fertility (e3) by length. */
   def q312WordpieceEncode(spark: SparkSession, dir: String): DataFrame =
-    wpState(spark, dir)
+    wpState(spark, dir).filter(col("kb") === 500L)
       .groupBy("len")
       .agg(count(lit(1)).as("n_words"),
         sum(col("c")).as("n_tokens_corpus"),
@@ -1592,7 +1622,7 @@ object TextOps {
         sum(col("c") * col("n")).as("n_pieces"))
       .select(lit("unigram").as("tokenizer"), col("n_words"),
         col("n_pieces"))
-    val wp = wpState(spark, dir)
+    val wp = wpState(spark, dir).filter(col("kb") === 500L)
       .agg(sum(col("c")).as("n_words"),
         sum(col("c") * col("n")).as("n_pieces"))
       .select(lit("wordpiece").as("tokenizer"), col("n_words"),
@@ -2443,6 +2473,7 @@ object TextOps {
     "q241_fertility" -> (q241Fertility _),
     "q304_unigram_encode" -> (q304UnigramEncode _),
     "q312_wordpiece_encode" -> (q312WordpieceEncode _),
+    "q315_wordpiece_vocab_curve" -> (q315WordpieceVocabCurve _),
     "q304b_tokenizer_compare" -> (q304bTokenizerCompare _),
     "q307_unigram_vocab_curve" -> (q307UnigramVocabCurve _),
     "q147_inverted_index" -> (q147InvertedIndex _),
@@ -2984,27 +3015,29 @@ object TextOps {
     * (carry + advance), MATERIALIZED (the q131 inlining lesson). */
   private def wpRoundCte(r: Int): String =
     s"""wst$r AS MATERIALIZED (
-       |  SELECT w, len, j, n FROM wst${r - 1} WHERE j = len
+       |  SELECT kb, w, len, j, n FROM wst${r - 1} WHERE j = len
        |  UNION ALL
-       |  SELECT s.w, s.len, e.nj AS j, s.n + 1 AS n
-       |  FROM wst${r - 1} s JOIN wstep e ON e.w = s.w AND e.i0 = s.j
+       |  SELECT s.kb, s.w, s.len, e.nj AS j, s.n + 1 AS n
+       |  FROM wst${r - 1} s JOIN wstep e ON e.kb = s.kb
+       |    AND e.w = s.w AND e.i0 = s.j
        |  WHERE s.j < s.len)""".stripMargin
 
-  /** The WordPiece chain (longest-match step table off the SAME uedge
-    * frame at kb = 500 → seeds → 16 greedy rounds → wfin), composed
-    * after [[uniHeadCtes]] — ONE renderer for q312 and q304b's third
-    * row. */
+  /** The WordPiece chain (kb-keyed longest-match step table off the
+    * SAME uedge frame → seeds per budget → 16 greedy rounds → wfin),
+    * composed after [[uniHeadCtes]] — ONE renderer for q312, q304b's
+    * third row and the q315 curve. */
   private val wpCtes: String =
     """wstep AS MATERIALIZED (
-      |  SELECT w, i0, CAST(MAX(nj) AS BIGINT) AS nj
-      |  FROM uedge WHERE kb = 500 GROUP BY w, i0),
+      |  SELECT kb, w, i0, CAST(MAX(nj) AS BIGINT) AS nj
+      |  FROM uedge GROUP BY kb, w, i0),
       |wst0 AS MATERIALIZED (
-      |  SELECT w, len, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS n
-      |  FROM uwd)""".stripMargin +
+      |  SELECT b.kb, w, len, CAST(0 AS BIGINT) AS j,
+      |    CAST(0 AS BIGINT) AS n
+      |  FROM uwd, ubud b)""".stripMargin +
       (1 to 16).map(wpRoundCte).mkString(",\n", ",\n", "") +
       """,
         |wfin AS MATERIALIZED (
-        |  SELECT s.w, d.c, d.len, s.n
+        |  SELECT s.kb, s.w, d.c, d.len, s.n
         |  FROM wst16 s JOIN uwd d ON d.w = s.w AND s.j = d.len)"""
         .stripMargin
 
@@ -3045,7 +3078,7 @@ object TextOps {
         |  SELECT 'wordpiece' AS tokenizer,
         |    CAST(SUM(c) AS BIGINT) AS n_words,
         |    CAST(SUM(c * n) AS BIGINT) AS n_pieces
-        |  FROM wfin)
+        |  FROM wfin WHERE kb = 500)
         |SELECT tokenizer, n_words, n_pieces,
         |  (n_pieces * 1000) // n_words AS tokens_per_word_e3
         |FROM cmp ORDER BY tokenizer""".stripMargin),
@@ -3063,8 +3096,21 @@ object TextOps {
         |  CAST(SUM(c * n) AS BIGINT) AS n_pieces_corpus,
         |  (CAST(SUM(c * n) AS BIGINT) * 1000)
         |    // CAST(SUM(c) AS BIGINT) AS fertility_e3
-        |FROM wfin GROUP BY len
+        |FROM wfin WHERE kb = 500 GROUP BY len
         |ORDER BY len""".stripMargin),
+    // q315: the same head + kb-keyed greedy chain, grouped by budget.
+    "q315_wordpiece_vocab_curve" ->
+      ("""WITH wc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY w),
+        |""".stripMargin + uniHeadCtes + ",\n" + wpCtes + """
+        |SELECT kb, CAST(SUM(c) AS BIGINT) AS n_tokens_corpus,
+        |  CAST(SUM(c * n) AS BIGINT) AS n_pieces_corpus,
+        |  (CAST(SUM(c * n) AS BIGINT) * 1000)
+        |    // CAST(SUM(c) AS BIGINT) AS fertility_e3
+        |FROM wfin GROUP BY kb ORDER BY kb""".stripMargin),
     "q307_unigram_vocab_curve" ->
       ("""WITH wc AS (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (

@@ -350,6 +350,26 @@ class ClusteringSpec extends SparkSpecBase {
       s"frontier: ${mean(4L)} / ${mean(8L)} / ${mean(16L)}")
   }
 
+  test("q316 kSub=8 rows ≡ q303b's refine variant (the depth sweep's " +
+      "anchor — q310 and q316 cross at the graded config), code_bits " +
+      "= log2(kSub); the curve is honestly NON-monotone (seeds are " +
+      "vec_id < kSub, not nested) and measured FLAT here — depth is " +
+      "not the axis that moves codes-only recall, m' is (q310)") {
+    val rows = Similarity.queries("q316_refine_ksub_sweep")(
+        spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    assert(rows.length == 15 && rows.forall(_._4 == 10L))
+    rows.foreach { r =>
+      assert((1L << r._2.toInt) == r._1, s"code_bits: $r") }
+    val at8 = rows.filter(_._1 == 8L).map(r => r._3 -> r._5).toMap
+    val refine = Similarity.queries("q303b_ivfadc_refine_recall")(
+        spark, sf).collect()
+      .filter(_.getString(0) == "refine")
+      .map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(at8 == refine, s"sweep@kSub=8 $at8 != q303b refine $refine")
+  }
+
   test("q284 dims=64 anchor row is structural recall 1.0 (the " +
       "truncated ranking at full width IS the baseline ranking)") {
     val rows = Similarity.queries("q284_dim_trunc_recall")(spark, sf)

@@ -681,8 +681,9 @@ class TextOpsSpec extends SparkSpecBase {
       "and short words stay whole") {
     import spark.implicits._
     val docs = Seq("abcdefgh xy xy", "abcdefgh q").toDF("text")
-    val got = TextOps.wordPieceOf(TextOps.uniEdgesOf(docs)).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val got = TextOps.wordPieceOf(TextOps.uniEdgesOf(docs))
+      .filter(col("kb") === 500L).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(4))).toMap
     assert(got == Map("abcdefgh" -> (2L, 2L), "xy" -> (2L, 1L),
       "q" -> (1L, 1L)), s"got $got")
   }
@@ -701,8 +702,9 @@ class TextOpsSpec extends SparkSpecBase {
       Seq.fill(3)("aa") ++ Seq.fill(2)("abb") ++ Seq("aabb")
     val docs = Seq(words.mkString(" ")).toDF("text")
     val head = TextOps.uniEdgesOf(docs)
-    val wp = TextOps.wordPieceOf(head).collect()
-      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val wp = TextOps.wordPieceOf(head)
+      .filter(col("kb") === 500L).collect()
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
     val uni = TextOps.uniStateOf(docs)
       .filter(col("kb") === 500L).collect()
       .map(r => r.getString(1) -> r.getLong(4)).toMap
@@ -711,14 +713,25 @@ class TextOpsSpec extends SparkSpecBase {
     assert(wp("abb") == 1L && wp("aa") == 1L)
   }
 
-  test("q312 corpus-wide inequality: wordpiece pieces ≥ unigram " +
-      "pieces for EVERY fixture word at kb=500 (greedy never beats " +
-      "the lexicographic optimum)") {
-    val uni = TextOps.uniState(spark, sf).filter(col("kb") === 500L)
-      .select(col("w"), col("n").as("un"))
+  test("q312/q315 corpus-wide inequality: wordpiece pieces ≥ unigram " +
+      "pieces for EVERY fixture word at EVERY budget (greedy never " +
+      "beats the lexicographic optimum — the structural pin; the " +
+      "greedy curve itself has no monotonicity guarantee, which is " +
+      "why q315 measures it)") {
+    val uni = TextOps.uniState(spark, sf)
+      .select(col("kb"), col("w"), col("n").as("un"))
     val wp = TextOps.wpState(spark, sf)
-      .select(col("w"), col("n").as("wn"))
-    val bad = wp.join(uni, "w").filter(col("wn") < col("un")).count()
-    assert(bad == 0L, s"$bad words where greedy beat the optimum")
+      .select(col("kb"), col("w"), col("n").as("wn"))
+    val bad = wp.join(uni, Seq("kb", "w"))
+      .filter(col("wn") < col("un")).count()
+    assert(bad == 0L, s"$bad (kb, word) rows where greedy beat the " +
+      "optimum")
+    // and the q315 totals anchor: the kb=500 row ≡ q312's totals
+    val curve = TextOps.q315WordpieceVocabCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val q312tot = TextOps.q312WordpieceEncode(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+      .reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+    assert(curve(500L) == q312tot)
   }
 }
