@@ -1565,6 +1565,35 @@ object TextOps {
     best(n)
   }
 
+  /** The q312 greedy rule as a driver-side fold over CODE POINTS
+    * (the unigramSegment discipline — `length`/`substring` count
+    * code points in both engines, so the replica must too): leftmost-
+    * longest vocab match, piece length ≤ 6. Returns the piece count,
+    * or None when the word is out of the 1..16 scope or a position
+    * has no vocab piece (an unseen code point — production adds a
+    * byte-fallback tier). ONE body for the stream twin and the
+    * StreamingSpec replay. */
+  private[graft] def wordPieceSegment(w: String,
+      vocab: Map[String, Long]): Option[Long] = {
+    val cps = w.codePoints.toArray
+    val n = cps.length
+    if (n < 1 || n > 16) return None
+    var j = 0
+    var cnt = 0L
+    while (j < n) {
+      var l = math.min(6, n - j)
+      var found = -1
+      while (l >= 1 && found < 0) {
+        if (vocab.contains(new String(cps, j, l))) found = l
+        else l -= 1
+      }
+      if (found < 0) return None
+      j += found
+      cnt += 1
+    }
+    Some(cnt)
+  }
+
   /** Q312: WORDPIECE ENCODE CENSUS — q304's per-length readout for
     * the greedy encoder at the graded kb = 500 vocab: distinct words,
     * corpus occurrences, corpus pieces, fertility (e3) by length. */

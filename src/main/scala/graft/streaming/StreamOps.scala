@@ -879,6 +879,24 @@ object StreamOps {
       .toDF("w", "n", "fs")
   }
 
+  /** STREAMING WORDPIECE ENCODER (q312's serving twin — completes
+    * the tokenizer serving triad beside the BPE encoder and
+    * [[unigramEncodeStream]]): greedy longest-match against the SAME
+    * driver-held kb = 500 vocab replica, stateless (one flatMap, no
+    * state store, no shuffle). StreamingSpec pins stream ≡ the gated
+    * q312 state (kb = 500) row for row on overlapping batches. */
+  def wordPieceEncodeStream(words: DataFrame,
+      vocab: Map[String, Long]): DataFrame = {
+    import words.sparkSession.implicits._
+    words.select(col("w").cast("string"))
+      .as[String]
+      .flatMap { w =>
+        graft.operators.TextOps.wordPieceSegment(w, vocab)
+          .map(n => (w, n))
+      }
+      .toDF("w", "n")
+  }
+
   /** STREAMING BM25 SERVING (q255's twin — round-15 verdict item 8,
     * the lexical sibling of [[ivfAdcServeStream]]): query batches
     * (query_id, terms) score against the driver-held postings

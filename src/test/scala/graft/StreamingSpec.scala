@@ -1559,6 +1559,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(TextOps.unigramSegment("a" * 17, vocab).isEmpty)
   }
 
+  test("streaming WordPiece encode ≡ the gated q312 state (kb=500) " +
+      "row for row against the same vocab replica (stateless greedy " +
+      "serving — the tokenizer serving triad complete)") {
+    import graft.operators.TextOps
+    val vocab = TextOps.unigramVocabBuild(spark, sf)
+    val gated = TextOps.wpState(spark, sf)
+      .filter(col("kb") === 500L)
+      .select("w", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val words = gated.map(_._1).toSeq.sorted
+    val input = MemoryStream[SDoc](spark)
+    val df = StreamOps.wordPieceEncodeStream(
+      input.toDF().select(col("text").as("w")), vocab)
+    val q = df.writeStream.format("memory").queryName("wpserve")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-wpserve").toString)
+      .start()
+    try {
+      input.addData(words.map(w => SDoc(ts(1), w)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wpserve").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSet == gated,
+      s"stream ${rows.toSet.size} != gated ${gated.size}")
+    assert(TextOps.wordPieceSegment("a" * 17, vocab).isEmpty)
+  }
+
   test("streaming BM25 serve ≡ the gated q255 multi-query ranking row " +
       "for row against the driver-held postings replica (stateless; " +
       "overlapping batch re-serves identically — round-15 item 8)") {
