@@ -144,11 +144,15 @@ object Bench {
       val fails = if (failed.isEmpty) ""
         else failed.sortBy(_._1).map { case (k, e) => s"${jq(k)}:${jq(e)}" }
           .mkString(""","failed":{""", ",", "}")
-      // slim (round-15 verdict item 9 — BENCH_r15.json was truncated
-      // mid-loads-map by the driver's bounded tail capture): the FINAL
-      // stdout line drops the per-entry loads map (keeping the scalar
-      // min/max) so one complete {"metric":…} line always fits the
-      // capture; the full map lives in BENCH_LATEST.json.
+      // slim (round-17 fix of round-15 item 9 / round-16 "what's wrong
+      // #1" — BENCH_r15/r16.json both ended parsed:null): the driver's
+      // stdout tail capture is ~2000 chars, so ANY final line carrying
+      // the 378-entry queries map (~12 KB) can never be captured
+      // whole. The FINAL line is therefore a BOUNDED summary (total,
+      // wall, n, failure count, load min/max, rerun list — ≤ ~500
+      // chars); the full contract line WITH the per-query map is still
+      // printed immediately before it (and after every query), and the
+      // complete artifact lives in BENCH_LATEST.json.
       val vs = loads.map(_._2).filter(_ >= 0)
       val mm = if (vs.isEmpty) "" else
         s""","load_min":${vs.min},"load_max":${vs.max}"""
@@ -160,7 +164,10 @@ object Bench {
       }
       val rr = if (reruns.isEmpty) "" else
         reruns.toSeq.sorted.map(jq).mkString(""","rerun":[""", ",", "]")
-      val json = s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir"$loadStr$rr$fails$partial}"""
+      val json = if (slim)
+        s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"n":${results.size},"n_failed":${failed.size},"sf":"$sfDir"$loadStr$rr$partial}"""
+      else
+        s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir"$loadStr$rr$fails$partial}"""
       // Subset runs (SPARK_GRAFT_ONLY) are local iteration aids — never
       // let them clobber the committed full-suite artifact; the slim
       // rendering is print-only.

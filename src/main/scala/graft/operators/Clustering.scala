@@ -252,6 +252,52 @@ object Clustering {
     (ex, cent, distTo(cent).localCheckpoint())
   }
 
+  /** CONFIG-KEYED [[pqSharedEx]] (round 17, guide §1.2/§2.4 — "one
+    * pass instead of three"): trains EVERY sweep config's codebooks in
+    * ONE trainer chain. `ex` carries a `cfg` column (the sweep key);
+    * every grouping key, the seed filter (vec_id < kSubOf(cfg)) and
+    * the broadcast codebook join gain `cfg`, so per config the chain
+    * is EXACTLY [[pqSharedEx]] — same seed rule, same rounds, same
+    * truncating-div means, same (d2, cell) argmin; configs are
+    * disjoint groups that can never interact. Outputs therefore equal
+    * the union of the per-config outputs (the q310/q316 gates verify
+    * this hash-for-hash), but the sweep pays ONE set of checkpointed
+    * jobs instead of |cfgs| sets — the sweeps were measured
+    * JOB-COUNT-bound at sf0.1 (round-16 plan audit), so this is the
+    * binding cost. At 100 TB the same fusion reads the training
+    * sample once per round instead of once per config per round. */
+  def pqSharedExCfg(ex: DataFrame, kSubOf: Map[Long, Long],
+      rounds: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(rounds >= 1 && kSubOf.nonEmpty)
+    val spark = ex.sparkSession
+    import spark.implicits._
+    val ks = kSubOf.toSeq.sorted.toDF("cfg", "ksub")
+    var cent = ex.join(broadcast(ks), "cfg")
+      .filter(col("vec_id") < col("ksub"))
+      .select(col("cfg"), col("s"), col("vec_id").as("cell"),
+        col("dim"), col("x").as("c"))
+      .localCheckpoint()
+    def distTo(c: DataFrame): DataFrame =
+      ex.join(broadcast(c.select(col("cfg"), col("cell"), col("dim"),
+          col("c"))), Seq("cfg", "dim"))
+        .groupBy(col("cfg"), col("vec_id"), col("s"), col("cell"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c")))
+          .as("d2"))
+    for (_ <- 0 until rounds) {
+      val assign = distTo(cent).groupBy("cfg", "vec_id", "s")
+        .agg(min(struct(col("d2").as("d2"), col("cell").as("cell")))
+          .as("m"))
+        .select(col("cfg"), col("vec_id"), col("s"),
+          col("m.cell").as("cell"))
+        .localCheckpoint()
+      cent = ex.join(assign, Seq("cfg", "vec_id", "s"))
+        .groupBy("cfg", "s", "cell", "dim")
+        .agg(expr("sum(x) div count(1)").as("c"))
+        .localCheckpoint()
+    }
+    (ex, cent, distTo(cent).localCheckpoint())
+  }
+
   /** Within-cluster sum of squared distance — Lloyd's monotone objective
     * (ClusteringSpec asserts non-increase across iterations). */
   def wcss(vectors: DataFrame, vecCol: String, cids: Array[Long],

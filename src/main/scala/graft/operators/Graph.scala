@@ -318,8 +318,27 @@ object Graph {
     * Scale: consecutive rounds join node-keyed (each side already
     * checkpointed by the PR loop); each round's audit is one
     * partial-combining aggregate; output = `iters` rows. */
+  /** Memoized 5-round PageRank chain over the co-supply graph (round
+    * 17): q93 reads the final frame and q265 the whole chain — the
+    * two queries re-ran the identical 5-round loop per Verify/Bench
+    * pass. Every frame is already localCheckpoint'ed by the loop, so
+    * holding the Seq is free (the exactPairs memo discipline). */
+  private val prRoundsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[DataFrame]]
+
+  private def prRounds25(spark: SparkSession, dir: String)
+      : Seq[DataFrame] =
+    prRoundsCache.getOrElseUpdate((spark, dir),
+      pageRankRounds(coEdges25(spark, dir), iters = 5))
+
+  /** Bench line-item entry point (`memo:pr_rounds25` — the round-8
+    * memo-accounting rule: the build is its own timed entry, never
+    * absorbed by whichever consumer runs first). */
+  private[operators] def prRounds25Build(spark: SparkSession,
+      dir: String): Unit = { prRounds25(spark, dir); () }
+
   def q265PrConvergence(spark: SparkSession, dir: String): DataFrame = {
-    val rounds = pageRankRounds(coEdges25(spark, dir), iters = 5)
+    val rounds = prRounds25(spark, dir)
     rounds.sliding(2).zipWithIndex.map { case (Seq(prev, cur), i) =>
       cur.as("a").join(prev.as("b"), col("a.node") === col("b.node"))
         .select(abs(col("a.s") - col("b.s")).as("d"))
@@ -332,7 +351,9 @@ object Graph {
   }
 
   def q93PageRank(spark: SparkSession, dir: String): DataFrame =
-    pageRank(coEdges25(spark, dir)).orderBy("node")
+    prRounds25(spark, dir).last
+      .select(col("node"), col("s").as("score"))
+      .orderBy("node")
 
   // ---------------------------------------------------------------- q262
 
@@ -708,11 +729,19 @@ object Graph {
       .empty[(Long, Long, Long, Long)]
     for (r <- 1 to 3) {
       val next = louvainRound(sym, deg, mrow, comm)
-      val moved = next.alias("a")
+      // ONE action per round (round 17, guide §1.2): nodes, moved and
+      // distinct-community counts come out of a single aggregate over
+      // the (next ⋈ prev) node join — previously three separate
+      // driver actions (count / filter-count / distinct-count) each
+      // re-ran the join per round.
+      val a = next.alias("a")
         .join(comm.alias("b"), col("a.node") === col("b.node"))
-        .filter(col("a.community") =!= col("b.community")).count()
-      rows += ((r.toLong, next.count(), moved,
-        next.select("community").distinct().count()))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a.community") =!= col("b.community"), 1L)
+            .otherwise(0L)).as("moved"),
+          countDistinct(col("a.community")).as("nc"))
+        .collect().head
+      rows += ((r.toLong, a.getLong(0), a.getLong(1), a.getLong(2)))
       comm = next
     }
     import spark.implicits._
@@ -723,10 +752,14 @@ object Graph {
   /** Q305: 3 Louvain rounds over the co-supply graph — the community
     * detector production entity-resolution actually runs, on the same
     * memoized edges q143/q155 read, so the q155 evaluator prices both
-    * partitions of ONE graph. */
+    * partitions of ONE graph. Round 17: reads the level-1 labels
+    * straight from `memo:louvain2_state` — its `c1` IS
+    * louvainRounds(coEdges25, 3) (q311's level-1 input), so q305 was
+    * re-running the identical 3-round ascent a second time per
+    * Verify/Bench pass (the q33g components precedent: one
+    * computation, N view queries). */
   def q305Louvain(spark: SparkSession, dir: String): DataFrame =
-    louvainRounds(coEdges25(spark, dir), rounds = 3)
-      .orderBy("node")
+    louvain2State(spark, dir)._2.orderBy("node")
 
   // ---------------------------------------------------------------- q311
 
@@ -1069,6 +1102,7 @@ object Graph {
     lpaCache.clear()
     basketCoCache.clear()
     louvain2Cache.clear()
+    prRoundsCache.clear()
   }
 
   private[operators] def basketCo(spark: SparkSession,

@@ -53,6 +53,10 @@ object Memos {
       ((s, d) => { TextOps.bpeState6(s, d); () }),
     "memo:dedup_components" ->
       ((s, d) => { Dedup.q33gDedupComponents(s, d); () }),
+    "memo:derived_corpus" ->
+      ((s, d) => { Dedup.derivedCorpus(s, d); () }),
+    "memo:quality_scored" ->
+      ((s, d) => { Dedup.qualityScoredCorpus(s, d); () }),
     "memo:kmeans_cells" ->
       ((s, d) => { Similarity.kmeansShared83(s, d); () }),
     "memo:pq_state" ->
@@ -61,6 +65,8 @@ object Memos {
       ((s, d) => { Similarity.pqResShared(s, d); () }),
     "memo:pq_ref_state" ->
       ((s, d) => { Similarity.pqRefShared(s, d); () }),
+    "memo:resid_shortlist" ->
+      ((s, d) => { Similarity.residShortlist50(s, d); () }),
     "memo:hybrid_fused" ->
       ((s, d) => { Similarity.hybridMultiRankings(s, d); () }),
     "memo:qsketch_state" ->
@@ -70,5 +76,7 @@ object Memos {
     "memo:wordpiece_state" ->
       ((s, d) => { TextOps.wpState(s, d); () }),
     "memo:louvain2_state" ->
-      ((s, d) => { Graph.louvain2State(s, d); () }))
+      ((s, d) => { Graph.louvain2State(s, d); () }),
+    "memo:pr_rounds25" ->
+      ((s, d) => { Graph.prRounds25Build(s, d); () }))
 }

@@ -439,10 +439,38 @@ object Percentiles {
     * unchanged — so the oracle needs no twin. */
   private[graft] def sketchCascade(base: DataFrame): DataFrame = {
     var cur = base.localCheckpoint()
+    // Round-17 (guide §1.2 "don't compute things you throw away"): a
+    // round whose every (kb, shard) group is already within budget is
+    // the IDENTITY (the filter keeps all rows, w unchanged), and group
+    // sizes evolve deterministically — n → floor(n/2) while n > kb,
+    // then frozen — so the number of rounds that can still act is an
+    // exact integer function of the initial group sizes. One slim
+    // count pre-pass + a driver replay of the halving computes it; the
+    // skipped tail rounds are provably no-ops for every group, so the
+    // output frame is row-identical to the unrolled 14-round cascade
+    // (the DuckDB oracle keeps all 14 MATERIALIZED rounds — its tail
+    // rounds are the same no-ops). If some group would still exceed
+    // budget after sketchRounds rounds, all sketchRounds run and the
+    // post-cascade guard below raises exactly as before. Checkpoints
+    // drop to every 2nd round: lineage here is LINEAR (each round
+    // reads only its predecessor), so the iterative-loop rule's
+    // exponential-reanalysis hazard does not apply and half the
+    // materialization jobs suffice.
+    val needed = cur.groupBy("kb", "shard")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("kb").agg(max(col("n")).as("n")).collect()
+      .map { row =>
+        val kb = row.getLong(0)
+        var n = row.getLong(1)
+        var r = 0
+        while (n > kb && r < sketchRounds) { n = n / 2; r += 1 }
+        r
+      }.foldLeft(0)(math.max)
     var r = 0
-    while (r < sketchRounds) {
-      cur = sketchRound(cur).localCheckpoint()
+    while (r < needed) {
+      cur = sketchRound(cur)
       r += 1
+      if (r % 2 == 0 || r == needed) cur = cur.localCheckpoint()
     }
     val wn = Window.partitionBy("kb", "shard")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
