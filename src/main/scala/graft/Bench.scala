@@ -271,7 +271,16 @@ object Bench {
                   loads(j) = name -> l
                   println(s"""{"query":"$name","sec":$t,"load":$l,"rerun":true}""")
                 }
-              case Left(_) => () // keep the original measurement
+              case Left(err) =>
+                // advice r16: a crashed re-run attempt keeps the
+                // original (green) measurement but must be VISIBLE —
+                // record the entry in "rerun" and say so on stderr,
+                // so the artifact distinguishes "rerun attempted but
+                // crashed" from "never rerun".
+                reruns += name
+                System.err.println(
+                  s"[bench] $name rerun attempt FAILED (original " +
+                    s"measurement kept): $err")
             }
           }
         }

@@ -160,17 +160,20 @@ object Clustering {
         .groupBy(col("vec_id"), col("cell"))
         .agg(sum((col("x") - col("c")) * (col("x") - col("c")))
           .as("d2"))
+      // assign stays LAZY inside the loop (round 17): lineage is
+      // linear (cent → d2 → assign → cent', each referenced once), so
+      // the per-round cent checkpoint alone truncates the plan; only
+      // the RETURNED final assignment materializes (below).
       assign = d2.groupBy("vec_id")
         .agg(min(struct(col("d2").as("d2"), col("cell").as("cell")))
           .as("m"))
         .select(col("vec_id"), col("m.cell").as("cell"))
-        .localCheckpoint()
       cent = ex.join(assign, "vec_id")
         .groupBy("cell", "dim")
         .agg(expr("sum(x) div count(1)").as("c"))
         .localCheckpoint()
     }
-    (cent, assign)
+    (cent, assign.localCheckpoint())
   }
 
   /** ENGINE-SHARED INTEGER PRODUCT QUANTIZATION (q282/q283) — the
@@ -239,11 +242,14 @@ object Clustering {
         .agg(sum((col("x") - col("c")) * (col("x") - col("c")))
           .as("d2"))
     for (_ <- 0 until rounds) {
+      // assign stays LAZY (round 17): the round's lineage is linear
+      // (cent → distTo → assign → cent', each referenced once), so
+      // the per-round cent checkpoint alone truncates the plan — the
+      // assign materialization was a redundant job per round.
       val assign = distTo(cent).groupBy("vec_id", "s")
         .agg(min(struct(col("d2").as("d2"), col("cell").as("cell")))
           .as("m"))
         .select(col("vec_id"), col("s"), col("m.cell").as("cell"))
-        .localCheckpoint()
       cent = ex.join(assign, Seq("vec_id", "s"))
         .groupBy("s", "cell", "dim")
         .agg(expr("sum(x) div count(1)").as("c"))
@@ -284,12 +290,12 @@ object Clustering {
         .agg(sum((col("x") - col("c")) * (col("x") - col("c")))
           .as("d2"))
     for (_ <- 0 until rounds) {
+      // assign lazy — same linear-lineage argument as pqSharedEx
       val assign = distTo(cent).groupBy("cfg", "vec_id", "s")
         .agg(min(struct(col("d2").as("d2"), col("cell").as("cell")))
           .as("m"))
         .select(col("cfg"), col("vec_id"), col("s"),
           col("m.cell").as("cell"))
-        .localCheckpoint()
       cent = ex.join(assign, Seq("cfg", "vec_id", "s"))
         .groupBy("cfg", "s", "cell", "dim")
         .agg(expr("sum(x) div count(1)").as("c"))

@@ -1915,7 +1915,13 @@ object TextOps {
       .as[(Long, Seq[String])]
       .flatMap { case (qid, terms) =>
         val acc = scala.collection.mutable.LongMap.empty[(Long, Long)]
-        terms.distinct.foreach { t =>
+        // NO .distinct (round-17 advice fix): the gated q255 batch
+        // chain scores duplicate (query_id, term) rows independently
+        // — a repeated query term contributes its tscore (and its
+        // n_terms increment) once PER OCCURRENCE. The serve ≡ batch
+        // pin previously held only because the gated query table is
+        // duplicate-free; this makes the equivalence unconditional.
+        terms.foreach { t =>
           ix.postings.get(t).foreach { pl =>
             val dfT = ix.df(t)
             val idfX = (ix.dDocs * 1000000L) / dfT

@@ -58,7 +58,17 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("inference is total and the codec round-trips arbitrary records") {
-    check(Prop.forAll(record(2)) { rec =>
+    // forAllNoShrink (round 17): the one-per-few-rounds flake of this
+    // property (r13 under a loaded chain run; once in an r17 full-
+    // suite run, 5 immediate re-runs clean both times) reports a
+    // USELESS counterexample under shrinking — scalacheck's Map
+    // shrinker empties the KEY strings, every empty-name input also
+    // "fails" (Avro rejects empty names, correctly), and the minimal
+    // case reported is that degenerate artifact instead of the real
+    // input. No-shrink preserves the actual failing record for the
+    // next occurrence; the generator itself cannot produce empty
+    // names (fieldName prefixes "f").
+    check(Prop.forAllNoShrink(record(2)) { rec =>
       val schema = AvroCodec.parseable(AvroInference.toValueSchema(rec))
       AvroCodec.decode(AvroCodec.encode(norm(rec), schema),
         schema) == norm(rec)
