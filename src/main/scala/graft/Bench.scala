@@ -97,8 +97,19 @@ object Bench {
     // spreads totals 1.5-2×, and committing a churn-poisoned rerun
     // loses the real number. The final write restores such a prior
     // unless SPARK_GRAFT_FORCE=1.
+    // Round 18: the guard additionally requires the prior to have been
+    // measured at the SAME core count — the committed r17 artifact
+    // turned out to be the driver's 8-CPU scaling run (407.2 s), and
+    // a 32-cpu run "losing" to an 8-cpu total is not a measurement
+    // statement. Artifacts now record "cpus"; a prior without the
+    // field (pre-round-18) is treated as comparable only when nothing
+    // better is known — i.e. it still guards, but a mismatched
+    // recorded cpus disables the guard.
+    val priorCpus = priorTxt.flatMap(t =>
+      """"cpus":([0-9]+)""".r.findFirstMatchIn(t).map(_.group(1)))
     val priorComplete = priorTxt.exists(t =>
-      !t.contains("\"partial\":true") && !t.contains("\"failed\":{"))
+      !t.contains("\"partial\":true") && !t.contains("\"failed\":{")) &&
+      priorCpus.forall(_ == cpus)
     val priorValue = priorTxt.flatMap(t =>
       """"value":([0-9.eE+-]+)""".r.findFirstMatchIn(t)
         .map(_.group(1).toDouble))
@@ -122,8 +133,13 @@ object Bench {
     def elapsed(): Double = (System.nanoTime() - tSuite0) / 1e9
     val loads = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     // Names re-measured by the load-aware re-run pass (round-15
-    // verdict item 6) — recorded in the artifact as "rerun".
+    // verdict item 6) — recorded in the artifact as "rerun". Advice
+    // r17 #3: a re-run attempt that CRASHED (original measurement
+    // kept) is recorded under its own "rerun_failed" key so the
+    // artifact alone distinguishes "rerun kept" from "rerun attempted
+    // but crashed" (the distinction previously lived only on stderr).
     val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rerunsFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -162,12 +178,14 @@ object Bench {
           .mkString("{", ",", "}")
         s""","loads":$ls$mm"""
       }
-      val rr = if (reruns.isEmpty) "" else
-        reruns.toSeq.sorted.map(jq).mkString(""","rerun":[""", ",", "]")
+      val rr = (if (reruns.isEmpty) "" else
+        reruns.toSeq.sorted.map(jq).mkString(""","rerun":[""", ",", "]")) +
+        (if (rerunsFailed.isEmpty) "" else rerunsFailed.toSeq.sorted
+          .map(jq).mkString(""","rerun_failed":[""", ",", "]"))
       val json = if (slim)
-        s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"n":${results.size},"n_failed":${failed.size},"sf":"$sfDir"$loadStr$rr$partial}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"n":${results.size},"n_failed":${failed.size},"sf":"$sfDir","cpus":$cpus$loadStr$rr$partial}"""
       else
-        s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir"$loadStr$rr$fails$partial}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","wall":${elapsed()},"queries":$qs,"sf":"$sfDir","cpus":$cpus$loadStr$rr$fails$partial}"""
       // Subset runs (SPARK_GRAFT_ONLY) are local iteration aids — never
       // let them clobber the committed full-suite artifact; the slim
       // rendering is print-only.
@@ -272,12 +290,12 @@ object Bench {
                   println(s"""{"query":"$name","sec":$t,"load":$l,"rerun":true}""")
                 }
               case Left(err) =>
-                // advice r16: a crashed re-run attempt keeps the
-                // original (green) measurement but must be VISIBLE —
-                // record the entry in "rerun" and say so on stderr,
-                // so the artifact distinguishes "rerun attempted but
-                // crashed" from "never rerun".
-                reruns += name
+                // advice r16 + r17 #3: a crashed re-run attempt keeps
+                // the original (green) measurement but must be VISIBLE
+                // in the artifact itself — recorded under the separate
+                // "rerun_failed" key (not "rerun", which now means
+                // "re-measured successfully").
+                rerunsFailed += name
                 System.err.println(
                   s"[bench] $name rerun attempt FAILED (original " +
                     s"measurement kept): $err")

@@ -25,16 +25,44 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query '$name'; known: " +
-        SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+    // Round 18: `memo:*` names probe the memo BUILDERS (the bench's
+    // most expensive line items had no isolated-probe path — verdict
+    // r17 items 2/6). Memos are cleared before EVERY rep so each rep
+    // times a full rebuild, mirroring the bench's cleared-registry
+    // build phase.
+    val run: () => Double =
+      if (name.startsWith("memo:")) {
+        val bs = graft.operators.Memos.builders
+        val i = bs.indexWhere(_._1 == name)
+        if (i < 0) sys.error(s"unknown memo '$name'; known: " +
+          bs.map(_._1).mkString(", "))
+        // Dependencies (builders listed earlier, e.g. louvain2_state
+        // layering on co_edges25) are pre-built OUTSIDE the timed
+        // region, matching the bench's dependency-order attribution.
+        () => {
+          graft.operators.Memos.clearAll()
+          bs.take(i).foreach(_._2(spark, sfDir))
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          bs(i)._2(spark, sfDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+      } else {
+        val fn = SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query '$name'; known: " +
+            SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+        () => {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+      }
     var best = Double.MaxValue
     (1 to reps).foreach { i =>
       spark.catalog.clearCache()
       System.gc()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = run()
       if (i > 1) best = math.min(best, sec) // first rep = warmup, excluded
       println(f"""{"query":"$name","rep":$i,"sec":$sec%.3f}""")
     }

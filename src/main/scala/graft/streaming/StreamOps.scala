@@ -100,7 +100,10 @@ object StreamOps {
     * broadcast corpus shingle sets — exact and stateless, right while
     * the cleaned corpus fits an executor broadcast (validation scale,
     * dimension-sized corpora). At 100 TB corpus the SAME decision runs
-    * in `foreachBatch` as `Dedup.crossCorpusDedup(existing, batchDf)`
+    * in `foreachBatch` as `Dedup.crossCorpusDedupIndexed(idx, batchDf)`
+    * with `idx = Dedup.crossCorpusIndexOf(existing)` built ONCE before
+    * the stream starts (round 18 — the existing-side postings index is
+    * the stable artifact; only the incoming batch is per-batch work)
     * — the df-capped inverted index with work ∝ batch — and this
     * operator is its semantics pin (StreamingSpec replays a
     * MemoryStream incl. a cross-batch duplicate and matches the batch

@@ -28,10 +28,12 @@ class MemoSpec extends SparkSpecBase {
       "(round-8 verdict item 4)") {
     val names = Memos.builders.map(_._1)
     assert(names.distinct == names, "duplicate builder names")
-    // 21 since round 17 (+memo:resid_shortlist, +memo:pr_rounds25,
+    // 22 since round 18 (+memo:crosscorpus_index — the q137
+    // existing-side postings index, verdict r17 item 5); 21 in round
+    // 17 (+memo:resid_shortlist, +memo:pr_rounds25,
     // +memo:derived_corpus, +memo:quality_scored — state that was
     // rebuilt by every consumer per pass now builds once)
-    assert(names.size == 21, s"builder census drifted: $names")
+    assert(names.size == 22, s"builder census drifted: $names")
     assert(names.forall(_.startsWith("memo:")))
     val f1 = graft.operators.TextOps.fuzzyPairs(spark, sf)
     Memos.clearAll()
