@@ -2410,10 +2410,19 @@ object Similarity {
     // product at all, so it is bounded for ANY input scale, at the
     // cost of entries reaching ~2·10⁶ instead of exactly 10⁶ — every
     // later product stays ≤ d·4·10¹², safe past d = 10⁶).
-    val smax = s.agg(greatest(max(abs(col("s"))), lit(1L)).as("mx"))
-    val sn = s.crossJoin(broadcast(smax))
-      .select(col("i"), col("j"),
-        expr("s div greatest(mx div 1000000, 1)").as("s"))
+    // Round 18 (the hits() maxScalar discipline, guide §1.2): the max
+    // is a 1-row driver collect over the materialized frame and the
+    // normalized frame is a pure projection — the former
+    // crossJoin(broadcast(agg(max))) executed the un-materialized
+    // join+agg subtree TWICE per round (once under the broadcast job,
+    // once for the scored frame). Same integer max, same div.
+    def maxAbsScalar(df: DataFrame, c: String): Long = {
+      val r = df.agg(greatest(max(abs(col(c))), lit(1L))).collect()(0)
+      if (r.isNullAt(0)) 1L else r.getLong(0)
+    }
+    val smax = maxAbsScalar(s, "s")
+    val sn = s.select(col("i"), col("j"),
+        expr(s"s div greatest(${smax}L div 1000000, 1)").as("s"))
       .localCheckpoint()
     var v = sn.select(col("i").as("dim")).distinct()
       .select(col("dim"), lit(1000000L).as("v")).localCheckpoint()
@@ -2421,11 +2430,10 @@ object Similarity {
       val w = sn.join(v.select(col("dim").as("j"), col("v")), "j")
         .groupBy(col("i").as("dim"))
         .agg(sum(col("s") * col("v")).as("w"))
-      val wmax = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("mx"))
-      v = w.crossJoin(broadcast(wmax))
-        .select(col("dim"),
-          expr("w div greatest(mx div 1000000, 1)").as("v"))
         .localCheckpoint()
+      val wmax = maxAbsScalar(w, "w")
+      v = w.select(col("dim"),
+        expr(s"w div greatest(${wmax}L div 1000000, 1)").as("v"))
     }
     v.select(col("dim"), col("v").as("v_e6")).orderBy("dim")
   }
